@@ -1,0 +1,40 @@
+"""Shared canonicalization helpers for declared queries (SURVEY §5.3).
+
+The driver's correctness gate hashes VALUES order-insensitively, so every
+declared query must produce bit-identical values in Spark and DuckDB:
+
+* ``sdec(expr)`` — per-row cast of a double expression to DECIMAL(38,6)
+  before SUM. Per-row double arithmetic is IEEE-identical across engines;
+  decimal addition is exact and order-independent, so distributed partial
+  aggregation cannot introduce float accumulation-order drift.
+* ``ROUND(x, 6)`` (``r6``) — for genuinely-double outputs (ratios, stats,
+  similarity scores): both engines round the same IEEE double to the same
+  6-decimal neighbor except on exact decimal midpoints, which are not
+  representable in binary for the value domains used here.
+* integer SUMs: DuckDB widens SUM(BIGINT)→HUGEINT; oracles cast back.
+* averages are declared as decimal-sum ÷ count computed in double then
+  rounded — never engine-native AVG (intermediate precision differs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_kinesis_replay_spark.catalog import table
+
+DEC = "DECIMAL(38,6)"
+
+
+def sdec(expr: str) -> Column:
+    """SQL expression cast to DECIMAL(38,6) — exact-agg discipline."""
+    return F.expr(f"CAST(({expr}) AS {DEC})")
+
+
+def r6(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, 6)
+
+
+def t(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    return table(spark, name, sf_dir)

@@ -1,0 +1,529 @@
+"""Relational core: projection/filter/row ops (§2.B), joins (§2.C),
+sort/limit/set ops (§2.F), plus the flagship pricing-summary query (M1).
+
+Each query is a declarative DataFrame plan — Catalyst handles pushdown,
+pruning and join selection; we only force physical hints where the 100 TB
+plan demands it (broadcast for dimension tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3_kinesis_replay_spark.registry import register
+from s3_kinesis_replay_spark.queries.helpers import DEC, r6, sdec, t
+
+
+# ---------------------------------------------------------------- flagship
+@register(
+    "q1_pricing_summary",
+    "D1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS {DEC})) AS sum_qty,
+           SUM(CAST(l_extendedprice AS {DEC})) AS sum_base_price,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS sum_disc_price,
+           SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC})) AS sum_charge,
+           ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+           ROUND(SUM(l_extendedprice) / COUNT(*), 6) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    note="TPC-H Q1 shape; decimal sums are order-independent (SURVEY §5.3)",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(sdec("l_quantity")).alias("sum_qty"),
+            F.sum(sdec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(sdec("l_extendedprice * (1 - l_discount)")).alias("sum_disc_price"),
+            F.sum(sdec("l_extendedprice * (1 - l_discount) * (1 + l_tax)")).alias(
+                "sum_charge"
+            ),
+            r6(F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            r6(F.sum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- §2.B
+@register(
+    "b1_project",
+    "B1",
+    """
+    SELECT l_orderkey, l_linenumber AS line_no,
+           ROUND(l_extendedprice * (1 - l_discount), 6) AS net_price,
+           upper(l_returnflag) AS flag_u
+    FROM lineitem
+    """,
+)
+def b1_project(spark, sf_dir):
+    return t(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("line_no"),
+        r6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.upper("l_returnflag").alias("flag_u"),
+    )
+
+
+@register(
+    "b2_filter_bool",
+    "B2",
+    """
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE (l_quantity > 30 AND l_discount <= 0.04) OR NOT (l_returnflag = 'N')
+    """,
+)
+def b2_filter_bool(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir)
+    cond = ((F.col("l_quantity") > 30) & (F.col("l_discount") <= 0.04)) | ~(
+        F.col("l_returnflag") == "N"
+    )
+    return li.filter(cond).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "b3_in_between_like",
+    "B3",
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_size BETWEEN 10 AND 25
+      AND p_type IN ('a', 'b', 'c') = FALSE
+      AND p_name LIKE '%a%'
+      AND regexp_matches(p_brand, '[0-9]$')
+    """,
+    note="REF: message filtering by pattern maps to LIKE/RLIKE predicates",
+)
+def b3_in_between_like(spark, sf_dir):
+    p = t(spark, "part", sf_dir)
+    return p.filter(
+        F.col("p_size").between(10, 25)
+        & ~F.col("p_type").isin("a", "b", "c")
+        & F.col("p_name").like("%a%")
+        & F.col("p_brand").rlike("[0-9]$")
+    ).select("p_partkey", "p_name")
+
+
+@register(
+    "b4_null_handling",
+    "B4",
+    """
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_returnflag, 'A'), 'none') AS flag_or_none,
+           (NULLIF(l_discount, 0.0) IS NULL) AS disc_is_zero,
+           (NULLIF(l_returnflag, 'A') IS NOT DISTINCT FROM NULL) AS flag_null_safe
+    FROM lineitem
+    """,
+    note="fixtures are null-free; NULLIF manufactures nulls to exercise the paths",
+)
+def b4_null_handling(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir)
+    flag_n = F.nullif(F.col("l_returnflag"), F.lit("A"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(flag_n, F.lit("none")).alias("flag_or_none"),
+        F.nullif(F.col("l_discount"), F.lit(0.0)).isNull().alias("disc_is_zero"),
+        flag_n.eqNullSafe(F.lit(None).cast("string")).alias("flag_null_safe"),
+    )
+
+
+@register(
+    "b5_distinct",
+    "B5",
+    "SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem",
+)
+def b5_distinct(spark, sf_dir):
+    return t(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_linestatus", "l_shipdate"
+    ).distinct()
+
+
+@register(
+    "b6_case_when",
+    "B6",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'mid'
+                ELSE 'large' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open?') AS status_x
+    FROM orders
+    """,
+)
+def b6_case_when(spark, sf_dir):
+    o = t(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("large")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open?")).alias(
+            "status_x"
+        ),
+    )
+
+
+@register(
+    "b7_casts",
+    "B7",
+    f"""
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(l_linenumber AS BIGINT) AS line_big,
+           CAST(FLOOR(l_quantity) AS INTEGER) AS qty_int,
+           CAST(l_extendedprice AS {DEC}) AS price_dec,
+           CAST(l_orderkey AS VARCHAR) AS key_str,
+           l_quantity / NULLIF(l_discount - l_discount, 0.0) AS div_null
+    FROM lineitem
+    """,
+    note="floor-then-cast: Spark truncates double→int, DuckDB rounds — floor aligns; "
+    "try_divide(x, 0) ≡ x / NULLIF(0)",
+)
+def b7_casts(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_linenumber").cast("bigint").alias("line_big"),
+        F.floor("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_extendedprice").cast(DEC).alias("price_dec"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.try_divide(F.col("l_quantity"), F.col("l_discount") - F.col("l_discount")).alias(
+            "div_null"
+        ),
+    )
+
+
+@register(
+    "b8_sample_seeded",
+    "B8",
+    None,  # engines sample differently by design — rows-only + local CI test
+    check="TOL",
+    note="seeded Bernoulli sample; local test asserts count within binomial CI",
+)
+def b8_sample_seeded(spark, sf_dir):
+    return t(spark, "lineitem", sf_dir).sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+# ---------------------------------------------------------------- §2.C joins
+@register(
+    "c1_inner_join",
+    "C1",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def c1_inner_join(spark, sf_dir):
+    o, c = t(spark, "orders", sf_dir), t(spark, "customer", sf_dir)
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "c2_outer_joins",
+    "C2",
+    """
+    SELECT c.c_custkey, o.o_orderkey
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+)
+def c2_outer_joins(spark, sf_dir):
+    o, c = t(spark, "orders", sf_dir), t(spark, "customer", sf_dir)
+    return c.join(o, o.o_custkey == c.c_custkey, "left").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@register(
+    "c2b_full_outer",
+    "C2",
+    """
+    SELECT n.n_nationkey, n.n_name, s.s_suppkey
+    FROM nation n FULL JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def c2b_full_outer(spark, sf_dir):
+    n, s = t(spark, "nation", sf_dir), t(spark, "supplier", sf_dir)
+    return n.join(s, s.s_nationkey == n.n_nationkey, "full").select(
+        "n_nationkey", "n_name", "s_suppkey"
+    )
+
+
+@register(
+    "c3_broadcast_join",
+    "C3",
+    """
+    SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    note="explicit broadcast of dim tables — at 100 TB the fact side never shuffles "
+    "for this join",
+)
+def c3_broadcast_join(spark, sf_dir):
+    c = t(spark, "customer", sf_dir)
+    n = t(spark, "nation", sf_dir)
+    r = t(spark, "region", sf_dir)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(sdec("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "c4_semi_anti",
+    "C4",
+    """
+    SELECT c_custkey, 'has_orders' AS tag FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, 'no_orders' AS tag FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def c4_semi_anti(spark, sf_dir):
+    c, o = t(spark, "customer", sf_dir), t(spark, "orders", sf_dir)
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("tag")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("tag")
+    )
+    return semi.unionAll(anti)
+
+
+@register(
+    "c5_cross_join",
+    "C5",
+    "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+)
+def c5_cross_join(spark, sf_dir):
+    return t(spark, "region", sf_dir).crossJoin(t(spark, "nation", sf_dir)).select(
+        "r_name", "n_name"
+    )
+
+
+@register(
+    "c6_theta_join",
+    "C6",
+    """
+    SELECT s1.s_suppkey AS sk1, s2.s_suppkey AS sk2
+    FROM supplier s1 JOIN supplier s2
+      ON s1.s_acctbal < s2.s_acctbal AND s1.s_nationkey <> s2.s_nationkey
+    """,
+    note="pure inequality join → BroadcastNestedLoopJoin; bounded side declared",
+)
+def c6_theta_join(spark, sf_dir):
+    s1 = t(spark, "supplier", sf_dir).alias("s1")
+    s2 = t(spark, "supplier", sf_dir).alias("s2")
+    return s1.join(
+        s2,
+        (F.col("s1.s_acctbal") < F.col("s2.s_acctbal"))
+        & (F.col("s1.s_nationkey") != F.col("s2.s_nationkey")),
+    ).select(F.col("s1.s_suppkey").alias("sk1"), F.col("s2.s_suppkey").alias("sk2"))
+
+
+@register(
+    "c7_range_join",
+    "C7",
+    """
+    SELECT e1.event_id AS eid1, e2.event_id AS eid2
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+     AND e1.event_id <> e2.event_id
+    """,
+    note="equi key + range band → sort-merge join, no nested loop at scale",
+)
+def c7_range_join(spark, sf_dir):
+    e1 = t(spark, "events", sf_dir).alias("e1")
+    e2 = t(spark, "events", sf_dir).alias("e2")
+    return e1.join(
+        e2,
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") >= F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR"))
+        & (F.col("e1.event_id") != F.col("e2.event_id")),
+    ).select(F.col("e1.event_id").alias("eid1"), F.col("e2.event_id").alias("eid2"))
+
+
+@register(
+    "c9_self_join",
+    "C9",
+    """
+    SELECT l1.l_orderkey, l1.l_linenumber AS ln1, l2.l_linenumber AS ln2
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber
+    """,
+)
+def c9_self_join(spark, sf_dir):
+    l1 = t(spark, "lineitem", sf_dir).alias("l1")
+    l2 = t(spark, "lineitem", sf_dir).alias("l2")
+    return l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_linenumber") < F.col("l2.l_linenumber")),
+    ).select(
+        F.col("l1.l_orderkey").alias("l_orderkey"),
+        F.col("l1.l_linenumber").alias("ln1"),
+        F.col("l2.l_linenumber").alias("ln2"),
+    )
+
+
+# ---------------------------------------------------------------- §2.F
+@register(
+    "f1_multi_key_sort",
+    "F1",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    ORDER BY o_orderpriority DESC NULLS LAST, o_totalprice ASC, o_orderkey
+    """,
+    note="driver hash is order-insensitive; local harness checks ordered output",
+)
+def f1_multi_key_sort(spark, sf_dir):
+    return (
+        t(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy(
+            F.col("o_orderpriority").desc_nulls_last(),
+            F.col("o_totalprice").asc(),
+            F.col("o_orderkey"),
+        )
+    )
+
+
+@register(
+    "f2_limit_offset",
+    "F2",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 50
+    """,
+)
+def f2_limit_offset(spark, sf_dir):
+    return (
+        t(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(50)
+        .limit(100)
+    )
+
+
+@register(
+    "f3_global_topk",
+    "F3",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    note="TakeOrderedAndProject — no total sort at scale",
+)
+def f3_global_topk(spark, sf_dir):
+    return (
+        t(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "f4_union_all_byname",
+    "F4",
+    """
+    SELECT c_custkey AS key, c_name AS name FROM customer
+    UNION ALL
+    SELECT s_suppkey AS key, s_name AS name FROM supplier
+    """,
+)
+def f4_union_all_byname(spark, sf_dir):
+    c = t(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    s = t(spark, "supplier", sf_dir).select(
+        F.col("s_name").alias("name"), F.col("s_suppkey").alias("key")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "f5_union_distinct",
+    "F5",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def f5_union_distinct(spark, sf_dir):
+    c = t(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+@register(
+    "f6_intersect_except",
+    "F6",
+    """
+    SELECT n_nationkey AS nk, 'both' AS tag FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT n_nationkey AS nk, 'cust_only' AS tag FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+)
+def f6_intersect_except(spark, sf_dir):
+    c = t(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nk"))
+    both = c.intersect(s).select("nk", F.lit("both").alias("tag"))
+    conly = c.subtract(s).select("nk", F.lit("cust_only").alias("tag"))
+    return both.unionAll(conly)
+
+
+@register(
+    "f6b_intersect_except_all",
+    "F6",
+    """
+    SELECT flag FROM (
+      SELECT l_returnflag AS flag FROM lineitem WHERE l_linenumber <= 2
+      INTERSECT ALL
+      SELECT l_returnflag FROM lineitem WHERE l_quantity > 10
+    )
+    """,
+    note="multiset semantics: result multiplicity = min(left, right) per value",
+)
+def f6b_intersect_except_all(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir)
+    a = li.filter(F.col("l_linenumber") <= 2).select(F.col("l_returnflag").alias("flag"))
+    b = li.filter(F.col("l_quantity") > 10).select(F.col("l_returnflag").alias("flag"))
+    return a.intersectAll(b)

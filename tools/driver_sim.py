@@ -1,0 +1,70 @@
+"""Independent driver simulation: imports __spark_entry__ as the driver does,
+runs entry() smoke + per-query Spark-vs-DuckDB order-insensitive value-hash
+compare at sf0.01. Deliberately does NOT reuse the repo's oracle harness."""
+import sys, hashlib, decimal, datetime, math
+sys.path.insert(0, "/root/repo")
+import duckdb
+import __spark_entry__ as E
+from pyspark.sql import SparkSession
+
+SF = "/root/testdata/sf0.01"
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    if t == "events":
+        con.execute(f"CREATE VIEW events AS SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM read_parquet('{SF}/{t}.parquet')")
+    else:
+        con.execute(f"CREATE VIEW {t} AS FROM read_parquet('{SF}/{t}.parquet')")
+
+def cv(v):
+    if v is None: return "NULL"
+    if isinstance(v, bool): return str(int(v))
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, decimal.Decimal):
+        s = format(v, "f")
+        if "." in s: s = s.rstrip("0").rstrip(".")
+        return "0" if s in ("", "-0") else s
+    if isinstance(v, (datetime.datetime, datetime.date)): return v.isoformat()
+    if isinstance(v, (list, tuple)): return "[" + ",".join(cv(x) for x in v) + "]"
+    if hasattr(v, "tolist"): return cv(v.tolist())
+    return str(v)
+
+def rowhash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted("|".join(cv(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in canon: h.update(line.encode()); h.update(b"\n")
+    return h.hexdigest()
+
+# --- entry smoke ---
+df = E.entry(spark)
+rows = df.collect()
+print(f"ENTRY: rows={len(rows)} schema={[f.name for f in df.schema.fields]}")
+assert len(rows) >= 0
+
+qs, osql = E.queries(), E.oracle_sql()
+print(f"queries={len(qs)} oracles={len(osql)}")
+fails = []
+for name, fn in sorted(qs.items()):
+    sdf = fn(spark, SF)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in osql:
+        print(f"  rows-only {name}: {len(srows)} rows")
+        continue
+    cur = con.execute(osql[name])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    hs, hd = rowhash(scols, srows), rowhash(dcols, drows)
+    ok = (sorted(scols) == sorted(dcols)) and (len(srows) == len(drows)) and hs == hd
+    print(f"  {'MATCH ' if ok else 'FAIL  '}{name}: spark={len(srows)} duck={len(drows)} hash={'=' if hs==hd else '!='}")
+    if not ok: fails.append(name)
+print("RESULT:", "ALL MATCH" if not fails else f"FAILURES: {fails}")
+sys.exit(1 if fails else 0)
