@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark runner (BASELINE.md protocol).
+
+Runs the headline declared queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], 3 runs each, median
+wall-clock, and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with a count() over the query DataFrame (no driver
+materialization of full results beyond declared top-k limits).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from s3_kinesis_replay_spark.registry import all_queries
+from s3_kinesis_replay_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+# Headline set: one per operator family, weighted toward shuffle/join/window
+# heavy shapes (the 100 TB cost centers).
+HEADLINE = [
+    "q1_pricing_summary",     # scan + partial agg + decimal sums
+    "a4_gzip_scan",           # archive read path (gzip NDJSON)
+    "c1_inner_join",          # fact-fact shuffle join
+    "c3_broadcast_join",      # dim broadcast join + agg
+    "c8_asof_join",           # union-tag + window as-of
+    "c9_self_join",           # self equi-join
+    "d3_count_distinct",      # distinct rewrite
+    "d11_rollup",             # Expand + agg
+    "e1_ranking",             # wide window functions
+    "e4_running_total",       # running frame
+    "f3_global_topk",         # TakeOrdered
+    "h1_tumbling_window",     # time-bucketed agg
+    "i3_minhash_lsh_neardup", # shingle → minhash → band join → verify
+    "i5_topk_cosine",         # vector brute top-k
+    "i7_wordcount",           # explode + agg
+    "i8_tfidf",               # multi-join text pipeline
+    "mm1_media_features",     # Arrow mapInPandas feature extraction
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="skr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = queries[name]
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            q.fn(spark, SF_DIR).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_median_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""Engine facade — the three entry points of SURVEY §3.2.
+
+* E1 ``Engine.table(name)`` — DataFrame builder over the catalog.
+* E2 ``Engine.sql(query)`` — Spark SQL over the registered views.
+* E3 ``Engine.replay(cfg, client_factory)`` — the replay pipeline
+  (archive → transform → Kinesis-style sink), the reference's purpose.
+
+All three converge on the same Catalyst lifecycle; the facade only wires
+catalog + config, never bypasses the optimizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from s3_kinesis_replay_spark.catalog import DEFAULT_SF_DIR, load_tables, table
+from s3_kinesis_replay_spark.session import get_spark
+from s3_kinesis_replay_spark.streaming.replay import ReplayConfig, run_replay
+
+
+class Engine:
+    def __init__(
+        self, spark: SparkSession | None = None, sf_dir: str = DEFAULT_SF_DIR
+    ) -> None:
+        self.spark = spark or get_spark()
+        self.sf_dir = sf_dir
+        self._views_registered = False
+
+    def table(self, name: str) -> DataFrame:
+        return table(self.spark, name, self.sf_dir)
+
+    def sql(self, query: str) -> DataFrame:
+        if not self._views_registered:
+            load_tables(self.spark, self.sf_dir, register_views=True)
+            self._views_registered = True
+        return self.spark.sql(query)
+
+    def replay(self, cfg: ReplayConfig, client_factory, distributed: bool = False):
+        return run_replay(self.spark, cfg, client_factory, distributed=distributed)

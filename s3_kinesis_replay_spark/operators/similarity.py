@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (SURVEY §2.I4–I6, §4).
+
+Three tiers, chosen by query-batch size:
+
+* ``brute_topk`` — one query vector: broadcast it, score with codegen
+  HOFs, reduce with TakeOrdered. No shuffle of the corpus.
+* ``block_topk`` — a batch of Q query vectors: broadcast the Q×d matrix,
+  ``mapInPandas`` computes a per-partition NumPy matmul (corpus block ×
+  Qᵀ) and emits only each partition's local top-k per query; a final
+  window trims to global top-k. Data moved after scoring: k × Q ×
+  n_partitions rows — independent of corpus size.
+* ``lsh_topk`` — random-hyperplane LSH prefilter: score only candidates
+  whose sign-sketch matches the query in ≥ b bands, then exact re-rank.
+  Trades recall for touching a fraction of the corpus; the bucketing is
+  an equi-join on sketch bands (shuffle of fixed-width signatures only).
+
+All paths avoid driver-side loops and never materialize the O(n·Q) score
+matrix outside a partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def cosine_expr(a, b):
+    """Exact float64 cosine via codegen HOFs (no Python)."""
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def brute_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine against one literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        corpus.select(
+            id_col, F.round(cosine_expr(q, F.col(vec_col)), 6).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), id_col)
+        .limit(k)
+    )
+
+
+def block_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch top-k: per-partition NumPy matmul + global window trim.
+
+    ``queries`` is [(query_id, vector)]; result: (query_id, vec_id, sim).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = np.array([q[1] for q in queries], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    schema = "query_id long, vec_id long, sim double"
+
+    def score_block(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = (mat / norms) @ q_norm.T  # |block| × Q
+            ids = pdf[id_col].to_numpy()
+            # local top-k per query — only k·Q rows leave the partition
+            top = min(k, len(pdf))
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+            out = {
+                "query_id": np.repeat(q_ids, top),
+                "vec_id": ids[idx].T.ravel(),
+                "sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score_block, schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.select(
+            "query_id", "vec_id", F.round("sim", 6).alias("sim"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 32,
+    min_band_matches: int = 1,
+    bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH prefilter + exact re-rank (approximate).
+
+    Deterministic planes from a seeded generator; candidates = vectors
+    sharing ≥ min_band_matches sign-sketch bands with the query.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    dim = len(query_vec)
+    h = rng.standard_normal((planes, dim))
+    per_band = planes // bands
+
+    def sketch_bits(vec_col_expr):
+        bits = []
+        for p in range(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec_col_expr,
+                    F.array(*[F.lit(float(x)) for x in h[p]]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+        return bits
+
+    bits = sketch_bits(F.col(vec_col))
+    band_cols = []
+    for b in range(bands):
+        sig = F.concat(*[bits[b * per_band + r].cast("string") for r in range(per_band)])
+        band_cols.append(sig.alias(f"band{b}"))
+    sketched = corpus.select(id_col, vec_col, *band_cols)
+
+    import numpy as _np
+
+    qv = _np.array(query_vec, dtype=_np.float64)
+    q_bits = [(1 if float(h[p] @ qv) >= 0 else 0) for p in range(planes)]
+    q_bands = [
+        "".join(str(q_bits[b * per_band + r]) for r in range(per_band))
+        for b in range(bands)
+    ]
+    match_count = sum(
+        F.when(F.col(f"band{b}") == q_bands[b], 1).otherwise(0) for b in range(bands)
+    )
+    candidates = sketched.filter(match_count >= min_band_matches)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        candidates.select(
+            id_col, F.round(cosine_expr(q, F.col(vec_col)), 6).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), id_col)
+        .limit(k)
+    )

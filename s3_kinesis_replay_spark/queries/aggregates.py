@@ -1,1 +1,360 @@
-"""Placeholder — populated incrementally."""
+"""Aggregation operators (SURVEY §2.D).
+
+Scale notes: every groupBy below is a partial+final HashAggregate (map-side
+combine before the shuffle); decimal sums keep distributed accumulation
+exact and order-independent. No driver-side loops anywhere.
+
+Semantics alignment with DuckDB (pinned here, per SURVEY §2.G notes):
+* Spark ``kurtosis``/``skewness`` are population moments; DuckDB's are
+  bias-corrected sample stats — oracles use ``kurtosis_pop`` and the
+  declared Spark side applies the textbook correction for sample skewness.
+* DuckDB ``SUM(int)`` widens to HUGEINT → oracle casts back to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3_kinesis_replay_spark.registry import register
+from s3_kinesis_replay_spark.queries.helpers import DEC, r6, sdec, t
+
+
+@register(
+    "d2_global_agg",
+    "D2",
+    f"""
+    SELECT SUM(CAST(l_extendedprice AS {DEC})) AS total_price,
+           SUM(CAST(l_quantity AS {DEC})) AS total_qty,
+           MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc
+    FROM lineitem
+    """,
+)
+def d2_global_agg(spark, sf_dir):
+    return t(spark, "lineitem", sf_dir).agg(
+        F.sum(sdec("l_extendedprice")).alias("total_price"),
+        F.sum(sdec("l_quantity")).alias("total_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.count("*").alias("n_rows"),
+        r6(F.sum("l_discount") / F.count("*")).alias("avg_disc"),
+    )
+
+
+@register(
+    "d3_count_distinct",
+    "D3",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="multi-distinct triggers Expand-based rewrite; mixed with plain agg",
+)
+def d3_count_distinct(spark, sf_dir):
+    return (
+        t(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "d4_approx_count_distinct",
+    "D4",
+    None,  # HLL estimate cannot hash-match an exact count; local test bounds ±5%
+    check="TOL",
+    tol=0.05,
+    note="HyperLogLog++; local test asserts within declared rsd of exact",
+)
+def d4_approx_count_distinct(spark, sf_dir):
+    return t(spark, "lineitem", sf_dir).agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "d5_stat_aggs",
+    "D5",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_samp,
+           ROUND(stddev_pop(l_quantity), 6) AS sd_pop,
+           ROUND(var_samp(l_quantity), 6) AS v_samp,
+           ROUND(var_pop(l_quantity), 6) AS v_pop,
+           ROUND(skewness(l_quantity), 6) AS skew_samp,
+           ROUND(kurtosis_pop(l_quantity), 6) AS kurt_pop,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+           ROUND(covar_samp(l_quantity, l_discount), 6) AS qd_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="Spark skewness is population → corrected to sample via "
+    "sqrt(n(n-1))/(n-2); Spark kurtosis is population excess = kurtosis_pop",
+)
+def d5_stat_aggs(spark, sf_dir):
+    n = F.count("*")
+    sample_skew = F.skewness("l_quantity") * F.sqrt(n * (n - 1)) / (n - 2)
+    return (
+        t(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            r6(F.stddev_samp("l_quantity")).alias("sd_samp"),
+            r6(F.stddev_pop("l_quantity")).alias("sd_pop"),
+            r6(F.var_samp("l_quantity")).alias("v_samp"),
+            r6(F.var_pop("l_quantity")).alias("v_pop"),
+            r6(sample_skew).alias("skew_samp"),
+            r6(F.kurtosis("l_quantity")).alias("kurt_pop"),
+            r6(F.corr("l_quantity", "l_extendedprice")).alias("qp_corr"),
+            r6(F.covar_samp("l_quantity", "l_discount")).alias("qd_covar"),
+        )
+    )
+
+
+@register(
+    "d6_percentiles",
+    "D6",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+           ROUND(median(o_totalprice), 6) AS med
+    FROM orders GROUP BY o_orderpriority
+    """,
+    note="exact linear-interpolated percentiles (same formula both engines)",
+)
+def d6_percentiles(spark, sf_dir):
+    o = t(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        r6(F.percentile("o_totalprice", F.lit(0.25))).alias("p25"),
+        r6(F.percentile("o_totalprice", F.lit(0.5))).alias("p50"),
+        r6(F.percentile("o_totalprice", F.lit(0.75))).alias("p75"),
+        r6(F.median("o_totalprice")).alias("med"),
+    )
+
+
+@register(
+    "d7_percentile_approx",
+    "D7",
+    None,  # approximate (GK sketch) — local test bounds error vs exact
+    check="TOL",
+    note="percentile_approx with accuracy 10000; bounded-rank-error sketch",
+)
+def d7_percentile_approx(spark, sf_dir):
+    return t(spark, "orders", sf_dir).agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+    )
+
+
+@register(
+    "d8_mode_minmax_by",
+    "D8",
+    """
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS top_order,
+           arg_min(o_orderkey, o_totalprice) AS bottom_order,
+           MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    note="deterministic: max/min o_totalprice verified unique per group in fixtures",
+)
+def d8_mode_minmax_by(spark, sf_dir):
+    return (
+        t(spark, "orders", sf_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("bottom_order"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_totalprice").alias("min_price"),
+        )
+    )
+
+
+@register(
+    "d8b_mode",
+    "D8",
+    """
+    SELECT mode(event_type) AS modal_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    """,
+    note="mode unique in fixtures (signup > error > click > view > purchase)",
+)
+def d8b_mode(spark, sf_dir):
+    return t(spark, "events", sf_dir).agg(
+        F.mode("event_type").alias("modal_type"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "d9_collect_list_set",
+    "D9",
+    """
+    SELECT l_orderkey,
+           list(l_linenumber ORDER BY l_linenumber) AS line_nos,
+           list(DISTINCT l_returnflag ORDER BY l_returnflag) AS flags
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    note="order-canonicalized arrays (SURVEY §5.3): sort_array both sides",
+)
+def d9_collect_list_set(spark, sf_dir):
+    return (
+        t(spark, "lineitem", sf_dir)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("line_nos"),
+            F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+        )
+    )
+
+
+@register(
+    "d10_filtered_agg",
+    "D10",
+    f"""
+    SELECT l_linestatus,
+           SUM(CAST(l_extendedprice AS {DEC})) FILTER (WHERE l_returnflag = 'R')
+             AS returned_price,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS big_qty,
+           SUM(CASE WHEN l_discount > 0.05
+                    THEN CAST(l_extendedprice AS {DEC}) END) AS discounted_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def d10_filtered_agg(spark, sf_dir):
+    return (
+        t(spark, "lineitem", sf_dir)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", sdec("l_extendedprice"))).alias(
+                "returned_price"
+            ),
+            F.count_if(F.col("l_quantity") > 25).alias("big_qty"),
+            F.sum(F.when(F.col("l_discount") > 0.05, sdec("l_extendedprice"))).alias(
+                "discounted_price"
+            ),
+        )
+    )
+
+
+@register(
+    "d11_rollup",
+    "D11",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           SUM(CAST(l_quantity AS {DEC})) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def d11_rollup(spark, sf_dir):
+    return (
+        t(spark, "lineitem", sf_dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.sum(sdec("l_quantity")).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "d11b_cube",
+    "D11",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           SUM(CAST(o_totalprice AS {DEC})) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def d11b_cube(spark, sf_dir):
+    return (
+        t(spark, "orders", sf_dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(sdec("o_totalprice")).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "d12_pivot",
+    "D12",
+    f"""
+    SELECT user_id % 10 AS user_bucket,
+           SUM(CASE WHEN event_type = 'click' THEN CAST(value AS {DEC}) END) AS click_v,
+           SUM(CASE WHEN event_type = 'view' THEN CAST(value AS {DEC}) END) AS view_v,
+           SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS {DEC}) END) AS purchase_v,
+           SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS {DEC}) END) AS signup_v,
+           SUM(CASE WHEN event_type = 'error' THEN CAST(value AS {DEC}) END) AS error_v
+    FROM events GROUP BY user_id % 10
+    """,
+    note="pivot with explicit value list (no extra distinct-scan job at scale)",
+)
+def d12_pivot(spark, sf_dir):
+    ev = t(spark, "events", sf_dir).withColumn("user_bucket", F.col("user_id") % 10)
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    df = (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", kinds)
+        .agg(F.sum(sdec("value")))
+    )
+    renames = [F.col("user_bucket")] + [F.col(k).alias(f"{k}_v") for k in kinds]
+    return df.select(*renames)
+
+
+@register(
+    "d13_having",
+    "D13",
+    f"""
+    SELECT l_partkey, SUM(CAST(l_quantity AS {DEC})) AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_partkey
+    HAVING SUM(l_quantity) > 300 AND COUNT(*) >= 5
+    """,
+)
+def d13_having(spark, sf_dir):
+    return (
+        t(spark, "lineitem", sf_dir)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(sdec("l_quantity")).alias("total_qty"),
+            F.count("*").alias("n"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter((F.col("_raw_qty") > 300) & (F.col("n") >= 5))
+        .drop("_raw_qty")
+    )
+
+
+@register(
+    "d14_sum_distinct",
+    "D14",
+    f"""
+    SELECT l_returnflag,
+           SUM(DISTINCT CAST(l_quantity AS {DEC})) AS sum_dist_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d14_sum_distinct(spark, sf_dir):
+    return (
+        t(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(F.sum_distinct(sdec("l_quantity")).alias("sum_dist_qty"))
+    )

@@ -1,0 +1,257 @@
+"""Custom-operator queries: as-of join (C8), SimHash, char-n-gram Jaccard.
+
+These exercise operators/ — compositions Spark lacks natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3_kinesis_replay_spark.registry import register
+from s3_kinesis_replay_spark.queries.helpers import t
+
+
+@register(
+    "c8_asof_join",
+    "C8",
+    """
+    SELECT p.event_id, p.user_id, p.ts, v.event_id AS view_event_id, v.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.event_id = (
+        SELECT v2.event_id
+        FROM events v2
+        WHERE v2.event_type = 'view' AND v2.user_id = p.user_id AND v2.ts <= p.ts
+        ORDER BY v2.ts DESC, v2.event_id DESC LIMIT 1
+      )
+    """,
+    note="backward as-of: latest preceding 'view' per user for each "
+    "'purchase'; engine = union-tag + window (operators/asof.py); "
+    "tiebreak pinned to event_id DESC",
+)
+def c8_asof_join(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.asof import asof_join
+
+    ev = t(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="ts",
+        right_on="v_ts",
+        by_left="user_id",
+        by_right="v_user",
+        value_cols=["view_event_id", "view_value"],
+        tiebreak="view_event_id",
+    )
+
+
+@register(
+    "i3b_simhash",
+    "I3",
+    None,  # Spark-specific 64-bit hash basis — determinism checked locally
+    note="64-bit SimHash per doc; near-dup = small Hamming distance. "
+    "Local test: planted near-dup pairs (i3) have distance ≤ 8",
+)
+def i3b_simhash(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.dedup import simhash
+
+    return simhash(t(spark, "documents", sf_dir))
+
+
+@register(
+    "i3c_char_ngram_jaccard",
+    "I3",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(text) - 1),
+               i -> substr(text, i, 3))) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS char_jacc
+    FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def i3c_char_ngram_jaccard(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(t(spark, "documents", sf_dir), n=3)
+
+
+# ---------------------------------------------------------------- text ops
+
+_MARKER_SQL = {
+    "en": "['the','and','of','to','in']",
+    "de": "['der','die','und','das','ist']",
+    "es": "['el','la','de','que','los']",
+    "fr": "['le','la','et','les','des']",
+    "zh": "['的','是','了','在','我']",
+}
+_SCORES_SQL = ",\n".join(
+    f"CAST(len(list_intersect(list_distinct(string_split(lower(text),' ')), "
+    f"{arr})) AS INTEGER) AS score_{lang}"
+    for lang, arr in _MARKER_SQL.items()
+)
+
+
+@register(
+    "t1_language_id",
+    "I9",
+    f"""
+    SELECT doc_id, lang, {_SCORES_SQL},
+           CASE WHEN score_en >= score_de AND score_en >= score_es
+                 AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+                WHEN score_de >= score_es AND score_de >= score_fr
+                 AND score_de >= score_zh THEN 'de'
+                WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+                WHEN score_fr >= score_zh THEN 'fr'
+                ELSE 'zh' END AS predicted_lang
+    FROM (SELECT doc_id, lang, text, {_SCORES_SQL} FROM documents)
+    """,
+    note="n-gram-marker language ID; argmax = first-max-wins in declared order",
+)
+def t1_language_id(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.text import LANG_MARKERS, language_scores
+
+    d = t(spark, "documents", sf_dir)
+    scored = d.select("doc_id", "lang", *language_scores(F.col("text")))
+    score_cols = [F.col(f"score_{lang}").cast("int").alias(f"score_{lang}") for lang in LANG_MARKERS]
+    arr = F.array(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    langs = F.array(*[F.lit(lang) for lang in LANG_MARKERS])
+    best = F.element_at(langs, F.array_position(arr, F.array_max(arr)).cast("int"))
+    return scored.select("doc_id", "lang", *score_cols, best.alias("predicted_lang"))
+
+
+@register(
+    "t2_quality_score",
+    "I9",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+           ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len,
+           ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
+                 w -> list_contains(['and','das','de','des','die','el','et','in',
+                                     'ist','la','le','les','los','of','que','the',
+                                     'to','und'], w))) AS DOUBLE)
+                 / len(string_split(lower(text), ' ')), 6) AS stopword_ratio,
+           (length(text) = n_chars) AS len_matches_meta
+    FROM documents
+    """,
+    note="quality features: length / stopword-ratio heuristics (sorted "
+    "STOPWORDS list pinned in operators/text.py)",
+)
+def t2_quality_score(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.text import quality_features
+
+    d = t(spark, "documents", sf_dir)
+    feats = quality_features(F.col("text"), F.col("n_chars"))
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["len_matches_meta"].alias("len_matches_meta"),
+    )
+
+
+@register(
+    "t3_fingerprint",
+    "I9",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(1000000007 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                              i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+             (acc, c) -> ((acc % 1000000007) + c * (acc // 1000000007)) % 1000000007
+                         + ((acc // 1000000007) * 257 % 1000000007) * 1000000007
+           ) % 1000000007 AS fingerprint
+    FROM documents
+    """,
+    note="polynomial rolling hash; oracle packs (h, base^i) into one BIGINT "
+    "(h + p*M) to fold with a scalar accumulator — arithmetic identical",
+)
+def t3_fingerprint(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.text import rolling_fingerprint
+
+    d = t(spark, "documents", sf_dir)
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "t4_token_counts",
+    "I9",
+    None,  # BPE-ish regex split uses lookarounds (not in RE2) — rows-only
+    note="whitespace + BPE-ish token counts; local test checks ws == split count",
+)
+def t4_token_counts(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.text import bpe_ish_token_count, token_count
+
+    d = t(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens_ws"),
+        bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+@register(
+    "mm1_media_features",
+    "I9",
+    """
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(5 + length(text) AS BIGINT) AS n_bytes,
+           sha256('FAKE0' || text) AS sha256
+    FROM documents
+    """,
+    note="binary media columns + mapInPandas feature extraction (decode "
+    "stubbed per driver instruction); oracle checks the Arrow round trip "
+    "via blob length + sha256",
+)
+def mm1_media_features(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.multimodal import (
+        extract_features,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, t(spark, "documents", sf_dir))
+    return extract_features(media).select("media_id", "kind", "n_bytes", "sha256")
+
+
+@register(
+    "mm2_frame_sample",
+    "I9",
+    """
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           unnest(range(0, greatest(n_chars * 10 // 1000, 1))) * 1000
+             AS frame_ms
+    FROM documents
+    """,
+)
+def mm2_frame_sample(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.multimodal import (
+        frame_sample,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, t(spark, "documents", sf_dir))
+    return frame_sample(media)

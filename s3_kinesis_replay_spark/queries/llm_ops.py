@@ -1,1 +1,403 @@
-"""Placeholder — populated incrementally."""
+"""LLM-data-pipeline operators (SURVEY §2.I) — dedup, similarity search,
+text analysis, embedding stats. All declared as north-star ops.
+
+Scale design (100 TB):
+* dedup keys are hashes (fixed width) — shuffle moves digests, not text;
+* near-dup detection is MinHash-LSH (operators/dedup.py): candidate
+  generation is hash-bucket equi-join (shuffle on band signature), never
+  the O(n²) cross join; the exact-Jaccard verify touches only candidates;
+* brute-force cosine top-k broadcasts the (tiny) query vector and reduces
+  with TakeOrdered — the scale path (block matmul over mapInPandas) lives
+  in operators/similarity.py;
+* float discipline: elementwise math in float64 with identical left-fold
+  order in both engines → bit-identical before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3_kinesis_replay_spark.registry import register
+from s3_kinesis_replay_spark.queries.helpers import r6, t
+
+# ---------------------------------------------------------------- dedup
+
+
+@register(
+    "i1_exact_dedup",
+    "I1",
+    """
+    SELECT DISTINCT doc_id, text, lang, source, n_chars
+    FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+    """,
+    note="fixtures are dup-free → dedup declared over a constructed 2× union",
+)
+def i1_exact_dedup(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    return d.unionAll(d).dropDuplicates(["text"]).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "i1b_hash_dedup_count",
+    "I1",
+    """
+    SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM (SELECT text FROM documents UNION ALL SELECT text FROM documents)
+    """,
+    note="hash-based dedup: shuffle moves 16-byte digests, not documents",
+)
+def i1b_hash_dedup_count(spark, sf_dir):
+    d = t(spark, "documents", sf_dir).select("text")
+    return d.unionAll(d).agg(
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.count("*").alias("n_total"),
+    )
+
+
+def _shingles(col: str = "text", k: int = 3):
+    """k-gram word shingles as a distinct array — pure codegen HOFs."""
+    toks = F.split(F.col(col), " ")
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+
+
+_DUCK_SHINGLES = """
+ list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        || ' ' || string_split(text,' ')[i+2]))
+"""
+
+
+@register(
+    "i2_shingles",
+    "I2",
+    f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_SHINGLES}) AS INTEGER) AS n_shingles,
+           list_sort({_DUCK_SHINGLES})[1] AS first_shingle
+    FROM documents
+    """,
+)
+def i2_shingles(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    sh = _shingles()
+    return d.select(
+        "doc_id",
+        F.size(sh).cast("int").alias("n_shingles"),
+        F.element_at(F.sort_array(sh), 1).alias("first_shingle"),
+    )
+
+
+@register(
+    "i3_minhash_lsh_neardup",
+    "I3",
+    f"""
+    WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} ss FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.ss, b.ss))), 6) AS jacc
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8
+    """,
+    note="engine = MinHash-LSH candidates + exact-Jaccard verify (≥0.8); "
+    "oracle = all-pairs exact. Fixture sim distribution is bimodal "
+    "(~0 vs ≥0.9) so declared recall is 1 with miss prob < 1e-30 at "
+    "32 hash tables",
+)
+def i3_minhash_lsh_neardup(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.dedup import minhash_lsh_neardup_pairs
+
+    docs = t(spark, "documents", sf_dir)
+    return minhash_lsh_neardup_pairs(docs, threshold=0.8, k=3, num_hash_tables=32)
+
+
+# ---------------------------------------------------------------- similarity
+
+_DUCK_DOT = """
+ list_reduce(list_transform(range(1, 65),
+   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+   (x, y) -> x + y)
+"""
+_DUCK_NORM_A = """
+ sqrt(list_reduce(list_transform(range(1, 65),
+   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+   (x, y) -> x + y))
+"""
+_DUCK_NORM_B = """
+ sqrt(list_reduce(list_transform(range(1, 65),
+   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+   (x, y) -> x + y))
+"""
+
+
+def _dot(a, b):
+    """float64 dot product with sequential left-fold — bit-identical to the
+    DuckDB list_reduce formulation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@register(
+    "i4_cosine_pairs",
+    "I4",
+    f"""
+    SELECT a.vec_id,
+           ROUND({_DUCK_DOT}, 6) AS dot,
+           ROUND({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def i4_cosine_pairs(spark, sf_dir):
+    e = t(spark, "embeddings", sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    ea, eb = F.col("a.embedding"), F.col("b.embedding")
+    return a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("vec_id"),
+        r6(_dot(ea, eb)).alias("dot"),
+        r6(_cosine(ea, eb)).alias("cos_sim"),
+    )
+
+
+@register(
+    "i5_topk_cosine",
+    "I5",
+    f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT b.vec_id, ROUND({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6) AS sim
+    FROM q a CROSS JOIN embeddings b
+    WHERE b.vec_id <> 0
+    ORDER BY {_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}) DESC, b.vec_id
+    LIMIT 10
+    """,
+    note="brute-force baseline: broadcast 1 query vector, TakeOrdered merge; "
+    "block-matmul scale path in operators/similarity.py",
+)
+def i5_topk_cosine(spark, sf_dir):
+    e = t(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    b = e.filter(F.col("vec_id") != 0)
+    return (
+        b.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", r6(_cosine(F.col("q_emb"), F.col("embedding"))).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "i6_topk_per_label",
+    "I6",
+    f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT b.label, b.vec_id,
+             ROUND({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6) AS sim
+      FROM q a CROSS JOIN embeddings b WHERE b.vec_id <> 0
+    )
+    SELECT label, vec_id, sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id) rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def i6_topk_per_label(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            "vec_id",
+            r6(_cosine(F.col("q_emb"), F.col("embedding"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.select("*", F.row_number().over(w).cast("bigint").alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------- text
+
+
+@register(
+    "i7_wordcount",
+    "I7",
+    """
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) w FROM documents)
+    GROUP BY w
+    """,
+)
+def i7_wordcount(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "i8_tfidf",
+    "I8",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) tf FROM tok GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) df FROM tok GROUP BY w),
+    n AS (SELECT COUNT(*) n FROM documents)
+    SELECT tf.doc_id, tf.w AS word,
+           ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    """,
+    note="SQL tf·ln(N/df) formulation (oracle-checkable); HashingTF+IDF is "
+    "the ml scale path",
+)
+def i8_tfidf(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()  # scalar, computed once driver-side (cheap count-star)
+    return (
+        tf.join(F.broadcast(df), "w")
+        .select(
+            "doc_id",
+            F.col("w").alias("word"),
+            r6(F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "i9_text_stats",
+    "I9",
+    """
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT)
+             AS len_ok,
+           ROUND(SUM(CAST(n_chars AS DOUBLE)) / COUNT(*), 6) AS avg_chars,
+           CAST(SUM(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+                AS BIGINT) AS total_vowels
+    FROM documents GROUP BY lang, source
+    """,
+)
+def i9_text_stats(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    vowels = F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0)).alias(
+            "len_ok"
+        ),
+        r6(F.sum(F.col("n_chars").cast("double")) / F.count("*")).alias("avg_chars"),
+        F.sum(vowels).cast("bigint").alias("total_vowels"),
+    )
+
+
+@register(
+    "i10_lexicon_sentiment",
+    "I10",
+    """
+    WITH lex AS (
+      SELECT w, CAST(length(w) % 5 - 2 AS DOUBLE) AS score
+      FROM (SELECT DISTINCT unnest(string_split(lower(text), ' ')) w FROM documents)
+    ),
+    tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) w FROM documents)
+    SELECT tok.doc_id,
+           ROUND(SUM(lex.score) / COUNT(*), 6) AS sentiment,
+           CAST(COUNT(*) AS BIGINT) AS n_scored
+    FROM tok JOIN lex ON tok.w = lex.w
+    GROUP BY tok.doc_id
+    """,
+    note="PAPERS.md lexicon pattern: token explode → broadcast-join static "
+    "lexicon → per-doc mean; lexicon derived deterministically from vocab",
+)
+def i10_lexicon_sentiment(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    lex = (
+        tok.select("w")
+        .distinct()
+        .select("w", (F.length("w") % 5 - 2).cast("double").alias("score"))
+    )
+    return (
+        tok.join(F.broadcast(lex), "w")
+        .groupBy("doc_id")
+        .agg(
+            r6(F.sum("score") / F.count("*")).alias("sentiment"),
+            F.count("*").alias("n_scored"),
+        )
+    )
+
+
+@register(
+    "i11_embedding_stats",
+    "I11",
+    """
+    WITH flat AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    per_dim AS (
+      SELECT label, dim, ROUND(SUM(v) / COUNT(*), 6) AS mean_v
+      FROM flat GROUP BY label, dim
+    )
+    SELECT label, list(mean_v ORDER BY dim) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS dims
+    FROM per_dim GROUP BY label
+    """,
+    note="per-label centroid via posexplode→agg→re-assemble (sorted by dim)",
+)
+def i11_embedding_stats(spark, sf_dir):
+    e = t(spark, "embeddings", sf_dir)
+    flat = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim0", "v")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+    per_dim = flat.groupBy("label", "dim").agg(
+        r6(F.sum("v") / F.count("*")).alias("mean_v")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_v"))
+            ).alias("_pairs"),
+            F.count("*").alias("dims"),
+        )
+        .select(
+            "label",
+            F.transform(F.col("_pairs"), lambda s: s.getField("mean_v")).alias(
+                "centroid"
+            ),
+            "dims",
+        )
+    )

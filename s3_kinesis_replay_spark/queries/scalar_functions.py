@@ -1,1 +1,438 @@
-"""Placeholder — populated incrementally."""
+"""Scalar function families (SURVEY §2.G) — one declared query per family.
+
+All expressions are JVM-side built-ins (whole-stage codegen; no Python in
+the row path). Cross-engine semantics pinned per SURVEY §2.G notes:
+
+* DuckDB lacks ``initcap`` → oracle emulates with upper/lower+substr on a
+  single-word column.
+* ``dayofweek``: Spark is 1=Sunday..7, DuckDB 0=Sunday..6 → declared as
+  Spark-1.
+* ``pmod`` on positive keys ≡ ``%`` in DuckDB.
+* libm-backed math (sqrt/exp/ln/pow) rounded to 6 dp — last-ulp libm
+  differences vanish under rounding.
+* regexp_replace is global in Spark → DuckDB needs the ``'g'`` flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3_kinesis_replay_spark.registry import register
+from s3_kinesis_replay_spark.queries.helpers import r6, t
+
+
+@register(
+    "g1_string_basic",
+    "G1",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS lo, upper(p_name) AS up,
+           trim('  ' || p_name || ' ') AS trimmed,
+           ltrim('xx' || p_name, 'x') AS l_trimmed,
+           rtrim(p_name || 'yy', 'y') AS r_trimmed,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           substr(p_name, 2, 4) AS sub,
+           concat(p_brand, ':', p_type) AS cat,
+           concat_ws('|', p_brand, p_type, p_name) AS cat_ws,
+           lpad(p_brand, 12, '*') AS padded_l,
+           rpad(p_brand, 12, '*') AS padded_r,
+           reverse(p_name) AS rev,
+           concat(upper(substr(p_type, 1, 1)), lower(substr(p_type, 2))) AS icap,
+           CAST(instr(p_name, 'a') AS BIGINT) AS a_pos,
+           replace(p_name, ' ', '_') AS replaced
+    FROM part
+    """,
+)
+def g1_string_basic(spark, sf_dir):
+    p = t(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lo"),
+        F.upper("p_name").alias("up"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.ltrim(F.concat(F.lit("xx"), F.col("p_name")), F.lit("x")).alias("l_trimmed"),
+        F.rtrim(F.concat(F.col("p_name"), F.lit("yy")), F.lit("y")).alias("r_trimmed"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_name", 2, 4).alias("sub"),
+        F.concat("p_brand", F.lit(":"), "p_type").alias("cat"),
+        F.concat_ws("|", "p_brand", "p_type", "p_name").alias("cat_ws"),
+        F.lpad("p_brand", 12, "*").alias("padded_l"),
+        F.rpad("p_brand", 12, "*").alias("padded_r"),
+        F.reverse("p_name").alias("rev"),
+        F.initcap("p_type").alias("icap"),
+        F.instr("p_name", "a").cast("bigint").alias("a_pos"),
+        F.replace("p_name", F.lit(" "), F.lit("_")).alias("replaced"),
+    )
+
+
+@register(
+    "g2_string_regex",
+    "G2",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           regexp_replace(substr(text, 1, 40), '[aeiou]', '', 'g') AS devoweled,
+           translate(substr(text, 1, 20), 'aeiou', 'AEIOU') AS swapped,
+           regexp_matches(text, 'join.*filter|filter.*join') AS has_both
+    FROM documents
+    """,
+    note="REF: message sanitization = regex replacement over payloads",
+)
+def g2_string_regex(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+        F.split("text", " ").getItem(0).alias("first_token"),
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "").alias("devoweled"),
+        F.translate(F.substring("text", 1, 20), "aeiou", "AEIOU").alias("swapped"),
+        F.col("text").rlike("join.*filter|filter.*join").alias("has_both"),
+    )
+
+
+@register(
+    "g3_string_distance",
+    "G3",
+    """
+    SELECT a.doc_id,
+           CAST(levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS INTEGER)
+             AS lev_30,
+           ROUND(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                         list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+                 / len(list_distinct(string_split(a.text || ' ' || b.text, ' '))), 6)
+             AS token_jaccard
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+    note="token-set Jaccard via set HOFs (NS); levenshtein on bounded prefix",
+)
+def g3_string_distance(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    a = d.alias("a")
+    b = d.alias("b")
+    ta = F.array_distinct(F.split(F.col("a.text"), " "))
+    tb = F.array_distinct(F.split(F.col("b.text"), " "))
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    union = F.size(F.array_union(ta, tb))
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.levenshtein(
+            F.substring(F.col("a.text"), 1, 30), F.substring(F.col("b.text"), 1, 30)
+        )
+        .cast("int")
+        .alias("lev_30"),
+        r6(inter / union).alias("token_jaccard"),
+    )
+
+
+@register(
+    "g4_hashing",
+    "G4",
+    """
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256
+    FROM customer
+    """,
+    note="partition-key hashing / dedup keys (REF+NS); md5 + sha256 cross-engine",
+)
+def g4_hashing(spark, sf_dir):
+    return t(spark, "customer", sf_dir).select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+    )
+
+
+@register(
+    "g4b_spark_hashes",
+    "G4",
+    None,  # xxhash64 / murmur / crc32 are Spark-specific — determinism-only
+    note="local test asserts determinism across two runs",
+)
+def g4b_spark_hashes(spark, sf_dir):
+    return t(spark, "customer", sf_dir).select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("name_xx64"),
+        F.hash("c_name").alias("name_murmur"),
+        F.crc32("c_name").alias("name_crc32"),
+    )
+
+
+@register(
+    "g5_datetime",
+    "G5",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(day(o_orderdate) AS INTEGER) AS d,
+           CAST(hour(o_orderdate) AS INTEGER) AS h,
+           CAST(minute(o_orderdate) AS INTEGER) AS mi,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate AS DATE) + 5 AS plus5,
+           CAST(o_orderdate AS DATE) - 3 AS minus3,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER)
+             AS days_to_y2k,
+           CAST(o_orderdate AS DATE) AS od,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_s,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fmt,
+           make_date(2024, CAST(month(o_orderdate) AS INTEGER), 1) AS mdate,
+           last_day(CAST(o_orderdate AS DATE)) AS eom,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS dow
+    FROM orders
+    """,
+    note="dow declared as 0=Sunday (Spark dayofweek-1 == DuckDB dayofweek)",
+)
+def g5_datetime(spark, sf_dir):
+    o = t(spark, "orders", sf_dir)
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(od).cast("int").alias("y"),
+        F.month(od).cast("int").alias("m"),
+        F.dayofmonth(od).cast("int").alias("d"),
+        F.hour(od).cast("int").alias("h"),
+        F.minute(od).cast("int").alias("mi"),
+        F.date_trunc("month", od).alias("month_start"),
+        F.date_add(F.to_date(od), 5).alias("plus5"),
+        F.date_sub(F.to_date(od), 3).alias("minus3"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.to_date(od))
+        .cast("int")
+        .alias("days_to_y2k"),
+        F.to_date(od).alias("od"),
+        F.unix_timestamp(od).alias("unix_s"),
+        F.date_format(od, "yyyy-MM-dd HH:mm:ss").alias("fmt"),
+        F.make_date(F.lit(2024), F.month(od), F.lit(1)).alias("mdate"),
+        F.last_day(F.to_date(od)).alias("eom"),
+        (F.dayofweek(od) - 1).cast("int").alias("dow"),
+    )
+
+
+@register(
+    "g6_math",
+    "G6",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(abs(l_quantity - 25.0), 6) AS abs_dev,
+           ROUND(l_extendedprice, 2) AS price_r2,
+           ROUND(round_even(l_quantity / 7.0, 1), 6) AS qty_re,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+           ROUND(sqrt(l_extendedprice), 6) AS price_sqrt,
+           ROUND(exp(l_discount), 6) AS disc_exp,
+           ROUND(ln(l_extendedprice), 6) AS price_ln,
+           ROUND(log10(l_extendedprice), 6) AS price_log10,
+           ROUND(pow(l_discount, 2), 6) AS disc_sq,
+           CAST(sign(l_quantity - 25.0) AS DOUBLE) AS dev_sign,
+           greatest(l_quantity, l_discount * 100, 10.0) AS g3,
+           least(l_quantity, l_discount * 100, 10.0) AS l3,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_pmod,
+           CAST(l_linenumber % 3 AS INTEGER) AS line_mod
+    FROM lineitem
+    """,
+)
+def g6_math(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(F.abs(F.col("l_quantity") - 25.0)).alias("abs_dev"),
+        F.round("l_extendedprice", 2).alias("price_r2"),
+        r6(F.bround(F.col("l_quantity") / 7.0, 1)).alias("qty_re"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil(F.col("l_discount") * 100).cast("bigint").alias("disc_pct_ceil"),
+        r6(F.sqrt("l_extendedprice")).alias("price_sqrt"),
+        r6(F.exp("l_discount")).alias("disc_exp"),
+        r6(F.log("l_extendedprice")).alias("price_ln"),
+        r6(F.log10("l_extendedprice")).alias("price_log10"),
+        r6(F.pow("l_discount", F.lit(2))).alias("disc_sq"),
+        F.signum(F.col("l_quantity") - 25.0).alias("dev_sign"),
+        F.greatest("l_quantity", F.col("l_discount") * 100, F.lit(10.0)).alias("g3"),
+        F.least("l_quantity", F.col("l_discount") * 100, F.lit(10.0)).alias("l3"),
+        F.pmod("l_orderkey", F.lit(7)).cast("bigint").alias("key_pmod"),
+        (F.col("l_linenumber") % 3).cast("int").alias("line_mod"),
+    )
+
+
+@register(
+    "g7_array_hof",
+    "G7",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(len(seq) AS INTEGER) AS seq_len,
+           list_contains(seq, 3) AS has3,
+           seq[1] AS first_el,
+           seq[1:2] AS first_two,
+           list_sort(seq, 'DESC') AS sorted_desc,
+           list_min(seq) AS mn, list_max(seq) AS mx,
+           flatten([seq, [100, 200]]) AS flat,
+           list_transform(seq, x -> x * x) AS squares,
+           list_filter(seq, x -> x % 2 = 0) AS evens,
+           len(list_filter(seq, x -> x > 5)) > 0 AS any_gt5,
+           list_sum(seq) AS total,
+           list_transform(seq, x -> x * 2) AS doubled,
+           list_sort(list_distinct(list_intersect(seq, [2, 3, 4]))) AS inter234,
+           CAST(list_position(seq, 2) AS INTEGER) AS pos2
+    FROM (SELECT l_orderkey, l_linenumber,
+                 range(CAST(1 AS BIGINT), CAST(l_linenumber AS BIGINT) + 1) AS seq
+          FROM lineitem)
+    """,
+    note="zip_with(seq,seq,+) declared via its pointwise equivalent x*2; "
+    "higher-order functions run in codegen, not Python",
+)
+def g7_array_hof(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir).withColumn(
+        "seq", F.sequence(F.lit(1).cast("bigint"), F.col("l_linenumber").cast("bigint"))
+    )
+    seq = F.col("seq")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(seq).cast("int").alias("seq_len"),
+        F.array_contains(seq, F.lit(3).cast("bigint")).alias("has3"),
+        F.element_at(seq, 1).alias("first_el"),
+        F.slice(seq, 1, 2).alias("first_two"),
+        F.sort_array(seq, asc=False).alias("sorted_desc"),
+        F.array_min(seq).alias("mn"),
+        F.array_max(seq).alias("mx"),
+        F.flatten(
+            F.array(seq, F.array(F.lit(100).cast("bigint"), F.lit(200).cast("bigint")))
+        ).alias("flat"),
+        F.transform(seq, lambda x: x * x).alias("squares"),
+        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
+        F.exists(seq, lambda x: x > 5).alias("any_gt5"),
+        F.aggregate(seq, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("total"),
+        F.zip_with(seq, seq, lambda a, b: a + b).alias("doubled"),
+        F.sort_array(
+            F.array_intersect(
+                seq, F.array(*[F.lit(i).cast("bigint") for i in (2, 3, 4)])
+            )
+        ).alias("inter234"),
+        F.array_position(seq, F.lit(2).cast("bigint")).cast("int").alias("pos2"),
+    )
+
+
+@register(
+    "g8_map",
+    "G8",
+    """
+    SELECT event_id,
+           map_extract(map(['k', 'type'],
+                           [CAST(json_extract_string(props, '$.k') AS VARCHAR),
+                            event_type]), 'k')[1] AS k_val,
+           list_sort(map_keys(map(['k', 'type'], ['a', 'b']))) AS mkeys,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+    FROM events
+    """,
+    note="maps canonicalized to scalars/sorted key arrays (SURVEY §2 exclusions: "
+    "raw map hashing is engine-unstable)",
+)
+def g8_map(spark, sf_dir):
+    ev = t(spark, "events", sf_dir)
+    m = F.create_map(
+        F.lit("k"),
+        F.get_json_object("props", "$.k"),
+        F.lit("type"),
+        F.col("event_type"),
+    )
+    m2 = F.create_map(F.lit("k"), F.lit("a"), F.lit("type"), F.lit("b"))
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.sort_array(F.map_keys(m2)).alias("mkeys"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+    )
+
+
+@register(
+    "g9_explode_lateral",
+    "G9",
+    """
+    SELECT l_orderkey, l_linenumber,
+           unnest(range(CAST(1 AS BIGINT), CAST(l_linenumber AS BIGINT) + 1)) AS v,
+           CAST(generate_subscripts(range(CAST(1 AS BIGINT),
+                CAST(l_linenumber AS BIGINT) + 1), 1) AS INTEGER) - 1 AS pos
+    FROM lineitem
+    WHERE l_linenumber <= 3
+    """,
+    note="posexplode: Spark pos is 0-based, generate_subscripts 1-based → -1",
+)
+def g9_explode_lateral(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir).filter(F.col("l_linenumber") <= 3)
+    seq = F.sequence(F.lit(1).cast("bigint"), F.col("l_linenumber").cast("bigint"))
+    return li.select(
+        "l_orderkey", "l_linenumber", F.posexplode(seq).alias("pos", "v")
+    ).select("l_orderkey", "l_linenumber", "v", F.col("pos").cast("int").alias("pos"))
+
+
+@register(
+    "g9b_stack",
+    "G9",
+    """
+    SELECT o_orderkey, 'price' AS metric, o_totalprice AS val FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'key100' AS metric, CAST(o_custkey * 100 AS DOUBLE) AS val
+    FROM orders
+    """,
+    note="stack/unpivot: wide→long; oracle is the UNION ALL definition",
+)
+def g9b_stack(spark, sf_dir):
+    o = t(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'price', o_totalprice, 'key100', "
+            "CAST(o_custkey * 100 AS DOUBLE)) AS (metric, val)"
+        ),
+    )
+
+
+@register(
+    "g10_json",
+    "G10",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           json_extract_string(props, '$.missing') AS missing,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k2
+    FROM events
+    """,
+    note="REF: partition-key extraction from JSON payloads (JMESPath → JSONPath)",
+)
+def g10_json(spark, sf_dir):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = t(spark, "events", sf_dir)
+    schema = StructType([StructField("k", IntegerType())])
+    parsed = F.from_json("props", schema)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+        (parsed.getField("k") * 2).alias("k2"),
+    )
+
+
+@register(
+    "g11_struct",
+    "G11",
+    """
+    SELECT o_orderkey,
+           struct_pack(key := o_orderkey, price := o_totalprice).price AS s_price,
+           struct_pack(a := o_orderstatus, b := o_orderpriority).a AS s_status
+    FROM orders
+    """,
+    note="struct build + field access + nested pruning; output flattened scalars",
+)
+def g11_struct(spark, sf_dir):
+    o = t(spark, "orders", sf_dir)
+    s1 = F.struct(F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price"))
+    s2 = F.struct(F.col("o_orderstatus").alias("a"), F.col("o_orderpriority").alias("b"))
+    return o.select(
+        "o_orderkey",
+        s1.getField("price").alias("s_price"),
+        s2.getField("a").alias("s_status"),
+    )

@@ -1,1 +1,151 @@
-"""Placeholder — populated incrementally."""
+"""Source/sink operator rows (SURVEY §2.A) that are batch-checkable.
+
+A2/A3/A4 stage derived files (deterministic, lossless) then read them
+back through Spark's file source — the oracle runs on the original
+parquet, so a match proves the full serialize→scan round trip.
+A5's oracle re-derives file-level facts from the deterministic chunking
+rule (chunk = event_id div 500). Streaming rows A6/A7/A9/A10 are SEM —
+exercised in tests/test_replay.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3_kinesis_replay_spark.registry import register
+from s3_kinesis_replay_spark.queries.helpers import t
+from s3_kinesis_replay_spark.sources.archive import (
+    read_archive,
+    stage_archive,
+    stage_csv_table,
+)
+
+
+@register(
+    "a1_parquet_scan",
+    "A1",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem "
+    "WHERE l_quantity > 45",
+    note="pushdown check: predicate + projection reach the parquet scan",
+)
+def a1_parquet_scan(spark, sf_dir):
+    return (
+        t(spark, "lineitem", sf_dir)
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+@register(
+    "a2_jsonlines_scan",
+    "A2",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    note="NDJSON archive → rows; lossless round trip vs parquet oracle",
+)
+def a2_jsonlines_scan(spark, sf_dir):
+    root = stage_archive(sf_dir, gz=False)
+    return read_archive(spark, root)
+
+
+@register(
+    "a3_csv_scan",
+    "A3",
+    "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",
+)
+def a3_csv_scan(spark, sf_dir):
+    from s3_kinesis_replay_spark.catalog import table
+
+    root = stage_csv_table(sf_dir, "part")
+    schema = table(spark, "part", sf_dir).schema
+    return spark.read.csv(f"{root}/part.csv", header=True, schema=schema)
+
+
+@register(
+    "a4_gzip_scan",
+    "A4",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    note="transparent .gz decompression by extension (Firehose archive shape)",
+)
+def a4_gzip_scan(spark, sf_dir):
+    root = stage_archive(sf_dir, gz=True)
+    return read_archive(spark, root)
+
+
+@register(
+    "a5_archive_listing",
+    "A5",
+    """
+    WITH chunks AS (
+      SELECT event_id // 500 AS chunk_id, MIN(ts) AS min_ts, COUNT(*) AS n
+      FROM events GROUP BY event_id // 500
+    )
+    SELECT strftime(min_ts, '%Y-%m-%d') AS dt,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n) AS BIGINT) AS n_rows
+    FROM chunks GROUP BY strftime(min_ts, '%Y-%m-%d')
+    """,
+    note="archive listing + partition grouping; oracle re-derives the "
+    "deterministic chunk→file mapping from parquet",
+)
+def a5_archive_listing(spark, sf_dir):
+    root = stage_archive(sf_dir, gz=True)
+    df = read_archive(spark, root, with_partitions=True).withColumn(
+        "_file", F.input_file_name()
+    )
+    return df.groupBy(F.col("dt").cast("string").alias("dt")).agg(
+        F.countDistinct("_file").alias("n_files"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "a5b_key_range_filter",
+    "A5",
+    """
+    WITH chunks AS (
+      SELECT event_id // 500 AS chunk_id, MIN(ts) AS min_ts, COUNT(*) AS n
+      FROM events GROUP BY event_id // 500
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_files
+    FROM chunks
+    WHERE strftime(min_ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-09'
+    """,
+    note="key-range replay window: dt= partition pruning (the reference's "
+    "S3 key-prefix filtering)",
+)
+def a5b_key_range_filter(spark, sf_dir):
+    root = stage_archive(sf_dir, gz=True)
+    df = read_archive(spark, root, with_partitions=True).withColumn(
+        "_file", F.input_file_name()
+    )
+    return df.filter(
+        (F.col("dt") >= "2024-01-05") & (F.col("dt") <= "2024-01-09")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("_file").alias("n_files"),
+    )
+
+
+@register(
+    "a8_parquet_sink_roundtrip",
+    "A8",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="write partitioned parquet, re-read, aggregate — sink fidelity",
+)
+def a8_parquet_sink_roundtrip(spark, sf_dir):
+    import hashlib
+    import os
+
+    out = "/tmp/skr_sink/" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    src = t(spark, "lineitem", sf_dir)
+    if not os.path.exists(out + "/_SUCCESS"):
+        src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("l_returnflag").cast("string").alias("l_returnflag")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(38,6))")).alias("total"),
+    )

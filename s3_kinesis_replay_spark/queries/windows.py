@@ -1,1 +1,209 @@
-"""Placeholder — populated incrementally."""
+"""Window functions (SURVEY §2.E).
+
+Determinism discipline: every window orderBy carries a unique tiebreak key
+(primary key) so ranking output is stable across engines and runs
+(SURVEY §5.3.7). Frames are declared explicitly — Spark's default frame
+for ordered windows is RANGE UNBOUNDED PRECEDING..CURRENT ROW which
+includes peers; we pin ROWS frames wherever peer-inclusion would differ.
+
+Scale: a window over partitionBy(k) shuffles once on k and sorts within
+partitions — same cost shape as a groupBy; no extra passes per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from s3_kinesis_replay_spark.registry import register
+from s3_kinesis_replay_spark.queries.helpers import DEC, r6, sdec, t
+
+
+@register(
+    "e1_ranking",
+    "E1",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           ROUND(percent_rank() OVER w, 6) AS prnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           ROUND(cume_dist() OVER w, 6) AS cdist
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+    """,
+)
+def e1_ranking(spark, sf_dir):
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return t(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        r6(F.percent_rank().over(w)).alias("prnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        r6(F.cume_dist().over(w)).alias("cdist"),
+    )
+
+
+@register(
+    "e2_lag_lead",
+    "E2",
+    """
+    SELECT event_id, user_id,
+           lag(value, 1, -1.0) OVER w AS prev_value,
+           lead(value, 2) OVER w AS next2_value,
+           lag(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def e2_lag_lead(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        F.lag("value", 1, -1.0).over(w).alias("prev_value"),
+        F.lead("value", 2).over(w).alias("next2_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+@register(
+    "e3_first_last_nth",
+    "E3",
+    """
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER w AS running_last_v,
+           nth_value(value, 2) OVER w AS second_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def e3_first_last_nth(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("running_last_v"),
+        F.nth_value("value", 2).over(w).alias("second_v"),
+    )
+
+
+@register(
+    "e4_running_total",
+    "E4",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(o_totalprice AS {DEC})) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+    FROM orders
+    """,
+)
+def e4_running_total(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(sdec("o_totalprice")).over(w).alias("running_spend"),
+    )
+
+
+@register(
+    "e5_moving_avg",
+    "E5",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS {DEC})) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 6) AS ma7
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    note="7-row moving average declared as decimal-sum ÷ count (order-exact)",
+)
+def e5_moving_avg(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return t(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        r6(
+            F.sum(sdec("o_totalprice")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("ma7"),
+    )
+
+
+@register(
+    "e6_range_frame",
+    "E6",
+    f"""
+    SELECT o_orderkey, o_totalprice,
+           SUM(CAST(o_totalprice AS {DEC})) OVER
+             (ORDER BY o_totalprice
+              RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS near_sum,
+           CAST(COUNT(*) OVER
+             (ORDER BY o_totalprice
+              RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_n
+    FROM orders
+    """,
+    note="numeric RANGE frame: peers included by value, deterministic under ties",
+)
+def e6_range_frame(spark, sf_dir):
+    w = Window.orderBy("o_totalprice").rangeBetween(-1000, Window.currentRow)
+    return t(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.sum(sdec("o_totalprice")).over(w).alias("near_sum"),
+        F.count("*").over(w).cast("bigint").alias("near_n"),
+    )
+
+
+@register(
+    "e7_topk_per_group",
+    "E7",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    note="rn<=3 filter is pushed into the window sort (WindowGroupLimit)",
+)
+def e7_topk_per_group(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        t(spark, "orders", sf_dir)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

@@ -75,6 +75,7 @@ def all_queries() -> dict[str, Query]:
         windows,
         scalar_functions,
         llm_ops,
+        custom_ops,
         streaming_batch,
         sources_q,
     )

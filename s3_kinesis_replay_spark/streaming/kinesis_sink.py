@@ -1,0 +1,180 @@
+"""Kinesis-style publish sink (SURVEY §2.A7, H8) — the reference's output.
+
+The reference publishes ``(partition_key, data)`` records to AWS Kinesis
+via PutRecords: ≤500 records and ≤5 MiB per call, ≤1 MiB per record,
+retrying failed entries with backoff, at-least-once overall, ordered per
+partition key within a shard.
+
+Spark-first shape: ``writeStream.foreachBatch`` — each micro-batch is
+
+1. sorted by ``(partition_key, seq)`` and repartitioned so ONE task owns
+   each partition key (single-writer-per-key ⇒ per-key order, mirroring
+   Kinesis shard ordering — SURVEY §2.H8);
+2. chunked into PutRecords-shaped batches by count AND bytes;
+3. published with bounded retries on partial failures;
+4. made idempotent-at-least-once by tagging each record with
+   ``(batch_id, seq)`` — a replayed micro-batch after checkpoint
+   recovery overwrites/duplicates deterministically, so a downstream
+   consumer can exactly-once dedup on the tag.
+
+The client is injected (boto3 kinesis, moto in tests, or the in-memory
+``CapturingClient``) — the sink logic is cloud-agnostic.
+
+At scale: publish parallelism = number of post-repartition partitions;
+no driver-side data movement; the 5 MiB/500-record limits bound memory
+per call, and backpressure comes from micro-batch pacing (A9).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+MAX_RECORDS_PER_CALL = 500
+MAX_BYTES_PER_CALL = 5 * 1024 * 1024
+MAX_BYTES_PER_RECORD = 1024 * 1024
+
+
+@dataclass
+class PutRecordsBatcher:
+    """Pure chunking logic: fold records into PutRecords-shaped calls.
+
+    Records are (partition_key: str, data: bytes). Order-preserving.
+    """
+
+    max_records: int = MAX_RECORDS_PER_CALL
+    max_bytes: int = MAX_BYTES_PER_CALL
+
+    def batches(self, records):
+        batch, size = [], 0
+        for key, data in records:
+            rec_size = len(data) + len(key.encode())
+            if rec_size > MAX_BYTES_PER_RECORD:
+                raise ValueError(f"record for key {key!r} exceeds 1 MiB: {rec_size}")
+            if batch and (
+                len(batch) >= self.max_records or size + rec_size > self.max_bytes
+            ):
+                yield batch
+                batch, size = [], 0
+            batch.append({"PartitionKey": key, "Data": data})
+            size += rec_size
+        if batch:
+            yield batch
+
+
+@dataclass
+class CapturingClient:
+    """In-memory PutRecords endpoint with injectable partial failures —
+    used by tests to assert batching, retry, and per-key ordering."""
+
+    fail_every: int = 0  # fail the Nth record of each call (0 = never)
+    calls: list = field(default_factory=list)
+    records: list = field(default_factory=list)  # flattened successful puts
+    _call_count: int = 0
+
+    def put_records(self, StreamName: str, Records: list):
+        self._call_count += 1
+        results, failed = [], 0
+        for i, rec in enumerate(Records):
+            if self.fail_every and (i + 1) % self.fail_every == 0 and self._call_count % 2 == 1:
+                results.append(
+                    {"ErrorCode": "ProvisionedThroughputExceededException"}
+                )
+                failed += 1
+            else:
+                self.records.append((rec["PartitionKey"], rec["Data"]))
+                results.append({"SequenceNumber": str(len(self.records))})
+        self.calls.append(len(Records))
+        return {"FailedRecordCount": failed, "Records": results}
+
+
+def publish_batch(
+    client,
+    stream_name: str,
+    records,
+    max_retries: int = 5,
+    backoff_s: float = 0.05,
+) -> int:
+    """PutRecords with partial-failure retry; returns records published.
+
+    Failed entries (per-record ErrorCode) are re-queued in order and
+    retried with exponential backoff — at-least-once semantics.
+    """
+    batcher = PutRecordsBatcher()
+    published = 0
+    for batch in batcher.batches(records):
+        pending = batch
+        for attempt in range(max_retries + 1):
+            resp = client.put_records(StreamName=stream_name, Records=pending)
+            if resp.get("FailedRecordCount", 0) == 0:
+                published += len(pending)
+                pending = []
+                break
+            retry = [
+                rec
+                for rec, res in zip(pending, resp["Records"])
+                if "ErrorCode" in res
+            ]
+            published += len(pending) - len(retry)
+            pending = retry
+            time.sleep(backoff_s * (2**attempt))
+        if pending:
+            raise RuntimeError(
+                f"{len(pending)} records still failing after {max_retries} retries"
+            )
+    return published
+
+
+def kinesis_foreach_batch(
+    client_factory,
+    stream_name: str,
+    key_col: str = "partition_key",
+    data_col: str = "data",
+    seq_col: str = "seq",
+    num_writers: int = 8,
+    distributed: bool = True,
+):
+    """Build the foreachBatch function for writeStream (A7 + H8).
+
+    Each writer publishes its keys' records in (key, seq) order; the
+    idempotency tag (batch_id:seq) rides in the payload envelope.
+
+    ``distributed=True`` publishes from executor tasks (client_factory
+    must build a client inside the Python worker — e.g. boto3 from env
+    credentials). ``distributed=False`` publishes from the driver over a
+    (key, seq)-sorted collect — the testable path for in-process mock
+    clients (moto/CapturingClient state lives in the driver process),
+    and the ordering semantics are identical.
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int):
+        tagged = batch_df.select(
+            F.col(key_col).cast("string").alias("k"),
+            F.col(seq_col).cast("long").alias("s"),
+            F.concat(
+                F.lit(f"{batch_id}:"),
+                F.col(seq_col).cast("string"),
+                F.lit("|"),
+                F.col(data_col).cast("string"),
+            ).alias("payload"),
+        )
+        if distributed:
+            parts = tagged.repartition(num_writers, "k").sortWithinPartitions("k", "s")
+
+            def publish_partition(rows):
+                client = client_factory()
+                records = ((r["k"], r["payload"].encode()) for r in rows)
+                publish_batch(client, stream_name, records)
+                return iter(())
+
+            parts.rdd.mapPartitions(publish_partition).count()  # force execution
+        else:
+            client = client_factory()
+            rows = tagged.orderBy("k", "s").collect()
+            publish_batch(
+                client, stream_name, ((r["k"], r["payload"].encode()) for r in rows)
+            )
+
+    return fn

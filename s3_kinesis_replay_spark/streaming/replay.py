@@ -1,0 +1,75 @@
+"""The replay pipeline (SURVEY §3.2 E3): archive → transform → publish.
+
+This is the reference tool's whole purpose re-expressed as Structured
+Streaming: consume an S3-style archive incrementally (paced), extract
+partition keys from JSON payloads, sanitize, and publish to a
+Kinesis-style sink with checkpointed at-least-once delivery.
+
+Config maps 1:1 to the reference CLI's flags:
+  bucket/prefix      → archive root path
+  key range filter   → pathGlobFilter / dt= partition pruning
+  partition-key path → JSON path into the payload (get_json_object)
+  sanitize rules     → regexp_replace chain
+  concurrency        → num_writers (single-writer-per-key)
+  rate limit         → max_files_per_trigger + trigger interval
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_kinesis_replay_spark.sources.archive import stream_archive
+from s3_kinesis_replay_spark.streaming.kinesis_sink import kinesis_foreach_batch
+
+
+@dataclass
+class ReplayConfig:
+    archive_root: str
+    stream_name: str
+    checkpoint_dir: str
+    partition_key_path: str = "$.k"  # JSON path into props (JMESPath subset)
+    sanitize_rules: list[tuple[str, str]] = field(default_factory=list)
+    max_files_per_trigger: int | None = 4
+    num_writers: int = 8
+    available_now: bool = True  # drain-and-stop replay (vs continuous)
+
+
+def build_replay_stream(spark: SparkSession, cfg: ReplayConfig) -> DataFrame:
+    """Source + transform half of the pipeline (testable without a sink)."""
+    df = stream_archive(spark, cfg.archive_root, cfg.max_files_per_trigger)
+    # partition key: reference extracts via configured JSON path from the
+    # payload; fall back to user_id when the path misses
+    key = F.coalesce(
+        F.get_json_object("props", cfg.partition_key_path),
+        F.col("user_id").cast("string"),
+    )
+    data = F.to_json(F.struct(*df.columns))
+    for pat, repl in cfg.sanitize_rules:
+        data = F.regexp_replace(data, pat, repl)
+    return df.select(
+        key.alias("partition_key"),
+        F.col("event_id").alias("seq"),
+        data.alias("data"),
+    )
+
+
+def run_replay(spark: SparkSession, cfg: ReplayConfig, client_factory, distributed: bool = False):
+    """Wire source → kinesis sink; returns the started StreamingQuery."""
+    records = build_replay_stream(spark, cfg)
+    sink_fn = kinesis_foreach_batch(
+        client_factory,
+        cfg.stream_name,
+        num_writers=cfg.num_writers,
+        distributed=distributed,
+    )
+    writer = (
+        records.writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .outputMode("append")
+    )
+    if cfg.available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

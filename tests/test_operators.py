@@ -1,0 +1,180 @@
+"""Local checks for rows-only operators (no SQL oracle) + physical-plan
+assertions (SURVEY §5.4: the plan you'd want at 100 TB, not just any plan).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from s3_kinesis_replay_spark.catalog import table
+from s3_kinesis_replay_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+# ---------------------------------------------------------------- TOL rows
+def test_b8_sample_within_binomial_ci(spark, sf_dir):
+    n_total = table(spark, "lineitem", sf_dir).count()
+    n_sample = QUERIES["b8_sample_seeded"].fn(spark, sf_dir).count()
+    p = 0.1
+    sigma = math.sqrt(n_total * p * (1 - p))
+    assert abs(n_sample - n_total * p) < 6 * sigma
+
+
+def test_b8_sample_deterministic_under_seed(spark, sf_dir):
+    a = {tuple(r) for r in QUERIES["b8_sample_seeded"].fn(spark, sf_dir).collect()}
+    b = {tuple(r) for r in QUERIES["b8_sample_seeded"].fn(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_d4_hll_within_rsd(spark, sf_dir):
+    row = QUERIES["d4_approx_count_distinct"].fn(spark, sf_dir).collect()[0]
+    assert abs(row["approx_parts"] - row["exact_parts"]) <= 0.05 * row["exact_parts"]
+
+
+def test_d7_percentile_approx_bounded(spark, sf_dir):
+    row = QUERIES["d7_percentile_approx"].fn(spark, sf_dir).collect()[0]
+    # accuracy=10000 → rank error ≤ n/10000; generous value-space bound: 1%
+    assert abs(row["p50_approx"] - row["p50_exact"]) <= 0.01 * abs(row["p50_exact"])
+
+
+def test_g4b_spark_hashes_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, QUERIES["g4b_spark_hashes"].fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["g4b_spark_hashes"].fn(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_i3b_simhash_close_for_neardups(spark, sf_dir):
+    """Planted near-dup pairs (exact Jaccard ≥ 0.8, from i3) must have small
+    SimHash Hamming distance; random pairs must not."""
+    sim = {
+        r["doc_id"]: r["simhash"]
+        for r in QUERIES["i3b_simhash"].fn(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["i3_minhash_lsh_neardup"].fn(spark, sf_dir).collect()
+    ]
+    assert pairs, "fixture should contain planted near-dups"
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for a, b in pairs:
+        assert hamming(sim[a], sim[b]) <= 8, (a, b)
+    # contrast: consecutive non-dup ids are far apart
+    ids = sorted(sim)
+    dup_ids = {x for p in pairs for x in p}
+    far = [
+        hamming(sim[ids[i]], sim[ids[i + 1]])
+        for i in range(len(ids) - 1)
+        if ids[i] not in dup_ids and ids[i + 1] not in dup_ids
+    ]
+    assert sum(far) / len(far) > 15
+
+
+def test_t4_token_counts_consistent(spark, sf_dir):
+    rows = QUERIES["t4_token_counts"].fn(spark, sf_dir).collect()
+    for r in rows:
+        # plain word-soup text: BPE-ish count == whitespace count
+        assert r["n_tokens_ws"] >= 1
+        assert r["n_tokens_bpe"] == r["n_tokens_ws"]
+
+
+def test_multimodal_decode_stub_contract(spark, sf_dir):
+    """Real codec path must raise (stubbed); fake codec is deterministic."""
+    import pytest
+
+    from s3_kinesis_replay_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"FAKE0abc")
+    assert decode_image(b"FAKE0abc", codec="fake") == decode_image(
+        b"FAKE0abc", codec="fake"
+    )
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.multimodal import (
+        extract_features,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, table(spark, "documents", sf_dir))
+    a = sorted(map(tuple, extract_features(media).collect()))
+    b = sorted(map(tuple, extract_features(media).collect()))
+    assert a == b
+    assert all(row[5] > 0 for row in a)  # frame_count
+
+
+def test_block_topk_matches_brute(spark, sf_dir):
+    """Scale-path ANN (mapInPandas block matmul) must agree with the
+    brute-force baseline on ids for multiple queries."""
+    from s3_kinesis_replay_spark.operators.similarity import block_topk, brute_topk
+
+    emb = table(spark, "embeddings", sf_dir)
+    qs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    blocked = block_topk(emb, list(qs.items()), k=5)
+    got = {
+        qid: [r["vec_id"] for r in rows]
+        for qid, rows in (
+            (qid, blocked.filter(F.col("query_id") == qid).orderBy(F.col("sim").desc(), "vec_id").collect())
+            for qid in qs
+        )
+    }
+    for qid, vec in qs.items():
+        want = [r["vec_id"] for r in brute_topk(emb, vec, k=5).collect()]
+        assert got[qid] == want, qid
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.similarity import brute_topk, lsh_bucketed_topk
+
+    emb = table(spark, "embeddings", sf_dir)
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    exact = [r["vec_id"] for r in brute_topk(emb, qvec, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_bucketed_topk(emb, qvec, k=10).collect()]
+    # gaussian fixtures have weak neighbor structure — declared trade-off:
+    # ≥ 0.5 recall while scoring well under the full corpus
+    assert len(set(exact) & set(approx)) >= 5
+
+
+# ---------------------------------------------------------------- plans
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_c3_broadcasts_dims(spark, sf_dir):
+    plan = _plan(QUERIES["c3_broadcast_join"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_f3_topk_avoids_total_sort(spark, sf_dir):
+    plan = _plan(QUERIES["f3_global_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_a1_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["a1_parquet_scan"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+    # column pruning: only the 4 projected columns are read
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_returnflag:string>" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _plan(QUERIES["q1_pricing_summary"].fn(spark, sf_dir))
+    # map-side combine: two HashAggregate phases around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_e7_window_group_limit_pushdown(spark, sf_dir):
+    plan = _plan(QUERIES["e7_topk_per_group"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan

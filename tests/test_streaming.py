@@ -1,0 +1,257 @@
+"""Streaming analytics SEM checks (SURVEY §2.H, §2.C10/C11).
+
+Each test drains a real Structured Streaming query (AvailableNow over the
+staged archive) and asserts the result equals the declared batch analog —
+the other half of the SEM contract whose batch side the oracle checks.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_kinesis_replay_spark.oracle import canon_rows
+from s3_kinesis_replay_spark.registry import all_queries
+from s3_kinesis_replay_spark.sources.archive import stage_archive, stream_archive
+
+QUERIES = all_queries()
+
+
+def ev_max_ts(spark, sf_dir):
+    from s3_kinesis_replay_spark.catalog import table
+
+    return table(spark, "events", sf_dir).agg(F.max("ts")).collect()[0][0]
+
+
+@pytest.fixture(scope="module")
+def archive_root(sf_dir):
+    return stage_archive(sf_dir, gz=True)
+
+
+def _drain(spark, stream_df, tmp_path, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name)
+
+
+def _drain_append(spark, stream_df, tmp_path, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name)
+
+
+def _assert_same(batch_df, stream_out):
+    b_cols, b_rows = list(batch_df.columns), [tuple(r) for r in batch_df.collect()]
+    s_cols, s_rows = list(stream_out.columns), [tuple(r) for r in stream_out.collect()]
+    assert sorted(b_cols) == sorted(s_cols)
+    assert canon_rows(b_cols, b_rows) == canon_rows(s_cols, s_rows)
+
+
+def test_h1_tumbling_stream_equals_batch(spark, sf_dir, archive_root, tmp_path):
+    stream = stream_archive(spark, archive_root, max_files_per_trigger=6)
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(38,6))")).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+    out = _drain(spark, agg, tmp_path, "h1_stream")
+    _assert_same(QUERIES["h1_tumbling_window"].fn(spark, sf_dir), out)
+
+
+def test_h4_watermark_drops_nothing_within_bound(spark, sf_dir, archive_root, tmp_path):
+    """H4+H7: fixture disorder is bounded, so a generous watermark drops no
+    rows in append mode and the final state equals the batch aggregate."""
+    stream = stream_archive(spark, archive_root, max_files_per_trigger=6)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(38,6))")).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+    out = _drain_append(spark, agg, tmp_path, "h4_stream")
+    # append mode emits a window only once the watermark passes its end;
+    # the final watermark is max(ts) - delay, so the batch comparison set
+    # is the finalized-window subset. Counts must MATCH there (no drops:
+    # fixture disorder ≪ 2h delay).
+    max_ts = ev_max_ts(spark, sf_dir)
+    batch = QUERIES["h1_tumbling_window"].fn(spark, sf_dir).filter(
+        F.col("window_start") + F.expr("INTERVAL 10 MINUTES")
+        <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+    )
+    _assert_same(batch, out)
+
+
+def test_h3_session_window_stream_equals_batch(spark, sf_dir, archive_root, tmp_path):
+    stream = stream_archive(spark, archive_root, max_files_per_trigger=6)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(value AS DECIMAL(38,6))")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    out = _drain_append(spark, agg, tmp_path, "h3_stream")
+    max_ts = ev_max_ts(spark, sf_dir)
+    batch = QUERIES["h3_session_window"].fn(spark, sf_dir).filter(
+        F.col("session_end") <= F.lit(max_ts) - F.expr("INTERVAL 1 DAY")
+    )
+    out_final = out.filter(
+        F.col("session_end") <= F.lit(max_ts) - F.expr("INTERVAL 1 DAY")
+    )
+    _assert_same(batch, out_final)
+
+
+def test_h5_streaming_dedup(spark, sf_dir, archive_root, tmp_path):
+    """H5: duplicated stream (2× union at source) deduped on event_id."""
+    s1 = stream_archive(spark, archive_root, max_files_per_trigger=6)
+    s2 = stream_archive(spark, archive_root, max_files_per_trigger=6)
+    dedup = s1.unionAll(s2).withWatermark("ts", "2 days").dropDuplicates(["event_id"])
+    out = _drain_append(spark, dedup, tmp_path, "h5_stream")
+    n_expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out.count() == n_expected
+    assert out.select("event_id").distinct().count() == n_expected
+
+
+def test_c10_stream_static_join(spark, sf_dir, archive_root, tmp_path):
+    """C10: streaming events enriched with the static customer dim equals
+    the batch join of the same data."""
+    from s3_kinesis_replay_spark.catalog import table
+
+    cust = table(spark, "customer", sf_dir)
+    stream = stream_archive(spark, archive_root, max_files_per_trigger=6)
+    joined = stream.join(
+        cust, stream.user_id == cust.c_custkey, "inner"
+    ).select("event_id", "user_id", "c_name", "c_mktsegment")
+    out = _drain_append(spark, joined, tmp_path, "c10_stream")
+
+    ev = table(spark, "events", sf_dir)
+    batch = ev.join(cust, ev.user_id == cust.c_custkey, "inner").select(
+        "event_id", "user_id", "c_name", "c_mktsegment"
+    )
+    _assert_same(batch, out)
+
+
+def test_c11_stream_stream_join(spark, sf_dir, archive_root, tmp_path):
+    """C11: purchases joined to views of the same user within the preceding
+    hour, both sides watermarked — equals the batch time-band self-join."""
+    from s3_kinesis_replay_spark.catalog import table
+
+    s = stream_archive(spark, archive_root, max_files_per_trigger=6)
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 day")
+    )
+    s2 = stream_archive(spark, archive_root, max_files_per_trigger=6)
+    views = (
+        s2.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 day")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("p_id", "v_id")
+    out = _drain_append(spark, joined, tmp_path, "c11_stream")
+
+    ev = table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    batch = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    ).select("p_id", "v_id")
+    _assert_same(batch, out)
+
+
+def test_h6_stateful_running_count(spark, sf_dir, archive_root, tmp_path):
+    """H6: custom per-user stateful counter via applyInPandasWithState
+    equals the batch row_number analog for each user's final count."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = stream_archive(spark, archive_root, max_files_per_trigger=1000)
+
+    def count_fn(key, pdf_iter, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        count_fn,
+        outputStructType="user_id BIGINT, n_events BIGINT",
+        stateStructType="n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("h6_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_h6_stream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    out = spark.table("h6_stream")
+    # updates accumulate across micro-batches; the LAST update per user is final
+    final = (
+        out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    _assert_same(batch, final)
