@@ -77,7 +77,9 @@ def all_queries() -> dict[str, Query]:
         llm_ops,
         custom_ops,
         streaming_batch,
+        streaming_live,
         sources_q,
+        udfs,
     )
 
     return dict(_REGISTRY)
