@@ -27,16 +27,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def word_shingles(col, k: int = 3):
-    """Distinct k-gram word shingles of a text column (codegen, no UDF)."""
-    toks = F.split(col, " ")
-    n = F.size(toks)
+def word_shingles(tokens, k: int = 3):
+    """Distinct k-gram word shingles from a TOKEN-ARRAY column (codegen).
+
+    Takes pre-split tokens, not raw text: expressions inside higher-order
+    lambdas are re-evaluated per element, so passing ``split(text)`` here
+    would re-split the document once per shingle position — quadratic per
+    doc. Callers project ``F.split(text, ' ')`` once, then call this.
+    """
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
-            ),
+            F.sequence(F.lit(0), F.size(tokens) - k),
+            lambda i: F.array_join(F.slice(tokens, i + 1, k), " "),
         )
     )
 
@@ -52,22 +54,30 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 32,
+    keep_shingle_hashes: bool = False,
 ) -> DataFrame:
-    """(id, shingles, minhash array) — one pass, partial-aggregated."""
-    sh = docs.select(
-        F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
+    """(id, h0..h{H-1} minhash columns[, sh_set]) — ONE pass over the data.
+
+    Each shingle string is hashed ONCE (xxhash64); the H per-table hashes
+    are derived by re-mixing that 8-byte value, so per-row hashing cost is
+    O(shingle bytes) + H long-mixes instead of H string hashes. With
+    ``keep_shingle_hashes`` the distinct shingle-hash set rides the same
+    aggregation (sort_array(collect_set)) for downstream exact-Jaccard —
+    no second pass over the text.
+    """
+    toked = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
     )
-    exploded = sh.select(id_col, F.explode("shingles").alias("s"))
-    mins = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    sig = mins.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
-    return sh.join(sig, id_col)
+    hashed = toked.select(
+        id_col, F.explode(word_shingles(F.col("toks"), k)).alias("s")
+    ).select(id_col, F.xxhash64("s").alias("h0"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    if keep_shingle_hashes:
+        aggs.append(F.sort_array(F.collect_set("h0")).alias("sh_set"))
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_neardup_pairs(
@@ -80,19 +90,28 @@ def minhash_lsh_neardup_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Verified near-duplicate pairs: (doc_a, doc_b, jacc) with exact
-    Jaccard ≥ threshold, candidates found by banded MinHash-LSH."""
+    Jaccard ≥ threshold, candidates found by banded MinHash-LSH.
+
+    One full pass total: signatures AND distinct shingle-hash sets come
+    out of the same aggregation. The band self-join moves (id, band_id,
+    band_sig, sh_set) where sh_set is ~|shingles| longs — fixed-width,
+    text never shuffles. Exact Jaccard over the hash sets equals string
+    Jaccard up to xxhash64 collisions (P < 1e-8 corpus-wide).
+    """
     rows_per_band = num_hash_tables // bands
-    sigs = minhash_signatures(docs, id_col, text_col, k, num_hash_tables)
+    sigs = minhash_signatures(
+        docs, id_col, text_col, k, num_hash_tables, keep_shingle_hashes=True
+    )
 
     banded = sigs.select(
         F.col(id_col),
-        "shingles",
+        "sh_set",
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
                         *[
-                            F.element_at("sig", b * rows_per_band + r + 1)
+                            F.col(f"h{b * rows_per_band + r}")
                             for r in range(rows_per_band)
                         ]
                     )
@@ -104,7 +123,7 @@ def minhash_lsh_neardup_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -114,21 +133,26 @@ def minhash_lsh_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
+            F.col("a.sh_set").alias("sh_a"),
+            F.col("b.sh_set").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-
-    return (
-        candidates.select(
+        .select(
             "doc_a",
             "doc_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jacc"),
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / (
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                ),
+                6,
+            ).alias("jacc"),
         )
         .filter(
-            # filter on the unrounded value's rounded form to match the oracle's
-            # WHERE on the raw ratio: fixture distribution is bimodal so both agree
+            # filter on the rounded value to match the oracle's WHERE on the
+            # raw ratio: fixture similarity is bimodal so both agree
             F.col("jacc") >= threshold
         )
     )

@@ -27,7 +27,8 @@ from s3_kinesis_replay_spark.queries.helpers import DEC, r6, sdec, t
            SUM(CAST(l_quantity AS {DEC})) AS total_qty,
            MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc
+           ROUND(CAST(SUM(CAST(l_discount AS {DEC})) AS DOUBLE) / COUNT(*), 6)
+               AS avg_disc
     FROM lineitem
     """,
 )
@@ -38,7 +39,7 @@ def d2_global_agg(spark, sf_dir):
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
         F.count("*").alias("n_rows"),
-        r6(F.sum("l_discount") / F.count("*")).alias("avg_disc"),
+        r6(F.sum(sdec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
     )
 
 

@@ -57,18 +57,15 @@ def i1b_hash_dedup_count(spark, sf_dir):
     )
 
 
-def _shingles(col: str = "text", k: int = 3):
-    """k-gram word shingles as a distinct array — pure codegen HOFs."""
-    toks = F.split(F.col(col), " ")
-    n = F.size(toks)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
-            ),
-        )
-    )
+def _shingled(docs, k: int = 3):
+    """(doc_id, shingles) with split and shingling each computed ONCE —
+    HOF lambdas re-evaluate embedded expressions per element, so both the
+    token array and the shingle array are materialized via projections."""
+    from s3_kinesis_replay_spark.operators.dedup import word_shingles
+
+    return docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select("doc_id", word_shingles(F.col("toks"), k).alias("shingles"))
 
 
 _DUCK_SHINGLES = """
@@ -89,12 +86,11 @@ _DUCK_SHINGLES = """
     """,
 )
 def i2_shingles(spark, sf_dir):
-    d = t(spark, "documents", sf_dir)
-    sh = _shingles()
-    return d.select(
+    sh = _shingled(t(spark, "documents", sf_dir))
+    return sh.select(
         "doc_id",
-        F.size(sh).cast("int").alias("n_shingles"),
-        F.element_at(F.sort_array(sh), 1).alias("first_shingle"),
+        F.size("shingles").cast("int").alias("n_shingles"),
+        F.element_at(F.sort_array("shingles"), 1).alias("first_shingle"),
     )
 
 
@@ -368,7 +364,9 @@ def i10_lexicon_sentiment(spark, sf_dir):
       FROM embeddings
     ),
     per_dim AS (
-      SELECT label, dim, ROUND(SUM(v) / COUNT(*), 6) AS mean_v
+      SELECT label, dim,
+             ROUND(CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+                 AS mean_v
       FROM flat GROUP BY label, dim
     )
     SELECT label, list(mean_v ORDER BY dim) AS centroid,
@@ -382,8 +380,12 @@ def i11_embedding_stats(spark, sf_dir):
     flat = e.select(
         "label", F.posexplode(F.col("embedding")).alias("dim0", "v")
     ).select("label", (F.col("dim0") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+    # decimal(38,12) partial sums: both engines quantize the same double to
+    # the same decimal, and decimal addition is order-independent (§5.3)
     per_dim = flat.groupBy("label", "dim").agg(
-        r6(F.sum("v") / F.count("*")).alias("mean_v")
+        r6(
+            F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count("*")
+        ).alias("mean_v")
     )
     return (
         per_dim.groupBy("label")

@@ -24,8 +24,10 @@ from s3_kinesis_replay_spark.queries.helpers import DEC, r6, sdec, t
            SUM(CAST(l_extendedprice AS {DEC})) AS sum_base_price,
            SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS sum_disc_price,
            SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC})) AS sum_charge,
-           ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
-           ROUND(SUM(l_extendedprice) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*), 6)
+               AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / COUNT(*), 6)
+               AS avg_price,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -45,8 +47,14 @@ def q1_pricing_summary(spark, sf_dir):
             F.sum(sdec("l_extendedprice * (1 - l_discount) * (1 + l_tax)")).alias(
                 "sum_charge"
             ),
-            r6(F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
-            r6(F.sum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            # decimal partial sums → exact & order-independent; final divide
+            # happens once in double, identically in both engines (§5.3)
+            r6(F.sum(sdec("l_quantity")).cast("double") / F.count("*")).alias(
+                "avg_qty"
+            ),
+            r6(F.sum(sdec("l_extendedprice")).cast("double") / F.count("*")).alias(
+                "avg_price"
+            ),
             F.count("*").alias("count_order"),
         )
     )
