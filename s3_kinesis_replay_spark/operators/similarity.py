@@ -103,6 +103,113 @@ def block_topk(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (a, b) pairs with exact cosine ≥ threshold (a < b).
+
+    Candidate generation: per-partition NumPy block × broadcast-corpusᵀ
+    matmul emitting only pairs above ``threshold − ε`` — id pairs, not
+    vectors, leave the partition. Surviving pairs are RE-SCORED with the
+    exact left-fold HOF expression so emitted values are bit-identical to
+    the declared oracle formulation (the matmul's different accumulation
+    order never reaches the output; ε kills boundary risk).
+
+    Scale path: the broadcast corpus matrix caps at executor memory
+    (~10⁶ × 64 f32 = 256 MB); past that, swap the broadcast for a blocked
+    self-join of corpus chunks (same per-block matmul, grid of blocks) or
+    put the sketch prefilter (lsh_bucketed_topk's sketch) in front.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    eps = 1e-6
+
+    def find_pairs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = block @ normed.T
+            bids = pdf[id_col].to_numpy()
+            bi, cj = np.nonzero(sims >= threshold - eps)
+            ia, ib = bids[bi], ids[cj]
+            keep = ia < ib
+            yield pd.DataFrame({"ia": ia[keep], "ib": ib[keep]})
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(find_pairs, "ia long, ib long")
+    ea = corpus.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
+    eb = corpus.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
+    return (
+        ea.join(F.broadcast(cand), "ia")
+        .join(eb, "ib")
+        .select(
+            "ia",
+            "ib",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("ia").alias("vec_a"), F.col("ib").alias("vec_b"), "cos_sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse k-means quantizer, probe the
+    ``n_probe`` cells nearest the query, exact re-rank inside them.
+
+    Train/assign uses pyspark.ml KMeans (seeded → deterministic); the
+    probed-cell filter prunes the scan to ~n_probe/n_clusters of the
+    corpus. At scale the assignment is precomputed once and the corpus is
+    stored partitioned by cell id, turning the probe into partition
+    pruning at the parquet scan.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(
+        id_col, vec_col, array_to_vector(F.col(vec_col)).alias("_features")
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_features", predictionCol="_cell"
+    ).fit(vecs)
+    assigned = model.transform(vecs)
+
+    centers = np.array(
+        [c.toArray() if hasattr(c, "toArray") else np.asarray(c)
+         for c in model.clusterCenters()]
+    )
+    qv = np.array(query_vec, dtype=np.float64)
+    dists = np.linalg.norm(centers - qv, axis=1)
+    probe_cells = [int(c) for c in np.argsort(dists)[:n_probe]]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("_cell").isin(probe_cells))
+        .select(id_col, F.round(cosine_expr(q, F.col(vec_col)), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), id_col)
+        .limit(k)
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     query_vec: list[float],

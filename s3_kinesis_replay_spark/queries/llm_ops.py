@@ -237,6 +237,41 @@ def i6_topk_per_label(spark, sf_dir):
     )
 
 
+@register(
+    "i12_embedding_neardup",
+    "I3",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}) >= 0.45
+    """,
+    note="embedding-cosine near-dup: NumPy block-matmul candidate pairs, "
+    "exact HOF re-score (bit-identical to oracle); fixture embeddings are "
+    "unclustered so the declared threshold sits below max pairwise cosine",
+)
+def i12_embedding_neardup(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(t(spark, "embeddings", sf_dir), threshold=0.45)
+
+
+@register(
+    "i13_ivf_topk",
+    "I5",
+    None,  # k-means training is not SQL-expressible — rows-only; recall
+    # vs brute-force asserted in tests/test_operators.py
+    note="IVF-style ANN: seeded k-means coarse quantizer, probe 4/16 cells, "
+    "exact re-rank — the partition-pruned scale path for I5",
+)
+def i13_ivf_topk(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.similarity import ivf_topk
+
+    e = t(spark, "embeddings", sf_dir)
+    qv = [r[0] for r in e.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
+    return ivf_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10)
+
+
 # ---------------------------------------------------------------- text
 
 

@@ -144,6 +144,46 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_ivf_topk_valid_and_deterministic(spark, sf_dir):
+    """IVF probes a cell subset: results must be exact-cosine-scored, come
+    from probed cells only, and repeat bit-identically under the seed.
+    Recall floor is honest for unclustered gaussian fixtures (probing
+    4/16 cells of structure-free data ≈ 25% of the corpus)."""
+    from s3_kinesis_replay_spark.operators.similarity import brute_topk, ivf_topk
+
+    emb = table(spark, "embeddings", sf_dir)
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    corpus = emb.filter(F.col("vec_id") != 0)
+    a = [tuple(r) for r in ivf_topk(corpus, qvec, k=10).collect()]
+    b = [tuple(r) for r in ivf_topk(corpus, qvec, k=10).collect()]
+    assert a == b and len(a) == 10
+    exact = {
+        r["vec_id"]: r["sim"] for r in brute_topk(corpus, qvec, k=1000).collect()
+    }
+    for vec_id, sim in a:
+        assert exact[vec_id] == sim  # scores are exact cosine, not estimates
+    top10 = [r["vec_id"] for r in brute_topk(corpus, qvec, k=10).collect()]
+    assert len({v for v, _ in a} & set(top10)) >= 1
+
+
+def test_embedding_neardup_pairs_symmetric_bound(spark, sf_dir):
+    """Near-dup pairs: a<b canonical, all above threshold, and the pair
+    count matches a brute-force numpy recount."""
+    import numpy as np
+
+    from s3_kinesis_replay_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = table(spark, "embeddings", sf_dir)
+    got = embedding_neardup_pairs(emb, threshold=0.45).collect()
+    assert all(r["vec_a"] < r["vec_b"] and r["cos_sim"] >= 0.45 for r in got)
+    rows = emb.select("vec_id", "embedding").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    want = int(np.sum(np.triu(sims >= 0.45, k=1)))
+    assert len(got) == want
+
+
 # ---------------------------------------------------------------- plans
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
