@@ -32,6 +32,8 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # heavy shapes (the 100 TB cost centers).
 HEADLINE = [
     "q1_pricing_summary",     # scan + partial agg + decimal sums
+    "q3_shipping_priority",   # 3-way join + agg + top-k
+    "q5_local_supplier_volume",  # 6-table join, broadcast dims
     "a4_gzip_scan",           # archive read path (gzip NDJSON)
     "c1_inner_join",          # fact-fact shuffle join
     "c3_broadcast_join",      # dim broadcast join + agg

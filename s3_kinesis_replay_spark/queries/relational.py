@@ -535,3 +535,92 @@ def f6b_intersect_except_all(spark, sf_dir):
     a = li.filter(F.col("l_linenumber") <= 2).select(F.col("l_returnflag").alias("flag"))
     b = li.filter(F.col("l_quantity") > 10).select(F.col("l_returnflag").alias("flag"))
     return a.intersectAll(b)
+
+
+# ------------------------------------------------- multi-join flagships
+@register(
+    "q3_shipping_priority",
+    "C1",
+    f"""
+    SELECT l.l_orderkey,
+           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC})) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    note="TPC-H Q3 shape: selective dim filter -> 3-way join -> agg -> "
+    "top-k; customer filter prunes before the fact join, limit becomes "
+    "TakeOrdered after the agg",
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = t(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = t(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(sdec("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    "C1",
+    f"""
+    SELECT n.n_name,
+           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC})) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    note="TPC-H Q5 shape: 6-table join; dims (supplier/nation/region) "
+    "broadcast, facts shuffle once on orderkey; local-supplier predicate "
+    "c_nationkey = s_nationkey rides the supplier join",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    c = t(spark, "customer", sf_dir)
+    o = t(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, "lineitem", sf_dir)
+    s = t(spark, "supplier", sf_dir)
+    n = t(spark, "nation", sf_dir)
+    r = t(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(sdec("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

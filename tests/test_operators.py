@@ -215,6 +215,29 @@ def test_q1_partial_aggregation(spark, sf_dir):
     assert "Exchange hashpartitioning(l_returnflag" in plan
 
 
+def test_q5_broadcasts_dims_single_fact_shuffle(spark, sf_dir):
+    """6-table join: every dim rides a broadcast; at most the one fact-fact
+    join (lineitem ⋈ orders) shuffles."""
+    plan = _plan(QUERIES["q5_local_supplier_volume"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q3_topk_after_agg(spark, sf_dir):
+    plan = _plan(QUERIES["q3_shipping_priority"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_e7_window_group_limit_pushdown(spark, sf_dir):
     plan = _plan(QUERIES["e7_topk_per_group"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_a5b_partition_pruning_reaches_file_index(spark, sf_dir):
+    """dt= range predicate must prune at the file index (PartitionFilters),
+    not post-scan — at 100 TB this is the difference between listing a few
+    directories and scanning the archive."""
+    plan = _plan(QUERIES["a5b_key_range_filter"].fn(spark, sf_dir))
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(dt" in plan or "(dt" in plan
