@@ -624,3 +624,27 @@ def q5_local_supplier_volume(spark, sf_dir):
         .agg(F.sum(sdec("l_extendedprice * (1 - l_discount)")).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@register(
+    "c1b_salted_join",
+    "C1",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    note="skew-path variant of C1: fact side salted N ways, dim side "
+    "exploded across salts — result identical to the plain join (same "
+    "oracle); the pattern that bounds per-task skew when one key "
+    "dominates and AQE splitting is not enough",
+)
+def c1b_salted_join(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.skew import salted_join
+
+    li = t(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber"
+    )
+    o = t(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    return salted_join(
+        li, o, left_key="l_orderkey", right_key="o_orderkey", salts=8
+    ).select("l_orderkey", "l_linenumber", "o_orderpriority")

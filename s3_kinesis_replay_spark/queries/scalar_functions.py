@@ -436,3 +436,29 @@ def g11_struct(spark, sf_dir):
         s1.getField("price").alias("s_price"),
         s2.getField("a").alias("s_status"),
     )
+
+
+@register(
+    "g10b_variant",
+    "G10",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_variant,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+           (json_extract(props, '$.nope') IS NULL) AS missing_is_null
+    FROM events
+    """,
+    note="Spark 4 VARIANT path for truly-dynamic payloads: parse_json once, "
+    "variant_get per field — the schemaless alternative to from_json "
+    "(SURVEY §1.2); oracle uses DuckDB's JSON extraction",
+)
+def g10b_variant(spark, sf_dir):
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", F.parse_json("props").alias("v")
+    )
+    return ev.select(
+        "event_id",
+        F.variant_get("v", "$.k", "int").alias("k_variant"),
+        F.variant_get("v", "$.k", "string").alias("k_str"),
+        F.try_variant_get("v", "$.nope", "string").isNull().alias("missing_is_null"),
+    )
