@@ -159,3 +159,56 @@ def test_replay_checkpoint_resume_no_loss(spark, sf_dir, archive_root, tmp_path)
     # …and duplication bounded by one replayed micro-batch
     assert len(client.records) <= n_expected + 2 * 500
     assert first_run < n_expected  # the kill really was mid-replay
+
+
+def test_a7b_datasource_sink_distributed(spark, sf_dir, tmp_path):
+    """Python DataSource sink (Spark 4): executor-side publishing must
+    deliver the exact input set with per-key ordering (single-writer-per-
+    key repartition + in-partition sort)."""
+    import json
+
+    from s3_kinesis_replay_spark.sources.archive import stage_archive
+    from s3_kinesis_replay_spark.streaming.kinesis_datasource import read_captured
+    from s3_kinesis_replay_spark.streaming.replay import (
+        ReplayConfig,
+        run_replay_datasource,
+    )
+
+    root = stage_archive(sf_dir, gz=True)
+    capture_dir = str(tmp_path / "captured")
+    cfg = ReplayConfig(
+        archive_root=root,
+        stream_name="skr-ds",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=8,
+        num_writers=8,
+    )
+    q = run_replay_datasource(
+        spark,
+        cfg,
+        "s3_kinesis_replay_spark.streaming.kinesis_datasource:file_client_factory",
+        capture_dir,
+    )
+    q.awaitTermination(600)
+
+    captured = read_captured(capture_dir)
+    got_ids = sorted(
+        json.loads(data.decode())["event_id"] for _, data, _ in captured
+    )
+    want_ids = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    )
+    assert got_ids == want_ids  # exact set, no loss, no dupes (clean run)
+
+    # per-key ordering: within each key, (worker, call-seq, in-call pos)
+    # must be non-decreasing in seq (= event_id)
+    by_key: dict = {}
+    for pos, (key, data, order) in enumerate(captured):
+        eid = json.loads(data.decode())["event_id"]
+        by_key.setdefault(key, []).append((order, pos, eid))
+    for key, entries in by_key.items():
+        workers = {o[0][0] for o in entries}
+        assert len(workers) >= 1
+        seqs = [e for _, _, e in sorted(entries, key=lambda x: (x[0], x[1]))]
+        assert seqs == sorted(seqs), f"key {key} out of order"

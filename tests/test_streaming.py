@@ -255,3 +255,55 @@ def test_h6_stateful_running_count(spark, sf_dir, archive_root, tmp_path):
         .agg(F.count("*").alias("n_events"))
     )
     _assert_same(batch, final)
+
+
+def test_h6b_transform_with_state(spark, sf_dir, archive_root, tmp_path):
+    """H6 via Spark 4's transformWithStateInPandas (the successor API to
+    applyInPandasWithState): per-user ValueState counter, final counts
+    equal the batch aggregate."""
+    # the TWS state-server protocol needs protobuf; skip where absent
+    pytest.importorskip("google.protobuf.descriptor")
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.count = handle.getValueState("count", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self.count.get()[0] if self.count.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+            self.count.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+        def close(self) -> None:
+            pass
+
+    stream = stream_archive(spark, archive_root, max_files_per_trigger=1000)
+    counted = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CountProcessor(),
+        outputStructType="user_id BIGINT, n_events BIGINT",
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("h6b_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_h6b"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    out = spark.table("h6b_stream")
+    final = out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    _assert_same(batch, final)
