@@ -241,3 +241,31 @@ def test_a5b_partition_pruning_reaches_file_index(spark, sf_dir):
     plan = _plan(QUERIES["a5b_key_range_filter"].fn(spark, sf_dir))
     assert "PartitionFilters: [" in plan
     assert "isnotnull(dt" in plan or "(dt" in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path_factory):
+    """Bucketing both fact tables on the join key makes the join
+    co-located: the plan must contain no hash-partition Exchange — at
+    100 TB this removes the dominant shuffle of fact-fact joins."""
+    base = str(tmp_path_factory.mktemp("bucketed"))
+    li = table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    o = table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    for name in ("skr_li_b", "skr_o_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", f"{base}/li").mode("overwrite").saveAsTable("skr_li_b")
+    )
+    (
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", f"{base}/o").mode("overwrite").saveAsTable("skr_o_b")
+    )
+    joined = spark.table("skr_li_b").join(
+        spark.table("skr_o_b"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = _plan(joined)
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == table(spark, "lineitem", sf_dir).count()
+    for name in ("skr_li_b", "skr_o_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Regenerate COVERAGE.md: SURVEY §2 row → registry entries mapping."""
+from __future__ import annotations
+
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from s3_kinesis_replay_spark.registry import all_queries  # noqa: E402
+
+FAMILIES = {
+    "A": ("Sources, sinks, replay pipeline", 10),
+    "B": ("Projection, filter, row ops", 8),
+    "C": ("Joins", 11),
+    "D": ("Aggregation", 14),
+    "E": ("Window functions", 7),
+    "F": ("Sort / limit / set ops", 6),
+    "G": ("Scalar functions", 11),
+    "H": ("Streaming operators", 8),
+    "I": ("LLM-data-pipeline operators", 11),
+    "J": ("UDF / UDAF / UDTF surface", 6),
+}
+
+
+def main() -> None:
+    qs = all_queries()
+    by_id = defaultdict(list)
+    for q in qs.values():
+        by_id[q.survey_id].append(q)
+
+    lines = [
+        "# COVERAGE — SURVEY §2 contract → registry (auto-generated)",
+        "",
+        "Regenerate with `python tools/gen_coverage.py`. Every §2 row lists its",
+        "registry entries (`__spark_entry__.queries()` keys), the check mode, and",
+        "whether a DuckDB oracle is declared (rows-only entries are justified in",
+        "their `note`).",
+        "",
+    ]
+    total_rows = covered_rows = 0
+    for fam, (title, n) in FAMILIES.items():
+        lines += [f"## §2.{fam} {title}", "", "| row | registry entries | checks |",
+                  "| --- | --- | --- |"]
+        for i in range(1, n + 1):
+            rid = f"{fam}{i}"
+            total_rows += 1
+            entries = sorted(by_id.get(rid, []), key=lambda q: q.name)
+            if entries:
+                covered_rows += 1
+                names = ", ".join(f"`{q.name}`" for q in entries)
+                checks = ", ".join(
+                    f"{q.check}{'' if q.oracle else ' (rows-only)'}" for q in entries
+                )
+            else:
+                names, checks = "—", "MISSING"
+            lines.append(f"| {rid} | {names} | {checks} |")
+        lines.append("")
+    n_oracle = sum(1 for q in qs.values() if q.oracle)
+    lines += [
+        "## Totals",
+        "",
+        f"- SURVEY §2 rows covered: **{covered_rows}/{total_rows}**",
+        f"- Registry queries: **{len(qs)}** ({n_oracle} oracle-checked, "
+        f"{len(qs) - n_oracle} rows-only)",
+        "",
+    ]
+    Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").write_text(
+        "\n".join(lines)
+    )
+    print(f"COVERAGE.md: {covered_rows}/{total_rows} rows, {len(qs)} queries")
+
+
+if __name__ == "__main__":
+    main()
