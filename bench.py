@@ -53,6 +53,31 @@ HEADLINE = [
 ]
 
 
+def replay_roundtrip_seconds(spark) -> float:
+    """End-to-end replay wall-clock: gzip archive → paced stream →
+    PutRecords-shaped sink (driver-mode capture), all events at SF_DIR."""
+    import tempfile
+
+    from s3_kinesis_replay_spark.sources.archive import stage_archive
+    from s3_kinesis_replay_spark.streaming.kinesis_sink import CapturingClient
+    from s3_kinesis_replay_spark.streaming.replay import ReplayConfig, run_replay
+
+    root = stage_archive(SF_DIR, gz=True)
+    client = CapturingClient()
+    cfg = ReplayConfig(
+        archive_root=root,
+        stream_name="skr-bench",
+        checkpoint_dir=tempfile.mkdtemp(prefix="skr_bench_ckpt_"),
+        max_files_per_trigger=200,
+    )
+    t0 = time.perf_counter()
+    q = run_replay(spark, cfg, lambda: client, distributed=False)
+    q.awaitTermination(600)
+    dt = time.perf_counter() - t0
+    assert client.records, "replay produced no records"
+    return dt
+
+
 def main() -> None:
     spark = get_spark(app_name="skr-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -68,6 +93,10 @@ def main() -> None:
             q.fn(spark, SF_DIR).count()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+
+    timings["replay_roundtrip"] = round(
+        statistics.median([replay_roundtrip_seconds(spark) for _ in range(RUNS)]), 3
+    )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -314,15 +314,17 @@ def i8_tfidf(spark, sf_dir):
     d = t(spark, "documents", sf_dir)
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
     tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    n = d.count()  # scalar, computed once driver-side (cheap count-star)
-    return (
-        tf.join(F.broadcast(df), "w")
-        .select(
-            "doc_id",
-            F.col("w").alias("word"),
-            r6(F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))).alias("tfidf"),
-        )
+    # N rides the plan as a broadcast scalar (single job, no driver count)
+    n_docs = d.agg(F.count("*").cast("double").alias("n"))
+    df = (
+        tok.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    return tf.join(F.broadcast(df), "w").select(
+        "doc_id",
+        F.col("w").alias("word"),
+        r6(F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("tfidf"),
     )
 
 
