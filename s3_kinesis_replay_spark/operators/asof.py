@@ -30,9 +30,17 @@ def asof_join(
     by_right: str,
     value_cols: list[str],
     tiebreak: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join; returns all left columns + value_cols (null if
-    no right row precedes the left row)."""
+    """As-of join; returns all left columns + value_cols (null if no right
+    row qualifies). ``direction='backward'`` picks the latest right row at
+    or before the left time; ``'forward'`` the earliest at or after —
+    implemented as the same one-shuffle window pass with the sort order
+    (and the left/right interleaving at equal times) mirrored.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     lhs = left.select(
         F.col(by_left).alias("_by"),
         F.col(on).alias("_t"),
@@ -55,9 +63,16 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
     unioned = lhs.unionByName(rhs)
+    # forward = backward on reversed time: sort _t desc so "last seen right"
+    # is the earliest right at-or-after; tiebreak asc picks the smallest id
+    # "winner" = last row the window sees in its equal-time group:
+    # backward keeps _tb asc (largest id wins, matching the declared
+    # ts DESC, id DESC oracle); forward flips to desc (smallest id wins)
+    t_ord = F.col("_t").desc() if fwd else F.col("_t").asc()
+    tb_ord = F.col("_tb").desc() if fwd else F.col("_tb").asc()
     w = (
         Window.partitionBy("_by")
-        .orderBy(F.col("_t"), F.col("_side"), F.col("_tb"))
+        .orderBy(t_ord, F.col("_side"), tb_ord)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

@@ -255,3 +255,79 @@ def mm2_frame_sample(spark, sf_dir):
 
     media = synth_media_table(spark, t(spark, "documents", sf_dir))
     return frame_sample(media)
+
+
+@register(
+    "c8b_asof_forward",
+    "C8",
+    """
+    SELECT p.event_id, p.user_id, p.ts, v.event_id AS next_view_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.event_id = (
+        SELECT v2.event_id
+        FROM events v2
+        WHERE v2.event_type = 'view' AND v2.user_id = p.user_id AND v2.ts >= p.ts
+        ORDER BY v2.ts ASC, v2.event_id ASC LIMIT 1
+      )
+    """,
+    note="forward as-of: earliest following 'view' per user for each "
+    "'purchase'; same one-shuffle window pass with mirrored sort order",
+)
+def c8b_asof_forward(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.asof import asof_join
+
+    ev = t(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("next_view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="ts",
+        right_on="v_ts",
+        by_left="user_id",
+        by_right="v_user",
+        value_cols=["next_view_id"],
+        tiebreak="next_view_id",
+        direction="forward",
+    )
+
+
+@register(
+    "r1_sanitize_pipeline",
+    "A7",
+    """
+    SELECT event_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(props, '"k": ?([0-9])[0-9]*', '"k": \\1**', 'g'),
+               '[0-9]{3,}', '<NUM>', 'g'),
+             'user_[a-z]+', 'user_<REDACTED>', 'g') AS sanitized,
+           CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+                AS INTEGER) AS n_digits
+    FROM events
+    """,
+    note="the reference's message-sanitization stage: an ordered chain of "
+    "regex rewrites over payloads (mask keys, redact long numbers/user "
+    "ids) — pure codegen, the same chain ReplayConfig.sanitize_rules "
+    "applies inside the replay stream",
+)
+def r1_sanitize_pipeline(spark, sf_dir):
+    ev = t(spark, "events", sf_dir)
+    s = F.col("props")
+    for pat, repl in [
+        (r'"k": ?([0-9])[0-9]*', r'"k": $1**'),
+        (r"[0-9]{3,}", "<NUM>"),
+        (r"user_[a-z]+", "user_<REDACTED>"),
+    ]:
+        s = F.regexp_replace(s, pat, repl)
+    n_digits = F.length("props") - F.length(F.regexp_replace("props", "[0-9]", ""))
+    return ev.select(
+        "event_id", s.alias("sanitized"), n_digits.cast("int").alias("n_digits")
+    )
