@@ -50,6 +50,7 @@ HEADLINE = [
     "i7_wordcount",           # explode + agg
     "i8_tfidf",               # multi-join text pipeline
     "mm1_media_features",     # Arrow mapInPandas feature extraction
+    "p1_training_prep",       # composite: filter → near-dup removal → stats
 ]
 
 

@@ -440,3 +440,52 @@ def i11_embedding_stats(spark, sf_dir):
             "dims",
         )
     )
+
+
+@register(
+    "p1_training_prep",
+    "I1",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} ss FROM documents
+    ),
+    near_dup AS (  -- drop the higher doc_id of each verified near-dup pair
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8
+    ),
+    kept AS (
+      SELECT doc_id, lang, source,
+             len(string_split(lower(text), ' ')) AS n_tok
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 20
+        AND doc_id NOT IN (SELECT doc_id FROM near_dup)
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY lang, source
+    """,
+    note="end-to-end training-data prep: length filter -> MinHash-LSH "
+    "near-dup removal (keep lowest doc_id per dup cluster edge) -> corpus "
+    "stats per lang x source. Composes I2/I3/I7/I9 operators in one plan; "
+    "oracle recomputes near-dups exactly all-pairs",
+)
+def p1_training_prep(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.dedup import minhash_lsh_neardup_pairs
+
+    d = t(spark, "documents", sf_dir)
+    dup_ids = (
+        minhash_lsh_neardup_pairs(d, threshold=0.8, k=3, num_hash_tables=32)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    toked = d.select(
+        "doc_id", "lang", "source", F.size(F.split(F.lower("text"), " ")).alias("n_tok")
+    ).filter(F.col("n_tok") >= 20)
+    kept = toked.join(dup_ids, "doc_id", "left_anti")
+    return kept.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
