@@ -269,3 +269,19 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path_factory):
     assert joined.count() == table(spark, "lineitem", sf_dir).count()
     for name in ("skr_li_b", "skr_o_b"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_engine_facade_sql_and_table(spark, sf_dir):
+    """Engine entry points E1/E2: DataFrame builder and SQL over the
+    registered catalog views return consistent results."""
+    from s3_kinesis_replay_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    n_table = eng.table("lineitem").count()
+    n_sql = eng.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n_table == n_sql > 0
+    top = eng.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY n DESC, l_returnflag LIMIT 1"
+    ).collect()[0]
+    assert top["n"] > 0
