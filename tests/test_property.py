@@ -99,3 +99,98 @@ class TestDifferential:
         d_cols, d_rows = duck_result(duck, osql)
         problems = compare(s_cols, s_rows, d_cols, d_rows)
         assert not problems, f"pred={pred!r} group={group}: " + "; ".join(problems)
+
+
+JOIN_TYPES = ["inner", "left", "right", "full", "left_semi", "left_anti"]
+DUCK_JOIN = {
+    "inner": "JOIN",
+    "left": "LEFT JOIN",
+    "right": "RIGHT JOIN",
+    "full": "FULL JOIN",
+}
+
+
+@pytest.mark.usefixtures("spark", "duck")
+class TestJoinDifferential:
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(pred=predicates(), jt=st.sampled_from(JOIN_TYPES))
+    def test_filtered_join_matches_duckdb(self, spark, duck, sf_dir, pred, jt):
+        """orders ⋈ filtered-lineitem across every join type: row multiset
+        must match DuckDB's (semi/anti expressed as EXISTS/NOT EXISTS)."""
+        li = table(spark, "lineitem", sf_dir).filter(F.expr(pred))
+        o = table(spark, "orders", sf_dir)
+        joined = o.join(li, o.o_orderkey == li.l_orderkey, jt)
+        if jt in ("left_semi", "left_anti"):
+            sdf = joined.groupBy().agg(
+                F.count("*").alias("n"), F.min("o_orderkey").alias("min_key")
+            )
+            neg = "NOT " if jt == "left_anti" else ""
+            osql = (
+                f"SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(o_orderkey) AS min_key "
+                f"FROM orders o WHERE {neg}EXISTS (SELECT 1 FROM lineitem l "
+                f"WHERE ({pred}) AND l.l_orderkey = o.o_orderkey)"
+            )
+        else:
+            sdf = joined.groupBy().agg(
+                F.count("*").alias("n"),
+                F.count("o_orderkey").alias("n_o"),
+                F.count("l_orderkey").alias("n_l"),
+            )
+            osql = (
+                f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+                f"CAST(COUNT(o_orderkey) AS BIGINT) AS n_o, "
+                f"CAST(COUNT(l_orderkey) AS BIGINT) AS n_l "
+                f"FROM orders o {DUCK_JOIN[jt]} "
+                f"(SELECT * FROM lineitem WHERE {pred}) l "
+                f"ON o.o_orderkey = l.l_orderkey"
+            )
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"pred={pred!r} join={jt}: " + "; ".join(problems)
+
+
+WINDOW_FNS = ["row_number", "rank", "dense_rank"]
+
+
+@pytest.mark.usefixtures("spark", "duck")
+class TestWindowDifferential:
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(pred=predicates(), wf=st.sampled_from(WINDOW_FNS), k=st.integers(1, 5))
+    def test_window_topk_matches_duckdb(self, spark, duck, sf_dir, pred, wf, k):
+        """Ranking window + top-k filter over a random predicate; total
+        order pinned by (l_orderkey, l_linenumber) tiebreak."""
+        from pyspark.sql import Window
+
+        li = table(spark, "lineitem", sf_dir).filter(F.expr(pred))
+        w = Window.partitionBy("l_returnflag").orderBy(
+            F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
+        )
+        fn = getattr(F, wf)
+        sdf = (
+            li.select(
+                "l_returnflag",
+                "l_orderkey",
+                "l_linenumber",
+                fn().over(w).cast("bigint").alias("rnk"),
+            )
+            .filter(F.col("rnk") <= k)
+        )
+        osql = (
+            f"SELECT l_returnflag, l_orderkey, l_linenumber, "
+            f"CAST({wf}() OVER (PARTITION BY l_returnflag "
+            f"ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS BIGINT) AS rnk "
+            f"FROM lineitem WHERE {pred} QUALIFY rnk <= {k}"
+        )
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"pred={pred!r} fn={wf} k={k}: " + "; ".join(problems)
