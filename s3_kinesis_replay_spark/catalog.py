@@ -40,6 +40,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one fixture table as a DataFrame (schema-on-read from parquet)."""
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): Spark 4 hard-errors on scan
+        # unless nanosAsLong is set. Runtime-settable — set it defensively so
+        # a caller-provided session (e.g. the driver's) works unmodified.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # declared timestamp semantics are UTC (SURVEY §5.3.4): pin the
+            # session tz so collected values match the oracle's naive UTC
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass  # conf locked by the session → rely on its existing value
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # parquet stores ts as timestamp[ns]; with nanosAsLong it arrives as
