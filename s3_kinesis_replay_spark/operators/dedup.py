@@ -158,6 +158,71 @@ def minhash_lsh_neardup_pairs(
     )
 
 
+def neardup_components(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_hash_tables: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over verified near-dup edges: (doc_id,
+    component_id) where component_id is the min doc_id reachable through
+    the near-dup graph. Docs with no near-dup edge are singletons and are
+    omitted (their component is themselves).
+
+    Pregel-style min-label propagation: every vertex starts labeled with
+    itself; each round it takes the min of its own label and its
+    neighbors'; converged when no label changes. Rounds = component
+    diameter — near-dup clusters are short chains in practice, so 2-3
+    rounds. Each round is one shuffle on vertex id over the EDGE relation
+    only (already reduced from the corpus by LSH); lineage is truncated
+    per round with eager localCheckpoint so the plan stays flat. The
+    driver-side loop is iteration control, not data movement — the same
+    shape GraphX/Pregel uses for CC at cluster scale.
+    """
+    pairs = minhash_lsh_neardup_pairs(
+        docs, threshold, k, num_hash_tables, id_col=id_col, text_col=text_col
+    ).select("doc_a", "doc_b")
+    # symmetrize once and checkpoint: the LSH pass must run once, not once
+    # per propagation round
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = edges.join(labels, edges["dst"] == labels["v"]).groupBy(
+            "src"
+        ).agg(F.min("label").alias("nmin"))
+        new_labels = (
+            labels.join(neighbor_min, labels["v"] == neighbor_min["src"], "left")
+            # least() ignores nulls: vertices are never isolated here (every
+            # vertex came from an edge), but left-join keeps the invariant
+            .select("v", F.least("label", "nmin").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias(id_col), F.col("label").alias("component_id")
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc from token xxhash64s — majority vote per bit.
 

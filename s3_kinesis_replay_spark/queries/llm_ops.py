@@ -118,6 +118,41 @@ def i3_minhash_lsh_neardup(spark, sf_dir):
     return minhash_lsh_neardup_pairs(docs, threshold=0.8, k=3, num_hash_tables=32)
 
 
+@register(
+    "i3d_neardup_components",
+    "I3",
+    f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, {_DUCK_SHINGLES} ss FROM documents),
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           CAST(LEAST(src, MIN(dst)) AS BIGINT) AS component_id
+    FROM reach GROUP BY src
+    """,
+    note="near-dup CLUSTER resolution: connected components over verified "
+    "LSH edges, component id = min reachable doc_id. Engine = Pregel-style "
+    "min-label propagation (iterative DataFrame loop, localCheckpoint per "
+    "round); oracle = recursive-CTE transitive closure. Singletons omitted "
+    "by both. Non-SQL-expressible on the Spark side only in the sense of "
+    "needing a driver-controlled fixpoint loop",
+)
+def i3d_neardup_components(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.dedup import neardup_components
+
+    docs = t(spark, "documents", sf_dir)
+    return neardup_components(docs, threshold=0.8, k=3, num_hash_tables=32)
+
+
 # ---------------------------------------------------------------- similarity
 
 _DUCK_DOT = """

@@ -285,3 +285,17 @@ def test_engine_facade_sql_and_table(spark, sf_dir):
         "GROUP BY l_returnflag ORDER BY n DESC, l_returnflag LIMIT 1"
     ).collect()[0]
     assert top["n"] > 0
+
+
+def test_neardup_components_transitive(spark):
+    """Identical docs form one component labeled by the min doc_id;
+    a dissimilar doc is a singleton and is omitted from the output."""
+    from s3_kinesis_replay_spark.operators.dedup import neardup_components
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base), (4, "completely different text " * 3)],
+        "doc_id long, text string",
+    )
+    got = sorted(map(tuple, neardup_components(docs).collect()))
+    assert got == [(1, 1), (2, 1), (3, 1)]
