@@ -34,18 +34,31 @@ def word_shingles(tokens, k: int = 3):
     lambdas are re-evaluated per element, so passing ``split(text)`` here
     would re-split the document once per shingle position — quadratic per
     doc. Callers project ``F.split(text, ' ')`` once, then call this.
+
+    Documents with fewer than k tokens produce an EMPTY shingle set:
+    Spark's sequence(0, stop) with stop < 0 counts DOWN ([0,-1,...]) and
+    the resulting slice(toks, 0, k) throws — guard explicitly.
     """
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(tokens) - k),
-            lambda i: F.array_join(F.slice(tokens, i + 1, k), " "),
-        )
-    )
+    return F.when(
+        F.size(tokens) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - k),
+                lambda i: F.array_join(F.slice(tokens, i + 1, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def jaccard(a, b):
-    """Exact Jaccard over two array columns (distinct-element semantics)."""
-    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+    """Exact Jaccard over two array columns (distinct-element semantics).
+
+    Two empty sets → NULL (undefined), not a divide-by-zero error.
+    """
+    return F.try_divide(
+        F.size(F.array_intersect(a, b)).cast("double"),
+        F.size(F.array_union(a, b)).cast("double"),
+    )
 
 
 def minhash_signatures(
@@ -254,9 +267,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact character-n-gram Jaccard for candidate pairs (adjacent ids) —
     the verify-stage primitive reused by the LSH pipeline."""
+    # guard: texts shorter than n chars yield an EMPTY gram set (sequence
+    # with stop < start counts down and emits spurious/invalid positions)
     grams = F.expr(
+        f"CASE WHEN length({text_col}) >= {n} THEN "
         f"array_distinct(transform(sequence(1, length({text_col}) - {n - 1}), "
-        f"i -> substring({text_col}, i, {n})))"
+        f"i -> substring({text_col}, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
     d = docs.select(F.col(id_col), grams.alias("grams"))
     a, b = d.alias("a"), d.alias("b")

@@ -108,44 +108,85 @@ def embedding_neardup_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All (a, b) pairs with exact cosine ≥ threshold (a < b).
 
-    Candidate generation: per-partition NumPy block × broadcast-corpusᵀ
-    matmul emitting only pairs above ``threshold − ε`` — id pairs, not
-    vectors, leave the partition. Surviving pairs are RE-SCORED with the
+    Candidate generation is a fully-distributed BLOCKED SELF-JOIN — no
+    driver-side materialization of the corpus anywhere:
+
+    * each vector hashes into one of ``n_blocks`` blocks;
+    * every unordered block pair (i ≤ j) forms a grid cell; a vector in
+      block b is replicated to the cells where it plays the left role
+      (b, j≥b) and the right role (i≤b, b) — ≤ n_blocks+1 copies per row,
+      the standard O(B·n) shuffle for exact all-pairs;
+    * ``applyInPandas`` per grid cell runs one NumPy matmul of
+      (|n|/B)×(|n|/B) and emits only id pairs above ``threshold − ε`` —
+      vectors never leave the cell.
+
+    Each pair lands in exactly one cell (the (min,max) of its blocks), so
+    no dedup shuffle is needed. Surviving pairs are RE-SCORED with the
     exact left-fold HOF expression so emitted values are bit-identical to
     the declared oracle formulation (the matmul's different accumulation
     order never reaches the output; ε kills boundary risk).
 
-    Scale path: the broadcast corpus matrix caps at executor memory
-    (~10⁶ × 64 f32 = 256 MB); past that, swap the broadcast for a blocked
-    self-join of corpus chunks (same per-block matmul, grid of blocks) or
-    put the sketch prefilter (lsh_bucketed_topk's sketch) in front.
+    Scale: pick n_blocks so (n/B)·d·8 B fits an executor (cell memory is
+    2·(n/B) vectors); shuffle volume grows as B·n rows of fixed width.
+    Past ~10⁸ vectors, front with lsh_bucketed_topk's sign-sketch to
+    prune cells before the grid.
     """
     import numpy as np
     import pandas as pd
 
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     eps = 1e-6
+    B = int(n_blocks)
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
+    )
+    left = base.select(
+        "_id",
+        "_vec",
+        F.lit(0).alias("_role"),
+        F.col("_blk").alias("gi"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(B - 1))).alias("gj"),
+    )
+    right = base.select(
+        "_id",
+        "_vec",
+        F.lit(1).alias("_role"),
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("gi"),
+        F.col("_blk").alias("gj"),
+    )
+    tagged = left.unionByName(right)
 
-    def find_pairs(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            block = block / np.linalg.norm(block, axis=1, keepdims=True)
-            sims = block @ normed.T
-            bids = pdf[id_col].to_numpy()
-            bi, cj = np.nonzero(sims >= threshold - eps)
-            ia, ib = bids[bi], ids[cj]
+    def cell_pairs(key, pdf):
+        gi, gj = int(key[0]), int(key[1])
+        lmask = pdf["_role"].to_numpy() == 0
+        lpdf, rpdf = pdf[lmask], pdf[~lmask]
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"ia": [], "ib": []}).astype("int64")
+        ml = np.array(lpdf["_vec"].tolist(), dtype=np.float64)
+        mr = np.array(rpdf["_vec"].tolist(), dtype=np.float64)
+        ml = ml / np.linalg.norm(ml, axis=1, keepdims=True)
+        mr = mr / np.linalg.norm(mr, axis=1, keepdims=True)
+        sims = ml @ mr.T
+        li = lpdf["_id"].to_numpy()
+        rj = rpdf["_id"].to_numpy()
+        ii, jj = np.nonzero(sims >= threshold - eps)
+        ia, ib = li[ii], rj[jj]
+        if gi == gj:
+            # diagonal cell: L and R are the same set — upper triangle only
             keep = ia < ib
-            yield pd.DataFrame({"ia": ia[keep], "ib": ib[keep]})
+            ia, ib = ia[keep], ib[keep]
+        else:
+            # cross cell: each unordered pair appears exactly once (one id
+            # per role) — normalize to (min, max); id order ≠ block order
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"ia": ia, "ib": ib})
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(find_pairs, "ia long, ib long")
+    cand = tagged.groupBy("gi", "gj").applyInPandas(cell_pairs, "ia long, ib long")
     ea = corpus.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
     eb = corpus.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
     return (

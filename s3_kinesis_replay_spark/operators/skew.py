@@ -29,9 +29,18 @@ def salted_join(
     """Equi-join with an N-way salt on the (skewed) left side.
 
     Returns exactly the rows of ``left.join(right, left_key == right_key,
-    how)`` (salt columns dropped). Deterministic: the salt is a content
-    hash, not a random number, so retries/AQE replans can't flip results.
+    how)`` (salt columns dropped) for ``how`` in ('inner', 'left') — the
+    only modes where the construction is row-exact. 'right'/'full' would
+    duplicate every unmatched right row once per salt copy, so they are
+    rejected. Deterministic: the salt is a full-row content hash (NOT a
+    per-key hash — all columns feed it), not a random number, so
+    retries/AQE replans can't flip results.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "salt-exploded right side would duplicate unmatched right rows"
+        )
     salted_l = left.withColumn(
         "_salt", F.pmod(F.xxhash64(*left.columns), F.lit(salts)).cast("int")
     )

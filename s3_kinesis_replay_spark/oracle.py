@@ -49,10 +49,11 @@ def canon_value(v: Any) -> str:
             return "NaN"
         return repr(v)  # shortest round-trip repr; bit-identical doubles agree
     if isinstance(v, decimal.Decimal):
-        s = format(v, "f")  # no exponent notation
-        if "." in s:
-            s = s.rstrip("0").rstrip(".")
-        return "0" if s in ("-0", "") else s
+        # STRICT: no trailing-zero stripping. The external driver renders
+        # Spark's and DuckDB's Decimals differently (round-1 lesson: 14
+        # hash-fails), so any Decimal reaching an output column must fail
+        # loudly here too — declared queries final-cast decimals to double.
+        return format(v, "f")
     if isinstance(v, _dt.datetime):
         return v.isoformat()
     if isinstance(v, _dt.date):

@@ -16,15 +16,16 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from s3_kinesis_replay_spark.registry import register
-from s3_kinesis_replay_spark.queries.helpers import DEC, r6, sdec, t
+from s3_kinesis_replay_spark.queries.helpers import DEC, fdec, r6, sdec, t
 
 
 @register(
     "d2_global_agg",
     "D2",
     f"""
-    SELECT SUM(CAST(l_extendedprice AS {DEC})) AS total_price,
-           SUM(CAST(l_quantity AS {DEC})) AS total_qty,
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE), 6)
+               AS total_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE), 6) AS total_qty,
            MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            ROUND(CAST(SUM(CAST(l_discount AS {DEC})) AS DOUBLE) / COUNT(*), 6)
@@ -34,8 +35,8 @@ from s3_kinesis_replay_spark.queries.helpers import DEC, r6, sdec, t
 )
 def d2_global_agg(spark, sf_dir):
     return t(spark, "lineitem", sf_dir).agg(
-        F.sum(sdec("l_extendedprice")).alias("total_price"),
-        F.sum(sdec("l_quantity")).alias("total_qty"),
+        fdec(F.sum(sdec("l_extendedprice"))).alias("total_price"),
+        fdec(F.sum(sdec("l_quantity"))).alias("total_qty"),
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
         F.count("*").alias("n_rows"),
@@ -202,19 +203,28 @@ def d8b_mode(spark, sf_dir):
     "D9",
     """
     SELECT l_orderkey,
-           list(l_linenumber ORDER BY l_linenumber) AS line_nos,
-           list(DISTINCT l_returnflag ORDER BY l_returnflag) AS flags
+           string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS line_nos,
+           string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS flags
     FROM lineitem GROUP BY l_orderkey
     """,
-    note="order-canonicalized arrays (SURVEY §5.3): sort_array both sides",
+    note="order-canonicalized arrays emitted as joined strings (SURVEY §5.3): "
+    "the external driver's canonicalizer cannot hash list cells",
 )
 def d9_collect_list_set(spark, sf_dir):
     return (
         t(spark, "lineitem", sf_dir)
         .groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_linenumber")).alias("line_nos"),
-            F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("line_nos"),
+            F.array_join(F.sort_array(F.collect_set("l_returnflag")), ",").alias(
+                "flags"
+            ),
         )
     )
 
@@ -224,11 +234,13 @@ def d9_collect_list_set(spark, sf_dir):
     "D10",
     f"""
     SELECT l_linestatus,
-           SUM(CAST(l_extendedprice AS {DEC})) FILTER (WHERE l_returnflag = 'R')
+           ROUND(CAST(SUM(CAST(l_extendedprice AS {DEC}))
+                      FILTER (WHERE l_returnflag = 'R') AS DOUBLE), 6)
              AS returned_price,
            CAST(count_if(l_quantity > 25) AS BIGINT) AS big_qty,
-           SUM(CASE WHEN l_discount > 0.05
-                    THEN CAST(l_extendedprice AS {DEC}) END) AS discounted_price
+           ROUND(CAST(SUM(CASE WHEN l_discount > 0.05
+                    THEN CAST(l_extendedprice AS {DEC}) END) AS DOUBLE), 6)
+             AS discounted_price
     FROM lineitem GROUP BY l_linestatus
     """,
 )
@@ -237,13 +249,13 @@ def d10_filtered_agg(spark, sf_dir):
         t(spark, "lineitem", sf_dir)
         .groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(F.col("l_returnflag") == "R", sdec("l_extendedprice"))).alias(
-                "returned_price"
-            ),
+            fdec(
+                F.sum(F.when(F.col("l_returnflag") == "R", sdec("l_extendedprice")))
+            ).alias("returned_price"),
             F.count_if(F.col("l_quantity") > 25).alias("big_qty"),
-            F.sum(F.when(F.col("l_discount") > 0.05, sdec("l_extendedprice"))).alias(
-                "discounted_price"
-            ),
+            fdec(
+                F.sum(F.when(F.col("l_discount") > 0.05, sdec("l_extendedprice")))
+            ).alias("discounted_price"),
         )
     )
 
@@ -255,7 +267,7 @@ def d10_filtered_agg(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
            CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
-           SUM(CAST(l_quantity AS {DEC})) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE), 6) AS sum_qty,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
@@ -267,7 +279,7 @@ def d11_rollup(spark, sf_dir):
         .agg(
             F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
             F.grouping("l_linestatus").cast("bigint").alias("g_status"),
-            F.sum(sdec("l_quantity")).alias("sum_qty"),
+            fdec(F.sum(sdec("l_quantity"))).alias("sum_qty"),
             F.count("*").alias("n"),
         )
     )
@@ -278,7 +290,7 @@ def d11_rollup(spark, sf_dir):
     "D11",
     f"""
     SELECT o_orderstatus, o_orderpriority,
-           SUM(CAST(o_totalprice AS {DEC})) AS sum_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE), 6) AS sum_price,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -288,7 +300,7 @@ def d11b_cube(spark, sf_dir):
         t(spark, "orders", sf_dir)
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.sum(sdec("o_totalprice")).alias("sum_price"),
+            fdec(F.sum(sdec("o_totalprice"))).alias("sum_price"),
             F.count("*").alias("n"),
         )
     )
@@ -299,11 +311,11 @@ def d11b_cube(spark, sf_dir):
     "D12",
     f"""
     SELECT user_id % 10 AS user_bucket,
-           SUM(CASE WHEN event_type = 'click' THEN CAST(value AS {DEC}) END) AS click_v,
-           SUM(CASE WHEN event_type = 'view' THEN CAST(value AS {DEC}) END) AS view_v,
-           SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS {DEC}) END) AS purchase_v,
-           SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS {DEC}) END) AS signup_v,
-           SUM(CASE WHEN event_type = 'error' THEN CAST(value AS {DEC}) END) AS error_v
+           ROUND(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS {DEC}) END) AS DOUBLE), 6) AS click_v,
+           ROUND(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS {DEC}) END) AS DOUBLE), 6) AS view_v,
+           ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS {DEC}) END) AS DOUBLE), 6) AS purchase_v,
+           ROUND(CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS {DEC}) END) AS DOUBLE), 6) AS signup_v,
+           ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS {DEC}) END) AS DOUBLE), 6) AS error_v
     FROM events GROUP BY user_id % 10
     """,
     note="pivot with explicit value list (no extra distinct-scan job at scale)",
@@ -316,7 +328,7 @@ def d12_pivot(spark, sf_dir):
         .pivot("event_type", kinds)
         .agg(F.sum(sdec("value")))
     )
-    renames = [F.col("user_bucket")] + [F.col(k).alias(f"{k}_v") for k in kinds]
+    renames = [F.col("user_bucket")] + [fdec(F.col(k)).alias(f"{k}_v") for k in kinds]
     return df.select(*renames)
 
 
@@ -324,7 +336,8 @@ def d12_pivot(spark, sf_dir):
     "d13_having",
     "D13",
     f"""
-    SELECT l_partkey, SUM(CAST(l_quantity AS {DEC})) AS total_qty,
+    SELECT l_partkey,
+           ROUND(CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE), 6) AS total_qty,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_partkey
     HAVING SUM(l_quantity) > 300 AND COUNT(*) >= 5
@@ -335,7 +348,7 @@ def d13_having(spark, sf_dir):
         t(spark, "lineitem", sf_dir)
         .groupBy("l_partkey")
         .agg(
-            F.sum(sdec("l_quantity")).alias("total_qty"),
+            fdec(F.sum(sdec("l_quantity"))).alias("total_qty"),
             F.count("*").alias("n"),
             F.sum("l_quantity").alias("_raw_qty"),
         )
@@ -349,7 +362,8 @@ def d13_having(spark, sf_dir):
     "D14",
     f"""
     SELECT l_returnflag,
-           SUM(DISTINCT CAST(l_quantity AS {DEC})) AS sum_dist_qty
+           ROUND(CAST(SUM(DISTINCT CAST(l_quantity AS {DEC})) AS DOUBLE), 6)
+             AS sum_dist_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -357,5 +371,5 @@ def d14_sum_distinct(spark, sf_dir):
     return (
         t(spark, "lineitem", sf_dir)
         .groupBy("l_returnflag")
-        .agg(F.sum_distinct(sdec("l_quantity")).alias("sum_dist_qty"))
+        .agg(fdec(F.sum_distinct(sdec("l_quantity"))).alias("sum_dist_qty"))
     )

@@ -36,5 +36,18 @@ def r6(col: Column | str) -> Column:
     return F.round(c, 6)
 
 
+def fdec(col: Column | str) -> Column:
+    """Final projection of an exact decimal aggregate for OUTPUT columns.
+
+    Internal aggregation stays DECIMAL(38,6) (exact, order-independent), but
+    the declared result casts to double and rounds to 6: Spark and DuckDB
+    render Decimal values differently under external canonicalizers, while
+    an exact ≤6-dp decimal converts to the identical IEEE double in both
+    engines. Mirror in oracle SQL as ROUND(CAST(x AS DOUBLE), 6).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c.cast("double"), 6)
+
+
 def t(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     return table(spark, name, sf_dir)

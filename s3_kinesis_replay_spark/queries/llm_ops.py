@@ -441,11 +441,15 @@ def i10_lexicon_sentiment(spark, sf_dir):
                  AS mean_v
       FROM flat GROUP BY label, dim
     )
-    SELECT label, list(mean_v ORDER BY dim) AS centroid,
+    SELECT label,
+           string_agg(CAST(CAST(mean_v AS DECIMAL(18,6)) AS VARCHAR), ','
+                      ORDER BY dim) AS centroid,
            CAST(COUNT(*) AS BIGINT) AS dims
     FROM per_dim GROUP BY label
     """,
-    note="per-label centroid via posexplode→agg→re-assemble (sorted by dim)",
+    note="per-label centroid via posexplode→agg→re-assemble (sorted by dim); "
+    "emitted as a ','-joined string of fixed-scale decimals — both engines "
+    "render DECIMAL(18,6) identically, and the driver cannot hash list cells",
 )
 def i11_embedding_stats(spark, sf_dir):
     e = t(spark, "embeddings", sf_dir)
@@ -469,9 +473,13 @@ def i11_embedding_stats(spark, sf_dir):
         )
         .select(
             "label",
-            F.transform(F.col("_pairs"), lambda s: s.getField("mean_v")).alias(
-                "centroid"
-            ),
+            F.array_join(
+                F.transform(
+                    F.col("_pairs"),
+                    lambda s: s.getField("mean_v").cast("decimal(18,6)").cast("string"),
+                ),
+                ",",
+            ).alias("centroid"),
             "dims",
         )
     )

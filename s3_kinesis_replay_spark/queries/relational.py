@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from s3_kinesis_replay_spark.registry import register
-from s3_kinesis_replay_spark.queries.helpers import DEC, r6, sdec, t
+from s3_kinesis_replay_spark.queries.helpers import DEC, fdec, r6, sdec, t
 
 
 # ---------------------------------------------------------------- flagship
@@ -20,10 +20,10 @@ from s3_kinesis_replay_spark.queries.helpers import DEC, r6, sdec, t
     "D1",
     f"""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS {DEC})) AS sum_qty,
-           SUM(CAST(l_extendedprice AS {DEC})) AS sum_base_price,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS sum_disc_price,
-           SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC})) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE), 6) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE), 6) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE), 6) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC})) AS DOUBLE), 6) AS sum_charge,
            ROUND(CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*), 6)
                AS avg_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / COUNT(*), 6)
@@ -41,12 +41,14 @@ def q1_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(sdec("l_quantity")).alias("sum_qty"),
-            F.sum(sdec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(sdec("l_extendedprice * (1 - l_discount)")).alias("sum_disc_price"),
-            F.sum(sdec("l_extendedprice * (1 - l_discount) * (1 + l_tax)")).alias(
-                "sum_charge"
+            fdec(F.sum(sdec("l_quantity"))).alias("sum_qty"),
+            fdec(F.sum(sdec("l_extendedprice"))).alias("sum_base_price"),
+            fdec(F.sum(sdec("l_extendedprice * (1 - l_discount)"))).alias(
+                "sum_disc_price"
             ),
+            fdec(
+                F.sum(sdec("l_extendedprice * (1 - l_discount) * (1 + l_tax)"))
+            ).alias("sum_charge"),
             # decimal partial sums → exact & order-independent; final divide
             # happens once in double, identically in both engines (§5.3)
             r6(F.sum(sdec("l_quantity")).cast("double") / F.count("*")).alias(
@@ -189,7 +191,7 @@ def b6_case_when(spark, sf_dir):
            l_linenumber,
            CAST(l_linenumber AS BIGINT) AS line_big,
            CAST(FLOOR(l_quantity) AS INTEGER) AS qty_int,
-           CAST(l_extendedprice AS {DEC}) AS price_dec,
+           ROUND(CAST(CAST(l_extendedprice AS {DEC}) AS DOUBLE), 6) AS price_dec,
            CAST(l_orderkey AS VARCHAR) AS key_str,
            l_quantity / NULLIF(l_discount - l_discount, 0.0) AS div_null
     FROM lineitem
@@ -204,7 +206,7 @@ def b7_casts(spark, sf_dir):
         "l_linenumber",
         F.col("l_linenumber").cast("bigint").alias("line_big"),
         F.floor("l_quantity").cast("int").alias("qty_int"),
-        F.col("l_extendedprice").cast(DEC).alias("price_dec"),
+        fdec(F.col("l_extendedprice").cast(DEC)).alias("price_dec"),
         F.col("l_orderkey").cast("string").alias("key_str"),
         F.try_divide(F.col("l_quantity"), F.col("l_discount") - F.col("l_discount")).alias(
             "div_null"
@@ -276,7 +278,8 @@ def c2b_full_outer(spark, sf_dir):
     "C3",
     """
     SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
-           SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS total_bal
+           ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS total_bal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -295,7 +298,7 @@ def c3_broadcast_join(spark, sf_dir):
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(sdec("c_acctbal")).alias("total_bal"),
+            fdec(F.sum(sdec("c_acctbal"))).alias("total_bal"),
         )
     )
 
@@ -543,7 +546,8 @@ def f6b_intersect_except_all(spark, sf_dir):
     "C1",
     f"""
     SELECT l.l_orderkey,
-           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC})) AS revenue,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC}))
+                      AS DOUBLE), 6) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -571,7 +575,7 @@ def q3_shipping_priority(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(sdec("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+        .agg(fdec(F.sum(sdec("l_extendedprice * (1 - l_discount)"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -583,7 +587,8 @@ def q3_shipping_priority(spark, sf_dir):
     "C1",
     f"""
     SELECT n.n_name,
-           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC})) AS revenue
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC}))
+                      AS DOUBLE), 6) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -621,7 +626,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(sdec("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+        .agg(fdec(F.sum(sdec("l_extendedprice * (1 - l_discount)"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 

@@ -265,25 +265,34 @@ def g6_math(spark, sf_dir):
            CAST(len(seq) AS INTEGER) AS seq_len,
            list_contains(seq, 3) AS has3,
            seq[1] AS first_el,
-           seq[1:2] AS first_two,
-           list_sort(seq, 'DESC') AS sorted_desc,
+           COALESCE(array_to_string(seq[1:2], ','), '') AS first_two,
+           COALESCE(array_to_string(list_sort(seq, 'DESC'), ','), '') AS sorted_desc,
            list_min(seq) AS mn, list_max(seq) AS mx,
-           flatten([seq, [100, 200]]) AS flat,
-           list_transform(seq, x -> x * x) AS squares,
-           list_filter(seq, x -> x % 2 = 0) AS evens,
+           COALESCE(array_to_string(flatten([seq, [100, 200]]), ','), '') AS flat,
+           COALESCE(array_to_string(list_transform(seq, x -> x * x), ','), '')
+             AS squares,
+           COALESCE(array_to_string(list_filter(seq, x -> x % 2 = 0), ','), '')
+             AS evens,
            len(list_filter(seq, x -> x > 5)) > 0 AS any_gt5,
            list_sum(seq) AS total,
-           list_transform(seq, x -> x * 2) AS doubled,
-           list_sort(list_distinct(list_intersect(seq, [2, 3, 4]))) AS inter234,
+           COALESCE(array_to_string(list_transform(seq, x -> x * 2), ','), '')
+             AS doubled,
+           COALESCE(array_to_string(
+             list_sort(list_distinct(list_intersect(seq, [2, 3, 4]))), ','), '')
+             AS inter234,
            CAST(list_position(seq, 2) AS INTEGER) AS pos2
     FROM (SELECT l_orderkey, l_linenumber,
                  range(CAST(1 AS BIGINT), CAST(l_linenumber AS BIGINT) + 1) AS seq
           FROM lineitem)
     """,
     note="zip_with(seq,seq,+) declared via its pointwise equivalent x*2; "
-    "higher-order functions run in codegen, not Python",
+    "higher-order functions run in codegen, not Python; array results are "
+    "emitted as ','-joined strings (driver canonicalizer cannot hash lists)",
 )
 def g7_array_hof(spark, sf_dir):
+    def sj(col):  # deterministic array → joined string, order preserved
+        return F.array_join(col.cast("array<string>"), ",")
+
     li = t(spark, "lineitem", sf_dir).withColumn(
         "seq", F.sequence(F.lit(1).cast("bigint"), F.col("l_linenumber").cast("bigint"))
     )
@@ -294,21 +303,27 @@ def g7_array_hof(spark, sf_dir):
         F.size(seq).cast("int").alias("seq_len"),
         F.array_contains(seq, F.lit(3).cast("bigint")).alias("has3"),
         F.element_at(seq, 1).alias("first_el"),
-        F.slice(seq, 1, 2).alias("first_two"),
-        F.sort_array(seq, asc=False).alias("sorted_desc"),
+        sj(F.slice(seq, 1, 2)).alias("first_two"),
+        sj(F.sort_array(seq, asc=False)).alias("sorted_desc"),
         F.array_min(seq).alias("mn"),
         F.array_max(seq).alias("mx"),
-        F.flatten(
-            F.array(seq, F.array(F.lit(100).cast("bigint"), F.lit(200).cast("bigint")))
+        sj(
+            F.flatten(
+                F.array(
+                    seq, F.array(F.lit(100).cast("bigint"), F.lit(200).cast("bigint"))
+                )
+            )
         ).alias("flat"),
-        F.transform(seq, lambda x: x * x).alias("squares"),
-        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
+        sj(F.transform(seq, lambda x: x * x)).alias("squares"),
+        sj(F.filter(seq, lambda x: x % 2 == 0)).alias("evens"),
         F.exists(seq, lambda x: x > 5).alias("any_gt5"),
         F.aggregate(seq, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("total"),
-        F.zip_with(seq, seq, lambda a, b: a + b).alias("doubled"),
-        F.sort_array(
-            F.array_intersect(
-                seq, F.array(*[F.lit(i).cast("bigint") for i in (2, 3, 4)])
+        sj(F.zip_with(seq, seq, lambda a, b: a + b)).alias("doubled"),
+        sj(
+            F.sort_array(
+                F.array_intersect(
+                    seq, F.array(*[F.lit(i).cast("bigint") for i in (2, 3, 4)])
+                )
             )
         ).alias("inter234"),
         F.array_position(seq, F.lit(2).cast("bigint")).cast("int").alias("pos2"),
@@ -323,7 +338,8 @@ def g7_array_hof(spark, sf_dir):
            map_extract(map(['k', 'type'],
                            [CAST(json_extract_string(props, '$.k') AS VARCHAR),
                             event_type]), 'k')[1] AS k_val,
-           list_sort(map_keys(map(['k', 'type'], ['a', 'b']))) AS mkeys,
+           COALESCE(array_to_string(
+             list_sort(map_keys(map(['k', 'type'], ['a', 'b']))), ','), '') AS mkeys,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
     FROM events
     """,
@@ -342,7 +358,7 @@ def g8_map(spark, sf_dir):
     return ev.select(
         "event_id",
         F.element_at(m, "k").alias("k_val"),
-        F.sort_array(F.map_keys(m2)).alias("mkeys"),
+        F.array_join(F.sort_array(F.map_keys(m2)), ",").alias("mkeys"),
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
     )
 

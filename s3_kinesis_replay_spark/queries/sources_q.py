@@ -106,7 +106,8 @@ def a5_archive_listing(spark, sf_dir):
       SELECT event_id // 500 AS chunk_id, MIN(ts) AS min_ts, COUNT(*) AS n
       FROM events GROUP BY event_id // 500
     )
-    SELECT CAST(SUM(n) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_files
+    SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_files
     FROM chunks
     WHERE strftime(min_ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-09'
     """,
@@ -131,7 +132,8 @@ def a5b_key_range_filter(spark, sf_dir):
     "A8",
     """
     SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS total
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS total
     FROM lineitem GROUP BY l_returnflag
     """,
     note="write partitioned parquet, re-read, aggregate — sink fidelity",
@@ -147,5 +149,7 @@ def a8_parquet_sink_roundtrip(spark, sf_dir):
     back = spark.read.parquet(out)
     return back.groupBy(F.col("l_returnflag").cast("string").alias("l_returnflag")).agg(
         F.count("*").alias("n"),
-        F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(38,6))")).alias("total"),
+        F.round(
+            F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(38,6))")).cast("double"), 6
+        ).alias("total"),
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from s3_kinesis_replay_spark.registry import register
-from s3_kinesis_replay_spark.queries.helpers import DEC, r6, sdec, t
+from s3_kinesis_replay_spark.queries.helpers import DEC, fdec, r6, sdec, t
 
 
 @register(
@@ -22,7 +22,7 @@ from s3_kinesis_replay_spark.queries.helpers import DEC, r6, sdec, t
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(value AS {DEC})) AS total_value
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS total_value
     FROM events GROUP BY 1, 2
     """,
     check="SEM",
@@ -31,7 +31,7 @@ def h1_tumbling_window(spark, sf_dir):
     return (
         t(spark, "events", sf_dir)
         .groupBy(F.window("ts", "10 minutes"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum(sdec("value")).alias("total_value"))
+        .agg(F.count("*").alias("n"), fdec(F.sum(sdec("value"))).alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
@@ -46,7 +46,7 @@ def h1_tumbling_window(spark, sf_dir):
     "H2",
     f"""
     SELECT ws AS window_start, CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(value AS {DEC})) AS total_value
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS total_value
     FROM (
       SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
                      time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws,
@@ -61,7 +61,7 @@ def h2_sliding_window(spark, sf_dir):
     return (
         t(spark, "events", sf_dir)
         .groupBy(F.window("ts", "10 minutes", "5 minutes"))
-        .agg(F.count("*").alias("n"), F.sum(sdec("value")).alias("total_value"))
+        .agg(F.count("*").alias("n"), fdec(F.sum(sdec("value"))).alias("total_value"))
         .select(F.col("window.start").alias("window_start"), "n", "total_value")
     )
 
@@ -86,7 +86,7 @@ def h2_sliding_window(spark, sf_dir):
     SELECT user_id, MIN(ts) AS session_start,
            MAX(ts) + INTERVAL '30 minutes' AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           SUM(CAST(value AS {DEC})) AS total_value
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS total_value
     FROM numbered GROUP BY user_id, session_id
     """,
     check="SEM",
@@ -96,7 +96,7 @@ def h3_session_window(spark, sf_dir):
     return (
         t(spark, "events", sf_dir)
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.sum(sdec("value")).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), fdec(F.sum(sdec("value"))).alias("total_value"))
         .select(
             "user_id",
             F.col("session_window.start").alias("session_start"),

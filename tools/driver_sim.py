@@ -28,9 +28,9 @@ def cv(v):
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else repr(v)
     if isinstance(v, decimal.Decimal):
-        s = format(v, "f")
-        if "." in s: s = s.rstrip("0").rstrip(".")
-        return "0" if s in ("", "-0") else s
+        # strict: keep full scale — the real driver renders Spark/DuckDB
+        # Decimals differently, so Decimal outputs must fail here too
+        return format(v, "f")
     if isinstance(v, (datetime.datetime, datetime.date)): return v.isoformat()
     if isinstance(v, (list, tuple)): return "[" + ",".join(cv(x) for x in v) + "]"
     if hasattr(v, "tolist"): return cv(v.tolist())
@@ -55,6 +55,13 @@ fails = []
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF)
     scols = sdf.columns
+    # the real driver's pandas canonicalizer crashes on list/map cells
+    bad = [f.name for f in sdf.schema.fields
+           if f.dataType.typeName() in ("array", "map")]
+    if bad:
+        print(f"  FAIL  {name}: array/map-typed output cols {bad} (driver canonicalizer crashes)")
+        fails.append(name)
+        continue
     srows = [tuple(r) for r in sdf.collect()]
     if name not in osql:
         print(f"  rows-only {name}: {len(srows)} rows")
