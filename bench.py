@@ -44,7 +44,7 @@ HEADLINE = [
     "e1_ranking",             # wide window functions
     "e4_running_total",       # running frame
     "f3_global_topk",         # TakeOrdered
-    "h1_tumbling_window",     # time-bucketed agg
+    "h1b_tumbling_window_batch",  # time-bucketed agg
     "i3_minhash_lsh_neardup", # shingle → minhash → band join → verify
     "i5_topk_cosine",         # vector brute top-k
     "i7_wordcount",           # explode + agg

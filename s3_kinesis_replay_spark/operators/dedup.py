@@ -101,6 +101,7 @@ def minhash_lsh_neardup_pairs(
     bands: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Verified near-duplicate pairs: (doc_a, doc_b, jacc) with exact
     Jaccard ≥ threshold, candidates found by banded MinHash-LSH.
@@ -110,6 +111,14 @@ def minhash_lsh_neardup_pairs(
     band_sig, sh_set) where sh_set is ~|shingles| longs — fixed-width,
     text never shuffles. Exact Jaccard over the hash sets equals string
     Jaccard up to xxhash64 collisions (P < 1e-8 corpus-wide).
+
+    ``materialize`` (default) eagerly localCheckpoints the banded
+    signature relation before the self-join: Catalyst does not always
+    reuse the exchange under a self-join, and without reuse the whole
+    shingle→minhash pipeline (the dominant cost) would execute once PER
+    SIDE. Materializing ~52 longs/doc is exactly what a production LSH
+    run does at 100 TB — persist the signature table, then join it to
+    itself.
     """
     rows_per_band = num_hash_tables // bands
     sigs = minhash_signatures(
@@ -133,6 +142,8 @@ def minhash_lsh_neardup_pairs(
             )
         ).alias("band_id", "band_sig"),
     )
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
 
     a = banded.alias("a")
     b = banded.alias("b")

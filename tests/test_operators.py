@@ -334,3 +334,27 @@ def test_salted_join_rejects_right_full(spark):
 
     with _pytest.raises(ValueError, match="inner"):
         salted_join(a, b, "k", "j", how="full")
+
+
+def test_e6_range_window_is_partitioned(spark, sf_dir):
+    """Round-2 fix: the RANGE-frame window must hash-partition on its
+    PARTITION BY key — an unpartitioned window ORDER BY funnels every row
+    through a single task at scale."""
+    plan = _plan(QUERIES["e6_range_frame"].fn(spark, sf_dir))
+    assert "Exchange hashpartitioning(o_orderstatus" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_i12_neardup_is_distributed(spark, sf_dir):
+    """Round-2 fix: embedding near-dup candidate generation must be the
+    blocked self-join (grouped applyInPandas over grid cells) — never a
+    driver-side collect of the corpus."""
+    import inspect
+
+    from s3_kinesis_replay_spark.operators import similarity
+
+    src = inspect.getsource(similarity.embedding_neardup_pairs)
+    assert ".collect()" not in src
+    plan = _plan(QUERIES["i12_embedding_neardup"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan  # per-cell matmul runs grouped
+    assert "Exchange hashpartitioning(gi" in plan  # grid cells shuffle, not vectors to driver

@@ -278,3 +278,33 @@ def test_a7c_moto_kinesis_roundtrip(spark, sf_dir, tmp_path):
                 by_key.setdefault(key, []).append(eid)
             for key, eids in by_key.items():
                 assert eids == sorted(eids), f"key {key} out of order in shard"
+
+
+def test_continuous_trigger_replay(spark, sf_dir, tmp_path):
+    """A9 continuous mode: available_now=False runs an unbounded
+    micro-batch (processing-time) trigger; replay catches up with the
+    archive, keeps running, and stops cleanly on demand — the reference's
+    long-running tail -f mode, vs. the drain-and-exit AvailableNow path."""
+    import time
+
+    root = stage_archive(sf_dir, gz=True)
+    client = CapturingClient()
+    cfg = ReplayConfig(
+        archive_root=root,
+        stream_name="skr-continuous",
+        checkpoint_dir=str(tmp_path / "ckpt_continuous"),
+        max_files_per_trigger=5,
+        available_now=False,
+    )
+    q = run_replay(spark, cfg, lambda: client, distributed=False)
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    deadline = time.time() + 300
+    while len(client.records) < expected and time.time() < deadline:
+        time.sleep(0.5)
+    try:
+        assert len(client.records) == expected
+        assert q.isActive  # continuous mode keeps the query alive after catch-up
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert not q.isActive

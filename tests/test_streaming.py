@@ -76,7 +76,7 @@ def test_h1_tumbling_stream_equals_batch(spark, sf_dir, archive_root, tmp_path):
         )
     )
     out = _drain(spark, agg, tmp_path, "h1_stream")
-    _assert_same(QUERIES["h1_tumbling_window"].fn(spark, sf_dir), out)
+    _assert_same(QUERIES["h1b_tumbling_window_batch"].fn(spark, sf_dir), out)
 
 
 def test_h4_watermark_drops_nothing_within_bound(spark, sf_dir, archive_root, tmp_path):
@@ -102,7 +102,7 @@ def test_h4_watermark_drops_nothing_within_bound(spark, sf_dir, archive_root, tm
     # is the finalized-window subset. Counts must MATCH there (no drops:
     # fixture disorder ≪ 2h delay).
     max_ts = ev_max_ts(spark, sf_dir)
-    batch = QUERIES["h1_tumbling_window"].fn(spark, sf_dir).filter(
+    batch = QUERIES["h1b_tumbling_window_batch"].fn(spark, sf_dir).filter(
         F.col("window_start") + F.expr("INTERVAL 10 MINUTES")
         <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
     )
@@ -130,7 +130,7 @@ def test_h3_session_window_stream_equals_batch(spark, sf_dir, archive_root, tmp_
     )
     out = _drain_append(spark, agg, tmp_path, "h3_stream")
     max_ts = ev_max_ts(spark, sf_dir)
-    batch = QUERIES["h3_session_window"].fn(spark, sf_dir).filter(
+    batch = QUERIES["h3b_session_window_batch"].fn(spark, sf_dir).filter(
         F.col("session_end") <= F.lit(max_ts) - F.expr("INTERVAL 1 DAY")
     )
     out_final = out.filter(
