@@ -1,0 +1,245 @@
+"""Training-data pipeline ops beyond dedup/similarity (SURVEY §2.I, rows
+I12–I15): token-budget shard packing, deterministic train/val/test hash
+split, quality-filter funnel, curriculum deciles. All north-star ops
+([NS]) — no reference analog (the reference checkout is empty; SURVEY §0).
+
+Scale design (100 TB):
+* p2 shard packing is a per-language prefix sum — the window partitions
+  by ``lang`` so languages pack in parallel; within one language the
+  running sum is a sorted-window pass (at extreme per-language volume,
+  split the key space by ``source`` or date the same way). Shard ids are
+  derived arithmetically from the prefix sum — no driver loop, no
+  sequential assignment step.
+* p3 split assignment is a pure per-row hash (md5 → bucket 0..255) —
+  embarrassingly parallel, deterministic across engines and re-runs, and
+  stable under re-partitioning (the split of a given doc never depends on
+  which executor sees it). This is the property a 100 TB pipeline needs:
+  re-running the job, or adding data, never reshuffles existing docs
+  between train and val.
+* p4 funnel = four global counts — each a map-side partial count; the
+  four scans collapse into one via a single pass over conditional
+  aggregates (count_if), so the funnel costs ONE scan of the corpus.
+* p5 curriculum deciles use a global ntile — at 100 TB the same result
+  comes from approx quantile boundaries + a per-row bucket lookup; the
+  declared semantics here (exact ntile with doc_id tiebreak) pin the
+  contract the approximate path must converge to.
+
+Integer-exact discipline: the stopword-ratio threshold in p4 is declared
+as ``25 * n_stopwords >= n_tokens`` (i.e. ratio ≥ 0.04) so the condition
+is integer arithmetic in BOTH engines — no float-division boundary flake
+can flip a row between funnel stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from s3_kinesis_replay_spark.operators.text import STOPWORDS
+from s3_kinesis_replay_spark.queries.helpers import t
+from s3_kinesis_replay_spark.registry import register
+
+# Pinned split fractions: 256 md5 buckets → 205/25/26 ≈ 80/10/10.
+_TRAIN_LT, _VAL_LT = 205, 230
+_SHARD_TOKENS = 2000  # declared budget; tiny so small SFs still multi-shard
+
+_HEX = "0123456789abcdef"
+
+_SQL_STOPWORDS = "[" + ",".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+
+
+def _bucket_sql(id_expr: str) -> str:
+    """md5-derived bucket 0..255 (DuckDB side) — first two hex chars."""
+    m = f"md5(CAST({id_expr} AS VARCHAR))"
+    return (
+        f"(instr('{_HEX}', substr({m}, 1, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substr({m}, 2, 1)) - 1)"
+    )
+
+
+def _bucket_col(id_col: str) -> F.Column:
+    """Same bucket on the Spark side — identical md5 hex in both engines."""
+    m = F.md5(F.col(id_col).cast("string"))
+    b1 = F.instr(F.lit(_HEX), F.substring(m, 1, 1)) - 1
+    b2 = F.instr(F.lit(_HEX), F.substring(m, 2, 1)) - 1
+    return (b1 * 16 + b2).alias("bucket")
+
+
+@register(
+    "p2_shard_packing",
+    "I12",
+    f"""
+    SELECT lang,
+           (cum_tokens - tokens) // {_SHARD_TOKENS} AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS shard_tokens
+    FROM (
+      SELECT lang, doc_id, tokens,
+             SUM(tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        FROM documents
+      )
+    )
+    GROUP BY lang, shard_id
+    """,
+    note="token-budget shard packing per language: shard = floor(prefix "
+    "tokens / budget); integer div in both engines; window partitioned by "
+    "lang so packing parallelizes",
+)
+def p2_shard_packing(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = d.select("lang", "doc_id", tokens.alias("tokens"))
+    packed = base.withColumn("cum_tokens", F.sum("tokens").over(w)).select(
+        "lang",
+        "tokens",
+        F.expr(f"(cum_tokens - tokens) div {_SHARD_TOKENS}").alias("shard_id"),
+    )
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("shard_tokens"),
+    )
+
+
+@register(
+    "p3_hash_split",
+    "I13",
+    f"""
+    SELECT CASE WHEN bucket < {_TRAIN_LT} THEN 'train'
+                WHEN bucket < {_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (SELECT lang, n_chars, {_bucket_sql("doc_id")} AS bucket
+          FROM documents)
+    GROUP BY split, lang
+    """,
+    note="deterministic 80/10/10 train/val/test assignment from md5(doc_id) "
+    "bucket 0..255 — stable under re-partitioning and incremental loads; "
+    "md5 hex is cross-engine-identical",
+)
+def p3_hash_split(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    bucketed = d.select("lang", "n_chars", _bucket_col("doc_id"))
+    split = (
+        F.when(F.col("bucket") < _TRAIN_LT, "train")
+        .when(F.col("bucket") < _VAL_LT, "val")
+        .otherwise("test")
+        .alias("split")
+    )
+    return bucketed.select(split, "lang", "n_chars").groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@register(
+    "p4_quality_funnel",
+    "I14",
+    f"""
+    WITH feats AS (
+      SELECT n_chars, lang,
+             len(string_split(lower(text), ' ')) AS n_tok,
+             len(list_filter(string_split(lower(text), ' '),
+                             w -> list_contains({_SQL_STOPWORDS}, w))) AS n_stop
+      FROM documents
+    )
+    SELECT stage, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) / MAX(n_docs) OVER (), 6) AS keep_frac
+    FROM (
+      SELECT 's0_all' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM feats
+      UNION ALL
+      SELECT 's1_minlen', CAST(count_if(n_chars >= 200) AS BIGINT) FROM feats
+      UNION ALL
+      SELECT 's2_lang', CAST(count_if(n_chars >= 200
+             AND lang IN ('en','de','es','fr')) AS BIGINT) FROM feats
+      UNION ALL
+      SELECT 's3_stopwords', CAST(count_if(n_chars >= 200
+             AND lang IN ('en','de','es','fr')
+             AND 25 * n_stop >= n_tok) AS BIGINT) FROM feats
+    )
+    """,
+    note="quality-filter funnel in ONE corpus scan (conditional counts); "
+    "stopword threshold declared integer-exact (25*n_stop >= n_tok ⇔ "
+    "ratio ≥ 0.04)",
+)
+def p4_quality_funnel(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
+    feats = d.select(
+        "n_chars",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).alias(
+            "n_stop"
+        ),
+    )
+    c1 = F.col("n_chars") >= 200
+    c2 = F.col("lang").isin("en", "de", "es", "fr")
+    c3 = F.col("n_stop") * 25 >= F.col("n_tok")
+    counts = feats.agg(
+        F.count(F.lit(1)).alias("s0_all"),
+        F.count_if(c1).alias("s1_minlen"),
+        F.count_if(c1 & c2).alias("s2_lang"),
+        F.count_if(c1 & c2 & c3).alias("s3_stopwords"),
+    )
+    stages = counts.select(
+        F.expr(
+            "stack(4, 's0_all', s0_all, 's1_minlen', s1_minlen, "
+            "'s2_lang', s2_lang, 's3_stopwords', s3_stopwords) AS (stage, n_docs)"
+        )
+    )
+    w = Window.partitionBy()
+    return stages.select(
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.max("n_docs").over(w), 6).alias(
+            "keep_frac"
+        ),
+    )
+
+
+@register(
+    "p5_curriculum_deciles",
+    "I15",
+    """
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+      SELECT n_chars,
+             ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+      FROM documents
+    )
+    GROUP BY decile
+    """,
+    note="curriculum binning: exact ntile(10) by length with doc_id "
+    "tiebreak — declared-global sort (at 100 TB: approx quantile "
+    "boundaries + per-row bucket lookup converge to this contract)",
+)
+def p5_curriculum_deciles(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    w = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select("n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

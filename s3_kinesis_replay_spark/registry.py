@@ -82,6 +82,7 @@ def all_queries() -> dict[str, Query]:
         llm_ops,
         custom_ops,
         sources_q,
+        pipeline_ops,
         udfs,
         streaming_batch,
         streaming_live,
