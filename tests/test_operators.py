@@ -358,3 +358,36 @@ def test_i12_neardup_is_distributed(spark, sf_dir):
     plan = _plan(QUERIES["i12_embedding_neardup"].fn(spark, sf_dir))
     assert "FlatMapGroupsInPandas" in plan  # per-cell matmul runs grouped
     assert "Exchange hashpartitioning(gi" in plan  # grid cells shuffle, not vectors to driver
+
+
+def test_p2_shard_packing_window_partitioned_by_lang(spark, sf_dir):
+    """Shard packing must parallelize across languages: the prefix-sum
+    window hash-partitions on lang, never a single-partition sort."""
+    plan = _plan(QUERIES["p2_shard_packing"].fn(spark, sf_dir))
+    assert "Exchange hashpartitioning(lang" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_p4_funnel_is_single_scan(spark, sf_dir):
+    """The quality funnel must cost ONE pass over documents — conditional
+    aggregates, not one scan per stage."""
+    plan = _plan(QUERIES["p4_quality_funnel"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+
+
+def test_p3_split_stable_across_scale_factors(spark):
+    """A doc's train/val/test assignment depends only on doc_id — the same
+    doc must land in the same split at every scale factor (incremental
+    loads never reshuffle existing docs between splits)."""
+    from s3_kinesis_replay_spark.catalog import table as _t
+    from s3_kinesis_replay_spark.queries.pipeline_ops import _bucket_col
+
+    def assign(sf):
+        df = _t(spark, "documents", sf).select("doc_id", _bucket_col("doc_id"))
+        return {r["doc_id"]: r["bucket"] for r in df.collect()}
+
+    small = assign("/root/testdata/sf0.001")
+    big = assign("/root/testdata/sf0.01")
+    common = set(small) & set(big)
+    assert common, "scale factors share no doc_ids — fixture assumption broken"
+    assert all(small[d] == big[d] for d in common)
