@@ -182,6 +182,11 @@ def minhash_lsh_neardup_pairs(
     )
 
 
+def spark_parallelism(df: DataFrame) -> int:
+    """Cluster parallelism ceiling for sizing iterative-op shuffles."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def neardup_components(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -216,6 +221,13 @@ def neardup_components(
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint(eager=True)
     )
+    # Size the propagation shuffle to the EDGE relation, not the session
+    # default: LSH already reduced the corpus to near-dup edges, so each
+    # round's joins should run on ~|edges|/50k partitions (min 1). At
+    # 100 TB this keeps per-round tasks meaningfully sized; at test scale
+    # it collapses a 4-row graph to one task instead of 32 near-empty ones.
+    n_parts = max(1, min(spark_parallelism(edges), edges.count() // 50_000 + 1))
+    edges = edges.repartition(n_parts, "dst").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("v"))
         .distinct()

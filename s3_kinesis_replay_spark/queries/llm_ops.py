@@ -123,13 +123,14 @@ def i3_minhash_lsh_neardup(spark, sf_dir):
     "I3",
     f"""
     WITH RECURSIVE
-    sh AS (SELECT doc_id, {_DUCK_SHINGLES} ss FROM documents),
-    edges AS (
+    sh AS MATERIALIZED (SELECT doc_id, {_DUCK_SHINGLES} ss FROM documents),
+    half AS MATERIALIZED (
       SELECT a.doc_id AS src, b.doc_id AS dst
-      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
             / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8
     ),
+    edges AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
     reach(src, dst) AS (
       SELECT src, dst FROM edges
       UNION
