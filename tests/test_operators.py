@@ -391,3 +391,44 @@ def test_p3_split_stable_across_scale_factors(spark):
     common = set(small) & set(big)
     assert common, "scale factors share no doc_ids — fixture assumption broken"
     assert all(small[d] == big[d] for d in common)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """A selective dim predicate should reach the fact side as a RUNTIME
+    bloom filter under shuffle joins — at 100 TB this skips most fact
+    row-groups before the join. Spark's default size thresholds (10 GB)
+    are tuned for real clusters, so the test lowers them to reproduce the
+    trigger condition at fixture scale; session defaults stay untouched.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = table(spark, "lineitem", sf_dir)
+        o = table(spark, "orders", sf_dir).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan  # filter applied on the fact side
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
