@@ -1,0 +1,163 @@
+"""CLI parity layer: the reference is a command-line replay tool, so the
+engine exposes the same surface as ``python -m s3_kinesis_replay_spark``.
+
+Flag mapping (reference CLI semantics → here, SURVEY §1.1/§3):
+
+  bucket/prefix           → --archive-root (path to the staged archive)
+  key-prefix filter       → --path-glob (leaf-file glob, file-index pruned)
+  key-range filter        → --dt-start/--dt-end (partition-dir pruned)
+  partition-key JSON path → --partition-key-path (JMESPath subset)
+  sanitize rules          → --sanitize PATTERN=REPLACEMENT (repeatable)
+  rate limit/concurrency  → --max-files-per-trigger / --num-writers
+  stream name             → --stream
+  resume                  → --checkpoint (offset/commit WAL dir; reuse to
+                            resume, point elsewhere to restart)
+  run mode                → drain-and-stop by default; --continuous keeps
+                            a processing-time trigger running
+
+The sink defaults to the in-process capture client (prints a JSON summary
+— useful for dry runs); ``--sink moto`` publishes against a moto-mocked
+Kinesis endpoint when moto/boto3 are available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+
+
+def _parse_sanitize(rules: list[str]) -> list[tuple[str, str]]:
+    out = []
+    for r in rules:
+        if "=" not in r:
+            raise SystemExit(f"--sanitize expects PATTERN=REPLACEMENT, got: {r!r}")
+        pat, repl = r.split("=", 1)
+        out.append((pat, repl))
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m s3_kinesis_replay_spark",
+        description="Replay an S3-style archive into a Kinesis-style stream.",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+    r = sub.add_parser("replay", help="run the replay pipeline")
+    r.add_argument("--archive-root", help="staged archive root (dt=/hr= layout)")
+    r.add_argument(
+        "--from-sf-dir",
+        help="derive the archive from a fixture dir (events.parquet) instead",
+    )
+    r.add_argument("--stream", required=True, help="target stream name")
+    r.add_argument("--checkpoint", help="checkpoint dir (default: fresh temp dir)")
+    r.add_argument("--partition-key-path", default="$.k")
+    r.add_argument(
+        "--sanitize",
+        action="append",
+        default=[],
+        metavar="PATTERN=REPLACEMENT",
+        help="regex payload rewrite, repeatable, applied in order",
+    )
+    r.add_argument("--path-glob", help="leaf-file glob (key-prefix predicate)")
+    r.add_argument("--dt-start", help="inclusive dt= lower bound, YYYY-MM-DD")
+    r.add_argument("--dt-end", help="inclusive dt= upper bound, YYYY-MM-DD")
+    r.add_argument("--max-files-per-trigger", type=int, default=4)
+    r.add_argument("--num-writers", type=int, default=8)
+    r.add_argument(
+        "--continuous",
+        action="store_true",
+        help="processing-time trigger instead of drain-and-stop",
+    )
+    r.add_argument(
+        "--timeout",
+        type=float,
+        default=600.0,
+        help="max seconds to wait (continuous mode stops cleanly at timeout)",
+    )
+    r.add_argument("--sink", choices=["capture", "moto"], default="capture")
+    r.add_argument(
+        "--distributed",
+        action="store_true",
+        help="publish from executor tasks (sink client built per-partition)",
+    )
+    return p
+
+
+def run_replay_cmd(args: argparse.Namespace) -> dict:
+    from s3_kinesis_replay_spark.session import get_spark
+    from s3_kinesis_replay_spark.sources.archive import stage_archive
+    from s3_kinesis_replay_spark.streaming.kinesis_sink import CapturingClient
+    from s3_kinesis_replay_spark.streaming.replay import ReplayConfig, run_replay
+
+    if bool(args.archive_root) == bool(args.from_sf_dir):
+        raise SystemExit("exactly one of --archive-root / --from-sf-dir is required")
+    root = args.archive_root or stage_archive(args.from_sf_dir, gz=True)
+
+    if args.sink == "moto":
+        try:
+            import boto3
+            from moto import mock_aws
+        except ImportError as e:  # pragma: no cover - moto is installed here
+            raise SystemExit(f"--sink moto needs moto+boto3: {e}")
+        ctx = mock_aws()
+        ctx.start()
+        client = boto3.client("kinesis", region_name="us-east-1")
+        client.create_stream(StreamName=args.stream, ShardCount=4)
+
+        def summary_from_sink():
+            resp = client.describe_stream_summary(StreamName=args.stream)
+            return {"shards": resp["StreamDescriptionSummary"]["OpenShardCount"]}
+    else:
+        ctx = None
+        client = CapturingClient()
+
+        def summary_from_sink():
+            return {
+                "published": len(client.records),
+                "put_calls": len(client.calls),
+            }
+
+    spark = get_spark(app_name="skr-cli-replay")
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = ReplayConfig(
+        archive_root=str(root),
+        stream_name=args.stream,
+        checkpoint_dir=args.checkpoint or tempfile.mkdtemp(prefix="skr_cli_ckpt_"),
+        partition_key_path=args.partition_key_path,
+        sanitize_rules=_parse_sanitize(args.sanitize),
+        max_files_per_trigger=args.max_files_per_trigger,
+        num_writers=args.num_writers,
+        available_now=not args.continuous,
+        path_glob=args.path_glob,
+        dt_start=args.dt_start,
+        dt_end=args.dt_end,
+    )
+    q = run_replay(spark, cfg, lambda: client, distributed=args.distributed)
+    finished = q.awaitTermination(args.timeout)
+    if not finished:
+        q.stop()
+        q.awaitTermination(60)
+    out = {
+        "stream": args.stream,
+        "archive_root": str(root),
+        "checkpoint": cfg.checkpoint_dir,
+        "mode": "continuous" if args.continuous else "drain",
+        **summary_from_sink(),
+    }
+    if ctx is not None:
+        ctx.stop()
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "replay":
+        print(json.dumps(run_replay_cmd(args)))
+        return 0
+    return 2  # pragma: no cover
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

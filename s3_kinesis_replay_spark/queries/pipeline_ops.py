@@ -1,6 +1,6 @@
 """Training-data pipeline ops beyond dedup/similarity (SURVEY §2.I, rows
-I12–I15): token-budget shard packing, deterministic train/val/test hash
-split, quality-filter funnel, curriculum deciles. All north-star ops
+I12–I16): token-budget shard packing, deterministic train/val/test hash
+split, quality-filter funnel, curriculum deciles, random projection. All north-star ops
 ([NS]) — no reference analog (the reference checkout is empty; SURVEY §0).
 
 Scale design (100 TB):
@@ -242,4 +242,59 @@ def p5_curriculum_deciles(spark, sf_dir):
             F.max("n_chars").alias("max_chars"),
             F.sum("n_chars").alias("sum_chars"),
         )
+    )
+
+
+def _rademacher_planes(out_dims: int = 8, in_dims: int = 64, seed: int = 7):
+    """Seeded ±1 projection matrix (sparse random projection à la
+    Achlioptas) — ±1 entries make every projected coordinate a sum of
+    signed float64 reads, so a same-order left-fold is bit-identical in
+    Spark and DuckDB with no rounding traps."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.choice([-1.0, 1.0], size=(out_dims, in_dims))
+
+
+_PLANES = _rademacher_planes()
+
+
+def _proj_sql(plane) -> str:
+    lits = "[" + ",".join(f"{x:.1f}" for x in plane) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, {len(plane) + 1}),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * ({lits})[i]), (x, y) -> x + y)"
+    )
+
+
+def _proj_col(plane) -> F.Column:
+    arr = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(F.col("embedding"), arr, lambda e, s: e.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "p6_random_projection",
+    "I16",
+    """
+    SELECT vec_id,
+    """
+    + ",\n".join(
+        f"       ROUND({_proj_sql(_PLANES[j])}, 6) AS p{j}" for j in range(len(_PLANES))
+    )
+    + """
+    FROM embeddings
+    """,
+    note="seeded Rademacher random projection 64d -> 8d (Achlioptas sparse "
+    "RP, public): the cheap dimensionality-reduction front for ANN at "
+    "scale; +-1 planes keep the fold integer-signed and cross-engine exact",
+)
+def p6_random_projection(spark, sf_dir):
+    e = t(spark, "embeddings", sf_dir)
+    return e.select(
+        "vec_id",
+        *[F.round(_proj_col(_PLANES[j]), 6).alias(f"p{j}") for j in range(len(_PLANES))],
     )

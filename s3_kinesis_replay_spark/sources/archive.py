@@ -141,9 +141,18 @@ def stream_archive(
     spark: SparkSession,
     root: str,
     max_files_per_trigger: int | None = None,
+    glob: str | None = None,
+    dt_start: str | None = None,
+    dt_end: str | None = None,
 ) -> DataFrame:
     """Streaming replay source (A6/A9): incrementally consume archive files
-    in key order, paced by maxFilesPerTrigger."""
+    in key order, paced by maxFilesPerTrigger.
+
+    ``glob`` (leaf-file pathGlobFilter) and ``dt_start``/``dt_end``
+    (inclusive bounds on the ``dt=`` partition dir) are the reference
+    CLI's key-prefix/key-range predicates: both prune at the FILE INDEX —
+    excluded objects are never opened, the property that matters when the
+    archive is 100 TB and the replay window is an hour."""
     reader = (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("timestampFormat", TS_FMT)
@@ -151,7 +160,17 @@ def stream_archive(
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.json(root).select(*[f.name for f in EVENT_SCHEMA.fields])
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.json(root)
+    # dt= is a real partition dir: with a user schema Spark appends the
+    # inferred partition column, so a range predicate on it reaches
+    # PartitionFilters (same mechanism a5b pins for the batch path)
+    if dt_start is not None:
+        df = df.where(F.col("dt") >= dt_start)
+    if dt_end is not None:
+        df = df.where(F.col("dt") <= dt_end)
+    return df.select(*[f.name for f in EVENT_SCHEMA.fields])
 
 
 def stage_csv_table(sf_dir: str, name: str = "part") -> str:

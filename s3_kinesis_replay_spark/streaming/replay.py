@@ -35,11 +35,21 @@ class ReplayConfig:
     max_files_per_trigger: int | None = 4
     num_writers: int = 8
     available_now: bool = True  # drain-and-stop replay (vs continuous)
+    path_glob: str | None = None  # key-prefix predicate (leaf-file glob)
+    dt_start: str | None = None  # inclusive dt= partition lower bound
+    dt_end: str | None = None  # inclusive dt= partition upper bound
 
 
 def build_replay_stream(spark: SparkSession, cfg: ReplayConfig) -> DataFrame:
     """Source + transform half of the pipeline (testable without a sink)."""
-    df = stream_archive(spark, cfg.archive_root, cfg.max_files_per_trigger)
+    df = stream_archive(
+        spark,
+        cfg.archive_root,
+        cfg.max_files_per_trigger,
+        glob=cfg.path_glob,
+        dt_start=cfg.dt_start,
+        dt_end=cfg.dt_end,
+    )
     # partition key: reference extracts via configured JSON path from the
     # payload; fall back to user_id when the path misses
     key = F.coalesce(

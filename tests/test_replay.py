@@ -308,3 +308,25 @@ def test_continuous_trigger_replay(spark, sf_dir, tmp_path):
         q.stop()
         q.awaitTermination(60)
     assert not q.isActive
+
+
+def test_cli_replay_drain_and_key_range(tmp_path):
+    """Reference-parity CLI: a drain replay publishes every archived
+    message; a dt= key-range bound replays only that partition's files
+    (pruned at the file index, the reference's key-range predicate)."""
+    from s3_kinesis_replay_spark.cli import build_parser, run_replay_cmd
+
+    def run(extra):
+        args = build_parser().parse_args(
+            ["replay", "--from-sf-dir", "/root/testdata/sf0.001",
+             "--stream", "cli-t", "--max-files-per-trigger", "50",
+             "--checkpoint", str(tmp_path / f"ck{len(extra)}")] + extra
+        )
+        return run_replay_cmd(args)
+
+    full = run([])
+    assert full["published"] == 1000 and full["mode"] == "drain"
+    bounded = run(["--dt-start", "2024-01-01", "--dt-end", "2024-01-01"])
+    assert 0 < bounded["published"] < full["published"]
+    empty = run(["--dt-start", "1990-01-01", "--dt-end", "1990-01-02"])
+    assert empty["published"] == 0
