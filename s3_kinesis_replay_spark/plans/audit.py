@@ -1,0 +1,75 @@
+"""Physical-plan audit: extract the scale-relevant features of a query's
+executed plan (SURVEY §4, SCALE.md evidence).
+
+For every declared query we care about a handful of plan properties that
+decide 100 TB behavior long before any row is processed:
+
+* how many Exchanges (shuffles) the plan contains, and whether any is a
+  SinglePartition funnel;
+* whether dim joins broadcast (BroadcastHashJoin) vs shuffle (SMJ/SHJ);
+* whether top-k avoided a total sort (TakeOrderedAndProject /
+  WindowGroupLimit);
+* whether filters/partition predicates reached the parquet scan
+  (PushedFilters / PartitionFilters non-empty);
+* how much of the plan runs in WholeStageCodegen vs Python exchange
+  operators (ArrowEval / MapInPandas / FlatMapGroupsInPandas...);
+* aggregate shape: partial+final HashAggregate pairs (map-side combine).
+
+``audit_plan`` computes them from a DataFrame without executing it (the
+AQE initial plan — join strategies may still improve at runtime, never
+degrade below what's pinned here). ``tools/gen_plans.py`` renders the
+whole registry into PLANS.md.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+_PY_OPS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapGroupsInPandasWithState",
+    "MapInArrow",
+    "PythonUDTF",
+)
+
+
+def plan_string(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit_plan(df: DataFrame) -> dict:
+    """Feature-extract one plan. Keys are stable — PLANS.md columns."""
+    plan = plan_string(df)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    partf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    return {
+        "exchanges": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition"),
+        "single_partition": plan.count("Exchange SinglePartition"),
+        "broadcast_joins": plan.count("BroadcastHashJoin")
+        + plan.count("BroadcastNestedLoopJoin"),
+        "shuffle_joins": plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin"),
+        "take_ordered": "TakeOrderedAndProject" in plan,
+        "window_group_limit": "WindowGroupLimit" in plan,
+        "partial_agg_pairs": plan.count("HashAggregate") // 2
+        + plan.count("ObjectHashAggregate") // 2
+        + plan.count("SortAggregate") // 2,
+        "pushed_filters": any(p.strip() for p in pushed),
+        "partition_filters": any(p.strip() for p in partf),
+        # toString marks codegen stages as "*(N) Operator"; formatted-mode
+        # prints "WholeStageCodegen (N)" — accept both
+        "codegen_spans": len(
+            set(re.findall(r"\*\((\d+)\)", plan))
+            | set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+        ),
+        "python_ops": sum(plan.count(op) for op in _PY_OPS),
+        "scans": plan.count("Scan parquet") + plan.count("Scan json")
+        + plan.count("Scan csv") + plan.count("Scan text")
+        + plan.count("Scan ExistingRDD"),
+    }
