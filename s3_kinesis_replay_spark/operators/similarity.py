@@ -316,3 +316,77 @@ def lsh_bucketed_topk(
         .orderBy(F.col("sim").desc(), id_col)
         .limit(k)
     )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as a CLUSTER-PARTITIONED parquet layout.
+
+    Train the seeded k-means coarse quantizer once, assign every vector
+    to its cell, and write the corpus partitioned by ``cell=`` dirs with
+    the centroid table alongside (``_centroids/``, n_clusters tiny rows).
+    This is ``ivf_topk``'s documented scale path made concrete: the
+    assignment cost is paid once at build time, and probing becomes
+    PARTITION PRUNING at the parquet scan — a query touches
+    n_probe/n_clusters of the files, the property that matters when the
+    corpus is 10⁹ vectors and the index lives on object storage.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(
+        id_col, vec_col, array_to_vector(F.col(vec_col)).alias("_features")
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_features", predictionCol="cell"
+    ).fit(vecs)
+    assigned = model.transform(vecs).select(id_col, vec_col, "cell")
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/vectors")
+
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cell int, centroid array<double>",
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a built IVF index: nearest n_probe centroids (driver math on
+    the tiny centroid table), then an exact re-rank over ONLY those
+    cells' partitions — the ``cell IN (...)`` predicate prunes at the
+    file index, never opening the other cells' files."""
+    import numpy as np
+
+    cents = spark.read.parquet(f"{path}/_centroids").collect()
+    centers = np.array([r["centroid"] for r in cents])
+    cell_ids = np.array([r["cell"] for r in cents])
+    qv = np.array(query_vec, dtype=np.float64)
+    order = np.argsort(np.linalg.norm(centers - qv, axis=1))
+    probe_cells = [int(cell_ids[i]) for i in order[:n_probe]]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cell").isin(probe_cells))
+        .select(id_col, F.round(cosine_expr(q, F.col(vec_col)), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), id_col)
+        .limit(k)
+    )

@@ -432,3 +432,27 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_stored_index_prunes_partitions(spark, sf_dir, tmp_path_factory):
+    """The stored IVF layout must turn probing into file-index partition
+    pruning (PartitionFilters on cell=), and agree with the in-memory
+    ivf_topk under the same quantizer seed."""
+    from s3_kinesis_replay_spark.operators.similarity import (
+        ivf_build,
+        ivf_probe,
+        ivf_topk,
+    )
+
+    corpus = table(spark, "embeddings", sf_dir)
+    qv = [r[0] for r in corpus.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
+    qv = [float(x) for x in qv]
+    base = str(tmp_path_factory.mktemp("ivf_idx"))
+    ivf_build(corpus, base, n_clusters=16, seed=42)
+
+    probed = ivf_probe(spark, base, qv, k=10, n_probe=4)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters:")[1][:120]
+
+    mem = ivf_topk(corpus, qv, k=10, n_clusters=16, n_probe=4, seed=42)
+    assert [r["vec_id"] for r in probed.collect()] == [r["vec_id"] for r in mem.collect()]
