@@ -194,3 +194,65 @@ class TestWindowDifferential:
         d_cols, d_rows = duck_result(duck, osql)
         problems = compare(s_cols, s_rows, d_cols, d_rows)
         assert not problems, f"pred={pred!r} fn={wf} k={k}: " + "; ".join(problems)
+
+
+class TestFrameDifferential:
+    """Random ROWS-frame aggregates: frame-boundary semantics (preceding/
+    following/current combinations) are a classic cross-engine drift
+    source; sums run in DECIMAL so accumulation order can't flake."""
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pred=predicates(),
+        lo=st.integers(0, 5),
+        hi=st.integers(0, 5),
+        agg=st.sampled_from(["sum", "min", "max", "count"]),
+    )
+    def test_rows_frame_matches_duckdb(self, spark, duck, sf_dir, pred, lo, hi, agg):
+        from pyspark.sql import Window
+
+        li = table(spark, "lineitem", sf_dir).filter(F.expr(pred))
+        # (l_orderkey, l_linenumber) is NOT unique in the fixture — include
+        # the summed/compared values in the sort so any residual ties are
+        # value-identical and frame sums are order-insensitive
+        order_cols = ["l_orderkey", "l_linenumber", "l_extendedprice",
+                      "l_quantity", "l_discount"]
+        w = (
+            Window.partitionBy("l_returnflag")
+            .orderBy(*order_cols)
+            .rowsBetween(-lo, hi)
+        )
+        if agg == "count":
+            sval = F.count(F.lit(1)).over(w).cast("bigint")
+            oexpr = "CAST(COUNT(*) OVER w AS BIGINT)"
+        elif agg == "sum":
+            sval = F.round(
+                F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(38,6))")).over(w)
+                .cast("double"),
+                6,
+            )
+            oexpr = (
+                "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) OVER w"
+                " AS DOUBLE), 6)"
+            )
+        else:
+            sval = getattr(F, agg)("l_extendedprice").over(w)
+            oexpr = f"{agg}(l_extendedprice) OVER w"
+        sdf = li.select(
+            "l_orderkey", "l_linenumber", sval.alias("v")
+        )
+        osql = (
+            f"SELECT l_orderkey, l_linenumber, {oexpr} AS v FROM lineitem "
+            f"WHERE {pred} WINDOW w AS (PARTITION BY l_returnflag "
+            f"ORDER BY l_orderkey, l_linenumber, l_extendedprice, "
+            f"l_quantity, l_discount "
+            f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING)"
+        )
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"pred={pred!r} frame=({lo},{hi}) {agg}: " + "; ".join(problems)
