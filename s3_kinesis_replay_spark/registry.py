@@ -73,8 +73,14 @@ def all_queries() -> dict[str, Query]:
     registry entries in registration order, so the modules that have not
     yet received a driver verdict (G/I/A/J sections + custom ops) register
     FIRST this round; the rows already driver-confirmed in round 1
-    (relational/aggregates/windows) register last. Rotate again next round
-    for the remaining streaming entries.
+    (relational/aggregates/windows) register last.
+
+    ROUND-3 ROTATION (do this after the round-2 driver verdicts land):
+    the entries still unverified after round 2 are udfs (6),
+    streaming_batch (8), streaming_live (9), and pipeline_ops p4-p6 —
+    reorder imports to: udfs, streaming_batch, streaming_live,
+    pipeline_ops, then everything already confirmed. That puts all ~26
+    never-verified entries inside the driver's 50-entry window.
     """
     # Imports deferred so `import s3_kinesis_replay_spark` stays cheap.
     from s3_kinesis_replay_spark.queries import (  # noqa: F401
