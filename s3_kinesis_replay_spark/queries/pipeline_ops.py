@@ -1,6 +1,7 @@
 """Training-data pipeline ops beyond dedup/similarity (SURVEY §2.I, rows
-I12–I16): token-budget shard packing, deterministic train/val/test hash
-split, quality-filter funnel, curriculum deciles, random projection. All north-star ops
+I12–I17): token-budget shard packing, deterministic train/val/test hash
+split, quality-filter funnel, curriculum deciles, random projection,
+eval-set contamination check. All north-star ops
 ([NS]) — no reference analog (the reference checkout is empty; SURVEY §0).
 
 Scale design (100 TB):
@@ -297,4 +298,63 @@ def p6_random_projection(spark, sf_dir):
     return e.select(
         "vec_id",
         *[F.round(_proj_col(_PLANES[j]), 6).alias(f"p{j}") for j in range(len(_PLANES))],
+    )
+
+
+_DUCK_TOKS = "string_split(lower(text), ' ')"
+_DUCK_GRAMS5 = f"""
+ list_distinct(list_transform(range(1, len({_DUCK_TOKS}) - 3),
+   i -> {_DUCK_TOKS}[i] || ' ' || {_DUCK_TOKS}[i+1] || ' ' || {_DUCK_TOKS}[i+2]
+        || ' ' || {_DUCK_TOKS}[i+3] || ' ' || {_DUCK_TOKS}[i+4]))
+"""
+
+
+@register(
+    "p7_contamination_check",
+    "I17",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang, {_DUCK_GRAMS5} AS grams,
+             {_bucket_sql("doc_id")} AS bucket
+      FROM documents
+    ),
+    tr AS (SELECT doc_id AS train_id, unnest(grams) AS g
+           FROM b WHERE bucket < {_TRAIN_LT}),
+    te AS (SELECT doc_id, lang, unnest(grams) AS g
+           FROM b WHERE bucket >= {_VAL_LT})
+    SELECT te.doc_id, te.lang,
+           CAST(COUNT(DISTINCT tr.train_id) AS BIGINT) AS n_train_docs,
+           CAST(COUNT(DISTINCT te.g) AS BIGINT) AS n_shared_grams
+    FROM te JOIN tr ON te.g = tr.g
+    GROUP BY te.doc_id, te.lang
+    """,
+    note="eval-set contamination: test-split docs sharing a 5-gram with "
+    "any train-split doc (the QA gate before training). Gram equi-join — "
+    "never an all-pairs compare; at 100 TB join on xxhash64(gram) longs "
+    "instead of gram strings (declared here as strings for the oracle)",
+)
+def p7_contamination_check(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.dedup import word_shingles
+
+    d = t(spark, "documents", sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = d.select(
+        "doc_id",
+        "lang",
+        _bucket_col("doc_id"),
+        word_shingles(toks, k=5).alias("grams"),
+    )
+    train = base.filter(F.col("bucket") < _TRAIN_LT).select(
+        F.col("doc_id").alias("train_id"), F.explode("grams").alias("g")
+    )
+    test = base.filter(F.col("bucket") >= _VAL_LT).select(
+        "doc_id", "lang", F.explode("grams").alias("g")
+    )
+    return (
+        test.join(train, "g")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count_distinct("train_id").alias("n_train_docs"),
+            F.count_distinct("g").alias("n_shared_grams"),
+        )
     )

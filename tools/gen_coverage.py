@@ -19,7 +19,7 @@ FAMILIES = {
     "F": ("Sort / limit / set ops", 6),
     "G": ("Scalar functions", 11),
     "H": ("Streaming operators", 8),
-    "I": ("LLM-data-pipeline operators", 16),
+    "I": ("LLM-data-pipeline operators", 17),
     "J": ("UDF / UDAF / UDTF surface", 6),
 }
 
