@@ -256,3 +256,39 @@ class TestFrameDifferential:
         d_cols, d_rows = duck_result(duck, osql)
         problems = compare(s_cols, s_rows, d_cols, d_rows)
         assert not problems, f"pred={pred!r} frame=({lo},{hi}) {agg}: " + "; ".join(problems)
+
+
+class TestSetOpDifferential:
+    """Random INTERSECT/EXCEPT/UNION (set semantics) between two filtered
+    projections — duplicate-elimination + NULL-equality semantics of set
+    ops must agree with the oracle across the predicate space."""
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        p1=predicates(),
+        p2=predicates(),
+        op=st.sampled_from(["intersect", "except", "union"]),
+    )
+    def test_setop_matches_duckdb(self, spark, duck, sf_dir, p1, p2, op):
+        cols = ["l_returnflag", "l_linestatus", "l_linenumber"]
+        li = table(spark, "lineitem", sf_dir)
+        a, b = li.filter(F.expr(p1)).select(cols), li.filter(F.expr(p2)).select(cols)
+        sdf = {
+            "intersect": a.intersect(b),
+            "except": a.subtract(b),
+            "union": a.union(b).distinct(),
+        }[op]
+        csel = ", ".join(cols)
+        osql = (
+            f"SELECT {csel} FROM lineitem WHERE {p1} "
+            f"{ {'intersect': 'INTERSECT', 'except': 'EXCEPT', 'union': 'UNION'}[op] } "
+            f"SELECT {csel} FROM lineitem WHERE {p2}"
+        )
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"p1={p1!r} p2={p2!r} {op}: " + "; ".join(problems)
