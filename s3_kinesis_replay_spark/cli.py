@@ -80,7 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument(
         "--distributed",
         action="store_true",
-        help="publish from executor tasks (sink client built per-partition)",
+        help="publish from executor tasks (sink client built per-partition). "
+        "Not supported with the built-in capture/moto sinks — both are "
+        "driver-process clients (capture accumulates in worker copies; "
+        "moto's mock is not active in executor workers). Use the "
+        "DataSource sink with an importable client factory "
+        "(streaming.kinesis_datasource, client_factory_path) for real "
+        "distributed publishing.",
     )
     return p
 
@@ -93,6 +99,19 @@ def run_replay_cmd(args: argparse.Namespace) -> dict:
 
     if bool(args.archive_root) == bool(args.from_sf_dir):
         raise SystemExit("exactly one of --archive-root / --from-sf-dir is required")
+    if args.distributed:
+        # Both built-in sinks hold driver-process state: pickling the capture
+        # client to executors silently publishes into worker copies
+        # (summary reads 0), and boto3/moto clients don't survive the
+        # pickle boundary at all. Distributed publishing goes through the
+        # DataSource sink's importable client_factory_path instead, where
+        # each worker constructs its own client.
+        raise SystemExit(
+            "--distributed is not supported with the capture/moto CLI sinks "
+            "(driver-side clients; summary would be wrong). Use the "
+            "DataSource sink path (streaming.kinesis_datasource with "
+            "client_factory_path) for executor-side publishing."
+        )
     root = args.archive_root or stage_archive(args.from_sf_dir, gz=True)
 
     if args.sink == "moto":

@@ -57,7 +57,9 @@ def audit_plan(df: DataFrame) -> dict:
         "shuffle_joins": plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin"),
         "take_ordered": "TakeOrderedAndProject" in plan,
         "window_group_limit": "WindowGroupLimit" in plan,
-        "partial_agg_pairs": plan.count("HashAggregate") // 2
+        # boundary-aware: plain count("HashAggregate") also matches inside
+        # "ObjectHashAggregate" and would double-count those plans
+        "partial_agg_pairs": len(re.findall(r"(?<!Object)HashAggregate", plan)) // 2
         + plan.count("ObjectHashAggregate") // 2
         + plan.count("SortAggregate") // 2,
         "pushed_filters": any(p.strip() for p in pushed),

@@ -308,6 +308,51 @@ def i13_ivf_topk(spark, sf_dir):
     return ivf_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10)
 
 
+@register(
+    "i13b_ivf_probe",
+    "I5",
+    None,  # index build (k-means + partitioned write) is not SQL-expressible
+    check="SEM",
+    note="IVF scale path end-to-end: build the cell=-partitioned parquet "
+    "index once, probe via partition pruning, and emit a row-level "
+    "agreement check against the in-memory ivf_topk under the same seed "
+    "— every row must show agree=true (asserted in tests; the driver's "
+    "rows-only check sees the agreement column)",
+)
+def i13b_ivf_probe(spark, sf_dir):
+    import hashlib
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        ivf_build,
+        ivf_probe,
+        ivf_topk,
+    )
+
+    e = t(spark, "embeddings", sf_dir)
+    qv = [r[0] for r in e.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
+    corpus = e.filter(F.col("vec_id") != 0)
+    idx = "/tmp/skr_ivf/" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    if not os.path.exists(idx + "/vectors/_SUCCESS"):
+        ivf_build(corpus, idx, n_clusters=16, seed=42)
+    probed = ivf_probe(spark, idx, list(qv), k=10, n_probe=4)
+    mem = ivf_topk(corpus, list(qv), k=10, n_clusters=16, n_probe=4, seed=42)
+    # same seed + same data → identical quantizer → the pruned-scan probe
+    # must return exactly the in-memory result, row for row
+    p = probed.select(F.col("vec_id"), F.col("sim").alias("probe_sim"))
+    m = mem.select(F.col("vec_id"), F.col("sim").alias("mem_sim"))
+    return (
+        p.join(m, "vec_id", "full_outer")
+        .select(
+            "vec_id",
+            "probe_sim",
+            "mem_sim",
+            F.col("probe_sim").eqNullSafe(F.col("mem_sim")).alias("agree"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # ---------------------------------------------------------------- text
 
 

@@ -70,7 +70,7 @@ def _bucket_col(id_col: str) -> F.Column:
     "I12",
     f"""
     SELECT lang,
-           (cum_tokens - tokens) // {_SHARD_TOKENS} AS shard_id,
+           CAST((cum_tokens - tokens) // {_SHARD_TOKENS} AS BIGINT) AS shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(tokens) AS BIGINT) AS shard_tokens
     FROM (

@@ -561,7 +561,9 @@ def f6b_intersect_except_all(spark, sf_dir):
     """,
     note="TPC-H Q3 shape: selective dim filter -> 3-way join -> agg -> "
     "top-k; customer filter prunes before the fact join, limit becomes "
-    "TakeOrdered after the agg",
+    "TakeOrdered after the agg. customer scales with SF, so it is NOT "
+    "force-broadcast: AQE converts the join to broadcast at small sf and "
+    "keeps a shuffle join at the 100 TB design point",
 )
 def q3_shipping_priority(spark, sf_dir):
     c = t(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
@@ -573,7 +575,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(fdec(F.sum(sdec("l_extendedprice * (1 - l_discount)"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -602,9 +604,12 @@ def q3_shipping_priority(spark, sf_dir):
     GROUP BY n.n_name
     ORDER BY revenue DESC, n_name
     """,
-    note="TPC-H Q5 shape: 6-table join; dims (supplier/nation/region) "
-    "broadcast, facts shuffle once on orderkey; local-supplier predicate "
-    "c_nationkey = s_nationkey rides the supplier join",
+    note="TPC-H Q5 shape: 6-table join; only the true fixed-size dims "
+    "(nation 25 rows, region 5 rows) are force-broadcast. customer and "
+    "supplier scale with SF — they go through shuffle joins, which AQE "
+    "converts to broadcast at small sf but which survive fact-sized "
+    "inputs at the 100 TB design point (a forced broadcast there is a "
+    "hard 8 GB-limit/driver-OOM failure AQE cannot override)",
 )
 def q5_local_supplier_volume(spark, sf_dir):
     c = t(spark, "customer", sf_dir)
@@ -618,9 +623,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     r = t(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

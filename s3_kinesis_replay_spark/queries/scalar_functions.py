@@ -274,7 +274,7 @@ def g6_math(spark, sf_dir):
            COALESCE(array_to_string(list_filter(seq, x -> x % 2 = 0), ','), '')
              AS evens,
            len(list_filter(seq, x -> x > 5)) > 0 AS any_gt5,
-           list_sum(seq) AS total,
+           CAST(list_sum(seq) AS BIGINT) AS total,
            COALESCE(array_to_string(list_transform(seq, x -> x * 2), ','), '')
              AS doubled,
            COALESCE(array_to_string(

@@ -215,18 +215,28 @@ def test_q1_partial_aggregation(spark, sf_dir):
     assert "Exchange hashpartitioning(l_returnflag" in plan
 
 
-def test_q5_broadcasts_dims_single_fact_shuffle(spark, sf_dir):
-    """6-table join: every dim rides a broadcast; at most the one fact-fact
-    join (lineitem ⋈ orders) shuffles."""
-    plan = _plan(QUERIES["q5_local_supplier_volume"].fn(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert plan.count("SortMergeJoin") <= 1
+def test_q5_broadcasts_only_true_dims(spark, sf_dir):
+    """6-table join: ONLY the fixed-size dims (nation, region) carry a
+    forced broadcast hint. customer/supplier scale with SF, so they must
+    NOT be force-broadcast — at small sf the static planner/AQE still
+    converts them (cheap), but at 100 TB a forced broadcast of a
+    fact-sized table is a hard failure AQE cannot override."""
+    df = QUERIES["q5_local_supplier_volume"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # exactly the two true dims are hinted
+    assert logical.count("strategy=broadcast") == 2, logical
+    plan = _plan(df)
+    # dims still ride broadcasts in the physical plan
+    assert plan.count("BroadcastHashJoin") >= 2
 
 
 def test_q3_topk_after_agg(spark, sf_dir):
-    plan = _plan(QUERIES["q3_shipping_priority"].fn(spark, sf_dir))
+    df = QUERIES["q3_shipping_priority"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # no forced broadcast: customer scales with SF (VERDICT r2 item 4)
+    assert "broadcast" not in logical.lower()
+    plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastHashJoin" in plan
 
 
 def test_e7_window_group_limit_pushdown(spark, sf_dir):

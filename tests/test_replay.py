@@ -316,11 +316,15 @@ def test_cli_replay_drain_and_key_range(tmp_path):
     (pruned at the file index, the reference's key-range predicate)."""
     from s3_kinesis_replay_spark.cli import build_parser, run_replay_cmd
 
+    runs = iter(range(100))
+
     def run(extra):
+        # unique checkpoint per invocation — a reused checkpoint sees no new
+        # files and silently publishes 0, making assertions vacuous
         args = build_parser().parse_args(
             ["replay", "--from-sf-dir", "/root/testdata/sf0.001",
              "--stream", "cli-t", "--max-files-per-trigger", "50",
-             "--checkpoint", str(tmp_path / f"ck{len(extra)}")] + extra
+             "--checkpoint", str(tmp_path / f"ck{next(runs)}")] + extra
         )
         return run_replay_cmd(args)
 

@@ -66,6 +66,18 @@ for name, fn in sorted(qs.items()):
     if name not in osql:
         print(f"  rows-only {name}: {len(srows)} rows")
         continue
+    # type-drift guard: the real driver canonicalizes DuckDB results via
+    # pandas, which renders HUGEINT/DECIMAL columns differently than
+    # fetchall()'s plain Python ints — fail loudly on any such output column
+    # instead of silently reporting MATCH where the driver would FAIL.
+    desc = con.execute(f"DESCRIBE {osql[name]}").fetchall()
+    drift = [(c, ty) for c, ty, *_ in desc
+             if "HUGEINT" in ty.upper() or "DECIMAL" in ty.upper()]
+    if drift:
+        print(f"  FAIL  {name}: oracle output type drift {drift} "
+              f"(cast to BIGINT/DOUBLE in the oracle SQL)")
+        fails.append(name)
+        continue
     cur = con.execute(osql[name])
     dcols = [d[0] for d in cur.description]
     drows = cur.fetchall()
