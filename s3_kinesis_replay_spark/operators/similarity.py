@@ -318,6 +318,57 @@ def lsh_bucketed_topk(
     )
 
 
+def data_fingerprint(path: str) -> str:
+    """Content-identity digest for a dataset path: every file's relative
+    path, size, and mtime_ns. Regenerating the data at the same path
+    changes the fingerprint, so an index cache keyed on it can never
+    silently serve stale data (a cache keyed on the *path string* can)."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    if os.path.isfile(path):
+        st = os.stat(path)
+        h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    else:
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                rel = os.path.relpath(fp, path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def ivf_build_cached(
+    corpus: DataFrame,
+    cache_root: str,
+    fingerprint: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> str:
+    """Build the IVF index under ``cache_root`` keyed by the DATA
+    fingerprint, atomically: build into a unique temp dir, then
+    ``os.rename`` into place so concurrent builders race benignly
+    (first rename wins; losers discard their copy). Returns the index
+    path, reusing an existing complete build when present."""
+    import os
+    import shutil
+    import tempfile
+
+    final = os.path.join(cache_root, f"{fingerprint}-k{n_clusters}-s{seed}")
+    if os.path.exists(os.path.join(final, "vectors", "_SUCCESS")):
+        return final
+    os.makedirs(cache_root, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="build-", dir=cache_root)
+    ivf_build(corpus, tmp, n_clusters=n_clusters, seed=seed)
+    try:
+        os.rename(tmp, final)
+    except OSError:  # lost the race — a complete index is already in place
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
 def ivf_build(
     corpus: DataFrame,
     path: str,

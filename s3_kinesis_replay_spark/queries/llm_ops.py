@@ -219,17 +219,33 @@ def i4_cosine_pairs(spark, sf_dir):
     ORDER BY {_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}) DESC, b.vec_id
     LIMIT 10
     """,
-    note="brute-force baseline: broadcast 1 query vector, TakeOrdered merge; "
-    "block-matmul scale path in operators/similarity.py",
+    note="brute-force baseline: 1-row driver fetch of the query vector "
+    "(bounded, same pattern as i13), query norm folded at plan-build time "
+    "with the identical sequential left-fold → single corpus scan, two "
+    "HOF folds per row instead of three, TakeOrdered merge; block-matmul "
+    "scale path in operators/similarity.py",
 )
 def i5_topk_cosine(spark, sf_dir):
+    import math
+
     e = t(spark, "embeddings", sf_dir)
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    qnorm = 0.0
+    for x in qv:  # same sequential left-fold as _dot → bit-identical
+        qnorm += x * x
+    qnorm = math.sqrt(qnorm)
+    q = F.array(*[F.lit(x) for x in qv])
     b = e.filter(F.col("vec_id") != 0)
     return (
-        b.crossJoin(F.broadcast(q))
-        .select(
-            "vec_id", r6(_cosine(F.col("q_emb"), F.col("embedding"))).alias("sim")
+        b.select(
+            "vec_id",
+            r6(
+                _dot(q, F.col("embedding"))
+                / (F.lit(qnorm) * F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+            ).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(10)
@@ -314,17 +330,19 @@ def i13_ivf_topk(spark, sf_dir):
     None,  # index build (k-means + partitioned write) is not SQL-expressible
     check="SEM",
     note="IVF scale path end-to-end: build the cell=-partitioned parquet "
-    "index once, probe via partition pruning, and emit a row-level "
-    "agreement check against the in-memory ivf_topk under the same seed "
-    "— every row must show agree=true (asserted in tests; the driver's "
-    "rows-only check sees the agreement column)",
+    "index once (cached by DATA fingerprint — file sizes+mtimes — so a "
+    "regenerated fixture always rebuilds; atomic-rename install), probe "
+    "via partition pruning, and emit a row-level agreement check against "
+    "the in-memory ivf_topk under the same seed — every row must show "
+    "agree=true (asserted in tests/test_operators.py::test_i13b_ivf_probe"
+    "_all_agree; the driver's rows-only check sees the agreement column)",
 )
 def i13b_ivf_probe(spark, sf_dir):
-    import hashlib
     import os
 
     from s3_kinesis_replay_spark.operators.similarity import (
-        ivf_build,
+        data_fingerprint,
+        ivf_build_cached,
         ivf_probe,
         ivf_topk,
     )
@@ -332,9 +350,8 @@ def i13b_ivf_probe(spark, sf_dir):
     e = t(spark, "embeddings", sf_dir)
     qv = [r[0] for r in e.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
     corpus = e.filter(F.col("vec_id") != 0)
-    idx = "/tmp/skr_ivf/" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    if not os.path.exists(idx + "/vectors/_SUCCESS"):
-        ivf_build(corpus, idx, n_clusters=16, seed=42)
+    fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = ivf_build_cached(corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42)
     probed = ivf_probe(spark, idx, list(qv), k=10, n_probe=4)
     mem = ivf_topk(corpus, list(qv), k=10, n_clusters=16, n_probe=4, seed=42)
     # same seed + same data → identical quantizer → the pruned-scan probe

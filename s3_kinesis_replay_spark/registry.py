@@ -66,75 +66,26 @@ def register(
     return deco
 
 
-# ROUND-3 WINDOW (VERDICT r2 items 2/5): the external driver verifies the
-# FIRST 50 entries of queries() in order. Rounds 1+2 covered 100 of 127
-# entries across two disjoint windows; this list front-loads every entry
-# that (a) has never received a driver verdict (udfs 6, streaming_batch 8,
-# streaming_live 9, pipeline p4-p7), (b) hash-failed in round 2 with fixes
-# landed (g7_array_hof, p2_shard_packing), or (c) failed in round 1 with
-# fixes landed but never re-verified (q1/q3/q5/b7/c3, d2/d9/d10-d14,
-# e4/e6). Remaining slots carry the pipeline/IVF entries touched this
-# round. Entries not listed follow in their module registration order.
-_ROUND3_FIRST = [
-    # (b) round-2 hash-fails, fixes landed this round — re-verify first
-    "g7_array_hof",
-    "p2_shard_packing",
-    # (c) round-1 FAIL/ERR entries whose fixes never re-entered the window
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "b7_casts",
-    "c3_broadcast_join",
-    "d2_global_agg",
-    "d9_collect_list_set",
-    "d10_filtered_agg",
-    "d11_rollup",
-    "d11b_cube",
-    "d12_pivot",
-    "d13_having",
-    "d14_sum_distinct",
-    "e4_running_total",
-    "e6_range_frame",
-    # (a) never checked: UDF surface
-    "j1_scalar_udf",
-    "j2_pandas_udf_scalar",
-    "j3_pandas_grouped_agg",
-    "j4_grouped_map",
-    "j5_map_in_pandas",
-    "j6_udtf_shingles",
-    # (a) never checked: streaming (batch-variant SEM)
-    "h1_tumbling_window",
-    "h1b_tumbling_window_batch",
-    "h2_sliding_window",
-    "h2b_sliding_window_batch",
-    "h3_session_window",
-    "h3b_session_window_batch",
-    "h5_streaming_dedup",
-    "h6_stateful_running_count",
-    # (a) never checked: live streaming / replay surface
-    "a6_streaming_source",
-    "a7_kinesis_sink",
-    "a9_replay_pacing",
-    "a10_checkpoint_resume",
-    "c10_stream_static_join",
-    "c11_stream_stream_join",
-    "h4_watermark_late_drop",
-    "h7_output_mode_complete",
-    "h8_ordered_emission",
-    # (a) never checked: pipeline p4-p7
-    "p4_quality_funnel",
-    "p5_curriculum_deciles",
-    "p6_random_projection",
-    "p7_contamination_check",
-    # fill: pipeline/IVF entries touched this round
-    "p3_hash_split",
-    "i13_ivf_topk",
-]
+# DRIVER WINDOW: the external driver verifies the FIRST 50 entries of
+# queries() in order, so that ordering IS the verification plan. It is
+# generated (not hand-curated) by tools/window_tool.py from the driver's
+# own CORRECTNESS_r*.json history: never-checked entries first, then
+# entries whose query-fn (or referenced operators/streaming helper)
+# source changed since their last green, then oldest-green ballast.
+# Regenerate with `python tools/window_tool.py emit` after code changes.
+def _window_first() -> list[str]:
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent / "window.json"
+    if not path.exists():
+        return []
+    return json.loads(path.read_text())["first"]
 
 
 def all_queries() -> dict[str, Query]:
     """Import all query modules (side-effect registration) and return the
-    registry, reordered so the round-3 driver window (_ROUND3_FIRST) comes
+    registry, reordered so the generated driver window (window.json) comes
     first; all other entries keep module registration order after it.
     """
     # Imports deferred so `import s3_kinesis_replay_spark` stays cheap.
@@ -152,10 +103,12 @@ def all_queries() -> dict[str, Query]:
         windows,
     )
 
+    first = _window_first()
+    missing = [n for n in first if n not in _REGISTRY]
+    assert not missing, f"window.json names not in registry: {missing}"
     ordered: dict[str, Query] = {}
-    for name in _ROUND3_FIRST:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
+    for name in first:
+        ordered[name] = _REGISTRY[name]
     for name, q in _REGISTRY.items():
         if name not in ordered:
             ordered[name] = q

@@ -466,3 +466,53 @@ def test_ivf_stored_index_prunes_partitions(spark, sf_dir, tmp_path_factory):
 
     mem = ivf_topk(corpus, qv, k=10, n_clusters=16, n_probe=4, seed=42)
     assert [r["vec_id"] for r in probed.collect()] == [r["vec_id"] for r in mem.collect()]
+
+
+def test_i13b_ivf_probe_all_agree(spark, sf_dir):
+    """The declared i13b query's agreement column must be true on every
+    row — this is the assertion its registry note points at (the driver's
+    rows-only check cannot fail on agree=false; this test can)."""
+    from s3_kinesis_replay_spark.queries.llm_ops import i13b_ivf_probe
+
+    rows = i13b_ivf_probe(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["agree"] for r in rows), [tuple(r) for r in rows]
+
+
+def test_ivf_cache_keyed_on_data_fingerprint(spark, sf_dir, tmp_path):
+    """Regenerating the fixture (same path, new mtime) must change the
+    fingerprint → a fresh index dir; an unchanged fixture must reuse the
+    existing build (VERDICT r3 item 8 / ADVICE stale-cache item)."""
+    import os
+    import shutil
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        data_fingerprint,
+        ivf_build_cached,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    staged = tmp_path / "embeddings.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, staged)
+    else:
+        shutil.copy2(src, staged)
+    fp1 = data_fingerprint(str(staged))
+    assert fp1 == data_fingerprint(str(staged))  # stable when unchanged
+
+    corpus = (
+        spark.read.parquet(str(staged)).filter(F.col("vec_id") != 0)
+    )
+    cache = str(tmp_path / "cache")
+    idx1 = ivf_build_cached(corpus, cache, fp1, n_clusters=4, seed=42)
+    marker = os.path.getmtime(os.path.join(idx1, "vectors", "_SUCCESS"))
+    assert ivf_build_cached(corpus, cache, fp1, n_clusters=4, seed=42) == idx1
+    assert os.path.getmtime(os.path.join(idx1, "vectors", "_SUCCESS")) == marker
+
+    # "regenerate" the fixture: content rewrite bumps mtime_ns
+    target = staged if os.path.isfile(staged) else next(staged.rglob("*.parquet"))
+    os.utime(target, ns=(1, 1))
+    fp2 = data_fingerprint(str(staged))
+    assert fp2 != fp1
+    idx2 = ivf_build_cached(corpus, cache, fp2, n_clusters=4, seed=42)
+    assert idx2 != idx1 and os.path.exists(os.path.join(idx2, "vectors", "_SUCCESS"))

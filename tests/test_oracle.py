@@ -31,3 +31,59 @@ def test_rows_only_runs(name, spark, sf_dir):
     df = q.fn(spark, sf_dir)
     n = df.count()
     assert n >= 0
+
+
+# ---------------------------------------------------------------- TOL rows
+# The three SURVEY §2 rows declared TOL (B8/D4/D7) can never hash-match an
+# exact oracle, so each asserts its DECLARED bound against the DuckDB
+# exact value here — "rows-only" never degrades to "unchecked"
+# (VERDICT r3 item 6). Spec: (registry name, DuckDB exact-value SQL,
+# Spark-side approx extractor, bound fn(approx, exact) -> (ok, detail)).
+
+_TOL_SPECS = [
+    pytest.param(
+        "b8_sample_seeded",
+        "SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem",
+        lambda df: float(df.count()),
+        # declared bound: Bernoulli(p=0.1) sample count within a 6-sigma
+        # binomial CI of p*N
+        lambda n_sample, n_total: (
+            abs(n_sample - 0.1 * n_total)
+            < 6 * (n_total * 0.1 * 0.9) ** 0.5,
+            f"|{n_sample} - 0.1*{n_total}| vs 6*sqrt(N*p*(1-p))",
+        ),
+        id="b8-binomial-6sigma-ci",
+    ),
+    pytest.param(
+        "d4_approx_count_distinct",
+        "SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem",
+        lambda df: float(df.collect()[0]["approx_parts"]),
+        # declared bound: HLL++ rsd=0.02 → ±5% of the exact distinct count
+        # (2.5 standard errors)
+        lambda approx, exact: (
+            abs(approx - exact) <= 0.05 * exact,
+            f"|{approx} - {exact}| vs 0.05*exact",
+        ),
+        id="d4-hll-rsd-bound",
+    ),
+    pytest.param(
+        "d7_percentile_approx",
+        "SELECT quantile_cont(o_totalprice, 0.5) FROM orders",
+        lambda df: float(df.collect()[0]["p50_approx"]),
+        # declared bound: accuracy=10000 → rank error ≤ n/10000; mapped to
+        # a generous 1% value-space bound on this distribution
+        lambda approx, exact: (
+            abs(approx - exact) <= 0.01 * abs(exact),
+            f"|{approx} - {exact}| vs 0.01*|exact|",
+        ),
+        id="d7-gk-accuracy-bound",
+    ),
+]
+
+
+@pytest.mark.parametrize("name,exact_sql,extract,bound", _TOL_SPECS)
+def test_tol_rows_against_duck_exact(name, exact_sql, extract, bound, spark, duck, sf_dir):
+    approx = extract(QUERIES[name].fn(spark, sf_dir))
+    exact = float(duck.execute(exact_sql).fetchone()[0])
+    ok, detail = bound(approx, exact)
+    assert ok, f"{name}: declared TOL bound violated: {detail}"

@@ -1,0 +1,79 @@
+"""Window-hygiene tool (tools/window_tool.py) — VERDICT r3 item 3.
+
+The driver verifies only the first 50 queries() entries per round, so the
+emitted window is load-bearing: these tests pin that it is deterministic,
+fresh (matches current source hashes), and typo-proof in the registry.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from tools import window_tool
+from s3_kinesis_replay_spark import registry
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_emit_is_deterministic():
+    assert window_tool.emit() == window_tool.emit()
+
+
+def test_window_json_fresh():
+    """window.json must match a fresh emit — if a query fn (or a helper it
+    references) changed since the file was generated, this fails, which is
+    the reminder to re-run `python tools/window_tool.py emit`."""
+    want = window_tool.emit()
+    have = json.loads((REPO / "s3_kinesis_replay_spark" / "window.json").read_text())
+    assert have["first"] == want, "window.json stale — run tools/window_tool.py emit"
+
+
+def test_window_tiers():
+    """Never-checked entries lead, then changed-since-green, then ballast
+    ordered by ascending green round."""
+    state = window_tool.load_state()
+    cur = window_tool.snapshot()
+    window = window_tool.emit()
+    assert len(window) <= 50
+    # every name resolves
+    qs = registry.all_queries()
+    assert set(window) <= set(qs)
+    # never-checked strictly precede any green entry
+    greens = state["green_round"]
+    seen_green = False
+    for name in window:
+        if name in greens and state["green_hash"].get(name) == cur[name]:
+            seen_green = True
+        elif name not in greens:
+            assert not seen_green, f"never-checked {name} after a green entry"
+
+
+def test_all_queries_order_matches_window():
+    first = json.loads(
+        (REPO / "s3_kinesis_replay_spark" / "window.json").read_text()
+    )["first"]
+    assert list(registry.all_queries())[: len(first)] == first
+
+
+def test_registry_asserts_on_unknown_window_name(monkeypatch):
+    monkeypatch.setattr(registry, "_window_first", lambda: ["no_such_query"])
+    with pytest.raises(AssertionError, match="no_such_query"):
+        registry.all_queries()
+
+
+def test_helper_change_marks_dependent_dirty(tmp_path, monkeypatch):
+    """Editing a referenced operators/ helper flips the dependent entry's
+    hash, so it would be front-loaded on the next emit."""
+    before = window_tool.snapshot()
+    # i13_ivf_topk imports from operators.similarity
+    sim = REPO / "s3_kinesis_replay_spark" / "operators" / "similarity.py"
+    orig = sim.read_bytes()
+    try:
+        sim.write_bytes(orig + b"\n# touch\n")
+        after = window_tool.snapshot()
+    finally:
+        sim.write_bytes(orig)
+    assert before["i13_ivf_topk"] != after["i13_ivf_topk"]
+    # an entry with no similarity dependency is unaffected
+    assert before["b1_project"] == after["b1_project"]

@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Driver-window hygiene tool (VERDICT r3 item 3).
+
+The external driver verifies only the FIRST 50 entries of ``queries()``
+per round, so the ordering of the registry IS the verification plan.
+Rounds 1-3 curated that list by hand; this tool automates it so no entry
+can silently miss its turn:
+
+* ``snapshot``   — sha256 per registry entry over the query-fn source
+                   PLUS the source of every ``operators.*`` /
+                   ``streaming.*`` helper module the fn references, so a
+                   shared-helper edit marks every dependent entry dirty.
+* ``state``      — ``tools/window_state.json``: per entry, the hash at
+                   last driver green and the round that green happened
+                   (latest CORRECTNESS_r*.json verdict wins; a rows-only
+                   ``no_oracle`` record counts as its declared weaker
+                   green).
+* ``emit``       — the front-load list, deterministic:
+                   (1) never-checked (no green in any round),
+                   (2) changed-since-green (current hash != green hash),
+                   (3) oldest-green ballast (ascending green round,
+                   registration order within a round), capped at
+                   ``--limit`` (default 50, the driver window).
+                   Written to ``s3_kinesis_replay_spark/window.json``
+                   which the registry loads and asserts against.
+
+Usage:
+  python tools/window_tool.py update-green   # after a CORRECTNESS lands
+  python tools/window_tool.py emit           # regenerate window.json
+  python tools/window_tool.py check          # exit 1 if window.json stale
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+STATE_PATH = REPO / "tools" / "window_state.json"
+WINDOW_PATH = REPO / "s3_kinesis_replay_spark" / "window.json"
+PKG = REPO / "s3_kinesis_replay_spark"
+
+_HELPER_RE = re.compile(
+    r"(?:from\s+s3_kinesis_replay_spark\.(operators|streaming|sources)"
+    r"\s+import\s+([\w, ]+))"
+    r"|(?:from\s+s3_kinesis_replay_spark\.(operators|streaming|sources)\.(\w+)\s+import)"
+    r"|(?:\b(operators|streaming|sources)\.(\w+)\b)"
+)
+
+
+def _registration_order() -> dict:
+    """The raw module-registration-order registry (NOT window-reordered)."""
+    from s3_kinesis_replay_spark import registry as reg
+
+    reg.all_queries()  # trigger module imports / registration
+    return dict(reg._REGISTRY)
+
+
+def _helper_modules(src: str) -> list[Path]:
+    """Helper module files under operators/ streaming/ sources/ that the
+    query-fn source references, by import statement or dotted use."""
+    mods: set[Path] = set()
+    for m in _HELPER_RE.finditer(src):
+        if m.group(1):  # from pkg.operators import a, b
+            for name in m.group(2).split(","):
+                p = PKG / m.group(1) / f"{name.strip()}.py"
+                if p.exists():
+                    mods.add(p)
+        elif m.group(3):  # from pkg.operators.mod import ...
+            p = PKG / m.group(3) / f"{m.group(4)}.py"
+            if p.exists():
+                mods.add(p)
+        elif m.group(5):  # operators.mod attr use
+            p = PKG / m.group(5) / f"{m.group(6)}.py"
+            if p.exists():
+                mods.add(p)
+    return sorted(mods)
+
+
+def snapshot() -> dict[str, str]:
+    """name -> hex digest over fn source + referenced helper sources."""
+    out: dict[str, str] = {}
+    for name, q in _registration_order().items():
+        src = inspect.getsource(q.fn)
+        h = hashlib.sha256(src.encode())
+        for mod in _helper_modules(src):
+            h.update(mod.read_bytes())
+        out[name] = h.hexdigest()[:16]
+    return out
+
+
+def _green_rounds() -> dict[str, int]:
+    """Latest driver verdict per entry: round of the most recent green.
+
+    Green = hash_match true, OR a declared rows-only record (err ==
+    'no_oracle' with a row count) — the weaker green those entries can
+    ever earn. A FAIL/ERR in a later round erases an earlier green.
+    """
+    greens: dict[str, int] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path.name).group(1))
+        for name, rec in json.loads(path.read_text()).items():
+            ok = rec.get("hash_match") is True or (
+                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            )
+            if ok:
+                greens[name] = rnd
+            else:
+                greens.pop(name, None)
+    return greens
+
+
+def load_state() -> dict:
+    if STATE_PATH.exists():
+        return json.loads(STATE_PATH.read_text())
+    return {"green_hash": {}, "green_round": {}}
+
+
+def update_green() -> dict:
+    """Refresh state from CORRECTNESS files: every currently-green entry
+    records its CURRENT source hash as the hash-at-green.
+
+    Run this right after a round's CORRECTNESS lands, BEFORE making
+    changes, so later edits register as changed-since-green.
+    """
+    cur = snapshot()
+    greens = _green_rounds()
+    state = load_state()
+    for name, rnd in greens.items():
+        prev_round = state["green_round"].get(name)
+        if prev_round != rnd or name not in state["green_hash"]:
+            state["green_hash"][name] = cur.get(name, "")
+            state["green_round"][name] = rnd
+    # drop entries that no longer exist in the registry
+    state["green_hash"] = {k: v for k, v in state["green_hash"].items() if k in cur}
+    state["green_round"] = {k: v for k, v in state["green_round"].items() if k in cur}
+    STATE_PATH.write_text(json.dumps(state, indent=1, sort_keys=True) + "\n")
+    return state
+
+
+def emit(limit: int = 50) -> list[str]:
+    """Deterministic front-load list for the next driver window."""
+    cur = snapshot()
+    state = load_state()
+    reg_order = list(_registration_order())
+
+    never = [n for n in reg_order if n not in state["green_round"]]
+    changed = [
+        n
+        for n in reg_order
+        if n in state["green_round"] and state["green_hash"].get(n) != cur[n]
+    ]
+    taken = set(never) | set(changed)
+    ballast = sorted(
+        (n for n in reg_order if n not in taken),
+        key=lambda n: (state["green_round"][n], reg_order.index(n)),
+    )
+    window = (never + changed + ballast)[:limit]
+    return window
+
+
+def write_window(limit: int = 50) -> list[str]:
+    window = emit(limit)
+    WINDOW_PATH.write_text(
+        json.dumps({"first": window, "limit": limit}, indent=1) + "\n"
+    )
+    return window
+
+
+def main() -> None:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "emit"
+    if cmd == "update-green":
+        state = update_green()
+        print(f"state: {len(state['green_round'])} greens recorded")
+    elif cmd == "emit":
+        window = write_window()
+        print(f"window.json: {len(window)} entries; head={window[:5]}")
+    elif cmd == "check":
+        want = emit()
+        have = (
+            json.loads(WINDOW_PATH.read_text())["first"]
+            if WINDOW_PATH.exists()
+            else []
+        )
+        if want != have:
+            print("window.json STALE — run `python tools/window_tool.py emit`")
+            print(f" want head: {want[:8]}")
+            print(f" have head: {have[:8]}")
+            sys.exit(1)
+        print("window.json up to date")
+    else:
+        sys.exit(f"unknown command {cmd!r}")
+
+
+if __name__ == "__main__":
+    main()
