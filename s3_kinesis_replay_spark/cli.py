@@ -17,7 +17,10 @@ Flag mapping (reference CLI semantics → here, SURVEY §1.1/§3):
 
 The sink defaults to the in-process capture client (prints a JSON summary
 — useful for dry runs); ``--sink moto`` publishes against a moto-mocked
-Kinesis endpoint when moto/boto3 are available.
+Kinesis endpoint when moto/boto3 are available; ``--sink factory`` builds
+the client from an importable ``--client-factory MODULE:CALLABLE`` in
+every publishing process — the sink that supports ``--distributed``
+(executor-side publishing, workers construct their own clients).
 """
 
 from __future__ import annotations
@@ -76,17 +79,36 @@ def build_parser() -> argparse.ArgumentParser:
         default=600.0,
         help="max seconds to wait (continuous mode stops cleanly at timeout)",
     )
-    r.add_argument("--sink", choices=["capture", "moto"], default="capture")
+    r.add_argument(
+        "--sink",
+        choices=["capture", "moto", "factory"],
+        default="capture",
+        help="capture = in-process summary client; moto = mocked AWS "
+        "Kinesis; factory = client built from --client-factory (the only "
+        "sink that supports --distributed)",
+    )
+    r.add_argument(
+        "--client-factory",
+        metavar="MODULE:CALLABLE",
+        help="importable client factory for --sink factory; each process "
+        "that publishes (driver, or every executor worker under "
+        "--distributed) imports and calls it to build its own client "
+        "(e.g. s3_kinesis_replay_spark.streaming.kinesis_datasource:"
+        "file_client_factory)",
+    )
+    r.add_argument(
+        "--client-arg",
+        default="",
+        help="optional string argument passed to --client-factory",
+    )
     r.add_argument(
         "--distributed",
         action="store_true",
-        help="publish from executor tasks (sink client built per-partition). "
-        "Not supported with the built-in capture/moto sinks — both are "
-        "driver-process clients (capture accumulates in worker copies; "
-        "moto's mock is not active in executor workers). Use the "
-        "DataSource sink with an importable client factory "
-        "(streaming.kinesis_datasource, client_factory_path) for real "
-        "distributed publishing.",
+        help="publish from executor tasks (sink client built per-partition "
+        "from --client-factory). Requires --sink factory: the built-in "
+        "capture/moto sinks are driver-process clients (capture "
+        "accumulates in worker copies; moto's mock is not active in "
+        "executor workers).",
     )
     return p
 
@@ -99,22 +121,38 @@ def run_replay_cmd(args: argparse.Namespace) -> dict:
 
     if bool(args.archive_root) == bool(args.from_sf_dir):
         raise SystemExit("exactly one of --archive-root / --from-sf-dir is required")
-    if args.distributed:
+    if args.distributed and args.sink != "factory":
         # Both built-in sinks hold driver-process state: pickling the capture
         # client to executors silently publishes into worker copies
         # (summary reads 0), and boto3/moto clients don't survive the
-        # pickle boundary at all. Distributed publishing goes through the
-        # DataSource sink's importable client_factory_path instead, where
-        # each worker constructs its own client.
+        # pickle boundary at all. Executor-side publishing needs a client
+        # each worker can build itself — an importable factory.
         raise SystemExit(
-            "--distributed is not supported with the capture/moto CLI sinks "
-            "(driver-side clients; summary would be wrong). Use the "
-            "DataSource sink path (streaming.kinesis_datasource with "
-            "client_factory_path) for executor-side publishing."
+            "--distributed requires --sink factory with --client-factory "
+            "MODULE:CALLABLE (capture/moto are driver-side clients; the "
+            "summary would be wrong)."
         )
+    if args.sink == "factory" and not args.client_factory:
+        raise SystemExit("--sink factory requires --client-factory MODULE:CALLABLE")
     root = args.archive_root or stage_archive(args.from_sf_dir, gz=True)
 
-    if args.sink == "moto":
+    if args.sink == "factory":
+        from s3_kinesis_replay_spark.streaming.kinesis_sink import (
+            resolve_client_factory,
+        )
+
+        ctx = None
+        client = args.client_factory  # importable path, resolved per-process
+
+        def summary_from_sink():
+            return {
+                "client_factory": args.client_factory,
+                "distributed": args.distributed,
+            }
+
+        # fail fast in the driver if the path doesn't import/resolve
+        resolve_client_factory(args.client_factory, args.client_arg)()
+    elif args.sink == "moto":
         try:
             import boto3
             from moto import mock_aws
@@ -153,7 +191,19 @@ def run_replay_cmd(args: argparse.Namespace) -> dict:
         dt_start=args.dt_start,
         dt_end=args.dt_end,
     )
-    q = run_replay(spark, cfg, lambda: client, distributed=args.distributed)
+    # factory sink: pass the importable path through so each publishing
+    # process (driver, or every executor worker when --distributed)
+    # resolves its own client; other sinks publish via the driver client.
+    if args.sink == "factory":
+        q = run_replay(
+            spark,
+            cfg,
+            client,
+            distributed=args.distributed,
+            client_arg=args.client_arg,
+        )
+    else:
+        q = run_replay(spark, cfg, lambda: client, distributed=False)
     finished = q.awaitTermination(args.timeout)
     if not finished:
         q.stop()

@@ -127,6 +127,26 @@ def publish_batch(
     return published
 
 
+def resolve_client_factory(spec, arg: str = ""):
+    """Normalize a client factory: a callable passes through; a
+    ``"module:callable"`` string becomes a zero-arg factory that resolves
+    the import LAZILY — inside whatever process calls it. Executor tasks
+    therefore build their own client from the import path (only strings
+    cross the pickle boundary), the same shape a boto3 deployment uses
+    (factory reads env credentials in the worker)."""
+    if callable(spec):
+        return spec
+    mod_name, fn_name = spec.split(":")
+
+    def factory():
+        import importlib
+
+        fn = getattr(importlib.import_module(mod_name), fn_name)
+        return fn(arg) if arg else fn()
+
+    return factory
+
+
 def kinesis_foreach_batch(
     client_factory,
     stream_name: str,
@@ -135,19 +155,25 @@ def kinesis_foreach_batch(
     seq_col: str = "seq",
     num_writers: int = 8,
     distributed: bool = True,
+    client_arg: str = "",
 ):
     """Build the foreachBatch function for writeStream (A7 + H8).
 
     Each writer publishes its keys' records in (key, seq) order; the
     idempotency tag (batch_id:seq) rides in the payload envelope.
 
-    ``distributed=True`` publishes from executor tasks (client_factory
-    must build a client inside the Python worker — e.g. boto3 from env
-    credentials). ``distributed=False`` publishes from the driver over a
-    (key, seq)-sorted collect — the testable path for in-process mock
-    clients (moto/CapturingClient state lives in the driver process),
-    and the ordering semantics are identical.
+    ``client_factory`` is a callable or an importable ``"module:callable"``
+    path (resolved per-process via ``resolve_client_factory``; the path
+    form is REQUIRED for distributed publishing with clients that can't
+    be pickled — boto3, file-backed endpoints).
+
+    ``distributed=True`` publishes from executor tasks (the factory runs
+    inside each Python worker). ``distributed=False`` publishes from the
+    driver over a (key, seq)-sorted collect — the testable path for
+    in-process mock clients (moto/CapturingClient state lives in the
+    driver process), and the ordering semantics are identical.
     """
+    client_factory = resolve_client_factory(client_factory, client_arg)
 
     def fn(batch_df: DataFrame, batch_id: int):
         tagged = batch_df.select(

@@ -96,14 +96,26 @@ def run_replay_datasource(
     return writer.start()
 
 
-def run_replay(spark: SparkSession, cfg: ReplayConfig, client_factory, distributed: bool = False):
-    """Wire source → kinesis sink; returns the started StreamingQuery."""
+def run_replay(
+    spark: SparkSession,
+    cfg: ReplayConfig,
+    client_factory,
+    distributed: bool = False,
+    client_arg: str = "",
+):
+    """Wire source → kinesis sink; returns the started StreamingQuery.
+
+    ``client_factory`` may be a callable (driver-mode) or an importable
+    ``"module:callable"`` path — the only form that works with
+    ``distributed=True``, where each executor worker builds its own
+    client (see kinesis_sink.resolve_client_factory)."""
     records = build_replay_stream(spark, cfg)
     sink_fn = kinesis_foreach_batch(
         client_factory,
         cfg.stream_name,
         num_writers=cfg.num_writers,
         distributed=distributed,
+        client_arg=client_arg,
     )
     writer = (
         records.writeStream.foreachBatch(sink_fn)

@@ -7,9 +7,14 @@ Rounds 1-3 curated that list by hand; this tool automates it so no entry
 can silently miss its turn:
 
 * ``snapshot``   — sha256 per registry entry over the query-fn source
-                   PLUS the source of every ``operators.*`` /
-                   ``streaming.*`` helper module the fn references, so a
+                   PLUS the source file of every in-package object the fn
+                   references (resolved through ``fn.__globals__`` for
+                   module-level imports and same-module helpers, plus a
+                   regex pass for imports inlined in the fn body), so a
                    shared-helper edit marks every dependent entry dirty.
+                   ``registry.py`` itself is excluded: the registration
+                   mechanism carries no query semantics, and hashing it
+                   would mark ALL entries dirty on every window rotation.
 * ``state``      — ``tools/window_state.json``: per entry, the hash at
                    last driver green and the round that green happened
                    (latest CORRECTNESS_r*.json verdict wins; a rows-only
@@ -32,14 +37,19 @@ Usage:
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import inspect
 import json
+import os
 import re
 import sys
+import textwrap
 from pathlib import Path
 
-REPO = Path(__file__).resolve().parent.parent
+# SKR_REPO_ROOT lets this script hash a DIFFERENT checkout's package (e.g.
+# a git worktree at the last-green commit) to rebuild baseline hashes.
+REPO = Path(os.environ.get("SKR_REPO_ROOT") or Path(__file__).resolve().parent.parent)
 sys.path.insert(0, str(REPO))
 
 STATE_PATH = REPO / "tools" / "window_state.json"
@@ -83,13 +93,99 @@ def _helper_modules(src: str) -> list[Path]:
     return sorted(mods)
 
 
+def _global_dep_files(fn, src: str) -> list[Path]:
+    """Package source files reachable from the fn through its globals:
+    every identifier in the fn body that resolves (via ``fn.__globals__``)
+    to an in-package module, or to a function/class defined in one,
+    contributes that module's file — including the fn's own defining
+    module when it calls same-module helpers. registry.py is excluded
+    (registration mechanics, no query semantics)."""
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:  # pragma: no cover - fn source always parses
+        return []
+    names = {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+    files: set[Path] = set()
+    g = getattr(fn, "__globals__", {})
+    for name in names:
+        obj = g.get(name)
+        if obj is None:
+            continue
+        mod = obj if inspect.ismodule(obj) else inspect.getmodule(obj)
+        f = getattr(mod, "__file__", None)
+        if f and "s3_kinesis_replay_spark" in f and not f.endswith("registry.py"):
+            files.add(Path(f))
+    return sorted(files)
+
+
+def _mod_to_file(dotted: str) -> Path | None:
+    rel = dotted.split(".")[1:]  # drop the package root segment
+    if not rel:
+        return None
+    p = PKG.joinpath(*rel).with_suffix(".py")
+    if p.exists():
+        return p
+    p = PKG.joinpath(*rel) / "__init__.py"
+    if p.exists():
+        return p
+    if len(rel) > 1:  # from pkg.mod import NAME — NAME is not a module
+        p = PKG.joinpath(*rel[:-1]).with_suffix(".py")
+        if p.exists():
+            return p
+    return None
+
+
+def _module_graph() -> dict[Path, set[Path]]:
+    """file -> package files it imports (incl. imports inside functions)."""
+    graph: dict[Path, set[Path]] = {}
+    for f in sorted(PKG.rglob("*.py")):
+        deps: set[Path] = set()
+        tree = ast.parse(f.read_text())
+        for node in ast.walk(tree):
+            dotted: list[str] = []
+            if isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(
+                "s3_kinesis_replay_spark"
+            ):
+                dotted.append(node.module)
+                dotted.extend(f"{node.module}.{a.name}" for a in node.names)
+            elif isinstance(node, ast.Import):
+                dotted.extend(
+                    a.name
+                    for a in node.names
+                    if a.name.startswith("s3_kinesis_replay_spark")
+                )
+            for d in dotted:
+                p = _mod_to_file(d)
+                if p is not None and p != f:
+                    deps.add(p)
+        graph[f] = deps
+    return graph
+
+
+def _closure(files: set[Path], graph: dict[Path, set[Path]]) -> set[Path]:
+    out, stack = set(), list(files)
+    while stack:
+        f = stack.pop()
+        if f in out:
+            continue
+        out.add(f)
+        stack.extend(graph.get(f, ()))
+    return out
+
+
 def snapshot() -> dict[str, str]:
-    """name -> hex digest over fn source + referenced helper sources."""
+    """name -> hex digest over fn source + the TRANSITIVE closure of
+    package files it depends on (direct refs via globals/inline imports,
+    then the module import graph), so an edit anywhere in an operator's
+    implementation chain marks every dependent query dirty."""
+    graph = _module_graph()
+    registry_file = PKG / "registry.py"
     out: dict[str, str] = {}
     for name, q in _registration_order().items():
         src = inspect.getsource(q.fn)
         h = hashlib.sha256(src.encode())
-        for mod in _helper_modules(src):
+        direct = set(_helper_modules(src)) | set(_global_dep_files(q.fn, src))
+        for mod in sorted(_closure(direct, graph) - {registry_file}):
             h.update(mod.read_bytes())
         out[name] = h.hexdigest()[:16]
     return out
@@ -178,6 +274,23 @@ def main() -> None:
     if cmd == "update-green":
         state = update_green()
         print(f"state: {len(state['green_round'])} greens recorded")
+    elif cmd == "snapshot-json":
+        # machine-readable hashes — run with SKR_REPO_ROOT=<worktree> to
+        # extract baseline hashes from a historical checkout
+        print(json.dumps(snapshot(), indent=0, sort_keys=True))
+    elif cmd == "rebase-hashes":
+        # replace stored green hashes with ones from a snapshot-json file
+        # (keeps green rounds): used when the hash ALGORITHM changes and
+        # baselines must be recomputed against the last-green tree
+        hashes = json.loads(Path(sys.argv[2]).read_text())
+        state = load_state()
+        state["green_hash"] = {
+            k: hashes[k]
+            for k in state["green_round"]
+            if k in hashes
+        }
+        STATE_PATH.write_text(json.dumps(state, indent=1, sort_keys=True) + "\n")
+        print(f"rebased {len(state['green_hash'])} green hashes")
     elif cmd == "emit":
         window = write_window()
         print(f"window.json: {len(window)} entries; head={window[:5]}")
