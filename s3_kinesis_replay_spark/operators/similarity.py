@@ -318,6 +318,61 @@ def lsh_bucketed_topk(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings with a seeded k-means coarse quantizer, compare
+    EXACT cosine only within a cluster, and drop every vector that has a
+    lower-id neighbor with cosine >= threshold (deterministic min-id
+    keep rule; ``rep_id`` is that neighbor and may itself be dropped —
+    chains resolve to the component's minimum id transitively).
+
+    Scale shape: the k-means assignment is one pass; candidate pairs are
+    a cell equi-join, never corpus × corpus — the cluster count bounds
+    the quadratic term exactly as in the paper (cells ~ sqrt(N) keeps
+    per-cell pair counts manageable at 10^9 vectors, and the join
+    shuffles fixed-width (id, vector) rows hashed by cell).
+
+    Returns one row per corpus vector: (id, cell, keep, rep_id).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(
+        id_col, vec_col, array_to_vector(F.col(vec_col)).alias("_features")
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_features", predictionCol="cell"
+    ).fit(vecs)
+    assigned = model.transform(vecs).select(id_col, vec_col, "cell")
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    sim = cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    dropped = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (ida < idb))
+        .filter(sim >= threshold)
+        .groupBy(idb.alias(id_col))
+        .agg(F.min(ida).alias("rep_id"))
+    )
+    return (
+        assigned.select(id_col, "cell")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("rep_id").isNull().alias("keep"),
+            "rep_id",
+        )
+    )
+
+
 def data_fingerprint(path: str) -> str:
     """Content-identity digest for a dataset path: every file's relative
     path, size, and mtime_ns. Regenerating the data at the same path

@@ -66,6 +66,60 @@ def quality_features(text: Column, n_chars: Column) -> dict[str, Column]:
     }
 
 
+def bigram_repetition(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition features over word 2-grams: how much of the
+    document is repeated phrasing. ``rep_ratio = 1 - distinct/total``
+    bigrams; heavily templated/spammy docs score high. Pure codegen
+    (split once, transform + array_distinct) — no shuffle, no Python."""
+    toks = F.split(F.lower(text), " ")
+    n = F.size(toks)
+    # element_at is 1-based; sequence(1, n-1) pairs i with i+1. Guard the
+    # single-token doc: Spark's sequence(1, 0) would DESCEND ([1, 0]),
+    # not return empty — DuckDB's range(1, 1) is empty.
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    n_uniq = F.size(F.array_distinct(bigrams))
+    return {
+        "n_bigrams": n_bi.cast("int"),
+        "n_distinct_bigrams": n_uniq.cast("int"),
+        "rep_ratio": F.when(
+            n_bi > 0, F.round((n_bi - n_uniq).cast("double") / n_bi, 6)
+        ),
+    }
+
+
+# Patterns chosen to behave identically under Java regex (Spark) and RE2
+# (DuckDB): no lookarounds, no backrefs — plain character classes.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONG_DIGITS_RE = r"[0-9]{6,}"
+
+
+def pii_redact(text: Column) -> dict[str, Column]:
+    """Mask email addresses and long digit runs (id/phone-shaped) — the
+    training-data privacy scrub. Counts are emitted alongside the masked
+    text so a pipeline can quarantine high-PII sources. Per-row codegen
+    regex; at 100 TB this is a map-only pass fused into the scan stage."""
+    n_email = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0)))
+    masked_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    n_digits = F.size(
+        F.regexp_extract_all(masked_email, F.lit(PII_LONG_DIGITS_RE), F.lit(0))
+    )
+    masked = F.regexp_replace(masked_email, PII_LONG_DIGITS_RE, "<NUM>")
+    return {
+        "masked_text": masked,
+        "n_emails": n_email.cast("int"),
+        "n_long_digit_runs": n_digits.cast("int"),
+    }
+
+
 def rolling_fingerprint(text: Column, base: int = 257, mod: int = 1_000_000_007) -> Column:
     """Deterministic polynomial rolling hash of the character stream —
     document fingerprint usable as a cheap content key.

@@ -191,6 +191,97 @@ def t3_fingerprint(spark, sf_dir):
 
 
 @register(
+    "t5_repetition_filter",
+    "I9",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END
+                AS INTEGER) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS INTEGER) AS n_distinct_bigrams,
+           CASE WHEN len(toks) >= 2
+                THEN ROUND(CAST(len(bigrams) - len(list_distinct(bigrams))
+                                AS DOUBLE) / len(bigrams), 6)
+           END AS rep_ratio
+    FROM (
+      SELECT doc_id, toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents)
+    )
+    """,
+    note="Gopher-style repetition filter: duplicate word-2-gram fraction "
+    "per doc (templated/spammy docs score high). Split-once codegen "
+    "projection — map-only at 100 TB, fused into the scan stage",
+)
+def t5_repetition_filter(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.text import bigram_repetition
+
+    d = t(spark, "documents", sf_dir)
+    feats = bigram_repetition(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_bigrams"].alias("n_bigrams"),
+        feats["n_distinct_bigrams"].alias("n_distinct_bigrams"),
+        feats["rep_ratio"].alias("rep_ratio"),
+    )
+
+
+# The fixture corpus carries no real PII, so the declared query plants a
+# deterministic email + numeric id per row (same expression in both
+# engines) and then redacts — the assertion is that the masking pipeline
+# finds and rewrites exactly what it should.
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com ref ' || CAST(doc_id * 7919 + 100000 AS VARCHAR)"
+)
+
+
+@register(
+    "t6_pii_redact",
+    "I9",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(
+                regexp_replace(pii_text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                  '<EMAIL>', 'g'),
+                '[0-9]{{6,}}')) AS INTEGER) AS n_long_digit_runs,
+           regexp_replace(
+             regexp_replace(pii_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+               '<EMAIL>', 'g'),
+             '[0-9]{{6,}}', '<NUM>', 'g') AS masked_text
+    FROM (SELECT doc_id, {_PII_SUFFIX_SQL} AS pii_text FROM documents)
+    """,
+    note="PII scrub: mask emails + long digit runs, count hits (quarantine "
+    "signal). Patterns avoid lookarounds/backrefs so Java regex (Spark) "
+    "and RE2 (DuckDB) agree. Map-only codegen pass at scale",
+)
+def t6_pii_redact(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.text import pii_redact
+
+    d = t(spark, "documents", sf_dir)
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref "),
+        (F.col("doc_id") * 7919 + 100000).cast("string"),
+    )
+    feats = pii_redact(pii_text)
+    return d.select(
+        "doc_id",
+        feats["n_emails"].alias("n_emails"),
+        feats["n_long_digit_runs"].alias("n_long_digit_runs"),
+        feats["masked_text"].alias("masked_text"),
+    )
+
+
+@register(
     "t4_token_counts",
     "I9",
     None,  # BPE-ish regex split uses lookarounds (not in RE2) — rows-only

@@ -370,6 +370,27 @@ def i13b_ivf_probe(spark, sf_dir):
     )
 
 
+@register(
+    "i14_semdedup",
+    "I3",
+    None,  # k-means training is not SQL-expressible — rows-only; the
+    # keep/drop contract is exactly verified in
+    # tests/test_operators.py::test_i14_semdedup_contract
+    check="SEM",
+    note="SemDeDup-style semantic dedup (public: Abbas et al. 2023): "
+    "seeded k-means cells, exact within-cell cosine, drop-on-lower-id-"
+    "neighbor >= 0.45. Cell equi-join bounds the quadratic term — never "
+    "corpus x corpus",
+)
+def i14_semdedup(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.similarity import semdedup
+
+    e = t(spark, "embeddings", sf_dir)
+    return semdedup(
+        e.select("vec_id", "embedding"), threshold=0.45, n_clusters=16, seed=42
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------- text
 
 

@@ -358,3 +358,55 @@ def p7_contamination_check(spark, sf_dir):
             F.count_distinct("g").alias("n_shared_grams"),
         )
     )
+
+
+@register(
+    "p8_domain_mixture",
+    "I15",
+    """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS fs
+      FROM documents GROUP BY source
+    ),
+    tt AS (
+      SELECT *, SUM(fs) OVER () AS sw, SUM(n) OVER () AS total FROM s
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           ROUND(CAST(fs AS DOUBLE) / sw, 6) AS mix_weight,
+           CAST((total * fs) // sw AS BIGINT) AS target_n,
+           ROUND(LEAST(1.0, CAST((total * fs) // sw AS DOUBLE) / n), 6)
+               AS sample_frac
+    FROM tt
+    """,
+    note="temperature-scaled domain mixing (multilingual-sampling style, "
+    "alpha=0.5): per-source target counts from sqrt-damped weights, "
+    "oversampling capped at 1.0. Weight basis is floor(sqrt(n)) and "
+    "target_n is INTEGER division so both engines are exact (no float "
+    "accumulation across sources). 20-row agg output — the global window "
+    "is declared-global bounded",
+)
+def p8_domain_mixture(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    fs = F.floor(F.sqrt(F.col("n_docs"))).cast("bigint")
+    src = per_src.select("source", "n_docs", fs.alias("fs"))
+    src = src.select(
+        "source",
+        "n_docs",
+        "fs",
+        F.sum("fs").over(w).alias("sw"),
+        F.sum("n_docs").over(w).alias("total"),
+    )
+    target = F.expr("DIV(total * fs, sw)")
+    return src.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.col("fs").cast("double") / F.col("sw"), 6).alias("mix_weight"),
+        target.cast("bigint").alias("target_n"),
+        F.round(
+            F.least(F.lit(1.0), target.cast("double") / F.col("n_docs")), 6
+        ).alias("sample_frac"),
+    )

@@ -468,6 +468,48 @@ def test_ivf_stored_index_prunes_partitions(spark, sf_dir, tmp_path_factory):
     assert [r["vec_id"] for r in probed.collect()] == [r["vec_id"] for r in mem.collect()]
 
 
+def test_i14_semdedup_contract(spark, sf_dir):
+    """Exact verification of the declared SemDeDup rule against a NumPy
+    brute-force recompute: using the result's own cell assignment, a
+    vector is dropped iff a lower-id same-cell neighbor has cosine >=
+    threshold, and rep_id is the MINIMUM such neighbor."""
+    import numpy as np
+
+    rows = QUERIES["i14_semdedup"].fn(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in table(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    assert len(rows) == len(emb)
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    verdict = {r["vec_id"]: (r["keep"], r["rep_id"]) for r in rows}
+
+    def cos(a, b):
+        return float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    for cell, ids in by_cell.items():
+        for v in ids:
+            neighbors = [
+                u for u in ids if u < v and cos(emb[u], emb[v]) >= 0.45
+            ]
+            keep, rep = verdict[v]
+            if neighbors:
+                assert not keep and rep == min(neighbors), (cell, v, rep, neighbors)
+            else:
+                assert keep and rep is None, (cell, v, rep)
+
+
+def test_i14_semdedup_deterministic(spark, sf_dir):
+    a = [tuple(r) for r in QUERIES["i14_semdedup"].fn(spark, sf_dir).collect()]
+    b = [tuple(r) for r in QUERIES["i14_semdedup"].fn(spark, sf_dir).collect()]
+    assert a == b
+    assert any(not r[2] for r in a), "threshold drops nothing — test is vacuous"
+
+
 def test_i13b_ivf_probe_all_agree(spark, sf_dir):
     """The declared i13b query's agreement column must be true on every
     row — this is the assertion its registry note points at (the driver's
