@@ -89,7 +89,19 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _settle(max_wait_s: float = 120.0, target_load: float = 8.0) -> float:
+    """Wait (bounded) for host load to drop before timing anything —
+    BENCH_r03 was contaminated by a prior JVM's teardown; this makes the
+    official record self-protecting, not just self-adjudicating."""
+    waited = 0.0
+    while waited < max_wait_s and os.getloadavg()[0] > target_load:
+        time.sleep(5)
+        waited += 5
+    return waited
+
+
 def main() -> None:
+    settle_wait = _settle()
     load_before = os.getloadavg()
     spark = get_spark(app_name="skr-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -123,6 +135,7 @@ def main() -> None:
                 "sf": float(sf),
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "settle_wait_s": settle_wait,
             }
         )
     )

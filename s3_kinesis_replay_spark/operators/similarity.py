@@ -23,16 +23,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def dot_expr(x, y):
+    """float64 dot product, sequential left-fold (codegen HOFs)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine_expr(a, b):
     """Exact float64 cosine via codegen HOFs (no Python)."""
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
 
 
 def brute_topk(
@@ -350,11 +352,21 @@ def semdedup(
     model = KMeans(
         k=n_clusters, seed=seed, featuresCol="_features", predictionCol="cell"
     ).fit(vecs)
-    assigned = model.transform(vecs).select(id_col, vec_col, "cell")
+    # per-vector norm computed ONCE here — the pair predicate then needs a
+    # single dot fold instead of three (sqrt(dot(v,v)) per pair side);
+    # dot/(na*nb) is arithmetic-identical to cosine_expr, just hoisted
+    assigned = model.transform(vecs).select(
+        id_col,
+        vec_col,
+        "cell",
+        F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col))).alias("_norm"),
+    )
 
     a, b = assigned.alias("a"), assigned.alias("b")
     ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-    sim = cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    sim = dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a._norm") * F.col("b._norm")
+    )
     dropped = (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & (ida < idb))
         .filter(sim >= threshold)

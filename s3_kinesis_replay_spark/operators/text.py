@@ -66,13 +66,20 @@ def quality_features(text: Column, n_chars: Column) -> dict[str, Column]:
     }
 
 
-def bigram_repetition(text: Column) -> dict[str, Column]:
+def bigram_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition features over word 2-grams: how much of the
-    document is repeated phrasing. ``rep_ratio = 1 - distinct/total``
-    bigrams; heavily templated/spammy docs score high. Pure codegen
-    (split once, transform + array_distinct) — no shuffle, no Python."""
-    toks = F.split(F.lower(text), " ")
-    n = F.size(toks)
+    document is repeated phrasing. ``rep_ratio`` = duplicate-bigram
+    fraction; heavily templated/spammy docs score high.
+
+    Built as CHAINED projections so every HOF lambda sees a bare column
+    attribute: lambdas re-evaluate embedded expression trees per element,
+    so inlining split/transform/sort into element_at would go quadratic
+    (measured: hang at 5k docs). Distinct counting is sort + one
+    adjacent-compare pass — array_distinct on string arrays is quadratic
+    in comparisons. Map-only codegen; no shuffle, no Python."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    with_toks = df.select("*", toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
     # element_at is 1-based; sequence(1, n-1) pairs i with i+1. Guard the
     # single-token doc: Spark's sequence(1, 0) would DESCEND ([1, 0]),
     # not return empty — DuckDB's range(1, 1) is empty.
@@ -81,19 +88,40 @@ def bigram_repetition(text: Column) -> dict[str, Column]:
         F.transform(
             F.sequence(F.lit(1), n - 1),
             lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                " ",
+                F.element_at(F.col("_toks"), i),
+                F.element_at(F.col("_toks"), i + 1),
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    n_bi = F.size(bigrams)
-    n_uniq = F.size(F.array_distinct(bigrams))
-    return {
-        "n_bigrams": n_bi.cast("int"),
-        "n_distinct_bigrams": n_uniq.cast("int"),
-        "rep_ratio": F.when(
-            n_bi > 0, F.round((n_bi - n_uniq).cast("double") / n_bi, 6)
+    with_sorted = (
+        with_toks.select("*", bigrams.alias("_bigrams"))
+        .select(
+            "*",
+            F.size(F.col("_bigrams")).alias("_n_bi"),
+            F.array_sort(F.col("_bigrams")).alias("_sorted"),
+        )
+        .drop("_toks", "_bigrams")
+    )
+    n_bi = F.col("_n_bi")
+    n_dup = F.when(
+        n_bi >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(2), n_bi),
+                lambda i: F.element_at(F.col("_sorted"), i)
+                == F.element_at(F.col("_sorted"), i - 1),
+            )
         ),
-    }
+    ).otherwise(F.lit(0))
+    return with_sorted.select(
+        "*",
+        n_bi.cast("int").alias("n_bigrams"),
+        (n_bi - n_dup).cast("int").alias("n_distinct_bigrams"),
+        F.when(n_bi > 0, F.round(n_dup.cast("double") / n_bi, 6)).alias(
+            "rep_ratio"
+        ),
+    ).drop("_n_bi", "_sorted")
 
 
 # Patterns chosen to behave identically under Java regex (Spark) and RE2

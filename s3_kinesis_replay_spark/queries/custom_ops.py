@@ -217,13 +217,9 @@ def t3_fingerprint(spark, sf_dir):
 def t5_repetition_filter(spark, sf_dir):
     from s3_kinesis_replay_spark.operators.text import bigram_repetition
 
-    d = t(spark, "documents", sf_dir)
-    feats = bigram_repetition(F.col("text"))
-    return d.select(
-        "doc_id",
-        feats["n_bigrams"].alias("n_bigrams"),
-        feats["n_distinct_bigrams"].alias("n_distinct_bigrams"),
-        feats["rep_ratio"].alias("rep_ratio"),
+    d = t(spark, "documents", sf_dir).select("doc_id", "text")
+    return bigram_repetition(d).select(
+        "doc_id", "n_bigrams", "n_distinct_bigrams", "rep_ratio"
     )
 
 

@@ -20,6 +20,16 @@ def test_emit_is_deterministic():
     assert window_tool.emit() == window_tool.emit()
 
 
+def test_no_unseen_correctness_rounds():
+    """A CORRECTNESS_rN.json the state hasn't ingested means green hashes
+    may be recorded AGAINST post-edit code — run
+    `python tools/window_tool.py update-green` FIRST THING each round,
+    before changing any query code."""
+    assert window_tool.unseen_rounds() == [], (
+        "run `python tools/window_tool.py update-green` before editing code"
+    )
+
+
 def test_window_json_fresh():
     """window.json must match a fresh emit — if a query fn (or a helper it
     references) changed since the file was generated, this fails, which is

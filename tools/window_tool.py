@@ -214,8 +214,22 @@ def _green_rounds() -> dict[str, int]:
 
 def load_state() -> dict:
     if STATE_PATH.exists():
-        return json.loads(STATE_PATH.read_text())
-    return {"green_hash": {}, "green_round": {}}
+        state = json.loads(STATE_PATH.read_text())
+        state.setdefault("rounds_seen", [])
+        return state
+    return {"green_hash": {}, "green_round": {}, "rounds_seen": []}
+
+
+def unseen_rounds() -> list[int]:
+    """CORRECTNESS rounds on disk that update-green has not ingested —
+    non-empty means the state's hashes may postdate code edits, so run
+    `python tools/window_tool.py update-green` BEFORE changing code."""
+    state = load_state()
+    on_disk = [
+        int(re.search(r"r(\d+)", p.name).group(1))
+        for p in REPO.glob("CORRECTNESS_r*.json")
+    ]
+    return sorted(set(on_disk) - set(state["rounds_seen"]))
 
 
 def update_green() -> dict:
@@ -236,6 +250,13 @@ def update_green() -> dict:
     # drop entries that no longer exist in the registry
     state["green_hash"] = {k: v for k, v in state["green_hash"].items() if k in cur}
     state["green_round"] = {k: v for k, v in state["green_round"].items() if k in cur}
+    state["rounds_seen"] = sorted(
+        set(state.get("rounds_seen", []))
+        | {
+            int(re.search(r"r(\d+)", p.name).group(1))
+            for p in REPO.glob("CORRECTNESS_r*.json")
+        }
+    )
     STATE_PATH.write_text(json.dumps(state, indent=1, sort_keys=True) + "\n")
     return state
 
