@@ -428,6 +428,55 @@ class TestDecimalEdgeDifferential:
         assert not problems, f"coefs={coefs!r}: " + "; ".join(problems)
 
 
+GS_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+
+
+class TestGroupingSetsDifferential:
+    """Random GROUPING SETS over a random predicate: the Expand-based
+    plan's NULL-marker semantics and per-set aggregation must match
+    DuckDB for arbitrary set combinations (rollup/cube fuzzing beyond the
+    declared d11/d11b points). Group columns are non-null in the fixture,
+    so the NULL marker is unambiguous without grouping_id."""
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pred=predicates(),
+        set_idx=st.lists(
+            st.sets(st.integers(0, 2), min_size=1, max_size=3),
+            min_size=1,
+            max_size=4,
+            unique_by=lambda s: tuple(sorted(s)),
+        ),
+    )
+    def test_grouping_sets_match_duckdb(self, spark, duck, sf_dir, pred, set_idx):
+        sets = [[GS_COLS[i] for i in sorted(s)] for s in set_idx]
+        # both engines emit only the union of columns used across the sets
+        # (DuckDB refuses to bind a column absent from every set)
+        used = [c for c in GS_COLS if any(c in s for s in sets)]
+        li = table(spark, "lineitem", sf_dir).filter(F.expr(pred))
+        sdf = li.groupingSets(
+            [[F.col(c) for c in s] for s in sets], *[F.col(c) for c in used]
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(l_quantity AS DECIMAL(38,6))")).alias("sum_qty"),
+        )
+        gsql = ", ".join(f"({', '.join(s)})" for s in sets)
+        osql = (
+            f"SELECT {', '.join(used)}, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty "
+            f"FROM lineitem WHERE {pred} "
+            f"GROUP BY GROUPING SETS ({gsql})"
+        )
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"pred={pred!r} sets={sets}: " + "; ".join(problems)
+
+
 class TestSetOpDifferential:
     """Random INTERSECT/EXCEPT/UNION (set semantics) between two filtered
     projections — duplicate-elimination + NULL-equality semantics of set
