@@ -428,6 +428,68 @@ class TestDecimalEdgeDifferential:
         assert not problems, f"coefs={coefs!r}: " + "; ".join(problems)
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+class TestAsofDifferential:
+    """asof_join (operators/asof.py, union-tag + window) fuzzed against
+    DuckDB's NATIVE ASOF JOIN — an independent third formulation beside
+    the declared c8 correlated-subquery oracle. The right side is deduped
+    to unique (user_id, ts) in both engines so tie semantics (which the
+    two engines pin differently) cannot differ."""
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        lt=st.sampled_from(EVENT_TYPES),
+        rt=st.sampled_from(EVENT_TYPES),
+        modulus=st.integers(2, 5),
+        direction=st.sampled_from(["backward", "forward"]),
+    )
+    def test_asof_matches_duckdb_native(self, spark, duck, sf_dir, lt, rt, modulus, direction):
+        from s3_kinesis_replay_spark.operators.asof import asof_join
+
+        ev = table(spark, "events", sf_dir)
+        left = ev.filter(
+            (F.col("event_type") == lt) & (F.col("event_id") % modulus == 0)
+        ).select("event_id", "user_id", "ts")
+        right = (
+            ev.filter(F.col("event_type") == rt)
+            .groupBy(F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"))
+            .agg(F.max("value").alias("rv"))
+        )
+        sdf = asof_join(
+            left,
+            right,
+            on="ts",
+            right_on="r_ts",
+            by_left="user_id",
+            by_right="r_user",
+            value_cols=["rv"],
+            tiebreak="rv",  # unused: (r_user, r_ts) is unique by construction
+            direction=direction,
+        ).select("event_id", "user_id", "rv")
+        op = ">=" if direction == "backward" else "<="
+        osql = (
+            f"SELECT l.event_id, l.user_id, r.rv "
+            f"FROM (SELECT event_id, user_id, ts FROM events "
+            f"      WHERE event_type = '{lt}' AND event_id % {modulus} = 0) l "
+            f"ASOF LEFT JOIN "
+            f"(SELECT user_id AS r_user, ts AS r_ts, MAX(value) AS rv "
+            f" FROM events WHERE event_type = '{rt}' GROUP BY 1, 2) r "
+            f"ON l.user_id = r.r_user AND l.ts {op} r.r_ts"
+        )
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, (
+            f"lt={lt} rt={rt} mod={modulus} dir={direction}: " + "; ".join(problems)
+        )
+
+
 GS_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
 
 
