@@ -278,6 +278,51 @@ def t6_pii_redact(spark, sf_dir):
 
 
 @register(
+    "t7_rare_word_ratio",
+    "I9",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w)
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(count_if(freq.f < 5) AS BIGINT) AS n_rare,
+           ROUND(CAST(count_if(freq.f < 5) AS DOUBLE) / COUNT(*), 6)
+               AS rare_ratio
+    FROM tok JOIN freq ON tok.w = freq.w
+    GROUP BY tok.doc_id
+    """,
+    note="CCNet-style rare/OOV-token quality signal: fraction of a doc's "
+    "tokens whose corpus frequency < 5. Integer counting + one division "
+    "— cross-engine exact, no float accumulation. Scale: the frequency "
+    "table is vocabulary-sized (Zipf-small); broadcast it when it fits, "
+    "else the token equi-join shuffles fixed-width (word, count) rows",
+)
+def t7_rare_word_ratio(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        tok.join(F.broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count_if(F.col("f") < 5).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_rare",
+            F.round(F.col("n_rare").cast("double") / F.col("n_tok"), 6).alias(
+                "rare_ratio"
+            ),
+        )
+    )
+
+
+@register(
     "t4_token_counts",
     "I9",
     None,  # BPE-ish regex split uses lookarounds (not in RE2) — rows-only
