@@ -58,6 +58,15 @@ HEADLINE = [
     "p1_training_prep",       # composite: filter → near-dup removal → stats
 ]
 
+# Round-4 operators, timed identically but reported under "extras" so the
+# headline total stays comparable with the BASELINE.md series.
+EXTRAS = [
+    "t5_repetition_filter",   # bigram repetition (sort + adjacent compare)
+    "t6_pii_redact",          # regex masking + hit counts
+    "t7_rare_word_ratio",     # corpus-frequency join quality signal
+    "p8_domain_mixture",      # temperature-scaled source mixing
+]
+
 
 def replay_roundtrip_seconds(spark) -> float:
     """End-to-end replay wall-clock: gzip archive → paced stream →
@@ -108,8 +117,7 @@ def main() -> None:
     queries = all_queries()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def timed(name: str) -> float:
         q = queries[name]
         _force(q.fn(spark, SF_DIR))  # untimed warm-up (JIT, file listing, shuffles)
         samples = []
@@ -117,7 +125,10 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(q.fn(spark, SF_DIR))
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+        return round(statistics.median(samples), 3)
+
+    timings = {name: timed(name) for name in HEADLINE}
+    extras = {name: timed(name) for name in EXTRAS}
 
     replay_roundtrip_seconds(spark)  # untimed warm-up
     timings["replay_roundtrip"] = round(
@@ -132,6 +143,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extras": extras,
                 "sf": float(sf),
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
