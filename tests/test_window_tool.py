@@ -20,14 +20,26 @@ def test_emit_is_deterministic():
     assert window_tool.emit() == window_tool.emit()
 
 
-def test_no_unseen_correctness_rounds():
-    """A CORRECTNESS_rN.json the state hasn't ingested means green hashes
-    may be recorded AGAINST post-edit code — run
-    `python tools/window_tool.py update-green` FIRST THING each round,
-    before changing any query code."""
-    assert window_tool.unseen_rounds() == [], (
-        "run `python tools/window_tool.py update-green` before editing code"
+def test_update_green_records_emit_time_hashes(tmp_path, monkeypatch):
+    """A round's CORRECTNESS verdicts apply to the tree committed when the
+    window was emitted — update-green must record THOSE hashes for
+    newly-green entries, so running it after next-round edits have landed
+    cannot mask an entry's changed-since-green status."""
+    state_path = tmp_path / "state.json"
+    state_path.write_text(
+        json.dumps(
+            {
+                "green_hash": {},
+                "green_round": {},
+                "rounds_seen": [],
+                "last_emit_hashes": {"b1_project": "emit-time-hash"},
+            }
+        )
     )
+    monkeypatch.setattr(window_tool, "STATE_PATH", state_path)
+    monkeypatch.setattr(window_tool, "_green_rounds", lambda: {"b1_project": 99})
+    state = window_tool.update_green()
+    assert state["green_hash"]["b1_project"] == "emit-time-hash"
 
 
 def test_window_json_fresh():

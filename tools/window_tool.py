@@ -233,19 +233,21 @@ def unseen_rounds() -> list[int]:
 
 
 def update_green() -> dict:
-    """Refresh state from CORRECTNESS files: every currently-green entry
-    records its CURRENT source hash as the hash-at-green.
-
-    Run this right after a round's CORRECTNESS lands, BEFORE making
-    changes, so later edits register as changed-since-green.
+    """Refresh state from CORRECTNESS files: every newly-green entry
+    records its hash AT THE LAST EMIT (``last_emit_hashes``) — the driver
+    verifies the tree that was committed when the window was generated,
+    so those are the verified hashes even if this command runs after
+    round-N+1 edits have already landed. Falls back to the current hash
+    only for entries the last emit never saw (fresh clone edge case).
     """
     cur = snapshot()
     greens = _green_rounds()
     state = load_state()
+    verified = state.get("last_emit_hashes") or cur
     for name, rnd in greens.items():
         prev_round = state["green_round"].get(name)
         if prev_round != rnd or name not in state["green_hash"]:
-            state["green_hash"][name] = cur.get(name, "")
+            state["green_hash"][name] = verified.get(name, cur.get(name, ""))
             state["green_round"][name] = rnd
     # drop entries that no longer exist in the registry
     state["green_hash"] = {k: v for k, v in state["green_hash"].items() if k in cur}
@@ -287,6 +289,12 @@ def write_window(limit: int = 50) -> list[str]:
     WINDOW_PATH.write_text(
         json.dumps({"first": window, "limit": limit}, indent=1) + "\n"
     )
+    # snapshot the hashes this window was generated against: the driver
+    # verifies the round-end committed tree, so THESE are the hashes a
+    # later update-green must record for newly-green entries
+    state = load_state()
+    state["last_emit_hashes"] = snapshot()
+    STATE_PATH.write_text(json.dumps(state, indent=1, sort_keys=True) + "\n")
     return window
 
 
