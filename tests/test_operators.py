@@ -230,6 +230,31 @@ def test_q5_broadcasts_only_true_dims(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_t5_t6_map_only_no_shuffle(spark, sf_dir):
+    """Repetition filter and PII scrub are per-row projections — any
+    Exchange in these plans means the map-only scale claim is wrong."""
+    for name in ("t5_repetition_filter", "t6_pii_redact"):
+        plan = _plan(QUERIES[name].fn(spark, sf_dir))
+        assert "Exchange" not in plan, name
+
+
+def test_t7_broadcasts_frequency_table(spark, sf_dir):
+    """The vocabulary-sized frequency table rides a broadcast back onto
+    the token stream — the token side must never shuffle for the join."""
+    plan = _plan(QUERIES["t7_rare_word_ratio"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_i14_semdedup_no_cartesian(spark, sf_dir):
+    """Candidate pairs come from an equi-join on the k-means cell (cosine
+    + id inequality are residual predicates) — never a cartesian/nested-
+    loop over the corpus."""
+    plan = _plan(QUERIES["i14_semdedup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q3_topk_after_agg(spark, sf_dir):
     df = QUERIES["q3_shipping_priority"].fn(spark, sf_dir)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
