@@ -428,6 +428,45 @@ class TestDecimalEdgeDifferential:
         assert not problems, f"coefs={coefs!r}: " + "; ".join(problems)
 
 
+class TestStringFnDifferential:
+    """Random substring/locate/reverse compositions over the multilingual
+    documents corpus (CJK included): 1-based character — not byte —
+    semantics of substr/instr must agree with DuckDB across arbitrary
+    offsets/lengths and needles."""
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pos=st.integers(1, 300),
+        ln=st.integers(0, 80),
+        needle=st.sampled_from(["table", "scan", "the", "zz", " a ", "小", "é"]),
+    )
+    def test_string_fns_match_duckdb(self, spark, duck, sf_dir, pos, ln, needle):
+        d = table(spark, "documents", sf_dir)
+        esc = needle.replace("'", "''")
+        sdf = d.select(
+            "doc_id",
+            F.substring(F.lower("text"), pos, ln).alias("sub"),
+            F.instr(F.col("text"), needle).cast("bigint").alias("hit"),
+            F.reverse(F.col("source")).alias("rsrc"),
+            F.length(F.substring("text", pos, ln)).cast("bigint").alias("sublen"),
+        )
+        osql = (
+            f"SELECT doc_id, substr(lower(text), {pos}, {ln}) AS sub, "
+            f"CAST(instr(text, '{esc}') AS BIGINT) AS hit, "
+            f"reverse(source) AS rsrc, "
+            f"CAST(length(substr(text, {pos}, {ln})) AS BIGINT) AS sublen "
+            f"FROM documents"
+        )
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"pos={pos} ln={ln} needle={needle!r}: " + "; ".join(problems)
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
