@@ -72,7 +72,9 @@ def register(
 # own CORRECTNESS_r*.json history: never-checked entries first, then
 # entries whose query-fn (or referenced operators/streaming helper)
 # source changed since their last green, then oldest-green ballast.
-# Regenerate with `python tools/window_tool.py emit` after code changes.
+# After code changes: run `python tools/window_tool.py update-green` if a
+# new CORRECTNESS_r*.json has landed (emit refuses otherwise), then
+# `python tools/window_tool.py emit`.
 def _window_first() -> list[str]:
     import json
     from pathlib import Path
@@ -105,7 +107,11 @@ def all_queries() -> dict[str, Query]:
 
     first = _window_first()
     missing = [n for n in first if n not in _REGISTRY]
-    assert not missing, f"window.json names not in registry: {missing}"
+    if missing:  # explicit raise: survives `python -O` (assert would not)
+        raise ValueError(
+            f"window.json names not in registry: {missing} — "
+            "re-run `python tools/window_tool.py emit` after renames"
+        )
     ordered: dict[str, Query] = {}
     for name in first:
         ordered[name] = _REGISTRY[name]

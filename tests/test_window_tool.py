@@ -79,8 +79,9 @@ def test_all_queries_order_matches_window():
 
 
 def test_registry_asserts_on_unknown_window_name(monkeypatch):
+    # explicit ValueError (not assert) so the diagnostic survives python -O
     monkeypatch.setattr(registry, "_window_first", lambda: ["no_such_query"])
-    with pytest.raises(AssertionError, match="no_such_query"):
+    with pytest.raises(ValueError, match="no_such_query"):
         registry.all_queries()
 
 
@@ -99,3 +100,34 @@ def test_helper_change_marks_dependent_dirty(tmp_path, monkeypatch):
     assert before["i13_ivf_topk"] != after["i13_ivf_topk"]
     # an entry with no similarity dependency is unaffected
     assert before["b1_project"] == after["b1_project"]
+
+
+def test_emit_refuses_over_unseen_rounds(tmp_path, monkeypatch):
+    """write_window must refuse when a CORRECTNESS round landed that
+    update-green has not ingested — overwriting the emit hashes then
+    would let update-green mark post-edit code as driver-verified
+    (ADVICE r4). --force overrides."""
+    monkeypatch.setattr(window_tool, "unseen_rounds", lambda: [99])
+    with pytest.raises(SystemExit, match="REFUSING emit"):
+        window_tool.write_window()
+
+
+def test_update_green_prefers_per_round_emit_hashes(tmp_path, monkeypatch):
+    """With emit-hash history, a green in round R uses the hashes of the
+    emit that fed round R, not whatever emit ran last."""
+    state_path = tmp_path / "state.json"
+    state_path.write_text(
+        json.dumps(
+            {
+                "green_hash": {},
+                "green_round": {},
+                "rounds_seen": [],
+                "last_emit_hashes": {"b1_project": "later-emit-hash"},
+                "emit_hashes_by_round": {"7": {"b1_project": "round7-emit-hash"}},
+            }
+        )
+    )
+    monkeypatch.setattr(window_tool, "STATE_PATH", state_path)
+    monkeypatch.setattr(window_tool, "_green_rounds", lambda: {"b1_project": 7})
+    state = window_tool.update_green()
+    assert state["green_hash"]["b1_project"] == "round7-emit-hash"

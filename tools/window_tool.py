@@ -234,19 +234,24 @@ def unseen_rounds() -> list[int]:
 
 def update_green() -> dict:
     """Refresh state from CORRECTNESS files: every newly-green entry
-    records its hash AT THE LAST EMIT (``last_emit_hashes``) — the driver
-    verifies the tree that was committed when the window was generated,
-    so those are the verified hashes even if this command runs after
-    round-N+1 edits have already landed. Falls back to the current hash
-    only for entries the last emit never saw (fresh clone edge case).
+    records its hash AT THE EMIT THE DRIVER VERIFIED — looked up in the
+    per-round history ``emit_hashes_by_round[round]`` (written by
+    write_window, keyed by the round whose CORRECTNESS that emit will
+    feed), falling back to the legacy single ``last_emit_hashes`` and
+    finally to the current hash only for entries no emit ever saw
+    (fresh clone edge case). The driver verifies the tree committed when
+    the window was generated, so those are the verified hashes even if
+    this command runs after round-N+1 edits have already landed.
     """
     cur = snapshot()
     greens = _green_rounds()
     state = load_state()
-    verified = state.get("last_emit_hashes") or cur
+    by_round = state.get("emit_hashes_by_round", {})
+    last = state.get("last_emit_hashes") or cur
     for name, rnd in greens.items():
         prev_round = state["green_round"].get(name)
         if prev_round != rnd or name not in state["green_hash"]:
+            verified = by_round.get(str(rnd), last)
             state["green_hash"][name] = verified.get(name, cur.get(name, ""))
             state["green_round"][name] = rnd
     # drop entries that no longer exist in the registry
@@ -284,16 +289,45 @@ def emit(limit: int = 50) -> list[str]:
     return window
 
 
-def write_window(limit: int = 50) -> list[str]:
+def write_window(limit: int = 50, force: bool = False) -> list[str]:
+    # Refuse to emit over un-ingested driver results: if a CORRECTNESS
+    # round landed that update-green has not seen, overwriting the emit
+    # hashes here would make update-green record POST-edit hashes as
+    # "driver-verified" — code the driver never saw would be marked green
+    # and silently drop out of the re-verify window (ADVICE r4, medium).
+    pending = unseen_rounds()
+    if pending and not force:
+        sys.exit(
+            f"REFUSING emit: CORRECTNESS rounds {pending} not yet ingested.\n"
+            "Run `python tools/window_tool.py update-green` first "
+            "(or pass --force if you know the emit hashes are still valid)."
+        )
     window = emit(limit)
     WINDOW_PATH.write_text(
         json.dumps({"first": window, "limit": limit}, indent=1) + "\n"
     )
     # snapshot the hashes this window was generated against: the driver
     # verifies the round-end committed tree, so THESE are the hashes a
-    # later update-green must record for newly-green entries
+    # later update-green must record for newly-green entries. Keyed by
+    # the round this emit will feed (max round seen so far + 1) so a
+    # late-running update-green can still find the right snapshot even
+    # after further emits.
     state = load_state()
-    state["last_emit_hashes"] = snapshot()
+    hashes = snapshot()
+    state["last_emit_hashes"] = hashes
+    next_round = max(
+        set(state.get("rounds_seen", []))
+        | {
+            int(re.search(r"r(\d+)", p.name).group(1))
+            for p in REPO.glob("CORRECTNESS_r*.json")
+        }
+        | {0},
+    ) + 1
+    history = state.setdefault("emit_hashes_by_round", {})
+    history[str(next_round)] = hashes
+    # keep the history bounded: only rounds not yet ingested matter
+    for k in sorted(history, key=int)[:-8]:
+        del history[k]
     STATE_PATH.write_text(json.dumps(state, indent=1, sort_keys=True) + "\n")
     return window
 
@@ -321,7 +355,7 @@ def main() -> None:
         STATE_PATH.write_text(json.dumps(state, indent=1, sort_keys=True) + "\n")
         print(f"rebased {len(state['green_hash'])} green hashes")
     elif cmd == "emit":
-        window = write_window()
+        window = write_window(force="--force" in sys.argv[2:])
         print(f"window.json: {len(window)} entries; head={window[:5]}")
     elif cmd == "check":
         want = emit()
