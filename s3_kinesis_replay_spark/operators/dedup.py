@@ -260,28 +260,45 @@ def neardup_components(
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc from token xxhash64s — majority vote per bit.
+    """64-bit SimHash per doc — majority vote per bit over token hashes.
 
-    Implemented as explode → per-bit sign sum → bit assembly; one shuffle.
+    Token hash basis is md5 (NOT xxhash64) split into two 32-bit halves,
+    so the identical computation runs in any engine with md5 + substring
+    + integer ops — this is what makes i3b_simhash cross-engine
+    oracle-checkable (round 5; was rows-only). The signed 64-bit result
+    is assembled with exact integer arithmetic (hi two's-complement fold
+    ×2^32 + lo) — no 64-bit shifts, no overflow in either engine.
+
+    Implemented as explode → per-bit sign sum → bit assembly; one shuffle
+    of fixed-width (id, hi, lo) rows.
     """
+    assert bits == 64, "simhash is fixed at 64 bits (two md5 halves)"
     tok = docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
-    h = tok.select(id_col, F.xxhash64("w").alias("h"))
+    hx = F.md5("w")
+    h = tok.select(
+        id_col,
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint").alias("hhi"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").alias("hlo"),
+    )
     bit_cols = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
+            F.when(
+                F.shiftright(F.col("hlo" if i < 32 else "hhi"), i % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(bits)
     ]
     votes = h.groupBy(id_col).agg(*bit_cols)
-    sim = F.lit(0).cast("bigint")
-    for i in range(bits):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
+    lo_part = F.lit(0).cast("bigint")
+    hi_part = F.lit(0).cast("bigint")
+    for i in range(32):
+        lo_part = lo_part + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        hi_part = hi_part + F.when(F.col(f"b{i + 32}") > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    signed_hi = hi_part - F.when(hi_part >= F.lit(1 << 31).cast("bigint"), F.lit(1 << 32).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    sim = signed_hi * F.lit(1 << 32).cast("bigint") + lo_part
     return votes.select(id_col, sim.alias("simhash"))
 
 

@@ -28,13 +28,17 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+"))
 
 
+# Match-based (not split-based) so the pattern needs no lookarounds and is
+# identical under Java regex (Spark) and RE2 (DuckDB): tokens are maximal
+# runs of lowercase alpha OR of non-alpha-non-space — the same boundaries
+# the old lookaround split produced (verified 0 diffs on fixtures).
+BPE_ISH_TOKEN_RE = r"[a-z]+|[^a-z\s]+"
+
+
 def bpe_ish_token_count(text: Column) -> Column:
     """Regex sub-word segmentation count: alpha runs, digit runs, punct."""
     return F.size(
-        F.filter(
-            F.split(F.lower(text), r"(?<=[a-z])(?=[^a-z\s])|(?<=[^a-z\s])(?=[a-z])|\s+"),
-            lambda s: F.length(s) > 0,
-        )
+        F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_TOKEN_RE), F.lit(0))
     )
 
 

@@ -54,12 +54,52 @@ def c8_asof_join(spark, sf_dir):
     )
 
 
+# i3b oracle: the IDENTICAL simhash computation in DuckDB SQL — md5 token
+# hash split into 32-bit halves, per-bit majority vote, exact-integer
+# two's-complement assembly. Mirrors operators/dedup.py:simhash bit for bit.
+_SIMHASH_VOTES_SQL = ",\n".join(
+    f"SUM(CASE WHEN (({'hlo' if i < 32 else 'hhi'} >> {i % 32}) & 1) = 1 "
+    f"THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(64)
+)
+_SIMHASH_LO_SQL = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+    for i in range(32)
+)
+_SIMHASH_HI_SQL = " + ".join(
+    f"CASE WHEN b{i + 32} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+    for i in range(32)
+)
+
+
 @register(
     "i3b_simhash",
     "I3",
-    None,  # Spark-specific 64-bit hash basis — determinism checked locally
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS hhi,
+             CAST('0x' || substr(md5(w), 9, 8) AS BIGINT) AS hlo
+      FROM tok
+    ), votes AS (
+      SELECT doc_id, {_SIMHASH_VOTES_SQL}
+      FROM h GROUP BY doc_id
+    ), parts AS (
+      SELECT doc_id, ({_SIMHASH_LO_SQL}) AS lo_part, ({_SIMHASH_HI_SQL}) AS hi_part
+      FROM votes
+    )
+    SELECT doc_id,
+           CAST((hi_part - CASE WHEN hi_part >= 2147483648
+                                THEN 4294967296 ELSE 0 END) * 4294967296
+                + lo_part AS BIGINT) AS simhash
+    FROM parts
+    """,
     note="64-bit SimHash per doc; near-dup = small Hamming distance. "
-    "Local test: planted near-dup pairs (i3) have distance ≤ 8",
+    "md5-based bit derivation (round 5) so Spark and DuckDB compute the "
+    "IDENTICAL signature — cross-engine hash oracle; planted near-dup "
+    "pairs (i3) still have distance ≤ 8 (local test)",
 )
 def i3b_simhash(spark, sf_dir):
     from s3_kinesis_replay_spark.operators.dedup import simhash
@@ -325,8 +365,17 @@ def t7_rare_word_ratio(spark, sf_dir):
 @register(
     "t4_token_counts",
     "I9",
-    None,  # BPE-ish regex split uses lookarounds (not in RE2) — rows-only
-    note="whitespace + BPE-ish token counts; local test checks ws == split count",
+    r"""
+    SELECT doc_id,
+           CAST(len(str_split_regex(trim(text), '\s+')) AS INTEGER)
+               AS n_tokens_ws,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[^a-z\s]+'))
+               AS INTEGER) AS n_tokens_bpe
+    FROM documents
+    """,
+    note="whitespace + BPE-ish token counts; tokenizer is match-based "
+    "([a-z]+|[^a-z\\s]+ runs) so the IDENTICAL regex runs under Java "
+    "regex and RE2 — cross-engine hash oracle since round 5",
 )
 def t4_token_counts(spark, sf_dir):
     from s3_kinesis_replay_spark.operators.text import bpe_ish_token_count, token_count
