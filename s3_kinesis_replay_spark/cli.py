@@ -138,7 +138,7 @@ def run_replay_cmd(args: argparse.Namespace) -> dict:
 
     if args.sink == "factory":
         from s3_kinesis_replay_spark.streaming.kinesis_sink import (
-            resolve_client_factory,
+            validate_client_factory,
         )
 
         ctx = None
@@ -150,8 +150,10 @@ def run_replay_cmd(args: argparse.Namespace) -> dict:
                 "distributed": args.distributed,
             }
 
-        # fail fast in the driver if the path doesn't import/resolve
-        resolve_client_factory(args.client_factory, args.client_arg)()
+        # fail fast in the driver if the path doesn't import/resolve —
+        # resolve WITHOUT constructing a client (a real factory may open
+        # connections or register consumers as a side effect)
+        validate_client_factory(args.client_factory)
     elif args.sink == "moto":
         try:
             import boto3

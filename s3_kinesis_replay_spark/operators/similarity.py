@@ -431,9 +431,37 @@ def ivf_build_cached(
     ivf_build(corpus, tmp, n_clusters=n_clusters, seed=seed)
     try:
         os.rename(tmp, final)
-    except OSError:  # lost the race — a complete index is already in place
+    except OSError:
+        # A rename failure usually means another builder won the race —
+        # but only trust that if a COMPLETE index is actually in place;
+        # otherwise (permissions, stale partial dir) deleting our good
+        # build would destroy the only complete copy (ADVICE r4).
+        if not os.path.exists(os.path.join(final, "vectors", "_SUCCESS")):
+            raise
         shutil.rmtree(tmp, ignore_errors=True)
     return final
+
+
+def publish_index_pointer(index_path: str, pointer: str) -> str:
+    """Atomically point ``pointer`` (a symlink) at ``index_path`` so a
+    FIXED filesystem path always names the current complete index.
+
+    This is what lets an external engine — the DuckDB oracle for
+    i13c_ivf_probe_xengine — read exactly the index the Spark probe used
+    without knowing its fingerprint-keyed location: symlink-into-temp +
+    ``os.replace`` is atomic, so a reader never sees a half-updated
+    pointer."""
+    import os
+    import tempfile
+
+    parent = os.path.dirname(pointer) or "."
+    os.makedirs(parent, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(prefix=".ptr-", dir=parent)
+    os.close(fd)
+    os.remove(tmp)  # mkstemp created a file; we need the free name
+    os.symlink(index_path, tmp)
+    os.replace(tmp, pointer)
+    return pointer
 
 
 def ivf_build(
@@ -491,14 +519,18 @@ def ivf_probe(
     the tiny centroid table), then an exact re-rank over ONLY those
     cells' partitions — the ``cell IN (...)`` predicate prunes at the
     file index, never opening the other cells' files."""
-    import numpy as np
-
     cents = spark.read.parquet(f"{path}/_centroids").collect()
-    centers = np.array([r["centroid"] for r in cents])
-    cell_ids = np.array([r["cell"] for r in cents])
-    qv = np.array(query_vec, dtype=np.float64)
-    order = np.argsort(np.linalg.norm(centers - qv, axis=1))
-    probe_cells = [int(cell_ids[i]) for i in order[:n_probe]]
+    # squared distance by SEQUENTIAL left fold in float64 — bit-identical
+    # to the list_reduce fold the DuckDB oracle runs over the exported
+    # centroid table, so both engines pick the same probe cells even for
+    # near-equidistant centroids; ties broken by cell id in both.
+    scored = []
+    for r in cents:
+        d2 = 0.0
+        for c, x in zip(r["centroid"], query_vec):
+            d2 += (float(c) - float(x)) * (float(c) - float(x))
+        scored.append((d2, int(r["cell"])))
+    probe_cells = [cell for _d, cell in sorted(scored)[:n_probe]]
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (

@@ -336,9 +336,12 @@ def t6_pii_redact(spark, sf_dir):
     """,
     note="CCNet-style rare/OOV-token quality signal: fraction of a doc's "
     "tokens whose corpus frequency < 5. Integer counting + one division "
-    "— cross-engine exact, no float accumulation. Scale: the frequency "
-    "table is vocabulary-sized (Zipf-small); broadcast it when it fits, "
-    "else the token equi-join shuffles fixed-width (word, count) rows",
+    "— cross-engine exact, no float accumulation. Scale: the broadcast "
+    "of the vocabulary-sized frequency table is FORCED (and the plan "
+    "test pins BroadcastHashJoin) — correct while the vocab fits "
+    "executor memory (Zipf-bounded for natural text); for a noisy "
+    "100 TB-web-scale vocab, REMOVE the F.broadcast hint so AQE picks "
+    "the shuffled token equi-join over fixed-width (word, count) rows",
 )
 def t7_rare_word_ratio(spark, sf_dir):
     d = t(spark, "documents", sf_dir)

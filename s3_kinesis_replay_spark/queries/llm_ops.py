@@ -370,6 +370,81 @@ def i13b_ivf_probe(spark, sf_dir):
     )
 
 
+# Fixed pointer the i13c oracle reads: the query fn atomically re-points it
+# at the current fingerprint-keyed index before returning, so DuckDB scores
+# the SAME exported cells/centroids the Spark probe used (driver runs the
+# Spark side first, then the oracle — verified in tools/driver_sim.py).
+_IVF_ORACLE_PTR = "/tmp/skr_ivf_oracle/current"
+
+
+def _duck_sqdist(vec: str, q: str) -> str:
+    """Squared euclidean, sequential left fold (matches ivf_probe's)."""
+    return (
+        f"list_reduce(list_transform(range(1, 65), i -> "
+        f"(CAST({vec}[i] AS DOUBLE) - CAST({q}[i] AS DOUBLE)) * "
+        f"(CAST({vec}[i] AS DOUBLE) - CAST({q}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _duck_dotf(x: str, y: str) -> str:
+    """Dot product, sequential left fold (matches operators cosine_expr)."""
+    return (
+        f"list_reduce(list_transform(range(1, 65), i -> "
+        f"CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "i13c_ivf_probe_xengine",
+    "I5",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cell
+      FROM read_parquet('{_IVF_ORACLE_PTR}/_centroids/*.parquet'), q
+      ORDER BY {_duck_sqdist("centroid", "qv")} ASC, cell ASC
+      LIMIT 4
+    ),
+    v AS (
+      SELECT vec_id, embedding
+      FROM read_parquet('{_IVF_ORACLE_PTR}/vectors/*/*.parquet',
+                        hive_partitioning = 1)
+      WHERE cell IN (SELECT cell FROM probe)
+    )
+    SELECT v.vec_id,
+           ROUND({_duck_dotf("v.embedding", "q.qv")}
+                 / (sqrt({_duck_dotf("v.embedding", "v.embedding")})
+                    * sqrt({_duck_dotf("q.qv", "q.qv")})), 6) AS sim
+    FROM v, q
+    ORDER BY sim DESC, v.vec_id
+    LIMIT 10
+    """,
+    note="cross-engine check of the IVF SCALE path (VERDICT r4 item 5): "
+    "the quantizer stays Spark (k-means, not SQL) but its OUTPUT — the "
+    "cell-partitioned index — is exported behind a fixed atomic pointer, "
+    "and DuckDB re-runs the probe (nearest-4-centroid selection + exact "
+    "cosine re-rank) over that export. Probe selection uses the identical "
+    "sequential-fold distance + cell tiebreak in both engines",
+)
+def i13c_ivf_probe_xengine(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        data_fingerprint,
+        ivf_build_cached,
+        ivf_probe,
+        publish_index_pointer,
+    )
+
+    e = t(spark, "embeddings", sf_dir)
+    qv = [r[0] for r in e.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
+    corpus = e.filter(F.col("vec_id") != 0)
+    fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = ivf_build_cached(corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42)
+    publish_index_pointer(idx, _IVF_ORACLE_PTR)
+    return ivf_probe(spark, idx, list(qv), k=10, n_probe=4)
+
+
 @register(
     "i14_semdedup",
     "I3",

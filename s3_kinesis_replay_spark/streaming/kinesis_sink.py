@@ -136,7 +136,13 @@ def resolve_client_factory(spec, arg: str = ""):
     (factory reads env credentials in the worker)."""
     if callable(spec):
         return spec
-    mod_name, fn_name = spec.split(":")
+    if spec.count(":") != 1 or spec.startswith(":") or spec.endswith(":"):
+        raise ValueError(
+            f"client factory spec {spec!r} must be 'module:callable' "
+            "(exactly one colon separating an importable module path "
+            "from an attribute name)"
+        )
+    mod_name, fn_name = spec.split(":", 1)
 
     def factory():
         import importlib
@@ -145,6 +151,26 @@ def resolve_client_factory(spec, arg: str = ""):
         return fn(arg) if arg else fn()
 
     return factory
+
+
+def validate_client_factory(spec: str) -> None:
+    """Driver-side fail-fast for a ``module:callable`` spec: import the
+    module and resolve the attribute WITHOUT calling it — constructing a
+    real client here would produce an unwanted extra side-effectful
+    client (network connection, consumer registration) before any
+    publishing happens (ADVICE r4)."""
+    import importlib
+
+    if spec.count(":") != 1 or spec.startswith(":") or spec.endswith(":"):
+        raise ValueError(
+            f"client factory spec {spec!r} must be 'module:callable'"
+        )
+    mod_name, fn_name = spec.split(":", 1)
+    fn = getattr(importlib.import_module(mod_name), fn_name, None)
+    if not callable(fn):
+        raise ValueError(
+            f"client factory {spec!r} does not resolve to a callable"
+        )
 
 
 def kinesis_foreach_batch(
@@ -193,9 +219,12 @@ def kinesis_foreach_batch(
                 client = client_factory()
                 records = ((r["k"], r["payload"].encode()) for r in rows)
                 publish_batch(client, stream_name, records)
-                return iter(())
 
-            parts.rdd.mapPartitions(publish_partition).count()  # force execution
+            # DataFrame-API action (SURVEY §1.3: no RDD API) — runs the
+            # publisher inside each executor task, same execution shape
+            # as the old rdd.mapPartitions().count() without leaving the
+            # DataFrame layer.
+            parts.foreachPartition(publish_partition)
         else:
             client = client_factory()
             rows = tagged.orderBy("k", "s").collect()

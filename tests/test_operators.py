@@ -244,8 +244,12 @@ def test_t5_t6_map_only_no_shuffle(spark, sf_dir):
 
 
 def test_t7_broadcasts_frequency_table(spark, sf_dir):
-    """The vocabulary-sized frequency table rides a broadcast back onto
-    the token stream — the token side must never shuffle for the join."""
+    """The vocabulary-sized frequency table rides a FORCED broadcast back
+    onto the token stream — the token side never shuffles for the join.
+    This pin matches the declared scale contract (see the t7 registry
+    note): forced-broadcast is the fits-in-memory vocab path; an
+    over-large vocab deployment removes the hint (and this pin) so AQE
+    chooses the shuffled equi-join instead."""
     plan = _plan(QUERIES["t7_rare_word_ratio"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan

@@ -434,3 +434,32 @@ def test_cli_factory_sink_requires_factory_path():
     )
     with pytest.raises(SystemExit, match="client-factory"):
         run_replay_cmd(args)
+
+
+def test_validate_client_factory_resolves_without_calling():
+    """Driver-side fail-fast must resolve the import WITHOUT constructing
+    a client (a real factory may open connections as a side effect)."""
+    from s3_kinesis_replay_spark.streaming import kinesis_sink as ks
+
+    calls = []
+    ks._probe_factory = lambda: calls.append(1)  # noqa: attach for the test
+    try:
+        ks.validate_client_factory(
+            "s3_kinesis_replay_spark.streaming.kinesis_sink:_probe_factory"
+        )
+        assert calls == []  # resolved, never called
+    finally:
+        del ks._probe_factory
+
+
+@pytest.mark.parametrize("bad", ["nocolon", ":noattr", "nomod:", "mod:attr:extra"])
+def test_client_factory_malformed_specs_raise(bad):
+    from s3_kinesis_replay_spark.streaming.kinesis_sink import (
+        resolve_client_factory,
+        validate_client_factory,
+    )
+
+    with pytest.raises(ValueError):
+        validate_client_factory(bad)
+    with pytest.raises(ValueError):
+        resolve_client_factory(bad)
