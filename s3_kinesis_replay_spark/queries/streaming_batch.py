@@ -35,16 +35,36 @@ _H1_SQL = f"""
     FROM events GROUP BY 1, 2
     """
 
-_H2_SQL = f"""
+def _sliding_sql(duration_min: int, slide_min: int) -> str:
+    """General sliding-window oracle for ANY (duration, slide) — slide
+    need not divide duration (VERDICT r4 item 8). Mirrors Spark's
+    ``window()`` semantics exactly: an event's candidate window starts
+    are ``floor_slide(ts) - i*slide`` for i in 0..ceil(D/S)-1, kept while
+    ``ts < start + duration`` (``ts >= start`` holds by construction)."""
+    import math
+
+    k = math.ceil(duration_min / slide_min)
+    slide_us = slide_min * 60_000_000
+    # EPOCH-aligned floor, not time_bucket: Spark aligns window starts to
+    # the epoch for any slide, while DuckDB's time_bucket origin is
+    # 2000-01-03 — the two agree only when the interval divides a day
+    # (caught by the (duration, slide) fuzzer at D=S=7).
+    return f"""
     SELECT ws AS window_start, CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS total_value
     FROM (
-      SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
-                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws,
-             value
+      SELECT unnest(list_transform(range(0, {k}),
+               i -> make_timestamp((epoch_us(ts) // {slide_us}) * {slide_us}
+                                   - i * {slide_us}::BIGINT))) AS ws,
+             ts, value
       FROM events
-    ) GROUP BY ws
+    )
+    WHERE ts < ws + INTERVAL '{duration_min} minutes'
+    GROUP BY ws
     """
+
+
+_H2_SQL = _sliding_sql(10, 5)
 
 _H3_SQL = f"""
     WITH flagged AS (
@@ -110,9 +130,9 @@ def _h1_plan(df):
     )
 
 
-def _h2_plan(df):
+def _h2_plan(df, duration: str = "10 minutes", slide: str = "5 minutes"):
     return (
-        df.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        df.groupBy(F.window("ts", duration, slide))
         .agg(F.count("*").alias("n"), fdec(F.sum(sdec("value"))).alias("total_value"))
         .select(F.col("window.start").alias("window_start"), "n", "total_value")
     )
@@ -187,6 +207,19 @@ def h2_sliding_window(spark, sf_dir):
 )
 def h2b_sliding_window_batch(spark, sf_dir):
     return _h2_plan(t(spark, "events", sf_dir))
+
+
+@register(
+    "h2c_sliding_window_nondiv",
+    "H2",
+    _sliding_sql(12, 5),
+    note="slide ∤ duration (12-min windows every 5 min): events land in 2 "
+    "OR 3 windows depending on position within the slide bucket — the "
+    "general k-candidate-starts unnest oracle (VERDICT r4 item 8); "
+    "fuzzed over random (duration, slide) pairs in tests/test_property.py",
+)
+def h2c_sliding_window_nondiv(spark, sf_dir):
+    return _h2_plan(t(spark, "events", sf_dir), "12 minutes", "5 minutes")
 
 
 @register(

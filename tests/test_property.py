@@ -612,3 +612,38 @@ class TestSetOpDifferential:
         d_cols, d_rows = duck_result(duck, osql)
         problems = compare(s_cols, s_rows, d_cols, d_rows)
         assert not problems, f"p1={p1!r} p2={p2!r} {op}: " + "; ".join(problems)
+
+
+class TestSlidingWindowDifferential:
+    """Random (duration, slide) sliding windows over events — including
+    slide ∤ duration — must match the general k-candidate-starts unnest
+    oracle (_sliding_sql). This fuzzes the window-start alignment and the
+    ts < start + duration boundary across the whole parameter space, not
+    just the declared h2/h2c points (VERDICT r4 item 8)."""
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        duration=st.integers(2, 45),
+        slide=st.integers(1, 20),
+    )
+    def test_sliding_window_matches_duckdb(self, spark, duck, sf_dir, duration, slide):
+        from s3_kinesis_replay_spark.queries.streaming_batch import (
+            _h2_plan,
+            _sliding_sql,
+        )
+
+        slide = min(slide, duration)  # Spark requires slide <= duration
+        sdf = _h2_plan(
+            table(spark, "events", sf_dir),
+            f"{duration} minutes",
+            f"{slide} minutes",
+        )
+        osql = _sliding_sql(duration, slide)
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"D={duration} S={slide}: " + "; ".join(problems)
