@@ -56,6 +56,11 @@ HEADLINE = [
     "i8_tfidf",               # multi-join text pipeline
     "mm1_media_features",     # Arrow mapInPandas feature extraction
     "p1_training_prep",       # composite: filter → near-dup removal → stats
+    # round 5: the two heaviest similarity ops join the headline set so the
+    # gate sees them (VERDICT r4 item 6); BASELINE.md's round-5 table is the
+    # matching baseline series.
+    "i14_semdedup",           # k-means cells + within-cell exact cosine dedup
+    "i5b_batch_topk",         # query-DataFrame batch ANN (cogrouped grid)
 ]
 
 # Round-4 operators, timed identically but reported under "extras" so the

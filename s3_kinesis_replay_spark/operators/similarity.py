@@ -20,6 +20,8 @@ matrix outside a partition.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -100,6 +102,102 @@ def block_topk(
             "query_id", "vec_id", F.round("sim", 6).alias("sim"),
             F.row_number().over(w).alias("_rn"),
         )
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def block_topk_joined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_blocks: int = 8,
+    query_buckets: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    margin: int = 4,
+) -> DataFrame:
+    """Batch top-k for query sets too large to ship in a closure.
+
+    ``block_topk`` broadcasts the Q×d query matrix inside the UDF
+    closure — fine to ~10⁵ queries, a memory wall past that (SCALE.md
+    trade-off). Here queries are a DATAFRAME: corpus rows hash into
+    ``corpus_blocks`` blocks, queries into ``query_buckets`` buckets,
+    and every (block, bucket) grid cell is scored independently by a
+    COGROUPED ``applyInPandas`` NumPy matmul that emits only the
+    cell-local top-(k+margin) candidate ids per query. A final exact
+    HOF re-rank + per-query window trim keeps the global top-k with
+    emitted values computed by the sequential left-fold cosine (the
+    matmul's accumulation order never reaches the output; the margin
+    rows absorb boundary-ordering risk between the two formulas).
+
+    Shuffle: corpus × query_buckets + queries × corpus_blocks rows of
+    fixed width — pick the grid so each cell's (|corpus|/CB)·d block
+    fits an executor, the same sizing rule as embedding_neardup_pairs.
+    No driver-side query loop, no closure capture of query vectors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    CB, QB = int(corpus_blocks), int(query_buckets)
+    take = int(k) + int(margin)
+
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(CB)).cast("int").alias("cb"),
+    ).withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(QB - 1))))
+    q = queries.select(
+        F.col(qid_col).alias("_qid"),
+        F.col(qvec_col).alias("_qvec"),
+        F.pmod(F.xxhash64(F.col(qid_col)), F.lit(QB)).cast("int").alias("qb"),
+    ).withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(CB - 1))))
+
+    def cell_score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        M = np.array(left["_cvec"].tolist(), dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        Qm = np.array(right["_qvec"].tolist(), dtype=np.float64)
+        Qm /= np.linalg.norm(Qm, axis=1, keepdims=True)
+        sims = M @ Qm.T  # |block| × |bucket|
+        t = min(take, len(left))
+        idx = np.argpartition(-sims, t - 1, axis=0)[:t]
+        cids = left["_cid"].to_numpy()
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(right["_qid"].to_numpy(), t),
+                "vec_id": cids[idx].T.ravel(),
+            }
+        )
+
+    cand = (
+        c.groupBy("cb", "qb")
+        .cogroup(q.groupBy("cb", "qb"))
+        .applyInPandas(cell_score, "query_id long, vec_id long")
+    )
+    cv = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    qv = queries.select(
+        F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("_qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        cand.join(cv, "vec_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
@@ -204,6 +302,161 @@ def embedding_neardup_pairs(
     )
 
 
+# Bumped whenever the quantizer algorithm changes, and folded into
+# ivf_build_cached's directory key: a cached index built by an older
+# quantizer must never be served to a probe whose in-memory twin would
+# cluster differently (i13b's all-agree contract).
+QUANTIZER_VERSION = "q2"
+
+
+def _sq_dists(X, C):
+    """n×k squared euclidean distances: ‖x‖² − 2x·c + ‖c‖² (one matmul).
+
+    The SAME formula (and therefore the same float rounding) is used for
+    training iterations and for corpus cell assignment, so a vector that
+    was in the training sample lands in the cell its last Lloyd
+    iteration chose — assignment is consistent everywhere it happens.
+    """
+    import numpy as np
+
+    return (
+        (X * X).sum(axis=1)[:, None]
+        - 2.0 * (X @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+
+
+def train_quantizer(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 32768,
+    max_iter: int = 25,
+):
+    """Seeded k-means coarse quantizer trained on a BOUNDED sample.
+
+    This is the standard IVF recipe (FAISS trains its coarse quantizer
+    on a fixed-size sample, not the corpus): training cost is
+    independent of corpus size. The previous implementation ran
+    pyspark.ml KMeans over the full corpus — every Lloyd iteration a full
+    distributed pass, i.e. ~25 scans of 100 TB to place 16 centroids.
+    Here the driver sees ``sample_size × dim`` float64s (32k × 64 ≈
+    16 MB) and nothing else; the cluster does ONE TakeOrdered pass.
+
+    Sample selection is deterministic rank-by-hash: order by
+    ``xxhash64(id, seed)`` and take the first ``sample_size`` rows — a
+    uniform seeded sample computed as a per-partition top-k merge (no
+    shuffle of the corpus, no dependence on partitioning or row order).
+
+    Training is k-means++ init (Arthur & Vassilvitskii 2007) + Lloyd,
+    all under one ``numpy.random.RandomState(seed)`` — bit-deterministic
+    for a given dataset/seed/k, which is what lets a rebuilt index agree
+    with an in-memory run (tests/test_operators.py i13b all-agree).
+    Returns the (n_clusters × dim) float64 centroid matrix.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("_v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy("_h", "_id")
+        .limit(int(sample_size))
+        .select("_v")
+        .collect()
+    )
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    n = len(X)
+    k = min(n_clusters, n)
+    rng = np.random.RandomState(seed)
+
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[int(rng.randint(n))]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        total = d2.sum()
+        if total > 0:
+            nxt = int(rng.choice(n, p=d2 / total))
+        else:  # all points coincide with a chosen center
+            nxt = int(rng.randint(n))
+        centers[i] = X[nxt]
+        d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(axis=1))
+
+    for _ in range(max_iter):
+        d = _sq_dists(X, centers)
+        lab = np.argmin(d, axis=1)
+        new = centers.copy()
+        empty = []
+        for c in range(k):
+            m = lab == c
+            if m.any():
+                new[c] = X[m].mean(axis=0)
+            else:
+                empty.append(c)
+        if empty:
+            # deterministic reseed: hand each empty cluster its own point,
+            # farthest-from-current-center first (distinct points, lowest
+            # cluster id gets the farthest)
+            order = np.argsort(-d[np.arange(n), lab], kind="stable")
+            for j, c in enumerate(empty):
+                new[c] = X[int(order[j % n])]
+        if np.array_equal(new, centers):
+            break
+        centers = new
+    return centers
+
+
+def assign_cells(
+    df: DataFrame,
+    centers,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Add the nearest-centroid cell id in ONE Arrow-batched map pass.
+
+    The centroid matrix (k × dim — bytes) ships in the UDF closure; each
+    batch is an argmin over the same ‖x‖²−2x·c+‖c‖² matmul the trainer
+    used, ties → lowest cell id (np.argmin first-min). No shuffle, no
+    per-row Python: this is the declared pandas-UDF slow path used only
+    where Spark has no built-in (nearest-centroid), and it is a single
+    matmul per Arrow batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centers, dtype=np.float64)
+    cc = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.array(vs.tolist(), dtype=np.float64)
+        d = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + cc[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def _probe_cells(centers_rows, query_vec, n_probe):
+    """Pick the n_probe cells nearest the query by SEQUENTIAL float64
+    fold with (dist, cell) ordering — bit-identical to the list_reduce
+    fold the DuckDB oracle (i13c) runs over the exported centroid table,
+    so both engines pick the same probe cells even for near-equidistant
+    centroids. ``centers_rows`` is [(cell, centroid_list), ...]."""
+    scored = []
+    for cell, cent in centers_rows:
+        d2 = 0.0
+        for c, x in zip(cent, query_vec):
+            d2 += (float(c) - float(x)) * (float(c) - float(x))
+        scored.append((d2, int(cell)))
+    return [cell for _d, cell in sorted(scored)[:n_probe]]
+
+
 def ivf_topk(
     corpus: DataFrame,
     query_vec: list[float],
@@ -217,36 +470,23 @@ def ivf_topk(
     """IVF-style approximate top-k: coarse k-means quantizer, probe the
     ``n_probe`` cells nearest the query, exact re-rank inside them.
 
-    Train/assign uses pyspark.ml KMeans (seeded → deterministic); the
-    probed-cell filter prunes the scan to ~n_probe/n_clusters of the
-    corpus. At scale the assignment is precomputed once and the corpus is
-    stored partitioned by cell id, turning the probe into partition
-    pruning at the parquet scan.
+    The quantizer is sample-trained driver-side (``train_quantizer``),
+    assignment is one Arrow pass; the probed-cell filter prunes the scan
+    to ~n_probe/n_clusters of the corpus. At scale the assignment is
+    precomputed once and the corpus is stored partitioned by cell id
+    (``ivf_build``), turning the probe into partition pruning at the
+    parquet scan.
     """
-    import numpy as np
-
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    vecs = corpus.select(
-        id_col, vec_col, array_to_vector(F.col(vec_col)).alias("_features")
+    centers = train_quantizer(
+        corpus, n_clusters=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col
     )
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_features", predictionCol="_cell"
-    ).fit(vecs)
-    assigned = model.transform(vecs)
-
-    centers = np.array(
-        [c.toArray() if hasattr(c, "toArray") else np.asarray(c)
-         for c in model.clusterCenters()]
+    probe = _probe_cells(
+        [(i, list(c)) for i, c in enumerate(centers)], query_vec, n_probe
     )
-    qv = np.array(query_vec, dtype=np.float64)
-    dists = np.linalg.norm(centers - qv, axis=1)
-    probe_cells = [int(c) for c in np.argsort(dists)[:n_probe]]
-
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        assigned.filter(F.col("_cell").isin(probe_cells))
+        assign_cells(corpus, centers, vec_col=vec_col, out_col="_cell")
+        .filter(F.col("_cell").isin(probe))
         .select(id_col, F.round(cosine_expr(q, F.col(vec_col)), 6).alias("sim"))
         .orderBy(F.col("sim").desc(), id_col)
         .limit(k)
@@ -343,23 +583,21 @@ def semdedup(
 
     Returns one row per corpus vector: (id, cell, keep, rep_id).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    vecs = corpus.select(
-        id_col, vec_col, array_to_vector(F.col(vec_col)).alias("_features")
+    centers = train_quantizer(
+        corpus, n_clusters=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col
     )
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_features", predictionCol="cell"
-    ).fit(vecs)
     # per-vector norm computed ONCE here — the pair predicate then needs a
     # single dot fold instead of three (sqrt(dot(v,v)) per pair side);
     # dot/(na*nb) is arithmetic-identical to cosine_expr, just hoisted
-    assigned = model.transform(vecs).select(
-        id_col,
-        vec_col,
-        "cell",
-        F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col))).alias("_norm"),
+    # materialized ONCE (the i3 signature-relation pattern): the pair
+    # generator self-joins this relation, and Catalyst would otherwise
+    # re-run the Arrow assignment pass per join side
+    assigned = (
+        assign_cells(
+            corpus.select(id_col, vec_col), centers, vec_col=vec_col, out_col="cell"
+        )
+        .withColumn("_norm", F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col))))
+        .localCheckpoint(eager=True)
     )
 
     a, b = assigned.alias("a"), assigned.alias("b")
@@ -423,7 +661,9 @@ def ivf_build_cached(
     import shutil
     import tempfile
 
-    final = os.path.join(cache_root, f"{fingerprint}-k{n_clusters}-s{seed}")
+    final = os.path.join(
+        cache_root, f"{fingerprint}-k{n_clusters}-s{seed}-{QUANTIZER_VERSION}"
+    )
     if os.path.exists(os.path.join(final, "vectors", "_SUCCESS")):
         return final
     os.makedirs(cache_root, exist_ok=True)
@@ -483,24 +723,17 @@ def ivf_build(
     n_probe/n_clusters of the files, the property that matters when the
     corpus is 10⁹ vectors and the index lives on object storage.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    vecs = corpus.select(
-        id_col, vec_col, array_to_vector(F.col(vec_col)).alias("_features")
+    centers = train_quantizer(
+        corpus, n_clusters=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col
     )
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_features", predictionCol="cell"
-    ).fit(vecs)
-    assigned = model.transform(vecs).select(id_col, vec_col, "cell")
+    assigned = assign_cells(
+        corpus.select(id_col, vec_col), centers, vec_col=vec_col, out_col="cell"
+    )
     assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/vectors")
 
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
-        [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())
-        ],
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cell int, centroid array<double>",
     )
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
@@ -520,17 +753,9 @@ def ivf_probe(
     cells' partitions — the ``cell IN (...)`` predicate prunes at the
     file index, never opening the other cells' files."""
     cents = spark.read.parquet(f"{path}/_centroids").collect()
-    # squared distance by SEQUENTIAL left fold in float64 — bit-identical
-    # to the list_reduce fold the DuckDB oracle runs over the exported
-    # centroid table, so both engines pick the same probe cells even for
-    # near-equidistant centroids; ties broken by cell id in both.
-    scored = []
-    for r in cents:
-        d2 = 0.0
-        for c, x in zip(r["centroid"], query_vec):
-            d2 += (float(c) - float(x)) * (float(c) - float(x))
-        scored.append((d2, int(r["cell"])))
-    probe_cells = [cell for _d, cell in sorted(scored)[:n_probe]]
+    probe_cells = _probe_cells(
+        [(r["cell"], r["centroid"]) for r in cents], query_vec, n_probe
+    )
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (

@@ -253,6 +253,39 @@ def i5_topk_cosine(spark, sf_dir):
 
 
 @register(
+    "i5b_batch_topk",
+    "I5",
+    f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id,
+             ROUND({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6) AS sim
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 8
+    )
+    SELECT query_id, vec_id, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+    note="batch top-k with the queries as a DATAFRAME (block_topk_joined): "
+    "cogrouped (corpus-block × query-bucket) grid matmul emits only "
+    "cell-local candidate ids; exact left-fold HOF re-rank + per-query "
+    "window trim produces the output, so emitted values are bit-identical "
+    "to the oracle. The scale path past block_topk's ~10^5-query closure "
+    "wall — shuffle is corpus×QB + queries×CB fixed-width rows, never a "
+    "corpus×queries cross product (plan-asserted no-cartesian)",
+)
+def i5b_batch_topk(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.similarity import block_topk_joined
+
+    e = t(spark, "embeddings", sf_dir)
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return block_topk_joined(e, queries, k=10).orderBy("query_id", "vec_id")
+
+
+@register(
     "i6_topk_per_label",
     "I6",
     f"""

@@ -21,9 +21,12 @@ def test_bench_names_resolve():
 def test_bench_headline_set_unchanged():
     """The headline set IS the BASELINE.md comparison series — adding or
     removing entries silently breaks cross-round comparability. Extend
-    EXTRAS instead; change this pin only together with BASELINE.md."""
-    assert len(bench.HEADLINE) == 20
+    EXTRAS instead; change this pin only together with BASELINE.md.
+    Round 5: i14_semdedup + i5b_batch_topk joined the headline set in the
+    same change that re-recorded the BASELINE.md table (noop protocol)."""
+    assert len(bench.HEADLINE) == 22
     assert bench.HEADLINE[0] == "q1_pricing_summary"
+    assert bench.HEADLINE[-2:] == ["i14_semdedup", "i5b_batch_topk"]
 
 
 def test_bench_module_reimports_cleanly():

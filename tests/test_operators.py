@@ -137,6 +137,44 @@ def test_block_topk_matches_brute(spark, sf_dir):
         assert got[qid] == want, qid
 
 
+def test_block_topk_joined_matches_brute(spark, sf_dir):
+    """The query-DataFrame variant (cogrouped grid matmul + exact HOF
+    re-rank) must agree with brute_topk per query — ids AND rounded sims
+    (the exact re-rank makes values bit-identical, not just id sets)."""
+    from s3_kinesis_replay_spark.operators.similarity import (
+        block_topk_joined,
+        brute_topk,
+    )
+
+    emb = table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    joined = block_topk_joined(emb, queries, k=5)
+    got = {
+        qid: [(r["vec_id"], r["sim"]) for r in joined.filter(
+            F.col("query_id") == qid
+        ).orderBy(F.col("sim").desc(), "vec_id").collect()]
+        for qid in range(3)
+    }
+    for r in emb.filter(F.col("vec_id") < 3).collect():
+        want = [
+            (x["vec_id"], x["sim"])
+            for x in brute_topk(emb, list(r["embedding"]), k=5).collect()
+        ]
+        assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_block_topk_joined_no_cartesian(spark, sf_dir):
+    """Candidates come from the cogrouped (block × bucket) grid, and the
+    re-rank is an equi-join on candidate ids — the corpus×queries cross
+    product must never appear in the plan."""
+    plan = _plan(QUERIES["i5b_batch_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     from s3_kinesis_replay_spark.operators.similarity import brute_topk, lsh_bucketed_topk
 
