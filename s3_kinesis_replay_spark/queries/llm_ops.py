@@ -499,6 +499,77 @@ def i14_semdedup(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+# Fixed pointer the i14b oracle reads (the i13c pattern): the query fn
+# exports this run's (vec_id, cell) assignment and atomically re-points it,
+# so DuckDB re-derives keep/rep_id from the SAME cells the Spark pass used —
+# the quantizer stays Spark-side, everything downstream of it is verified
+# cross-engine.
+_SEMDEDUP_ORACLE_PTR = "/tmp/skr_semdedup_oracle/current"
+
+
+@register(
+    "i14b_semdedup_xengine",
+    "I3",
+    f"""
+    WITH cells AS (
+      SELECT vec_id, cell
+      FROM read_parquet('{_SEMDEDUP_ORACLE_PTR}/*.parquet')
+    ),
+    v AS (
+      SELECT c.vec_id, c.cell, e.embedding
+      FROM cells c JOIN embeddings e USING (vec_id)
+    ),
+    dropped AS (
+      SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS rep_id
+      FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}) >= 0.45
+      GROUP BY b.vec_id
+    )
+    SELECT v.vec_id, v.cell, (d.rep_id IS NULL) AS keep, d.rep_id
+    FROM v LEFT JOIN dropped d USING (vec_id)
+    """,
+    note="i14's correctness story made cross-engine: export this run's "
+    "cell assignment behind an atomic pointer, let DuckDB recompute the "
+    "within-cell exact-cosine keep/drop (same sequential-fold cosine, "
+    "same min-lower-id rule) and hash-match the full (vec_id, cell, "
+    "keep, rep_id) output. Only the quantizer itself — seeded sample "
+    "k-means — remains engine-local, exactly as in i13c",
+)
+def i14b_semdedup_xengine(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        QUANTIZER_VERSION,
+        data_fingerprint,
+        publish_index_pointer,
+        semdedup,
+    )
+
+    e = t(spark, "embeddings", sf_dir)
+    res = semdedup(
+        e.select("vec_id", "embedding"), threshold=0.45, n_clusters=16, seed=42
+    )
+    fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    root = "/tmp/skr_semdedup_oracle"
+    final = os.path.join(root, f"{fp}-k16-s42-{QUANTIZER_VERSION}")
+    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+        os.makedirs(root, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="build-", dir=root)
+        res.select("vec_id", "cell").coalesce(1).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            # concurrent builder won the race — but only trust that if a
+            # complete export is actually in place (ivf_build_cached rule)
+            if not os.path.exists(os.path.join(final, "_SUCCESS")):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    publish_index_pointer(final, _SEMDEDUP_ORACLE_PTR)
+    return res.orderBy("vec_id")
+
+
 # ---------------------------------------------------------------- text
 
 

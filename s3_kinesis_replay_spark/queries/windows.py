@@ -216,3 +216,49 @@ def e7_topk_per_group(spark, sf_dir):
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "e8_scalable_rank",
+    "E1",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(l_quantity AS DOUBLE) AS qty,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           ROUND(percent_rank() OVER w, 6) AS prnk,
+           ROUND(cume_dist() OVER w, 6) AS cdist
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
+    """,
+    note="the SCALE.md low-cardinality-window mitigation as a DECLARED "
+    "hash-verified operator: rank/dense_rank/percent_rank/cume_dist over "
+    "a 3-value partition key are rewritten as a groupBy(flag, qty) count "
+    "+ window over the AGGREGATED relation (3 flags x 50 qtys, not 600k "
+    "rows) + broadcast join back — no row of the fact table ever enters "
+    "a window sort, so the 3-task funnel e1 inherits from its semantics "
+    "never forms. Oracle runs the plain window form; results hash-match",
+)
+def e8_scalable_rank(spark, sf_dir):
+    """Aggregated-rank rewrite (public textbook form; see SCALE.md
+    'e1-class LOW-CARDINALITY window partitions'): count-based ranking
+    functions depend only on the ORDER BY value's per-partition
+    distribution, so compute them once per DISTINCT (partition, value)
+    group and broadcast-join the tiny ranked relation back to the fact.
+    row_number/ntile are order-sensitive (not count-based) and stay on
+    the direct window path (e1)."""
+    from s3_kinesis_replay_spark.operators.rank_rewrite import agg_rank
+
+    li = t(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return agg_rank(li, "l_returnflag", "l_quantity", descending=True).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("qty"),
+        "rnk",
+        "drnk",
+        r6(F.col("prnk")).alias("prnk"),
+        r6(F.col("cdist")).alias("cdist"),
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from s3_kinesis_replay_spark.catalog import table
@@ -165,6 +166,43 @@ def test_block_topk_joined_matches_brute(spark, sf_dir):
         assert got[r["vec_id"]] == want, r["vec_id"]
 
 
+@pytest.mark.parametrize(
+    "cb,qb,k,margin",
+    [
+        (1, 1, 5, 0),    # degenerate grid: single cell, no safety margin
+        (16, 8, 5, 0),   # more buckets than queries → empty grid cells
+        (4, 2, 3, 2),
+        (8, 4, 1000, 4), # k far beyond the corpus size → full result
+    ],
+)
+def test_block_topk_joined_grid_shapes(spark, sf_dir, cb, qb, k, margin):
+    """Grid geometry must never change results: every (blocks, buckets,
+    k, margin) shape — including empty cells and k > |corpus| — agrees
+    with brute_topk per query on (id, sim)."""
+    from s3_kinesis_replay_spark.operators.similarity import (
+        block_topk_joined,
+        brute_topk,
+    )
+
+    emb = table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    joined = block_topk_joined(
+        emb, queries, k=k, corpus_blocks=cb, query_buckets=qb, margin=margin
+    )
+    rows = joined.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["sim"]))
+    for r in emb.filter(F.col("vec_id") < 3).collect():
+        want = [
+            (x["vec_id"], x["sim"])
+            for x in brute_topk(emb, list(r["embedding"]), k=k).collect()
+        ]
+        assert sorted(got[r["vec_id"]]) == sorted(want), (r["vec_id"], cb, qb)
+
+
 def test_block_topk_joined_no_cartesian(spark, sf_dir):
     """Candidates come from the cogrouped (block × bucket) grid, and the
     re-rank is an equi-join on candidate ids — the corpus×queries cross
@@ -300,6 +338,18 @@ def test_i14_semdedup_no_cartesian(spark, sf_dir):
     plan = _plan(QUERIES["i14_semdedup"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_e8_window_over_aggregate_only(spark, sf_dir):
+    """The aggregated-rank rewrite's reason to exist: the fact table must
+    reach the result through a broadcast join, with the only window sort
+    running over the groupBy(flag, qty) relation — if the rewrite ever
+    collapses back to a direct full-table window, the BroadcastHashJoin
+    disappears and this pins the regression."""
+    plan = _plan(QUERIES["e8_scalable_rank"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") == 1
+    assert "HashAggregate" in plan
 
 
 def test_q3_topk_after_agg(spark, sf_dir):

@@ -647,3 +647,55 @@ class TestSlidingWindowDifferential:
         d_cols, d_rows = duck_result(duck, osql)
         problems = compare(s_cols, s_rows, d_cols, d_rows)
         assert not problems, f"D={duration} S={slide}: " + "; ".join(problems)
+
+
+class TestAggRankDifferential:
+    """The aggregated-rank rewrite (operators/rank_rewrite.py, declared as
+    e8_scalable_rank) must equal the direct window form for ANY input
+    slice, partition key, order key, and direction — rank, dense_rank,
+    percent_rank, and cume_dist all derive from per-(partition, value)
+    counts, so a mistake in the offset/total arithmetic shows up here as
+    a hash diff against DuckDB's native window."""
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pred=predicates(),
+        part=st.sampled_from(["l_returnflag", "l_linestatus"]),
+        order=st.sampled_from(["l_quantity", "l_linenumber", "l_tax"]),
+        desc=st.booleans(),
+    )
+    def test_agg_rank_matches_duckdb(self, spark, duck, sf_dir, pred, part, order, desc):
+        from s3_kinesis_replay_spark.operators.rank_rewrite import agg_rank
+
+        li = table(spark, "lineitem", sf_dir).filter(F.expr(pred)).select(
+            "l_orderkey", "l_linenumber", part, order
+        )
+        sdf = agg_rank(li, part, order, descending=desc).select(
+            "l_orderkey",
+            "l_linenumber",
+            part,
+            F.col(order).cast("double").alias("ov"),
+            "rnk",
+            "drnk",
+            F.round("prnk", 6).alias("prnk"),
+            F.round("cdist", 6).alias("cdist"),
+        )
+        direction = "DESC" if desc else "ASC"
+        osql = f"""
+        SELECT l_orderkey, l_linenumber, {part},
+               CAST({order} AS DOUBLE) AS ov,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               ROUND(percent_rank() OVER w, 6) AS prnk,
+               ROUND(cume_dist() OVER w, 6) AS cdist
+        FROM lineitem WHERE {pred}
+        WINDOW w AS (PARTITION BY {part} ORDER BY {order} {direction})
+        """
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"pred={pred!r} {part}/{order} {direction}: " + "; ".join(problems)
