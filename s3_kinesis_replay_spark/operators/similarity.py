@@ -739,6 +739,82 @@ def ivf_build(
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
 
 
+def ivf_probe_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Probe a built IVF index for a whole DataFrame of queries at once —
+    the production many-query ANN shape over the ``cell=``-partitioned
+    layout.
+
+    Each query picks its ``n_probe`` nearest cells (the same sequential
+    float64 fold ``ivf_probe`` uses, vectorized per Arrow batch with an
+    identical accumulation order), explodes to (cell, query) rows, and
+    equi-joins the corpus ON THE CELL ID: a corpus vector is scored only
+    against queries that probe its cell. Per query the exact-cosine
+    re-rank sees ~n_probe/n_clusters of the corpus; per-group state in
+    the final trim is k rows (WindowGroupLimit).
+
+    Scale: the probed-queries side is usually tiny relative to the
+    corpus, so AQE broadcasts it and the corpus never shuffles; with
+    very large query sets the join degrades to one shuffle of each side
+    hashed by cell. Skewed cells (popular regions of the space) are the
+    AQE skew-join case — same mitigation as any skewed equi-join.
+    """
+    import numpy as np
+
+    cents = sorted(
+        spark.read.parquet(f"{path}/_centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    C = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    cell_ids = np.array([int(r["cell"]) for r in cents], dtype=np.int64)
+    npb = int(n_probe)
+
+    @F.pandas_udf("array<int>")
+    def probe_cells_udf(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        out = []
+        for v in vs:
+            q = np.asarray(v, dtype=np.float64)
+            # sequential left-fold per dimension — matches _probe_cells /
+            # the i13c oracle bit-for-bit, ties broken by cell id
+            d2 = np.zeros(len(C))
+            for j in range(C.shape[1]):
+                diff = C[:, j] - q[j]
+                d2 = d2 + diff * diff
+            order = np.lexsort((cell_ids, d2))[:npb]
+            out.append([int(cell_ids[i]) for i in order])
+        return pd.Series(out)
+
+    probed = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(qvec_col).alias("_qv"),
+        F.explode(probe_cells_udf(F.col(qvec_col))).alias("cell"),
+    )
+    vecs = spark.read.parquet(f"{path}/vectors")
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), id_col)
+    return (
+        vecs.join(probed, "cell")
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine_expr(F.col("_qv"), F.col(vec_col)), 6).alias("sim"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def ivf_probe(
     spark,
     path: str,

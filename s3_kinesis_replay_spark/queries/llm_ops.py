@@ -403,6 +403,67 @@ def i13b_ivf_probe(spark, sf_dir):
     )
 
 
+@register(
+    "i13d_ivf_batch_probe",
+    "I5",
+    None,  # quantizer-dependent (seeded sample k-means) — rows-only; the
+    # agreement column is the check: every row must show agree=true
+    check="SEM",
+    note="many-query ANN over the stored index: ivf_probe_batch explodes "
+    "each query to its n_probe nearest cells (same sequential fold as "
+    "ivf_probe) and equi-joins the cell-partitioned corpus on cell id — "
+    "scored pairs are only (vector, query-that-probes-its-cell). Emits a "
+    "row-level agreement check against per-query ivf_probe runs over the "
+    "SAME cached index (shared with i13b: identical corpus definition, "
+    "fingerprint, k, seed — the cache key contract)",
+)
+def i13d_ivf_batch_probe(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        data_fingerprint,
+        ivf_build_cached,
+        ivf_probe,
+        ivf_probe_batch,
+    )
+
+    e = t(spark, "embeddings", sf_dir)
+    corpus = e.filter(F.col("vec_id") != 0)  # i13b's corpus → shared cache
+    fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = ivf_build_cached(corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42)
+
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    batch = ivf_probe_batch(spark, idx, queries, k=10, n_probe=4)
+
+    qvs = {
+        r["query_id"]: list(r["qvec"])
+        for r in queries.collect()  # 3 rows — bounded driver fetch
+    }
+    singles = None
+    for qid, qv in sorted(qvs.items()):
+        s = ivf_probe(spark, idx, qv, k=10, n_probe=4).select(
+            F.lit(qid).cast("bigint").alias("query_id"),
+            F.col("vec_id"),
+            F.col("sim").alias("single_sim"),
+        )
+        singles = s if singles is None else singles.unionByName(s)
+
+    b = batch.select("query_id", "vec_id", F.col("sim").alias("batch_sim"))
+    return (
+        b.join(singles, ["query_id", "vec_id"], "full_outer")
+        .select(
+            "query_id",
+            "vec_id",
+            "batch_sim",
+            "single_sim",
+            F.col("batch_sim").eqNullSafe(F.col("single_sim")).alias("agree"),
+        )
+        .orderBy("query_id", "vec_id")
+    )
+
+
 # Fixed pointer the i13c oracle reads: the query fn atomically re-points it
 # at the current fingerprint-keyed index before returning, so DuckDB scores
 # the SAME exported cells/centroids the Spark probe used (driver runs the

@@ -410,3 +410,34 @@ def p8_domain_mixture(spark, sf_dir):
             F.least(F.lit(1.0), target.cast("double") / F.col("n_docs")), 6
         ).alias("sample_frac"),
     )
+
+
+@register(
+    "p9_group_sample",
+    "B8",
+    """
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '#s42'), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+    note="exactly-k-per-group seeded sampling, cross-engine EXACT (vs "
+    "B8's rate-based TOL sampling): rank rows inside each group by "
+    "md5(id || seed) — identical hex in both engines — and keep the "
+    "first k. Uniform because the hash is effectively random in the id; "
+    "deterministic under re-partitioning, incremental loads, and engine "
+    "swap. Scale: one shuffle on the group key and WindowGroupLimit "
+    "keeps k rows of state per group per partition before the merge — "
+    "the distributed reservoir-sample equivalent",
+)
+def p9_group_sample(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    rank_key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#s42")))
+    w = Window.partitionBy("lang").orderBy(rank_key, "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )

@@ -352,6 +352,14 @@ def test_e8_window_over_aggregate_only(spark, sf_dir):
     assert "HashAggregate" in plan
 
 
+def test_p9_group_sample_rank_limit_pushed(spark, sf_dir):
+    """Exactly-k-per-group sampling must push the rn <= k filter into the
+    window sort (WindowGroupLimit) — per-group state is k rows, never the
+    group; that is what makes it the distributed reservoir equivalent."""
+    plan = _plan(QUERIES["p9_group_sample"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
 def test_q3_topk_after_agg(spark, sf_dir):
     df = QUERIES["q3_shipping_priority"].fn(spark, sf_dir)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
@@ -630,6 +638,21 @@ def test_i14_semdedup_deterministic(spark, sf_dir):
     b = [tuple(r) for r in QUERIES["i14_semdedup"].fn(spark, sf_dir).collect()]
     assert a == b
     assert any(not r[2] for r in a), "threshold drops nothing — test is vacuous"
+
+
+def test_i13d_ivf_batch_probe_all_agree(spark, sf_dir):
+    """The batch probe (cell equi-join over the stored index) must return
+    exactly what per-query ivf_probe returns for every query — the
+    declared i13d agreement column is true on every row, and every query
+    produced a full top-10."""
+    from s3_kinesis_replay_spark.queries.llm_ops import i13d_ivf_batch_probe
+
+    rows = i13d_ivf_batch_probe(spark, sf_dir).collect()
+    assert rows and all(r["agree"] for r in rows)
+    per_query = {}
+    for r in rows:
+        per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
+    assert per_query == {0: 10, 1: 10, 2: 10}
 
 
 def test_i13b_ivf_probe_all_agree(spark, sf_dir):
