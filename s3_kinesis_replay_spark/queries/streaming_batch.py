@@ -66,11 +66,17 @@ def _sliding_sql(duration_min: int, slide_min: int) -> str:
 
 _H2_SQL = _sliding_sql(10, 5)
 
-_H3_SQL = f"""
+def _session_sql(gap_min: int) -> str:
+    """Islands-pattern session oracle for an arbitrary gap: a session
+    BREAKS when the inter-event gap is >= the Spark session_window gap
+    (Spark half-open [start, last_ts + gap): an event landing exactly at
+    the close boundary starts a NEW session), session_end = last event +
+    gap. Fuzzed over random gaps in tests/test_property.py."""
+    return f"""
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL '30 minutes'
+                       >= INTERVAL '{gap_min} minutes'
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -81,11 +87,14 @@ _H3_SQL = f"""
       FROM flagged
     )
     SELECT user_id, MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           MAX(ts) + INTERVAL '{gap_min} minutes' AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS total_value
     FROM numbered GROUP BY user_id, session_id
     """
+
+
+_H3_SQL = _session_sql(30)
 
 _H5_SQL = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,
@@ -138,9 +147,9 @@ def _h2_plan(df, duration: str = "10 minutes", slide: str = "5 minutes"):
     )
 
 
-def _h3_plan(df):
+def _h3_plan(df, gap: str = "30 minutes"):
     return (
-        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        df.groupBy(F.session_window("ts", gap), "user_id")
         .agg(
             F.count("*").alias("n_events"),
             fdec(F.sum(sdec("value"))).alias("total_value"),

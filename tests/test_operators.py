@@ -703,3 +703,31 @@ def test_ivf_cache_keyed_on_data_fingerprint(spark, sf_dir, tmp_path):
     assert fp2 != fp1
     idx2 = ivf_build_cached(corpus, cache, fp2, n_clusters=4, seed=42)
     assert idx2 != idx1 and os.path.exists(os.path.join(idx2, "vectors", "_SUCCESS"))
+
+
+def test_block_topk_joined_empty_queries(spark, sf_dir):
+    """An empty query DataFrame must produce an empty result with the
+    declared schema — no crash in the cogrouped cells or the re-rank."""
+    from s3_kinesis_replay_spark.operators.similarity import block_topk_joined
+
+    emb = table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = block_topk_joined(emb, queries, k=5)
+    assert out.columns == ["query_id", "vec_id", "sim"]
+    assert out.count() == 0
+
+
+def test_semdedup_corpus_smaller_than_k(spark, sf_dir):
+    """A corpus with fewer vectors than n_clusters must still work: the
+    quantizer trains k=min(n_clusters, n) centers and every vector gets
+    one row out (nothing can be dropped against itself)."""
+    from s3_kinesis_replay_spark.operators.similarity import semdedup
+
+    emb = table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 3)
+    rows = semdedup(
+        emb.select("vec_id", "embedding"), threshold=0.99, n_clusters=16, seed=42
+    ).collect()
+    assert len(rows) == 3
+    assert all(r["keep"] for r in rows)  # threshold 0.99 > any fixture pair

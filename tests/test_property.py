@@ -699,3 +699,30 @@ class TestAggRankDifferential:
         d_cols, d_rows = duck_result(duck, osql)
         problems = compare(s_cols, s_rows, d_cols, d_rows)
         assert not problems, f"pred={pred!r} {part}/{order} {direction}: " + "; ".join(problems)
+
+
+class TestSessionWindowDifferential:
+    """Random session gaps over events must match the islands-pattern
+    oracle (_session_sql). This pins the boundary rule — Spark sessions
+    are half-open [start, last_ts + gap), so an inter-event gap EXACTLY
+    equal to the gap duration starts a new session (>= breaks, not >) —
+    across the whole gap space, not just the declared 30-minute h3."""
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(gap=st.integers(1, 90))
+    def test_session_window_matches_duckdb(self, spark, duck, sf_dir, gap):
+        from s3_kinesis_replay_spark.queries.streaming_batch import (
+            _h3_plan,
+            _session_sql,
+        )
+
+        sdf = _h3_plan(table(spark, "events", sf_dir), gap=f"{gap} minutes")
+        osql = _session_sql(gap)
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"gap={gap}: " + "; ".join(problems)
