@@ -575,41 +575,57 @@ def semdedup(
     keep rule; ``rep_id`` is that neighbor and may itself be dropped —
     chains resolve to the component's minimum id transitively).
 
-    Scale shape: the k-means assignment is one pass; candidate pairs are
-    a cell equi-join, never corpus × corpus — the cluster count bounds
-    the quadratic term exactly as in the paper (cells ~ sqrt(N) keeps
-    per-cell pair counts manageable at 10^9 vectors, and the join
-    shuffles fixed-width (id, vector) rows hashed by cell).
+    Scale shape: the k-means assignment is one pass; candidate pairs
+    come from ONE NumPy matmul per cell (applyInPandas grouped by cell —
+    never corpus × corpus, and never a per-pair HOF fold: 10⁵ pair folds
+    cost more than 16 small matmuls), with an ε-margin so the matmul's
+    accumulation order cannot lose a boundary pair. Survivors are
+    RE-SCORED with the exact left-fold cosine, which alone decides
+    keep/drop — emitted semantics are bit-identical to the i14b oracle.
+    The cluster count bounds both the quadratic term and per-cell memory
+    exactly as in the paper: cells ~ sqrt(N) at 10⁹ vectors, each cell's
+    vectors fitting one executor.
 
     Returns one row per corpus vector: (id, cell, keep, rep_id).
     """
+    import numpy as np
+
     centers = train_quantizer(
         corpus, n_clusters=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col
     )
-    # per-vector norm computed ONCE here — the pair predicate then needs a
-    # single dot fold instead of three (sqrt(dot(v,v)) per pair side);
-    # dot/(na*nb) is arithmetic-identical to cosine_expr, just hoisted
-    # materialized ONCE (the i3 signature-relation pattern): the pair
-    # generator self-joins this relation, and Catalyst would otherwise
-    # re-run the Arrow assignment pass per join side
-    assigned = (
-        assign_cells(
-            corpus.select(id_col, vec_col), centers, vec_col=vec_col, out_col="cell"
-        )
-        .withColumn("_norm", F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col))))
-        .localCheckpoint(eager=True)
-    )
+    # materialized ONCE (the i3 signature-relation pattern): both the
+    # cell-pair generator and the final left join consume this relation,
+    # and Catalyst would otherwise re-run the Arrow assignment per use
+    assigned = assign_cells(
+        corpus.select(id_col, vec_col), centers, vec_col=vec_col, out_col="cell"
+    ).localCheckpoint(eager=True)
 
-    a, b = assigned.alias("a"), assigned.alias("b")
-    ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-    sim = dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
-        F.col("a._norm") * F.col("b._norm")
+    eps = 1e-6
+
+    def cell_pairs(pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"ia": pd.Series([], dtype="int64"), "ib": pd.Series([], dtype="int64")}
+            )
+        ids = pdf[id_col].to_numpy()
+        M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        sims = M @ M.T
+        ii, jj = np.nonzero(sims >= threshold - eps)
+        keep = ids[ii] < ids[jj]
+        return pd.DataFrame({"ia": ids[ii][keep], "ib": ids[jj][keep]})
+
+    cand = assigned.groupBy("cell").applyInPandas(
+        lambda key, pdf: cell_pairs(pdf), "ia long, ib long"
     )
+    ea = corpus.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("_va"))
+    eb = corpus.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("_vb"))
     dropped = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (ida < idb))
-        .filter(sim >= threshold)
-        .groupBy(idb.alias(id_col))
-        .agg(F.min(ida).alias("rep_id"))
+        cand.join(ea, "ia")
+        .join(eb, "ib")
+        .filter(cosine_expr(F.col("_va"), F.col("_vb")) >= threshold)
+        .groupBy(F.col("ib").alias(id_col))
+        .agg(F.min("ia").alias("rep_id"))
     )
     return (
         assigned.select(id_col, "cell")

@@ -547,9 +547,10 @@ def i13c_ivf_probe_xengine(spark, sf_dir):
     # tests/test_operators.py::test_i14_semdedup_contract
     check="SEM",
     note="SemDeDup-style semantic dedup (public: Abbas et al. 2023): "
-    "seeded k-means cells, exact within-cell cosine, drop-on-lower-id-"
-    "neighbor >= 0.45. Cell equi-join bounds the quadratic term — never "
-    "corpus x corpus",
+    "seeded k-means cells, one NumPy matmul per cell for candidates "
+    "(e-margin), exact-fold re-score decides drop-on-lower-id-neighbor "
+    ">= 0.45. Cell grouping bounds the quadratic term — never corpus x "
+    "corpus, never per-pair HOF folds",
 )
 def i14_semdedup(spark, sf_dir):
     from s3_kinesis_replay_spark.operators.similarity import semdedup
