@@ -515,39 +515,38 @@ def lsh_bucketed_topk(
     dim = len(query_vec)
     h = rng.standard_normal((planes, dim))
     per_band = planes // bands
+    n_bands = int(bands)
 
-    def sketch_bits(vec_col_expr):
-        bits = []
-        for p in range(planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    vec_col_expr,
-                    F.array(*[F.lit(float(x)) for x in h[p]]),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
-        return bits
+    # sign sketch in ONE Arrow pass: a batch × planes matmul replaces
+    # `planes` interpreted HOF fold projections per row (the same
+    # per-element-lambda cost semdedup's pair stage paid before round 5)
+    @F.pandas_udf("array<string>")
+    def bands_udf(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        M = np.array(vs.tolist(), dtype=np.float64)
+        S = (M @ h.T >= 0).astype(np.int8)  # |batch| × planes
+        return pd.Series(
+            [
+                [
+                    "".join(str(int(x)) for x in row[b * per_band : (b + 1) * per_band])
+                    for b in range(n_bands)
+                ]
+                for row in S
+            ]
+        )
 
-    bits = sketch_bits(F.col(vec_col))
-    band_cols = []
-    for b in range(bands):
-        sig = F.concat(*[bits[b * per_band + r].cast("string") for r in range(per_band)])
-        band_cols.append(sig.alias(f"band{b}"))
-    sketched = corpus.select(id_col, vec_col, *band_cols)
+    sketched = corpus.select(id_col, vec_col, bands_udf(F.col(vec_col)).alias("_bands"))
 
-    import numpy as _np
-
-    qv = _np.array(query_vec, dtype=_np.float64)
-    q_bits = [(1 if float(h[p] @ qv) >= 0 else 0) for p in range(planes)]
+    qv = np.array(query_vec, dtype=np.float64)
+    q_bits = ((h @ qv) >= 0).astype(np.int8)
     q_bands = [
-        "".join(str(q_bits[b * per_band + r]) for r in range(per_band))
-        for b in range(bands)
+        "".join(str(int(x)) for x in q_bits[b * per_band : (b + 1) * per_band])
+        for b in range(n_bands)
     ]
     match_count = sum(
-        F.when(F.col(f"band{b}") == q_bands[b], 1).otherwise(0) for b in range(bands)
+        F.when(F.col("_bands")[b] == q_bands[b], 1).otherwise(0)
+        for b in range(n_bands)
     )
     candidates = sketched.filter(match_count >= min_band_matches)
     q = F.array(*[F.lit(float(x)) for x in query_vec])

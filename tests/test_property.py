@@ -726,3 +726,40 @@ class TestSessionWindowDifferential:
         d_cols, d_rows = duck_result(duck, osql)
         problems = compare(s_cols, s_rows, d_cols, d_rows)
         assert not problems, f"gap={gap}: " + "; ".join(problems)
+
+
+class TestRangeJoinDifferential:
+    """Random band widths over the c7 range-join shape (equi user_id +
+    time band) must match DuckDB's inequality join — this fuzzes the
+    band boundary arithmetic (interval addition, inclusive endpoints)
+    across widths instead of only the declared 1-hour point."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(width=st.integers(1, 180))
+    def test_range_join_matches_duckdb(self, spark, duck, sf_dir, width):
+        e1 = table(spark, "events", sf_dir).alias("e1")
+        e2 = table(spark, "events", sf_dir).alias("e2")
+        sdf = e1.join(
+            e2,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.ts") >= F.col("e1.ts"))
+            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr(f"INTERVAL {width} MINUTES"))
+            & (F.col("e1.event_id") != F.col("e2.event_id")),
+        ).select(
+            F.col("e1.event_id").alias("eid1"), F.col("e2.event_id").alias("eid2")
+        )
+        osql = f"""
+        SELECT e1.event_id AS eid1, e2.event_id AS eid2
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL {width} MINUTES
+         AND e1.event_id <> e2.event_id
+        """
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"width={width}: " + "; ".join(problems)
