@@ -286,6 +286,48 @@ def i5b_batch_topk(spark, sf_dir):
 
 
 @register(
+    "i5c_lsh_topk",
+    "I5",
+    None,  # sign-sketch prefilter trades recall for scan fraction — the
+    # result set is approximate by design; recall floor asserted in
+    # tests/test_operators.py::test_lsh_topk_recall and visible per-row
+    # in the in_exact_topk column
+    check="SEM",
+    note="random-hyperplane LSH tier: one Arrow-pass sign sketch (batch x "
+    "planes matmul), candidates = >= 1 matching band vs the query sketch, "
+    "exact left-fold re-rank of candidates only. Declared trade-off: "
+    "touches a fraction of the corpus for >= 0.5 recall on the gaussian "
+    "fixtures (weak neighbor structure); each output row carries "
+    "in_exact_topk so the recall is driver-visible",
+)
+def i5c_lsh_topk(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.similarity import (
+        brute_topk,
+        lsh_bucketed_topk,
+    )
+
+    e = t(spark, "embeddings", sf_dir)
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    corpus = e.filter(F.col("vec_id") != 0)
+    approx = lsh_bucketed_topk(corpus, qv, k=10)
+    exact = brute_topk(corpus, qv, k=10).select(
+        "vec_id", F.lit(True).alias("_in_exact")
+    )
+    return (
+        approx.join(exact, "vec_id", "left")
+        .select(
+            "vec_id",
+            "sim",
+            F.coalesce(F.col("_in_exact"), F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+    )
+
+
+@register(
     "i6_topk_per_label",
     "I6",
     f"""

@@ -731,3 +731,12 @@ def test_semdedup_corpus_smaller_than_k(spark, sf_dir):
     ).collect()
     assert len(rows) == 3
     assert all(r["keep"] for r in rows)  # threshold 0.99 > any fixture pair
+
+
+def test_i5c_lsh_topk_recall_column(spark, sf_dir):
+    """The declared LSH entry's self-check column must show the >= 0.5
+    recall floor the note promises (driver sees rows; this pins the
+    semantics locally)."""
+    rows = QUERIES["i5c_lsh_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert sum(r["in_exact_topk"] for r in rows) >= 5

@@ -763,3 +763,52 @@ class TestRangeJoinDifferential:
         d_cols, d_rows = duck_result(duck, osql)
         problems = compare(s_cols, s_rows, d_cols, d_rows)
         assert not problems, f"width={width}: " + "; ".join(problems)
+
+
+class TestDateTimeDifferential:
+    """Date/time arithmetic is a classic cross-engine divergence area
+    (truncation units, interval addition over month boundaries, epoch
+    extraction). Fuzz random interval offsets + truncation units over the
+    events timestamps against DuckDB, all in the pinned UTC session."""
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        days=st.integers(-400, 400),
+        hours=st.integers(-48, 48),
+        unit=st.sampled_from(["year", "quarter", "month", "week", "day", "hour"]),
+    )
+    def test_datetime_arith_matches_duckdb(self, spark, duck, sf_dir, days, hours, unit):
+        ev = table(spark, "events", sf_dir)
+        sdf = ev.select(
+            "event_id",
+            F.date_trunc(unit, F.col("ts") + F.expr(f"INTERVAL {days} DAYS")
+                         + F.expr(f"INTERVAL {hours} HOURS")).alias("bucket"),
+            F.year("ts").cast("bigint").alias("y"),
+            F.dayofweek("ts").cast("bigint").alias("dow"),
+            F.unix_timestamp("ts").alias("epoch_s"),
+        )
+        # Canonicalization rules this fuzz PINNED (real divergences found):
+        # - DuckDB date_trunc('year'/...) yields DATE, Spark yields
+        #   TIMESTAMP → cast the oracle side to TIMESTAMP;
+        # - DuckDB epoch() carries fractional seconds and CAST rounds,
+        #   Spark unix_timestamp() floors → floor() before casting;
+        # - DuckDB dayofweek is 0=Sunday, Spark is 1=Sunday → +1;
+        # - negative intervals need the quoted form in DuckDB.
+        osql = f"""
+        SELECT event_id,
+               CAST(date_trunc('{unit}',
+                    ts + INTERVAL '{days} days' + INTERVAL '{hours} hours')
+                    AS TIMESTAMP) AS bucket,
+               CAST(year(ts) AS BIGINT) AS y,
+               CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+               CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        FROM events
+        """
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"days={days} hours={hours} unit={unit}: " + "; ".join(problems)
