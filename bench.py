@@ -70,6 +70,11 @@ EXTRAS = [
     "t6_pii_redact",          # regex masking + hit counts
     "t7_rare_word_ratio",     # corpus-frequency join quality signal
     "p8_domain_mixture",      # temperature-scaled source mixing
+    # round 5
+    "e8_scalable_rank",       # aggregated-rank rewrite + broadcast join back
+    "p9_group_sample",        # exactly-k-per-group seeded sampling
+    "i5c_lsh_topk",           # sign-sketch prefilter + exact re-rank
+    "i13d_ivf_batch_probe",   # many-query probe over the stored IVF index
 ]
 
 

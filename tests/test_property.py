@@ -812,3 +812,85 @@ class TestDateTimeDifferential:
         d_cols, d_rows = duck_result(duck, osql)
         problems = compare(s_cols, s_rows, d_cols, d_rows)
         assert not problems, f"days={days} hours={hours} unit={unit}: " + "; ".join(problems)
+
+
+class TestSaltedJoinDifferential:
+    """salted_join's contract is row-exactness with the plain equi-join
+    for any salt count, join mode, and input slice — the salt must never
+    add, drop, or duplicate a row. Oracle = DuckDB's plain join."""
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pred=predicates(),
+        salts=st.integers(1, 16),
+        how=st.sampled_from(["inner", "left"]),
+    )
+    def test_salted_join_matches_duckdb(self, spark, duck, sf_dir, pred, salts, how):
+        from s3_kinesis_replay_spark.operators.skew import salted_join
+
+        li = table(spark, "lineitem", sf_dir).filter(F.expr(pred)).select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        )
+        orders = table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+        sdf = salted_join(
+            li, orders, "l_orderkey", "o_orderkey", salts=salts, how=how
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("qty"),
+            "o_orderkey",
+            "o_custkey",
+        )
+        duck_join = "JOIN" if how == "inner" else "LEFT JOIN"
+        osql = f"""
+        SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty,
+               o_orderkey, o_custkey
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity
+              FROM lineitem WHERE {pred}) l
+        {duck_join} orders ON l.l_orderkey = orders.o_orderkey
+        """
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"pred={pred!r} salts={salts} {how}: " + "; ".join(problems)
+
+
+class TestPercentileDifferential:
+    """Exact interpolated percentiles are a known cross-engine semantics
+    trap (interpolation method, group boundaries). Fuzz random quantile
+    points and groupings: Spark percentile() vs DuckDB quantile_cont."""
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        p=st.floats(0.01, 0.99),
+        gi=st.integers(0, 2),
+        pred=predicates(),
+    )
+    def test_percentile_matches_duckdb(self, spark, duck, sf_dir, p, gi, pred):
+        p = round(p, 3)  # two engines must parse the identical literal
+        group = [None, ["l_returnflag"], ["l_returnflag", "l_linestatus"]][gi]
+        li = table(spark, "lineitem", sf_dir).filter(F.expr(pred))
+        agg = F.round(
+            F.expr(f"percentile(CAST(l_extendedprice AS DOUBLE), {p})"), 4
+        ).alias("pq")
+        dsel = f"ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), {p}), 4) AS pq"
+        if group:
+            sdf = li.groupBy(*group).agg(agg)
+            gsql = ", ".join(group)
+            osql = (f"SELECT {gsql}, {dsel} FROM lineitem WHERE {pred} "
+                    f"GROUP BY {gsql}")
+        else:
+            sdf = li.agg(agg)
+            osql = f"SELECT {dsel} FROM lineitem WHERE {pred}"
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"p={p} group={group} pred={pred!r}: " + "; ".join(problems)
