@@ -666,18 +666,27 @@ def ivf_build_cached(
     fingerprint: str,
     n_clusters: int = 16,
     seed: int = 42,
+    corpus_tag: str = "all",
 ) -> str:
     """Build the IVF index under ``cache_root`` keyed by the DATA
     fingerprint, atomically: build into a unique temp dir, then
     ``os.rename`` into place so concurrent builders race benignly
     (first rename wins; losers discard their copy). Returns the index
-    path, reusing an existing complete build when present."""
+    path, reusing an existing complete build when present.
+
+    ``corpus_tag`` names the corpus DEFINITION (e.g. which slice of the
+    fingerprinted file the caller selected) and is part of the cache key:
+    the file fingerprint alone cannot distinguish two different filters
+    over the same file, and serving one filter's index to the other
+    would be silently wrong. Callers building from a filtered corpus
+    MUST pass a tag unique to that filter."""
     import os
     import shutil
     import tempfile
 
     final = os.path.join(
-        cache_root, f"{fingerprint}-k{n_clusters}-s{seed}-{QUANTIZER_VERSION}"
+        cache_root,
+        f"{fingerprint}-k{n_clusters}-s{seed}-{corpus_tag}-{QUANTIZER_VERSION}",
     )
     if os.path.exists(os.path.join(final, "vectors", "_SUCCESS")):
         return final

@@ -426,7 +426,9 @@ def i13b_ivf_probe(spark, sf_dir):
     qv = [r[0] for r in e.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
     corpus = e.filter(F.col("vec_id") != 0)
     fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    idx = ivf_build_cached(corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42)
+    idx = ivf_build_cached(
+        corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42, corpus_tag="ex0"
+    )
     probed = ivf_probe(spark, idx, list(qv), k=10, n_probe=4)
     mem = ivf_topk(corpus, list(qv), k=10, n_clusters=16, n_probe=4, seed=42)
     # same seed + same data → identical quantizer → the pruned-scan probe
@@ -472,7 +474,9 @@ def i13d_ivf_batch_probe(spark, sf_dir):
     e = t(spark, "embeddings", sf_dir)
     corpus = e.filter(F.col("vec_id") != 0)  # i13b's corpus → shared cache
     fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    idx = ivf_build_cached(corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42)
+    idx = ivf_build_cached(
+        corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42, corpus_tag="ex0"
+    )
 
     queries = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -576,7 +580,9 @@ def i13c_ivf_probe_xengine(spark, sf_dir):
     qv = [r[0] for r in e.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
     corpus = e.filter(F.col("vec_id") != 0)
     fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    idx = ivf_build_cached(corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42)
+    idx = ivf_build_cached(
+        corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42, corpus_tag="ex0"
+    )
     publish_index_pointer(idx, _IVF_ORACLE_PTR)
     return ivf_probe(spark, idx, list(qv), k=10, n_probe=4)
 
