@@ -110,7 +110,69 @@ def build_parser() -> argparse.ArgumentParser:
         "accumulates in worker copies; moto's mock is not active in "
         "executor workers).",
     )
+
+    q = sub.add_parser(
+        "query",
+        help="run a declared query (registry.py) against a fixture dir",
+    )
+    q.add_argument("name", help="registry entry name, e.g. q1_pricing_summary")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--limit", type=int, default=20, help="rows to print (JSONL)")
+    q.add_argument(
+        "--output", help="write the FULL result as parquet here instead of printing"
+    )
+    q.add_argument(
+        "--explain", action="store_true", help="print the physical plan instead"
+    )
+
+    ls = sub.add_parser("list-queries", help="list every declared query")
+    ls.add_argument("--survey-id", help="filter by SURVEY §2 row, e.g. I5")
     return p
+
+
+def run_query_cmd(args: argparse.Namespace) -> int:
+    from s3_kinesis_replay_spark.registry import all_queries
+    from s3_kinesis_replay_spark.session import get_spark
+
+    registry = all_queries()
+    if args.name not in registry:
+        close = [n for n in registry if args.name.split("_")[0] in n][:8]
+        raise SystemExit(
+            f"unknown query {args.name!r}; close matches: {close or list(registry)[:8]}"
+        )
+    spark = get_spark(app_name="skr-query")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = registry[args.name].fn(spark, args.sf_dir)
+    if args.explain:
+        print(df._jdf.queryExecution().executedPlan().toString())
+        return 0
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"query": args.name, "output": args.output}))
+        return 0
+    rows = df.limit(args.limit).collect()
+    for r in rows:
+        print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+    return 0
+
+
+def list_queries_cmd(args: argparse.Namespace) -> int:
+    from s3_kinesis_replay_spark.registry import all_queries
+
+    for name, q in sorted(all_queries().items()):
+        if args.survey_id and q.survey_id != args.survey_id:
+            continue
+        print(
+            json.dumps(
+                {
+                    "name": name,
+                    "survey_id": q.survey_id,
+                    "check": q.check,
+                    "oracle": q.oracle is not None,
+                }
+            )
+        )
+    return 0
 
 
 def run_replay_cmd(args: argparse.Namespace) -> dict:
@@ -227,6 +289,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "replay":
         print(json.dumps(run_replay_cmd(args)))
         return 0
+    if args.cmd == "query":
+        return run_query_cmd(args)
+    if args.cmd == "list-queries":
+        return list_queries_cmd(args)
     return 2  # pragma: no cover
 
 

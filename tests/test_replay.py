@@ -463,3 +463,43 @@ def test_client_factory_malformed_specs_raise(bad):
         validate_client_factory(bad)
     with pytest.raises(ValueError):
         resolve_client_factory(bad)
+
+
+def test_cli_query_subcommand(spark, sf_dir, capsys, tmp_path):
+    """The whole registry is CLI-reachable: `query` prints JSONL rows,
+    --output writes parquet, --explain prints a plan, unknown names fail
+    with suggestions, and `list-queries` enumerates the contract."""
+    import json as _json
+
+    from s3_kinesis_replay_spark.cli import build_parser, list_queries_cmd, run_query_cmd
+
+    args = build_parser().parse_args(
+        ["query", "f3_global_topk", "--sf-dir", sf_dir, "--limit", "3"]
+    )
+    assert run_query_cmd(args) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert len(lines) == 3 and _json.loads(lines[0])
+
+    out = str(tmp_path / "q_out")
+    args = build_parser().parse_args(
+        ["query", "f3_global_topk", "--sf-dir", sf_dir, "--output", out]
+    )
+    assert run_query_cmd(args) == 0
+    assert spark.read.parquet(out).count() > 0
+
+    args = build_parser().parse_args(
+        ["query", "f3_global_topk", "--sf-dir", sf_dir, "--explain"]
+    )
+    assert run_query_cmd(args) == 0
+    assert "TakeOrdered" in capsys.readouterr().out
+
+    import pytest as _pytest
+
+    args = build_parser().parse_args(["query", "nope_xyz"])
+    with _pytest.raises(SystemExit):
+        run_query_cmd(args)
+
+    args = build_parser().parse_args(["list-queries", "--survey-id", "I5"])
+    assert list_queries_cmd(args) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {r["name"] for r in rows} >= {"i5_topk_cosine", "i5b_batch_topk"}
