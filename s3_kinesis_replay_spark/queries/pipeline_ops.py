@@ -441,3 +441,68 @@ def p9_group_sample(spark, sf_dir):
         d.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rn"))
         .filter(F.col("rn") <= 5)
     )
+
+
+from s3_kinesis_replay_spark.queries.llm_ops import _DUCK_SHINGLES  # noqa: E402
+
+_P10_SQL = f"""
+    WITH RECURSIVE
+    sh AS MATERIALIZED (SELECT doc_id, {_DUCK_SHINGLES} ss FROM documents),
+    half AS MATERIALIZED (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8
+    ),
+    edges AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, CAST(LEAST(src, MIN(dst)) AS BIGINT) AS component_id
+      FROM reach GROUP BY src
+    ),
+    ranked AS (
+      SELECT c.component_id, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.component_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id
+    FROM ranked GROUP BY component_id
+"""
+
+
+@register(
+    "p10_cluster_canonical",
+    "I3",
+    _P10_SQL,
+    note="canonical-document selection: for every near-dup CLUSTER "
+    "(connected components over verified MinHash-LSH edges, i3d), keep "
+    "the longest member (max n_chars, tie -> min doc_id) and report "
+    "cluster size. The end-of-pipeline step that turns pairwise dedup "
+    "output into a keep-list; per-cluster state is one window rank over "
+    "members (clusters are tiny after LSH verification). Oracle = the "
+    "i3d recursive closure + the same rank rule",
+)
+def p10_cluster_canonical(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.dedup import neardup_components
+
+    docs = t(spark, "documents", sf_dir)
+    comp = neardup_components(docs, threshold=0.8, k=3, num_hash_tables=32)
+    joined = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .groupBy("component_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+        )
+    )
