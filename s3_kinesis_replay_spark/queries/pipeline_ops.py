@@ -506,3 +506,63 @@ def p10_cluster_canonical(spark, sf_dir):
             F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc_id"),
         )
     )
+
+
+_P11_TARGETS = """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS fs
+      FROM documents GROUP BY source
+    ),
+    tt AS (SELECT *, SUM(fs) OVER () AS sw, SUM(n) OVER () AS total FROM s),
+    targets AS (
+      SELECT source, CAST((total * fs) // sw AS BIGINT) AS target_n FROM tt
+    )
+"""
+
+
+@register(
+    "p11_mixture_sample",
+    "I15",
+    _P11_TARGETS
+    + """
+    SELECT d.doc_id, d.source, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '#s42'), doc_id) AS rn
+      FROM documents
+    ) d JOIN targets USING (source)
+    WHERE rn <= target_n
+    """,
+    note="the SAMPLING step of p8's domain mixture, executed: per-source "
+    "target counts (sqrt-damped, integer-exact — the p8 formula) drive an "
+    "exactly-target_n deterministic sample per source via the p9 md5-rank "
+    "rule. Composition p8 x p9: one agg for targets (broadcast, 20 rows), "
+    "one WindowGroupLimit-able rank per source, one filter — the whole "
+    "mixture materialization is two shuffles at any corpus size",
+)
+def p11_mixture_sample(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    fs = F.floor(F.sqrt(F.col("n_docs"))).cast("bigint")
+    targets = (
+        per_src.select("source", "n_docs", fs.alias("fs"))
+        .select(
+            "source",
+            "n_docs",
+            F.col("fs"),
+            F.sum("fs").over(w_all).alias("sw"),
+            F.sum("n_docs").over(w_all).alias("total"),
+        )
+        .select("source", F.expr("DIV(total * fs, sw)").cast("bigint").alias("target_n"))
+    )
+    rank_key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#s42")))
+    w = Window.partitionBy("source").orderBy(rank_key, "doc_id")
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w).cast("bigint").alias("rn")
+    )
+    return ranked.join(F.broadcast(targets), "source").filter(
+        F.col("rn") <= F.col("target_n")
+    ).select("doc_id", "source", "rn")
