@@ -45,8 +45,8 @@ def agg_rank(
     )
     cume = F.sum("cnt").over(wp.rowsBetween(Window.unboundedPreceding, 0))
     ranked = counts.select(
-        part_col,
-        order_col,
+        F.col(part_col).alias("_rr_p"),
+        F.col(order_col).alias("_rr_v"),
         (F.coalesce(prev, F.lit(0)) + 1).cast("bigint").alias("rnk"),
         F.row_number().over(wp).cast("bigint").alias("drnk"),
         F.when(total == 1, F.lit(0.0))
@@ -54,4 +54,11 @@ def agg_rank(
         .alias("prnk"),
         (cume.cast("double") / total).alias("cdist"),
     )
-    return df.join(F.broadcast(ranked), [part_col, order_col])
+    # NULL-SAFE join keys: groupBy keeps NULL partition/order values (the
+    # direct window ranks them too — nulls-last under DESC), and a plain
+    # equi-join would silently drop those rows on the way back
+    return df.join(
+        F.broadcast(ranked),
+        F.col(part_col).eqNullSafe(F.col("_rr_p"))
+        & F.col(order_col).eqNullSafe(F.col("_rr_v")),
+    ).drop("_rr_p", "_rr_v")

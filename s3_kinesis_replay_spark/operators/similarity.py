@@ -170,12 +170,21 @@ def block_topk_joined(
         Qm /= np.linalg.norm(Qm, axis=1, keepdims=True)
         sims = M @ Qm.T  # |block| × |bucket|
         t = min(take, len(left))
-        idx = np.argpartition(-sims, t - 1, axis=0)[:t]
         cids = left["_cid"].to_numpy()
+        # candidate selection mirrors the FINAL ordering rule — rounded
+        # sim desc, id asc — so every member of a rounded-sim tie class
+        # the oracle could keep survives the cell (np.argpartition breaks
+        # exact ties by position, which can exclude the lowest-id dups);
+        # the margin then only has to absorb matmul-vs-fold rounding at
+        # class boundaries, not tie-class membership
+        sims_r = np.round(sims, 6)
+        cols = []
+        for j in range(sims.shape[1]):
+            cols.append(cids[np.lexsort((cids, -sims_r[:, j]))[:t]])
         return pd.DataFrame(
             {
                 "query_id": np.repeat(right["_qid"].to_numpy(), t),
-                "vec_id": cids[idx].T.ravel(),
+                "vec_id": np.concatenate(cols),
             }
         )
 
@@ -369,6 +378,11 @@ def train_quantizer(
         .select("_v")
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "train_quantizer: corpus is empty — no vectors to train on "
+            f"(id_col={id_col!r}, vec_col={vec_col!r})"
+        )
     X = np.array([r["_v"] for r in rows], dtype=np.float64)
     n = len(X)
     k = min(n_clusters, n)
@@ -426,17 +440,18 @@ def assign_cells(
     matmul per Arrow batch.
     """
     import numpy as np
-    import pandas as pd
 
     C = np.asarray(centers, dtype=np.float64)
-    cc = (C * C).sum(axis=1)
 
     @F.pandas_udf("int")
     def _assign(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype="int32")
         M = np.array(vs.tolist(), dtype=np.float64)
-        d = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + cc[None, :]
+        # the SHARED formula — never an inline copy, so trainer and
+        # assigner can only ever round identically (i13b's all-agree
+        # contract depends on that bit-consistency)
+        d = _sq_dists(M, C)
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
     return df.withColumn(out_col, _assign(F.col(vec_col)))
@@ -660,6 +675,35 @@ def data_fingerprint(path: str) -> str:
     return h.hexdigest()[:16]
 
 
+def atomic_cached_build(cache_root, key, build, success_rel) -> str:
+    """One rule for every on-disk cache this module keeps: build into a
+    unique temp dir, ``os.rename`` into the keyed location so concurrent
+    builders race benignly (first rename wins; losers discard their
+    copy), and on rename failure only trust the winner if a COMPLETE
+    artifact (``success_rel`` marker) is actually in place — otherwise
+    (permissions, stale partial dir) deleting our good build would
+    destroy the only complete copy (ADVICE r4). ``build(tmp_dir)`` must
+    materialize the artifact into ``tmp_dir``."""
+    import os
+    import shutil
+    import tempfile
+
+    final = os.path.join(cache_root, key)
+    done = os.path.join(final, success_rel)
+    if os.path.exists(done):
+        return final
+    os.makedirs(cache_root, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="build-", dir=cache_root)
+    build(tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
 def ivf_build_cached(
     corpus: DataFrame,
     cache_root: str,
@@ -669,10 +713,8 @@ def ivf_build_cached(
     corpus_tag: str = "all",
 ) -> str:
     """Build the IVF index under ``cache_root`` keyed by the DATA
-    fingerprint, atomically: build into a unique temp dir, then
-    ``os.rename`` into place so concurrent builders race benignly
-    (first rename wins; losers discard their copy). Returns the index
-    path, reusing an existing complete build when present.
+    fingerprint (atomic install via ``atomic_cached_build``), reusing an
+    existing complete build when present.
 
     ``corpus_tag`` names the corpus DEFINITION (e.g. which slice of the
     fingerprinted file the caller selected) and is part of the cache key:
@@ -681,29 +723,13 @@ def ivf_build_cached(
     would be silently wrong. Callers building from a filtered corpus
     MUST pass a tag unique to that filter."""
     import os
-    import shutil
-    import tempfile
 
-    final = os.path.join(
+    return atomic_cached_build(
         cache_root,
         f"{fingerprint}-k{n_clusters}-s{seed}-{corpus_tag}-{QUANTIZER_VERSION}",
+        lambda tmp: ivf_build(corpus, tmp, n_clusters=n_clusters, seed=seed),
+        os.path.join("vectors", "_SUCCESS"),
     )
-    if os.path.exists(os.path.join(final, "vectors", "_SUCCESS")):
-        return final
-    os.makedirs(cache_root, exist_ok=True)
-    tmp = tempfile.mkdtemp(prefix="build-", dir=cache_root)
-    ivf_build(corpus, tmp, n_clusters=n_clusters, seed=seed)
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        # A rename failure usually means another builder won the race —
-        # but only trust that if a COMPLETE index is actually in place;
-        # otherwise (permissions, stale partial dir) deleting our good
-        # build would destroy the only complete copy (ADVICE r4).
-        if not os.path.exists(os.path.join(final, "vectors", "_SUCCESS")):
-            raise
-        shutil.rmtree(tmp, ignore_errors=True)
-    return final
 
 
 def publish_index_pointer(index_path: str, pointer: str) -> str:

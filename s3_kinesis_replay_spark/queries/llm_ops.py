@@ -647,35 +647,36 @@ _SEMDEDUP_ORACLE_PTR = "/tmp/skr_semdedup_oracle/current"
 )
 def i14b_semdedup_xengine(spark, sf_dir):
     import os
-    import shutil
-    import tempfile
 
     from s3_kinesis_replay_spark.operators.similarity import (
         QUANTIZER_VERSION,
+        atomic_cached_build,
         data_fingerprint,
         publish_index_pointer,
         semdedup,
     )
 
+    # single source of truth for the quantizer parameters: the same
+    # values feed the semdedup call AND the export cache key, so editing
+    # one cannot silently serve a stale export to the oracle
+    n_clusters, seed = 16, 42
     e = t(spark, "embeddings", sf_dir)
     res = semdedup(
-        e.select("vec_id", "embedding"), threshold=0.45, n_clusters=16, seed=42
+        e.select("vec_id", "embedding"),
+        threshold=0.45,
+        n_clusters=n_clusters,
+        seed=seed,
     )
     fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    root = "/tmp/skr_semdedup_oracle"
-    final = os.path.join(root, f"{fp}-k16-s42-{QUANTIZER_VERSION}")
-    if not os.path.exists(os.path.join(final, "_SUCCESS")):
-        os.makedirs(root, exist_ok=True)
-        tmp = tempfile.mkdtemp(prefix="build-", dir=root)
-        res.select("vec_id", "cell").coalesce(1).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            # concurrent builder won the race — but only trust that if a
-            # complete export is actually in place (ivf_build_cached rule)
-            if not os.path.exists(os.path.join(final, "_SUCCESS")):
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
+    final = atomic_cached_build(
+        "/tmp/skr_semdedup_oracle",
+        f"{fp}-k{n_clusters}-s{seed}-{QUANTIZER_VERSION}",
+        lambda tmp: res.select("vec_id", "cell")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp),
+        "_SUCCESS",
+    )
     publish_index_pointer(final, _SEMDEDUP_ORACLE_PTR)
     return res.orderBy("vec_id")
 

@@ -740,3 +740,52 @@ def test_i5c_lsh_topk_recall_column(spark, sf_dir):
     rows = QUERIES["i5c_lsh_topk"].fn(spark, sf_dir).collect()
     assert len(rows) == 10
     assert sum(r["in_exact_topk"] for r in rows) >= 5
+
+
+def test_agg_rank_keeps_null_keys(spark):
+    """groupBy keeps NULL partition/order values and the direct window
+    ranks them (nulls last under DESC) — the broadcast join back must be
+    null-safe or those rows silently vanish. Compare against the direct
+    window on a constructed frame with NULLs in both key positions."""
+    from pyspark.sql import Window
+
+    from s3_kinesis_replay_spark.operators.rank_rewrite import agg_rank
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), ("a", 3), (None, 2), (None, None)],
+        "p string, v int",
+    )
+    got = {
+        (r["p"], r["v"]): (r["rnk"], r["drnk"])
+        for r in agg_rank(df, "p", "v", descending=True).collect()
+    }
+    w = Window.partitionBy("p").orderBy(F.col("v").desc())
+    want_rows = df.select(
+        "p", "v",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    ).collect()
+    assert len(got) == 5  # 6 rows, one duplicate key pair
+    for r in want_rows:
+        assert got[(r["p"], r["v"])] == (r["rnk"], r["drnk"]), (r["p"], r["v"])
+
+
+def test_block_topk_joined_duplicate_vectors(spark, sf_dir):
+    """A corpus full of exact-duplicate embeddings creates rounded-sim
+    tie classes wider than the margin — candidate selection must keep the
+    LOWEST ids of each class (the oracle's tie rule), not an arbitrary
+    argpartition subset."""
+    from s3_kinesis_replay_spark.operators.similarity import block_topk_joined
+
+    emb = table(spark, "embeddings", sf_dir)
+    one = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    dup = spark.range(0, 40).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in one]).alias("embedding"),
+    )
+    queries = dup.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    rows = block_topk_joined(dup, queries, k=10, corpus_blocks=2, margin=0).collect()
+    # all 40 vectors tie at sim 1.0 → the kept 10 must be ids 0..9
+    assert sorted(r["vec_id"] for r in rows) == list(range(10))
