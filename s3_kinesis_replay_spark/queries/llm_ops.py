@@ -285,20 +285,87 @@ def i5b_batch_topk(spark, sf_dir):
     return block_topk_joined(e, queries, k=10).orderBy("query_id", "vec_id")
 
 
+def _lsh_oracle_sql(planes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    """Full cross-engine oracle for the LSH tier: the seeded plane matrix
+    is INLINED as SQL literals (repr round-trips float64 exactly), so
+    DuckDB recomputes the identical sign sketch, band match, candidate
+    set, exact re-rank, and exact-top-10 membership flag. The only
+    residual risk is a projection landing within matmul-vs-fold rounding
+    (~1e-15) of zero — measure-zero on the gaussian fixtures."""
+    import numpy as np
+
+    h = np.random.RandomState(seed).standard_normal((planes, 64))
+    per_band = planes // bands
+
+    def fold(vec: str, p: int) -> str:
+        coeffs = ", ".join(repr(float(x)) for x in h[p])
+        return (
+            f"list_reduce(list_transform(range(1, 65), i -> "
+            f"CAST({vec}[i] AS DOUBLE) * ([{coeffs}])[i]), (x, y) -> x + y)"
+        )
+
+    cbits = ",\n        ".join(
+        f"CASE WHEN {fold('embedding', p)} >= 0 THEN 1 ELSE 0 END AS b{p}"
+        for p in range(planes)
+    )
+    qbits = ",\n        ".join(
+        f"CASE WHEN {fold('qv', p)} >= 0 THEN 1 ELSE 0 END AS b{p}"
+        for p in range(planes)
+    )
+    band_match = " OR ".join(
+        "("
+        + " AND ".join(
+            f"cb.b{b * per_band + r} = qb.b{b * per_band + r}"
+            for r in range(per_band)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    cos = f"{_DUCK_DOTQ('c.embedding')} / (sqrt({_DUCK_DOTQ('c.embedding', 'c.embedding')}) * sqrt({_DUCK_DOTQ('qv', 'qv')}))"
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+    cb AS (SELECT vec_id, embedding,
+        {cbits}
+      FROM c),
+    qb AS (SELECT
+        {qbits}
+      FROM q),
+    cand AS (
+      SELECT cb.vec_id, cb.embedding FROM cb, qb WHERE {band_match}
+    ),
+    exact AS (
+      SELECT c.vec_id FROM c, q
+      ORDER BY ROUND({cos}, 6) DESC, c.vec_id LIMIT 10
+    )
+    SELECT c.vec_id, ROUND({cos}, 6) AS sim,
+           (c.vec_id IN (SELECT vec_id FROM exact)) AS in_exact_topk
+    FROM cand c, q
+    ORDER BY sim DESC, c.vec_id
+    LIMIT 10
+    """
+
+
+def _DUCK_DOTQ(x: str, y: str = "qv") -> str:
+    """Sequential-fold dot product between two named list expressions."""
+    return (
+        f"list_reduce(list_transform(range(1, 65), i -> "
+        f"CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
 @register(
     "i5c_lsh_topk",
     "I5",
-    None,  # sign-sketch prefilter trades recall for scan fraction — the
-    # result set is approximate by design; recall floor asserted in
-    # tests/test_operators.py::test_lsh_topk_recall and visible per-row
-    # in the in_exact_topk column
-    check="SEM",
+    _lsh_oracle_sql(),
     note="random-hyperplane LSH tier: one Arrow-pass sign sketch (batch x "
     "planes matmul), candidates = >= 1 matching band vs the query sketch, "
     "exact left-fold re-rank of candidates only. Declared trade-off: "
     "touches a fraction of the corpus for >= 0.5 recall on the gaussian "
     "fixtures (weak neighbor structure); each output row carries "
-    "in_exact_topk so the recall is driver-visible",
+    "in_exact_topk so the recall is driver-visible. CROSS-ENGINE EXACT: "
+    "the seeded plane matrix is inlined into the oracle SQL, so DuckDB "
+    "recomputes the identical sketch/bands/candidates/re-rank",
 )
 def i5c_lsh_topk(spark, sf_dir):
     from s3_kinesis_replay_spark.operators.similarity import (
