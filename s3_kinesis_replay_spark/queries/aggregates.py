@@ -373,3 +373,35 @@ def d14_sum_distinct(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(fdec(F.sum_distinct(sdec("l_quantity"))).alias("sum_dist_qty"))
     )
+
+
+@register(
+    "d4b_hll_sketch_union",
+    "D4",
+    None,
+    check="TOL",
+    tol=0.05,
+    note="MERGEABLE distinct-count sketches — the 100 TB shape of D4: "
+    "per-group Datasketches HLL built in one partial-aggregating pass, "
+    "then the per-group sketches UNION-merge into a global estimate "
+    "without rescanning the data (per-shard sketches persist and merge "
+    "across days/snapshots the same way). Spark-specific sketch binary "
+    "(no DuckDB analog) -> rows-only; accuracy vs the exact distinct "
+    "count is bounded in tests/test_oracle.py (HLL lgK=12 rsd ~1.6%).",
+)
+def d4b_hll_sketch_union(spark, sf_dir):
+    e = t(spark, "events", sf_dir)
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    per_type_est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "n_events",
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("__all__").alias("event_type"), "est_users", "n_events")
+    return per_type_est.unionByName(merged).orderBy("event_type")

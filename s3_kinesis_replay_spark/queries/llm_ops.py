@@ -57,6 +57,59 @@ def i1b_hash_dedup_count(spark, sf_dir):
     )
 
 
+@register(
+    "i1c_incremental_dedup",
+    "I1",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    snap AS (SELECT DISTINCT md5(text) AS h FROM d),
+    newb AS (
+      SELECT doc_id + 1000000 AS doc_id, md5(text) AS h
+      FROM d WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, md5(text || ' v2') FROM d WHERE doc_id % 4 = 1
+      UNION ALL
+      SELECT doc_id + 3000000, md5(text || ' v2') FROM d WHERE doc_id % 8 = 1
+    ),
+    agg AS (
+      SELECT h, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+      FROM newb GROUP BY h
+    )
+    SELECT a.doc_id, a.n_batch_copies FROM agg a ANTI JOIN snap s ON a.h = s.h
+    """,
+    note="INCREMENTAL dedup — the daily-snapshot shape of I1: a new crawl "
+    "batch (constructed: recrawled copies of snapshot docs + genuinely "
+    "new ' v2' docs, half of them duplicated in-batch) dedups (a) within "
+    "the batch by min-doc_id per digest, then (b) against the existing "
+    "corpus via LEFT ANTI join on the snapshot digest set. At 100 TB the "
+    "snapshot side is a persisted 16-byte-digest table (never the text), "
+    "the anti-join shuffles digests only, and re-running never changes "
+    "survivors (min-id is deterministic).",
+)
+def i1c_incremental_dedup(spark, sf_dir):
+    d = t(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    snap = d.select(F.md5("text").alias("h")).distinct()
+    v2 = F.md5(F.concat(F.col("text"), F.lit(" v2")))
+    newb = (
+        d.filter(F.col("doc_id") % 4 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), F.md5("text").alias("h"))
+        .unionAll(
+            d.filter(F.col("doc_id") % 4 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), v2.alias("h")
+            )
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 8 == 1).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), v2.alias("h")
+            )
+        )
+    )
+    agg = newb.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_batch_copies")
+    )
+    return agg.join(snap, "h", "left_anti").select("doc_id", "n_batch_copies")
+
+
 def _shingled(docs, k: int = 3):
     """(doc_id, shingles) with split and shingling each computed ONCE —
     HOF lambdas re-evaluate embedded expressions per element, so both the

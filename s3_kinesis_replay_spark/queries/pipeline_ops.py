@@ -566,3 +566,151 @@ def p11_mixture_sample(spark, sf_dir):
     return ranked.join(F.broadcast(targets), "source").filter(
         F.col("rn") <= F.col("target_n")
     ).select("doc_id", "source", "rn")
+
+
+def _hexint_sql(md5_expr: str, start: int, n: int) -> str:
+    """DuckDB: integer value of ``n`` hex chars of an md5 hex string
+    starting at 1-based ``start`` — matches Spark's conv(substr,16,10)."""
+    terms = [
+        f"(instr('{_HEX}', substr({md5_expr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _hexint_col(md5_col, start: int, n: int):
+    """Spark side of _hexint_sql: same hex slice via conv(_, 16, 10)."""
+    return F.conv(F.substring(md5_col, start, n), 16, 10).cast("bigint")
+
+
+@register(
+    "i3e_dupgram_rate",
+    "I3",
+    f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_GRAMS5}) AS gram FROM documents
+    ),
+    f AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(count_if(f.c >= 2) AS BIGINT) AS n_dup_grams,
+           ROUND(CAST(count_if(f.c >= 2) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+    FROM g JOIN f ON g.gram = f.gram
+    GROUP BY g.doc_id
+    """,
+    note="duplicated-n-gram rate (exact substring-dedup diagnostic, Lee "
+    "et al. 2022 style at word-5-gram granularity): per doc, the "
+    "fraction of its distinct 5-grams that also occur in ANOTHER doc "
+    "(corpus frequency >= 2). Two shuffles, both on gram keys: the "
+    "frequency agg and the gram equi-join back — never an all-pairs "
+    "compare. At 100 TB the join key is xxhash64(gram) (8-byte longs); "
+    "declared as gram strings here so the oracle is cross-engine exact.",
+)
+def i3e_dupgram_rate(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.dedup import word_shingles
+
+    d = t(spark, "documents", sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    g = (
+        d.select("doc_id", word_shingles(toks, k=5).alias("grams"))
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    f = g.groupBy("gram").agg(F.count("*").alias("c"))
+    dup = F.count_if(F.col("c") >= 2)
+    return (
+        g.join(f, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            dup.alias("n_dup_grams"),
+            F.round(dup.cast("double") / F.count("*"), 6).alias("dup_frac"),
+        )
+    )
+
+
+@register(
+    "p14_bloom_contamination",
+    "I17",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang, {_DUCK_GRAMS5} AS grams,
+             {_bucket_sql("doc_id")} AS bucket
+      FROM documents
+    ),
+    tr AS (SELECT DISTINCT unnest(grams) AS g FROM b WHERE bucket < {_TRAIN_LT}),
+    bits AS (
+      SELECT {_hexint_sql("md5(g)", 1, 4)} AS pos FROM tr
+      UNION
+      SELECT {_hexint_sql("md5(g)", 5, 4)} FROM tr
+    ),
+    te AS (SELECT DISTINCT doc_id, lang, unnest(grams) AS g
+           FROM b WHERE bucket >= {_VAL_LT}),
+    tp AS (SELECT doc_id, lang, g,
+                  {_hexint_sql("md5(g)", 1, 4)} AS p1,
+                  {_hexint_sql("md5(g)", 5, 4)} AS p2
+           FROM te)
+    SELECT tp.doc_id, tp.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(count_if(b1.pos IS NOT NULL AND b2.pos IS NOT NULL) AS BIGINT)
+             AS n_flagged
+    FROM tp
+    LEFT JOIN bits b1 ON tp.p1 = b1.pos
+    LEFT JOIN bits b2 ON tp.p2 = b2.pos
+    GROUP BY tp.doc_id, tp.lang
+    """,
+    note="BLOOM-FILTER contamination pre-screen — the broadcast-scale "
+    "path in front of p7's exact gram join: train grams set k=2 bit "
+    "positions in an m=2^16 bloom (positions = two md5 hex slices, "
+    "deterministic in BOTH engines, so even the false-positive set is "
+    "cross-engine exact); a test gram is flagged iff both its bits are "
+    "set. The bit table is bounded by m (fits in a broadcast at ANY "
+    "corpus size — that is the point of the bloom); test docs keep their "
+    "full gram count so downstream can route flagged docs into the "
+    "exact p7 join. No false negatives by construction "
+    "(tests/test_operators.py asserts p7 ⊆ p14 flags).",
+)
+def p14_bloom_contamination(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.dedup import word_shingles
+
+    d = t(spark, "documents", sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = d.select(
+        "doc_id", "lang", _bucket_col("doc_id"),
+        word_shingles(toks, k=5).alias("grams"),
+    )
+    tr = (
+        base.filter(F.col("bucket") < _TRAIN_LT)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    m = F.md5("g")
+    bits = (
+        tr.select(_hexint_col(m, 1, 4).alias("pos"))
+        .union(tr.select(_hexint_col(m, 5, 4).alias("pos")))
+        .distinct()
+    )
+    te = (
+        base.filter(F.col("bucket") >= _VAL_LT)
+        .select("doc_id", "lang", F.explode("grams").alias("g"))
+        .distinct()
+    )
+    tp = te.select(
+        "doc_id", "lang",
+        _hexint_col(m, 1, 4).alias("p1"),
+        _hexint_col(m, 5, 4).alias("p2"),
+    )
+    b1 = F.broadcast(bits.withColumnRenamed("pos", "bpos1"))
+    b2 = F.broadcast(bits.withColumnRenamed("pos", "bpos2"))
+    return (
+        tp.join(b1, tp.p1 == b1.bpos1, "left")
+        .join(b2, tp.p2 == b2.bpos2, "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count_if(
+                F.col("bpos1").isNotNull() & F.col("bpos2").isNotNull()
+            ).alias("n_flagged"),
+        )
+    )

@@ -127,6 +127,20 @@ def a5b_key_range_filter(spark, sf_dir):
     )
 
 
+def _lineitem_sink(spark, sf_dir):
+    """Write lineitem as parquet partitioned by l_returnflag (once per
+    sf_dir; _SUCCESS-guarded) and return the re-read DataFrame. Shared by
+    a8 (sink fidelity) and a8b (partition pruning on the read path)."""
+    import hashlib
+    import os
+
+    out = "/tmp/skr_sink/" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    src = t(spark, "lineitem", sf_dir)
+    if not os.path.exists(out + "/_SUCCESS"):
+        src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    return spark.read.parquet(out)
+
+
 @register(
     "a8_parquet_sink_roundtrip",
     "A8",
@@ -139,17 +153,39 @@ def a5b_key_range_filter(spark, sf_dir):
     note="write partitioned parquet, re-read, aggregate — sink fidelity",
 )
 def a8_parquet_sink_roundtrip(spark, sf_dir):
-    import hashlib
-    import os
-
-    out = "/tmp/skr_sink/" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    src = t(spark, "lineitem", sf_dir)
-    if not os.path.exists(out + "/_SUCCESS"):
-        src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-    back = spark.read.parquet(out)
+    back = _lineitem_sink(spark, sf_dir)
     return back.groupBy(F.col("l_returnflag").cast("string").alias("l_returnflag")).agg(
         F.count("*").alias("n"),
         F.round(
             F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(38,6))")).cast("double"), 6
         ).alias("total"),
+    )
+
+
+@register(
+    "a8b_partition_pruned_read",
+    "A8",
+    """
+    SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity >= 25
+    GROUP BY l_linestatus
+    """,
+    note="partition pruning on the sink's READ path: the filter on the "
+    "partition column (l_returnflag) must become a PartitionFilter — "
+    "files of non-matching partition directories are never opened "
+    "(plan-asserted in tests/test_operators.py). At 100 TB this is the "
+    "difference between scanning one partition and scanning the corpus; "
+    "the residual l_quantity predicate is pushed to the parquet scan.",
+)
+def a8b_partition_pruned_read(spark, sf_dir):
+    back = _lineitem_sink(spark, sf_dir)
+    return (
+        back.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 25))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
     )

@@ -789,3 +789,53 @@ def test_block_topk_joined_duplicate_vectors(spark, sf_dir):
     rows = block_topk_joined(dup, queries, k=10, corpus_blocks=2, margin=0).collect()
     # all 40 vectors tie at sim 1.0 → the kept 10 must be ids 0..9
     assert sorted(r["vec_id"] for r in rows) == list(range(10))
+
+
+# ------------------------------------------------- round-5b new entries
+def test_a8b_partition_pruned_read_plan(spark, sf_dir):
+    """The l_returnflag predicate must prune whole partition directories
+    (PartitionFilters) and the residual l_quantity predicate must reach
+    the parquet scan — at 100 TB this reads one partition, not the sink."""
+    plan = _plan(QUERIES["a8b_partition_pruned_read"].fn(spark, sf_dir))
+    assert "PartitionFilters: [" in plan
+    assert "l_returnflag" in plan.split("PartitionFilters:")[1][:200]
+    assert "GreaterThanOrEqual(l_quantity,25.0)" in plan
+
+
+def test_p14_bloom_no_false_negatives(spark, sf_dir):
+    """Bloom pre-screen soundness: every test doc the exact gram join
+    (p7) finds contaminated must be flagged by p14 with at least as many
+    flagged grams (bloom can only ADD false positives, never drop hits)."""
+    exact = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in QUERIES["p7_contamination_check"].fn(spark, sf_dir).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged"]
+        for r in QUERIES["p14_bloom_contamination"].fn(spark, sf_dir).collect()
+    }
+    assert exact, "fixture produced no exact contamination — test is vacuous"
+    for doc, n in exact.items():
+        assert doc in bloom, f"doc {doc} missing from bloom output"
+        assert bloom[doc] >= n, f"doc {doc}: bloom {bloom[doc]} < exact {n}"
+
+
+def test_p14_bits_join_broadcasts(spark, sf_dir):
+    """The m-bounded bit table must broadcast (that is the point of the
+    bloom: membership at any corpus size without shuffling the corpus)."""
+    plan = _plan(QUERIES["p14_bloom_contamination"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_i1c_survivors_are_new_content_only(spark, sf_dir):
+    """Survivors must be exactly the min-id copies of the ' v2' docs
+    (recrawled snapshot copies dedup away; in-batch dups collapse)."""
+    rows = QUERIES["i1c_incremental_dedup"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # v2 docs were assigned ids in the 2M range; the 3M in-batch dups
+        # never survive (2M id is always the min for the same digest)
+        assert 2000000 <= r["doc_id"] < 3000000
+        assert r["n_batch_copies"] in (1, 2)
+    assert any(r["n_batch_copies"] == 2 for r in rows)

@@ -67,6 +67,20 @@ _TOL_SPECS = [
         id="d4-hll-rsd-bound",
     ),
     pytest.param(
+        "d4b_hll_sketch_union",
+        "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events",
+        lambda df: float(
+            [r["est_users"] for r in df.collect() if r["event_type"] == "__all__"][0]
+        ),
+        # declared bound: Datasketches HLL default lgK=12 → rsd ≈ 1.6%;
+        # union-merged estimate within ±5% (3 standard errors)
+        lambda approx, exact: (
+            abs(approx - exact) <= 0.05 * exact,
+            f"|{approx} - {exact}| vs 0.05*exact",
+        ),
+        id="d4b-hll-union-bound",
+    ),
+    pytest.param(
         "d7_percentile_approx",
         "SELECT quantile_cont(o_totalprice, 0.5) FROM orders",
         lambda df: float(df.collect()[0]["p50_approx"]),
