@@ -127,6 +127,23 @@ def build_parser() -> argparse.ArgumentParser:
 
     ls = sub.add_parser("list-queries", help="list every declared query")
     ls.add_argument("--survey-id", help="filter by SURVEY §2 row, e.g. I5")
+
+    sq = sub.add_parser(
+        "sql",
+        help="run ad-hoc Spark SQL with the fixture tables as temp views",
+    )
+    sq.add_argument(
+        "statement",
+        help="SQL text, or @FILE to read the statement from a file",
+    )
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sq.add_argument("--limit", type=int, default=20, help="rows to print (JSONL)")
+    sq.add_argument(
+        "--output", help="write the FULL result as parquet here instead of printing"
+    )
+    sq.add_argument(
+        "--explain", action="store_true", help="print the physical plan instead"
+    )
     return p
 
 
@@ -152,6 +169,33 @@ def run_query_cmd(args: argparse.Namespace) -> int:
         return 0
     rows = df.limit(args.limit).collect()
     for r in rows:
+        print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+    return 0
+
+
+def run_sql_cmd(args: argparse.Namespace) -> int:
+    """Ad-hoc SQL over the fixture tables — the 'switch your queries over'
+    surface: anything expressible against the registered views runs
+    through the same Catalyst planner as the declared registry entries."""
+    from s3_kinesis_replay_spark.catalog import load_tables
+    from s3_kinesis_replay_spark.session import get_spark
+
+    stmt = args.statement
+    if stmt.startswith("@"):
+        with open(stmt[1:]) as f:
+            stmt = f.read()
+    spark = get_spark(app_name="skr-sql")
+    spark.sparkContext.setLogLevel("ERROR")
+    load_tables(spark, args.sf_dir, register_views=True)
+    df = spark.sql(stmt)
+    if args.explain:
+        print(df._jdf.queryExecution().executedPlan().toString())
+        return 0
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"sql": stmt[:120], "output": args.output}))
+        return 0
+    for r in df.limit(args.limit).collect():
         print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
     return 0
 
@@ -293,6 +337,8 @@ def main(argv: list[str] | None = None) -> int:
         return run_query_cmd(args)
     if args.cmd == "list-queries":
         return list_queries_cmd(args)
+    if args.cmd == "sql":
+        return run_sql_cmd(args)
     return 2  # pragma: no cover
 
 

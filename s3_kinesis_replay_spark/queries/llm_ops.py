@@ -823,6 +823,48 @@ def i7_wordcount(spark, sf_dir):
 
 
 @register(
+    "i7b_vocab_build",
+    "I7",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ),
+    f AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM w WHERE word <> '' GROUP BY word
+    )
+    SELECT word, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word) - 1 AS BIGINT)
+             AS token_id
+    FROM f
+    """,
+    note="tokenizer VOCABULARY build: corpus word frequencies -> dense "
+    "contiguous token ids in frequency order (ties broken by word so the "
+    "id map is deterministic across runs/engines). The corpus-sized work "
+    "is the partial-agg word count; the global ROW_NUMBER window runs "
+    "over the VOCAB (already aggregated, orders of magnitude smaller "
+    "than the corpus) — at 100 TB add a min-frequency filter before the "
+    "rank to cap vocab size.",
+)
+def i7b_vocab_build(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, "documents", sf_dir)
+    f = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    win = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return f.select(
+        "word",
+        "freq",
+        (F.row_number().over(win) - 1).cast("bigint").alias("token_id"),
+    )
+
+
+@register(
     "i8_tfidf",
     "I8",
     """

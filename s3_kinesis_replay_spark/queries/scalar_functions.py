@@ -478,3 +478,34 @@ def g10b_variant(spark, sf_dir):
         F.variant_get("v", "$.k", "string").alias("k_str"),
         F.try_variant_get("v", "$.nope", "string").isNull().alias("missing_is_null"),
     )
+
+
+@register(
+    "g6b_bitwise",
+    "G6",
+    """
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS all_and,
+           CAST(bit_or(user_id) AS BIGINT) AS any_or,
+           CAST(bit_xor(user_id) AS BIGINT) AS parity_xor,
+           CAST(SUM(bit_count(user_id)) AS BIGINT) AS popcount_sum,
+           CAST(SUM((user_id << 2) | (user_id >> 3)) AS BIGINT) AS shifted_sum
+    FROM events GROUP BY event_type
+    """,
+    note="bitwise scalar + aggregate family (bitmap/bitmask analytics): "
+    "AND/OR/XOR reductions, popcount, shifts. All pure codegen partial "
+    "aggregates — map-side combine, no special scale concerns.",
+)
+def g6b_bitwise(spark, sf_dir):
+    e = t(spark, "events", sf_dir)
+    return e.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("all_and"),
+        F.bit_or("user_id").alias("any_or"),
+        F.bit_xor("user_id").alias("parity_xor"),
+        F.sum(F.bit_count("user_id")).cast("bigint").alias("popcount_sum"),
+        F.sum(
+            F.shiftleft(F.col("user_id"), 2).bitwiseOR(
+                F.shiftright(F.col("user_id"), 3)
+            )
+        ).alias("shifted_sum"),
+    )

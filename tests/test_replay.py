@@ -503,3 +503,40 @@ def test_cli_query_subcommand(spark, sf_dir, capsys, tmp_path):
     assert list_queries_cmd(args) == 0
     rows = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert {r["name"] for r in rows} >= {"i5_topk_cosine", "i5b_batch_topk"}
+
+
+def test_cli_sql_adhoc(spark, sf_dir, capsys, tmp_path):
+    """The `sql` subcommand runs arbitrary Spark SQL over the fixture
+    views — the ad-hoc surface a switching user needs beyond the declared
+    registry entries. Covers JSONL print, @file input, and --explain."""
+    import json as _json
+
+    from s3_kinesis_replay_spark.cli import build_parser, run_sql_cmd
+
+    args = build_parser().parse_args(
+        [
+            "sql",
+            "SELECT r_name, COUNT(*) AS n FROM region GROUP BY r_name",
+            "--sf-dir",
+            sf_dir,
+            "--limit",
+            "10",
+        ]
+    )
+    assert run_sql_cmd(args) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 5
+    assert all(_json.loads(l)["n"] == "1" for l in lines)
+
+    f = tmp_path / "q.sql"
+    f.write_text("SELECT COUNT(*) AS n FROM nation")
+    args = build_parser().parse_args(["sql", f"@{f}", "--sf-dir", sf_dir])
+    assert run_sql_cmd(args) == 0
+    out = capsys.readouterr().out
+    assert '"n": "25"' in out
+
+    args = build_parser().parse_args(
+        ["sql", "SELECT 1 AS one", "--sf-dir", sf_dir, "--explain"]
+    )
+    assert run_sql_cmd(args) == 0
+    assert "Project" in capsys.readouterr().out
