@@ -93,6 +93,116 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def banded_signatures(
+    sigs: DataFrame,
+    num_hash_tables: int = 32,
+    bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sh_set, band_id, band_sig): fold the H minhash columns into
+    ``bands`` fixed-width band signatures (xxhash64 over each band's rows)
+    and explode one row per band — the relation an LSH equi-join runs on.
+    In production this IS the persisted signature table: computed once per
+    ingest, stored, and joined against by later batches (see
+    minhash_lsh_incremental_pairs)."""
+    rows_per_band = num_hash_tables // bands
+    return sigs.select(
+        F.col(id_col),
+        "sh_set",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+
+
+def exact_jaccard_from_hash_sets(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jacc): exact Jaccard over the two shingle-hash-set
+    columns ``sh_a``/``sh_b``, rounded to 6 (SURVEY §5.3)."""
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            inter / (F.size("sh_a") + F.size("sh_b") - inter), 6
+        ).alias("jacc"),
+    )
+
+
+def minhash_lsh_incremental_pairs(
+    snapshot: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_hash_tables: int = 32,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against an EXISTING corpus snapshot:
+    (doc_new, doc_src, jacc) with exact Jaccard ≥ threshold, candidates
+    from a band equi-join of batch signatures against snapshot signatures.
+
+    The incremental shape of minhash_lsh_neardup_pairs: the snapshot side
+    is banded ONCE (in production: persisted at ingest time and simply
+    scanned here — never recomputed, never the corpus text), and each new
+    batch only pays signature cost proportional to the BATCH. The join
+    shuffles (band_id, band_sig) keys from both sides; the snapshot text
+    never moves. This is how a 100 TB corpus absorbs a daily crawl without
+    an O(corpus) near-dup pass per day.
+    """
+    snap_banded = banded_signatures(
+        minhash_signatures(
+            snapshot, id_col, text_col, k, num_hash_tables, keep_shingle_hashes=True
+        ),
+        num_hash_tables,
+        bands,
+        id_col,
+    )
+    batch_banded = banded_signatures(
+        minhash_signatures(
+            batch, id_col, text_col, k, num_hash_tables, keep_shingle_hashes=True
+        ),
+        num_hash_tables,
+        bands,
+        id_col,
+    )
+    if materialize:
+        snap_banded = snap_banded.localCheckpoint(eager=True)
+        batch_banded = batch_banded.localCheckpoint(eager=True)
+    b = batch_banded.alias("b")
+    s = snap_banded.alias("s")
+    pairs = (
+        b.join(
+            s,
+            (F.col("b.band_id") == F.col("s.band_id"))
+            & (F.col("b.band_sig") == F.col("s.band_sig")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("doc_a"),
+            F.col(f"s.{id_col}").alias("doc_b"),
+            F.col("b.sh_set").alias("sh_a"),
+            F.col("s.sh_set").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        exact_jaccard_from_hash_sets(pairs)
+        .withColumnsRenamed({"doc_a": "doc_new", "doc_b": "doc_src"})
+        .filter(F.col("jacc") >= threshold)
+    )
+
+
 def minhash_lsh_neardup_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -120,27 +230,13 @@ def minhash_lsh_neardup_pairs(
     run does at 100 TB — persist the signature table, then join it to
     itself.
     """
-    rows_per_band = num_hash_tables // bands
-    sigs = minhash_signatures(
-        docs, id_col, text_col, k, num_hash_tables, keep_shingle_hashes=True
-    )
-
-    banded = sigs.select(
-        F.col(id_col),
-        "sh_set",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.col(f"h{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_sig"),
+    banded = banded_signatures(
+        minhash_signatures(
+            docs, id_col, text_col, k, num_hash_tables, keep_shingle_hashes=True
+        ),
+        num_hash_tables,
+        bands,
+        id_col,
     )
     if materialize:
         banded = banded.localCheckpoint(eager=True)

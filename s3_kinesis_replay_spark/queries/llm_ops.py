@@ -823,6 +823,59 @@ def i7_wordcount(spark, sf_dir):
 
 
 @register(
+    "i3f_incremental_neardup",
+    "I3",
+    f"""
+    WITH snap AS (SELECT doc_id, {_DUCK_SHINGLES} ss FROM documents),
+    batch0 AS (
+      SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      FROM documents WHERE doc_id % 5 = 1
+    ),
+    bs AS (SELECT doc_id, {_DUCK_SHINGLES} ss FROM batch0)
+    SELECT b.doc_id AS doc_new, s.doc_id AS doc_src,
+           ROUND(CAST(len(list_intersect(b.ss, s.ss)) AS DOUBLE)
+                 / len(list_distinct(list_concat(b.ss, s.ss))), 6) AS jacc
+    FROM bs b JOIN snap s ON TRUE
+    WHERE CAST(len(list_intersect(b.ss, s.ss)) AS DOUBLE)
+          / len(list_distinct(list_concat(b.ss, s.ss))) >= 0.8
+    """,
+    note="INCREMENTAL near-dup — a new batch (constructed: lightly "
+    "perturbed snapshot docs with J≈0.98, plus word-reversed docs with "
+    "J≈0) LSH-joins against the SNAPSHOT's banded signatures "
+    "(operators/dedup.py minhash_lsh_incremental_pairs). In production "
+    "the snapshot side is the persisted signature table from ingest — "
+    "a daily crawl near-dups against 100 TB without recomputing or "
+    "shuffling the corpus. Engine = band equi-join candidates + exact "
+    "Jaccard verify; oracle = all batch x snapshot pairs exact (fixture "
+    "similarity bimodal, declared recall 1 as in i3).",
+)
+def i3f_incremental_neardup(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.dedup import (
+        minhash_lsh_incremental_pairs,
+    )
+
+    d = t(spark, "documents", sf_dir).select("doc_id", "text")
+    batch = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+            )
+        )
+    )
+    return minhash_lsh_incremental_pairs(d, batch, threshold=0.8)
+
+
+@register(
     "i7b_vocab_build",
     "I7",
     """

@@ -839,3 +839,20 @@ def test_i1c_survivors_are_new_content_only(spark, sf_dir):
         assert 2000000 <= r["doc_id"] < 3000000
         assert r["n_batch_copies"] in (1, 2)
     assert any(r["n_batch_copies"] == 2 for r in rows)
+
+
+def test_i3f_incremental_pairs_shape(spark, sf_dir):
+    """Perturbed batch docs (1M ids) must match their own source doc with
+    near-1 Jaccard; word-reversed docs (2M ids) must produce NO pairs."""
+    rows = QUERIES["i3f_incremental_neardup"].fn(spark, sf_dir).collect()
+    assert rows
+    by_new = {}
+    for r in rows:
+        assert 1000000 <= r["doc_new"] < 2000000, "reversed doc leaked a pair"
+        by_new.setdefault(r["doc_new"], []).append(r)
+    for new_id, prs in by_new.items():
+        src = new_id - 1000000
+        own = [r for r in prs if r["doc_src"] == src]
+        # a short source doc with s shingles scores s/(s+1) — e.g. 0.9 at
+        # s=9 — so bound by the declared threshold, not a fixed 0.9
+        assert own and own[0]["jacc"] >= 0.8
