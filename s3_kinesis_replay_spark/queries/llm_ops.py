@@ -1121,3 +1121,62 @@ def p1_training_prep(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
     )
+
+
+@register(
+    "i11b_int8_quantize",
+    "I11",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             127.0 / list_max(list_transform(embedding,
+                                             x -> abs(CAST(x AS DOUBLE))))
+               AS scale,
+             embedding
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * scale)
+                                      AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat
+    FROM q
+    """,
+    note="symmetric per-vector int8 quantization (ANN-serving compression "
+    "4x over float32): scale = 127/max|x|, q_i = round(x_i * scale). "
+    "Pure map-only codegen pass — no shuffle, fuses into the scan. Both "
+    "engines round ties away from zero and share IEEE double products, "
+    "so the quantized values are bit-identical; outputs are scalar "
+    "summaries (sum/min/max/saturation count) because the driver "
+    "canonicalizer cannot hash array cells.",
+)
+def i11b_int8_quantize(spark, sf_dir):
+    e = t(spark, "embeddings", sf_dir)
+    absmax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    s = e.select("vec_id", (F.lit(127.0) / absmax).alias("scale"), "embedding")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.col("scale")).cast("bigint"),
+    )
+    q = s.select("vec_id", "scale", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        r6("scale").alias("scale"),
+        F.aggregate(
+            "qv", F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.size(F.filter("qv", lambda v: F.abs(v) == 127)).cast("bigint").alias(
+            "n_sat"
+        ),
+    )
