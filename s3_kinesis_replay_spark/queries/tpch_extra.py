@@ -1,0 +1,423 @@
+"""Extended TPC-H-shape analytics suite (beyond the flagship q1/q3/q5).
+
+Each query is the standard TPC-H pattern adapted to the fixture star
+schema (FIXTURES.md: no partsupp table, no l_shipmode/l_commitdate/
+l_receiptdate/p_container columns, nation names are NATION_0..24, dates
+span 1995-2001) — the point is the OPERATOR pattern, which is what a
+switching user runs: scalar-filter aggregation (q6), multi-nation volume
+join (q7), returned-item top-k (q10), outer-join histogram (q13),
+conditional promo share (q14), having-on-max (q15), correlated per-part
+threshold (q17), large-order having + semi join (q18), disjunctive join
+predicates (q19).
+
+Scale notes: every query keeps the TPC-H canonical plan — dims broadcast,
+facts shuffle only on join/group keys, partial aggregation everywhere,
+top-k via TakeOrdered. Decimal-sum discipline per SURVEY §5.3 (money
+aggregates in DECIMAL(38,6); double division/rounding happens once at the
+end, identically in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3_kinesis_replay_spark.registry import register
+from s3_kinesis_replay_spark.queries.helpers import DEC, fdec, r6, sdec, t
+
+
+@register(
+    "q6_forecast_revenue",
+    "B2",
+    f"""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS {DEC}))
+                      AS DOUBLE), 6) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    note="TPC-H Q6: pure scan-side filters + one global decimal agg — "
+    "every predicate must reach the parquet scan; at 100 TB this query "
+    "IS its scan cost.",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(fdec(F.sum(sdec("l_extendedprice * l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    "C1",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+                      AS DOUBLE), 6) AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+    note="TPC-H Q7 shape: two broadcast nation enrichments with a "
+    "cross-pair disjunction, fact-fact joins shuffle on their keys; the "
+    "nation filter prunes both dim sides BEFORE the broadcast.",
+)
+def q7_volume_shipping(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    c = t(spark, "customer", sf_dir)
+    s = t(spark, "supplier", sf_dir)
+    n1 = t(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(
+        fdec(F.sum(sdec("l_extendedprice * (1 - l_discount)"))).alias("revenue")
+    )
+
+
+@register(
+    "q10_returned_items",
+    "F3",
+    f"""
+    SELECT c_custkey, c_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+                      AS DOUBLE), 6) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    note="TPC-H Q10: returned-item revenue top-20 — agg then TakeOrdered "
+    "on the ROUNDED revenue with c_custkey tiebreak (deterministic set); "
+    "nation broadcasts; no global sort of the agg output.",
+)
+def q10_returned_items(spark, sf_dir):
+    c = t(spark, "customer", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    li = t(spark, "lineitem", sf_dir)
+    n = t(spark, "nation", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            fdec(F.sum(sdec("l_extendedprice * (1 - l_discount)"))).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    "C2",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    note="TPC-H Q13: customers-with-zero-orders REQUIRE the outer join "
+    "(an inner join silently drops them); the join predicate filter "
+    "(order priority) lives in the ON clause, not WHERE — pushing it to "
+    "WHERE would turn the outer join inner. Double aggregation, both "
+    "partial-agg friendly.",
+)
+def q13_order_count_distribution(spark, sf_dir):
+    c = t(spark, "customer", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    c_orders = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue",
+    "B6",
+    f"""
+    SELECT ROUND(
+             100.0
+             * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice * (1 - l_discount)
+                                       AS {DEC})
+                             ELSE CAST(0 AS {DEC}) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+                    AS DOUBLE), 6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    note="TPC-H Q14: conditional decimal aggregate over a dim join — "
+    "part broadcasts; the CASE rides the partial agg so one pass "
+    "computes both numerator and denominator.",
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir)
+    p = t(spark, "part", sf_dir)
+    rev = sdec("l_extendedprice * (1 - l_discount)")
+    zero = F.expr(f"CAST(0 AS {DEC})")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            r6(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    "D13",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(CAST(total AS DOUBLE), 6) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total = (SELECT MAX(total) FROM revenue)
+    """,
+    note="TPC-H Q15: having-on-global-max. The max is computed on the "
+    "EXACT decimal totals (order-independent), so the equality filter "
+    "cannot flake across engines or re-executions; the 1-row max "
+    "broadcasts. Ties all surface (deterministic set).",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir)
+    s = t(spark, "supplier", sf_dir)
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(sdec("l_extendedprice * (1 - l_discount)")).alias("total"))
+    )
+    mx = revenue.agg(F.max("total").alias("mx"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(mx), F.col("total") == F.col("mx"))
+        .select(
+            "s_suppkey", "s_name", fdec(F.col("total")).alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    "D10",
+    f"""
+    WITH thr AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*))
+               AS lim
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / 7.0, 6)
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = lineitem.l_partkey
+    JOIN thr ON thr.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#13' AND l_quantity < thr.lim
+    """,
+    note="TPC-H Q17: correlated per-part average threshold, decorrelated "
+    "into a per-part agg + equi-join (what Catalyst/DuckDB both do). The "
+    "threshold is decimal-sum/count in double — bit-identical in both "
+    "engines, so the strict < comparison cannot drift. part broadcasts; "
+    "the thr relation is |parts|-sized.",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir)
+    p = t(spark, "part", sf_dir)
+    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(sdec("l_quantity")).cast("double") / F.count("*"))
+        ).alias("lim")
+    )
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#13")),
+                li.l_partkey == p.p_partkey)
+        .join(thr, li.l_partkey == thr.t_partkey)
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .agg(
+            r6(F.sum(sdec("l_extendedprice")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    "D13",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE), 6) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    note="TPC-H Q18: the big-order HAVING produces a small key set that "
+    "SEMI-joins the fact tables (never a full materialized subquery "
+    "result). l_quantity values are integers-in-doubles (<= 2^53), so "
+    "the HAVING sum is order-independent without the decimal detour.",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    c = t(spark, "customer", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    li = t(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "b_key"),
+              F.col("o_orderkey") == F.col("b_key"), "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(fdec(F.sum(sdec("l_quantity"))).alias("sum_qty"))
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    "B3",
+    f"""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+                      AS DOUBLE), 6) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    note="TPC-H Q19 shape (adapted: fixture part has no p_container): "
+    "disjunctive mixed-side predicates over an equi join — the planner "
+    "must keep the equi key (not degrade to a nested loop) and push the "
+    "per-side conjuncts (brand/size to part scan, quantity to lineitem "
+    "scan) below the join.",
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir)
+    p = t(spark, "part", sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            fdec(F.sum(sdec("l_extendedprice * (1 - l_discount)"))).alias("revenue")
+        )
+    )

@@ -103,6 +103,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         aggregates,
         windows,
+        tpch_extra,
     )
 
     first = _window_first()

@@ -856,3 +856,35 @@ def test_i3f_incremental_pairs_shape(spark, sf_dir):
         # a short source doc with s shingles scores s/(s+1) — e.g. 0.9 at
         # s=9 — so bound by the declared threshold, not a fixed 0.9
         assert own and own[0]["jacc"] >= 0.8
+
+
+# ------------------------------------------------- TPC-H extras plans
+def test_q6_predicates_reach_scan(spark, sf_dir):
+    """Q6 is its scan cost: every filter must push to parquet."""
+    plan = _plan(QUERIES["q6_forecast_revenue"].fn(spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1][:400]
+    assert "l_discount" in pushed and "l_quantity" in pushed
+    assert "l_shipdate" in pushed
+
+
+def test_q19_disjunction_keeps_equi_join(spark, sf_dir):
+    """Disjunctive mixed-side predicates must not degrade the equi join
+    to a nested loop."""
+    plan = _plan(QUERIES["q19_disjunctive_predicates"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(QUERIES["q10_returned_items"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q13_outer_join_keeps_zero_order_customers(spark, sf_dir):
+    """The histogram must contain a c_count=0 bucket (inner join would
+    silently drop order-less customers)."""
+    rows = {
+        r["c_count"]: r["custdist"]
+        for r in QUERIES["q13_order_count_distribution"].fn(spark, sf_dir).collect()
+    }
+    assert 0 in rows and rows[0] >= 1
