@@ -421,3 +421,133 @@ def q19_disjunctive_predicates(spark, sf_dir):
             fdec(F.sum(sdec("l_extendedprice * (1 - l_discount)"))).alias("revenue")
         )
     )
+
+
+@register(
+    "q8_market_share",
+    "C1",
+    f"""
+    WITH base AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS {DEC}) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                               ELSE CAST(0 AS {DEC}) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+    note="TPC-H Q8 (adapted: no partsupp in the fixture schema): one "
+    "nation's share of a region's promo-part market per year. Five dim "
+    "broadcasts around the two fact joins; numerator and denominator "
+    "ride the same decimal partial agg.",
+)
+def q8_market_share(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    c = t(spark, "customer", sf_dir)
+    s = t(spark, "supplier", sf_dir)
+    p = t(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    r = t(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    n1 = t(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = t(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = sdec("l_extendedprice * (1 - l_discount)")
+    zero = F.expr(f"CAST(0 AS {DEC})")
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return base.groupBy("o_year").agg(
+        r6(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+                    zero
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q22_dormant_rich_customers",
+    "C4",
+    f"""
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) / COUNT(*)
+               AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    ),
+    rich AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer, thr WHERE c_acctbal > thr.avg_bal
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE), 6)
+             AS totacctbal
+    FROM rich ANTI JOIN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    ) recent ON rich.c_custkey = recent.o_custkey
+    GROUP BY c_mktsegment
+    """,
+    note="TPC-H Q22 shape: above-average-balance customers with NO "
+    "RECENT orders (the fixture has no fully order-less customers, so "
+    "dormancy is date-windowed to keep the result non-vacuous) — global "
+    "decimal-exact threshold (1-row broadcast), then LEFT ANTI join "
+    "against the filtered fact (the NOT EXISTS pattern). The anti join "
+    "shuffles only customer keys; the date predicate pushes to the "
+    "orders scan before the anti join.",
+)
+def q22_dormant_rich_customers(spark, sf_dir):
+    c = t(spark, "customer", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(sdec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    rich = (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            fdec(F.sum(sdec("c_acctbal"))).alias("totacctbal"),
+        )
+    )
