@@ -714,3 +714,37 @@ def p14_bloom_contamination(spark, sf_dir):
             ).alias("n_flagged"),
         )
     )
+
+
+@register(
+    "p15_weighted_sample",
+    "B8",
+    f"""
+    WITH u AS (
+      SELECT doc_id, lang, n_chars,
+             {_hexint_sql("md5(CAST(doc_id AS VARCHAR) || ':ws1')", 1, 13)} AS ux
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM u
+    WHERE ux * 600 < n_chars * 4503599627370496
+    """,
+    note="length-WEIGHTED deterministic Bernoulli sample: p(doc) = "
+    "min(1, n_chars/600), accepted iff md5-derived 52-bit uniform < p — "
+    "declared as the INTEGER comparison ux*600 < n_chars*2^52, so both "
+    "engines decide every row identically (no float boundary; contrast "
+    "rate-based B8, which is TOL by nature). Pure map-only pass, "
+    "embarrassingly parallel, and STABLE: membership depends only on "
+    "(doc_id, seed tag), so re-runs/repartitions/incremental loads never "
+    "change the sample — the quality-weighted mix-building primitive.",
+)
+def p15_weighted_sample(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    ux = _hexint_col(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws1"))), 1, 13
+    )
+    return d.select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"), ux.alias("ux")
+    ).filter(
+        F.col("ux") * 600 < F.col("n_chars") * F.lit(4503599627370496)
+    ).drop("ux")

@@ -888,3 +888,19 @@ def test_q13_outer_join_keeps_zero_order_customers(spark, sf_dir):
         for r in QUERIES["q13_order_count_distribution"].fn(spark, sf_dir).collect()
     }
     assert 0 in rows and rows[0] >= 1
+
+
+def test_p15_weighted_sample_is_length_weighted(spark, sf_dir):
+    """Long docs must be sampled at a visibly higher rate than short docs
+    (p = min(1, n_chars/600)); sample must also be deterministic."""
+    d = table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    total = {r["doc_id"]: r["n_chars"] for r in d.collect()}
+    got = {r["doc_id"] for r in QUERIES["p15_weighted_sample"].fn(spark, sf_dir).collect()}
+    got2 = {r["doc_id"] for r in QUERIES["p15_weighted_sample"].fn(spark, sf_dir).collect()}
+    assert got == got2
+    long_ids = [i for i, n in total.items() if n >= 400]
+    short_ids = [i for i, n in total.items() if n <= 150]
+    if long_ids and short_ids:
+        rate_long = sum(i in got for i in long_ids) / len(long_ids)
+        rate_short = sum(i in got for i in short_ids) / len(short_ids)
+        assert rate_long > rate_short
