@@ -49,7 +49,10 @@ def main() -> None:
         "`single_partition` > 0 is acceptable only for declared-global",
         "sorts/limits (F1/F2/F3-class) and scalar/1-row aggregates — current",
         "set: global counts (i1b, d2, d4, d7, d8b, a5b), the 1-row IDF `N`",
-        "(i8), the 4-row funnel window (p4), global ntile (p5) — all bounded",
+        "(i8), the 4-row funnel window (p4), global ntile (p5), the",
+        "vocab-sized id-assignment rank (i7b — runs on the aggregated",
+        "vocabulary, not the corpus), global-threshold 1-row aggs",
+        "(q15/q17/q22, p11) — all bounded",
         "outputs. `python_ops` > 0 only where the operator is Python by",
         "design (J rows, mapInPandas tiers, multimodal, grid matmuls).",
         "`codegen_spans` under-counts before execution under AQE (the",
