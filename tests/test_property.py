@@ -894,3 +894,161 @@ class TestPercentileDifferential:
         d_cols, d_rows = duck_result(duck, osql)
         problems = compare(s_cols, s_rows, d_cols, d_rows)
         assert not problems, f"p={p} group={group} pred={pred!r}: " + "; ".join(problems)
+
+
+# -------------------------------------------------- TPC-H-shape fuzzers
+@pytest.mark.usefixtures("spark", "duck")
+class TestTpchShapeDifferential:
+    """Randomized parameterizations of the round-5 TPC-H patterns
+    (queries/tpch_extra.py): the declared entries pin one point each;
+    these fuzz the parameter space (date windows, discount bands,
+    disjunctive brand/size/quantity predicates, ON-clause filters)."""
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        y=st.integers(1995, 2000),
+        m=st.integers(1, 12),
+        months=st.integers(1, 18),
+        dlo=st.integers(0, 8),
+        dband=st.integers(0, 2),
+        qmax=st.integers(5, 50),
+    )
+    def test_q6_shape_matches_duckdb(self, spark, duck, sf_dir, y, m, months, dlo, dband, qmax):
+        start = f"{y}-{m:02d}-01"
+        ey, em = y + (m - 1 + months) // 12, (m - 1 + months) % 12 + 1
+        end = f"{ey}-{em:02d}-01"
+        lo, hi = dlo / 100.0, (dlo + dband) / 100.0
+        li = table(spark, "lineitem", sf_dir)
+        sdf = li.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+            & (F.col("l_discount") >= lo)
+            & (F.col("l_discount") <= hi)
+            & (F.col("l_quantity") < qmax)
+        ).agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(
+                    F.expr(
+                        "CAST(l_extendedprice * l_discount AS DECIMAL(38,6))"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("revenue"),
+        )
+        osql = (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))"
+            " AS DOUBLE), 6) AS revenue FROM lineitem "
+            f"WHERE l_shipdate >= TIMESTAMP '{start} 00:00:00' "
+            f"AND l_shipdate < TIMESTAMP '{end} 00:00:00' "
+            f"AND l_discount BETWEEN {lo} AND {hi} AND l_quantity < {qmax}"
+        )
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"window=[{start},{end}) disc=[{lo},{hi}] q<{qmax}: " + "; ".join(problems)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        disjuncts=st.lists(
+            st.tuples(
+                st.integers(1, 25),      # brand number
+                st.integers(1, 50),      # size upper bound
+                st.integers(1, 40),      # qty lower bound
+                st.integers(1, 15),      # qty band width
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def test_q19_shape_matches_duckdb(self, spark, duck, sf_dir, disjuncts):
+        li = table(spark, "lineitem", sf_dir)
+        p = table(spark, "part", sf_dir)
+        conds, sql_parts = None, []
+        for bn, sz, qlo, qw in disjuncts:
+            c = (
+                (F.col("p_brand") == f"Brand#{bn}")
+                & F.col("p_size").between(1, sz)
+                & F.col("l_quantity").between(qlo, qlo + qw)
+            )
+            conds = c if conds is None else (conds | c)
+            sql_parts.append(
+                f"(p_brand = 'Brand#{bn}' AND p_size BETWEEN 1 AND {sz} "
+                f"AND l_quantity BETWEEN {qlo} AND {qlo + qw})"
+            )
+        sdf = (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .filter(conds)
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(
+                        F.expr(
+                            "CAST(l_extendedprice * (1 - l_discount)"
+                            " AS DECIMAL(38,6))"
+                        )
+                    ).cast("double"),
+                    6,
+                ).alias("revenue"),
+            )
+        )
+        osql = (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS "
+            "DECIMAL(38,6))) AS DOUBLE), 6) AS revenue "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey WHERE "
+            + " OR ".join(sql_parts)
+        )
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"disjuncts={disjuncts}: " + "; ".join(problems)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        prio=st.sampled_from(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        ),
+        neg=st.booleans(),
+    )
+    def test_q13_on_clause_semantics_match_duckdb(self, spark, duck, sf_dir, prio, neg):
+        """Outer-join histograms with the filter in the ON clause — the
+        zero-orders bucket must survive for every predicate choice."""
+        c = table(spark, "customer", sf_dir)
+        o = table(spark, "orders", sf_dir)
+        op = "!=" if neg else "=="
+        jcond = (c.c_custkey == o.o_custkey) & (
+            (o.o_orderpriority != prio) if neg else (o.o_orderpriority == prio)
+        )
+        sdf = (
+            c.join(o, jcond, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+        )
+        sqlop = "<>" if neg else "="
+        osql = (
+            "WITH c_orders AS (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT)"
+            " AS c_count FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+            f" AND o_orderpriority {sqlop} '{prio}' GROUP BY c_custkey) "
+            "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist "
+            "FROM c_orders GROUP BY c_count"
+        )
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"prio={prio} {op}: " + "; ".join(problems)
