@@ -148,6 +148,7 @@ def minhash_lsh_incremental_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     materialize: bool = True,
+    snapshot_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against an EXISTING corpus snapshot:
     (doc_new, doc_src, jacc) with exact Jaccard ≥ threshold, candidates
@@ -160,15 +161,24 @@ def minhash_lsh_incremental_pairs(
     shuffles (band_id, band_sig) keys from both sides; the snapshot text
     never moves. This is how a 100 TB corpus absorbs a daily crawl without
     an O(corpus) near-dup pass per day.
+
+    Pass ``snapshot_banded`` (the stored output of ``banded_signatures``,
+    e.g. read back from parquet) to skip recomputing the snapshot side —
+    the production path; SCALE.md's round-5b experiment measures per-batch
+    cost against a stored corpus grown k-fold.
     """
-    snap_banded = banded_signatures(
-        minhash_signatures(
-            snapshot, id_col, text_col, k, num_hash_tables, keep_shingle_hashes=True
-        ),
-        num_hash_tables,
-        bands,
-        id_col,
-    )
+    if snapshot_banded is not None:
+        snap_banded = snapshot_banded
+    else:
+        snap_banded = banded_signatures(
+            minhash_signatures(
+                snapshot, id_col, text_col, k, num_hash_tables,
+                keep_shingle_hashes=True,
+            ),
+            num_hash_tables,
+            bands,
+            id_col,
+        )
     batch_banded = banded_signatures(
         minhash_signatures(
             batch, id_col, text_col, k, num_hash_tables, keep_shingle_hashes=True
@@ -178,7 +188,8 @@ def minhash_lsh_incremental_pairs(
         id_col,
     )
     if materialize:
-        snap_banded = snap_banded.localCheckpoint(eager=True)
+        if snapshot_banded is None:  # a stored relation is already materialized
+            snap_banded = snap_banded.localCheckpoint(eager=True)
         batch_banded = batch_banded.localCheckpoint(eager=True)
     b = batch_banded.alias("b")
     s = snap_banded.alias("s")

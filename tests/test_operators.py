@@ -904,3 +904,36 @@ def test_p15_weighted_sample_is_length_weighted(spark, sf_dir):
         rate_long = sum(i in got for i in long_ids) / len(long_ids)
         rate_short = sum(i in got for i in short_ids) / len(short_ids)
         assert rate_long > rate_short
+
+
+def test_i3f_stored_signature_path_agrees(spark, sf_dir, tmp_path):
+    """The production path (snapshot banded signatures persisted at ingest,
+    read back from parquet) must produce the identical pair set as the
+    recompute path."""
+    from s3_kinesis_replay_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_incremental_pairs,
+        minhash_signatures,
+    )
+
+    d = table(spark, "documents", sf_dir).select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+    )
+    live = sorted(
+        map(tuple, minhash_lsh_incremental_pairs(d, batch).collect())
+    )
+    store = str(tmp_path / "snap_banded")
+    banded_signatures(
+        minhash_signatures(d, keep_shingle_hashes=True)
+    ).write.parquet(store)
+    stored = sorted(
+        map(
+            tuple,
+            minhash_lsh_incremental_pairs(
+                d, batch, snapshot_banded=spark.read.parquet(store)
+            ).collect(),
+        )
+    )
+    assert live == stored and live
