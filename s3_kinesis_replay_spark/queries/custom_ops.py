@@ -515,3 +515,52 @@ def r1_sanitize_pipeline(spark, sf_dir):
     return ev.select(
         "event_id", s.alias("sanitized"), n_digits.cast("int").alias("n_digits")
     )
+
+
+@register(
+    "t8_normalized_dedup_key",
+    "I9",
+    """
+    WITH n AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+      FROM documents
+    )
+    SELECT doc_id, lang, md5(norm_text) AS norm_key,
+           CAST(length(norm_text) AS BIGINT) AS norm_len,
+           CAST(COUNT(*) OVER (PARTITION BY md5(norm_text)) AS BIGINT)
+             AS n_norm_dups
+    FROM n
+    """,
+    note="C4-style NORMALIZED dedup key: lowercase, strip non-alnum, "
+    "collapse whitespace, trim -> md5 digest. Catches near-identical "
+    "docs that differ only in case/punct/spacing, which exact I1 dedup "
+    "misses. Map-only normalization; the dup-count window partitions by "
+    "the 16-byte digest (high cardinality — no funnel). Patterns are "
+    "RE2-compatible so both engines normalize identically.",
+)
+def t8_normalized_dedup_key(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, "documents", sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    n = d.select("doc_id", "lang", norm.alias("norm_text"))
+    key = F.md5("norm_text")
+    return n.select(
+        "doc_id",
+        "lang",
+        key.alias("norm_key"),
+        F.length("norm_text").cast("bigint").alias("norm_len"),
+        F.count("*")
+        .over(Window.partitionBy(key))
+        .cast("bigint")
+        .alias("n_norm_dups"),
+    )

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from s3_kinesis_replay_spark.operators.text import STOPWORDS
-from s3_kinesis_replay_spark.queries.helpers import t
+from s3_kinesis_replay_spark.queries.helpers import DEC, r6, sdec, t
 from s3_kinesis_replay_spark.registry import register
 
 # Pinned split fractions: 256 md5 buckets → 205/25/26 ≈ 80/10/10.
@@ -672,6 +672,7 @@ def i3e_dupgram_rate(spark, sf_dir):
     "(tests/test_operators.py asserts p7 ⊆ p14 flags).",
 )
 def p14_bloom_contamination(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.bloom import bloom_bits, bloom_screen
     from s3_kinesis_replay_spark.operators.dedup import word_shingles
 
     d = t(spark, "documents", sf_dir)
@@ -685,33 +686,20 @@ def p14_bloom_contamination(spark, sf_dir):
         .select(F.explode("grams").alias("g"))
         .distinct()
     )
-    m = F.md5("g")
-    bits = (
-        tr.select(_hexint_col(m, 1, 4).alias("pos"))
-        .union(tr.select(_hexint_col(m, 5, 4).alias("pos")))
-        .distinct()
-    )
     te = (
         base.filter(F.col("bucket") >= _VAL_LT)
         .select("doc_id", "lang", F.explode("grams").alias("g"))
         .distinct()
     )
-    tp = te.select(
-        "doc_id", "lang",
-        _hexint_col(m, 1, 4).alias("p1"),
-        _hexint_col(m, 5, 4).alias("p2"),
-    )
-    b1 = F.broadcast(bits.withColumnRenamed("pos", "bpos1"))
-    b2 = F.broadcast(bits.withColumnRenamed("pos", "bpos2"))
+    # in production bloom_bits(tr) is PERSISTED when the train set is
+    # built (SCALE.md round-5b measurement); here it is inline so the
+    # whole pipeline is one declared plan
     return (
-        tp.join(b1, tp.p1 == b1.bpos1, "left")
-        .join(b2, tp.p2 == b2.bpos2, "left")
+        bloom_screen(te, bloom_bits(tr))
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_grams"),
-            F.count_if(
-                F.col("bpos1").isNotNull() & F.col("bpos2").isNotNull()
-            ).alias("n_flagged"),
+            F.count_if(F.col("bloom_hit")).alias("n_flagged"),
         )
     )
 
@@ -748,3 +736,50 @@ def p15_weighted_sample(spark, sf_dir):
     ).filter(
         F.col("ux") * 600 < F.col("n_chars") * F.lit(4503599627370496)
     ).drop("ux")
+
+
+@register(
+    "p16_dataset_card",
+    "I15",
+    f"""
+    WITH per_doc AS (
+      SELECT source, lang, n_chars,
+             len(string_split(lower(text), ' ')) AS n_toks
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_toks AS BIGINT)) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(n_chars AS {DEC})) AS DOUBLE) / COUNT(*), 6)
+             AS avg_chars,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(tot.n), 6) AS corpus_share
+    FROM per_doc CROSS JOIN tot
+    GROUP BY source, lang
+    """,
+    note="dataset CARD / datasheet: per (source, lang) cell — doc count, "
+    "token count, mean length, share of corpus — the summary table every "
+    "training-data release ships. One partial-agg pass + a broadcast "
+    "1-row total; output is |sources|x|langs| rows (bounded).",
+)
+def p16_dataset_card(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    tot = d.agg(F.count("*").alias("n"))
+    per = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.lower("text"), " ")).alias("n_toks"),
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_toks").cast("bigint")).alias("n_tokens"),
+            r6(F.sum(sdec("n_chars")).cast("double") / F.count("*")).alias(
+                "avg_chars"
+            ),
+            r6(F.count("*").cast("double") / F.max("n")).alias("corpus_share"),
+        )
+    )

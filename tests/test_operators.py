@@ -937,3 +937,28 @@ def test_i3f_stored_signature_path_agrees(spark, sf_dir, tmp_path):
         )
     )
     assert live == stored and live
+
+
+def test_bloom_stored_bits_path_agrees(spark, sf_dir, tmp_path):
+    """bloom_screen against a bit table persisted to parquet (the
+    production path, SCALE.md round-5b) must flag the identical rows as
+    the inline build."""
+    from s3_kinesis_replay_spark.operators.bloom import bloom_bits, bloom_screen
+
+    d = table(spark, "documents", sf_dir)
+    words = d.select(F.explode(F.split(F.lower("text"), " ")).alias("g")).distinct()
+    ref = words.filter(F.length("g") >= 5)
+    live = sorted(
+        map(tuple, bloom_screen(words, bloom_bits(ref)).collect())
+    )
+    store = str(tmp_path / "bits")
+    bloom_bits(ref).write.parquet(store)
+    stored = sorted(
+        map(tuple, bloom_screen(words, spark.read.parquet(store)).collect())
+    )
+    assert live == stored and live
+    # soundness: every reference key must flag (no false negatives)
+    flagged = {
+        r["g"] for r in bloom_screen(ref, bloom_bits(ref)).collect() if r["bloom_hit"]
+    }
+    assert flagged == {r["g"] for r in ref.collect()}
