@@ -75,6 +75,16 @@ EXTRAS = [
     "p9_group_sample",        # exactly-k-per-group seeded sampling
     "i5c_lsh_topk",           # sign-sketch prefilter + exact re-rank
     "i13d_ivf_batch_probe",   # many-query probe over the stored IVF index
+    # round 5b: incremental/pre-screen tier + TPC-H extras (representative)
+    "i1c_incremental_dedup",  # batch-vs-snapshot digest anti-join
+    "i3f_incremental_neardup",  # batch-vs-snapshot LSH band join
+    "i3e_dupgram_rate",       # corpus dup-5-gram diagnostic (gram joins)
+    "p14_bloom_contamination",  # bounded-bit bloom pre-screen
+    "p15_weighted_sample",    # integer-exact weighted Bernoulli
+    "t8_normalized_dedup_key",  # normalization + digest-window dup counts
+    "q6_forecast_revenue",    # scan-bound TPC-H Q6
+    "q10_returned_items",     # join + agg + TakeOrdered TPC-H Q10
+    "q18_large_volume_customers",  # having + semi join TPC-H Q18
 ]
 
 

@@ -38,13 +38,15 @@ def _position(md5_col: Column, start: int) -> Column:
 def bloom_bits(keys: DataFrame, key_col: str = "g") -> DataFrame:
     """(pos) — the distinct set-bit table for a key relation. ≤ 2^16 rows
     no matter how many keys went in; persist this at reference-set build
-    time (plain parquet) and pass it to bloom_screen forever after."""
+    time (plain parquet) and pass it to bloom_screen forever after.
+
+    Both positions come out of ONE pass (explode of a 2-element array) —
+    a union of two selects would execute the upstream key pipeline once
+    per branch."""
     m = F.md5(key_col)
-    return (
-        keys.select(_position(m, 1).alias("pos"))
-        .union(keys.select(_position(m, 5).alias("pos")))
-        .distinct()
-    )
+    return keys.select(
+        F.explode(F.array(_position(m, 1), _position(m, 5))).alias("pos")
+    ).distinct()
 
 
 def bloom_screen(

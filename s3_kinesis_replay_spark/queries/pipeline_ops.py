@@ -337,18 +337,22 @@ def p7_contamination_check(spark, sf_dir):
     from s3_kinesis_replay_spark.operators.dedup import word_shingles
 
     d = t(spark, "documents", sf_dir)
-    toks = F.split(F.lower(F.col("text")), " ")
-    base = d.select(
+    # shingle-explode discipline (round 5b): split to a bare column, then
+    # EXPLODE THE SHINGLE EXPRESSION in the same select — both the
+    # expression-in-HOF form and the project-array-then-explode form run
+    # ~9x slower (per-element re-evaluation / generate-loop re-derivation)
+    toked = d.select(
+        "doc_id", "lang", _bucket_col("doc_id"),
+        F.split(F.lower(F.col("text")), " ").alias("toks"),
+    )
+    train = toked.filter(F.col("bucket") < _TRAIN_LT).select(
+        F.col("doc_id").alias("train_id"),
+        F.explode(word_shingles(F.col("toks"), k=5)).alias("g"),
+    )
+    test = toked.filter(F.col("bucket") >= _VAL_LT).select(
         "doc_id",
         "lang",
-        _bucket_col("doc_id"),
-        word_shingles(toks, k=5).alias("grams"),
-    )
-    train = base.filter(F.col("bucket") < _TRAIN_LT).select(
-        F.col("doc_id").alias("train_id"), F.explode("grams").alias("g")
-    )
-    test = base.filter(F.col("bucket") >= _VAL_LT).select(
-        "doc_id", "lang", F.explode("grams").alias("g")
+        F.explode(word_shingles(F.col("toks"), k=5)).alias("g"),
     )
     return (
         test.join(train, "g")
@@ -608,25 +612,39 @@ def _hexint_col(md5_col, start: int, n: int):
     "declared as gram strings here so the oracle is cross-engine exact.",
 )
 def i3e_dupgram_rate(spark, sf_dir):
+    # Single-scan formulation: (doc_id, gram) pairs are already unique
+    # (word_shingles returns per-doc DISTINCT grams), so the corpus
+    # frequency of each gram is a COUNT window over xxhash64(gram) —
+    # 8-byte shuffle keys, one scan of the shingle pipeline, no self-join
+    # (the join form scanned the explode pipeline once per consumer).
+    # Hash basis is the i3 argument: counts identical to the oracle's
+    # string counts up to collisions, P < 1e-8 corpus-wide.
     from s3_kinesis_replay_spark.operators.dedup import word_shingles
 
     d = t(spark, "documents", sf_dir)
-    toks = F.split(F.lower(F.col("text")), " ")
+    # explode the shingle EXPRESSION in the same select (the dedup.py:85
+    # form): projecting the array to a column first and exploding it in a
+    # separate select runs ~9x slower here — codegen re-derives the
+    # projected array inside the generate loop instead of fusing the
+    # generator over the expression once per row
     g = (
-        d.select("doc_id", word_shingles(toks, k=5).alias("grams"))
-        .select("doc_id", F.explode("grams").alias("gram"))
-        .distinct()
-    )
-    f = g.groupBy("gram").agg(F.count("*").alias("c"))
-    dup = F.count_if(F.col("c") >= 2)
-    return (
-        g.join(f, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            dup.alias("n_dup_grams"),
-            F.round(dup.cast("double") / F.count("*"), 6).alias("dup_frac"),
+        d.select(
+            "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
         )
+        .select(
+            "doc_id",
+            F.explode(word_shingles(F.col("toks"), k=5)).alias("gram"),
+        )
+        .select("doc_id", F.xxhash64("gram").alias("gh"))
+    )
+    counted = g.withColumn(
+        "c", F.count("*").over(Window.partitionBy("gh"))
+    )
+    dup = F.count_if(F.col("c") >= 2)
+    return counted.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        dup.alias("n_dup_grams"),
+        F.round(dup.cast("double") / F.count("*"), 6).alias("dup_frac"),
     )
 
 
@@ -676,20 +694,22 @@ def p14_bloom_contamination(spark, sf_dir):
     from s3_kinesis_replay_spark.operators.dedup import word_shingles
 
     d = t(spark, "documents", sf_dir)
-    toks = F.split(F.lower(F.col("text")), " ")
-    base = d.select(
+    # shingle-explode discipline (round 5b, see p7): bare toks column,
+    # explode(word_shingles(...)) fused in one select per branch. No
+    # .distinct() anywhere: per-doc grams are already distinct
+    # (word_shingles), and bloom_bits dedups POSITIONS (longs) — the only
+    # shuffle this op pays.
+    toked = d.select(
         "doc_id", "lang", _bucket_col("doc_id"),
-        word_shingles(toks, k=5).alias("grams"),
+        F.split(F.lower(F.col("text")), " ").alias("toks"),
     )
-    tr = (
-        base.filter(F.col("bucket") < _TRAIN_LT)
-        .select(F.explode("grams").alias("g"))
-        .distinct()
+    tr = toked.filter(F.col("bucket") < _TRAIN_LT).select(
+        F.explode(word_shingles(F.col("toks"), k=5)).alias("g")
     )
-    te = (
-        base.filter(F.col("bucket") >= _VAL_LT)
-        .select("doc_id", "lang", F.explode("grams").alias("g"))
-        .distinct()
+    te = toked.filter(F.col("bucket") >= _VAL_LT).select(
+        "doc_id",
+        "lang",
+        F.explode(word_shingles(F.col("toks"), k=5)).alias("g"),
     )
     # in production bloom_bits(tr) is PERSISTED when the train set is
     # built (SCALE.md round-5b measurement); here it is inline so the
