@@ -85,6 +85,7 @@ EXTRAS = [
     "q6_forecast_revenue",    # scan-bound TPC-H Q6
     "q10_returned_items",     # join + agg + TakeOrdered TPC-H Q10
     "q18_large_volume_customers",  # having + semi join TPC-H Q18
+    "p17_decontaminated_mix",  # composite: split->bloom->exact->dedup->mix
 ]
 
 

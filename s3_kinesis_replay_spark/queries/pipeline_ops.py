@@ -803,3 +803,100 @@ def p16_dataset_card(spark, sf_dir):
             r6(F.count("*").cast("double") / F.max("n")).alias("corpus_share"),
         )
     )
+
+
+@register(
+    "p17_decontaminated_mix",
+    "I17",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, text, {_bucket_sql("doc_id")} AS bucket,
+             {_DUCK_GRAMS5} AS grams, md5(text) AS h
+      FROM documents
+    ),
+    ev_g AS (SELECT DISTINCT unnest(grams) AS g FROM base
+             WHERE bucket >= {_VAL_LT}),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, unnest(grams) AS g FROM base
+            WHERE bucket < {_TRAIN_LT}) t
+      JOIN ev_g ON t.g = ev_g.g
+    ),
+    clean AS (
+      SELECT * FROM (
+        SELECT doc_id, source,
+               len(string_split(lower(text), ' ')) AS n_tok,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM base
+        WHERE bucket < {_TRAIN_LT}
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      ) WHERE rn = 1
+    ),
+    s AS (
+      SELECT source, COUNT(*) AS n, SUM(n_tok) AS toks,
+             CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS fs
+      FROM clean GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(toks AS BIGINT) AS n_tokens,
+           ROUND(CAST(fs AS DOUBLE) / SUM(fs) OVER (), 6) AS mix_weight
+    FROM s
+    """,
+    note="end-to-end DECONTAMINATED training mix — the round-5b tier "
+    "composed in one plan: hash split (p3) -> bloom pre-screen of train "
+    "grams against the eval set's bit table (p14 shape; engine-side "
+    "only — the bloom is a routing optimization with no false "
+    "negatives, so the oracle's direct exact join defines the same "
+    "answer) -> exact gram-join confirm on the flagged subset (p7) -> "
+    "exact dedup of survivors by digest (i1) -> sqrt-damped per-source "
+    "mixture weights (p8). At 100 TB the bloom keeps the exact join's "
+    "left side to the flagged fraction, and every stage shuffles "
+    "digests/positions/grams, never documents.",
+)
+def p17_decontaminated_mix(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from s3_kinesis_replay_spark.operators.bloom import bloom_bits, bloom_screen
+    from s3_kinesis_replay_spark.operators.dedup import word_shingles
+
+    d = t(spark, "documents", sf_dir)
+    toked = d.select(
+        "doc_id", "source", "text", _bucket_col("doc_id"),
+        F.split(F.lower(F.col("text")), " ").alias("toks"),
+    )
+    ev_g = toked.filter(F.col("bucket") >= _VAL_LT).select(
+        F.explode(word_shingles(F.col("toks"), k=5)).alias("g")
+    ).distinct()
+    tr_g = toked.filter(F.col("bucket") < _TRAIN_LT).select(
+        "doc_id", F.explode(word_shingles(F.col("toks"), k=5)).alias("g")
+    )
+    # bloom pre-screen routes only flagged gram rows into the exact join
+    flagged = bloom_screen(tr_g, bloom_bits(ev_g)).filter(F.col("bloom_hit"))
+    contaminated = (
+        flagged.join(ev_g, "g", "left_semi").select("doc_id").distinct()
+    )
+    train = toked.filter(F.col("bucket") < _TRAIN_LT).select(
+        "doc_id", "source",
+        F.size("toks").alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    clean = (
+        train.join(contaminated, "doc_id", "left_anti")
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    s = clean.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tok").cast("bigint")).alias("n_tokens"),
+        F.floor(F.sqrt(F.count("*"))).cast("bigint").alias("fs"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        r6(F.col("fs").cast("double") / F.sum("fs").over(W.partitionBy())).alias(
+            "mix_weight"
+        ),
+    )
