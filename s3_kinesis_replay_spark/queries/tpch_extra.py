@@ -551,3 +551,42 @@ def q22_dormant_rich_customers(spark, sf_dir):
             fdec(F.sum(sdec("c_acctbal"))).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q4_order_priority_check",
+    "C4",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    note="TPC-H Q4 shape (adapted: fixture lineitem has no "
+    "l_commitdate/l_receiptdate, so 'late' = shipped more than 90 days "
+    "after the order date): correlated EXISTS decorrelated to a LEFT "
+    "SEMI join with an extra non-equi conjunct riding the equi key — "
+    "still a hash/SMJ join on l_orderkey, never a nested loop; the date "
+    "window pushes to the orders scan.",
+)
+def q4_order_priority_check(spark, sf_dir):
+    o = t(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = t(spark, "lineitem", sf_dir)
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )

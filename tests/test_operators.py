@@ -962,3 +962,27 @@ def test_bloom_stored_bits_path_agrees(spark, sf_dir, tmp_path):
         r["g"] for r in bloom_screen(ref, bloom_bits(ref)).collect() if r["bloom_hit"]
     }
     assert flagged == {r["g"] for r in ref.collect()}
+
+
+@pytest.mark.parametrize("nparts", [1, 7, 64])
+def test_hash_based_membership_stable_under_repartition(spark, sf_dir, nparts, monkeypatch):
+    """The md5-derived ops claim membership is independent of physical
+    layout (p3 split, p15 weighted sample, i1c survivors). Repartitioning
+    the input must not move a single row."""
+    import s3_kinesis_replay_spark.queries.helpers as H
+
+    baseline = {
+        name: sorted(map(tuple, QUERIES[name].fn(spark, sf_dir).collect()))
+        for name in ("p3_hash_split", "p15_weighted_sample", "i1c_incremental_dedup")
+    }
+    orig_t = H.t
+    monkeypatch.setattr(H, "t", lambda sp, n, sf: orig_t(sp, n, sf).repartition(nparts))
+    # query modules resolve `t` at call time through their module globals
+    import s3_kinesis_replay_spark.queries.llm_ops as llm
+    import s3_kinesis_replay_spark.queries.pipeline_ops as pipe
+
+    monkeypatch.setattr(pipe, "t", H.t)
+    monkeypatch.setattr(llm, "t", H.t)
+    for name, want in baseline.items():
+        got = sorted(map(tuple, QUERIES[name].fn(spark, sf_dir).collect()))
+        assert got == want, f"{name} changed under repartition({nparts})"
