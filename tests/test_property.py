@@ -1060,3 +1060,101 @@ class TestTpchShapeDifferential:
         d_cols, d_rows = duck_result(duck, osql)
         problems = compare(s_cols, s_rows, d_cols, d_rows)
         assert not problems, f"prio={prio} {op}: " + "; ".join(problems)
+
+
+@pytest.mark.usefixtures("spark", "duck")
+class TestRound5bShapeDifferential:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        y=st.integers(1995, 2000),
+        m=st.integers(1, 12),
+        months=st.integers(1, 6),
+        k=st.integers(1, 40),
+    )
+    def test_q10_shape_topk_matches_duckdb(self, spark, duck, sf_dir, y, m, months, k):
+        """Randomized q10: agg + TakeOrdered top-k on rounded revenue with
+        custkey tiebreak — the rank/limit/rounding interplay across random
+        date windows and k."""
+        start = f"{y}-{m:02d}-01"
+        ey, em = y + (m - 1 + months) // 12, (m - 1 + months) % 12 + 1
+        end = f"{ey}-{em:02d}-01"
+        c = table(spark, "customer", sf_dir)
+        o = table(spark, "orders", sf_dir)
+        li = table(spark, "lineitem", sf_dir)
+        sdf = (
+            c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .filter(
+                (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+                & (F.col("l_returnflag") == "R")
+            )
+            .groupBy("c_custkey")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.expr(
+                            "CAST(l_extendedprice * (1 - l_discount)"
+                            " AS DECIMAL(38,6))"
+                        )
+                    ).cast("double"),
+                    6,
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(k)
+        )
+        osql = (
+            "SELECT c_custkey, ROUND(CAST(SUM(CAST(l_extendedprice * "
+            "(1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON o_orderkey = l_orderkey "
+            f"WHERE o_orderdate >= TIMESTAMP '{start} 00:00:00' "
+            f"AND o_orderdate < TIMESTAMP '{end} 00:00:00' "
+            "AND l_returnflag = 'R' GROUP BY c_custkey "
+            f"ORDER BY revenue DESC, c_custkey LIMIT {k}"
+        )
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"[{start},{end}) k={k}: " + "; ".join(problems)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(denom=st.integers(50, 2000), seed=st.integers(0, 9))
+    def test_weighted_sample_shape_matches_duckdb(self, spark, duck, sf_dir, denom, seed):
+        """Randomized p15: integer-exact weighted Bernoulli membership must
+        agree row-for-row for any denominator/seed (no float boundary)."""
+        from s3_kinesis_replay_spark.queries.pipeline_ops import (
+            _hexint_col,
+            _hexint_sql,
+        )
+
+        tag = f":ws{seed}"
+        d = table(spark, "documents", sf_dir)
+        ux = _hexint_col(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(tag))), 1, 13
+        )
+        sdf = (
+            d.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
+                     ux.alias("ux"))
+            .filter(F.col("ux") * denom < F.col("n_chars") * F.lit(4503599627370496))
+            .drop("ux")
+        )
+        osql = (
+            "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM ("
+            "SELECT doc_id, n_chars, "
+            + _hexint_sql(f"md5(CAST(doc_id AS VARCHAR) || '{tag}')", 1, 13)
+            + f" AS ux FROM documents) WHERE ux * {denom} < n_chars * 4503599627370496"
+        )
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"denom={denom} seed={seed}: " + "; ".join(problems)
