@@ -606,10 +606,11 @@ def _hexint_col(md5_col, start: int, n: int):
     note="duplicated-n-gram rate (exact substring-dedup diagnostic, Lee "
     "et al. 2022 style at word-5-gram granularity): per doc, the "
     "fraction of its distinct 5-grams that also occur in ANOTHER doc "
-    "(corpus frequency >= 2). Two shuffles, both on gram keys: the "
-    "frequency agg and the gram equi-join back — never an all-pairs "
-    "compare. At 100 TB the join key is xxhash64(gram) (8-byte longs); "
-    "declared as gram strings here so the oracle is cross-engine exact.",
+    "(corpus frequency >= 2). Engine: ONE scan of the shingle pipeline, "
+    "corpus frequency as a COUNT window over xxhash64(gram) — shuffles "
+    "move 8-byte longs, never gram strings, never an all-pairs compare. "
+    "Oracle counts the STRINGS; counts agree up to hash collisions "
+    "(P < 1e-8 corpus-wide, the i3 argument).",
 )
 def i3e_dupgram_rate(spark, sf_dir):
     # Single-scan formulation: (doc_id, gram) pairs are already unique
