@@ -101,3 +101,39 @@ def test_tol_rows_against_duck_exact(name, exact_sql, extract, bound, spark, duc
     exact = float(duck.execute(exact_sql).fetchone()[0])
     ok, detail = bound(approx, exact)
     assert ok, f"{name}: declared TOL bound violated: {detail}"
+
+
+# ---------------------------------------------------------- harness guards
+def test_harness_detects_wrong_results(spark, duck, sf_dir):
+    """Meta-test: the compare harness must FAIL on a deliberately wrong
+    engine result — guards against a silently-vacuous comparison (e.g. a
+    canonicalizer that maps everything to the same string)."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.oracle import compare, duck_result, spark_result
+    from s3_kinesis_replay_spark.catalog import table
+
+    osql = (
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    li = table(spark, "lineitem", sf_dir)
+    good = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    d_cols, d_rows = duck_result(duck, osql)
+    assert not compare(*spark_result(good), d_cols, d_rows)
+
+    # wrong values (off-by-one count) must be reported
+    off = li.groupBy("l_returnflag").agg((F.count("*") + 1).alias("n"))
+    assert compare(*spark_result(off), d_cols, d_rows)
+
+    # wrong row set (dropped group) must be reported
+    dropped = (
+        li.filter(F.col("l_returnflag") != "A")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+    assert compare(*spark_result(dropped), d_cols, d_rows)
+
+    # wrong column naming must be reported
+    renamed = li.groupBy("l_returnflag").agg(F.count("*").alias("cnt"))
+    assert compare(*spark_result(renamed), d_cols, d_rows)

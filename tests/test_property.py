@@ -1158,3 +1158,62 @@ class TestRound5bShapeDifferential:
         d_cols, d_rows = duck_result(duck, osql)
         problems = compare(s_cols, s_rows, d_cols, d_rows)
         assert not problems, f"denom={denom} seed={seed}: " + "; ".join(problems)
+
+
+@pytest.mark.usefixtures("spark", "duck")
+class TestBloomScreenDifferential:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(minlen=st.integers(2, 9), firstch=st.sampled_from("abcdefgklmpqrstvw"))
+    def test_bloom_screen_matches_duckdb(self, spark, duck, sf_dir, minlen, firstch):
+        """Randomized reference sets (words of length >= L, or starting
+        with a letter): the deterministic bloom's per-word hit flag must
+        match DuckDB recomputing the identical md5 bit positions — the
+        false-POSITIVE set included — and reference words must always hit."""
+        from s3_kinesis_replay_spark.operators.bloom import bloom_bits, bloom_screen
+        from s3_kinesis_replay_spark.queries.pipeline_ops import _hexint_sql
+
+        words = (
+            table(spark, "documents", sf_dir)
+            .select(F.explode(F.split(F.lower("text"), " ")).alias("g"))
+            .filter(F.col("g") != "")
+            .distinct()
+        )
+        ref = words.filter(
+            (F.length("g") >= minlen) & F.col("g").startswith(firstch)
+        )
+        sdf = (
+            bloom_screen(words, bloom_bits(ref))
+            .select("g", F.col("bloom_hit").cast("int").alias("hit"))
+        )
+        p1 = _hexint_sql("md5(g)", 1, 4)
+        p2 = _hexint_sql("md5(g)", 5, 4)
+        osql = f"""
+        WITH words AS (
+          SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS g
+          FROM documents
+        ),
+        w AS (SELECT g FROM words WHERE g <> ''),
+        ref AS (SELECT g FROM w
+                WHERE len(g) >= {minlen} AND g LIKE '{firstch}%'),
+        bits AS (
+          SELECT {p1} AS pos FROM ref UNION SELECT {p2} FROM ref
+        )
+        SELECT w.g,
+               CAST(CASE WHEN b1.pos IS NOT NULL AND b2.pos IS NOT NULL
+                    THEN 1 ELSE 0 END AS INTEGER) AS hit
+        FROM (SELECT g, {p1} AS q1, {p2} AS q2 FROM w) w
+        LEFT JOIN bits b1 ON w.q1 = b1.pos
+        LEFT JOIN bits b2 ON w.q2 = b2.pos
+        """
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"minlen={minlen} ch={firstch}: " + "; ".join(problems)
+        # soundness: every reference word hits
+        hits = {g for g, h in s_rows if h}
+        refset = {r["g"] for r in ref.collect()}
+        assert refset <= hits
