@@ -1217,3 +1217,60 @@ class TestBloomScreenDifferential:
         hits = {g for g, h in s_rows if h}
         refset = {r["g"] for r in ref.collect()}
         assert refset <= hits
+
+
+@pytest.mark.usefixtures("spark", "duck")
+class TestIncrementalDedupDifferential:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ma=st.integers(2, 6),
+        ra=st.integers(0, 5),
+        mb=st.integers(2, 6),
+        rb=st.integers(0, 5),
+        suffix=st.sampled_from(["v2", "w3", "xx"]),
+    )
+    def test_i1c_shape_matches_duckdb(self, spark, duck, sf_dir, ma, ra, mb, rb, suffix):
+        """Randomized incremental-dedup constructions: arbitrary recrawl
+        and new-content subsets (doc_id % m = r) must produce the same
+        survivor set + in-batch copy counts in both engines."""
+        ra, rb = ra % ma, rb % mb
+        d = table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+        snap = d.select(F.md5("text").alias("h")).distinct()
+        v2 = F.md5(F.concat(F.col("text"), F.lit(" " + suffix)))
+        newb = (
+            d.filter(F.col("doc_id") % ma == ra)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.md5("text").alias("h"))
+            .unionAll(
+                d.filter(F.col("doc_id") % mb == rb).select(
+                    (F.col("doc_id") + 2000000).alias("doc_id"), v2.alias("h")
+                )
+            )
+        )
+        agg = newb.groupBy("h").agg(
+            F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+        )
+        sdf = agg.join(snap, "h", "left_anti").select("doc_id", "n_copies")
+        osql = f"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        snap AS (SELECT DISTINCT md5(text) AS h FROM d),
+        newb AS (
+          SELECT doc_id + 1000000 AS doc_id, md5(text) AS h
+          FROM d WHERE doc_id % {ma} = {ra}
+          UNION ALL
+          SELECT doc_id + 2000000, md5(text || ' {suffix}')
+          FROM d WHERE doc_id % {mb} = {rb}
+        ),
+        agg AS (SELECT h, MIN(doc_id) AS doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_copies
+                FROM newb GROUP BY h)
+        SELECT a.doc_id, a.n_copies FROM agg a ANTI JOIN snap s ON a.h = s.h
+        """
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"ma={ma},ra={ra},mb={mb},rb={rb}: " + "; ".join(problems)
