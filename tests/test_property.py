@@ -878,22 +878,37 @@ class TestPercentileDifferential:
         p = round(p, 3)  # two engines must parse the identical literal
         group = [None, ["l_returnflag"], ["l_returnflag", "l_linestatus"]][gi]
         li = table(spark, "lineitem", sf_dir).filter(F.expr(pred))
-        agg = F.round(
-            F.expr(f"percentile(CAST(l_extendedprice AS DOUBLE), {p})"), 4
-        ).alias("pq")
-        dsel = f"ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), {p}), 4) AS pq"
+        # tolerance compare, NOT the hash harness: both engines use linear
+        # interpolation lo + (hi-lo)*frac but in different operation
+        # orders, so results can differ in the last ulp — and a random p
+        # can land that ulp exactly on a ROUND midpoint (hypothesis found
+        # p=0.585 flipping 61979.64375 across the 4-dp boundary). The
+        # property under test is the interpolation SEMANTICS; declared
+        # registry entries (d6) pin hash-exactness at value points chosen
+        # away from rounding boundaries.
+        agg = F.expr(f"percentile(CAST(l_extendedprice AS DOUBLE), {p})").alias("pq")
+        dsel = f"quantile_cont(CAST(l_extendedprice AS DOUBLE), {p}) AS pq"
         if group:
             sdf = li.groupBy(*group).agg(agg)
             gsql = ", ".join(group)
             osql = (f"SELECT {gsql}, {dsel} FROM lineitem WHERE {pred} "
                     f"GROUP BY {gsql}")
+            key = lambda r: tuple(r[:-1])  # noqa: E731
         else:
             sdf = li.agg(agg)
             osql = f"SELECT {dsel} FROM lineitem WHERE {pred}"
-        s_cols, s_rows = spark_result(sdf)
-        d_cols, d_rows = duck_result(duck, osql)
-        problems = compare(s_cols, s_rows, d_cols, d_rows)
-        assert not problems, f"p={p} group={group} pred={pred!r}: " + "; ".join(problems)
+            key = lambda r: ()  # noqa: E731
+        s = {key(r): r[-1] for r in sdf.collect()}
+        d = {key(r): r[-1] for r in duck.execute(osql).fetchall()}
+        assert s.keys() == d.keys(), f"group sets differ: p={p} pred={pred!r}"
+        for k in s:
+            sv, dv = s[k], d[k]
+            if sv is None or dv is None:
+                assert sv == dv, f"null mismatch at {k}: p={p} pred={pred!r}"
+            else:
+                assert abs(sv - dv) <= 1e-6 * max(1.0, abs(dv)), (
+                    f"p={p} group={group} pred={pred!r} k={k}: {sv} vs {dv}"
+                )
 
 
 # -------------------------------------------------- TPC-H-shape fuzzers
