@@ -564,3 +564,64 @@ def t8_normalized_dedup_key(spark, sf_dir):
         .cast("bigint")
         .alias("n_norm_dups"),
     )
+
+
+@register(
+    "c8c_asof_nearest",
+    "C8",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view'),
+    cand AS (
+      SELECT p.event_id, v.event_id AS view_event_id,
+             CAST(abs(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS d_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)), v.event_id
+             ) AS rn
+      FROM p JOIN v
+        ON p.user_id = v.user_id
+       AND v.ts >= p.ts - INTERVAL 1 HOUR
+       AND v.ts <= p.ts + INTERVAL 1 HOUR
+    )
+    SELECT event_id, view_event_id, d_us FROM cand WHERE rn = 1
+    """,
+    note="NEAREST as-of (either direction) within a +/-1h tolerance band "
+    "— the sensor-alignment variant of C8 (backward/forward are c8/c8b). "
+    "Engine: banded equi join on user_id (sort-merge with band filter, "
+    "the c7 shape — never a nested loop) then a WindowGroupLimit rank-1 "
+    "pick per left row ordered by |delta| with an event_id tiebreak, so "
+    "equidistant candidates resolve identically in both engines. "
+    "Purchases with no view inside the band drop in both engines (the "
+    "band bounds the candidate relation; unbounded nearest would be an "
+    "all-pairs argmin).",
+)
+def c8c_asof_nearest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    d_us = F.abs(
+        F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts"))
+    )
+    cand = p.join(
+        v,
+        (p.user_id == v.v_user)
+        & (v.v_ts >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (v.v_ts <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("event_id", "view_event_id", d_us.alias("d_us"))
+    w = Window.partitionBy("event_id").orderBy("d_us", "view_event_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "view_event_id", "d_us")
+    )
