@@ -405,3 +405,32 @@ def d4b_hll_sketch_union(spark, sf_dir):
         F.sum("n_events").alias("n_events"),
     ).select(F.lit("__all__").alias("event_type"), "est_users", "n_events")
     return per_type_est.unionByName(merged).orderBy("event_type")
+
+
+@register(
+    "d15_windowed_distinct",
+    "D3",
+    """
+    SELECT CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS dt, event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+    """,
+    note="daily distinct users per event type — the D3 distinct rewrite "
+    "under a time-bucketed group (the daily-active-users query): Expand "
+    "+ two-level aggregation per (day, type), partial-agg on both "
+    "levels. At 100 TB the same query over sketches is d4b (mergeable "
+    "HLL) — this entry pins the exact contract.",
+)
+def d15_windowed_distinct(spark, sf_dir):
+    e = t(spark, "events", sf_dir)
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_type"
+        )
+        .agg(
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.count("*").alias("n_events"),
+        )
+    )

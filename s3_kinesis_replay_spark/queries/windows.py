@@ -262,3 +262,35 @@ def e8_scalable_rank(spark, sf_dir):
         r6(F.col("prnk")).alias("prnk"),
         r6(F.col("cdist")).alias("cdist"),
     )
+
+
+@register(
+    "e9_latest_per_key",
+    "E7",
+    """
+    SELECT event_id, user_id, ts, event_type, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    note="CDC/SCD compaction: latest record per key (ts tiebroken by "
+    "event_id so concurrent timestamps resolve identically). "
+    "WindowGroupLimit keeps per-key state at one row — the upsert-log "
+    "compaction every incremental table maintenance job runs; at 100 TB "
+    "partition state is k=1 rows per key, shuffle on the key only.",
+)
+def e9_latest_per_key(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
