@@ -1289,3 +1289,68 @@ class TestIncrementalDedupDifferential:
         d_cols, d_rows = duck_result(duck, osql)
         problems = compare(s_cols, s_rows, d_cols, d_rows)
         assert not problems, f"ma={ma},ra={ra},mb={mb},rb={rb}: " + "; ".join(problems)
+
+
+@pytest.mark.usefixtures("spark", "duck")
+class TestAsofNearestDifferential:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        band_min=st.integers(1, 240),
+        lt=st.sampled_from(["purchase", "click", "view"]),
+        rt=st.sampled_from(["view", "click", "error"]),
+    )
+    def test_c8c_shape_matches_duckdb(self, spark, duck, sf_dir, band_min, lt, rt):
+        """Randomized nearest-as-of: band width and event-type pair vary;
+        the rank-1 pick ordered by |delta| with id tiebreak must agree
+        row-for-row (ties at equal distance included)."""
+        from pyspark.sql import Window
+
+        ev = table(spark, "events", sf_dir)
+        p = ev.filter(F.col("event_type") == lt).select(
+            "event_id", "user_id", F.col("ts").alias("p_ts")
+        )
+        v = ev.filter(F.col("event_type") == rt).select(
+            F.col("event_id").alias("rid"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        d_us = F.abs(F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts")))
+        cand = p.join(
+            v,
+            (p.user_id == v.v_user)
+            & (v.v_ts >= F.col("p_ts") - F.expr(f"INTERVAL {band_min} MINUTE"))
+            & (v.v_ts <= F.col("p_ts") + F.expr(f"INTERVAL {band_min} MINUTE")),
+        ).select("event_id", "rid", d_us.alias("d_us"))
+        w = Window.partitionBy("event_id").orderBy("d_us", "rid")
+        sdf = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("event_id", "rid", "d_us")
+        )
+        osql = f"""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = '{lt}'),
+        v AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = '{rt}'),
+        cand AS (
+          SELECT p.event_id, v.event_id AS rid,
+                 CAST(abs(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS d_us,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)), v.event_id
+                 ) AS rn
+          FROM p JOIN v
+            ON p.user_id = v.user_id
+           AND v.ts >= p.ts - INTERVAL {band_min} MINUTE
+           AND v.ts <= p.ts + INTERVAL {band_min} MINUTE
+        )
+        SELECT event_id, rid, d_us FROM cand WHERE rn = 1
+        """
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"band={band_min}m {lt}->{rt}: " + "; ".join(problems)
