@@ -27,46 +27,71 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-M_BITS_HEX = 4  # 4 hex chars per position -> m = 2^16 bits
-K_HASHES = 2  # positions per key: md5 hex slices [1..4] and [5..8]
+# Defaults: m = 2^16 bits, k = 2 positions per key (md5 hex slices
+# [1..4] and [5..8]). CAPACITY CEILING (ADVICE r5): a bloom filter
+# saturates as the reference-set cardinality n approaches m — fp rate
+# (1 - e^(-kn/m))^k reads ~1% at n≈6.5k, ~39% at n=2^16, →1 beyond; a
+# saturated screen is still SOUND (no false negatives) but useless,
+# routing every probe to the exact join it is meant to shield. Size
+# bits_hex for the reference set: each +1 hex char is 16× more bits
+# (bits_hex=7 → m=2^28 ≈ 268M bits handles tens of millions of grams;
+# md5's 32 hex chars bound bits_hex*k ≤ 32).
+M_BITS_HEX = 4
+K_HASHES = 2
 
 
-def _position(md5_col: Column, start: int) -> Column:
-    return F.conv(F.substring(md5_col, start, M_BITS_HEX), 16, 10).cast("bigint")
+def _positions(md5_col: Column, bits_hex: int, k: int) -> list[Column]:
+    """k non-overlapping md5 hex slices of bits_hex chars, as bigints."""
+    if bits_hex * k > 32:
+        raise ValueError(f"md5 has 32 hex chars: bits_hex={bits_hex} * k={k} > 32")
+    return [
+        F.conv(F.substring(md5_col, 1 + i * bits_hex, bits_hex), 16, 10).cast(
+            "bigint"
+        )
+        for i in range(k)
+    ]
 
 
-def bloom_bits(keys: DataFrame, key_col: str = "g") -> DataFrame:
-    """(pos) — the distinct set-bit table for a key relation. ≤ 2^16 rows
-    no matter how many keys went in; persist this at reference-set build
-    time (plain parquet) and pass it to bloom_screen forever after.
+def bloom_bits(
+    keys: DataFrame,
+    key_col: str = "g",
+    bits_hex: int = M_BITS_HEX,
+    k: int = K_HASHES,
+) -> DataFrame:
+    """(pos) — the distinct set-bit table for a key relation. ≤ 16^bits_hex
+    rows no matter how many keys went in; persist this at reference-set
+    build time (plain parquet) and pass it to bloom_screen (with the SAME
+    bits_hex/k) forever after.
 
-    Both positions come out of ONE pass (explode of a 2-element array) —
-    a union of two selects would execute the upstream key pipeline once
+    All k positions come out of ONE pass (explode of a k-element array) —
+    a union of k selects would execute the upstream key pipeline once
     per branch."""
     m = F.md5(key_col)
     return keys.select(
-        F.explode(F.array(_position(m, 1), _position(m, 5))).alias("pos")
+        F.explode(F.array(*_positions(m, bits_hex, k))).alias("pos")
     ).distinct()
 
 
 def bloom_screen(
-    probes: DataFrame, bits: DataFrame, key_col: str = "g"
+    probes: DataFrame,
+    bits: DataFrame,
+    key_col: str = "g",
+    bits_hex: int = M_BITS_HEX,
+    k: int = K_HASHES,
 ) -> DataFrame:
-    """probes + boolean ``bloom_hit``: true iff ALL K_HASHES positions of
-    the probe key are present in ``bits``. No false negatives by
-    construction; false-positive rate governed by m vs reference-set
-    cardinality. The bit table broadcasts (bounded by m)."""
-    m = F.md5(key_col)
-    p = probes.withColumn("_p1", _position(m, 1)).withColumn(
-        "_p2", _position(m, 5)
-    )
-    b1 = F.broadcast(bits.withColumnRenamed("pos", "_b1"))
-    b2 = F.broadcast(bits.withColumnRenamed("pos", "_b2"))
-    return (
-        p.join(b1, p["_p1"] == b1["_b1"], "left")
-        .join(b2, p["_p2"] == b2["_b2"], "left")
-        .withColumn(
-            "bloom_hit", F.col("_b1").isNotNull() & F.col("_b2").isNotNull()
-        )
-        .drop("_p1", "_p2", "_b1", "_b2")
-    )
+    """probes + boolean ``bloom_hit``: true iff ALL k positions of the
+    probe key are present in ``bits``. No false negatives by construction;
+    false-positive rate governed by m = 16^bits_hex vs reference-set
+    cardinality (see capacity note above). The bit table broadcasts
+    (bounded by m); broadcast k times, it is still one executor-resident
+    hash relation per join."""
+    p = probes
+    for i, pos in enumerate(_positions(F.md5(key_col), bits_hex, k)):
+        p = p.withColumn(f"_p{i}", pos)
+    hit = F.lit(True)
+    for i in range(k):
+        b = F.broadcast(bits.withColumnRenamed("pos", f"_b{i}"))
+        p = p.join(b, F.col(f"_p{i}") == F.col(f"_b{i}"), "left")
+        hit = hit & F.col(f"_b{i}").isNotNull()
+    drop = [f"_p{i}" for i in range(k)] + [f"_b{i}" for i in range(k)]
+    return p.withColumn("bloom_hit", hit).drop(*drop)

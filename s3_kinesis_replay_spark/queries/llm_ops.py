@@ -1129,9 +1129,12 @@ def p1_training_prep(spark, sf_dir):
     """
     WITH s AS (
       SELECT vec_id,
-             127.0 / list_max(list_transform(embedding,
-                                             x -> abs(CAST(x AS DOUBLE))))
-               AS scale,
+             CASE WHEN list_max(list_transform(embedding,
+                                               x -> abs(CAST(x AS DOUBLE)))) = 0
+                  THEN 0.0
+                  ELSE 127.0 / list_max(list_transform(embedding,
+                                                       x -> abs(CAST(x AS DOUBLE))))
+             END AS scale,
              embedding
       FROM embeddings
     ),
@@ -1155,14 +1158,23 @@ def p1_training_prep(spark, sf_dir):
     "engines round ties away from zero and share IEEE double products, "
     "so the quantized values are bit-identical; outputs are scalar "
     "summaries (sum/min/max/saturation count) because the driver "
-    "canonicalizer cannot hash array cells.",
+    "canonicalizer cannot hash array cells. The absmax = 0 guard (all-zero "
+    "/ padding vectors -> scale 0, qv all-zero) is declared identically in "
+    "both engines: unguarded, Spark's non-ANSI double/0 is NULL while "
+    "DuckDB's IEEE division is +inf (ADVICE r5).",
 )
 def i11b_int8_quantize(spark, sf_dir):
     e = t(spark, "embeddings", sf_dir)
     absmax = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
-    s = e.select("vec_id", (F.lit(127.0) / absmax).alias("scale"), "embedding")
+    s = e.select(
+        "vec_id",
+        F.when(absmax == 0, F.lit(0.0))
+        .otherwise(F.lit(127.0) / absmax)
+        .alias("scale"),
+        "embedding",
+    )
     qv = F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * F.col("scale")).cast("bigint"),

@@ -736,12 +736,15 @@ def p14_bloom_contamination(spark, sf_dir):
     )
     SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
     FROM u
-    WHERE ux * 600 < n_chars * 4503599627370496
+    WHERE ux * 600 < least(n_chars, 600) * 4503599627370496
     """,
     note="length-WEIGHTED deterministic Bernoulli sample: p(doc) = "
     "min(1, n_chars/600), accepted iff md5-derived 52-bit uniform < p — "
-    "declared as the INTEGER comparison ux*600 < n_chars*2^52, so both "
-    "engines decide every row identically (no float boundary; contrast "
+    "declared as the INTEGER comparison ux*600 < least(n_chars,600)*2^52, "
+    "so both engines decide every row identically (no float boundary; "
+    "the least() clamp IS the min(1, .) of the declared p and bounds the "
+    "product at 600*2^52 — without it n_chars >= 2048 overflows int64, "
+    "which Spark wraps silently and DuckDB raises on (ADVICE r5); contrast "
     "rate-based B8, which is TOL by nature). Pure map-only pass, "
     "embarrassingly parallel, and STABLE: membership depends only on "
     "(doc_id, seed tag), so re-runs/repartitions/incremental loads never "
@@ -755,7 +758,8 @@ def p15_weighted_sample(spark, sf_dir):
     return d.select(
         "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"), ux.alias("ux")
     ).filter(
-        F.col("ux") * 600 < F.col("n_chars") * F.lit(4503599627370496)
+        F.col("ux") * 600
+        < F.least(F.col("n_chars"), F.lit(600)) * F.lit(4503599627370496)
     ).drop("ux")
 
 

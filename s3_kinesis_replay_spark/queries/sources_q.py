@@ -129,15 +129,30 @@ def a5b_key_range_filter(spark, sf_dir):
 
 def _lineitem_sink(spark, sf_dir):
     """Write lineitem as parquet partitioned by l_returnflag (once per
-    sf_dir; _SUCCESS-guarded) and return the re-read DataFrame. Shared by
-    a8 (sink fidelity) and a8b (partition pruning on the read path)."""
-    import hashlib
+    fixture CONTENT) and return the re-read DataFrame. Shared by a8 (sink
+    fidelity) and a8b (partition pruning on the read path).
+
+    Cache key is data_fingerprint (relpath+size+mtime of the source
+    parquet), NOT the sf_dir path string: a regenerated fixture at the
+    same path gets a fresh sink instead of silently aggregating stale
+    data against a fresh-reading oracle (ADVICE r5). Build is atomic
+    (temp dir + rename) so concurrent builders race benignly."""
     import os
 
-    out = "/tmp/skr_sink/" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    src = t(spark, "lineitem", sf_dir)
-    if not os.path.exists(out + "/_SUCCESS"):
-        src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    key = data_fingerprint(src)
+
+    def build(tmp_dir: str) -> None:
+        t(spark, "lineitem", sf_dir).write.mode("overwrite").partitionBy(
+            "l_returnflag"
+        ).parquet(tmp_dir)
+
+    out = atomic_cached_build("/tmp/skr_sink", key, build, "_SUCCESS")
     return spark.read.parquet(out)
 
 

@@ -1143,10 +1143,21 @@ class TestRound5bShapeDifferential:
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
-    @given(denom=st.integers(50, 2000), seed=st.integers(0, 9))
-    def test_weighted_sample_shape_matches_duckdb(self, spark, duck, sf_dir, denom, seed):
+    @given(
+        denom=st.integers(50, 2000),
+        seed=st.integers(0, 9),
+        boost=st.sampled_from([1, 97, 12289]),
+    )
+    def test_weighted_sample_shape_matches_duckdb(
+        self, spark, duck, sf_dir, denom, seed, boost
+    ):
         """Randomized p15: integer-exact weighted Bernoulli membership must
-        agree row-for-row for any denominator/seed (no float boundary)."""
+        agree row-for-row for any denominator/seed (no float boundary).
+        ``boost`` synthesizes n_chars far beyond the fixture's max (558) —
+        at boost=12289 lengths reach ~7M, which without the least() clamp
+        overflows int64 in the product (Spark wraps silently, DuckDB
+        raises; ADVICE r5) — locking in that accepted-with-p=1 rows stay
+        accepted."""
         from s3_kinesis_replay_spark.queries.pipeline_ops import (
             _hexint_col,
             _hexint_sql,
@@ -1158,21 +1169,31 @@ class TestRound5bShapeDifferential:
             F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(tag))), 1, 13
         )
         sdf = (
-            d.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
-                     ux.alias("ux"))
-            .filter(F.col("ux") * denom < F.col("n_chars") * F.lit(4503599627370496))
+            d.select(
+                "doc_id",
+                (F.col("n_chars").cast("bigint") * boost).alias("n_chars"),
+                ux.alias("ux"),
+            )
+            .filter(
+                F.col("ux") * denom
+                < F.least(F.col("n_chars"), F.lit(denom))
+                * F.lit(4503599627370496)
+            )
             .drop("ux")
         )
         osql = (
-            "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM ("
-            "SELECT doc_id, n_chars, "
+            "SELECT doc_id, n_chars FROM ("
+            f"SELECT doc_id, CAST(n_chars AS BIGINT) * {boost} AS n_chars, "
             + _hexint_sql(f"md5(CAST(doc_id AS VARCHAR) || '{tag}')", 1, 13)
-            + f" AS ux FROM documents) WHERE ux * {denom} < n_chars * 4503599627370496"
+            + f" AS ux FROM documents) WHERE ux * {denom} "
+            f"< least(n_chars, {denom}) * 4503599627370496"
         )
         s_cols, s_rows = spark_result(sdf)
         d_cols, d_rows = duck_result(duck, osql)
         problems = compare(s_cols, s_rows, d_cols, d_rows)
-        assert not problems, f"denom={denom} seed={seed}: " + "; ".join(problems)
+        assert not problems, f"denom={denom} seed={seed} boost={boost}: " + "; ".join(
+            problems
+        )
 
 
 @pytest.mark.usefixtures("spark", "duck")

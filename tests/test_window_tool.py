@@ -86,20 +86,40 @@ def test_registry_asserts_on_unknown_window_name(monkeypatch):
 
 
 def test_helper_change_marks_dependent_dirty(tmp_path, monkeypatch):
-    """Editing a referenced operators/ helper flips the dependent entry's
-    hash, so it would be front-loaded on the next emit."""
+    """Editing the BODY of a referenced operators/ helper flips the
+    dependent entry's hash, so it would be front-loaded on the next emit.
+    The edit keeps line numbers stable (inspect resolves source by line)
+    and changes a function that i13's ivf_topk transitively calls."""
     before = window_tool.snapshot()
-    # i13_ivf_topk imports from operators.similarity
     sim = REPO / "s3_kinesis_replay_spark" / "operators" / "similarity.py"
-    orig = sim.read_bytes()
+    orig = sim.read_text()
+    marker = "def _probe_cells(centers_rows, query_vec, n_probe):"
+    assert marker in orig
     try:
-        sim.write_bytes(orig + b"\n# touch\n")
+        sim.write_text(orig.replace(marker, marker[:-2] + " ):", 1))
         after = window_tool.snapshot()
     finally:
-        sim.write_bytes(orig)
-    assert before["i13_ivf_topk"] != after["i13_ivf_topk"]
+        sim.write_text(orig)
+    for name in ("i13_ivf_topk", "i13b_ivf_probe", "i13d_ivf_batch_probe"):
+        assert before[name] != after[name], name
     # an entry with no similarity dependency is unaffected
     assert before["b1_project"] == after["b1_project"]
+
+
+def test_new_entry_does_not_dirty_coresidents(tmp_path, monkeypatch):
+    """VERDICT r5 item 2: hashing is object-granular, so appending a new
+    function to a jumbo query module must NOT change any existing entry's
+    hash (in round 5 one new custom_ops entry invalidated ~15 greens)."""
+    before = window_tool.snapshot()
+    mod = REPO / "s3_kinesis_replay_spark" / "queries" / "custom_ops.py"
+    orig = mod.read_text()
+    try:
+        mod.write_text(orig + "\n\ndef _blast_radius_probe():\n    return 1\n")
+        after = window_tool.snapshot()
+    finally:
+        mod.write_text(orig)
+    changed = [k for k in before if before[k] != after[k]]
+    assert changed == [], f"co-residents dirtied: {changed}"
 
 
 def test_emit_refuses_over_unseen_rounds(tmp_path, monkeypatch):

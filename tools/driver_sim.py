@@ -1,6 +1,9 @@
 """Independent driver simulation: imports __spark_entry__ as the driver does,
 runs entry() smoke + per-query Spark-vs-DuckDB order-insensitive value-hash
-compare at sf0.01. Deliberately does NOT reuse the repo's oracle harness."""
+compare at sf0.01. Deliberately does NOT reuse the repo's oracle harness.
+
+Usage: python tools/driver_sim.py [name ...] — with names, checks only
+those registry entries (targeted re-verify after an edit); without, all."""
 import sys, hashlib, decimal, datetime, math
 sys.path.insert(0, "/root/repo")
 import duckdb
@@ -51,8 +54,14 @@ assert len(rows) >= 0
 
 qs, osql = E.queries(), E.oracle_sql()
 print(f"queries={len(qs)} oracles={len(osql)}")
+only = set(sys.argv[1:])
+unknown = only - set(qs)
+if unknown:
+    sys.exit(f"unknown query names: {sorted(unknown)}")
 fails = []
 for name, fn in sorted(qs.items()):
+    if only and name not in only:
+        continue
     sdf = fn(spark, SF)
     scols = sdf.columns
     # the real driver's pandas canonicalizer crashes on list/map cells

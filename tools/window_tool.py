@@ -7,14 +7,19 @@ Rounds 1-3 curated that list by hand; this tool automates it so no entry
 can silently miss its turn:
 
 * ``snapshot``   — sha256 per registry entry over the query-fn source
-                   PLUS the source file of every in-package object the fn
-                   references (resolved through ``fn.__globals__`` for
-                   module-level imports and same-module helpers, plus a
-                   regex pass for imports inlined in the fn body), so a
-                   shared-helper edit marks every dependent entry dirty.
-                   ``registry.py`` itself is excluded: the registration
-                   mechanism carries no query semantics, and hashing it
-                   would mark ALL entries dirty on every window rotation.
+                   PLUS the source of every in-package FUNCTION/CLASS the
+                   fn transitively references (resolved through
+                   ``fn.__globals__`` and imports inlined in the fn body)
+                   and the repr of every module-level constant it reads.
+                   Granularity is the OBJECT, not the file (VERDICT r5
+                   item 2): adding a new entry to a jumbo query module no
+                   longer marks every co-resident entry changed. When a
+                   module is referenced but an attribute cannot be
+                   resolved statically, the whole file is hashed as a
+                   conservative fallback. ``registry.py`` is excluded:
+                   the registration mechanism carries no query semantics,
+                   and hashing it would mark ALL entries dirty on every
+                   window rotation.
 * ``state``      — ``tools/window_state.json``: per entry, the hash at
                    last driver green and the round that green happened
                    (latest CORRECTNESS_r*.json verdict wins; a rows-only
@@ -56,14 +61,6 @@ STATE_PATH = REPO / "tools" / "window_state.json"
 WINDOW_PATH = REPO / "s3_kinesis_replay_spark" / "window.json"
 PKG = REPO / "s3_kinesis_replay_spark"
 
-_HELPER_RE = re.compile(
-    r"(?:from\s+s3_kinesis_replay_spark\.(operators|streaming|sources)"
-    r"\s+import\s+([\w, ]+))"
-    r"|(?:from\s+s3_kinesis_replay_spark\.(operators|streaming|sources)\.(\w+)\s+import)"
-    r"|(?:\b(operators|streaming|sources)\.(\w+)\b)"
-)
-
-
 def _registration_order() -> dict:
     """The raw module-registration-order registry (NOT window-reordered)."""
     from s3_kinesis_replay_spark import registry as reg
@@ -72,121 +69,156 @@ def _registration_order() -> dict:
     return dict(reg._REGISTRY)
 
 
-def _helper_modules(src: str) -> list[Path]:
-    """Helper module files under operators/ streaming/ sources/ that the
-    query-fn source references, by import statement or dotted use."""
-    mods: set[Path] = set()
-    for m in _HELPER_RE.finditer(src):
-        if m.group(1):  # from pkg.operators import a, b
-            for name in m.group(2).split(","):
-                p = PKG / m.group(1) / f"{name.strip()}.py"
-                if p.exists():
-                    mods.add(p)
-        elif m.group(3):  # from pkg.operators.mod import ...
-            p = PKG / m.group(3) / f"{m.group(4)}.py"
-            if p.exists():
-                mods.add(p)
-        elif m.group(5):  # operators.mod attr use
-            p = PKG / m.group(5) / f"{m.group(6)}.py"
-            if p.exists():
-                mods.add(p)
-    return sorted(mods)
+def _in_package(obj) -> bool:
+    """True if obj's defining module lives in the package (registry.py
+    excluded — registration mechanics carry no query semantics)."""
+    mod = obj if inspect.ismodule(obj) else inspect.getmodule(obj)
+    f = getattr(mod, "__file__", None)
+    return bool(
+        f and "s3_kinesis_replay_spark" in f and not f.endswith("registry.py")
+    )
 
 
-def _global_dep_files(fn, src: str) -> list[Path]:
-    """Package source files reachable from the fn through its globals:
-    every identifier in the fn body that resolves (via ``fn.__globals__``)
-    to an in-package module, or to a function/class defined in one,
-    contributes that module's file — including the fn's own defining
-    module when it calls same-module helpers. registry.py is excluded
-    (registration mechanics, no query semantics)."""
+def _stable_repr(obj) -> str:
+    """Deterministic-across-processes repr for module-level constants:
+    sets are sorted, memory addresses stripped."""
     try:
-        tree = ast.parse(textwrap.dedent(src))
-    except SyntaxError:  # pragma: no cover - fn source always parses
-        return []
-    names = {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
-    files: set[Path] = set()
-    g = getattr(fn, "__globals__", {})
-    for name in names:
-        obj = g.get(name)
-        if obj is None:
+        if isinstance(obj, (set, frozenset)):
+            r = repr(sorted(obj, key=repr))
+        else:
+            r = repr(obj)
+    except Exception:  # pragma: no cover — exotic reprs
+        r = f"<unrepr {type(obj).__name__}>"
+    return re.sub(r"0x[0-9a-fA-F]+", "0x", r)
+
+
+def _namespace_for(obj) -> dict:
+    """Name-resolution namespace: fn globals, or the defining module's
+    namespace for classes, extended by any in-package imports inlined in
+    the object's own source."""
+    g = getattr(obj, "__globals__", None)
+    if g is None:
+        mod = sys.modules.get(getattr(obj, "__module__", "") or "")
+        g = vars(mod) if mod else {}
+    return dict(g)
+
+
+def _obj_units(root_fn) -> dict[str, str]:
+    """qualname-keyed content units: the fn's own source plus, transitively
+    at OBJECT granularity, every in-package function/class it references
+    (via globals or inline imports) and the stable repr of every
+    module-level constant it reads. A module referenced bare (or with an
+    attribute that cannot be resolved) contributes its whole file as a
+    conservative fallback."""
+    import importlib
+
+    units: dict[str, str] = {}
+    seen: set[int] = set()
+    queue = [root_fn]
+    while queue:
+        obj = queue.pop()
+        if id(obj) in seen:
             continue
-        mod = obj if inspect.ismodule(obj) else inspect.getmodule(obj)
-        f = getattr(mod, "__file__", None)
-        if f and "s3_kinesis_replay_spark" in f and not f.endswith("registry.py"):
-            files.add(Path(f))
-    return sorted(files)
-
-
-def _mod_to_file(dotted: str) -> Path | None:
-    rel = dotted.split(".")[1:]  # drop the package root segment
-    if not rel:
-        return None
-    p = PKG.joinpath(*rel).with_suffix(".py")
-    if p.exists():
-        return p
-    p = PKG.joinpath(*rel) / "__init__.py"
-    if p.exists():
-        return p
-    if len(rel) > 1:  # from pkg.mod import NAME — NAME is not a module
-        p = PKG.joinpath(*rel[:-1]).with_suffix(".py")
-        if p.exists():
-            return p
-    return None
-
-
-def _module_graph() -> dict[Path, set[Path]]:
-    """file -> package files it imports (incl. imports inside functions)."""
-    graph: dict[Path, set[Path]] = {}
-    for f in sorted(PKG.rglob("*.py")):
-        deps: set[Path] = set()
-        tree = ast.parse(f.read_text())
+        seen.add(id(obj))
+        try:
+            src = textwrap.dedent(inspect.getsource(obj))
+        except (OSError, TypeError):
+            continue
+        key = (
+            f"{getattr(obj, '__module__', '?')}:"
+            f"{getattr(obj, '__qualname__', getattr(obj, '__name__', '?'))}"
+        )
+        units[key] = src
+        try:
+            tree = ast.parse(src)
+        except SyntaxError:  # pragma: no cover — sources always parse
+            continue
+        g = _namespace_for(obj)
+        # imports inlined in the body extend the namespace
         for node in ast.walk(tree):
-            dotted: list[str] = []
-            if isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(
-                "s3_kinesis_replay_spark"
+            if (
+                isinstance(node, ast.ImportFrom)
+                and node.module
+                and node.module.startswith("s3_kinesis_replay_spark")
             ):
-                dotted.append(node.module)
-                dotted.extend(f"{node.module}.{a.name}" for a in node.names)
+                try:
+                    m = importlib.import_module(node.module)
+                except ImportError:  # pragma: no cover
+                    continue
+                for a in node.names:
+                    g.setdefault(a.asname or a.name, getattr(m, a.name, m))
             elif isinstance(node, ast.Import):
-                dotted.extend(
-                    a.name
-                    for a in node.names
-                    if a.name.startswith("s3_kinesis_replay_spark")
-                )
-            for d in dotted:
-                p = _mod_to_file(d)
-                if p is not None and p != f:
-                    deps.add(p)
-        graph[f] = deps
-    return graph
-
-
-def _closure(files: set[Path], graph: dict[Path, set[Path]]) -> set[Path]:
-    out, stack = set(), list(files)
-    while stack:
-        f = stack.pop()
-        if f in out:
-            continue
-        out.add(f)
-        stack.extend(graph.get(f, ()))
-    return out
+                for a in node.names:
+                    if a.name.startswith("s3_kinesis_replay_spark"):
+                        try:
+                            m = importlib.import_module(a.name)
+                        except ImportError:  # pragma: no cover
+                            continue
+                        g.setdefault(a.asname or a.name.split(".")[0], m)
+        # collect referenced names + per-module attribute uses
+        attr_uses: dict[str, set[str]] = {}
+        names: set[str] = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name):
+                attr_uses.setdefault(node.value.id, set()).add(node.attr)
+                names.add(node.value.id)
+            elif isinstance(node, ast.Name):
+                names.add(node.id)
+        owner = getattr(obj, "__module__", "?")
+        for name in sorted(names):
+            tgt = g.get(name)
+            if tgt is None or tgt is root_fn:
+                continue
+            if inspect.ismodule(tgt):
+                if not _in_package(tgt):
+                    continue
+                fallback = not attr_uses.get(name)  # bare module reference
+                for attr in sorted(attr_uses.get(name, ())):
+                    sub = getattr(tgt, attr, None)
+                    if inspect.isfunction(sub) or inspect.isclass(sub):
+                        if _in_package(sub):
+                            queue.append(sub)
+                    elif sub is None or inspect.ismodule(sub):
+                        fallback = True
+                    else:
+                        units[f"{tgt.__name__}:{attr}"] = _stable_repr(sub)
+                if fallback:
+                    f = getattr(tgt, "__file__", None)
+                    if f:
+                        units[f"file:{tgt.__name__}"] = Path(f).read_text(
+                            errors="replace"
+                        )
+            elif inspect.isfunction(tgt) or inspect.isclass(tgt):
+                if _in_package(tgt):
+                    queue.append(tgt)
+            elif callable(tgt) or inspect.isbuiltin(tgt):
+                continue  # out-of-package callables (F.col, builtins, ...)
+            else:
+                # module-level constant read by this fn (could be a local
+                # shadowing a global — a spurious-but-stable extra unit)
+                units[f"const:{owner}:{name}"] = _stable_repr(tgt)
+    return units
 
 
 def snapshot() -> dict[str, str]:
-    """name -> hex digest over fn source + the TRANSITIVE closure of
-    package files it depends on (direct refs via globals/inline imports,
-    then the module import graph), so an edit anywhere in an operator's
-    implementation chain marks every dependent query dirty."""
-    graph = _module_graph()
-    registry_file = PKG / "registry.py"
+    """name -> hex digest over the fn source + the transitive OBJECT-level
+    closure of in-package functions/classes/constants it references, so an
+    edit anywhere in an operator's implementation chain marks every
+    dependent query dirty — and ONLY the dependent queries (VERDICT r5
+    item 2: a new entry added to a jumbo module no longer invalidates its
+    co-residents)."""
+    import linecache
+
+    linecache.checkcache()  # pick up on-disk edits made after import
     out: dict[str, str] = {}
     for name, q in _registration_order().items():
-        src = inspect.getsource(q.fn)
-        h = hashlib.sha256(src.encode())
-        direct = set(_helper_modules(src)) | set(_global_dep_files(q.fn, src))
-        for mod in sorted(_closure(direct, graph) - {registry_file}):
-            h.update(mod.read_bytes())
+        units = _obj_units(q.fn)
+        h = hashlib.sha256()
+        for key in sorted(units):
+            h.update(key.encode())
+            h.update(b"\x00")
+            h.update(units[key].encode())
+            h.update(b"\x01")
         out[name] = h.hexdigest()[:16]
     return out
 
