@@ -375,36 +375,99 @@ def d14_sum_distinct(spark, sf_dir):
     )
 
 
+# Fixed pointer the d4b oracle reads (the i13c export pattern): the query
+# fn writes this run's per-group HLL estimates behind it atomically, so
+# DuckDB can emit the SAME estimate values while recomputing the exact
+# distinct counts itself. The tolerance assertion is real: the oracle
+# hard-codes est_in_tol=TRUE while Spark COMPUTES it from |est-exact| —
+# an out-of-rsd sketch estimate flips Spark's flag and hash-mismatches.
+_HLL_ORACLE_PTR = "/tmp/skr_hll_oracle/current"
+
+
 @register(
     "d4b_hll_sketch_union",
     "D4",
-    None,
-    check="TOL",
-    tol=0.05,
+    f"""
+    WITH est AS (
+      SELECT event_type, est_users
+      FROM read_parquet('{_HLL_ORACLE_PTR}/est/*.parquet')
+    ),
+    exact AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT '__all__', CAST(COUNT(DISTINCT user_id) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM events
+    )
+    SELECT x.event_type, CAST(e.est_users AS BIGINT) AS est_users,
+           x.exact_users, x.n_events, TRUE AS est_in_tol
+    FROM exact x JOIN est e ON e.event_type = x.event_type
+    ORDER BY x.event_type
+    """,
     note="MERGEABLE distinct-count sketches — the 100 TB shape of D4: "
     "per-group Datasketches HLL built in one partial-aggregating pass, "
     "then the per-group sketches UNION-merge into a global estimate "
     "without rescanning the data (per-shard sketches persist and merge "
-    "across days/snapshots the same way). Spark-specific sketch binary "
-    "(no DuckDB analog) -> rows-only; accuracy vs the exact distinct "
-    "count is bounded in tests/test_oracle.py (HLL lgK=12 rsd ~1.6%).",
+    "across days/snapshots the same way). Partial oracle since r7 "
+    "(VERDICT r6 item 3): estimates export behind the d4b pointer (the "
+    "sketch binary itself has no DuckDB analog), DuckDB recomputes the "
+    "exact distincts and asserts the declared ±5% bound (HLL lgK=12 rsd "
+    "~1.6%, 3 standard errors) by hard-coding est_in_tol=TRUE against "
+    "Spark's computed flag. Raw-accuracy bound also in tests/"
+    "test_oracle.py::test_tol_rows_against_duck_exact[d4b-hll-union-bound]",
 )
 def d4b_hll_sketch_union(spark, sf_dir):
+    import os
+    import tempfile
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        publish_index_pointer,
+    )
+
     e = t(spark, "events", sf_dir)
     per_type = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
     )
     per_type_est = per_type.select(
         "event_type",
         F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
         "n_events",
     )
-    merged = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
-        F.sum("n_events").alias("n_events"),
-    ).select(F.lit("__all__").alias("event_type"), "est_users", "n_events")
-    return per_type_est.unionByName(merged).orderBy("event_type")
+    merged = (
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .crossJoin(e.agg(F.countDistinct("user_id").alias("exact_users")))
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "est_users",
+            "exact_users",
+            "n_events",
+        )
+    )
+    out = (
+        per_type_est.unionByName(merged)
+        .withColumn(
+            "est_in_tol",
+            F.abs(F.col("est_users").cast("double") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+    base = os.path.dirname(_HLL_ORACLE_PTR)
+    os.makedirs(base, exist_ok=True)
+    export = tempfile.mkdtemp(prefix="est-", dir=base)
+    out.select("event_type", "est_users").write.mode("overwrite").parquet(
+        os.path.join(export, "est")
+    )
+    publish_index_pointer(export, _HLL_ORACLE_PTR)
+    return out
 
 
 @register(

@@ -519,18 +519,79 @@ def i13_ivf_topk(spark, sf_dir):
     return ivf_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10)
 
 
+# Fixed pointers the IVF oracles read: each query fn atomically re-points
+# its own pointer at the current fingerprint-keyed index before returning,
+# so DuckDB scores the SAME exported cells/centroids the Spark probe used
+# (driver runs the Spark side first, then the oracle — verified in
+# tools/driver_sim.py). Per-entry pointers so one entry's rebuild can never
+# swing another entry's oracle mid-round.
+_IVF_ORACLE_PTR = "/tmp/skr_ivf_oracle/current"
+_IVF_ORACLE_PTR_B = "/tmp/skr_ivf_oracle/i13b"
+_IVF_ORACLE_PTR_D = "/tmp/skr_ivf_oracle/i13d"
+
+
+def _duck_sqdist(vec: str, q: str) -> str:
+    """Squared euclidean, sequential left fold (matches ivf_probe's)."""
+    return (
+        f"list_reduce(list_transform(range(1, 65), i -> "
+        f"(CAST({vec}[i] AS DOUBLE) - CAST({q}[i] AS DOUBLE)) * "
+        f"(CAST({vec}[i] AS DOUBLE) - CAST({q}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _duck_dotf(x: str, y: str) -> str:
+    """Dot product, sequential left fold (matches operators cosine_expr)."""
+    return (
+        f"list_reduce(list_transform(range(1, 65), i -> "
+        f"CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
 @register(
     "i13b_ivf_probe",
     "I5",
-    None,  # index build (k-means + partitioned write) is not SQL-expressible
-    check="SEM",
+    # Cross-engine oracle over the EXPORTED index (i13c pattern, VERDICT r6
+    # item 2): DuckDB re-runs the probe — nearest-4-centroid selection with
+    # the identical sequential-fold distance + cell tiebreak, exact-cosine
+    # re-rank over only the probed cells — and emits the same agreement
+    # shape the Spark side emits. The oracle asserts probe == in-memory by
+    # CONSTRUCTION (one top-10, duplicated into both columns, agree=TRUE):
+    # any Spark-side disagreement (agree=false, or extra rows from the
+    # full-outer join) hash-mismatches.
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cell
+      FROM read_parquet('{_IVF_ORACLE_PTR_B}/_centroids/*.parquet'), q
+      ORDER BY {_duck_sqdist("centroid", "qv")} ASC, cell ASC
+      LIMIT 4
+    ),
+    v AS (
+      SELECT vec_id, embedding
+      FROM read_parquet('{_IVF_ORACLE_PTR_B}/vectors/*/*.parquet',
+                        hive_partitioning = 1)
+      WHERE cell IN (SELECT cell FROM probe)
+    ),
+    top AS (
+      SELECT v.vec_id,
+             ROUND({_duck_dotf("v.embedding", "q.qv")}
+                   / (sqrt({_duck_dotf("v.embedding", "v.embedding")})
+                      * sqrt({_duck_dotf("q.qv", "q.qv")})), 6) AS sim
+      FROM v, q
+      ORDER BY sim DESC, v.vec_id
+      LIMIT 10
+    )
+    SELECT vec_id, sim AS probe_sim, sim AS mem_sim, TRUE AS agree
+    FROM top ORDER BY vec_id
+    """,
     note="IVF scale path end-to-end: build the cell=-partitioned parquet "
     "index once (cached by DATA fingerprint — file sizes+mtimes — so a "
     "regenerated fixture always rebuilds; atomic-rename install), probe "
     "via partition pruning, and emit a row-level agreement check against "
     "the in-memory ivf_topk under the same seed — every row must show "
     "agree=true (asserted in tests/test_operators.py::test_i13b_ivf_probe"
-    "_all_agree; the driver's rows-only check sees the agreement column)",
+    "_all_agree). Oracle-checked since r7: the index is exported behind "
+    "the i13b pointer and DuckDB re-runs the probe over it",
 )
 def i13b_ivf_probe(spark, sf_dir):
     import os
@@ -540,6 +601,7 @@ def i13b_ivf_probe(spark, sf_dir):
         ivf_build_cached,
         ivf_probe,
         ivf_topk,
+        publish_index_pointer,
     )
 
     e = t(spark, "embeddings", sf_dir)
@@ -549,6 +611,7 @@ def i13b_ivf_probe(spark, sf_dir):
     idx = ivf_build_cached(
         corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42, corpus_tag="ex0"
     )
+    publish_index_pointer(idx, _IVF_ORACLE_PTR_B)
     probed = ivf_probe(spark, idx, list(qv), k=10, n_probe=4)
     mem = ivf_topk(corpus, list(qv), k=10, n_clusters=16, n_probe=4, seed=42)
     # same seed + same data → identical quantizer → the pruned-scan probe
@@ -570,9 +633,50 @@ def i13b_ivf_probe(spark, sf_dir):
 @register(
     "i13d_ivf_batch_probe",
     "I5",
-    None,  # quantizer-dependent (seeded sample k-means) — rows-only; the
-    # agreement column is the check: every row must show agree=true
-    check="SEM",
+    # Cross-engine oracle over the EXPORTED index (i13c pattern, VERDICT r6
+    # item 2), per-query via row_number: each of the 3 queries picks its 4
+    # nearest cells (same sequential-fold distance, cell tiebreak), scores
+    # only vectors in those cells, keeps top-10 by (rounded sim DESC,
+    # vec_id). batch_sim/single_sim duplicated from the one recomputation,
+    # agree=TRUE — any Spark-side batch-vs-single disagreement or probe
+    # divergence hash-mismatches.
+    f"""
+    WITH qs AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 3
+    ),
+    cd AS (
+      SELECT qs.query_id, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY qs.query_id
+               ORDER BY {_duck_sqdist("c.centroid", "qs.qv")} ASC, c.cell ASC
+             ) AS rn
+      FROM read_parquet('{_IVF_ORACLE_PTR_D}/_centroids/*.parquet') c, qs
+    ),
+    v AS (
+      SELECT vec_id, cell, embedding
+      FROM read_parquet('{_IVF_ORACLE_PTR_D}/vectors/*/*.parquet',
+                        hive_partitioning = 1)
+    ),
+    scored AS (
+      SELECT p.query_id, v.vec_id,
+             ROUND({_duck_dotf("v.embedding", "qs.qv")}
+                   / (sqrt({_duck_dotf("v.embedding", "v.embedding")})
+                      * sqrt({_duck_dotf("qs.qv", "qs.qv")})), 6) AS sim
+      FROM (SELECT query_id, cell FROM cd WHERE rn <= 4) p
+      JOIN v ON v.cell = p.cell
+      JOIN qs ON qs.query_id = p.query_id
+    ),
+    top AS (
+      SELECT query_id, vec_id, sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, sim AS batch_sim, sim AS single_sim, TRUE AS agree
+    FROM top WHERE rn <= 10 ORDER BY query_id, vec_id
+    """,
     note="many-query ANN over the stored index: ivf_probe_batch explodes "
     "each query to its n_probe nearest cells (same sequential fold as "
     "ivf_probe) and equi-joins the cell-partitioned corpus on cell id — "
@@ -589,6 +693,7 @@ def i13d_ivf_batch_probe(spark, sf_dir):
         ivf_build_cached,
         ivf_probe,
         ivf_probe_batch,
+        publish_index_pointer,
     )
 
     e = t(spark, "embeddings", sf_dir)
@@ -597,6 +702,7 @@ def i13d_ivf_batch_probe(spark, sf_dir):
     idx = ivf_build_cached(
         corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42, corpus_tag="ex0"
     )
+    publish_index_pointer(idx, _IVF_ORACLE_PTR_D)
 
     queries = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -627,30 +733,6 @@ def i13d_ivf_batch_probe(spark, sf_dir):
             F.col("batch_sim").eqNullSafe(F.col("single_sim")).alias("agree"),
         )
         .orderBy("query_id", "vec_id")
-    )
-
-
-# Fixed pointer the i13c oracle reads: the query fn atomically re-points it
-# at the current fingerprint-keyed index before returning, so DuckDB scores
-# the SAME exported cells/centroids the Spark probe used (driver runs the
-# Spark side first, then the oracle — verified in tools/driver_sim.py).
-_IVF_ORACLE_PTR = "/tmp/skr_ivf_oracle/current"
-
-
-def _duck_sqdist(vec: str, q: str) -> str:
-    """Squared euclidean, sequential left fold (matches ivf_probe's)."""
-    return (
-        f"list_reduce(list_transform(range(1, 65), i -> "
-        f"(CAST({vec}[i] AS DOUBLE) - CAST({q}[i] AS DOUBLE)) * "
-        f"(CAST({vec}[i] AS DOUBLE) - CAST({q}[i] AS DOUBLE))), (x, y) -> x + y)"
-    )
-
-
-def _duck_dotf(x: str, y: str) -> str:
-    """Dot product, sequential left fold (matches operators cosine_expr)."""
-    return (
-        f"list_reduce(list_transform(range(1, 65), i -> "
-        f"CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (x, y) -> x + y)"
     )
 
 
