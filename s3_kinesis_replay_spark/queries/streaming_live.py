@@ -361,3 +361,260 @@ def h8_ordered_emission(spark, sf_dir):
             ).alias("seqs"),
         )
     )
+
+
+def _p18_oracle() -> str:
+    """Batch-equivalent SQL for the p18 streaming composite, assembled
+    from the SAME cross-engine building blocks its stages reuse
+    (t8 normalization chain, i3f exact-Jaccard, p7/p17 gram join, p11
+    targets, p2 packing) so each sub-semantics is already driver-proven
+    in isolation."""
+    from s3_kinesis_replay_spark.queries.llm_ops import _DUCK_SHINGLES
+    from s3_kinesis_replay_spark.queries.pipeline_ops import (
+        _DUCK_GRAMS5,
+        _SHARD_TOKENS,
+        _VAL_LT,
+        _bucket_sql,
+    )
+
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, source, text,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+      FROM documents
+    ),
+    snap AS (SELECT DISTINCT h FROM norm WHERE doc_id % 3 <> 0),
+    inb AS (
+      SELECT doc_id, source, text, h FROM (
+        SELECT doc_id, source, text, h,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM norm
+      ) WHERE rn = 1
+    ),
+    survivors AS (
+      SELECT i.doc_id, i.source, i.text
+      FROM inb i ANTI JOIN snap s ON i.h = s.h
+    ),
+    nd AS (
+      SELECT DISTINCT b.doc_id
+      FROM (SELECT doc_id, {_DUCK_SHINGLES} ss FROM survivors) b
+      JOIN (SELECT doc_id, {_DUCK_SHINGLES} ss
+            FROM documents WHERE doc_id % 3 <> 0) s ON TRUE
+      WHERE CAST(len(list_intersect(b.ss, s.ss)) AS DOUBLE)
+            / len(list_distinct(list_concat(b.ss, s.ss))) >= 0.8
+    ),
+    ev_g AS (
+      SELECT DISTINCT unnest({_DUCK_GRAMS5}) AS g
+      FROM documents WHERE {_bucket_sql("doc_id")} >= {_VAL_LT}
+    ),
+    cont AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, unnest({_DUCK_GRAMS5}) AS g FROM survivors) t
+      JOIN ev_g ON t.g = ev_g.g
+    ),
+    clean AS (
+      SELECT doc_id, source, text FROM survivors
+      WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+        AND doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    s AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS fs
+      FROM clean GROUP BY source
+    ),
+    tt AS (SELECT *, SUM(fs) OVER () AS sw, SUM(n) OVER () AS total FROM s),
+    targets AS (
+      SELECT source, CAST((total * fs) // sw AS BIGINT) AS target_n FROM tt
+    ),
+    sampled AS (
+      SELECT c.doc_id, c.source, c.text FROM (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || '#s42'), doc_id) AS rn
+        FROM clean
+      ) c JOIN targets t ON c.source = t.source
+      WHERE c.rn <= t.target_n
+    ),
+    packed AS (
+      SELECT source,
+             CAST((cum_tokens - tokens) // {_SHARD_TOKENS} AS BIGINT)
+               AS shard_id,
+             tokens
+      FROM (
+        SELECT source, tokens,
+               SUM(tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM (SELECT source, doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+              FROM sampled)
+      )
+    )
+    SELECT source, shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS shard_tokens
+    FROM packed GROUP BY source, shard_id
+    """
+
+
+@register(
+    "p18_replay_training_pipeline",
+    "A6",
+    _p18_oracle(),
+    check="SEM",
+    note="END-TO-END replay -> LLM-training-pipeline composite (VERDICT "
+    "r6 item 4) — the reference's replay soul feeding the north-star "
+    "pipeline in ONE declared entry. A staged gzip crawl archive of the "
+    "documents corpus streams in paced micro-batches (real AvailableNow "
+    "run, ~4 triggers at any SF) with the sanitize/normalize digest "
+    "chain (t8's RE2-safe chain — r1's regex-rewrite stage shape) "
+    "computed IN-STREAM; the drained batch then runs the incremental "
+    "tiers against the persisted two-thirds snapshot (doc_id%3<>0): "
+    "in-batch min-id exact dedup + digest anti-join (i1c), MinHash-LSH "
+    "near-dup vs the snapshot's banded signatures (i3f production "
+    "path), bloom-routed eval-set 5-gram decontamination with exact "
+    "confirm (p14->p7, no false negatives so the oracle's direct join "
+    "defines the same answer), sqrt-damped per-source mixture sample "
+    "(p11), token-budget shard packing (p2). At 100 TB: the stream "
+    "pays O(batch), the snapshot side is persisted digests/signatures "
+    "(never corpus text), the bloom bit table broadcasts at any corpus "
+    "size, and every shuffle moves digests/positions/grams — documents "
+    "shuffle only at the final bounded sample.",
+)
+def p18_replay_training_pipeline(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from s3_kinesis_replay_spark.operators.bloom import bloom_bits, bloom_screen
+    from s3_kinesis_replay_spark.operators.dedup import (
+        minhash_lsh_incremental_pairs,
+        word_shingles,
+    )
+    from s3_kinesis_replay_spark.queries.pipeline_ops import (
+        _SHARD_TOKENS,
+        _VAL_LT,
+        _bucket_col,
+    )
+    from s3_kinesis_replay_spark.sources.archive import (
+        stage_doc_archive,
+        stream_doc_archive,
+    )
+
+    # --- replay tier: paced stream over the staged crawl archive, with
+    # the sanitize/normalize digest computed in-stream (map-only codegen)
+    root = stage_doc_archive(sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    crawl = _drain(
+        spark,
+        stream_doc_archive(spark, root).select(
+            "doc_id", "source", "text", F.md5(norm).alias("h")
+        ),
+    )
+
+    docs = t(spark, "documents", sf_dir)
+    snap_docs = docs.filter(F.col("doc_id") % 3 != 0)
+
+    # --- incremental exact dedup (i1c shape): in-batch min-id per digest,
+    # then digest anti-join against the persisted snapshot digest set
+    snap_h = snap_docs.select(F.md5(norm).alias("h")).distinct()
+    inb = (
+        crawl.withColumn(
+            "rn", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # localCheckpoint: survivors (the bounded new-docs batch) feeds FOUR
+    # downstream consumers (LSH batch side, gram explode, the two
+    # anti-joins in clean) — truncate lineage once instead of re-running
+    # the drain+dedup per consumer, and break the self-join attribute
+    # conflict the nd_ids anti-join would otherwise hit
+    survivors = (
+        inb.join(snap_h, "h", "left_anti")
+        .select("doc_id", "source", "text")
+        .localCheckpoint()
+    )
+
+    # --- incremental near-dup (i3f production path): batch signatures
+    # band-join the snapshot's signatures; exact-Jaccard verified drops
+    nd_ids = (
+        minhash_lsh_incremental_pairs(
+            snap_docs.select("doc_id", "text"),
+            survivors.select("doc_id", "text"),
+            threshold=0.8,
+        )
+        .select(F.col("doc_new").alias("doc_id"))
+        .distinct()
+    )
+
+    # --- eval-set decontamination (p14 bloom route -> p7 exact confirm)
+    ev_g = (
+        docs.select(_bucket_col("doc_id"), F.split(F.lower("text"), " ").alias("toks"))
+        .filter(F.col("bucket") >= _VAL_LT)
+        .select(F.explode(word_shingles(F.col("toks"), k=5)).alias("g"))
+        .distinct()
+    )
+    sv_g = survivors.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    ).select("doc_id", F.explode(word_shingles(F.col("toks"), k=5)).alias("g"))
+    flagged = bloom_screen(sv_g, bloom_bits(ev_g)).filter(F.col("bloom_hit"))
+    cont_ids = flagged.join(ev_g, "g", "left_semi").select("doc_id").distinct()
+
+    clean = survivors.join(nd_ids, "doc_id", "left_anti").join(
+        cont_ids, "doc_id", "left_anti"
+    )
+
+    # --- mixture sample (p11): sqrt-damped per-source targets, md5-rank
+    per_src = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = W.partitionBy()
+    fs = F.floor(F.sqrt(F.col("n_docs"))).cast("bigint")
+    targets = (
+        per_src.select("source", "n_docs", fs.alias("fs"))
+        .select(
+            "source",
+            "fs",
+            F.sum("fs").over(w_all).alias("sw"),
+            F.sum("n_docs").over(w_all).alias("total"),
+        )
+        .select(
+            "source", F.expr("DIV(total * fs, sw)").cast("bigint").alias("target_n")
+        )
+    )
+    rank_key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#s42")))
+    w_src = W.partitionBy("source").orderBy(rank_key, "doc_id")
+    sampled = (
+        clean.select(
+            "doc_id",
+            "source",
+            "text",
+            F.row_number().over(w_src).cast("bigint").alias("rn"),
+        )
+        .join(F.broadcast(targets), "source")
+        .filter(F.col("rn") <= F.col("target_n"))
+    )
+
+    # --- shard packing (p2): token-budget shards per source
+    tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w_pack = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = (
+        sampled.select("source", "doc_id", tokens.alias("tokens"))
+        .withColumn("cum_tokens", F.sum("tokens").over(w_pack))
+        .select(
+            "source",
+            "tokens",
+            F.expr(f"(cum_tokens - tokens) div {_SHARD_TOKENS}").alias("shard_id"),
+        )
+    )
+    return packed.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("shard_tokens"),
+    )

@@ -195,3 +195,72 @@ def stage_csv_table(sf_dir: str, name: str = "part") -> str:
             f.write(",".join(out) + "\n")
     marker.touch()
     return str(root)
+
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+DOC_CHUNK_ROWS = 100
+
+
+def stage_doc_archive(sf_dir: str, chunk_rows: int = DOC_CHUNK_ROWS) -> str:
+    """Deterministically derive a gzipped-NDJSON crawl archive from the
+    ``documents`` fixture — the document-corpus twin of ``stage_archive``:
+    sort by doc_id, chunk ``doc_id div chunk_rows``, one ``part-N.json.gz``
+    per chunk. This is the shape a crawl delivery (Firehose to S3) leaves
+    behind, and the input p18's replay-to-training-pipeline composite
+    streams from. Idempotent via marker; gzip mtime=0 for stable bytes."""
+    root = Path(os.environ.get("SKR_ARCHIVE_DIR", "/tmp/skr_archive")) / (
+        "docs_" + hashlib.sha256(f"{sf_dir}|{chunk_rows}|v1".encode()).hexdigest()[:16]
+    )
+    marker = root / "_STAGED"
+    if marker.exists():
+        return str(root)
+    root.mkdir(parents=True, exist_ok=True)
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+    rows = tbl.to_pylist()
+    rows.sort(key=lambda r: r["doc_id"])
+    for start in range(0, len(rows), chunk_rows):
+        chunk = rows[start : start + chunk_rows]
+        chunk_id = chunk[0]["doc_id"] // chunk_rows
+        lines = [
+            json.dumps(
+                {k: r[k] for k in ("doc_id", "text", "lang", "source", "n_chars")},
+                separators=(",", ":"),
+            )
+            for r in chunk
+        ]
+        payload = ("\n".join(lines) + "\n").encode()
+        with open(root / f"part-{chunk_id:05d}.json.gz", "wb") as f:
+            f.write(gzip.compress(payload, mtime=0))
+    marker.touch()
+    return str(root)
+
+
+def stream_doc_archive(
+    spark: SparkSession, root: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming source over a staged document archive (paced like
+    ``stream_archive``); when ``max_files_per_trigger`` is None it is
+    sized to the archive (~4 micro-batches at any SF) so the replay is
+    never a degenerate single-batch run."""
+    if max_files_per_trigger is None:
+        n_files = sum(
+            1 for p in Path(root).iterdir() if p.name.startswith("part-")
+        )
+        max_files_per_trigger = max(2, -(-n_files // 4))
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("latestFirst", "false")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(root)
+        .select(*[f.name for f in DOC_SCHEMA.fields])
+    )

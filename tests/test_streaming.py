@@ -313,3 +313,29 @@ def test_h6b_transform_with_state(spark, sf_dir, archive_root, tmp_path):
         .agg(F.count("*").alias("n_events"))
     )
     _assert_same(batch, final)
+
+
+def test_p18_replay_pipeline_bites_and_deterministic(spark, sf_dir, duck):
+    """The p18 composite's stages must actually drop documents (not a
+    vacuous pipeline) and re-running the whole stream+batch composite
+    must give identical shards."""
+    from s3_kinesis_replay_spark.registry import all_queries
+
+    fn = all_queries()["p18_replay_training_pipeline"].fn
+    out1 = {
+        (r["source"], r["shard_id"]): (r["n_docs"], r["shard_tokens"])
+        for r in fn(spark, sf_dir).collect()
+    }
+    assert len(out1) > 0
+    n_new_ids = duck.execute(
+        "SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0"
+    ).fetchone()[0]
+    total_docs = sum(n for n, _ in out1.values())
+    # snapshot anti-join caps survivors at the %3==0 slice; near-dup +
+    # contamination + sqrt-damped sampling must then drop strictly more
+    assert 0 < total_docs < n_new_ids
+    out2 = {
+        (r["source"], r["shard_id"]): (r["n_docs"], r["shard_tokens"])
+        for r in fn(spark, sf_dir).collect()
+    }
+    assert out1 == out2
