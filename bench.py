@@ -61,6 +61,12 @@ HEADLINE = [
     # matching baseline series.
     "i14_semdedup",           # k-means cells + within-cell exact cosine dedup
     "i5b_batch_topk",         # query-DataFrame batch ANN (cogrouped grid)
+    # round 7: the incremental tier's two most expensive representatives
+    # join the headline set (VERDICT r6 item 5); BASELINE.md's round-5b
+    # extras series supplies their baseline rows (i3f 2.03, p14 1.11 ->
+    # official headline baseline total 20.23 s from round 7 on).
+    "i3f_incremental_neardup",  # batch-vs-snapshot LSH band join
+    "p14_bloom_contamination",  # bounded-bit bloom pre-screen
 ]
 
 # Round-4 operators, timed identically but reported under "extras" so the
@@ -77,15 +83,15 @@ EXTRAS = [
     "i13d_ivf_batch_probe",   # many-query probe over the stored IVF index
     # round 5b: incremental/pre-screen tier + TPC-H extras (representative)
     "i1c_incremental_dedup",  # batch-vs-snapshot digest anti-join
-    "i3f_incremental_neardup",  # batch-vs-snapshot LSH band join
     "i3e_dupgram_rate",       # corpus dup-5-gram diagnostic (gram joins)
-    "p14_bloom_contamination",  # bounded-bit bloom pre-screen
     "p15_weighted_sample",    # integer-exact weighted Bernoulli
     "t8_normalized_dedup_key",  # normalization + digest-window dup counts
     "q6_forecast_revenue",    # scan-bound TPC-H Q6
     "q10_returned_items",     # join + agg + TakeOrdered TPC-H Q10
     "q18_large_volume_customers",  # having + semi join TPC-H Q18
     "p17_decontaminated_mix",  # composite: split->bloom->exact->dedup->mix
+    # round 7
+    "p18_replay_training_pipeline",  # replay stream -> incremental pipeline
 ]
 
 

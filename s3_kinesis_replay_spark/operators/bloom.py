@@ -40,6 +40,16 @@ M_BITS_HEX = 4
 K_HASHES = 2
 
 
+def _meta_pos(bits_hex: int, k: int) -> int:
+    """Negative sentinel row encoding the (bits_hex, k) that BUILT a bit
+    table — real positions are ≥ 0, so the sentinel survives parquet
+    round-trips inside the relation itself and can never collide with a
+    probe position. bloom_screen asserts it matches the screen's own
+    parameters (ADVICE r6: a mismatched screen is silently UNSOUND —
+    false negatives — the one failure mode a bloom must never have)."""
+    return -(bits_hex * 100 + k)
+
+
 def _positions(md5_col: Column, bits_hex: int, k: int) -> list[Column]:
     """k non-overlapping md5 hex slices of bits_hex chars, as bigints."""
     if bits_hex * k > 32:
@@ -65,11 +75,21 @@ def bloom_bits(
 
     All k positions come out of ONE pass (explode of a k-element array) —
     a union of k selects would execute the upstream key pipeline once
-    per branch."""
+    per branch.
+
+    The returned relation carries a negative (bits_hex, k) sentinel row
+    (persisted with the bits) plus a same-process `_bloom_params` tag;
+    bloom_screen validates either against its own parameters."""
     m = F.md5(key_col)
-    return keys.select(
+    bits = keys.select(
         F.explode(F.array(*_positions(m, bits_hex, k))).alias("pos")
     ).distinct()
+    meta = keys.sparkSession.range(1).select(
+        F.lit(_meta_pos(bits_hex, k)).cast("bigint").alias("pos")
+    )
+    out = bits.unionAll(meta)
+    out._bloom_params = (bits_hex, k)
+    return out
 
 
 def bloom_screen(
@@ -84,7 +104,32 @@ def bloom_screen(
     false-positive rate governed by m = 16^bits_hex vs reference-set
     cardinality (see capacity note above). The bit table broadcasts
     (bounded by m); broadcast k times, it is still one executor-resident
-    hash relation per join."""
+    hash relation per join.
+
+    Parameter-soundness check (ADVICE r6): the screen's (bits_hex, k)
+    must equal what BUILT the bits, else false negatives. A same-process
+    bloom_bits result carries `_bloom_params` (checked for free); a bits
+    relation read back from storage is checked via its persisted negative
+    sentinel row — on parquet that is a pushed `pos < 0` scan, skipping
+    all data row-groups. A table with NO sentinel (pre-r7 or hand-built)
+    passes unchecked, documented legacy behavior."""
+    tagged = getattr(bits, "_bloom_params", None)
+    if tagged is not None:
+        if tagged != (bits_hex, k):
+            raise ValueError(
+                f"bloom_screen(bits_hex={bits_hex}, k={k}) over bits built "
+                f"with (bits_hex, k)={tagged} — mismatched parameters make "
+                "the screen unsound (false negatives)"
+            )
+    else:
+        metas = [r["pos"] for r in bits.filter(F.col("pos") < 0).collect()]
+        if metas and metas != [_meta_pos(bits_hex, k)]:
+            raise ValueError(
+                f"bloom_screen(bits_hex={bits_hex}, k={k}) over bits whose "
+                f"sentinel rows {metas} declare different build parameters "
+                "— mismatched parameters make the screen unsound"
+            )
+    bits = bits.filter(F.col("pos") >= 0)
     p = probes
     for i, pos in enumerate(_positions(F.md5(key_col), bits_hex, k)):
         p = p.withColumn(f"_p{i}", pos)

@@ -665,6 +665,11 @@ def data_fingerprint(path: str) -> str:
     if os.path.isfile(path):
         st = os.stat(path)
         h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif not os.path.isdir(path):
+        # fail HERE, not later inside build(): a missing path would
+        # otherwise fingerprint as the digest of empty input, and two
+        # different missing sf_dirs would share a cache key (ADVICE r6)
+        raise FileNotFoundError(f"data_fingerprint: no file or dir at {path}")
     else:
         for root, _dirs, files in sorted(os.walk(path)):
             for f in sorted(files):

@@ -23,10 +23,17 @@ def test_bench_headline_set_unchanged():
     removing entries silently breaks cross-round comparability. Extend
     EXTRAS instead; change this pin only together with BASELINE.md.
     Round 5: i14_semdedup + i5b_batch_topk joined the headline set in the
-    same change that re-recorded the BASELINE.md table (noop protocol)."""
-    assert len(bench.HEADLINE) == 22
+    same change that re-recorded the BASELINE.md table (noop protocol).
+    Round 7: i3f_incremental_neardup + p14_bloom_contamination promoted
+    from EXTRAS (VERDICT r6 item 5) in the same change that added their
+    BASELINE.md rows (i3f 2.03, p14 1.11 — round-5b solo series) and
+    restated the official headline baseline total as 20.23 s."""
+    assert len(bench.HEADLINE) == 24
     assert bench.HEADLINE[0] == "q1_pricing_summary"
-    assert bench.HEADLINE[-2:] == ["i14_semdedup", "i5b_batch_topk"]
+    assert bench.HEADLINE[-2:] == [
+        "i3f_incremental_neardup",
+        "p14_bloom_contamination",
+    ]
 
 
 def test_bench_module_reimports_cleanly():

@@ -986,3 +986,44 @@ def test_hash_based_membership_stable_under_repartition(spark, sf_dir, nparts, m
     for name, want in baseline.items():
         got = sorted(map(tuple, QUERIES[name].fn(spark, sf_dir).collect()))
         assert got == want, f"{name} changed under repartition({nparts})"
+
+
+def test_bloom_nondefault_params_roundtrip_and_mismatch(spark, tmp_path):
+    """ADVICE r6: non-default (bits_hex, k) must round-trip through a
+    persisted bit table, a mismatched screen must raise (unsound), and
+    bits_hex*k > 32 must be rejected up front."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.operators.bloom import bloom_bits, bloom_screen
+
+    ref = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], "g string")
+    probes = spark.createDataFrame([("alpha",), ("delta",)], "g string")
+
+    bits = bloom_bits(ref, bits_hex=6, k=3)
+    path = str(tmp_path / "bits")
+    bits.write.parquet(path)
+    stored = spark.read.parquet(path)  # no _bloom_params tag -> sentinel path
+
+    hits = {
+        r["g"]: r["bloom_hit"]
+        for r in bloom_screen(probes, stored, bits_hex=6, k=3).collect()
+    }
+    assert hits["alpha"] is True  # member: no false negative
+    # same-process tag mismatch AND persisted-sentinel mismatch both raise
+    with _pytest.raises(ValueError, match="unsound"):
+        bloom_screen(probes, bits, bits_hex=4, k=2)
+    with _pytest.raises(ValueError, match="unsound"):
+        bloom_screen(probes, stored, bits_hex=4, k=2)
+    with _pytest.raises(ValueError, match="32"):
+        bloom_bits(ref, bits_hex=12, k=3)
+
+
+def test_data_fingerprint_missing_path_raises():
+    """ADVICE r6: a nonexistent path must fail at fingerprint time, not
+    silently hash as empty input (two missing dirs would share a key)."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.operators.similarity import data_fingerprint
+
+    with _pytest.raises(FileNotFoundError):
+        data_fingerprint("/nonexistent/skr/path")

@@ -151,3 +151,39 @@ def test_update_green_prefers_per_round_emit_hashes(tmp_path, monkeypatch):
     monkeypatch.setattr(window_tool, "_green_rounds", lambda: {"b1_project": 7})
     state = window_tool.update_green()
     assert state["green_hash"]["b1_project"] == "round7-emit-hash"
+
+
+import s3_kinesis_replay_spark.operators as _ops_pkg  # noqa: E402
+import s3_kinesis_replay_spark.operators.similarity  # noqa: E402,F401
+
+
+def test_dotted_submodule_access_hashes_submodule_file():
+    """ADVICE r6 item 1: `pkg.submod.fn(...)` access must contribute the
+    SUBMODULE's file to the hash closure, not just the parent package's
+    __init__ — otherwise a submodule edit leaves dependents green."""
+
+    def probe():
+        return _ops_pkg.similarity.data_fingerprint("/nonexistent")
+
+    units = window_tool._obj_units(probe)
+    assert "file:s3_kinesis_replay_spark.operators.similarity" in units
+
+
+_CALLABLE_MAP = None  # populated by the test to exercise the const branch
+
+
+def test_container_constant_queues_inner_callables():
+    """ADVICE r6 item 2: a dict constant mapping names to in-package
+    functions must queue those functions for source hashing — address
+    stripping otherwise makes the constant's repr edit-invariant."""
+    from s3_kinesis_replay_spark.operators.similarity import data_fingerprint
+
+    global _CALLABLE_MAP
+    _CALLABLE_MAP = {"fp": data_fingerprint}
+
+    def probe():
+        return _CALLABLE_MAP["fp"]("/nonexistent")
+
+    units = window_tool._obj_units(probe)
+    key = "s3_kinesis_replay_spark.operators.similarity:data_fingerprint"
+    assert key in units and "def data_fingerprint" in units[key]

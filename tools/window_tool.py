@@ -92,6 +92,26 @@ def _stable_repr(obj) -> str:
     return re.sub(r"0x[0-9a-fA-F]+", "0x", r)
 
 
+def _container_callables(obj, depth: int = 0):
+    """In-package functions/classes reachable inside a container constant
+    (ADVICE r6: a dict mapping names to functions hashes identically across
+    edits to those functions once addresses are stripped — queue the
+    callables themselves so such edits still dirty dependents)."""
+    if depth > 3:
+        return
+    vals = ()
+    if isinstance(obj, dict):
+        vals = list(obj.keys()) + list(obj.values())
+    elif isinstance(obj, (list, tuple, set, frozenset)):
+        vals = obj
+    for v in vals:
+        if inspect.isfunction(v) or inspect.isclass(v):
+            if _in_package(v):
+                yield v
+        else:
+            yield from _container_callables(v, depth + 1)
+
+
 def _namespace_for(obj) -> dict:
     """Name-resolution namespace: fn globals, or the defining module's
     namespace for classes, extended by any in-package imports inlined in
@@ -178,10 +198,23 @@ def _obj_units(root_fn) -> dict[str, str]:
                     if inspect.isfunction(sub) or inspect.isclass(sub):
                         if _in_package(sub):
                             queue.append(sub)
-                    elif sub is None or inspect.ismodule(sub):
+                    elif inspect.ismodule(sub):
+                        # dotted submodule access (pkg.submod.fn): hash the
+                        # SUBMODULE's file, not just the parent package's —
+                        # a parent-file fallback would leave dependents
+                        # green across submodule edits (ADVICE r6)
+                        sf = getattr(sub, "__file__", None)
+                        if _in_package(sub) and sf:
+                            units[f"file:{sub.__name__}"] = Path(sf).read_text(
+                                errors="replace"
+                            )
+                        elif _in_package(tgt):
+                            fallback = True
+                    elif sub is None:
                         fallback = True
                     else:
                         units[f"{tgt.__name__}:{attr}"] = _stable_repr(sub)
+                        queue.extend(_container_callables(sub))
                 if fallback:
                     f = getattr(tgt, "__file__", None)
                     if f:
@@ -197,6 +230,7 @@ def _obj_units(root_fn) -> dict[str, str]:
                 # module-level constant read by this fn (could be a local
                 # shadowing a global — a spurious-but-stable extra unit)
                 units[f"const:{owner}:{name}"] = _stable_repr(tgt)
+                queue.extend(_container_callables(tgt))
     return units
 
 
