@@ -486,6 +486,8 @@ def _p18_oracle() -> str:
 def p18_replay_training_pipeline(spark, sf_dir):
     from pyspark.sql import Window as W
 
+    import os
+
     from s3_kinesis_replay_spark.operators.bloom import bloom_bits, bloom_screen
     from s3_kinesis_replay_spark.operators.dedup import (
         minhash_lsh_incremental_pairs,
@@ -519,9 +521,56 @@ def p18_replay_training_pipeline(spark, sf_dir):
     docs = t(spark, "documents", sf_dir)
     snap_docs = docs.filter(F.col("doc_id") % 3 != 0)
 
+    # --- persisted snapshot artifacts (the PRODUCTION incremental tier):
+    # the existing corpus's digest set, banded LSH signatures, and the
+    # eval set's bloom bit table are built ONCE per corpus fingerprint
+    # (atomic install, a8/i13b cache discipline) and only READ here — a
+    # daily batch pays O(batch), the corpus text never recomputes. The
+    # bloom bits round-trip through parquet, so the screen's (bits_hex, k)
+    # sentinel validation runs on the stored-bits path every time.
+    def _build_snapshot(tmp: str) -> None:
+        from s3_kinesis_replay_spark.operators.dedup import (
+            banded_signatures,
+            minhash_signatures,
+        )
+
+        banded_signatures(
+            minhash_signatures(
+                snap_docs.select("doc_id", "text"), keep_shingle_hashes=True
+            )
+        ).write.parquet(f"{tmp}/banded")
+        snap_docs.select(F.md5(norm).alias("h")).distinct().write.parquet(
+            f"{tmp}/digests"
+        )
+        ev_grams = (
+            docs.select(
+                _bucket_col("doc_id"), F.split(F.lower("text"), " ").alias("toks")
+            )
+            .filter(F.col("bucket") >= _VAL_LT)
+            .select(F.explode(word_shingles(F.col("toks"), k=5)).alias("g"))
+            .distinct()
+        )
+        ev_grams.write.parquet(f"{tmp}/eval_grams")
+        bloom_bits(spark.read.parquet(f"{tmp}/eval_grams")).write.parquet(
+            f"{tmp}/bloom_bits"
+        )
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+
+    fp = data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    snap_dir = atomic_cached_build(
+        "/tmp/skr_p18_snapshot",
+        f"{fp}-v1",
+        _build_snapshot,
+        os.path.join("bloom_bits", "_SUCCESS"),  # written LAST
+    )
+
     # --- incremental exact dedup (i1c shape): in-batch min-id per digest,
     # then digest anti-join against the persisted snapshot digest set
-    snap_h = snap_docs.select(F.md5(norm).alias("h")).distinct()
+    snap_h = spark.read.parquet(f"{snap_dir}/digests")
     inb = (
         crawl.withColumn(
             "rn", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
@@ -541,28 +590,26 @@ def p18_replay_training_pipeline(spark, sf_dir):
     )
 
     # --- incremental near-dup (i3f production path): batch signatures
-    # band-join the snapshot's signatures; exact-Jaccard verified drops
+    # band-join the STORED snapshot signatures; exact-Jaccard verified
     nd_ids = (
         minhash_lsh_incremental_pairs(
-            snap_docs.select("doc_id", "text"),
+            snap_docs.select("doc_id", "text"),  # unused: snapshot_banded wins
             survivors.select("doc_id", "text"),
             threshold=0.8,
+            snapshot_banded=spark.read.parquet(f"{snap_dir}/banded"),
         )
         .select(F.col("doc_new").alias("doc_id"))
         .distinct()
     )
 
-    # --- eval-set decontamination (p14 bloom route -> p7 exact confirm)
-    ev_g = (
-        docs.select(_bucket_col("doc_id"), F.split(F.lower("text"), " ").alias("toks"))
-        .filter(F.col("bucket") >= _VAL_LT)
-        .select(F.explode(word_shingles(F.col("toks"), k=5)).alias("g"))
-        .distinct()
-    )
+    # --- eval-set decontamination (p14 STORED bits -> p7 exact confirm
+    # against the STORED eval gram set — the corpus never re-explodes)
+    ev_g = spark.read.parquet(f"{snap_dir}/eval_grams")
     sv_g = survivors.select(
         "doc_id", F.split(F.lower("text"), " ").alias("toks")
     ).select("doc_id", F.explode(word_shingles(F.col("toks"), k=5)).alias("g"))
-    flagged = bloom_screen(sv_g, bloom_bits(ev_g)).filter(F.col("bloom_hit"))
+    stored_bits = spark.read.parquet(f"{snap_dir}/bloom_bits")
+    flagged = bloom_screen(sv_g, stored_bits).filter(F.col("bloom_hit"))
     cont_ids = flagged.join(ev_g, "g", "left_semi").select("doc_id").distinct()
 
     clean = survivors.join(nd_ids, "doc_id", "left_anti").join(

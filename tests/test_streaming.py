@@ -267,8 +267,21 @@ def test_h6b_transform_with_state(spark, sf_dir, archive_root, tmp_path):
     """H6 via Spark 4's transformWithStateInPandas (the successor API to
     applyInPandasWithState): per-user ValueState counter, final counts
     equal the batch aggregate."""
-    # the TWS state-server protocol needs protobuf; skip where absent
-    pytest.importorskip("google.protobuf.descriptor")
+    # The TWS Python worker <-> JVM state-server protocol serializes via
+    # protobuf (pyspark.sql.streaming.proto imports google.protobuf at
+    # call time). This environment has NO `protobuf` wheel anywhere on
+    # disk (verified: `find / -name 'protobuf*' -path '*site-packages*'`
+    # yields only pyspark's .proto resources and jedi/typeshed stubs) and
+    # no network/pip, so it cannot be vendored or installed — the skip is
+    # environmental, not a coverage choice; the H6 semantics themselves
+    # are covered un-skipped by test_h6_stateful_running_count via
+    # applyInPandasWithState (no protobuf dependency).
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="no protobuf wheel in the sandbox and no way to install "
+        "one (pip/network unavailable); TWS state-server protocol "
+        "requires it — H6 covered via applyInPandasWithState instead",
+    )
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
