@@ -71,6 +71,15 @@ def audit_plan(df: DataFrame) -> dict:
             | set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
         ),
         "python_ops": sum(plan.count(op) for op in _PY_OPS),
+        # AQE wrapper present -> runtime skew-join splitting / join-strategy
+        # re-planning is armed for every Exchange below it (VERDICT r5
+        # item 9: pin it per-plan so a config regression that silently
+        # disables AQE on the newest tiers fails the audit diff)
+        "aqe": "AdaptiveSparkPlan" in plan,
+        # lineage-truncation sites (localCheckpoint / driver-built inputs)
+        # surface as ExistingRDD scans; tracked separately from file scans
+        # so a missing checkpoint in a multi-consumer plan is visible
+        "rdd_scans": plan.count("Scan ExistingRDD"),
         "scans": plan.count("Scan parquet") + plan.count("Scan json")
         + plan.count("Scan csv") + plan.count("Scan text")
         + plan.count("Scan ExistingRDD"),

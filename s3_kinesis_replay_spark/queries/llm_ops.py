@@ -503,22 +503,6 @@ def i12_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(t(spark, "embeddings", sf_dir), threshold=0.45)
 
 
-@register(
-    "i13_ivf_topk",
-    "I5",
-    None,  # k-means training is not SQL-expressible — rows-only; recall
-    # vs brute-force asserted in tests/test_operators.py
-    note="IVF-style ANN: seeded k-means coarse quantizer, probe 4/16 cells, "
-    "exact re-rank — the partition-pruned scale path for I5",
-)
-def i13_ivf_topk(spark, sf_dir):
-    from s3_kinesis_replay_spark.operators.similarity import ivf_topk
-
-    e = t(spark, "embeddings", sf_dir)
-    qv = [r[0] for r in e.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
-    return ivf_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10)
-
-
 # Fixed pointers the IVF oracles read: each query fn atomically re-points
 # its own pointer at the current fingerprint-keyed index before returning,
 # so DuckDB scores the SAME exported cells/centroids the Spark probe used
@@ -528,6 +512,7 @@ def i13_ivf_topk(spark, sf_dir):
 _IVF_ORACLE_PTR = "/tmp/skr_ivf_oracle/current"
 _IVF_ORACLE_PTR_B = "/tmp/skr_ivf_oracle/i13b"
 _IVF_ORACLE_PTR_D = "/tmp/skr_ivf_oracle/i13d"
+_IVF_ORACLE_PTR_I13 = "/tmp/skr_ivf_oracle/i13"
 
 
 def _duck_sqdist(vec: str, q: str) -> str:
@@ -545,6 +530,62 @@ def _duck_dotf(x: str, y: str) -> str:
         f"list_reduce(list_transform(range(1, 65), i -> "
         f"CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (x, y) -> x + y)"
     )
+
+
+@register(
+    "i13_ivf_topk",
+    "I5",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cell
+      FROM read_parquet('{_IVF_ORACLE_PTR_I13}/_centroids/*.parquet'), q
+      ORDER BY {_duck_sqdist("centroid", "qv")} ASC, cell ASC
+      LIMIT 4
+    ),
+    v AS (
+      SELECT vec_id, embedding
+      FROM read_parquet('{_IVF_ORACLE_PTR_I13}/vectors/*/*.parquet',
+                        hive_partitioning = 1)
+      WHERE cell IN (SELECT cell FROM probe)
+    )
+    SELECT v.vec_id,
+           ROUND({_duck_dotf("v.embedding", "q.qv")}
+                 / (sqrt({_duck_dotf("v.embedding", "v.embedding")})
+                    * sqrt({_duck_dotf("q.qv", "q.qv")})), 6) AS sim
+    FROM v, q
+    ORDER BY sim DESC, v.vec_id
+    LIMIT 10
+    """,
+    note="IVF-style ANN: seeded k-means coarse quantizer, probe 4/16 "
+    "cells, exact re-rank — the partition-pruned scale path for I5. "
+    "Oracle-checked since r7: the fn RETURNS the in-memory ivf_topk but "
+    "also installs the fingerprint-cached stored index (same corpus/"
+    "seed/params -> identical quantizer, equivalence pinned by i13b's "
+    "agree assertion) behind the i13 pointer, and DuckDB re-runs the "
+    "probe over that export (the i13c SQL) — an in-memory/stored "
+    "divergence hash-mismatches. Recall vs brute-force additionally "
+    "asserted in tests/test_operators.py",
+)
+def i13_ivf_topk(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        data_fingerprint,
+        ivf_build_cached,
+        ivf_topk,
+        publish_index_pointer,
+    )
+
+    e = t(spark, "embeddings", sf_dir)
+    qv = [r[0] for r in e.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
+    corpus = e.filter(F.col("vec_id") != 0)
+    fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = ivf_build_cached(
+        corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42, corpus_tag="ex0"
+    )
+    publish_index_pointer(idx, _IVF_ORACLE_PTR_I13)
+    return ivf_topk(corpus, list(qv), k=10)
 
 
 @register(
@@ -789,26 +830,72 @@ def i13c_ivf_probe_xengine(spark, sf_dir):
     return ivf_probe(spark, idx, list(qv), k=10, n_probe=4)
 
 
+_SEMDEDUP_ORACLE_PTR_I14 = "/tmp/skr_semdedup_oracle/i14"
+
+
 @register(
     "i14_semdedup",
     "I3",
-    None,  # k-means training is not SQL-expressible — rows-only; the
-    # keep/drop contract is exactly verified in
-    # tests/test_operators.py::test_i14_semdedup_contract
-    check="SEM",
+    f"""
+    WITH cells AS (
+      SELECT vec_id, cell
+      FROM read_parquet('{_SEMDEDUP_ORACLE_PTR_I14}/*.parquet')
+    ),
+    v AS (
+      SELECT c.vec_id, c.cell, e.embedding
+      FROM cells c JOIN embeddings e USING (vec_id)
+    ),
+    dropped AS (
+      SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS rep_id
+      FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}) >= 0.45
+      GROUP BY b.vec_id
+    )
+    SELECT v.vec_id, v.cell, (d.rep_id IS NULL) AS keep, d.rep_id
+    FROM v LEFT JOIN dropped d USING (vec_id)
+    """,
     note="SemDeDup-style semantic dedup (public: Abbas et al. 2023): "
     "seeded k-means cells, one NumPy matmul per cell for candidates "
     "(e-margin), exact-fold re-score decides drop-on-lower-id-neighbor "
     ">= 0.45. Cell grouping bounds the quadratic term — never corpus x "
-    "corpus, never per-pair HOF folds",
+    "corpus, never per-pair HOF folds. Oracle-checked since r7 via the "
+    "i14b export pattern under i14's OWN pointer (the fingerprint-keyed "
+    "assignment export is shared — identical params, cache-hit): DuckDB "
+    "recomputes the within-cell keep/drop from the exported cells. The "
+    "keep/drop contract is additionally verified in tests/"
+    "test_operators.py::test_i14_semdedup_contract",
 )
 def i14_semdedup(spark, sf_dir):
-    from s3_kinesis_replay_spark.operators.similarity import semdedup
+    import os
 
+    from s3_kinesis_replay_spark.operators.similarity import (
+        QUANTIZER_VERSION,
+        atomic_cached_build,
+        data_fingerprint,
+        publish_index_pointer,
+        semdedup,
+    )
+
+    n_clusters, seed = 16, 42
     e = t(spark, "embeddings", sf_dir)
-    return semdedup(
-        e.select("vec_id", "embedding"), threshold=0.45, n_clusters=16, seed=42
-    ).orderBy("vec_id")
+    res = semdedup(
+        e.select("vec_id", "embedding"),
+        threshold=0.45,
+        n_clusters=n_clusters,
+        seed=seed,
+    )
+    fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    final = atomic_cached_build(
+        "/tmp/skr_semdedup_oracle",
+        f"{fp}-k{n_clusters}-s{seed}-{QUANTIZER_VERSION}",
+        lambda tmp: res.select("vec_id", "cell")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp),
+        "_SUCCESS",
+    )
+    publish_index_pointer(final, _SEMDEDUP_ORACLE_PTR_I14)
+    return res.orderBy("vec_id")
 
 
 # Fixed pointer the i14b oracle reads (the i13c pattern): the query fn

@@ -1027,3 +1027,17 @@ def test_data_fingerprint_missing_path_raises():
 
     with _pytest.raises(FileNotFoundError):
         data_fingerprint("/nonexistent/skr/path")
+
+
+def test_i13d_batch_probe_runs_under_aqe_skew_join(spark, sf_dir):
+    """VERDICT r5 item 9: the i13d many-query cell join is the one path
+    where a skewed cell (popular region of the embedding space) would
+    funnel — pin that (a) the session arms AQE skew-join splitting and
+    (b) the probe plan executes under an AdaptiveSparkPlan wrapper, so
+    the mitigation can actually fire at runtime."""
+    from s3_kinesis_replay_spark.plans.audit import audit_plan
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    feats = audit_plan(QUERIES["i13d_ivf_batch_probe"].fn(spark, sf_dir))
+    assert feats["aqe"], "i13d plan not under AdaptiveSparkPlan"

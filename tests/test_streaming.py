@@ -334,10 +334,19 @@ def test_p18_replay_pipeline_bites_and_deterministic(spark, sf_dir, duck):
     must give identical shards."""
     from s3_kinesis_replay_spark.registry import all_queries
 
+    from s3_kinesis_replay_spark.plans.audit import audit_plan
+
     fn = all_queries()["p18_replay_training_pipeline"].fn
+    df1 = fn(spark, sf_dir)
+    # the survivors localCheckpoint must actually truncate lineage (one
+    # materialized-RDD scan feeding the multi-consumer batch tier) and the
+    # batch tier must run under AQE like every other join-heavy plan
+    feats = audit_plan(df1)
+    assert feats["rdd_scans"] >= 1, "survivors localCheckpoint missing"
+    assert feats["aqe"]
     out1 = {
         (r["source"], r["shard_id"]): (r["n_docs"], r["shard_tokens"])
-        for r in fn(spark, sf_dir).collect()
+        for r in df1.collect()
     }
     assert len(out1) > 0
     n_new_ids = duck.execute(

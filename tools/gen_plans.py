@@ -27,7 +27,7 @@ COLS = [
     "exchanges", "single_partition", "broadcast_joins", "shuffle_joins",
     "take_ordered", "window_group_limit", "partial_agg_pairs",
     "pushed_filters", "partition_filters", "codegen_spans", "python_ops",
-    "scans",
+    "aqe", "rdd_scans", "scans",
 ]
 
 
