@@ -504,19 +504,29 @@ def p18_replay_training_pipeline(spark, sf_dir):
     )
 
     # --- replay tier: paced stream over the staged crawl archive, with
-    # the sanitize/normalize digest computed in-stream (map-only codegen)
+    # the sanitize/normalize digest computed in-stream (map-only codegen).
+    # The stream lands in a PARQUET staging sink — executor-side files,
+    # never a driver collect (the memory sink the H entries use is
+    # test-scale-only); the batch tier then reads the staged files, the
+    # same stream->stage->batch handoff a 100 TB crawl would use.
     root = stage_doc_archive(sf_dir)
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
         )
     )
-    crawl = _drain(
-        spark,
-        stream_doc_archive(spark, root).select(
-            "doc_id", "source", "text", F.md5(norm).alias("h")
-        ),
+    sink_dir = tempfile.mkdtemp(prefix="skr_p18_sink_")
+    (
+        stream_doc_archive(spark, root)
+        .select("doc_id", "source", "text", F.md5(norm).alias("h"))
+        .writeStream.format("parquet")
+        .option("path", f"{sink_dir}/crawl")
+        .option("checkpointLocation", f"{sink_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(600)
     )
+    crawl = spark.read.parquet(f"{sink_dir}/crawl")
 
     docs = t(spark, "documents", sf_dir)
     snap_docs = docs.filter(F.col("doc_id") % 3 != 0)
