@@ -590,3 +590,135 @@ def q4_order_priority_check(spark, sf_dir):
     return late.groupBy("o_orderpriority").agg(
         F.count("*").alias("order_count")
     )
+
+
+@register(
+    "q12_ship_priority_classes",
+    "D10",
+    """
+    SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY THEN 'LATE'
+                WHEN l_shipdate >= o_orderdate + INTERVAL 30 DAY THEN 'SLOW'
+                ELSE 'FAST' END AS delay_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    note="TPC-H Q12 pattern (shipmode -> ship-delay class; the fixture "
+    "has no l_shipmode/l_receiptdate, FIXTURES.md): fact-fact equi join "
+    "with the year filter pushed to the lineitem scan, then "
+    "conditional-count aggregation per derived class — the canonical "
+    "priority-split shape. Both facts shuffle on l_orderkey only; the "
+    "CASE evaluation is map-side codegen.",
+)
+def q12_ship_priority_classes(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = t(spark, "orders", sf_dir)
+    delay = (
+        F.when(
+            F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            "LATE",
+        )
+        .when(
+            F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+            "SLOW",
+        )
+        .otherwise("FAST")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(delay.alias("delay_class"), high.alias("is_high"))
+        .groupBy("delay_class")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~F.col("is_high"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    "C4",
+    """
+    WITH l1 AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l.l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l1 l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+    note="TPC-H Q21 pattern (suppliers who kept a finished multi-supplier "
+    "order waiting: late = shipped >60 days after order date, the "
+    "fixture's l_receiptdate analog — FIXTURES.md): the EXISTS / "
+    "NOT-EXISTS chain over a self-referencing fact. Engine side rewrites "
+    "both correlations to unnested relational ops — EXISTS(other "
+    "supplier) becomes a semi join against orders with >=2 distinct "
+    "suppliers, NOT EXISTS(other LATE supplier) a semi join against "
+    "orders whose distinct late-supplier count is 1 — so the plan is "
+    "three digest-thin aggregates + semi joins + broadcast dims, no "
+    "per-row subquery. The oracle keeps the literal correlated SQL, "
+    "pinning the rewrite's equivalence.",
+)
+def q21_waiting_supplier(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    ords = (
+        t(spark, "orders", sf_dir)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    lone_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("nl"))
+        .filter(F.col("nl") == 1)
+        .select("l_orderkey")
+    )
+    s = t(spark, "supplier", sf_dir)
+    n = t(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_3")
+    return (
+        late.join(multi, "l_orderkey", "left_semi")
+        .join(lone_late, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pytest
 
 hypothesis = pytest.importorskip("hypothesis")
-from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+from hypothesis import HealthCheck, assume, given, settings, strategies as st  # noqa: E402
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -1375,3 +1375,51 @@ class TestAsofNearestDifferential:
         d_cols, d_rows = duck_result(duck, osql)
         problems = compare(s_cols, s_rows, d_cols, d_rows)
         assert not problems, f"band={band_min}m {lt}->{rt}: " + "; ".join(problems)
+
+
+@pytest.mark.usefixtures("spark")
+class TestBloomParamFuzz:
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        bits_hex=st.integers(2, 8),
+        k=st.integers(1, 4),
+        minlen=st.integers(3, 8),
+    )
+    def test_nondefault_params_sound_through_persistence(
+        self, spark, sf_dir, tmp_path_factory, bits_hex, k, minlen
+    ):
+        """ADVICE r6 follow-through, fuzzed: for ANY legal (bits_hex, k)
+        the persisted-bits screen must (a) never produce a false negative
+        on reference members, (b) carry its build parameters through the
+        parquet round-trip, and (c) reject a mismatched screen."""
+        assume(bits_hex * k <= 32)
+        from s3_kinesis_replay_spark.operators.bloom import bloom_bits, bloom_screen
+
+        words = (
+            table(spark, "documents", sf_dir)
+            .select(F.explode(F.split(F.lower("text"), " ")).alias("g"))
+            .filter(F.col("g") != "")
+            .distinct()
+            .limit(400)
+        )
+        ref = words.filter(F.length("g") >= minlen)
+        path = str(
+            tmp_path_factory.mktemp("bloomfuzz") / f"bits_{bits_hex}_{k}"
+        )
+        bloom_bits(ref, bits_hex=bits_hex, k=k).write.parquet(path)
+        stored = spark.read.parquet(path)
+        out = bloom_screen(words, stored, bits_hex=bits_hex, k=k)
+        misses = (
+            out.join(ref.withColumnRenamed("g", "rg"), F.col("g") == F.col("rg"))
+            .filter(~F.col("bloom_hit"))
+            .count()
+        )
+        assert misses == 0, f"false negatives at bits_hex={bits_hex} k={k}"
+        other = (bits_hex % 8) + 1 if (bits_hex % 8) + 1 != bits_hex else bits_hex + 1
+        if other * k <= 32:
+            with pytest.raises(ValueError, match="unsound"):
+                bloom_screen(words, stored, bits_hex=other, k=k)
