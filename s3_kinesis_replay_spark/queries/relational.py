@@ -658,3 +658,66 @@ def c1b_salted_join(spark, sf_dir):
     return salted_join(
         li, o, left_key="l_orderkey", right_key="o_orderkey", salts=8
     ).select("l_orderkey", "l_linenumber", "o_orderpriority")
+
+
+@register(
+    "c1c_bucketed_join",
+    "C1",
+    f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS {DEC})) AS DOUBLE), 6) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    note="BUCKETED co-located join — the third C1 strategy next to plain "
+    "shuffle (c1) and salting (c1b): both facts are written ONCE as "
+    "8-bucket sorted tables on their join key (external tables under "
+    "/tmp, fingerprint-suffixed names so a regenerated fixture can never "
+    "serve stale buckets; rebuilt per session because bucket METADATA "
+    "lives in the in-memory catalog) and the join then reads co-located "
+    "buckets with NO Exchange and NO Sort on either side — the only "
+    "shuffle left is the final aggregate's. At 100 TB this is the "
+    "recurring-join killer: the shuffle is paid once at write time, "
+    "every subsequent join of the two tables is embarrassingly "
+    "bucket-parallel (asserted in tests/test_operators.py::"
+    "test_c1c_bucketed_join_eliminates_shuffle).",
+)
+def c1c_bucketed_join(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import data_fingerprint
+
+    fp = data_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))[:10]
+    specs = {
+        "lineitem": ("l_orderkey", f"skr_li_b8_{fp}"),
+        "orders": ("o_orderkey", f"skr_ord_b8_{fp}"),
+    }
+    for tbl, (key, tname) in specs.items():
+        if not spark.catalog.tableExists(tname):
+            (
+                # repartition on the bucket key with numPartitions ==
+                # numBuckets (same Murmur3 hash) -> ONE file per bucket,
+                # so the sorted-bucket guarantee holds globally and the
+                # join needs no Sort either
+                t(spark, tbl, sf_dir)
+                .repartition(8, F.col(key))
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"/tmp/skr_bucketed/{tname}")
+                .mode("overwrite")
+                .saveAsTable(tname)
+            )
+    li = spark.table(specs["lineitem"][1])
+    o = spark.table(specs["orders"][1])
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            fdec(F.sum(sdec("l_extendedprice * (1 - l_discount)"))).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -1041,3 +1041,24 @@ def test_i13d_batch_probe_runs_under_aqe_skew_join(spark, sf_dir):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     feats = audit_plan(QUERIES["i13d_ivf_batch_probe"].fn(spark, sf_dir))
     assert feats["aqe"], "i13d plan not under AdaptiveSparkPlan"
+
+
+def test_c1c_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    """The bucketed fact-fact join must read co-located buckets with NO
+    Exchange on either join input — the only shuffle left is the final
+    aggregate's. Broadcast is disabled so the assertion exercises the
+    strategy that matters at 100 TB (both sides too big to broadcast);
+    a per-task Sort remains (Spark 3+ does not propagate bucket sort
+    order without the legacy flag) — partition-local, no shuffle."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["c1c_bucketed_join"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("SortMergeJoin") == 1
+    assert plan.count("Bucketed: true") == 2
+    # exactly one hash exchange: the aggregate's; none feeding the join
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SelectedBucketsCount: 8 out of 8" in plan
