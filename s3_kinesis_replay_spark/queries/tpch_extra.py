@@ -722,3 +722,99 @@ def q21_waiting_supplier(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "q16_supplier_part_counts",
+    "C4",
+    """
+    SELECT p_brand, p_type, CAST(p_size AS INTEGER) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#4'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    note="TPC-H Q16 pattern (the fixture has no partsupp/s_comment — "
+    "lineitem is the part-supplier bridge and negative account balance "
+    "is the excluded-supplier analog, FIXTURES.md): NOT-IN subquery -> "
+    "broadcast ANTI join against the tiny excluded-supplier set, then "
+    "count(DISTINCT supplier) per part attribute triple. The distinct "
+    "agg shuffles (brand, type, size, suppkey) pairs — fixed-width "
+    "keys, never part rows; part dim broadcasts into the bridge join.",
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    p = t(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#4")
+        & ~F.col("p_type").startswith("PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = t(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    excluded = (
+        t(spark, "supplier", sf_dir)
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    "C4",
+    """
+    SELECT s_name, ROUND(CAST(s_acctbal AS DOUBLE), 6) AS s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_9'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%red%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 30
+      )
+    """,
+    note="TPC-H Q20 pattern (no partsupp/availqty in the fixture: "
+    "'shipped more than the threshold of a red part in 1997' replaces "
+    "'stocked more than half a year's demand', FIXTURES.md): a nested "
+    "IN whose inner relation is itself a grouped HAVING over a "
+    "part-filtered fact slice — engine side is partial-agg per "
+    "(suppkey, partkey) then a LEFT SEMI join into the supplier dim, "
+    "with the part filter pushed into the fact scan via the broadcast "
+    "dim join. No correlated execution anywhere.",
+)
+def q20_excess_shippers(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    red = (
+        t(spark, "part", sf_dir)
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    heavy = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, "supplier", sf_dir)
+    n = t(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_9")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", r6(F.col("s_acctbal")).alias("s_acctbal"))
+    )
