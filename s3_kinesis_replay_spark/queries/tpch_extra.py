@@ -818,3 +818,164 @@ def q20_excess_shippers(spark, sf_dir):
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", r6(F.col("s_acctbal")).alias("s_acctbal"))
     )
+
+
+@register(
+    "q2_min_balance_supplier",
+    "C4",
+    """
+    WITH bridge AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    ranked AS (
+      SELECT b.l_partkey, s.s_name, s.s_acctbal,
+             MIN(s.s_acctbal) OVER (PARTITION BY b.l_partkey) AS min_bal
+      FROM bridge b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    )
+    SELECT p.p_partkey, p.p_name, r.s_name,
+           ROUND(CAST(r.s_acctbal AS DOUBLE), 6) AS s_acctbal
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.l_partkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+      AND r.s_acctbal = r.min_bal
+    """,
+    note="TPC-H Q2 pattern (minimum-cost supplier per part; the fixture "
+    "has no partsupp/ps_supplycost, so the correlated scalar is MIN "
+    "account balance over the part's lineitem suppliers, FIXTURES.md): "
+    "the correlated '= (SELECT MIN ...)' is rewritten to a window MIN "
+    "over the distinct (part, supplier) bridge + equality filter — one "
+    "shuffle on partkey, no per-row subquery; the part dim filter "
+    "broadcasts. Ties (two suppliers at the min) keep both rows, same "
+    "as the spec query.",
+)
+def q2_min_balance_supplier(spark, sf_dir):
+    from pyspark.sql import Window
+
+    bridge = (
+        t(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey").distinct()
+    )
+    s = t(spark, "supplier", sf_dir).select("s_suppkey", "s_name", "s_acctbal")
+    p = (
+        t(spark, "part", sf_dir)
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    ranked = (
+        bridge.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+    )
+    return ranked.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_partkey", "p_name", "s_name", r6(F.col("s_acctbal")).alias("s_acctbal")
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    "C1",
+    f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               - 0.6 * p_retailprice * l_quantity
+                          AS {DEC})) AS DOUBLE), 6) AS profit
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    """,
+    note="TPC-H Q9 pattern (product-type profit by nation and year; the "
+    "fixture has no ps_supplycost, so cost = 0.6 * p_retailprice per "
+    "unit, FIXTURES.md): the widest join tree in the suite — two facts "
+    "shuffled on l_orderkey, supplier/nation/filtered-part broadcast — "
+    "with per-row double arithmetic cast to DECIMAL(38,6) BEFORE the "
+    "sum (SURVEY §5.3: decimal accumulation is order-independent, so "
+    "the hash cannot flake on shuffle order).",
+)
+def q9_product_type_profit(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir)
+    o = t(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    s = t(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = t(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    p = (
+        t(spark, "part", sf_dir)
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            fdec(
+                F.sum(
+                    sdec(
+                        "l_extendedprice * (1 - l_discount)"
+                        " - 0.6 * p_retailprice * l_quantity"
+                    )
+                )
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    "D13",
+    f"""
+    WITH v AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS {DEC})) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_9'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, ROUND(CAST(value AS DOUBLE), 6) AS value
+    FROM v
+    WHERE CAST(value AS DOUBLE) > (SELECT CAST(SUM(value) AS DOUBLE) * 0.001
+                                   FROM v)
+    """,
+    note="TPC-H Q11 pattern (parts representing a significant share of "
+    "one nation's stock value; lineitem value replaces "
+    "ps_supplycost*availqty, FIXTURES.md): per-part decimal sums "
+    "HAVING-filtered against a GLOBAL fraction — the scalar subquery "
+    "becomes a 1-row broadcast cross join over the already-aggregated "
+    "relation. Both engines aggregate in DECIMAL(38,6) exactly and "
+    "evaluate the identical cast-to-double threshold expression, so "
+    "the boundary cannot flip cross-engine.",
+)
+def q11_important_parts(spark, sf_dir):
+    li = t(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey", "l_extendedprice")
+    s = t(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = (
+        t(spark, "nation", sf_dir)
+        .filter(F.col("n_name") == "NATION_9")
+        .select("n_nationkey")
+    )
+    v = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(sdec("l_extendedprice")).alias("value"))
+    )
+    total = v.agg(
+        (F.sum("value").cast("double") * F.lit(0.001)).alias("thresh")
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value").cast("double") > F.col("thresh"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            fdec(F.col("value")).alias("value"),
+        )
+    )
