@@ -92,6 +92,9 @@ EXTRAS = [
     "p17_decontaminated_mix",  # composite: split->bloom->exact->dedup->mix
     # round 7
     "p18_replay_training_pipeline",  # replay stream -> incremental pipeline
+    "c1c_bucketed_join",      # co-located bucketed fact join (no join shuffle)
+    "q9_product_type_profit",  # widest join tree (2 facts + 3 broadcast dims)
+    "q21_waiting_supplier",   # exists/not-exists chain via semi joins
 ]
 
 
