@@ -1423,3 +1423,150 @@ class TestBloomParamFuzz:
         if other * k <= 32:
             with pytest.raises(ValueError, match="unsound"):
                 bloom_screen(words, stored, bits_hex=other, k=k)
+
+
+@pytest.mark.usefixtures("spark", "duck")
+class TestDecorrelationRewriteFuzz:
+    """Round 7: q21/q2 rewrite correlated subqueries into semi-join /
+    window-min relational plans. Fuzz the rewrite parameters and compare
+    against DuckDB running the LITERAL correlated SQL — any divergence
+    in the decorrelation logic (tie handling, empty groups, boundary
+    days) hash-mismatches."""
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        days=st.sampled_from([30, 45, 60, 90]),
+        nation=st.integers(0, 24),
+    )
+    def test_q21_semi_join_rewrite_matches_correlated_sql(
+        self, spark, duck, sf_dir, days, nation
+    ):
+        li = table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_suppkey", "l_shipdate"
+        )
+        ords = (
+            table(spark, "orders", sf_dir)
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate")
+        )
+        late = (
+            li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {days} DAYS")
+            )
+            .select("l_orderkey", "l_suppkey")
+        )
+        multi = (
+            li.groupBy("l_orderkey")
+            .agg(F.countDistinct("l_suppkey").alias("ns"))
+            .filter(F.col("ns") > 1)
+            .select("l_orderkey")
+        )
+        lone = (
+            late.groupBy("l_orderkey")
+            .agg(F.countDistinct("l_suppkey").alias("nl"))
+            .filter(F.col("nl") == 1)
+            .select("l_orderkey")
+        )
+        s = table(spark, "supplier", sf_dir)
+        n = table(spark, "nation", sf_dir).filter(
+            F.col("n_name") == f"NATION_{nation}"
+        )
+        sdf = (
+            late.join(multi, "l_orderkey", "left_semi")
+            .join(lone, "l_orderkey", "left_semi")
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+        )
+        osql = f"""
+        WITH l1 AS (
+          SELECT l.l_orderkey, l.l_suppkey
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+            AND l.l_shipdate > o_orderdate + INTERVAL {days} DAY
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM l1
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_{nation}'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l1 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
+        """
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"days={days} nation={nation}: " + "; ".join(problems)
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        size=st.integers(1, 50),
+        ptype=st.sampled_from(["STANDARD", "PROMO", "ECONOMY", "LARGE"]),
+    )
+    def test_q2_window_min_rewrite_matches_correlated_sql(
+        self, spark, duck, sf_dir, size, ptype
+    ):
+        from pyspark.sql import Window
+
+        bridge = (
+            table(spark, "lineitem", sf_dir)
+            .select("l_partkey", "l_suppkey")
+            .distinct()
+        )
+        s = table(spark, "supplier", sf_dir).select(
+            "s_suppkey", "s_name", "s_acctbal"
+        )
+        p = (
+            table(spark, "part", sf_dir)
+            .filter((F.col("p_size") == size) & (F.col("p_type") == ptype))
+            .select("p_partkey", "p_name")
+        )
+        w = Window.partitionBy("l_partkey")
+        ranked = (
+            bridge.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+            .withColumn("min_bal", F.min("s_acctbal").over(w))
+            .filter(F.col("s_acctbal") == F.col("min_bal"))
+        )
+        sdf = ranked.join(
+            F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+        ).select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round(F.col("s_acctbal"), 6).alias("s_acctbal"),
+        )
+        osql = f"""
+        SELECT p.p_partkey, p.p_name, s.s_name,
+               ROUND(CAST(s.s_acctbal AS DOUBLE), 6) AS s_acctbal
+        FROM part p
+        JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+          ON b.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = b.l_suppkey
+        WHERE p.p_size = {size} AND p.p_type = '{ptype}'
+          AND s.s_acctbal = (
+            SELECT MIN(s2.s_acctbal)
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b2
+            JOIN supplier s2 ON s2.s_suppkey = b2.l_suppkey
+            WHERE b2.l_partkey = p.p_partkey
+          )
+        """
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, f"size={size} type={ptype}: " + "; ".join(problems)
