@@ -684,6 +684,16 @@ def q12_ship_priority_classes(spark, sf_dir):
     "pinning the rewrite's equivalence.",
 )
 def q21_waiting_supplier(spark, sf_dir):
+    # single-pass form: ONE fact shuffle (the l_orderkey window) replaces
+    # the three-scan semi-join derivation — for an 'F' order every line
+    # item survives the join, so the per-order distinct-supplier counts
+    # (all suppliers / late suppliers) computed over the window are
+    # exactly the EXISTS / NOT-EXISTS cardinalities. Per-order window
+    # state is the supplier set (a handful of ids) — no e1-style funnel,
+    # l_orderkey is high-cardinality. The decorrelation itself is also
+    # fuzzed against the literal correlated SQL in tests/test_property.py
+    from pyspark.sql import Window
+
     li = t(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -692,31 +702,28 @@ def q21_waiting_supplier(spark, sf_dir):
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
-    late = (
-        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-        )
-        .select("l_orderkey", "l_suppkey")
+    late_flag = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
     )
-    multi = (
-        li.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("ns"))
-        .filter(F.col("ns") > 1)
-        .select("l_orderkey")
+    j = li.join(ords, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", late_flag.alias("late")
     )
-    lone_late = (
-        late.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("nl"))
-        .filter(F.col("nl") == 1)
-        .select("l_orderkey")
+    w = Window.partitionBy("l_orderkey")
+    stats = j.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("ns"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).over(w)
+        ).alias("nl"),
     )
     s = t(spark, "supplier", sf_dir)
     n = t(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_3")
     return (
-        late.join(multi, "l_orderkey", "left_semi")
-        .join(lone_late, "l_orderkey", "left_semi")
+        stats.filter(F.col("late") & (F.col("ns") > 1) & (F.col("nl") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
