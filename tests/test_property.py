@@ -1453,33 +1453,34 @@ class TestDecorrelationRewriteFuzz:
             .filter(F.col("o_orderstatus") == "F")
             .select("o_orderkey", "o_orderdate")
         )
-        late = (
-            li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-            .filter(
+        # the SHIPPED single-window decorrelation (tpch_extra.q21),
+        # parameterized the same way the correlated SQL below is
+        from pyspark.sql import Window
+
+        j = li.join(ords, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            "l_orderkey",
+            "l_suppkey",
+            (
                 F.col("l_shipdate")
                 > F.col("o_orderdate") + F.expr(f"INTERVAL {days} DAYS")
-            )
-            .select("l_orderkey", "l_suppkey")
+            ).alias("late"),
         )
-        multi = (
-            li.groupBy("l_orderkey")
-            .agg(F.countDistinct("l_suppkey").alias("ns"))
-            .filter(F.col("ns") > 1)
-            .select("l_orderkey")
-        )
-        lone = (
-            late.groupBy("l_orderkey")
-            .agg(F.countDistinct("l_suppkey").alias("nl"))
-            .filter(F.col("nl") == 1)
-            .select("l_orderkey")
+        w = Window.partitionBy("l_orderkey")
+        stats = j.select(
+            "l_orderkey",
+            "l_suppkey",
+            "late",
+            F.size(F.collect_set("l_suppkey").over(w)).alias("ns"),
+            F.size(
+                F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+            ).alias("nl"),
         )
         s = table(spark, "supplier", sf_dir)
         n = table(spark, "nation", sf_dir).filter(
             F.col("n_name") == f"NATION_{nation}"
         )
         sdf = (
-            late.join(multi, "l_orderkey", "left_semi")
-            .join(lone, "l_orderkey", "left_semi")
+            stats.filter(F.col("late") & (F.col("ns") > 1) & (F.col("nl") == 1))
             .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
             .groupBy("s_name")
