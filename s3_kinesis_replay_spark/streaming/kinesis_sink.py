@@ -227,7 +227,13 @@ def kinesis_foreach_batch(
             parts.foreachPartition(publish_partition)
         else:
             client = client_factory()
-            rows = tagged.orderBy("k", "s").collect()
+            # collect unsorted and order driver-side: a global orderBy
+            # range-partitions, and its boundary-sampling pass re-executes
+            # the whole batch plan — every gzip file was read TWICE per
+            # micro-batch (numInputRows showed 2x published records, and
+            # it doubled the observe() pipeline metrics). The driver-mode
+            # batch is bounded by pacing; sorting it in Python is free.
+            rows = sorted(tagged.collect(), key=lambda r: (r["k"], r["s"]))
             publish_batch(
                 client, stream_name, ((r["k"], r["payload"].encode()) for r in rows)
             )

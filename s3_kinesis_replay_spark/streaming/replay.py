@@ -59,11 +59,25 @@ def build_replay_stream(spark: SparkSession, cfg: ReplayConfig) -> DataFrame:
     data = F.to_json(F.struct(*df.columns))
     for pat, repl in cfg.sanitize_rules:
         data = F.regexp_replace(data, pat, repl)
-    return df.select(
+    records = df.select(
         key.alias("partition_key"),
         F.col("event_id").alias("seq"),
         data.alias("data"),
+        F.get_json_object("props", cfg.partition_key_path)
+        .isNull()
+        .alias("_key_fallback"),
     )
+    # per-micro-batch pipeline metrics, surfaced in every
+    # StreamingQueryProgress under observedMetrics['replay_metrics'] —
+    # the operator dashboard numbers (records, payload volume, how often
+    # the configured partition-key path missed and the user_id fallback
+    # fired). Computed inside the stream: zero extra passes.
+    return records.observe(
+        "replay_metrics",
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.length("data")).alias("payload_bytes"),
+        F.sum(F.col("_key_fallback").cast("bigint")).alias("n_key_fallback"),
+    ).drop("_key_fallback")
 
 
 def run_replay_datasource(
@@ -125,3 +139,22 @@ def run_replay(
     if cfg.available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def replay_metrics(query) -> dict:
+    """Aggregate the observed replay metrics across a (finished or
+    running) StreamingQuery's recentProgress: total records published,
+    total payload bytes, and partition-key-path fallback count. This is
+    the monitoring surface a replay operator watches — per-micro-batch
+    values live in each progress event; this sums them."""
+    totals = {"n_records": 0, "payload_bytes": 0, "n_key_fallback": 0}
+    for p in query.recentProgress:
+        om = (p.get("observedMetrics") or {}).get("replay_metrics")
+        if om is None:
+            continue
+        d = om.asDict() if hasattr(om, "asDict") else dict(om)
+        for k in totals:
+            v = d.get(k)
+            if v is not None:
+                totals[k] += int(v)
+    return totals

@@ -540,3 +540,46 @@ def test_cli_sql_adhoc(spark, sf_dir, capsys, tmp_path):
     )
     assert run_sql_cmd(args) == 0
     assert "Project" in capsys.readouterr().out
+
+
+def test_replay_observe_metrics(spark, sf_dir):
+    """The in-stream observe() metrics must account for every published
+    record and byte across micro-batches, and count partition-key-path
+    fallbacks (fixture props always carry '$.k'? — some do not, so the
+    fallback counter is exercised either way against the batch truth)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.sources.archive import stage_archive
+    from s3_kinesis_replay_spark.streaming.kinesis_sink import CapturingClient
+    from s3_kinesis_replay_spark.streaming.replay import (
+        ReplayConfig,
+        replay_metrics,
+        run_replay,
+    )
+
+    root = stage_archive(sf_dir, gz=True)
+    client = CapturingClient()
+    cfg = ReplayConfig(
+        archive_root=root,
+        stream_name="skr-observe",
+        checkpoint_dir=tempfile.mkdtemp(prefix="skr_ckpt_"),
+        max_files_per_trigger=5,
+    )
+    q = run_replay(spark, cfg, lambda: client, distributed=False)
+    q.awaitTermination(600)
+    m = replay_metrics(q)
+
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_fallback_expected = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.get_json_object("props", "$.k").isNull())
+        .count()
+    )
+    assert m["n_records"] == n_events == len(client.records)
+    # captured payloads carry the "batchId:seq|" idempotency envelope the
+    # sink prepends; the observed metric measures the data body only
+    body_bytes = sum(len(d) - d.index(b"|") - 1 for _, d in client.records)
+    assert m["payload_bytes"] == body_bytes
+    assert m["n_key_fallback"] == n_fallback_expected
