@@ -721,3 +721,85 @@ def c1c_bucketed_join(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "c2b_merge_upsert",
+    "C2",
+    """
+    WITH changes AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 3 THEN 'D' ELSE 'U' END AS op,
+             text || ' [rev2]' AS new_text
+      FROM documents WHERE doc_id % 11 = 3 OR doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 5000000, 'I',
+             'new doc ' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 13 = 5
+    ),
+    merged AS (
+      SELECT t.doc_id,
+             CASE WHEN c.op = 'U' THEN c.new_text ELSE t.text END AS text,
+             CASE WHEN c.op = 'U' THEN 'updated' ELSE 'kept' END AS status
+      FROM documents t LEFT JOIN changes c ON c.doc_id = t.doc_id
+      WHERE c.op IS NULL OR c.op <> 'D'
+      UNION ALL
+      SELECT c.doc_id, c.new_text, 'inserted'
+      FROM changes c ANTI JOIN documents t ON c.doc_id = t.doc_id
+      WHERE c.op = 'I'
+    )
+    SELECT doc_id, md5(text) AS h, status FROM merged
+    """,
+    note="MERGE/upsert semantics over a parquet snapshot — the CDC "
+    "snapshot-maintenance companion to e9's latest-per-key compaction: "
+    "WHEN MATCHED AND op='U' THEN UPDATE, MATCHED AND op='D' THEN "
+    "DELETE, NOT MATCHED AND op='I' THEN INSERT, expressed as one LEFT "
+    "join (update/delete/keep) + one ANTI join (insert) — no table "
+    "format required, output is the next snapshot. The change set is "
+    "constructed disjoint per key (delete wins over update), matching "
+    "MERGE's one-source-row-per-target contract. At 100 TB both joins "
+    "shuffle on the key only; the change batch is usually the small "
+    "side and broadcasts.",
+)
+def c2b_merge_upsert(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    changes = (
+        d.filter((F.col("doc_id") % 11 == 3) | (F.col("doc_id") % 7 == 0))
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 11 == 3, "D").otherwise("U").alias("op"),
+            F.concat(F.col("text"), F.lit(" [rev2]")).alias("new_text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 13 == 5).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"),
+                F.lit("I").alias("op"),
+                F.concat(
+                    F.lit("new doc "), F.col("doc_id").cast("string")
+                ).alias("new_text"),
+            )
+        )
+    )
+    target = d.select("doc_id", "text")
+    joined = target.join(changes, "doc_id", "left")
+    survivors = joined.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        "doc_id",
+        F.when(F.col("op") == "U", F.col("new_text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(F.col("op") == "U", "updated").otherwise("kept").alias("status"),
+    )
+    inserts = (
+        changes.filter(F.col("op") == "I")
+        .join(target, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("new_text").alias("text"),
+            F.lit("inserted").alias("status"),
+        )
+    )
+    return survivors.unionByName(inserts).select(
+        "doc_id", F.md5("text").alias("h"), "status"
+    )
