@@ -1571,3 +1571,91 @@ class TestDecorrelationRewriteFuzz:
         d_cols, d_rows = duck_result(duck, osql)
         problems = compare(s_cols, s_rows, d_cols, d_rows)
         assert not problems, f"size={size} type={ptype}: " + "; ".join(problems)
+
+
+@pytest.mark.usefixtures("spark", "duck")
+class TestMergeUpsertFuzz:
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        del_mod=st.integers(2, 19),
+        upd_mod=st.integers(2, 19),
+        ins_mod=st.integers(2, 19),
+    )
+    def test_merge_matches_sql_for_any_change_mix(
+        self, spark, duck, sf_dir, del_mod, upd_mod, ins_mod
+    ):
+        """c2b's MERGE rewrite under arbitrary change-set mixes (overlap
+        between delete and update keys included — delete must win), vs
+        the literal SQL form."""
+        d = table(spark, "documents", sf_dir)
+        changes = (
+            d.filter(
+                (F.col("doc_id") % del_mod == 1) | (F.col("doc_id") % upd_mod == 0)
+            )
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") % del_mod == 1, "D")
+                .otherwise("U")
+                .alias("op"),
+                F.concat(F.col("text"), F.lit(" [rev2]")).alias("new_text"),
+            )
+            .unionByName(
+                d.filter(F.col("doc_id") % ins_mod == 2).select(
+                    (F.col("doc_id") + 5000000).alias("doc_id"),
+                    F.lit("I").alias("op"),
+                    F.concat(
+                        F.lit("new doc "), F.col("doc_id").cast("string")
+                    ).alias("new_text"),
+                )
+            )
+        )
+        target = d.select("doc_id", "text")
+        joined = target.join(changes, "doc_id", "left")
+        survivors = joined.filter(
+            F.col("op").isNull() | (F.col("op") != "D")
+        ).select(
+            "doc_id",
+            F.when(F.col("op") == "U", F.col("new_text"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        inserts = (
+            changes.filter(F.col("op") == "I")
+            .join(target, "doc_id", "left_anti")
+            .select("doc_id", F.col("new_text").alias("text"))
+        )
+        sdf = survivors.unionByName(inserts).select(
+            "doc_id", F.md5("text").alias("h")
+        )
+        osql = f"""
+        WITH changes AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % {del_mod} = 1 THEN 'D' ELSE 'U' END AS op,
+                 text || ' [rev2]' AS new_text
+          FROM documents WHERE doc_id % {del_mod} = 1 OR doc_id % {upd_mod} = 0
+          UNION ALL
+          SELECT doc_id + 5000000, 'I', 'new doc ' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % {ins_mod} = 2
+        ),
+        merged AS (
+          SELECT t.doc_id,
+                 CASE WHEN c.op = 'U' THEN c.new_text ELSE t.text END AS text
+          FROM documents t LEFT JOIN changes c ON c.doc_id = t.doc_id
+          WHERE c.op IS NULL OR c.op <> 'D'
+          UNION ALL
+          SELECT c.doc_id, c.new_text
+          FROM changes c ANTI JOIN documents t ON c.doc_id = t.doc_id
+          WHERE c.op = 'I'
+        )
+        SELECT doc_id, md5(text) AS h FROM merged
+        """
+        s_cols, s_rows = spark_result(sdf)
+        d_cols, d_rows = duck_result(duck, osql)
+        problems = compare(s_cols, s_rows, d_cols, d_rows)
+        assert not problems, (
+            f"del%{del_mod} upd%{upd_mod} ins%{ins_mod}: " + "; ".join(problems)
+        )
