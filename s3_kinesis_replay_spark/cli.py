@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--dt-start", help="inclusive dt= lower bound, YYYY-MM-DD")
     r.add_argument("--dt-end", help="inclusive dt= upper bound, YYYY-MM-DD")
     r.add_argument("--max-files-per-trigger", type=int, default=4)
+    r.add_argument(
+        "--trigger-interval",
+        help="continuous-mode micro-batch interval, e.g. '5 seconds' — "
+        "with --max-files-per-trigger this caps sustained throughput",
+    )
     r.add_argument("--num-writers", type=int, default=8)
     r.add_argument(
         "--continuous",
@@ -295,6 +300,7 @@ def run_replay_cmd(args: argparse.Namespace) -> dict:
         max_files_per_trigger=args.max_files_per_trigger,
         num_writers=args.num_writers,
         available_now=not args.continuous,
+        trigger_interval=args.trigger_interval,
         path_glob=args.path_glob,
         dt_start=args.dt_start,
         dt_end=args.dt_end,

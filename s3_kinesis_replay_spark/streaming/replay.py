@@ -35,6 +35,7 @@ class ReplayConfig:
     max_files_per_trigger: int | None = 4
     num_writers: int = 8
     available_now: bool = True  # drain-and-stop replay (vs continuous)
+    trigger_interval: str | None = None  # continuous-mode pacing, e.g. "5 seconds"
     path_glob: str | None = None  # key-prefix predicate (leaf-file glob)
     dt_start: str | None = None  # inclusive dt= partition lower bound
     dt_end: str | None = None  # inclusive dt= partition upper bound
@@ -105,8 +106,7 @@ def run_replay_datasource(
         .option("checkpointLocation", cfg.checkpoint_dir)
         .outputMode("append")
     )
-    if cfg.available_now:
-        writer = writer.trigger(availableNow=True)
+    writer = _apply_trigger(writer, cfg)
     return writer.start()
 
 
@@ -136,9 +136,21 @@ def run_replay(
         .option("checkpointLocation", cfg.checkpoint_dir)
         .outputMode("append")
     )
-    if cfg.available_now:
-        writer = writer.trigger(availableNow=True)
+    writer = _apply_trigger(writer, cfg)
     return writer.start()
+
+
+def _apply_trigger(writer, cfg: ReplayConfig):
+    """Trigger policy: drain-and-stop (availableNow) by default; in
+    continuous mode an optional processingTime interval is the second
+    half of the reference CLI's rate limit — maxFilesPerTrigger bounds
+    batch VOLUME, the interval bounds batch FREQUENCY, so the product
+    caps sustained replay throughput."""
+    if cfg.available_now:
+        return writer.trigger(availableNow=True)
+    if cfg.trigger_interval:
+        return writer.trigger(processingTime=cfg.trigger_interval)
+    return writer
 
 
 def replay_metrics(query) -> dict:

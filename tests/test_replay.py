@@ -583,3 +583,35 @@ def test_replay_observe_metrics(spark, sf_dir):
     body_bytes = sum(len(d) - d.index(b"|") - 1 for _, d in client.records)
     assert m["payload_bytes"] == body_bytes
     assert m["n_key_fallback"] == n_fallback_expected
+
+
+def test_replay_continuous_trigger_interval(spark, sf_dir):
+    """Continuous mode with a processingTime interval: batches fire on
+    the configured cadence (the rate-limit half the reference CLI maps
+    to a trigger interval) and the query stops cleanly mid-stream."""
+    import tempfile
+    import time
+
+    from s3_kinesis_replay_spark.sources.archive import stage_archive
+    from s3_kinesis_replay_spark.streaming.kinesis_sink import CapturingClient
+    from s3_kinesis_replay_spark.streaming.replay import ReplayConfig, run_replay
+
+    root = stage_archive(sf_dir, gz=True)
+    client = CapturingClient()
+    cfg = ReplayConfig(
+        archive_root=root,
+        stream_name="skr-cont",
+        checkpoint_dir=tempfile.mkdtemp(prefix="skr_ckpt_"),
+        max_files_per_trigger=2,
+        available_now=False,
+        trigger_interval="1 seconds",
+    )
+    q = run_replay(spark, cfg, lambda: client, distributed=False)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(q.recentProgress) < 2:
+            time.sleep(0.5)
+        assert len(q.recentProgress) >= 2, "no batches fired in continuous mode"
+    finally:
+        q.stop()
+    assert client.records, "continuous replay published nothing"
