@@ -913,11 +913,15 @@ def q9_product_type_profit(spark, sf_dir):
         .filter(F.col("p_name").like("%red%"))
         .select("p_partkey", "p_retailprice")
     )
+    # broadcast-join the filtered part dim FIRST: Catalyst does not
+    # reorder joins without CBO, and the p_name filter is the selective
+    # predicate — cutting lineitem ~4x before it shuffles against orders
+    # is the difference between shuffling 25 TB and 100 TB
     return (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
