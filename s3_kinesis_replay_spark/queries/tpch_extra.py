@@ -767,7 +767,7 @@ def q16_supplier_part_counts(spark, sf_dir):
         .select("s_suppkey")
     )
     return (
-        li.join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
+        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -869,7 +869,7 @@ def q2_min_balance_supplier(spark, sf_dir):
     )
     w = Window.partitionBy("l_partkey")
     ranked = (
-        bridge.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        bridge.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("min_bal", F.min("s_acctbal").over(w))
         .filter(F.col("s_acctbal") == F.col("min_bal"))
     )

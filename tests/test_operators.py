@@ -1062,3 +1062,38 @@ def test_c1c_bucketed_join_eliminates_shuffle(spark, sf_dir):
     # exactly one hash exchange: the aggregate's; none feeding the join
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+@pytest.mark.parametrize(
+    "name,expect",
+    [
+        # q9: the selective part filter broadcasts BEFORE the fact-fact
+        # shuffle (no CBO join reordering — pinned so a refactor cannot
+        # silently put the 100 TB shuffle back in front of the filter)
+        ("q9_product_type_profit", {"broadcast_joins": 3, "shuffle_joins": 1}),
+        # q12: both facts shuffle on the orderkey only; year filter pushed
+        ("q12_ship_priority_classes", {"broadcast_joins": 0, "shuffle_joins": 1, "pushed_filters": True}),
+        # q16: excluded suppliers + part attrs both broadcast — no shuffle
+        # before the distinct aggregation
+        ("q16_supplier_part_counts", {"broadcast_joins": 2, "shuffle_joins": 0}),
+        # q21: ONE fact shuffle (the orderkey window), dims broadcast
+        ("q21_waiting_supplier", {"broadcast_joins": 2, "shuffle_joins": 1}),
+        # q2: supplier joins the bridge broadcast; part filter broadcast
+        ("q2_min_balance_supplier", {"broadcast_joins": 2, "shuffle_joins": 0}),
+    ],
+)
+def test_new_tpch_plan_pins(spark, sf_dir, name, expect):
+    """Pinned at the 100 TB shape: auto-broadcast off, so only the
+    EXPLICIT broadcast hints (the deliberately-small sides) broadcast
+    and the fact joins show as shuffle joins — at sf0.01 AQE would
+    broadcast the small facts too and hide a join-order regression."""
+    from s3_kinesis_replay_spark.plans.audit import audit_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        feats = audit_plan(QUERIES[name].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for k, v in expect.items():
+        assert feats[k] == v, f"{name}: {k}={feats[k]} expected {v} ({feats})"
