@@ -4,11 +4,18 @@ Each query is the standard TPC-H pattern adapted to the fixture star
 schema (FIXTURES.md: no partsupp table, no l_shipmode/l_commitdate/
 l_receiptdate/p_container columns, nation names are NATION_0..24, dates
 span 1995-2001) — the point is the OPERATOR pattern, which is what a
-switching user runs: scalar-filter aggregation (q6), multi-nation volume
-join (q7), returned-item top-k (q10), outer-join histogram (q13),
-conditional promo share (q14), having-on-max (q15), correlated per-part
-threshold (q17), large-order having + semi join (q18), disjunctive join
-predicates (q19).
+switching user runs. With the flagship q1/q3/q5 (relational.py) the
+suite covers ALL 22 TPC-H shapes: scalar-filter aggregation (q6),
+multi-nation volume join (q7), market share (q8), returned-item top-k
+(q10), outer-join histogram (q13), conditional promo share (q14),
+having-on-max (q15), correlated per-part threshold (q17), large-order
+having + semi join (q18), disjunctive join predicates (q19), semi/anti
+subqueries (q4/q22), and — round 7 — ship-delay class split (q12),
+waiting-supplier EXISTS chain (q21), NOT-IN supplier counts (q16),
+nested grouped-HAVING IN (q20), correlated-min supplier (q2), widest
+join tree profit (q9), global-fraction HAVING (q11). The partsupp-bound
+five (q2/q9/q11/q16/q20) use lineitem as the part-supplier bridge with
+documented cost analogs.
 
 Scale notes: every query keeps the TPC-H canonical plan — dims broadcast,
 facts shuffle only on join/group keys, partial aggregation everywhere,
