@@ -436,3 +436,46 @@ def ngram_jaccard_pairs(
         F.col(f"b.{id_col}").alias("doc_b"),
         F.round(jaccard(F.col("a.grams"), F.col("b.grams")), 6).alias("char_jacc"),
     )
+
+
+def winnowed_fingerprints(
+    docs: DataFrame,
+    k: int = 20,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, fp) — winnowing fingerprint selection (Schleimer/Wilkerson/
+    Aiken 2003): hash every k-char gram of the lowercased text, keep the
+    minimum hash of each w-gram sliding window. Guarantee: any substring
+    of length >= k + w - 1 shared by two documents contributes at least
+    one shared fingerprint (the window containing the match's minimum is
+    fully inside both copies). ~1/w of gram hashes survive, so the
+    downstream inverted-index join moves a few dozen longs per document.
+
+    Gram hash = two md5 hex slices so an external engine (the i3g DuckDB
+    oracle) selects the identical fingerprint set; swap in xxhash64 for
+    production ingest where cross-engine replay is not needed."""
+    from pyspark.sql import Window
+
+    from s3_kinesis_replay_spark.queries.pipeline_ops import _hexint_col
+
+    n = docs.filter(F.length(text_col) >= k + w - 1).select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_s")
+    )
+    pos = n.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.length("_s") - k + 1)).alias("_i"),
+        (F.length("_s") - k + 1).alias("_m"),
+        "_s",
+    )
+    m5 = F.md5(F.col("_s").substr(F.col("_i"), F.lit(k)))
+    h = _hexint_col(m5, 1, 4) * 65536 + _hexint_col(m5, 5, 4)
+    ph = pos.select(id_col, "_i", "_m", h.alias("_h"))
+    win = Window.partitionBy(id_col).orderBy("_i").rowsBetween(0, w - 1)
+    return (
+        ph.select(id_col, "_i", "_m", F.min("_h").over(win).alias("fp"))
+        .filter(F.col("_i") <= F.col("_m") - w + 1)
+        .select(id_col, "fp")
+        .distinct()
+    )

@@ -1361,3 +1361,68 @@ def i11b_int8_quantize(spark, sf_dir):
             "n_sat"
         ),
     )
+
+
+def _winnow_oracle(k: int, w: int, min_shared: int) -> str:
+    from s3_kinesis_replay_spark.queries.pipeline_ops import _hexint_sql
+
+    m5 = f"md5(substr(s, CAST(i AS INTEGER), {k}))"
+    h = f"{_hexint_sql(m5, 1, 4)} * 65536 + {_hexint_sql(m5, 5, 4)}"
+    return f"""
+    WITH n AS (SELECT doc_id, lower(text) AS s FROM documents
+               WHERE length(text) >= {k + w - 1}),
+    pos AS (SELECT doc_id, unnest(range(1, length(s) - {k} + 2)) AS i,
+                   length(s) - {k} + 1 AS m, s FROM n),
+    ph AS (SELECT doc_id, i, m, {h} AS h FROM pos),
+    win AS (SELECT doc_id, i, m,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+            FROM ph),
+    fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= m - {w} + 1)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {min_shared}
+    """
+
+
+@register(
+    "i3g_winnowed_fingerprints",
+    "I3",
+    _winnow_oracle(k=20, w=4, min_shared=5),
+    note="WINNOWING near-dup detection (public: Schleimer/Wilkerson/"
+    "Aiken 2003, the MOSS algorithm) — a fifth dedup family next to "
+    "MinHash-LSH, SimHash, char-ngram Jaccard, and SemDeDup: hash every "
+    "20-char gram of the lowercased text, keep the MINIMUM hash of each "
+    "4-gram sliding window (guarantees any shared substring of length "
+    ">= k+w-1 yields a shared fingerprint), and count shared selected "
+    "fingerprints per doc pair via the inverted-index equi-join — never "
+    "all-pairs. Implementation is explode + rolling-window MIN + "
+    "distinct + self-equi-join: one shuffle on doc_id, one on the "
+    "fingerprint key; ~1/w of gram hashes survive selection, so the "
+    "join input is a few dozen longs per document. Gram hash = two md5 "
+    "hex slices so BOTH engines select the identical fingerprint set "
+    "(production would swap in xxhash64, JVM-side); threshold "
+    "n_shared >= 5 suppresses common-phrase collisions on this corpus.",
+)
+def i3g_winnowed_fingerprints(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.dedup import winnowed_fingerprints
+
+    min_shared = 5
+    fps = winnowed_fingerprints(
+        t(spark, "documents", sf_dir).select("doc_id", "text"), k=20, w=4
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1097,3 +1097,37 @@ def test_new_tpch_plan_pins(spark, sf_dir, name, expect):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     for k, v in expect.items():
         assert feats[k] == v, f"{name}: {k}={feats[k]} expected {v} ({feats})"
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing ANY substring of length >= k + w - 1 must share at least one
+    selected fingerprint — fuzz-shaped check over several embeddings of
+    a common fragment into otherwise unrelated texts."""
+    import random
+
+    from s3_kinesis_replay_spark.operators.dedup import winnowed_fingerprints
+
+    rng = random.Random(42)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    k, w = 20, 4
+    fragment = "".join(rng.choice(alpha) for _ in range(k + w - 1))
+    rows = [(0, "".join(rng.choice(alpha) for _ in range(200)) + fragment)]
+    for i in range(1, 6):
+        pre = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 150)))
+        post = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 150)))
+        rows.append((i, pre + fragment + post))
+    # an unrelated doc must NOT share the fragment's fingerprints
+    rows.append((99, "".join(rng.choice(alpha) for _ in range(300))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowed_fingerprints(docs, k=k, w=w)
+    by_doc = {
+        r["doc_id"]: set()
+        for r in docs.select("doc_id").collect()
+    }
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    base = by_doc[0]
+    for i in range(1, 6):
+        assert base & by_doc[i], f"doc {i} shares no fingerprint with doc 0"
+    assert not (base & by_doc[99]) or len(base & by_doc[99]) < len(base)
