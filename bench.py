@@ -95,6 +95,9 @@ EXTRAS = [
     "c1c_bucketed_join",      # co-located bucketed fact join (no join shuffle)
     "q9_product_type_profit",  # widest join tree (2 facts + 3 broadcast dims)
     "q21_waiting_supplier",   # exists/not-exists chain via semi joins
+    "i3g_winnowed_fingerprints",  # winnowing selection + inverted-index join
+    # (md5 gram hashes are the cross-engine-oracle tax; production ingest
+    # would swap xxhash64 JVM-side)
 ]
 
 
