@@ -615,3 +615,30 @@ def test_replay_continuous_trigger_interval(spark, sf_dir):
     finally:
         q.stop()
     assert client.records, "continuous replay published nothing"
+
+
+def test_archive_schema_drift_tolerance(spark, tmp_path):
+    """Firehose archives evolve: later objects may carry extra fields or
+    drop optional ones. With the explicit reader schema, extra JSON keys
+    are ignored and missing ones read as NULL — replay never crashes on
+    drift and never silently reorders columns."""
+    import gzip as gz
+    import json as js
+
+    from s3_kinesis_replay_spark.sources.archive import read_archive
+
+    root = tmp_path / "drift"
+    root.mkdir()
+    old = {"event_id": 1, "ts": "2024-01-01T00:00:00.000000", "user_id": 7,
+           "event_type": "view", "value": 1.5, "props": "{}"}
+    new = dict(old, event_id=2, schema_version=2, extra_field="surprise")
+    missing = {"event_id": 3, "ts": "2024-01-01T00:00:01.000000",
+               "user_id": 8, "event_type": "view"}  # value/props absent
+    for i, rec in enumerate([old, new, missing]):
+        (root / f"part-{i:05d}.json.gz").write_bytes(
+            gz.compress((js.dumps(rec) + "\n").encode(), mtime=0)
+        )
+    rows = {r["event_id"]: r for r in read_archive(spark, str(root)).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["event_type"] == "view"  # extra keys ignored, row intact
+    assert rows[3]["value"] is None and rows[3]["props"] is None
