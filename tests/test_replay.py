@@ -642,3 +642,42 @@ def test_archive_schema_drift_tolerance(spark, tmp_path):
     assert set(rows) == {1, 2, 3}
     assert rows[2]["event_type"] == "view"  # extra keys ignored, row intact
     assert rows[3]["value"] is None and rows[3]["props"] is None
+
+
+def test_archive_corrupt_member_handling(spark, tmp_path):
+    """A truncated gzip object aborts the batch by default (fail-fast —
+    at-least-once replay can safely retry); with
+    spark.sql.files.ignoreCorruptFiles the remaining objects replay and
+    the corrupt one is skipped — the documented degraded-mode switch."""
+    import gzip as gz
+    import json as js
+
+    from s3_kinesis_replay_spark.sources.archive import read_archive
+
+    root = tmp_path / "corrupt"
+    root.mkdir()
+    recs = [
+        {"event_id": i, "ts": "2024-01-01T00:00:00.000000", "user_id": 1,
+         "event_type": "view", "value": 0.0, "props": "{}"}
+        for i in range(4)
+    ]
+    for i, rec in enumerate(recs[:3]):
+        (root / f"part-{i:05d}.json.gz").write_bytes(
+            gz.compress((js.dumps(rec) + "\n").encode(), mtime=0)
+        )
+    good = gz.compress((js.dumps(recs[3]) + "\n").encode(), mtime=0)
+    (root / "part-00003.json.gz").write_bytes(good[: len(good) // 2])  # truncated
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception):
+        read_archive(spark, str(root)).count()
+
+    old = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        ids = {r["event_id"] for r in read_archive(spark, str(root)).collect()}
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
+    assert ids == {0, 1, 2}
