@@ -1426,3 +1426,127 @@ def i3g_winnowed_fingerprints(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# Fixed pointer the i13e oracle reads (i14b pattern): this run's PQ
+# codebooks and code assignments export behind it atomically; DuckDB
+# recomputes every per-subvector reconstruction distortion from the
+# exported artifacts + the embeddings table.
+_PQ_ORACLE_PTR = "/tmp/skr_pq_oracle/current"
+_PQ_SUB, _PQ_DIM, _PQ_K, _PQ_SEED = 8, 8, 16, 42
+
+
+def _duck_subdist(subv_expr: str) -> str:
+    """Per-subvector squared reconstruction error, sequential left fold
+    over the 8 dims — matches the Spark side's zip_with+aggregate fold."""
+    return (
+        f"list_reduce(list_transform(range(1, 9), i -> "
+        f"(CAST(e.embedding[{subv_expr} * 8 + i] AS DOUBLE)"
+        f" - CAST(cb.centroid[i] AS DOUBLE)) * "
+        f"(CAST(e.embedding[{subv_expr} * 8 + i] AS DOUBLE)"
+        f" - CAST(cb.centroid[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "i13e_pq_codes",
+    "I5",
+    f"""
+    WITH cb AS (SELECT subv, cell, centroid
+                FROM read_parquet('{_PQ_ORACLE_PTR}/codebooks/*.parquet')),
+    codes AS (SELECT vec_id, subv, code
+              FROM read_parquet('{_PQ_ORACLE_PTR}/codes/*.parquet'))
+    SELECT c.vec_id, c.subv, c.code,
+           ROUND({_duck_subdist("c.subv")}, 6) AS sub_dist
+    FROM codes c
+    JOIN cb ON cb.subv = c.subv AND cb.cell = c.code
+    JOIN embeddings e ON e.vec_id = c.vec_id
+    """,
+    note="PRODUCT QUANTIZATION (public: Jegou/Douze/Schmid 2011, the "
+    "FAISS IVF+PQ building block): the 64-dim embedding splits into 8 "
+    "subvectors of 8 dims, each with its own seeded sample-trained "
+    "16-centroid codebook — a vector compresses to 8 bytes (8x16 "
+    "codes), the memory shape that lets a 10^9-vector index live in "
+    "RAM. Codebook training is bounded-sample driver k-means per "
+    "subvector (corpus-size-independent, the train_quantizer recipe); "
+    "encoding is one Arrow matmul pass per subvector. Oracle (i14b "
+    "pattern): codebooks + this run's code assignment export behind "
+    "the PQ pointer, and DuckDB recomputes EVERY per-subvector "
+    "reconstruction distortion with the identical sequential fold — "
+    "Spark computes sub_dist via zip_with+aggregate (not numpy), so "
+    "the arithmetic is cross-engine exact; code OPTIMALITY (argmin "
+    "over the codebook) is asserted in tests/test_operators.py",
+)
+def i13e_pq_codes(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        QUANTIZER_VERSION,
+        assign_cells,
+        atomic_cached_build,
+        data_fingerprint,
+        publish_index_pointer,
+        train_quantizer,
+    )
+
+    e = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    df = e
+    codebooks = []
+    for j in range(_PQ_SUB):
+        sliced = e.select(
+            "vec_id", F.slice("embedding", j * _PQ_DIM + 1, _PQ_DIM).alias("sub")
+        )
+        centers = train_quantizer(
+            sliced,
+            n_clusters=_PQ_K,
+            seed=_PQ_SEED + j,
+            id_col="vec_id",
+            vec_col="sub",
+        )
+        df = df.withColumn(
+            f"_sub{j}", F.slice("embedding", j * _PQ_DIM + 1, _PQ_DIM)
+        )
+        df = assign_cells(df, centers, vec_col=f"_sub{j}", out_col=f"_code{j}")
+        codebooks += [
+            (j, c, [float(x) for x in centers[c]]) for c in range(len(centers))
+        ]
+    cb = spark.createDataFrame(
+        codebooks, "subv int, cell int, centroid array<double>"
+    )
+    cb_j = cb.select(
+        F.col("subv").alias("cb_subv"), F.col("cell").alias("cb_cell"), "centroid"
+    )
+    long = df.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            F.array(*[F.col(f"_code{j}") for j in range(_PQ_SUB)])
+        ).alias("subv", "code"),
+    )
+    sub = F.slice("embedding", F.col("subv") * _PQ_DIM + 1, F.lit(_PQ_DIM))
+    sub_dist = F.aggregate(
+        F.zip_with(sub, F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    out = long.join(
+        F.broadcast(cb_j),
+        (F.col("subv") == F.col("cb_subv")) & (F.col("code") == F.col("cb_cell")),
+    ).select("vec_id", "subv", "code", F.round(sub_dist, 6).alias("sub_dist"))
+
+    fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def _export(tmp: str) -> None:
+        cb.coalesce(1).write.parquet(f"{tmp}/codebooks")
+        out.select("vec_id", "subv", "code").coalesce(1).write.parquet(
+            f"{tmp}/codes"
+        )
+
+    final = atomic_cached_build(
+        "/tmp/skr_pq_oracle",
+        f"{fp}-s{_PQ_SUB}x{_PQ_K}-seed{_PQ_SEED}-{QUANTIZER_VERSION}",
+        _export,
+        os.path.join("codes", "_SUCCESS"),
+    )
+    publish_index_pointer(final, _PQ_ORACLE_PTR)
+    return out

@@ -1131,3 +1131,46 @@ def test_winnowing_shared_substring_guarantee(spark):
     for i in range(1, 6):
         assert base & by_doc[i], f"doc {i} shares no fingerprint with doc 0"
     assert not (base & by_doc[99]) or len(base & by_doc[99]) < len(base)
+
+
+def test_i13e_pq_codes_are_argmin(spark, sf_dir):
+    """PQ code optimality: every assigned code must be the argmin
+    reconstruction distortion over its subvector's codebook (numpy
+    recompute with the shared _sq_dists formula), and the reported
+    sub_dist must equal the recomputed distortion to rounding."""
+    import numpy as np
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        _sq_dists,
+        train_quantizer,
+    )
+    from s3_kinesis_replay_spark.queries.llm_ops import (
+        _PQ_DIM,
+        _PQ_SEED,
+        _PQ_SUB,
+    )
+
+    out = {
+        (r["vec_id"], r["subv"]): (r["code"], r["sub_dist"])
+        for r in QUERIES["i13e_pq_codes"].fn(spark, sf_dir).collect()
+    }
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    X = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in e.collect()}
+    for j in range(_PQ_SUB):
+        sliced = e.selectExpr(
+            "vec_id", f"slice(embedding, {j * _PQ_DIM + 1}, {_PQ_DIM}) AS sub"
+        )
+        C = train_quantizer(
+            sliced, n_clusters=16, seed=_PQ_SEED + j, id_col="vec_id", vec_col="sub"
+        )
+        ids = sorted(X)
+        M = np.stack([X[i][j * _PQ_DIM : (j + 1) * _PQ_DIM] for i in ids])
+        d = _sq_dists(M, np.asarray(C, dtype=np.float64))
+        lab = np.argmin(d, axis=1)
+        for row, vid in enumerate(ids):
+            code, sub_dist = out[(vid, j)]
+            assert code == int(lab[row]), f"vec {vid} subv {j}: non-argmin code"
+            exact = float(((M[row] - C[code]) ** 2).sum())
+            assert abs(sub_dist - exact) < 1e-5, f"vec {vid} subv {j} distortion"
