@@ -1550,3 +1550,83 @@ def i13e_pq_codes(spark, sf_dir):
     )
     publish_index_pointer(final, _PQ_ORACLE_PTR)
     return out
+
+
+def _duck_adc_cell(qexpr: str) -> str:
+    """Query-to-centroid squared distance for one codebook row,
+    sequential fold — the ADC lookup-table value, cross-engine exact."""
+    return (
+        f"list_reduce(list_transform(range(1, 9), i -> "
+        f"(CAST({qexpr}[cb.subv * 8 + i] AS DOUBLE)"
+        f" - CAST(cb.centroid[i] AS DOUBLE)) * "
+        f"(CAST({qexpr}[cb.subv * 8 + i] AS DOUBLE)"
+        f" - CAST(cb.centroid[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "i13f_pq_adc_topk",
+    "I5",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cb AS (SELECT subv, cell, centroid
+           FROM read_parquet('{_PQ_ORACLE_PTR}/codebooks/*.parquet')),
+    dtab AS (
+      SELECT cb.subv, cb.cell, {_duck_adc_cell("q.qv")} AS d
+      FROM cb, q
+    ),
+    codes AS (SELECT vec_id, subv, code
+              FROM read_parquet('{_PQ_ORACLE_PTR}/codes/*.parquet')
+              WHERE vec_id <> 0),
+    scored AS (
+      SELECT c.vec_id, SUM(d.d) AS adc
+      FROM codes c JOIN dtab d ON d.subv = c.subv AND d.cell = c.code
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, ROUND(adc, 6) AS adc_dist
+    FROM scored ORDER BY adc ASC, vec_id LIMIT 10
+    """,
+    note="ADC top-k over the PQ index (the SEARCH half of i13e, Jegou et "
+    "al. 2011): the query expands to an 8x16 distance TABLE against the "
+    "codebooks (computed in SQL with the shared sequential fold — "
+    "cross-engine exact, no numpy in the scoring path), and every "
+    "encoded vector scores as 8 table lookups summed — the raw vectors "
+    "are never touched, which is why a PQ index serves queries at RAM "
+    "speed over billions of codes. The codes relation is the i13e "
+    "export (same fingerprint-keyed cache); scoring = one broadcast "
+    "join on (subv, code) + a partial-agg sum + TakeOrdered. ADC sum "
+    "order: SUM over the 8 joined rows is order-independent only up to "
+    "fp rounding — both engines aggregate the same 8 doubles and the "
+    "result is rounded to 6 digits AFTER the top-k cut on the unrounded "
+    "sum with vec_id tiebreak; the fixture's distance gaps are >> 1e-6 "
+    "(no rounding-boundary flakes, same discipline as i13c).",
+)
+def i13f_pq_adc_topk(spark, sf_dir):
+    # ensure the PQ export exists and the pointer is current (cache hit
+    # when i13e already ran this fixture)
+    i13e_pq_codes(spark, sf_dir)
+    e = t(spark, "embeddings", sf_dir)
+    qv = [
+        r[0] for r in e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    ][0]
+    q = F.array(*[F.lit(float(x)) for x in qv])
+
+    cb = spark.read.parquet(f"{_PQ_ORACLE_PTR}/codebooks")
+    sub_q = F.slice(q, F.col("subv") * _PQ_DIM + 1, F.lit(_PQ_DIM))
+    d = F.aggregate(
+        F.zip_with(sub_q, F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dtab = cb.select("subv", F.col("cell").alias("code"), d.alias("d"))
+    codes = spark.read.parquet(f"{_PQ_ORACLE_PTR}/codes").filter(
+        F.col("vec_id") != 0
+    )
+    return (
+        codes.join(F.broadcast(dtab), ["subv", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("adc"))
+        .orderBy(F.col("adc").asc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("adc", 6).alias("adc_dist"))
+    )

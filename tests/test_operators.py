@@ -1174,3 +1174,29 @@ def test_i13e_pq_codes_are_argmin(spark, sf_dir):
             assert code == int(lab[row]), f"vec {vid} subv {j}: non-argmin code"
             exact = float(((M[row] - C[code]) ** 2).sum())
             assert abs(sub_dist - exact) < 1e-5, f"vec {vid} subv {j} distortion"
+
+
+def test_i13f_adc_recall_bounds(spark, sf_dir):
+    """ADC is an approximation — pin a floor, not equality: on this
+    fixture (isotropic random embeddings, PQ's published worst case —
+    real embeddings on low-dim manifolds quantize far better) the 8x16
+    code ADC top-10 must still recover a non-trivial share of the exact
+    euclidean top-10, and every reported distance must be positive and
+    ascending."""
+    import numpy as np
+
+    rows = QUERIES["i13f_pq_adc_topk"].fn(spark, sf_dir).collect()
+    dists = [r["adc_dist"] for r in rows]
+    assert dists == sorted(dists) and all(d > 0 for d in dists)
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    X = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in e}
+    q = X[0]
+    exact = [
+        k
+        for _, k in sorted(
+            (float(((v - q) ** 2).sum()), k) for k, v in X.items() if k != 0
+        )[:10]
+    ]
+    got = {r["vec_id"] for r in rows}
+    assert len(got & set(exact)) >= 2, f"ADC recall collapsed: {got} vs {exact}"
