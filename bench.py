@@ -96,6 +96,8 @@ EXTRAS = [
     "q9_product_type_profit",  # widest join tree (2 facts + 3 broadcast dims)
     "q21_waiting_supplier",   # exists/not-exists chain via semi joins
     "i3g_winnowed_fingerprints",  # winnowing selection + inverted-index join
+    "i13e_pq_codes",          # PQ encode: 8 codebooks, Arrow matmul per subvector
+    "i13f_pq_adc_topk",       # ADC search over stored PQ codes (table lookups)
     # (md5 gram hashes are the cross-engine-oracle tax; production ingest
     # would swap xxhash64 JVM-side)
 ]

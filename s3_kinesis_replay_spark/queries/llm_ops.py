@@ -1436,6 +1436,21 @@ _PQ_ORACLE_PTR = "/tmp/skr_pq_oracle/current"
 _PQ_SUB, _PQ_DIM, _PQ_K, _PQ_SEED = 8, 8, 16, 42
 
 
+def _pq_cache_key(sf_dir: str) -> str:
+    """One key string for the PQ export cache — i13e builds under it and
+    i13f short-circuits on it; a single definition so the two can never
+    disagree about what identifies a build."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        QUANTIZER_VERSION,
+        data_fingerprint,
+    )
+
+    fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    return f"{fp}-s{_PQ_SUB}x{_PQ_K}-seed{_PQ_SEED}-{QUANTIZER_VERSION}"
+
+
 def _duck_subdist(subv_expr: str) -> str:
     """Per-subvector squared reconstruction error, sequential left fold
     over the 8 dims — matches the Spark side's zip_with+aggregate fold."""
@@ -1481,10 +1496,8 @@ def i13e_pq_codes(spark, sf_dir):
     import os
 
     from s3_kinesis_replay_spark.operators.similarity import (
-        QUANTIZER_VERSION,
         assign_cells,
         atomic_cached_build,
-        data_fingerprint,
         publish_index_pointer,
         train_quantizer,
     )
@@ -1534,8 +1547,6 @@ def i13e_pq_codes(spark, sf_dir):
         (F.col("subv") == F.col("cb_subv")) & (F.col("code") == F.col("cb_cell")),
     ).select("vec_id", "subv", "code", F.round(sub_dist, 6).alias("sub_dist"))
 
-    fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-
     def _export(tmp: str) -> None:
         cb.coalesce(1).write.parquet(f"{tmp}/codebooks")
         out.select("vec_id", "subv", "code").coalesce(1).write.parquet(
@@ -1544,7 +1555,7 @@ def i13e_pq_codes(spark, sf_dir):
 
     final = atomic_cached_build(
         "/tmp/skr_pq_oracle",
-        f"{fp}-s{_PQ_SUB}x{_PQ_K}-seed{_PQ_SEED}-{QUANTIZER_VERSION}",
+        _pq_cache_key(sf_dir),
         _export,
         os.path.join("codes", "_SUCCESS"),
     )
@@ -1602,9 +1613,20 @@ def _duck_adc_cell(qexpr: str) -> str:
     "(no rounding-boundary flakes, same discipline as i13c).",
 )
 def i13f_pq_adc_topk(spark, sf_dir):
-    # ensure the PQ export exists and the pointer is current (cache hit
-    # when i13e already ran this fixture)
-    i13e_pq_codes(spark, sf_dir)
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        publish_index_pointer,
+    )
+
+    # ensure the PQ export exists and the pointer is current: a complete
+    # fingerprint-keyed build short-circuits (no codebook retraining);
+    # otherwise run i13e once to build it
+    final = os.path.join("/tmp/skr_pq_oracle", _pq_cache_key(sf_dir))
+    if os.path.exists(os.path.join(final, "codes", "_SUCCESS")):
+        publish_index_pointer(final, _PQ_ORACLE_PTR)
+    else:
+        i13e_pq_codes(spark, sf_dir)
     e = t(spark, "embeddings", sf_dir)
     qv = [
         r[0] for r in e.filter(F.col("vec_id") == 0).select("embedding").collect()
