@@ -1652,3 +1652,115 @@ def i13f_pq_adc_topk(spark, sf_dir):
         .limit(10)
         .select("vec_id", F.round("adc", 6).alias("adc_dist"))
     )
+
+
+@register(
+    "i13h_ivfpq_topk",
+    "I5",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cell
+      FROM read_parquet('{_IVF_ORACLE_PTR_I13}/_centroids/*.parquet'), q
+      ORDER BY {_duck_sqdist("centroid", "qv")} ASC, cell ASC
+      LIMIT 4
+    ),
+    members AS (
+      SELECT vec_id
+      FROM read_parquet('{_IVF_ORACLE_PTR_I13}/vectors/*/*.parquet',
+                        hive_partitioning = 1)
+      WHERE cell IN (SELECT cell FROM probe)
+    ),
+    cb AS (SELECT subv, cell, centroid
+           FROM read_parquet('{_PQ_ORACLE_PTR}/codebooks/*.parquet')),
+    dtab AS (
+      SELECT cb.subv, cb.cell, {_duck_adc_cell("q.qv")} AS d
+      FROM cb, q
+    ),
+    codes AS (
+      SELECT c.vec_id, c.subv, c.code
+      FROM read_parquet('{_PQ_ORACLE_PTR}/codes/*.parquet') c
+      JOIN members m ON m.vec_id = c.vec_id
+      WHERE c.vec_id <> 0
+    ),
+    scored AS (
+      SELECT c.vec_id, SUM(d.d) AS adc
+      FROM codes c JOIN dtab d ON d.subv = c.subv AND d.cell = c.code
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, ROUND(adc, 6) AS adc_dist
+    FROM scored ORDER BY adc ASC, vec_id LIMIT 10
+    """,
+    note="IVF+PQ — the full FAISS composition of the two stored-index "
+    "halves: the coarse quantizer prunes the scan to the 4 probed "
+    "cells' members (partition pruning on the i13 index), and ONLY "
+    "those vectors ADC-score against the PQ distance table (i13f "
+    "path). At a billion vectors this is the canonical RAM-speed ANN "
+    "recipe: n_probe/n_clusters of the codes are touched per query, "
+    "8 bytes each, raw vectors never read. Both exported artifacts are "
+    "fingerprint-cache-keyed; probe selection + every ADC value "
+    "recompute cross-engine with sequential folds — only the cell/code "
+    "assignments themselves (numpy argmin, i13b/i13e-pinned) ride as "
+    "exported data.",
+)
+def i13h_ivfpq_topk(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        data_fingerprint,
+        ivf_build_cached,
+        ivf_probe,
+        publish_index_pointer,
+    )
+
+    # both indexes: cache-hit fast paths, build on first touch
+    e = t(spark, "embeddings", sf_dir)
+    corpus = e.filter(F.col("vec_id") != 0)
+    fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = ivf_build_cached(
+        corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42, corpus_tag="ex0"
+    )
+    publish_index_pointer(idx, _IVF_ORACLE_PTR_I13)
+    pq_dir = os.path.join("/tmp/skr_pq_oracle", _pq_cache_key(sf_dir))
+    if os.path.exists(os.path.join(pq_dir, "codes", "_SUCCESS")):
+        publish_index_pointer(pq_dir, _PQ_ORACLE_PTR)
+    else:
+        i13e_pq_codes(spark, sf_dir)
+
+    qv = [
+        r[0] for r in e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    ][0]
+    from s3_kinesis_replay_spark.operators.similarity import _probe_cells
+
+    cents = spark.read.parquet(f"{idx}/_centroids").collect()
+    probed = _probe_cells(
+        [(r["cell"], r["centroid"]) for r in cents], list(qv), 4
+    )
+    members = (
+        spark.read.parquet(f"{idx}/vectors")
+        .filter(F.col("cell").isin(probed))
+        .select("vec_id")
+    )
+
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    cb = spark.read.parquet(f"{_PQ_ORACLE_PTR}/codebooks")
+    sub_q = F.slice(q, F.col("subv") * _PQ_DIM + 1, F.lit(_PQ_DIM))
+    d = F.aggregate(
+        F.zip_with(sub_q, F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dtab = cb.select("subv", F.col("cell").alias("code"), d.alias("d"))
+    codes = (
+        spark.read.parquet(f"{_PQ_ORACLE_PTR}/codes")
+        .filter(F.col("vec_id") != 0)
+        .join(members, "vec_id", "left_semi")
+    )
+    return (
+        codes.join(F.broadcast(dtab), ["subv", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("adc"))
+        .orderBy(F.col("adc").asc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("adc", 6).alias("adc_dist"))
+    )
