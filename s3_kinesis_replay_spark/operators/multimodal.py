@@ -54,18 +54,74 @@ def synth_media_table(spark: SparkSession, documents: DataFrame) -> DataFrame:
 
 
 def decode_image(content: bytes, codec: str = "real"):
-    """STUB: real decode needs PIL/ffmpeg (absent in this container).
+    """Image decode. REAL for uncompressed formats (pure byte parsing,
+    no codec library needed): P6 PPM and 24-bpp uncompressed BMP decode
+    to grayscale luma bytes ((r+g+b)//3 per pixel, row-major top-down).
+    COMPRESSED formats (JPEG/PNG/...) still require codec libraries
+    absent in this container and raise NotImplementedError — that
+    remaining stub is the documented gap.
 
     ``codec='fake'`` returns a deterministic pseudo-frame (one grayscale
-    byte per 64-byte stripe) so the pipeline shape is testable end-to-end.
+    byte per 64-byte stripe) so the pipeline shape is testable on
+    arbitrary opaque blobs.
     """
-    if codec != "fake":
-        raise NotImplementedError(
-            "image/audio decode requires codec libraries not present in this "
-            "container; pass codec='fake' for the deterministic test path"
-        )
-    body = content[5:] if content[:5] == b"FAKE0" else content
-    return bytes(sum(body[i : i + 64]) % 256 for i in range(0, len(body), 64))
+    if codec == "fake":
+        body = content[5:] if content[:5] == b"FAKE0" else content
+        return bytes(sum(body[i : i + 64]) % 256 for i in range(0, len(body), 64))
+    if content[:2] == b"P6":
+        return _decode_ppm(content)
+    if content[:2] == b"BM":
+        return _decode_bmp24(content)
+    raise NotImplementedError(
+        "compressed image decode (JPEG/PNG/...) requires codec libraries "
+        "not present in this container; P6 PPM and 24-bpp BMP decode for "
+        "real, or pass codec='fake' for the opaque-blob test path"
+    )
+
+
+def _decode_ppm(content: bytes) -> bytes:
+    """P6 PPM: ASCII header 'P6 <w> <h> <maxval>' then raw RGB bytes."""
+    parts, i, tok = [], 2, b""
+    while len(parts) < 3:
+        c = content[i : i + 1]
+        i += 1
+        if c.isspace():
+            if tok:
+                parts.append(int(tok))
+                tok = b""
+        elif c == b"#":  # comment to EOL
+            while content[i : i + 1] not in (b"\n", b""):
+                i += 1
+        else:
+            tok += c
+    w, h, maxval = parts
+    if maxval != 255:
+        raise NotImplementedError("PPM maxval != 255 unsupported")
+    px = content[i : i + w * h * 3]
+    if len(px) < w * h * 3:
+        raise ValueError("PPM truncated")
+    return bytes(
+        (px[3 * j] + px[3 * j + 1] + px[3 * j + 2]) // 3 for j in range(w * h)
+    )
+
+
+def _decode_bmp24(content: bytes) -> bytes:
+    """Uncompressed 24-bpp BMP (BITMAPINFOHEADER): BGR rows padded to 4
+    bytes, stored bottom-up; returned top-down luma."""
+    off = struct.unpack_from("<I", content, 10)[0]
+    w, h = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    comp = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bpp BMP decodes here")
+    stride = (w * 3 + 3) // 4 * 4
+    out = bytearray(w * abs(h))
+    for row in range(abs(h)):
+        src = off + (abs(h) - 1 - row) * stride if h > 0 else off + row * stride
+        for col in range(w):
+            b, g, r = content[src + 3 * col : src + 3 * col + 3]
+            out[row * w + col] = (r + g + b) // 3
+    return bytes(out)
 
 
 def extract_features(media: DataFrame) -> DataFrame:

@@ -625,3 +625,66 @@ def c8c_asof_nearest(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("event_id", "view_event_id", "d_us")
     )
+
+
+@register(
+    "mm3_real_decode",
+    "I9",
+    """
+    WITH eligible AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= 192 AND regexp_matches(text, '^[ -~]*$')
+    ),
+    px AS (
+      SELECT doc_id, unnest(range(0, 64)) AS j, text FROM eligible
+    )
+    SELECT doc_id AS media_id, CAST(64 AS INTEGER) AS n_pixels,
+           ROUND(SUM((ascii(substr(text, 3 * CAST(j AS INTEGER) + 1, 1))
+                      + ascii(substr(text, 3 * CAST(j AS INTEGER) + 2, 1))
+                      + ascii(substr(text, 3 * CAST(j AS INTEGER) + 3, 1))) // 3)
+                 / 64.0, 6) AS mean_luma
+    FROM px GROUP BY doc_id
+    """,
+    note="REAL image decode, oracle-checked: each eligible document's "
+    "first 192 ASCII bytes become a genuine 8x8 P6 PPM (header built in "
+    "pure SQL, bytes = the text), and operators/multimodal.decode_image "
+    "parses it for REAL — header tokenizer, pixel extraction, per-pixel "
+    "(r+g+b)//3 luma — inside mapInPandas (blobs never shuffle). The "
+    "oracle recomputes n_pixels and the exact mean luma from the "
+    "character codes; mean = sum/64 terminates within 6 decimals "
+    "(64 = 2^6) so no rounding ambiguity exists. Only COMPRESSED "
+    "formats (JPEG/PNG) remain stubbed behind NotImplementedError — "
+    "uncompressed PPM/BMP decode is now real, codec-library-free.",
+)
+def mm3_real_decode(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from s3_kinesis_replay_spark.operators.multimodal import decode_image
+
+    d = t(spark, "documents", sf_dir).filter(
+        (F.length("text") >= 192) & F.col("text").rlike("^[ -~]*$")
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(F.lit("P6\n8 8\n255\n"), F.substring("text", 1, 192)),
+            "UTF-8",
+        ).alias("content"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            frames = [decode_image(bytes(c), codec="real") for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_pixels": [len(f) for f in frames],
+                    "mean_luma": [round(sum(f) / len(f), 6) for f in frames],
+                }
+            )
+
+    return media.mapInPandas(run, "media_id long, n_pixels int, mean_luma double")

@@ -1200,3 +1200,40 @@ def test_i13f_adc_recall_bounds(spark, sf_dir):
     ]
     got = {r["vec_id"] for r in rows}
     assert len(got & set(exact)) >= 2, f"ADC recall collapsed: {got} vs {exact}"
+
+
+def test_decode_image_real_formats():
+    """Uncompressed decode is REAL now: P6 PPM and 24-bpp BMP parse to
+    identical luma bytes; compressed magic still raises (the documented
+    remaining stub)."""
+    import struct
+
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.operators.multimodal import decode_image
+
+    ppm = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 60, 90, 120])
+    assert list(decode_image(ppm)) == [20, 90]
+
+    w, h = 2, 1
+    stride = (w * 3 + 3) // 4 * 4
+    px = bytes([30, 20, 10, 120, 90, 60]) + b"\x00" * (stride - 6)  # BGR
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 0, 0, 0, 0)
+        + px
+    )
+    assert list(decode_image(bmp)) == [20, 90]
+    # bottom-up row order: 2x2 BMP must come back top-down
+    px2 = bytes([1, 1, 1, 2, 2, 2]) + b"\x00" * 2 + bytes([3, 3, 3, 4, 4, 4]) + b"\x00" * 2
+    bmp2 = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(px2), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(px2), 0, 0, 0, 0)
+        + px2
+    )
+    assert list(decode_image(bmp2)) == [3, 4, 1, 2]
+
+    with _pytest.raises(NotImplementedError, match="compressed"):
+        decode_image(b"\xff\xd8\xffJFIF....")
