@@ -2,10 +2,13 @@
 opaque ``binary`` columns + typed metadata, processed by Arrow-batched
 Pandas UDFs over ``mapInPandas``.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(SURVEY/driver instruction): ``decode_image`` raises NotImplementedError
-unless given the deterministic-fake codec. Everything around it — schema,
-batch iteration, partitioning, metadata extraction — is real and tested.
+The container has no image/audio codec libraries, so COMPRESSED decode
+(JPEG/PNG/...) is stubbed: ``decode_image`` raises NotImplementedError
+for those magics. UNCOMPRESSED formats decode for REAL since round 7 —
+P6 PPM and 24-bpp BMP are pure byte parsing (no library), exercised
+end-to-end by the oracle-checked mm3 entry. Everything around the
+decoder — schema, batch iteration, partitioning, metadata extraction —
+is real and tested.
 
 Scale shape: media bytes never shuffle. ``mapInPandas`` keeps each binary
 batch inside its partition; only extracted features (fixed-width) flow to
