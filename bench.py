@@ -98,6 +98,7 @@ EXTRAS = [
     "i3g_winnowed_fingerprints",  # winnowing selection + inverted-index join
     "i13e_pq_codes",          # PQ encode: 8 codebooks, Arrow matmul per subvector
     "i13f_pq_adc_topk",       # ADC search over stored PQ codes (table lookups)
+    "mm3_real_decode",        # real PPM decode through mapInPandas
     # (md5 gram hashes are the cross-engine-oracle tax; production ingest
     # would swap xxhash64 JVM-side)
 ]
