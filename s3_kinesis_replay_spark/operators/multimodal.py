@@ -166,3 +166,50 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "kind",
         F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_"),
     ).select("media_id", "kind", (F.col("frame_idx") * every_ms).alias("frame_ms"))
+
+
+def decode_audio(content: bytes):
+    """REAL audio decode for uncompressed RIFF/WAVE PCM16 mono — pure
+    struct parsing, no codec library: walk the chunk list, read the
+    fmt chunk (require PCM, 1 channel, 16-bit), return the int16 sample
+    list from the data chunk. Compressed audio (MP3/AAC/...) raises —
+    the same documented stub boundary as compressed images."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed audio decode requires codec libraries not present "
+            "in this container; RIFF/WAVE PCM16 decodes for real"
+        )
+    i, fmt_ok, samples = 12, False, None
+    while i + 8 <= len(content):
+        cid = content[i : i + 4]
+        size = struct.unpack_from("<I", content, i + 4)[0]
+        body = content[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels = struct.unpack_from("<HH", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only PCM16 mono WAV decodes without codec libraries"
+                )
+            fmt_ok = True
+        elif cid == b"data":
+            samples = list(
+                struct.unpack_from(f"<{size // 2}h", body, 0)
+            )
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not fmt_ok or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return samples
+
+
+def pack_wav_pcm16(samples, sample_rate: int = 16000) -> bytes:
+    """Inverse of decode_audio for the synthesis/test path: a minimal
+    one-fmt-one-data RIFF/WAVE PCM16 mono file."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    size = 4 + 8 + len(fmt) + 8 + len(data)
+    return (
+        b"RIFF" + struct.pack("<I", size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )

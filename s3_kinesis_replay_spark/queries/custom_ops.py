@@ -688,3 +688,63 @@ def mm3_real_decode(spark, sf_dir):
             )
 
     return media.mapInPandas(run, "media_id long, n_pixels int, mean_luma double")
+
+
+@register(
+    "mm4_audio_features",
+    "I9",
+    """
+    WITH eligible AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= 128 AND regexp_matches(text, '^[ -~]*$')
+    ),
+    s AS (
+      SELECT doc_id, unnest(range(1, 129)) AS j, text FROM eligible
+    )
+    SELECT doc_id AS media_id, CAST(128 AS INTEGER) AS n_samples,
+           CAST(SUM(ABS(ascii(substr(text, CAST(j AS INTEGER), 1)) - 128))
+                AS BIGINT) AS sum_abs_dev
+    FROM s GROUP BY doc_id
+    """,
+    note="REAL audio decode, oracle-checked (the mm3 story for sound): "
+    "each eligible document's first 128 ASCII codes become int16 "
+    "samples (code-128) packed into a genuine RIFF/WAVE PCM16 file, "
+    "and operators/multimodal.decode_audio parses it for REAL — chunk "
+    "walk, fmt validation, int16 extraction — inside mapInPandas. "
+    "Features are pure integers (sample count + summed absolute "
+    "deviation), so cross-engine equality is exact with no float "
+    "anywhere. Compressed audio (MP3/AAC) remains the documented stub.",
+)
+def mm4_audio_features(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from s3_kinesis_replay_spark.operators.multimodal import (
+        decode_audio,
+        pack_wav_pcm16,
+    )
+
+    d = t(spark, "documents", sf_dir).filter(
+        (F.length("text") >= 128) & F.col("text").rlike("^[ -~]*$")
+    )
+    src = d.select("doc_id", F.substring("text", 1, 128).alias("chunk"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for doc_id, chunk in zip(pdf["doc_id"], pdf["chunk"]):
+                wav = pack_wav_pcm16([ord(c) - 128 for c in chunk])
+                samples = decode_audio(wav)  # the parser under test
+                out.append(
+                    (doc_id, len(samples), int(sum(abs(s) for s in samples)))
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_samples", "sum_abs_dev"]
+            )
+
+    return src.mapInPandas(
+        run, "media_id long, n_samples int, sum_abs_dev long"
+    )

@@ -1237,3 +1237,27 @@ def test_decode_image_real_formats():
 
     with _pytest.raises(NotImplementedError, match="compressed"):
         decode_image(b"\xff\xd8\xffJFIF....")
+
+
+def test_decode_audio_real_wav():
+    """RIFF/WAVE PCM16 parses for real (round-trip through pack), odd
+    chunk sizes word-align, and compressed magic raises."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.operators.multimodal import (
+        decode_audio,
+        pack_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1000]
+    assert decode_audio(pack_wav_pcm16(samples)) == samples
+    with _pytest.raises(NotImplementedError, match="compressed"):
+        decode_audio(b"ID3\x03\x00mp3data")
+    with _pytest.raises(NotImplementedError, match="PCM16 mono"):
+        # stereo fmt chunk
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+        wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        decode_audio(wav)
