@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from s3_kinesis_replay_spark.registry import register
-from s3_kinesis_replay_spark.queries.helpers import t
+from s3_kinesis_replay_spark.queries.helpers import r6, t
 
 
 @register(
@@ -747,4 +747,53 @@ def mm4_audio_features(spark, sf_dir):
 
     return src.mapInPandas(
         run, "media_id long, n_samples int, sum_abs_dev long"
+    )
+
+
+@register(
+    "t10_unigram_logprob",
+    "I9",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM ww GROUP BY word),
+    tot AS (SELECT SUM(c) AS t FROM f)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           ROUND(AVG(ln(CAST(c AS DOUBLE) / t)), 6) AS avg_logprob
+    FROM ww JOIN f USING (word), tot
+    GROUP BY doc_id
+    """,
+    note="unigram language-model scoring — the CCNet-style quality "
+    "signal (public: Wenzek et al. 2020 score documents by LM "
+    "perplexity; the unigram form is its exactly-SQL-expressible "
+    "floor): per-document mean log-probability of each token under the "
+    "corpus unigram distribution. Low scores = rare-word-heavy / "
+    "gibberish docs, high = common-word text; the standard companion "
+    "to t2's surface heuristics for quality bucketing. Plan: one "
+    "partial-agg word count, the frequency relation broadcast back "
+    "onto the exploded words (same web-scale-vocab caveat as t7 — at "
+    "100 TB shuffle both sides on the word key instead), one per-doc "
+    "aggregate. ln/avg double discipline per §5.3 (rounded to 6 in "
+    "both engines, i8 TF-IDF precedent).",
+)
+def t10_unigram_logprob(spark, sf_dir):
+    d = t(spark, "documents", sf_dir)
+    w = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    f = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = f.agg(F.sum("c").alias("t"))
+    return (
+        w.join(F.broadcast(f), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            r6(F.avg(F.log(F.col("c").cast("double") / F.col("t")))).alias(
+                "avg_logprob"
+            ),
+        )
     )
