@@ -100,6 +100,7 @@ EXTRAS = [
     "i13f_pq_adc_topk",       # ADC search over stored PQ codes (table lookups)
     "mm3_real_decode",        # real PPM decode through mapInPandas
     "mm4_audio_features",     # real WAV PCM16 decode round-trip
+    "t10_unigram_logprob",    # CCNet-style unigram LM quality score
     # (md5 gram hashes are the cross-engine-oracle tax; production ingest
     # would swap xxhash64 JVM-side)
 ]
