@@ -136,10 +136,14 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _settle(max_wait_s: float = 120.0, target_load: float = 8.0) -> float:
+def _settle(max_wait_s: float = 600.0, target_load: float = 2.0) -> float:
     """Wait (bounded) for host load to drop before timing anything —
     BENCH_r03 was contaminated by a prior JVM's teardown; this makes the
-    official record self-protecting, not just self-adjudicating."""
+    official record self-protecting, not just self-adjudicating.
+    target_load 2.0 (was 8.0): BENCH_r07 started at loadavg 3.77 — under
+    the old threshold — and every untouched query drifted 1.1-1.9x while
+    the same code solo read 0.99x. On a 32-cpu host loadavg ~2 is the
+    empirical idle line; anything above inherits 30-90% noise."""
     waited = 0.0
     while waited < max_wait_s and os.getloadavg()[0] > target_load:
         time.sleep(5)

@@ -122,8 +122,10 @@ def bloom_screen(
                 "the screen unsound (false negatives)"
             )
     else:
-        metas = [r["pos"] for r in bits.filter(F.col("pos") < 0).collect()]
-        if metas and metas != [_meta_pos(bits_hex, k)]:
+        # Set-compare: a union of two bloom tables built with IDENTICAL
+        # parameters carries duplicate matching sentinels — still sound.
+        metas = {r["pos"] for r in bits.filter(F.col("pos") < 0).collect()}
+        if metas and metas != {_meta_pos(bits_hex, k)}:
             raise ValueError(
                 f"bloom_screen(bits_hex={bits_hex}, k={k}) over bits whose "
                 f"sentinel rows {metas} declare different build parameters "

@@ -87,6 +87,8 @@ def _decode_ppm(content: bytes) -> bytes:
     parts, i, tok = [], 2, b""
     while len(parts) < 3:
         c = content[i : i + 1]
+        if c == b"":  # EOF before 3 header fields: don't spin forever
+            raise ValueError("PPM header truncated")
         i += 1
         if c.isspace():
             if tok:
@@ -100,6 +102,8 @@ def _decode_ppm(content: bytes) -> bytes:
     w, h, maxval = parts
     if maxval != 255:
         raise NotImplementedError("PPM maxval != 255 unsupported")
+    if w <= 0 or h <= 0 or w * h > 1 << 26:  # 64 Mpx cap: garbage headers
+        raise ValueError(f"PPM dimensions out of range: {w}x{h}")
     px = content[i : i + w * h * 3]
     if len(px) < w * h * 3:
         raise ValueError("PPM truncated")

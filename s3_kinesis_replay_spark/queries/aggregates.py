@@ -71,15 +71,36 @@ def d3_count_distinct(spark, sf_dir):
 @register(
     "d4_approx_count_distinct",
     "D4",
-    None,  # HLL estimate cannot hash-match an exact count; local test bounds ±5%
-    check="TOL",
-    tol=0.05,
-    note="HyperLogLog++; local test asserts within declared rsd of exact",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS est_in_tol
+    FROM lineitem
+    """,
+    note="flag-oracle form (VERDICT r7 item 2, d4b pattern): the HLL++ "
+    "estimate itself has no DuckDB analog, so Spark COMPUTES est_in_tol "
+    "= |approx_count_distinct(rsd=0.02) − exact| ≤ 0.05·exact (2.5 "
+    "standard errors) and the oracle recomputes the exact count while "
+    "hard-coding TRUE — an out-of-rsd estimate flips the flag and "
+    "hash-mismatches. Raw-accuracy bound also pinned in "
+    "tests/test_operators.py::test_d4_hll_within_rsd.",
 )
 def d4_approx_count_distinct(spark, sf_dir):
-    return t(spark, "lineitem", sf_dir).agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    return (
+        t(spark, "lineitem", sf_dir)
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "exact_parts",
+            "n_rows",
+            (
+                F.abs(F.col("approx").cast("double") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("est_in_tol"),
+        )
     )
 
 
@@ -146,14 +167,36 @@ def d6_percentiles(spark, sf_dir):
 @register(
     "d7_percentile_approx",
     "D7",
-    None,  # approximate (GK sketch) — local test bounds error vs exact
-    check="TOL",
-    note="percentile_approx with accuracy 10000; bounded-rank-error sketch",
+    """
+    SELECT ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50_exact,
+           TRUE AS approx_in_bounds
+    FROM orders
+    """,
+    note="flag-oracle form (VERDICT r7 item 2, d4b pattern): the GK "
+    "sketch value has no DuckDB analog, so Spark COMPUTES "
+    "approx_in_bounds = percentile_approx(0.5, accuracy=10000) lies "
+    "between the exact p49 and p51 (rank error n/10000 ≪ 1% of n on "
+    "every fixture) and the oracle recomputes the exact median while "
+    "hard-coding TRUE — a sketch answer outside the declared rank "
+    "window flips the flag and hash-mismatches. Raw bound also pinned "
+    "in tests/test_operators.py::test_d7_percentile_approx_bounded.",
 )
 def d7_percentile_approx(spark, sf_dir):
-    return t(spark, "orders", sf_dir).agg(
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+    return (
+        t(spark, "orders", sf_dir)
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.49)).alias("lo"),
+            F.percentile("o_totalprice", F.lit(0.51)).alias("hi"),
+        )
+        .select(
+            r6(F.col("p50")).alias("p50_exact"),
+            (
+                (F.col("approx") >= F.col("lo"))
+                & (F.col("approx") <= F.col("hi"))
+            ).alias("approx_in_bounds"),
+        )
     )
 
 

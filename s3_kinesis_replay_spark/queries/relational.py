@@ -217,13 +217,32 @@ def b7_casts(spark, sf_dir):
 @register(
     "b8_sample_seeded",
     "B8",
-    None,  # engines sample differently by design — rows-only + local CI test
-    check="TOL",
-    note="seeded Bernoulli sample; local test asserts count within binomial CI",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total, TRUE AS count_in_ci
+    FROM lineitem
+    """,
+    note="flag-oracle form (VERDICT r7 item 2, d4b pattern): engines "
+    "sample differently by design, so the DECLARED invariant is hashed "
+    "instead of the sample rows — Spark draws the seeded Bernoulli(0.1) "
+    "sample and COMPUTES count_in_ci = |n_sampled − 0.1·N| < 6·σ "
+    "(binomial); the oracle recomputes N and hard-codes TRUE, so a "
+    "broken sampler flips the flag and hash-mismatches. Row-level EXACT "
+    "cross-engine sampling lives in p9 (exactly-k) and p15 (weighted); "
+    "seed determinism pinned in tests/test_operators.py.",
 )
 def b8_sample_seeded(spark, sf_dir):
-    return t(spark, "lineitem", sf_dir).sample(fraction=0.1, seed=42).select(
-        "l_orderkey", "l_linenumber"
+    li = t(spark, "lineitem", sf_dir)
+    sampled = li.sample(fraction=0.1, seed=42)
+    return (
+        li.agg(F.count("*").alias("n_total"))
+        .crossJoin(sampled.agg(F.count("*").alias("n_sampled")))
+        .select(
+            "n_total",
+            (
+                F.abs(F.col("n_sampled") - 0.1 * F.col("n_total"))
+                < 6 * F.sqrt(F.col("n_total") * 0.1 * 0.9)
+            ).alias("count_in_ci"),
+        )
     )
 
 
@@ -689,10 +708,16 @@ def c1c_bucketed_join(spark, sf_dir):
 
     from s3_kinesis_replay_spark.operators.similarity import data_fingerprint
 
-    fp = data_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))[:10]
+    # Per-table fingerprints (ADVICE r7): a regenerated orders.parquet
+    # with an unchanged lineitem.parquet must not serve stale orders
+    # buckets, so each table's cache name hashes its OWN file.
+    fps = {
+        tbl: data_fingerprint(os.path.join(sf_dir, f"{tbl}.parquet"))[:10]
+        for tbl in ("lineitem", "orders")
+    }
     specs = {
-        "lineitem": ("l_orderkey", f"skr_li_b8_{fp}"),
-        "orders": ("o_orderkey", f"skr_ord_b8_{fp}"),
+        "lineitem": ("l_orderkey", f"skr_li_b8_{fps['lineitem']}"),
+        "orders": ("o_orderkey", f"skr_ord_b8_{fps['orders']}"),
     }
     for tbl, (key, tname) in specs.items():
         if not spark.catalog.tableExists(tname):

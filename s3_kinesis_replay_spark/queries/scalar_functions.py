@@ -149,15 +149,58 @@ def g4_hashing(spark, sf_dir):
 @register(
     "g4b_spark_hashes",
     "G4",
-    None,  # xxhash64 / murmur / crc32 are Spark-specific — determinism-only
-    note="local test asserts determinism across two runs",
+    """
+    SELECT CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_names,
+           TRUE AS xx64_injective,
+           TRUE AS murmur_card_ok,
+           TRUE AS crc32_in_range,
+           TRUE AS rescan_agree
+    FROM customer
+    """,
+    note="flag-oracle form (VERDICT r7 item 2, d4b pattern): xxhash64 / "
+    "murmur / crc32 values are Spark-specific, so the DECLARED hash "
+    "invariants are hashed instead — Spark COMPUTES (a) xx64_injective: "
+    "distinct xxhash64 count == distinct name count (collision odds "
+    "n²/2⁶⁵, deterministic per fixture), (b) murmur_card_ok: 32-bit "
+    "murmur keeps ≥ 99.9% of name cardinality (birthday-bound slack), "
+    "(c) crc32_in_range: every crc32 in [0, 2³²), (d) rescan_agree: "
+    "xxhash64 identical across two independent scans joined on the key "
+    "(cross-task determinism — the property partitioning relies on). "
+    "The oracle recomputes the name cardinality and hard-codes TRUE.",
 )
 def g4b_spark_hashes(spark, sf_dir):
-    return t(spark, "customer", sf_dir).select(
+    c = t(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    h1 = c.select(
         "c_custkey",
-        F.xxhash64("c_name").alias("name_xx64"),
-        F.hash("c_name").alias("name_murmur"),
-        F.crc32("c_name").alias("name_crc32"),
+        "c_name",
+        F.xxhash64("c_name").alias("xx"),
+        F.hash("c_name").alias("mm"),
+        F.crc32("c_name").alias("crc"),
+    )
+    h2 = c.select("c_custkey", F.xxhash64("c_name").alias("xx2"))
+    return (
+        h1.join(h2, "c_custkey")
+        .agg(
+            F.countDistinct("c_name").alias("n_names"),
+            F.countDistinct("xx").alias("n_xx"),
+            F.countDistinct("mm").alias("n_mm"),
+            F.min("crc").alias("crc_min"),
+            F.max("crc").alias("crc_max"),
+            F.sum(F.when(F.col("xx") != F.col("xx2"), 1).otherwise(0)).alias(
+                "n_disagree"
+            ),
+        )
+        .select(
+            "n_names",
+            (F.col("n_xx") == F.col("n_names")).alias("xx64_injective"),
+            (F.col("n_mm") >= 0.999 * F.col("n_names")).alias(
+                "murmur_card_ok"
+            ),
+            (
+                (F.col("crc_min") >= 0) & (F.col("crc_max") < F.lit(2**32))
+            ).alias("crc32_in_range"),
+            (F.col("n_disagree") == 0).alias("rescan_agree"),
+        )
     )
 
 

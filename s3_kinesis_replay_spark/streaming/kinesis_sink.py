@@ -50,6 +50,12 @@ class PutRecordsBatcher:
     def batches(self, records):
         batch, size = [], 0
         for key, data in records:
+            if key is None:
+                raise ValueError(
+                    "null partition key: both the JSON key path and the "
+                    "fallback column were null for a record — Kinesis "
+                    "PutRecords requires a non-empty PartitionKey"
+                )
             rec_size = len(data) + len(key.encode())
             if rec_size > MAX_BYTES_PER_RECORD:
                 raise ValueError(f"record for key {key!r} exceeds 1 MiB: {rec_size}")
@@ -233,7 +239,12 @@ def kinesis_foreach_batch(
             # micro-batch (numInputRows showed 2x published records, and
             # it doubled the observe() pipeline metrics). The driver-mode
             # batch is bounded by pacing; sorting it in Python is free.
-            rows = sorted(tagged.collect(), key=lambda r: (r["k"], r["s"]))
+            # Null-safe key: k is None when the JSON path and fallback
+            # column are both null; orderBy sorted nulls first, match it.
+            rows = sorted(
+                tagged.collect(),
+                key=lambda r: (r["k"] is not None, r["k"] or "", r["s"]),
+            )
             publish_batch(
                 client, stream_name, ((r["k"], r["payload"].encode()) for r in rows)
             )

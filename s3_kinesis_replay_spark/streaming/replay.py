@@ -153,20 +153,65 @@ def _apply_trigger(writer, cfg: ReplayConfig):
     return writer
 
 
+def _add_observed(totals: dict, observed) -> None:
+    om = (observed or {}).get("replay_metrics")
+    if om is None:
+        return
+    d = om.asDict() if hasattr(om, "asDict") else dict(om)
+    for k in totals:
+        v = d.get(k)
+        if v is not None:
+            totals[k] += int(v)
+
+
 def replay_metrics(query) -> dict:
     """Aggregate the observed replay metrics across a (finished or
     running) StreamingQuery's recentProgress: total records published,
-    total payload bytes, and partition-key-path fallback count. This is
-    the monitoring surface a replay operator watches — per-micro-batch
-    values live in each progress event; this sums them."""
+    total payload bytes, and partition-key-path fallback count.
+
+    EXACTNESS CAVEAT (ADVICE r7): recentProgress is a bounded ring buffer
+    (spark.sql.streaming.numRecentProgressUpdates, default 100 events) —
+    totals are exact only for drains of <= that many micro-batches, i.e.
+    the availableNow replay runs this repo uses it for. A long-running
+    continuous replay must attach :class:`ReplayMetricsListener` instead,
+    which accumulates on every progress event and never rolls off."""
     totals = {"n_records": 0, "payload_bytes": 0, "n_key_fallback": 0}
     for p in query.recentProgress:
-        om = (p.get("observedMetrics") or {}).get("replay_metrics")
-        if om is None:
-            continue
-        d = om.asDict() if hasattr(om, "asDict") else dict(om)
-        for k in totals:
-            v = d.get(k)
-            if v is not None:
-                totals[k] += int(v)
+        _add_observed(totals, p.get("observedMetrics"))
     return totals
+
+
+try:  # pragma: no cover - import shape differs across pyspark minors
+    from pyspark.sql.streaming import StreamingQueryListener as _SQL_Listener
+except ImportError:  # pragma: no cover
+    _SQL_Listener = object
+
+
+class ReplayMetricsListener(_SQL_Listener):
+    """Unbounded replay-metrics accumulator: register with
+    ``spark.streams.addListener(listener)`` BEFORE starting the replay
+    query, then read ``listener.totals``. Unlike :func:`replay_metrics`
+    this sums every progress event as it arrives, so totals stay exact
+    past the 100-event recentProgress ring buffer — the right monitoring
+    surface for a continuous (non-availableNow) replay."""
+
+    def __init__(self):
+        self.totals = {"n_records": 0, "payload_bytes": 0, "n_key_fallback": 0}
+
+    def onQueryStarted(self, event):
+        pass
+
+    def onQueryProgress(self, event):
+        p = event.progress
+        om = getattr(p, "observedMetrics", None)
+        if om is None:  # json fallback for pyspark versions without attr
+            import json
+
+            om = (json.loads(p.json) or {}).get("observedMetrics") or {}
+        _add_observed(self.totals, om)
+
+    def onQueryIdle(self, event):
+        pass
+
+    def onQueryTerminated(self, event):
+        pass

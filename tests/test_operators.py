@@ -15,36 +15,91 @@ from s3_kinesis_replay_spark.registry import all_queries
 QUERIES = all_queries()
 
 
-# ---------------------------------------------------------------- TOL rows
+# ------------------------------------------------- converted flag-oracles
+# b8/d4/d7/g4b were TOL/rows-only until round 8; they now emit computed
+# invariant FLAGS the DuckDB oracle hard-codes TRUE (d4b pattern). These
+# tests keep the RAW bounds pinned (so a vacuously-true flag expression
+# cannot hide a broken approximation) plus seed determinism.
 def test_b8_sample_within_binomial_ci(spark, sf_dir):
-    n_total = table(spark, "lineitem", sf_dir).count()
-    n_sample = QUERIES["b8_sample_seeded"].fn(spark, sf_dir).count()
+    li = table(spark, "lineitem", sf_dir)
+    n_total = li.count()
+    n_sample = li.sample(fraction=0.1, seed=42).count()
     p = 0.1
     sigma = math.sqrt(n_total * p * (1 - p))
     assert abs(n_sample - n_total * p) < 6 * sigma
+    row = QUERIES["b8_sample_seeded"].fn(spark, sf_dir).collect()[0]
+    assert row["n_total"] == n_total and row["count_in_ci"] is True
 
 
 def test_b8_sample_deterministic_under_seed(spark, sf_dir):
-    a = {tuple(r) for r in QUERIES["b8_sample_seeded"].fn(spark, sf_dir).collect()}
-    b = {tuple(r) for r in QUERIES["b8_sample_seeded"].fn(spark, sf_dir).collect()}
-    assert a == b
+    li = table(spark, "lineitem", sf_dir).select("l_orderkey", "l_linenumber")
+    a = {tuple(r) for r in li.sample(fraction=0.1, seed=42).collect()}
+    b = {tuple(r) for r in li.sample(fraction=0.1, seed=42).collect()}
+    assert a == b and len(a) > 0
 
 
 def test_d4_hll_within_rsd(spark, sf_dir):
-    row = QUERIES["d4_approx_count_distinct"].fn(spark, sf_dir).collect()[0]
-    assert abs(row["approx_parts"] - row["exact_parts"]) <= 0.05 * row["exact_parts"]
+    row = (
+        table(spark, "lineitem", sf_dir)
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()[0]
+    )
+    assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
+    flag_row = QUERIES["d4_approx_count_distinct"].fn(spark, sf_dir).collect()[0]
+    assert flag_row["est_in_tol"] is True
+    assert flag_row["exact_parts"] == row["exact"]
 
 
 def test_d7_percentile_approx_bounded(spark, sf_dir):
-    row = QUERIES["d7_percentile_approx"].fn(spark, sf_dir).collect()[0]
+    row = (
+        table(spark, "orders", sf_dir)
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("exact"),
+        )
+        .collect()[0]
+    )
     # accuracy=10000 → rank error ≤ n/10000; generous value-space bound: 1%
-    assert abs(row["p50_approx"] - row["p50_exact"]) <= 0.01 * abs(row["p50_exact"])
+    assert abs(row["approx"] - row["exact"]) <= 0.01 * abs(row["exact"])
+    flag_row = QUERIES["d7_percentile_approx"].fn(spark, sf_dir).collect()[0]
+    assert flag_row["approx_in_bounds"] is True
 
 
 def test_g4b_spark_hashes_deterministic(spark, sf_dir):
     a = sorted(map(tuple, QUERIES["g4b_spark_hashes"].fn(spark, sf_dir).collect()))
     b = sorted(map(tuple, QUERIES["g4b_spark_hashes"].fn(spark, sf_dir).collect()))
     assert a == b
+    row = QUERIES["g4b_spark_hashes"].fn(spark, sf_dir).collect()[0]
+    assert row["xx64_injective"] is True
+    assert row["murmur_card_ok"] is True
+    assert row["crc32_in_range"] is True
+    assert row["rescan_agree"] is True
+
+
+def test_flag_oracle_expressions_can_flip(spark):
+    """Meta-test: the flag FORMULAS used by b8/d4/d7 reject out-of-bound
+    inputs (guards against a flag that is accidentally always TRUE)."""
+    bad = spark.createDataFrame(
+        [(1000, 20)], "n_total long, n_sampled long"  # 0.1*N=100, 6σ≈57
+    ).select(
+        (
+            F.abs(F.col("n_sampled") - 0.1 * F.col("n_total"))
+            < 6 * F.sqrt(F.col("n_total") * 0.1 * 0.9)
+        ).alias("ci")
+    )
+    assert bad.collect()[0]["ci"] is False
+    bad2 = spark.createDataFrame(
+        [(100, 200)], "approx long, exact long"
+    ).select(
+        (
+            F.abs(F.col("approx").cast("double") - F.col("exact"))
+            <= 0.05 * F.col("exact")
+        ).alias("tol")
+    )
+    assert bad2.collect()[0]["tol"] is False
 
 
 def test_i3b_simhash_close_for_neardups(spark, sf_dir):
@@ -1018,6 +1073,38 @@ def test_bloom_nondefault_params_roundtrip_and_mismatch(spark, tmp_path):
         bloom_bits(ref, bits_hex=12, k=3)
 
 
+def test_bloom_union_of_matching_tables_screens(spark, tmp_path):
+    """ADVICE r7: unioning two bloom tables built with IDENTICAL
+    parameters duplicates the matching sentinel — that union must still
+    screen (set-compare), while a union with a MISMATCHED build still
+    raises."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.operators.bloom import bloom_bits, bloom_screen
+
+    a = spark.createDataFrame([("alpha",), ("beta",)], "g string")
+    b = spark.createDataFrame([("gamma",), ("delta",)], "g string")
+    probes = spark.createDataFrame(
+        [("alpha",), ("gamma",), ("omega",)], "g string"
+    )
+
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    bloom_bits(a).write.parquet(pa)
+    bloom_bits(b).write.parquet(pb)
+    both = spark.read.parquet(pa).union(spark.read.parquet(pb)).distinct()
+    hits = {
+        r["g"]: r["bloom_hit"] for r in bloom_screen(probes, both).collect()
+    }
+    # members of EITHER build must hit in the unioned filter
+    assert hits["alpha"] is True and hits["gamma"] is True
+
+    pm = str(tmp_path / "m")
+    bloom_bits(b, bits_hex=6, k=3).write.parquet(pm)
+    mixed = spark.read.parquet(pa).union(spark.read.parquet(pm))
+    with _pytest.raises(ValueError, match="unsound"):
+        bloom_screen(probes, mixed)
+
+
 def test_data_fingerprint_missing_path_raises():
     """ADVICE r6: a nonexistent path must fail at fingerprint time, not
     silently hash as empty input (two missing dirs would share a key)."""
@@ -1062,6 +1149,23 @@ def test_c1c_bucketed_join_eliminates_shuffle(spark, sf_dir):
     # exactly one hash exchange: the aggregate's; none feeding the join
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_c1c_bucket_cache_names_per_table_fingerprint(spark, sf_dir):
+    """ADVICE r7: each bucketed table's cache name must hash its OWN
+    parquet file — the old code derived both suffixes from lineitem's
+    fingerprint, so a regenerated orders.parquet with an unchanged
+    lineitem.parquet served stale orders buckets."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import data_fingerprint
+
+    QUERIES["c1c_bucketed_join"].fn(spark, sf_dir).collect()
+    fp_li = data_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))[:10]
+    fp_ord = data_fingerprint(os.path.join(sf_dir, "orders.parquet"))[:10]
+    assert fp_li != fp_ord
+    assert spark.catalog.tableExists(f"skr_li_b8_{fp_li}")
+    assert spark.catalog.tableExists(f"skr_ord_b8_{fp_ord}")
 
 
 @pytest.mark.parametrize(
@@ -1237,6 +1341,30 @@ def test_decode_image_real_formats():
 
     with _pytest.raises(NotImplementedError, match="compressed"):
         decode_image(b"\xff\xd8\xffJFIF....")
+
+
+def test_decode_ppm_malformed_headers_raise():
+    """ADVICE r7 (medium): a truncated P6 header must raise, not spin the
+    executor forever (EOF token loop), and garbage dimensions must be
+    rejected before allocating w*h bytes."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.operators.multimodal import decode_image
+
+    # header cut off mid-token: previously an infinite loop
+    with _pytest.raises(ValueError, match="header truncated"):
+        decode_image(b"P6\n2 1")
+    # header that is ONLY the magic
+    with _pytest.raises(ValueError, match="header truncated"):
+        decode_image(b"P6")
+    # trailing comment with no newline then EOF
+    with _pytest.raises(ValueError, match="header truncated"):
+        decode_image(b"P6\n2 #comment")
+    # absurd dimensions: reject before allocation
+    with _pytest.raises(ValueError, match="out of range"):
+        decode_image(b"P6\n999999 999999\n255\n")
+    with _pytest.raises(ValueError, match="out of range"):
+        decode_image(b"P6\n0 5\n255\n")
 
 
 def test_decode_audio_real_wav():

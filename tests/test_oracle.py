@@ -34,38 +34,14 @@ def test_rows_only_runs(name, spark, sf_dir):
 
 
 # ---------------------------------------------------------------- TOL rows
-# The three SURVEY §2 rows declared TOL (B8/D4/D7) can never hash-match an
-# exact oracle, so each asserts its DECLARED bound against the DuckDB
-# exact value here — "rows-only" never degrades to "unchecked"
-# (VERDICT r3 item 6). Spec: (registry name, DuckDB exact-value SQL,
-# Spark-side approx extractor, bound fn(approx, exact) -> (ok, detail)).
+# Approximate operators assert their DECLARED bound against the DuckDB
+# exact value here — approximation never degrades to "unchecked"
+# (VERDICT r3 item 6). Since round 8, b8/d4/d7/g4b are flag-oracles
+# (driver-hash-checked; raw bounds pinned in tests/test_operators.py);
+# d4b keeps its raw union-merge bound here. Spec: (registry name, DuckDB
+# exact-value SQL, Spark-side approx extractor, bound fn -> (ok, detail)).
 
 _TOL_SPECS = [
-    pytest.param(
-        "b8_sample_seeded",
-        "SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem",
-        lambda df: float(df.count()),
-        # declared bound: Bernoulli(p=0.1) sample count within a 6-sigma
-        # binomial CI of p*N
-        lambda n_sample, n_total: (
-            abs(n_sample - 0.1 * n_total)
-            < 6 * (n_total * 0.1 * 0.9) ** 0.5,
-            f"|{n_sample} - 0.1*{n_total}| vs 6*sqrt(N*p*(1-p))",
-        ),
-        id="b8-binomial-6sigma-ci",
-    ),
-    pytest.param(
-        "d4_approx_count_distinct",
-        "SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem",
-        lambda df: float(df.collect()[0]["approx_parts"]),
-        # declared bound: HLL++ rsd=0.02 → ±5% of the exact distinct count
-        # (2.5 standard errors)
-        lambda approx, exact: (
-            abs(approx - exact) <= 0.05 * exact,
-            f"|{approx} - {exact}| vs 0.05*exact",
-        ),
-        id="d4-hll-rsd-bound",
-    ),
     pytest.param(
         "d4b_hll_sketch_union",
         "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events",
@@ -79,18 +55,6 @@ _TOL_SPECS = [
             f"|{approx} - {exact}| vs 0.05*exact",
         ),
         id="d4b-hll-union-bound",
-    ),
-    pytest.param(
-        "d7_percentile_approx",
-        "SELECT quantile_cont(o_totalprice, 0.5) FROM orders",
-        lambda df: float(df.collect()[0]["p50_approx"]),
-        # declared bound: accuracy=10000 → rank error ≤ n/10000; mapped to
-        # a generous 1% value-space bound on this distribution
-        lambda approx, exact: (
-            abs(approx - exact) <= 0.01 * abs(exact),
-            f"|{approx} - {exact}| vs 0.01*|exact|",
-        ),
-        id="d7-gk-accuracy-bound",
     ),
 ]
 

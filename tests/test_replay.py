@@ -56,6 +56,32 @@ def test_publish_retries_partial_failures():
     assert len(client.calls) > 1  # retries happened
 
 
+def test_driver_mode_null_key_clear_error(spark):
+    """ADVICE r7: a null partition key (JSON path AND fallback both null)
+    must surface as a clear ValueError from the batcher — not a TypeError
+    from Python sorting None against str in the driver-mode sink."""
+    from s3_kinesis_replay_spark.streaming.kinesis_sink import (
+        kinesis_foreach_batch,
+    )
+
+    client = CapturingClient()
+    fn = kinesis_foreach_batch(
+        lambda: client, "s", distributed=False
+    )
+    batch = spark.createDataFrame(
+        [("a", 1, "x"), (None, 2, "y"), ("b", 3, "z")],
+        "partition_key string, seq long, data string",
+    )
+    with pytest.raises(ValueError, match="null partition key"):
+        fn(batch, 0)
+
+
+def test_batcher_null_key_rejected():
+    b = PutRecordsBatcher()
+    with pytest.raises(ValueError, match="null partition key"):
+        list(b.batches([(None, b"v")]))
+
+
 def test_publish_gives_up_after_max_retries():
     class AlwaysFail:
         def put_records(self, StreamName, Records):
@@ -583,6 +609,51 @@ def test_replay_observe_metrics(spark, sf_dir):
     body_bytes = sum(len(d) - d.index(b"|") - 1 for _, d in client.records)
     assert m["payload_bytes"] == body_bytes
     assert m["n_key_fallback"] == n_fallback_expected
+
+
+def test_replay_metrics_listener_matches_recent_progress(spark, sf_dir):
+    """ADVICE r7: recentProgress caps at 100 events, so long continuous
+    replays undercount via replay_metrics. The listener accumulates every
+    progress event as it arrives; for a short drain (where recentProgress
+    IS exact) the two must agree — pinning that the listener wiring sees
+    the same observedMetrics the ring buffer does."""
+    import tempfile
+    import time
+
+    from s3_kinesis_replay_spark.sources.archive import stage_archive
+    from s3_kinesis_replay_spark.streaming.kinesis_sink import CapturingClient
+    from s3_kinesis_replay_spark.streaming.replay import (
+        ReplayConfig,
+        ReplayMetricsListener,
+        replay_metrics,
+        run_replay,
+    )
+
+    root = stage_archive(sf_dir, gz=True)
+    client = CapturingClient()
+    listener = ReplayMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        cfg = ReplayConfig(
+            archive_root=root,
+            stream_name="skr-listener",
+            checkpoint_dir=tempfile.mkdtemp(prefix="skr_ckpt_"),
+            max_files_per_trigger=5,
+        )
+        q = run_replay(spark, cfg, lambda: client, distributed=False)
+        q.awaitTermination(600)
+        ring = replay_metrics(q)
+        # listener events are delivered asynchronously; wait for parity
+        deadline = time.time() + 30
+        while (
+            time.time() < deadline
+            and listener.totals["n_records"] < ring["n_records"]
+        ):
+            time.sleep(0.5)
+        assert listener.totals == ring
+        assert listener.totals["n_records"] == len(client.records) > 0
+    finally:
+        spark.streams.removeListener(listener)
 
 
 def test_replay_continuous_trigger_interval(spark, sf_dir):
