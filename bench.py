@@ -103,6 +103,8 @@ EXTRAS = [
     "t10_unigram_logprob",    # CCNet-style unigram LM quality score
     # (md5 gram hashes are the cross-engine-oracle tax; production ingest
     # would swap xxhash64 JVM-side)
+    # round 8
+    "i3h_incremental_winnow",  # xxhash winnow batch vs STORED fp snapshot
 ]
 
 

@@ -479,3 +479,80 @@ def winnowed_fingerprints(
         .select(id_col, "fp")
         .distinct()
     )
+
+
+def winnowed_fingerprints_fast(
+    docs: DataFrame,
+    k: int = 20,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PRODUCTION winnowing selection: identical window-minimum algorithm
+    to :func:`winnowed_fingerprints` but gram hash = xxhash64 — one
+    JVM-side long mix per gram instead of an md5 hex computation plus two
+    string slices (the md5 form exists only so a cross-engine oracle can
+    re-derive the identical fingerprint set; it is ~the whole cost of
+    i3g). The selection guarantee is hash-agnostic: any shared substring
+    of length >= k + w - 1 still contributes a shared fingerprint.
+    Pair-set agreement between the two forms at the declared i3h
+    threshold is pinned in tests/test_operators.py.
+
+    This is the relation a 100 TB ingest PERSISTS (mirror of the LSH
+    snapshot_banded table): ~1/w longs per document, computed once per
+    document at ingest, appended per batch, and equi-joined against by
+    later batches — the corpus text never rescans."""
+    from pyspark.sql import Window
+
+    n = docs.filter(F.length(text_col) >= k + w - 1).select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_s")
+    )
+    pos = n.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.length("_s") - k + 1)).alias("_i"),
+        (F.length("_s") - k + 1).alias("_m"),
+        "_s",
+    )
+    h = F.xxhash64(F.col("_s").substr(F.col("_i"), F.lit(k)))
+    ph = pos.select(id_col, "_i", "_m", h.alias("_h"))
+    win = Window.partitionBy(id_col).orderBy("_i").rowsBetween(0, w - 1)
+    return (
+        ph.select(id_col, "_i", "_m", F.min("_h").over(win).alias("fp"))
+        .filter(F.col("_i") <= F.col("_m") - w + 1)
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnow_incremental_pairs(
+    snapshot_fps: DataFrame,
+    batch_fps: DataFrame,
+    min_shared: int = 20,
+    id_col: str = "doc_id",
+    keep_count: bool = False,
+) -> DataFrame:
+    """(doc_new, doc_src[, n_shared]) pairs of a NEW batch against a
+    STORED corpus fingerprint table: inverted-index equi-join on the
+    winnowed fingerprint value, count shared fingerprints per pair, keep
+    pairs at or above ``min_shared``. The incremental shape of i3g — the
+    snapshot side is the persisted output of
+    :func:`winnowed_fingerprints_fast` (read back from storage, never
+    recomputed); per-batch cost is the batch's own fingerprinting plus a
+    join that moves only (id, fp) longs. ``keep_count`` exposes the
+    shared-fingerprint count (deterministic GIVEN a fingerprint table;
+    note the absolute counts differ between the md5 and xxhash selection
+    forms, so compare counts only within one form)."""
+    b = batch_fps.alias("b")
+    s = snapshot_fps.alias("s")
+    pairs = (
+        b.join(s, F.col("b.fp") == F.col("s.fp"))
+        .groupBy(
+            F.col(f"b.{id_col}").alias("doc_new"),
+            F.col(f"s.{id_col}").alias("doc_src"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    if keep_count:
+        return pairs
+    return pairs.select("doc_new", "doc_src")

@@ -1428,6 +1428,97 @@ def i3g_winnowed_fingerprints(spark, sf_dir):
     )
 
 
+# Fixed pointer the i3h oracle reads (i14b pattern): the stored xxhash64
+# winnowed-fingerprint snapshot plus this run's batch fingerprints export
+# behind it; DuckDB recomputes the inverted-index join + threshold from
+# the identical inputs.
+_WINNOW_ORACLE_PTR = "/tmp/skr_winnow_oracle/current"
+
+
+@register(
+    "i3h_incremental_winnow",
+    "I3",
+    f"""
+    WITH snap AS (SELECT doc_id, fp
+                  FROM read_parquet('{_WINNOW_ORACLE_PTR}/snap/*.parquet')),
+    b AS (SELECT doc_id, fp
+          FROM read_parquet('{_WINNOW_ORACLE_PTR}/batch/*.parquet'))
+    SELECT b.doc_id AS doc_new, s.doc_id AS doc_src,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM b JOIN snap s ON b.fp = s.fp
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 20
+    """,
+    note="PRODUCTION winnowing tier (VERDICT r7 item 4) — i3g's "
+    "incremental form: the corpus fingerprint table is xxhash64-selected "
+    "(JVM-side long mix, no md5 oracle tax) and PERSISTED once per "
+    "corpus fingerprint (atomic_cached_build, mirror of the LSH "
+    "snapshot_banded table); each new batch (i3f's constructed batch: "
+    "perturbed snapshot docs plus word-reversed decoys) fingerprints "
+    "only ITSELF and inverted-index-joins the stored set — a daily "
+    "crawl winnow-screens against 100 TB moving only (id, fp) longs. "
+    "Oracle (i13e/i14b export pattern): the stored snapshot and this "
+    "run's batch fingerprints export behind an atomic pointer and "
+    "DuckDB recomputes the join + count + threshold from the identical "
+    "inputs; the SELECTION algorithm stays cross-engine-verified by "
+    "i3g's full md5-form oracle, and the md5/xxhash structural "
+    "agreement (any shared substring >= k+w-1 -> shared fingerprint in "
+    "BOTH forms) is pinned in tests/test_operators.py.",
+)
+def i3h_incremental_winnow(spark, sf_dir):
+    import os
+    import tempfile
+
+    from s3_kinesis_replay_spark.operators.dedup import (
+        winnow_incremental_pairs,
+        winnowed_fingerprints_fast,
+    )
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+        publish_index_pointer,
+    )
+
+    k, w, min_shared = 20, 4, 20
+    d = t(spark, "documents", sf_dir).select("doc_id", "text")
+    batch = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+            )
+        )
+    )
+    fp = data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    snap_store = atomic_cached_build(
+        "/tmp/skr_winnow_fps",
+        f"{fp}-k{k}w{w}-xx1",
+        lambda tmp: winnowed_fingerprints_fast(d, k, w)
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "snap")),
+        os.path.join("snap", "_SUCCESS"),
+    )
+    snap_fps = spark.read.parquet(os.path.join(snap_store, "snap"))
+    batch_fps = winnowed_fingerprints_fast(batch, k, w).localCheckpoint(
+        eager=True
+    )
+    base = os.path.dirname(_WINNOW_ORACLE_PTR)
+    os.makedirs(base, exist_ok=True)
+    export = tempfile.mkdtemp(prefix="winnow-", dir=base)
+    batch_fps.write.mode("overwrite").parquet(os.path.join(export, "batch"))
+    # snapshot side: link the stored build instead of re-copying it
+    os.symlink(os.path.join(snap_store, "snap"), os.path.join(export, "snap"))
+    publish_index_pointer(export, _WINNOW_ORACLE_PTR)
+    return winnow_incremental_pairs(
+        snap_fps, batch_fps, min_shared, keep_count=True
+    )
+
+
 # Fixed pointer the i13e oracle reads (i14b pattern): this run's PQ
 # codebooks and code assignments export behind it atomically; DuckDB
 # recomputes every per-subvector reconstruction distortion from the

@@ -102,6 +102,88 @@ def test_flag_oracle_expressions_can_flip(spark):
     assert bad2.collect()[0]["tol"] is False
 
 
+def test_winnow_md5_xxhash_structural_agreement(spark, sf_dir):
+    """The winnowing guarantee is hash-agnostic: a perturbed copy of a
+    long document (shared substrings far exceeding k+w-1) must pair with
+    its source at n_shared >= the i3h threshold in BOTH the md5 oracle
+    form and the xxhash64 production form. (Absolute counts differ
+    between forms — short docs can land either side of a threshold — so
+    the pin is length-conditioned, not pair-set equality.)"""
+    from s3_kinesis_replay_spark.operators.dedup import (
+        winnow_incremental_pairs,
+        winnowed_fingerprints,
+        winnowed_fingerprints_fast,
+    )
+
+    d = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        # fixture texts top out at ~550 chars; >=400 chars gives ~90
+        # selected fingerprints, a wide margin over the threshold of 20
+        .filter(F.length("text") >= 400)
+        .limit(50)
+        .localCheckpoint(eager=True)
+    )
+    long_ids = {r["doc_id"] for r in d.select("doc_id").collect()}
+    assert len(long_ids) >= 10, "fixture has too few long documents"
+    batch = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+    )
+    for form in (winnowed_fingerprints, winnowed_fingerprints_fast):
+        snap_fps = form(d, 20, 4).localCheckpoint(eager=True)
+        batch_fps = form(batch, 20, 4).localCheckpoint(eager=True)
+        pairs = {
+            (r["doc_new"], r["doc_src"])
+            for r in winnow_incremental_pairs(
+                snap_fps, batch_fps, min_shared=20
+            ).collect()
+        }
+        missing = {
+            (i + 1000000, i) for i in long_ids
+        } - pairs
+        assert not missing, f"{form.__name__}: planted pairs missed: {missing}"
+
+
+def test_i3h_matches_inline_recompute(spark, sf_dir):
+    """The stored-snapshot path must agree with a from-scratch inline
+    recompute (guards against a stale or truncated persisted fingerprint
+    table silently serving wrong pairs)."""
+    from s3_kinesis_replay_spark.operators.dedup import (
+        winnow_incremental_pairs,
+        winnowed_fingerprints_fast,
+    )
+
+    stored = {
+        (r["doc_new"], r["doc_src"], r["n_shared"])
+        for r in QUERIES["i3h_incremental_winnow"].fn(spark, sf_dir).collect()
+    }
+    d = table(spark, "documents", sf_dir).select("doc_id", "text")
+    batch = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+            )
+        )
+    )
+    inline = {
+        (r["doc_new"], r["doc_src"], r["n_shared"])
+        for r in winnow_incremental_pairs(
+            winnowed_fingerprints_fast(d, 20, 4).localCheckpoint(eager=True),
+            winnowed_fingerprints_fast(batch, 20, 4).localCheckpoint(eager=True),
+            min_shared=20,
+            keep_count=True,
+        ).collect()
+    }
+    assert stored == inline and len(stored) > 0
+
+
 def test_i3b_simhash_close_for_neardups(spark, sf_dir):
     """Planted near-dup pairs (exact Jaccard ≥ 0.8, from i3) must have small
     SimHash Hamming distance; random pairs must not."""
