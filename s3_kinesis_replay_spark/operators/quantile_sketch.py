@@ -1,0 +1,106 @@
+"""Mergeable quantile summaries — the 100 TB shape of SURVEY §2.D7.
+
+d4b gave distinct-count its mergeable-sketch tier (per-group HLL union);
+this module is the quantile analog: per-shard summaries built in one
+pass, merged WITHOUT rescanning the data — the property that lets
+per-day / per-shard artifacts roll up into corpus quantiles the same way
+HLL sketches union.
+
+Public background: Greenwald–Khanna (2001), KLL (Karnin/Lang/Liberty
+2016), t-digest (Dunning). This implements the simplest member of the
+family with a provable bound — the EQUI-RANK summary:
+
+* shard summary: sort the shard's n_i values, keep m points at ranks
+  floor((j+0.5)·n_i/m) with weight n_i/m each (shards with n_i <= m keep
+  everything exactly, weight 1). Each point stands in for at most
+  n_i/(2m) ranks on either side.
+* merge: concatenate all shards' weighted points, sort by value, walk
+  the cumulative weight to the target rank q·N. Weights are exact, so
+  merging adds NO error; total rank error <= Σ n_i/(2m) = N/(2m)
+  (m=128 → 0.4% of ranks).
+
+Spark wiring: shard assignment is a DETERMINISTIC column expression
+(pmod of a key hash), not physical partitioning — the sketch is
+reproducible run-to-run regardless of task scheduling. Both phases are
+``applyInPandas`` (Arrow-batched); the partial phase shuffles raw values
+once within each (group, shard), the merge phase shuffles only
+m·n_shards weighted points per group. Per-task memory is bounded by the
+shard size, which the shard count controls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _shard_summary(values: np.ndarray, m: int) -> tuple[int, np.ndarray, np.ndarray]:
+    v = np.sort(values.astype(np.float64))
+    n = len(v)
+    if n <= m:
+        return n, v, np.ones(n, dtype=np.float64)
+    idx = np.floor((np.arange(m) + 0.5) * n / m).astype(np.int64)
+    return n, v[idx], np.full(m, n / m, dtype=np.float64)
+
+
+def _merge_estimate(
+    vals: np.ndarray, wts: np.ndarray, total_n: float, qs: tuple[float, ...]
+) -> list[float]:
+    order = np.argsort(vals, kind="stable")
+    v, w = vals[order], wts[order]
+    cum = np.cumsum(w)
+    out = []
+    for q in qs:
+        i = int(np.searchsorted(cum, q * total_n, side="left"))
+        out.append(float(v[min(i, len(v) - 1)]))
+    return out
+
+
+def sketch_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    shard_col: Column,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    m: int = 128,
+) -> DataFrame:
+    """(group, est_p{q}...) per-group quantile estimates from mergeable
+    per-(group, shard) summaries. ``shard_col`` must be a deterministic
+    expression over the row (e.g. ``pmod(xxhash64(key), n_shards)``) so
+    results do not depend on physical partitioning. Rank error bound:
+    N/(2m) per group."""
+    est_cols = [f"est_p{int(round(q * 100))}" for q in qs]
+    sharded = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+        shard_col.alias("_shard"),
+    )
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        n, pts, wts = _shard_summary(pdf["v"].to_numpy(), m)
+        return pd.DataFrame(
+            {
+                "g": [pdf["g"].iloc[0]],
+                "n": [n],
+                "vals": [list(pts)],
+                "wts": [list(wts)],
+            }
+        )
+
+    partials = sharded.groupBy("g", "_shard").applyInPandas(
+        partial, "g string, n long, vals array<double>, wts array<double>"
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = np.concatenate([np.asarray(x) for x in pdf["vals"]])
+        wts = np.concatenate([np.asarray(x) for x in pdf["wts"]])
+        ests = _merge_estimate(vals, wts, float(pdf["n"].sum()), qs)
+        row = {"g": [pdf["g"].iloc[0]]}
+        row.update({c: [round(e, 6)] for c, e in zip(est_cols, ests)})
+        return pd.DataFrame(row)
+
+    merged = partials.groupBy("g").applyInPandas(
+        merge, "g string, " + ", ".join(f"{c} double" for c in est_cols)
+    )
+    return merged.withColumnRenamed("g", group_col)

@@ -513,6 +513,107 @@ def d4b_hll_sketch_union(spark, sf_dir):
     return out
 
 
+# Fixed pointer the d7b oracle reads (d4b pattern): this run's per-group
+# sketch quantile estimates export behind it; DuckDB recomputes the exact
+# quantiles and hard-codes the rank-error flag TRUE.
+_QSK_ORACLE_PTR = "/tmp/skr_qsketch_oracle/current"
+
+
+@register(
+    "d7b_quantile_sketch_merge",
+    "D7",
+    f"""
+    WITH est AS (SELECT o_orderpriority, est_p25, est_p50, est_p75
+                 FROM read_parquet('{_QSK_ORACLE_PTR}/est/*.parquet')),
+    exact AS (SELECT o_orderpriority,
+                     ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25_exact,
+                     ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50_exact,
+                     ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75_exact,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM orders GROUP BY o_orderpriority)
+    SELECT x.o_orderpriority, e.est_p25, e.est_p50, e.est_p75,
+           x.p25_exact, x.p50_exact, x.p75_exact, x.n,
+           TRUE AS in_bounds
+    FROM exact x JOIN est e ON e.o_orderpriority = x.o_orderpriority
+    ORDER BY x.o_orderpriority
+    """,
+    note="MERGEABLE quantile sketches (VERDICT r7 item 5) — the D7 "
+    "analog of d4b's HLL union, completing the sketch story: per-(group, "
+    "shard) equi-rank summaries (operators/quantile_sketch.py; public "
+    "family: GK 2001, KLL 2016, t-digest) built in one pass, merged by "
+    "weighted cumulative-rank walk WITHOUT rescanning the data — the "
+    "shape that rolls per-day shard artifacts into corpus quantiles at "
+    "100 TB. Shards are a deterministic pmod(xxhash64(key), 8) column, "
+    "so the sketch is reproducible regardless of task placement. Oracle "
+    "(d4b pattern): estimates export behind the pointer, DuckDB "
+    "recomputes the exact quantiles, and Spark COMPUTES in_bounds = "
+    "every estimate within the exact (q-2%, q+2%) rank window (declared "
+    "bound N/(2m) = 0.4% «% of ranks», checked at 5x slack) while the "
+    "oracle hard-codes TRUE — an out-of-bound merge flips the flag.",
+)
+def d7b_quantile_sketch_merge(spark, sf_dir):
+    import os
+    import tempfile
+
+    from s3_kinesis_replay_spark.operators.quantile_sketch import (
+        sketch_quantiles,
+    )
+    from s3_kinesis_replay_spark.operators.similarity import (
+        publish_index_pointer,
+    )
+
+    o = t(spark, "orders", sf_dir).select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    est = sketch_quantiles(
+        o,
+        group_col="o_orderpriority",
+        value_col="o_totalprice",
+        shard_col=F.pmod(F.xxhash64("o_orderkey"), F.lit(8)),
+        qs=(0.25, 0.5, 0.75),
+        m=128,
+    ).localCheckpoint(eager=True)
+    p = lambda q: F.percentile("o_totalprice", F.lit(q))  # noqa: E731
+    exact = o.groupBy("o_orderpriority").agg(
+        r6(p(0.25)).alias("p25_exact"),
+        r6(p(0.5)).alias("p50_exact"),
+        r6(p(0.75)).alias("p75_exact"),
+        F.count("*").alias("n"),
+        p(0.23).alias("_lo25"),
+        p(0.27).alias("_hi25"),
+        p(0.48).alias("_lo50"),
+        p(0.52).alias("_hi50"),
+        p(0.73).alias("_lo75"),
+        p(0.77).alias("_hi75"),
+    )
+    in_bounds = (
+        F.col("est_p25").between(F.col("_lo25"), F.col("_hi25"))
+        & F.col("est_p50").between(F.col("_lo50"), F.col("_hi50"))
+        & F.col("est_p75").between(F.col("_lo75"), F.col("_hi75"))
+    )
+    out = (
+        exact.join(F.broadcast(est), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "est_p25",
+            "est_p50",
+            "est_p75",
+            "p25_exact",
+            "p50_exact",
+            "p75_exact",
+            "n",
+            in_bounds.alias("in_bounds"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    base = os.path.dirname(_QSK_ORACLE_PTR)
+    os.makedirs(base, exist_ok=True)
+    export = tempfile.mkdtemp(prefix="est-", dir=base)
+    est.write.mode("overwrite").parquet(os.path.join(export, "est"))
+    publish_index_pointer(export, _QSK_ORACLE_PTR)
+    return out
+
+
 @register(
     "d15_windowed_distinct",
     "D3",

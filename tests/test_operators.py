@@ -102,6 +102,76 @@ def test_flag_oracle_expressions_can_flip(spark):
     assert bad2.collect()[0]["tol"] is False
 
 
+def test_d7b_sketch_rank_error_within_declared_bound(spark, sf_dir):
+    """Raw bound behind the d7b flag: each estimate's TRUE rank must be
+    within the declared N/(2m) of the target rank (2x slack for the
+    discrete-rank step at group boundaries)."""
+    rows = QUERIES["d7b_quantile_sketch_merge"].fn(spark, sf_dir).collect()
+    o = table(spark, "orders", sf_dir)
+    for r in rows:
+        grp = o.filter(F.col("o_orderpriority") == r["o_orderpriority"])
+        n = r["n"]
+        for q, est in ((0.25, r["est_p25"]), (0.5, r["est_p50"]), (0.75, r["est_p75"])):
+            rank = grp.filter(F.col("o_totalprice") <= est).count()
+            assert abs(rank - q * n) <= 2 * n / (2 * 128) + 1, (
+                f"{r['o_orderpriority']} q={q}: rank {rank} vs target {q * n}"
+            )
+
+
+def test_quantile_sketch_shard_count_invariance(spark, sf_dir):
+    """Merging MORE shards must not break the bound — 8-shard and
+    32-shard sketches both land inside the exact (q±2%) rank window
+    (the mergeability property the 100 TB story rests on)."""
+    from s3_kinesis_replay_spark.operators.quantile_sketch import (
+        sketch_quantiles,
+    )
+
+    o = table(spark, "orders", sf_dir).select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    bounds = {
+        r["o_orderpriority"]: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.48)).alias("lo"),
+            F.percentile("o_totalprice", F.lit(0.52)).alias("hi"),
+        )
+        .collect()
+    }
+    for shards in (8, 32):
+        est = sketch_quantiles(
+            o,
+            group_col="o_orderpriority",
+            value_col="o_totalprice",
+            shard_col=F.pmod(F.xxhash64("o_orderkey"), F.lit(shards)),
+            qs=(0.5,),
+            m=128,
+        ).collect()
+        for r in est:
+            b = bounds[r["o_orderpriority"]]
+            assert b["lo"] <= r["est_p50"] <= b["hi"], (
+                f"shards={shards} {r['o_orderpriority']}: "
+                f"{r['est_p50']} outside [{b['lo']}, {b['hi']}]"
+            )
+
+
+def test_quantile_sketch_exact_when_small():
+    """A summary that keeps every value (n <= m) must return the exact
+    discrete quantile — the degenerate case the bound collapses to."""
+    import numpy as np
+
+    from s3_kinesis_replay_spark.operators.quantile_sketch import (
+        _merge_estimate,
+        _shard_summary,
+    )
+
+    vals = np.array([5.0, 1.0, 3.0, 2.0, 4.0])
+    n, pts, wts = _shard_summary(vals, m=128)
+    assert n == 5 and list(pts) == [1.0, 2.0, 3.0, 4.0, 5.0]
+    ests = _merge_estimate(pts, wts, 5, (0.2, 0.5, 1.0))
+    assert ests == [1.0, 3.0, 5.0]
+
+
 def test_winnow_md5_xxhash_structural_agreement(spark, sf_dir):
     """The winnowing guarantee is hash-agnostic: a perturbed copy of a
     long document (shared substrings far exceeding k+w-1) must pair with
