@@ -42,6 +42,60 @@ def plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# Operators that BOUND the row count flowing into an exchange: an
+# aggregation (output = group space), a limit, or a per-partition top-k.
+_BOUNDING_OPS = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "AggregateInPandas",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "LocalLimit",
+    "GlobalLimit",
+    "WindowGroupLimit",
+)
+
+
+def _tree_depth(line: str) -> int:
+    """Column of the operator name in Spark's toString tree drawing —
+    lines are prefixed with ':'/' ' guides and a '+-' connector."""
+    m = re.search(r"[+:]- ", line)
+    if m:
+        return m.start()
+    return -1  # root line (no connector)
+
+
+def classify_single_partition(plan: str) -> list[str]:
+    """For each `Exchange SinglePartition` in the plan, classify its
+    input subtree: 'bounded(<op>)' when a row-count-bounding operator
+    (aggregate / limit / group-top-k) feeds the funnel, else 'UNBOUNDED'
+    — the class that funnels raw data through one task at 100 TB.
+
+    Machine replacement for PLANS.md's hand-listed whitelist (VERDICT r7
+    item 6): the audit test fails on any UNBOUNDED funnel that is not a
+    declared-semantics exemption."""
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        depth = _tree_depth(line)
+        verdict = "UNBOUNDED"
+        for sub in lines[i + 1 :]:
+            d = _tree_depth(sub)
+            if d != -1 and d <= depth:
+                break  # left the exchange's input subtree
+            for op in _BOUNDING_OPS:
+                if op in sub and f"Object{op}" not in sub:
+                    verdict = f"bounded({op})"
+                    break
+            if verdict != "UNBOUNDED":
+                break
+        out.append(verdict)
+    return out
+
+
 def audit_plan(df: DataFrame) -> dict:
     """Feature-extract one plan. Keys are stable — PLANS.md columns."""
     plan = plan_string(df)
@@ -52,6 +106,12 @@ def audit_plan(df: DataFrame) -> dict:
         + plan.count("Exchange rangepartitioning")
         + plan.count("Exchange SinglePartition"),
         "single_partition": plan.count("Exchange SinglePartition"),
+        # per-funnel bounded/UNBOUNDED classification (see
+        # classify_single_partition); PLANS.md renders it and the audit
+        # test rejects undeclared UNBOUNDED funnels
+        "sp_class": ",".join(
+            sorted(set(classify_single_partition(plan)))
+        ),
         "broadcast_joins": plan.count("BroadcastHashJoin")
         + plan.count("BroadcastNestedLoopJoin"),
         "shuffle_joins": plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin"),

@@ -227,15 +227,49 @@ def p4_quality_funnel(spark, sf_dir):
     )
     GROUP BY decile
     """,
-    note="curriculum binning: exact ntile(10) by length with doc_id "
-    "tiebreak — declared-global sort (at 100 TB: approx quantile "
-    "boundaries + per-row bucket lookup converge to this contract)",
+    note="curriculum binning: EXACT ntile(10) by length with doc_id "
+    "tiebreak, computed scale-safe (round 8; was a global-ntile "
+    "single-partition window, the last UNBOUNDED funnel in PLANS.md): "
+    "global rank = per-n_chars base offset (running total over the "
+    "~550-row AGGREGATED length histogram — a bounded window) + "
+    "row_number within each n_chars partition (fine-grained hash "
+    "exchange, no funnel); the ntile bucket is then pure arithmetic on "
+    "(rank, N). Identical contract to the oracle's NTILE — the e8 "
+    "agg-rank rewrite applied to curriculum binning.",
 )
 def p5_curriculum_deciles(spark, sf_dir):
-    d = t(spark, "documents", sf_dir)
-    w = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    d = t(spark, "documents", sf_dir).select("n_chars", "doc_id")
+    counts = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    woff = Window.orderBy(F.col("n_chars").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "n_chars",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("base"),
+    )
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    wrn = Window.partitionBy("n_chars").orderBy("doc_id")
+    ranked = (
+        d.join(F.broadcast(offsets), "n_chars")
+        .select(
+            "n_chars",
+            (F.col("base") + F.row_number().over(wrn)).alias("rk"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    # ntile(10): the first N%10 buckets hold ceil(N/10) rows, the rest
+    # floor(N/10) — bucket from rank by arithmetic, no global window
+    small = F.floor(F.col("n_total") / 10)
+    n_big = F.col("n_total") % 10
+    big = small + 1
+    decile = F.when(
+        F.col("rk") <= n_big * big,
+        F.ceil(F.col("rk").cast("double") / big),
+    ).otherwise(
+        n_big + F.ceil((F.col("rk") - n_big * big).cast("double") / small)
+    )
     return (
-        d.select("n_chars", F.ntile(10).over(w).alias("decile"))
+        ranked.select("n_chars", decile.cast("int").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -1355,6 +1355,71 @@ def test_new_tpch_plan_pins(spark, sf_dir, name, expect):
         assert feats[k] == v, f"{name}: {k}={feats[k]} expected {v} ({feats})"
 
 
+def test_no_undeclared_unbounded_funnels(spark, sf_dir):
+    """Machine-enforced replacement for PLANS.md's hand-listed
+    single-partition whitelist (VERDICT r7 item 6): every
+    `Exchange SinglePartition` in every auditable registry plan must be
+    fed by a row-count-bounding operator (aggregate / limit /
+    group-top-k) — or be a declared-semantics exemption in
+    tools/gen_plans.py:SP_UNBOUNDED_DECLARED."""
+    import sys
+    from pathlib import Path
+
+    from s3_kinesis_replay_spark.plans.audit import audit_plan
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.gen_plans import SKIP_PREFIXES, SP_UNBOUNDED_DECLARED
+
+    offenders = {}
+    for name, q in QUERIES.items():
+        if any(name.startswith(p) for p in SKIP_PREFIXES):
+            continue
+        feats = audit_plan(q.fn(spark, sf_dir))
+        if "UNBOUNDED" in feats["sp_class"] and name not in SP_UNBOUNDED_DECLARED:
+            offenders[name] = feats["sp_class"]
+    assert not offenders, (
+        f"undeclared UNBOUNDED single-partition funnels: {offenders} — "
+        "rewrite the plan (agg-rank / limit) or declare the semantics in "
+        "SP_UNBOUNDED_DECLARED with the scale-safe sibling named"
+    )
+
+
+def test_p5_decile_arithmetic_matches_ntile(spark):
+    """The p5 rank->bucket arithmetic must equal ntile(10) exactly,
+    including the uneven-N case (first N%10 buckets get the extra row)."""
+    from pyspark.sql import Window
+
+    rows = [(i, (i * 7) % 23) for i in range(1, 48)]  # N=47: 7 big buckets
+    df = spark.createDataFrame(rows, "doc_id int, n_chars int")
+    w = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    expected = {
+        (r["doc_id"], r["d"])
+        for r in df.select("doc_id", F.ntile(10).over(w).alias("d")).collect()
+    }
+    n = 47
+    wrn = Window.partitionBy("n_chars").orderBy("doc_id")
+    counts = df.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    woff = Window.orderBy(F.col("n_chars").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "n_chars", F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("base")
+    )
+    small, n_big = n // 10, n % 10
+    rk = F.col("base") + F.row_number().over(wrn)
+    decile = F.when(
+        rk <= n_big * (small + 1),
+        F.ceil(rk.cast("double") / (small + 1)),
+    ).otherwise(n_big + F.ceil((rk - n_big * (small + 1)).cast("double") / small))
+    got = {
+        (r["doc_id"], r["d"])
+        for r in df.join(F.broadcast(offsets), "n_chars")
+        .select("doc_id", decile.cast("int").alias("d"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """The winnowing guarantee (Schleimer et al. 2003): two documents
     sharing ANY substring of length >= k + w - 1 must share at least one

@@ -24,11 +24,16 @@ SKIP_PREFIXES = ("a6", "a7", "a9", "a10", "c10", "c11", "h1_", "h2_", "h3_",
                  "h4", "h5_", "h6_", "h7", "h8", "a8", "p18")
 
 COLS = [
-    "exchanges", "single_partition", "broadcast_joins", "shuffle_joins",
-    "take_ordered", "window_group_limit", "partial_agg_pairs",
-    "pushed_filters", "partition_filters", "codegen_spans", "python_ops",
-    "aqe", "rdd_scans", "scans",
+    "exchanges", "single_partition", "sp_class", "broadcast_joins",
+    "shuffle_joins", "take_ordered", "window_group_limit",
+    "partial_agg_pairs", "pushed_filters", "partition_filters",
+    "codegen_spans", "python_ops", "aqe", "rdd_scans", "scans",
 ]
+
+# Declared-semantics exemptions: queries whose UNBOUNDED single-partition
+# funnel is the DECLARED contract (with the scale-safe sibling named).
+# Everything else with an UNBOUNDED funnel fails the audit test.
+SP_UNBOUNDED_DECLARED: dict[str, str] = {}
 
 
 def fmt(v) -> str:
@@ -46,14 +51,17 @@ def main() -> None:
         "",
         "Regenerate with `python tools/gen_plans.py` (analyzes the AQE",
         "initial plan at sf0.01; no query execution). Empty cell = 0/no.",
-        "`single_partition` > 0 is acceptable only for declared-global",
-        "sorts/limits (F1/F2/F3-class) and scalar/1-row aggregates — current",
-        "set: global counts (i1b, d2, d4, d7, d8b, a5b), the 1-row IDF `N`",
-        "(i8), the 4-row funnel window (p4), global ntile (p5), the",
-        "vocab-sized id-assignment rank (i7b — runs on the aggregated",
-        "vocabulary, not the corpus), global-threshold 1-row aggs",
-        "(q15/q17/q22, p11) — all bounded",
-        "outputs. `python_ops` > 0 only where the operator is Python by",
+        "`sp_class` machine-classifies every `Exchange SinglePartition`",
+        "funnel (round 8; replaces the former hand-listed whitelist):",
+        "`bounded(<op>)` = a row-count-bounding operator (aggregate /",
+        "limit / group-top-k) feeds the funnel, so at 100 TB the funnel",
+        "carries group-space rows, not data; `UNBOUNDED` = raw rows",
+        "through one task — the audit test",
+        "(tests/test_operators.py::test_no_undeclared_unbounded_funnels)",
+        "fails on any UNBOUNDED entry not declared in",
+        "tools/gen_plans.py:SP_UNBOUNDED_DECLARED (currently empty —",
+        "p5's global ntile, the last one, was rewritten to agg-rank).",
+        "`python_ops` > 0 only where the operator is Python by",
         "design (J rows, mapInPandas tiers, multimodal, grid matmuls).",
         "`codegen_spans` under-counts before execution under AQE (the",
         "initial plan prints without codegen annotations). Streaming-live",
