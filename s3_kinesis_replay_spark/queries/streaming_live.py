@@ -460,6 +460,65 @@ def _p18_oracle() -> str:
 
 
 @register(
+    "c2c_streaming_merge",
+    "C2",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           event_type AS last_type,
+           ROUND(CAST(value AS DOUBLE), 6) AS last_value,
+           CAST(event_id AS BIGINT) AS last_event_id
+    FROM latest
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    check="SEM",
+    note="STREAMING MERGE composite (VERDICT r7 item 7) — c2b's CDC "
+    "upsert inside the A6/A10 replay machinery: the paced event replay "
+    "foreachBatch-merges each micro-batch's latest-event-per-user into "
+    "a persisted parquet snapshot behind an atomic pointer "
+    "(streaming/merge_sink.py). Idempotent WITHOUT a transaction log: "
+    "changes apply only when strictly newer by (ts, event_id), so "
+    "checkpoint-recovery batch re-execution and at-least-once "
+    "duplication are no-ops (kill/resume pinned in tests/"
+    "test_streaming.py). Deletes are retained TOMBSTONES ('error' "
+    "events) filtered at read time — physical deletion would let a "
+    "stale out-of-order change resurrect the key (the CDC resurrection "
+    "bug; same discipline as Kafka log compaction). Oracle: the folded "
+    "snapshot must equal the batch argmax per user over the whole log "
+    "— the declared CDC contract.",
+)
+def c2c_streaming_merge(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.streaming.merge_sink import (
+        run_streaming_merge,
+        snapshot_live,
+    )
+
+    root = stage_archive(sf_dir, gz=True)
+    snap_root = tempfile.mkdtemp(prefix="skr_merge_snap_")
+    q = run_streaming_merge(
+        spark,
+        stream_archive(spark, root, max_files_per_trigger=6),
+        snap_root,
+        tempfile.mkdtemp(prefix="skr_ckpt_"),
+    )
+    q.awaitTermination(600)
+    assert os.path.exists(os.path.join(snap_root, "current"))
+    return snapshot_live(spark, snap_root).select(
+        "user_id",
+        "last_type",
+        F.round("last_value", 6).alias("last_value"),
+        F.col("event_id").alias("last_event_id"),
+    )
+
+
+@register(
     "p18_replay_training_pipeline",
     "A6",
     _p18_oracle(),

@@ -328,6 +328,86 @@ def test_h6b_transform_with_state(spark, sf_dir, archive_root, tmp_path):
     _assert_same(batch, final)
 
 
+def test_c2c_streaming_merge_kill_resume(spark, sf_dir, tmp_path):
+    """C2c: kill the merge stream mid-fold, resume from the checkpoint —
+    the final snapshot must equal the uninterrupted batch argmax
+    (idempotence of the monotonic-guard merge under batch re-execution),
+    and the kill must have happened mid-stream (some batches applied,
+    not all)."""
+    import os
+    import time
+
+    from s3_kinesis_replay_spark.streaming.merge_sink import (
+        run_streaming_merge,
+        snapshot_live,
+    )
+
+    root = stage_archive(sf_dir, gz=True)
+    snap_root = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_archive(spark, root, max_files_per_trigger=2)
+    q = run_streaming_merge(spark, stream, snap_root, ckpt)
+    deadline = time.time() + 120
+    while time.time() < deadline and not os.path.exists(
+        os.path.join(snap_root, "current")
+    ):
+        time.sleep(0.25)
+    q.stop()
+    applied_first = len(
+        [d for d in os.listdir(snap_root) if d.startswith("batch-")]
+    )
+    assert applied_first >= 1, "kill happened before any batch applied"
+
+    q2 = run_streaming_merge(
+        spark, stream_archive(spark, root, max_files_per_trigger=2), snap_root, ckpt
+    )
+    q2.awaitTermination(600)
+    applied_total = len(
+        [d for d in os.listdir(snap_root) if d.startswith("batch-")]
+    )
+    assert applied_total > applied_first, "kill was not mid-stream"
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expected = {
+        (r["user_id"], r["event_id"], r["event_type"])
+        for r in e.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("m"))
+        .select("user_id", "m.event_id", "m.event_type")
+        .collect()
+        if r["event_type"] != "error"
+    }
+    got = {
+        (r["user_id"], r["event_id"], r["last_type"])
+        for r in snapshot_live(spark, snap_root).collect()
+    }
+    assert got == expected
+
+
+def test_c2c_merge_stale_change_cannot_resurrect_tombstone(spark):
+    """The tombstone-retention property: after a key's newest event is
+    the tombstone, merging an OLDER change for that key must not bring
+    it back to the live view (the CDC resurrection bug the design
+    guards against)."""
+    from datetime import datetime
+
+    from s3_kinesis_replay_spark.streaming.merge_sink import merge_batch
+
+    t0, t1 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    target = spark.createDataFrame(
+        [(7, t1, 100, "error", 0.0)],
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "last_type string, last_value double",
+    )
+    stale = spark.createDataFrame(
+        [(7, t0, 50, "click", 1.5)],
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "last_type string, last_value double",
+    )
+    out = merge_batch(target, stale).collect()
+    assert len(out) == 1 and out[0]["last_type"] == "error"
+    assert out[0]["event_id"] == 100
+
+
 def test_p18_replay_pipeline_bites_and_deterministic(spark, sf_dir, duck):
     """The p18 composite's stages must actually drop documents (not a
     vacuous pipeline) and re-running the whole stream+batch composite
