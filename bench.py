@@ -105,6 +105,9 @@ EXTRAS = [
     # would swap xxhash64 JVM-side)
     # round 8
     "i3h_incremental_winnow",  # xxhash winnow batch vs STORED fp snapshot
+    "d7b_quantile_sketch_merge",  # mergeable per-shard quantile summaries
+    "c2c_streaming_merge",    # replay stream -> CDC snapshot upsert
+    "i13i_residual_pq_topk",  # residual IVFADC over stored indexes
 ]
 
 

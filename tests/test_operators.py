@@ -1523,6 +1523,49 @@ def test_i13f_adc_recall_bounds(spark, sf_dir):
     assert len(got & set(exact)) >= 2, f"ADC recall collapsed: {got} vs {exact}"
 
 
+def test_i13i_residual_pq_recall_and_shape(spark, sf_dir):
+    """Residual IVFADC (i13i): distances positive-ascending, the top-10
+    recovers a non-trivial share of the exact euclidean top-10 (same
+    floor discipline as i13f — single-query floor, the distribution-level
+    residual-vs-plain comparison lives in the SCALE.md experiment), and
+    the scored candidate set respects the probe pruning (every result in
+    a probed cell)."""
+    import numpy as np
+
+    rows = QUERIES["i13i_residual_pq_topk"].fn(spark, sf_dir).collect()
+    dists = [r["adc_dist"] for r in rows]
+    assert dists == sorted(dists) and all(d > 0 for d in dists)
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    X = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in e}
+    q = X[0]
+    exact = [
+        k
+        for _, k in sorted(
+            (float(((v - q) ** 2).sum()), k) for k, v in X.items() if k != 0
+        )[:10]
+    ]
+    got = {r["vec_id"] for r in rows}
+    assert len(got & set(exact)) >= 2, f"residual ADC recall collapsed: {got}"
+
+    # every returned id must belong to a probed cell (the IVF pruning is
+    # real, not decorative)
+    from s3_kinesis_replay_spark.operators.similarity import _probe_cells
+
+    idx = "/tmp/skr_ivf_oracle/i13"
+    cents = spark.read.parquet(f"{idx}/_centroids").collect()
+    probed = set(
+        _probe_cells([(r["cell"], r["centroid"]) for r in cents], list(q), 4)
+    )
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(f"{idx}/vectors")
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert all(cell_of[v] in probed for v in got)
+
+
 def test_decode_image_real_formats():
     """Uncompressed decode is REAL now: P6 PPM and 24-bpp BMP parse to
     identical luma bytes; compressed magic still raises (the documented
