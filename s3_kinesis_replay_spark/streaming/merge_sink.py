@@ -134,6 +134,24 @@ def snapshot_live(spark: SparkSession, snapshot_root: str, delete_type: str = "e
     return snap.filter(F.col("last_type") != delete_type)
 
 
+def compact_tombstones(
+    snapshot: DataFrame, watermark_ts, delete_type: str = "error"
+) -> DataFrame:
+    """Drop tombstone rows whose event time is at or before
+    ``watermark_ts`` — safe once no change OLDER than the tombstone can
+    still arrive (the stream's event-time watermark), because the only
+    reason to retain a tombstone is to outrank such stragglers. Bounds
+    snapshot growth at 100 TB: live keys persist, dead keys cost one row
+    only within the late-data horizon. The LIVE view is unchanged by
+    construction (tombstones are already filtered from it)."""
+    return snapshot.filter(
+        ~(
+            (F.col("last_type") == delete_type)
+            & (F.col("ts") <= F.lit(watermark_ts))
+        )
+    )
+
+
 def run_streaming_merge(
     spark: SparkSession,
     stream_df: DataFrame,

@@ -408,6 +408,42 @@ def test_c2c_merge_stale_change_cannot_resurrect_tombstone(spark):
     assert out[0]["event_id"] == 100
 
 
+def test_c2c_tombstone_compaction_preserves_live_view(spark):
+    """Compacting tombstones older than the watermark must leave the
+    live view identical, actually remove the old tombstone rows, and
+    keep tombstones INSIDE the late-data horizon (still needed to
+    outrank stragglers)."""
+    from datetime import datetime
+
+    from s3_kinesis_replay_spark.streaming.merge_sink import (
+        compact_tombstones,
+    )
+
+    t0, t1, t2 = (
+        datetime(2024, 1, 1),
+        datetime(2024, 1, 5),
+        datetime(2024, 1, 9),
+    )
+    schema = (
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "last_type string, last_value double"
+    )
+    snap = spark.createDataFrame(
+        [
+            (1, t0, 10, "error", 0.0),   # old tombstone: compactable
+            (2, t2, 20, "error", 0.0),   # recent tombstone: must stay
+            (3, t0, 30, "click", 1.0),   # old live row: must stay
+        ],
+        schema,
+    )
+    out = compact_tombstones(snap, t1)
+    rows = {r["user_id"]: r["last_type"] for r in out.collect()}
+    assert rows == {2: "error", 3: "click"}
+    live_before = {r["user_id"] for r in snap.filter(F.col("last_type") != "error").collect()}
+    live_after = {r["user_id"] for r in out.filter(F.col("last_type") != "error").collect()}
+    assert live_before == live_after == {3}
+
+
 def test_p18_replay_pipeline_bites_and_deterministic(spark, sf_dir, duck):
     """The p18 composite's stages must actually drop documents (not a
     vacuous pipeline) and re-running the whole stream+batch composite
