@@ -36,7 +36,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _shard_summary(values: np.ndarray, m: int) -> tuple[int, np.ndarray, np.ndarray]:
-    v = np.sort(values.astype(np.float64))
+    v = values.astype(np.float64)
+    # SQL percentile/quantile_cont semantics: NULLs are ignored and do
+    # not count toward N (review r8 — NaN would sort last, poisoning
+    # high quantiles and rank-shifting the rest)
+    v = np.sort(v[~np.isnan(v)])
     n = len(v)
     if n <= m:
         return n, v, np.ones(n, dtype=np.float64)
@@ -71,6 +75,9 @@ def sketch_quantiles(
     results do not depend on physical partitioning. Rank error bound:
     N/(2m) per group."""
     est_cols = [f"est_p{int(round(q * 100))}" for q in qs]
+    # group column keeps its own type through both phases (review r8:
+    # a hardcoded string schema broke int/bigint group keys)
+    gtype = df.schema[group_col].dataType.simpleString()
     sharded = df.select(
         F.col(group_col).alias("g"),
         F.col(value_col).cast("double").alias("v"),
@@ -89,18 +96,21 @@ def sketch_quantiles(
         )
 
     partials = sharded.groupBy("g", "_shard").applyInPandas(
-        partial, "g string, n long, vals array<double>, wts array<double>"
+        partial, f"g {gtype}, n long, vals array<double>, wts array<double>"
     )
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         vals = np.concatenate([np.asarray(x) for x in pdf["vals"]])
         wts = np.concatenate([np.asarray(x) for x in pdf["wts"]])
-        ests = _merge_estimate(vals, wts, float(pdf["n"].sum()), qs)
         row = {"g": [pdf["g"].iloc[0]]}
+        if len(vals) == 0:  # all values NULL -> NULL quantiles (SQL)
+            row.update({c: [None] for c in est_cols})
+            return pd.DataFrame(row)
+        ests = _merge_estimate(vals, wts, float(pdf["n"].sum()), qs)
         row.update({c: [round(e, 6)] for c, e in zip(est_cols, ests)})
         return pd.DataFrame(row)
 
     merged = partials.groupBy("g").applyInPandas(
-        merge, "g string, " + ", ".join(f"{c} double" for c in est_cols)
+        merge, f"g {gtype}, " + ", ".join(f"{c} double" for c in est_cols)
     )
     return merged.withColumnRenamed("g", group_col)

@@ -759,6 +759,23 @@ def publish_index_pointer(index_path: str, pointer: str) -> str:
     return pointer
 
 
+def export_behind_pointer(pointer: str, write) -> str:
+    """The per-run export ritual shared by the export-pointer oracles
+    (d4b/d7b/i3h): make the pointer's parent, build a fresh temp export
+    dir there via ``write(export_dir)``, atomically repoint. Returns the
+    export dir. (Fingerprint-CACHED exports use atomic_cached_build
+    instead — this is for artifacts rebuilt every run.)"""
+    import os
+    import tempfile
+
+    base = os.path.dirname(pointer)
+    os.makedirs(base, exist_ok=True)
+    export = tempfile.mkdtemp(prefix="export-", dir=base)
+    write(export)
+    publish_index_pointer(export, pointer)
+    return export
+
+
 def ivf_build(
     corpus: DataFrame,
     path: str,

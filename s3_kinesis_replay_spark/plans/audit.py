@@ -56,6 +56,21 @@ _BOUNDING_OPS = (
     "WindowGroupLimit",
 )
 
+# Operators that can RE-EXPAND rows: a bounding op BELOW one of these
+# does not bound what reaches the exchange (review r8 — a join or
+# explode between the aggregate and the funnel re-inflates the stream).
+_EXPANDING_OPS = (
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "Generate",
+    "Expand",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+)
+
 
 def _tree_depth(line: str) -> int:
     """Column of the operator name in Spark's toString tree drawing —
@@ -69,8 +84,18 @@ def _tree_depth(line: str) -> int:
 def classify_single_partition(plan: str) -> list[str]:
     """For each `Exchange SinglePartition` in the plan, classify its
     input subtree: 'bounded(<op>)' when a row-count-bounding operator
-    (aggregate / limit / group-top-k) feeds the funnel, else 'UNBOUNDED'
-    — the class that funnels raw data through one task at 100 TB.
+    (aggregate / limit / group-top-k) feeds the funnel with NO
+    row-expanding operator (join / explode / grouped-map) between it and
+    the exchange, else 'UNBOUNDED' — the class that funnels raw data
+    through one task at 100 TB.
+
+    Decision rule: the FIRST bounding-or-expanding operator met in the
+    subtree's pre-order walk decides. Pre-order visits an operator
+    before its children, so a join directly under the exchange is seen
+    before any aggregate buried in its inputs (-> UNBOUNDED: the
+    aggregate does not bound the join's output), while an aggregate
+    whose own input contains a join is seen first (-> bounded: group
+    space is what crosses the funnel).
 
     Machine replacement for PLANS.md's hand-listed whitelist (VERDICT r7
     item 6): the audit test fails on any UNBOUNDED funnel that is not a
@@ -86,11 +111,18 @@ def classify_single_partition(plan: str) -> list[str]:
             d = _tree_depth(sub)
             if d != -1 and d <= depth:
                 break  # left the exchange's input subtree
-            for op in _BOUNDING_OPS:
-                if op in sub and f"Object{op}" not in sub:
-                    verdict = f"bounded({op})"
+            hit = None
+            for op in _EXPANDING_OPS:
+                if op in sub:
+                    hit = "UNBOUNDED"
                     break
-            if verdict != "UNBOUNDED":
+            if hit is None:
+                for op in _BOUNDING_OPS:
+                    if op in sub and f"Object{op}" not in sub:
+                        hit = f"bounded({op})"
+                        break
+            if hit is not None:
+                verdict = hit
                 break
         out.append(verdict)
     return out

@@ -463,10 +463,9 @@ _HLL_ORACLE_PTR = "/tmp/skr_hll_oracle/current"
 )
 def d4b_hll_sketch_union(spark, sf_dir):
     import os
-    import tempfile
 
     from s3_kinesis_replay_spark.operators.similarity import (
-        publish_index_pointer,
+        export_behind_pointer,
     )
 
     e = t(spark, "events", sf_dir)
@@ -503,13 +502,12 @@ def d4b_hll_sketch_union(spark, sf_dir):
         )
         .orderBy("event_type")
     )
-    base = os.path.dirname(_HLL_ORACLE_PTR)
-    os.makedirs(base, exist_ok=True)
-    export = tempfile.mkdtemp(prefix="est-", dir=base)
-    out.select("event_type", "est_users").write.mode("overwrite").parquet(
-        os.path.join(export, "est")
+    export_behind_pointer(
+        _HLL_ORACLE_PTR,
+        lambda export: out.select("event_type", "est_users")
+        .write.mode("overwrite")
+        .parquet(os.path.join(export, "est")),
     )
-    publish_index_pointer(export, _HLL_ORACLE_PTR)
     return out
 
 
@@ -553,13 +551,12 @@ _QSK_ORACLE_PTR = "/tmp/skr_qsketch_oracle/current"
 )
 def d7b_quantile_sketch_merge(spark, sf_dir):
     import os
-    import tempfile
 
     from s3_kinesis_replay_spark.operators.quantile_sketch import (
         sketch_quantiles,
     )
     from s3_kinesis_replay_spark.operators.similarity import (
-        publish_index_pointer,
+        export_behind_pointer,
     )
 
     o = t(spark, "orders", sf_dir).select(
@@ -606,11 +603,12 @@ def d7b_quantile_sketch_merge(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
-    base = os.path.dirname(_QSK_ORACLE_PTR)
-    os.makedirs(base, exist_ok=True)
-    export = tempfile.mkdtemp(prefix="est-", dir=base)
-    est.write.mode("overwrite").parquet(os.path.join(export, "est"))
-    publish_index_pointer(export, _QSK_ORACLE_PTR)
+    export_behind_pointer(
+        _QSK_ORACLE_PTR,
+        lambda export: est.write.mode("overwrite").parquet(
+            os.path.join(export, "est")
+        ),
+    )
     return out
 
 

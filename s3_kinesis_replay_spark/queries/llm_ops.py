@@ -1467,7 +1467,6 @@ _WINNOW_ORACLE_PTR = "/tmp/skr_winnow_oracle/current"
 )
 def i3h_incremental_winnow(spark, sf_dir):
     import os
-    import tempfile
 
     from s3_kinesis_replay_spark.operators.dedup import (
         winnow_incremental_pairs,
@@ -1476,7 +1475,7 @@ def i3h_incremental_winnow(spark, sf_dir):
     from s3_kinesis_replay_spark.operators.similarity import (
         atomic_cached_build,
         data_fingerprint,
-        publish_index_pointer,
+        export_behind_pointer,
     )
 
     k, w, min_shared = 20, 4, 20
@@ -1507,13 +1506,16 @@ def i3h_incremental_winnow(spark, sf_dir):
     batch_fps = winnowed_fingerprints_fast(batch, k, w).localCheckpoint(
         eager=True
     )
-    base = os.path.dirname(_WINNOW_ORACLE_PTR)
-    os.makedirs(base, exist_ok=True)
-    export = tempfile.mkdtemp(prefix="winnow-", dir=base)
-    batch_fps.write.mode("overwrite").parquet(os.path.join(export, "batch"))
-    # snapshot side: link the stored build instead of re-copying it
-    os.symlink(os.path.join(snap_store, "snap"), os.path.join(export, "snap"))
-    publish_index_pointer(export, _WINNOW_ORACLE_PTR)
+    def _write(export: str) -> None:
+        batch_fps.write.mode("overwrite").parquet(
+            os.path.join(export, "batch")
+        )
+        # snapshot side: link the stored build instead of re-copying it
+        os.symlink(
+            os.path.join(snap_store, "snap"), os.path.join(export, "snap")
+        )
+
+    export_behind_pointer(_WINNOW_ORACLE_PTR, _write)
     return winnow_incremental_pairs(
         snap_fps, batch_fps, min_shared, keep_count=True
     )

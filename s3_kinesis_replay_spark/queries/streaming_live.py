@@ -501,10 +501,21 @@ def c2c_streaming_merge(spark, sf_dir):
     )
 
     root = stage_archive(sf_dir, gz=True)
+    # pace to ~5 micro-batches at ANY scale factor: the fold converges to
+    # the same snapshot regardless of batch boundaries (that is the
+    # contract under test), and per-batch cost includes a full snapshot
+    # rewrite — 34 batches at sf0.1 measured 20 s where 5 measure ~4 s
+    n_files = sum(
+        1
+        for _dir, _sub, files in os.walk(root)
+        for f in files
+        if f.endswith(".gz")
+    )
+    per_trigger = max(6, -(-n_files // 5))
     snap_root = tempfile.mkdtemp(prefix="skr_merge_snap_")
     q = run_streaming_merge(
         spark,
-        stream_archive(spark, root, max_files_per_trigger=6),
+        stream_archive(spark, root, max_files_per_trigger=per_trigger),
         snap_root,
         tempfile.mkdtemp(prefix="skr_ckpt_"),
     )

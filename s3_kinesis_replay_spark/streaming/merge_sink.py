@@ -98,6 +98,18 @@ def merge_foreach_batch(snapshot_root: str):
 
     def fn(batch_df: DataFrame, batch_id: int):
         spark = batch_df.sparkSession
+        out_dir = os.path.join(snapshot_root, f"batch-{batch_id}")
+        # Re-execution short-circuit (review r8): if this batch's dir is
+        # what the pointer ALREADY publishes, the batch completed before
+        # the crash (write + publish done, stream commit lost). Merging
+        # again would be a semantic no-op by the monotonic guard — but
+        # mechanically it would OVERWRITE the very directory being read
+        # (Spark refuses: 'Cannot overwrite a path that is also being
+        # read from'). Skip; the stream re-commits and moves on.
+        if os.path.exists(pointer) and os.path.realpath(
+            pointer
+        ) == os.path.realpath(out_dir):
+            return
         changes = (
             batch_df.groupBy("user_id")
             .agg(
@@ -119,7 +131,6 @@ def merge_foreach_batch(snapshot_root: str):
             )
         )
         target = _read_snapshot(spark, pointer)
-        out_dir = os.path.join(snapshot_root, f"batch-{batch_id}")
         # no broadcast hint: FULL OUTER cannot broadcast-hash — the join
         # shuffles on user_id only; the change side is micro-batch-sized
         merge_batch(target, changes).write.mode("overwrite").parquet(out_dir)

@@ -155,6 +155,35 @@ def test_quantile_sketch_shard_count_invariance(spark, sf_dir):
             )
 
 
+def test_quantile_sketch_int_group_and_null_values(spark):
+    """Review r8: non-string group keys must work (schema derives from
+    the input type) and NULL values must be ignored per SQL percentile
+    semantics — not counted in N, never poisoning high quantiles."""
+    from s3_kinesis_replay_spark.operators.quantile_sketch import (
+        sketch_quantiles,
+    )
+
+    rows = [(1, i, float(i)) for i in range(1, 101)]
+    rows += [(1, 1000 + i, None) for i in range(30)]  # 30 NULLs
+    rows += [(2, 2000 + i, None) for i in range(5)]   # all-NULL group
+    df = spark.createDataFrame(rows, "grp bigint, k long, v double")
+    est = {
+        r["grp"]: r["est_p50"]
+        for r in sketch_quantiles(
+            df,
+            group_col="grp",
+            value_col="v",
+            shard_col=F.pmod(F.xxhash64("k"), F.lit(4)),
+            qs=(0.5,),
+            m=16,
+        ).collect()
+    }
+    # group 1: median of 1..100 ignoring NULLs is ~50 (m=16 on 4 shards
+    # of ~25 values -> every value kept exactly, so error <= 1 rank)
+    assert abs(est[1] - 50.0) <= 2.0, est
+    assert est[2] is None  # all-NULL group -> NULL quantile
+
+
 def test_quantile_sketch_exact_when_small():
     """A summary that keeps every value (n <= m) must return the exact
     discrete quantile — the degenerate case the bound collapses to."""

@@ -408,6 +408,50 @@ def test_c2c_merge_stale_change_cannot_resurrect_tombstone(spark):
     assert out[0]["event_id"] == 100
 
 
+def test_c2c_batch_reexecution_short_circuits(spark, tmp_path):
+    """Review r8: re-executing a batch that completed (write + pointer
+    publish) but whose stream commit was lost must NO-OP — the naive
+    re-merge would overwrite the very directory being read (Spark
+    refuses) or destroy the only snapshot copy."""
+    import os
+
+    from s3_kinesis_replay_spark.streaming.merge_sink import (
+        merge_foreach_batch,
+    )
+
+    root = str(tmp_path / "snap")
+    fn = merge_foreach_batch(root)
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10, "click", 1.0)],
+        "user_id bigint, ts string, event_id bigint, "
+        "event_type string, value double",
+    ).select(
+        "user_id", F.col("ts").cast("timestamp"), "event_id",
+        "event_type", "value",
+    )
+    fn(batch, 0)
+    before = sorted(os.listdir(os.path.realpath(os.path.join(root, "current"))))
+    snap1 = spark.read.parquet(os.path.realpath(os.path.join(root, "current"))).collect()
+    fn(batch, 0)  # crash-recovery re-execution of the same batch id
+    after = sorted(os.listdir(os.path.realpath(os.path.join(root, "current"))))
+    snap2 = spark.read.parquet(os.path.realpath(os.path.join(root, "current"))).collect()
+    assert before == after and snap1 == snap2
+    # a LATER batch against the published snapshot still applies
+    batch2 = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00", 20, "purchase", 2.0)],
+        "user_id bigint, ts string, event_id bigint, "
+        "event_type string, value double",
+    ).select(
+        "user_id", F.col("ts").cast("timestamp"), "event_id",
+        "event_type", "value",
+    )
+    fn(batch2, 1)
+    rows = spark.read.parquet(
+        os.path.realpath(os.path.join(root, "current"))
+    ).collect()
+    assert len(rows) == 1 and rows[0]["event_id"] == 20
+
+
 def test_c2c_tombstone_compaction_preserves_live_view(spark):
     """Compacting tombstones older than the watermark must leave the
     live view identical, actually remove the old tombstone rows, and
