@@ -452,6 +452,70 @@ def test_c2c_batch_reexecution_short_circuits(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["event_id"] == 20
 
 
+def test_c2c_merge_fold_is_batch_boundary_invariant(spark):
+    """Property pin for the c2c contract: folding merge_batch over ANY
+    partition of the event log — including shuffled, out-of-order
+    batches and duplicated batches (at-least-once) — must converge to
+    the per-key argmax snapshot. Seeded random splits instead of
+    hypothesis: each example costs several Spark jobs."""
+    import random
+    from datetime import datetime, timedelta
+
+    from s3_kinesis_replay_spark.streaming.merge_sink import merge_batch
+
+    rng = random.Random(1234)
+    base = datetime(2024, 1, 1)
+    events = [
+        (
+            uid,
+            base + timedelta(hours=rng.randint(0, 500)),
+            eid,
+            rng.choice(["click", "view", "error"]),
+            float(rng.randint(0, 100)),
+        )
+        for eid, uid in enumerate(rng.choices(range(8), k=40))
+    ]
+    schema = (
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "last_type string, last_value double"
+    )
+    expected = {}
+    for uid, ts, eid, typ, val in events:
+        cur = expected.get(uid)
+        if cur is None or (ts, eid) > (cur[0], cur[1]):
+            expected[uid] = (ts, eid, typ, val)
+    want = {(u, *v) for u, v in expected.items()}
+
+    for trial in range(4):
+        order = events[:]
+        rng.shuffle(order)
+        # random batch boundaries; duplicate one batch to model
+        # at-least-once redelivery
+        cuts = sorted(rng.sample(range(1, len(order)), rng.randint(1, 6)))
+        batches = [
+            order[a:b] for a, b in zip([0] + cuts, cuts + [len(order)])
+        ]
+        if trial % 2:
+            batches.append(batches[rng.randrange(len(batches))])
+        snap = spark.createDataFrame([], schema)
+        for b in batches:
+            # per-batch latest per key (MERGE's one-row-per-key contract)
+            latest = {}
+            for uid, ts, eid, typ, val in b:
+                cur = latest.get(uid)
+                if cur is None or (ts, eid) > (cur[0], cur[1]):
+                    latest[uid] = (ts, eid, typ, val)
+            changes = spark.createDataFrame(
+                [(u, *v) for u, v in latest.items()], schema
+            )
+            snap = merge_batch(snap, changes).localCheckpoint(eager=True)
+        got = {
+            (r["user_id"], r["ts"], r["event_id"], r["last_type"], r["last_value"])
+            for r in snap.collect()
+        }
+        assert got == want, f"trial {trial}: fold diverged"
+
+
 def test_c2c_tombstone_compaction_preserves_live_view(spark):
     """Compacting tombstones older than the watermark must leave the
     live view identical, actually remove the old tombstone rows, and
