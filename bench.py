@@ -108,6 +108,7 @@ EXTRAS = [
     "d7b_quantile_sketch_merge",  # mergeable per-shard quantile summaries
     "c2c_streaming_merge",    # replay stream -> CDC snapshot upsert
     "i13i_residual_pq_topk",  # residual IVFADC over stored indexes
+    "mm5_image_resize",       # real decode + mean-pool resize in one pass
 ]
 
 

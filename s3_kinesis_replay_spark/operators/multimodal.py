@@ -131,6 +131,40 @@ def _decode_bmp24(content: bytes) -> bytes:
     return bytes(out)
 
 
+def resize_frame(
+    frame: bytes, w: int, h: int, out_w: int, out_h: int
+) -> bytes:
+    """Grayscale frame resize — the third multimodal verb next to decode
+    and frame-sample: integer MEAN-POOLING when the source dimensions
+    divide evenly by the target (each output pixel = floor-average of
+    its sx×sy source block — exact integer arithmetic, cross-engine
+    reproducible), else nearest-neighbor sampling (pure index math).
+    Runs per-blob inside mapInPandas: frames never shuffle, and the
+    downsampled output is what ships to the feature extractor — at
+    100 TB resizing AT THE SCAN cuts the bytes entering the pipeline by
+    (w·h)/(out_w·out_h)."""
+    if len(frame) != w * h:
+        raise ValueError(f"frame size {len(frame)} != {w}x{h}")
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("target dimensions must be positive")
+    if w % out_w == 0 and h % out_h == 0:
+        sx, sy = w // out_w, h // out_h
+        out = bytearray(out_w * out_h)
+        for r in range(out_h):
+            for c in range(out_w):
+                s = 0
+                for dy in range(sy):
+                    for dx in range(sx):
+                        s += frame[(r * sy + dy) * w + c * sx + dx]
+                out[r * out_w + c] = s // (sx * sy)
+        return bytes(out)
+    return bytes(
+        frame[(r * h // out_h) * w + (c * w // out_w)]
+        for r in range(out_h)
+        for c in range(out_w)
+    )
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: hash, size, mean byte, frame count.
 

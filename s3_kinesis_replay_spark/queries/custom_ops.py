@@ -750,6 +750,85 @@ def mm4_audio_features(spark, sf_dir):
     )
 
 
+def _mm5_luma(j: str) -> str:
+    """Integer luma of source pixel ``j`` recomputed from the document's
+    character codes — (R+G+B)//3 over three consecutive ascii bytes."""
+    return (
+        f"((ascii(substr(text, 3 * ({j}) + 1, 1))"
+        f" + ascii(substr(text, 3 * ({j}) + 2, 1))"
+        f" + ascii(substr(text, 3 * ({j}) + 3, 1))) // 3)"
+    )
+
+
+@register(
+    "mm5_image_resize",
+    "I9",
+    f"""
+    WITH eligible AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= 192 AND regexp_matches(text, '^[ -~]*$')
+    ),
+    px AS (
+      SELECT doc_id, CAST(unnest(range(0, 16)) AS INTEGER) AS p, text
+      FROM eligible
+    )
+    SELECT doc_id AS media_id, p AS px,
+           CAST(({_mm5_luma("16 * (p // 4) + 2 * (p % 4)")}
+                 + {_mm5_luma("16 * (p // 4) + 2 * (p % 4) + 1")}
+                 + {_mm5_luma("16 * (p // 4) + 2 * (p % 4) + 8")}
+                 + {_mm5_luma("16 * (p // 4) + 2 * (p % 4) + 9")})
+                // 4 AS INTEGER) AS v
+    FROM px
+    """,
+    note="REAL image resize, oracle-checked — the third multimodal verb "
+    "(decode / frame-sample / RESIZE) made concrete: each eligible "
+    "document's first 192 bytes become a genuine 8x8 P6 PPM (mm3's "
+    "construction), decode_image parses it for real, and "
+    "operators/multimodal.resize_frame mean-pools it to 4x4 with exact "
+    "integer arithmetic — all inside ONE mapInPandas pass (blobs never "
+    "shuffle; at 100 TB resizing at the scan divides downstream bytes "
+    "by the pooling factor). The oracle recomputes every output pixel "
+    "from the character codes: out[p] = floor-mean of the 2x2 source "
+    "block whose lumas are (R+G+B)//3 of consecutive ascii codes — "
+    "integer-exact in both engines, no rounding surface at all.",
+)
+def mm5_image_resize(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from s3_kinesis_replay_spark.operators.multimodal import (
+        decode_image,
+        resize_frame,
+    )
+
+    d = t(spark, "documents", sf_dir).filter(
+        (F.length("text") >= 192) & F.col("text").rlike("^[ -~]*$")
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(F.lit("P6\n8 8\n255\n"), F.substring("text", 1, 192)),
+            "UTF-8",
+        ).alias("content"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                frame = decode_image(bytes(content), codec="real")
+                small = resize_frame(frame, 8, 8, 4, 4)
+                rows += [
+                    (int(media_id), p, int(v)) for p, v in enumerate(small)
+                ]
+            yield pd.DataFrame(rows, columns=["media_id", "px", "v"])
+
+    return media.mapInPandas(run, "media_id long, px int, v int")
+
+
 @register(
     "t10_unigram_logprob",
     "I9",

@@ -1656,6 +1656,30 @@ def test_decode_ppm_malformed_headers_raise():
         decode_image(b"P6\n0 5\n255\n")
 
 
+def test_resize_frame_pooling_and_nearest():
+    """Mean-pooling path: exact floor-average per 2x2 block; nearest
+    path: pure index sampling when dims don't divide; bad inputs raise."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.operators.multimodal import resize_frame
+
+    # 4x2 -> 2x1: blocks {0,1,4,5} and {2,3,6,7}
+    frame = bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    assert list(resize_frame(frame, 4, 2, 2, 1)) == [
+        (10 + 20 + 50 + 60) // 4,
+        (30 + 40 + 70 + 80) // 4,
+    ]
+    # identity resize
+    assert resize_frame(frame, 4, 2, 4, 2) == frame
+    # non-dividing target -> nearest-neighbor (3 of 4 columns sampled)
+    out = resize_frame(frame, 4, 2, 3, 2)
+    assert list(out) == [10, 20, 30, 50, 60, 70]
+    with _pytest.raises(ValueError, match="frame size"):
+        resize_frame(frame, 5, 2, 2, 1)
+    with _pytest.raises(ValueError, match="positive"):
+        resize_frame(frame, 4, 2, 0, 1)
+
+
 def test_decode_audio_real_wav():
     """RIFF/WAVE PCM16 parses for real (round-trip through pack), odd
     chunk sizes word-align, and compressed magic raises."""
