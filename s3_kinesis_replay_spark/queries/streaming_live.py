@@ -196,6 +196,108 @@ def a10_checkpoint_resume(spark, sf_dir):
     )
 
 
+# Fixed pointer the d4c oracle reads: the drain's union-merged per-type
+# estimates export behind it (d4b pattern).
+_SHLL_ORACLE_PTR = "/tmp/skr_shll_oracle/current"
+
+
+@register(
+    "d4c_streaming_hll_merge",
+    "D4",
+    f"""
+    WITH est AS (
+      SELECT event_type, est_users
+      FROM read_parquet('{_SHLL_ORACLE_PTR}/est/*.parquet')
+    ),
+    exact AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    )
+    SELECT x.event_type, CAST(e.est_users AS BIGINT) AS est_users,
+           x.exact_users, x.n_events, TRUE AS est_in_tol
+    FROM exact x JOIN est e ON e.event_type = x.event_type
+    ORDER BY x.event_type
+    """,
+    check="SEM",
+    note="STREAMING mergeable-sketch composite — d4b's 'per-shard "
+    "sketches persist and merge across days' claim with real streaming "
+    "code: each replay micro-batch writes its per-event_type HLL sketch "
+    "binaries (one partial-agg pass, sketch bytes only) to a per-batch "
+    "parquet artifact, and the drain-end estimate UNION-MERGES the "
+    "stored sketches (hll_union_agg) without ever rescanning events — "
+    "batch boundaries are irrelevant because sketch union is "
+    "commutative/associative, which is exactly the algebraic property "
+    "that makes the 100 TB per-day rollup work. Oracle (d4b flag "
+    "pattern): merged estimates export behind the pointer, DuckDB "
+    "recomputes the exact distincts over the whole log and hard-codes "
+    "est_in_tol=TRUE against Spark's computed ±5% flag.",
+)
+def d4c_streaming_hll_merge(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        export_behind_pointer,
+    )
+
+    root = stage_archive(sf_dir, gz=True)
+    sketch_root = tempfile.mkdtemp(prefix="skr_shll_")
+
+    def sink(batch_df, batch_id: int):
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.hll_sketch_agg("user_id").alias("sk"),
+                F.count("*").alias("n_events"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sketch_root, f"batch-{batch_id}"))
+        )
+
+    q = (
+        stream_archive(spark, root, max_files_per_trigger=6)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="skr_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    sketches = spark.read.parquet(os.path.join(sketch_root, "batch-*"))
+    merged = sketches.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+    exact = (
+        t(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    out = (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "est_users",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("est_users").cast("double") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("est_in_tol"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)
+    )
+    export_behind_pointer(
+        _SHLL_ORACLE_PTR,
+        lambda export: out.select("event_type", "est_users")
+        .write.mode("overwrite")
+        .parquet(os.path.join(export, "est")),
+    )
+    return out
+
+
 @register(
     "c10_stream_static_join",
     "C10",

@@ -552,6 +552,43 @@ def test_c2c_tombstone_compaction_preserves_live_view(spark):
     assert live_before == live_after == {3}
 
 
+def test_d4c_streaming_sketch_union_equals_single_pass(spark, sf_dir):
+    """The streamed per-batch sketch union must give the IDENTICAL
+    estimate a single-pass whole-log sketch gives (the merge algebra is
+    exact, not approximately-similar), the flag must hold, and the run
+    must really have produced multiple batch artifacts."""
+    import glob
+
+    from s3_kinesis_replay_spark.registry import all_queries
+
+    rows = {
+        r["event_type"]: r
+        for r in all_queries()["d4c_streaming_hll_merge"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert all(r["est_in_tol"] for r in rows.values())
+    single = {
+        r["event_type"]: r["est"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+        )
+        .collect()
+    }
+    for et, r in rows.items():
+        assert r["est_users"] == single[et], (
+            f"{et}: union-of-batch-sketches {r['est_users']} != "
+            f"single-pass {single[et]}"
+        )
+    # the drain really was multi-batch (pacing bit)
+    batch_dirs = [
+        d for d in glob.glob("/tmp/skr_shll_*/batch-*") if "batch-" in d
+    ]
+    assert len(batch_dirs) >= 2
+
+
 def test_p18_replay_pipeline_bites_and_deterministic(spark, sf_dir, duck):
     """The p18 composite's stages must actually drop documents (not a
     vacuous pipeline) and re-running the whole stream+batch composite
