@@ -1659,3 +1659,81 @@ class TestMergeUpsertFuzz:
         assert not problems, (
             f"del%{del_mod} upd%{upd_mod} ins%{ins_mod}: " + "; ".join(problems)
         )
+
+
+class TestSketchKernels:
+    """Pure-Python kernel properties (no Spark in the loop): the
+    quantile-summary merge must respect the declared rank-error bound on
+    arbitrary data and shardings, and resize pooling must stay inside
+    the source value range."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=400,
+        ),
+        n_shards=st.integers(min_value=1, max_value=8),
+        m=st.integers(min_value=4, max_value=64),
+        q=st.floats(min_value=0.01, max_value=0.99),
+    )
+    def test_quantile_merge_rank_error_bound(self, vals, n_shards, m, q):
+        import numpy as np
+
+        from s3_kinesis_replay_spark.operators.quantile_sketch import (
+            _merge_estimate,
+            _shard_summary,
+        )
+
+        x = np.array(vals, dtype=np.float64)
+        rng = np.random.RandomState(7)
+        shard_of = rng.randint(0, n_shards, len(x))
+        pts, wts, total = [], [], 0
+        for s in range(n_shards):
+            sv = x[shard_of == s]
+            if len(sv) == 0:
+                continue
+            n, p, w = _shard_summary(sv, m)
+            total += n
+            pts.append(p)
+            wts.append(w)
+        est = _merge_estimate(
+            np.concatenate(pts), np.concatenate(wts), float(total), (q,)
+        )[0]
+        # est must be an actual data value whose rank is within the
+        # declared bound N/(2m) per shard -> sum N/(2m), +1 for the
+        # discrete target-rank step
+        srt = np.sort(x)
+        rank = np.searchsorted(srt, est, side="right")
+        bound = len(x) / (2 * m) + 1
+        assert abs(rank - q * len(x)) <= bound + 1, (
+            f"rank {rank} target {q * len(x)} bound {bound}"
+        )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=16),
+        h=st.integers(min_value=1, max_value=16),
+        ow=st.integers(min_value=1, max_value=16),
+        oh=st.integers(min_value=1, max_value=16),
+        seed=st.integers(min_value=0, max_value=1000),
+    )
+    def test_resize_frame_range_and_size(self, w, h, ow, oh, seed):
+        import random
+
+        from s3_kinesis_replay_spark.operators.multimodal import resize_frame
+
+        rng = random.Random(seed)
+        frame = bytes(rng.randrange(256) for _ in range(w * h))
+        out = resize_frame(frame, w, h, ow, oh)
+        assert len(out) == ow * oh
+        if frame:
+            assert min(out) >= min(frame) - 0 and max(out) <= max(frame)
+        # identity resize is exact
+        assert resize_frame(frame, w, h, w, h) == frame
