@@ -131,7 +131,11 @@ def bloom_screen(
                 f"sentinel rows {metas} declare different build parameters "
                 "— mismatched parameters make the screen unsound"
             )
-    bits = bits.filter(F.col("pos") >= 0)
+    # distinct: a union of two bloom tables with overlapping key sets
+    # carries duplicate positive positions, and a duplicated position
+    # would MULTIPLY probe rows through the k left-joins below (review
+    # r8) — the bit relation is tiny, dedup is free
+    bits = bits.filter(F.col("pos") >= 0).distinct()
     p = probes
     for i, pos in enumerate(_positions(F.md5(key_col), bits_hex, k)):
         p = p.withColumn(f"_p{i}", pos)

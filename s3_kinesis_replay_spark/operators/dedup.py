@@ -438,6 +438,35 @@ def ngram_jaccard_pairs(
     )
 
 
+def _winnow_select(docs, k, w, id_col, text_col, gram_hash) -> DataFrame:
+    """Shared winnowing selection kernel: explode k-gram positions,
+    hash each gram with ``gram_hash(gram_col) -> Column``, keep each
+    w-window's minimum, restrict to complete windows, distinct. ONE
+    definition (review r8) so the md5 oracle form and the xxhash64
+    production form can never diverge on selection semantics — only the
+    hash function differs."""
+    from pyspark.sql import Window
+
+    n = docs.filter(F.length(text_col) >= k + w - 1).select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_s")
+    )
+    pos = n.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.length("_s") - k + 1)).alias("_i"),
+        (F.length("_s") - k + 1).alias("_m"),
+        "_s",
+    )
+    h = gram_hash(F.col("_s").substr(F.col("_i"), F.lit(k)))
+    ph = pos.select(id_col, "_i", "_m", h.alias("_h"))
+    win = Window.partitionBy(id_col).orderBy("_i").rowsBetween(0, w - 1)
+    return (
+        ph.select(id_col, "_i", "_m", F.min("_h").over(win).alias("fp"))
+        .filter(F.col("_i") <= F.col("_m") - w + 1)
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
 def winnowed_fingerprints(
     docs: DataFrame,
     k: int = 20,
@@ -454,31 +483,15 @@ def winnowed_fingerprints(
     downstream inverted-index join moves a few dozen longs per document.
 
     Gram hash = two md5 hex slices so an external engine (the i3g DuckDB
-    oracle) selects the identical fingerprint set; swap in xxhash64 for
-    production ingest where cross-engine replay is not needed."""
-    from pyspark.sql import Window
-
+    oracle) selects the identical fingerprint set; production ingest uses
+    :func:`winnowed_fingerprints_fast` (same kernel, xxhash64)."""
     from s3_kinesis_replay_spark.queries.pipeline_ops import _hexint_col
 
-    n = docs.filter(F.length(text_col) >= k + w - 1).select(
-        F.col(id_col), F.lower(F.col(text_col)).alias("_s")
-    )
-    pos = n.select(
-        id_col,
-        F.explode(F.sequence(F.lit(1), F.length("_s") - k + 1)).alias("_i"),
-        (F.length("_s") - k + 1).alias("_m"),
-        "_s",
-    )
-    m5 = F.md5(F.col("_s").substr(F.col("_i"), F.lit(k)))
-    h = _hexint_col(m5, 1, 4) * 65536 + _hexint_col(m5, 5, 4)
-    ph = pos.select(id_col, "_i", "_m", h.alias("_h"))
-    win = Window.partitionBy(id_col).orderBy("_i").rowsBetween(0, w - 1)
-    return (
-        ph.select(id_col, "_i", "_m", F.min("_h").over(win).alias("fp"))
-        .filter(F.col("_i") <= F.col("_m") - w + 1)
-        .select(id_col, "fp")
-        .distinct()
-    )
+    def gram_hash(gram):
+        m5 = F.md5(gram)
+        return _hexint_col(m5, 1, 4) * 65536 + _hexint_col(m5, 5, 4)
+
+    return _winnow_select(docs, k, w, id_col, text_col, gram_hash)
 
 
 def winnowed_fingerprints_fast(
@@ -488,40 +501,22 @@ def winnowed_fingerprints_fast(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """PRODUCTION winnowing selection: identical window-minimum algorithm
-    to :func:`winnowed_fingerprints` but gram hash = xxhash64 — one
-    JVM-side long mix per gram instead of an md5 hex computation plus two
-    string slices (the md5 form exists only so a cross-engine oracle can
-    re-derive the identical fingerprint set; it is ~the whole cost of
-    i3g). The selection guarantee is hash-agnostic: any shared substring
-    of length >= k + w - 1 still contributes a shared fingerprint.
-    Pair-set agreement between the two forms at the declared i3h
-    threshold is pinned in tests/test_operators.py.
+    """PRODUCTION winnowing selection: identical window-minimum kernel
+    to :func:`winnowed_fingerprints` (shared ``_winnow_select``) but
+    gram hash = xxhash64 — one JVM-side long mix per gram instead of an
+    md5 hex computation plus two string slices (the md5 form exists only
+    so a cross-engine oracle can re-derive the identical fingerprint
+    set; it is ~the whole cost of i3g). The selection guarantee is
+    hash-agnostic: any shared substring of length >= k + w - 1 still
+    contributes a shared fingerprint. Pair-set agreement between the two
+    forms at the declared i3h threshold is pinned in
+    tests/test_operators.py.
 
     This is the relation a 100 TB ingest PERSISTS (mirror of the LSH
     snapshot_banded table): ~1/w longs per document, computed once per
     document at ingest, appended per batch, and equi-joined against by
     later batches — the corpus text never rescans."""
-    from pyspark.sql import Window
-
-    n = docs.filter(F.length(text_col) >= k + w - 1).select(
-        F.col(id_col), F.lower(F.col(text_col)).alias("_s")
-    )
-    pos = n.select(
-        id_col,
-        F.explode(F.sequence(F.lit(1), F.length("_s") - k + 1)).alias("_i"),
-        (F.length("_s") - k + 1).alias("_m"),
-        "_s",
-    )
-    h = F.xxhash64(F.col("_s").substr(F.col("_i"), F.lit(k)))
-    ph = pos.select(id_col, "_i", "_m", h.alias("_h"))
-    win = Window.partitionBy(id_col).orderBy("_i").rowsBetween(0, w - 1)
-    return (
-        ph.select(id_col, "_i", "_m", F.min("_h").over(win).alias("fp"))
-        .filter(F.col("_i") <= F.col("_m") - w + 1)
-        .select(id_col, "fp")
-        .distinct()
-    )
+    return _winnow_select(docs, k, w, id_col, text_col, F.xxhash64)
 
 
 def winnow_incremental_pairs(

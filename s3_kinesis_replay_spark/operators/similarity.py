@@ -761,18 +761,30 @@ def publish_index_pointer(index_path: str, pointer: str) -> str:
 
 def export_behind_pointer(pointer: str, write) -> str:
     """The per-run export ritual shared by the export-pointer oracles
-    (d4b/d7b/i3h): make the pointer's parent, build a fresh temp export
-    dir there via ``write(export_dir)``, atomically repoint. Returns the
+    (d4b/d7b/i3h/d4c): make the pointer's parent, build a fresh temp
+    export dir there via ``write(export_dir)``, atomically repoint, and
+    delete the PREVIOUS export (review r8 — nothing referenced it once
+    the pointer moved, and every run leaked one directory). Returns the
     export dir. (Fingerprint-CACHED exports use atomic_cached_build
     instead — this is for artifacts rebuilt every run.)"""
     import os
+    import shutil
     import tempfile
 
     base = os.path.dirname(pointer)
     os.makedirs(base, exist_ok=True)
+    prev = os.path.realpath(pointer) if os.path.islink(pointer) else None
     export = tempfile.mkdtemp(prefix="export-", dir=base)
     write(export)
     publish_index_pointer(export, pointer)
+    # only reap a dir WE published (lives directly under base) that the
+    # pointer no longer names
+    if (
+        prev
+        and prev != os.path.realpath(export)
+        and os.path.dirname(prev) == os.path.realpath(base)
+    ):
+        shutil.rmtree(prev, ignore_errors=True)
     return export
 
 

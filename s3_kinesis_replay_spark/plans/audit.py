@@ -105,6 +105,11 @@ def classify_single_partition(plan: str) -> list[str]:
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
             continue
+        if "ReusedExchange" in line:
+            # a reference to an exchange classified elsewhere — it has no
+            # subtree of its own and must not read as a second funnel
+            # (review r8: it previously classified UNBOUNDED spuriously)
+            continue
         depth = _tree_depth(line)
         verdict = "UNBOUNDED"
         for sub in lines[i + 1 :]:

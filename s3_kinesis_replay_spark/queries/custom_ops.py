@@ -664,7 +664,11 @@ def mm3_real_decode(spark, sf_dir):
     from s3_kinesis_replay_spark.operators.multimodal import decode_image
 
     d = t(spark, "documents", sf_dir).filter(
-        (F.length("text") >= 192) & F.col("text").rlike("^[ -~]*$")
+        (F.length("text") >= 192)
+        # \A..\z (not ^..$): Java $ matches before a trailing
+        # newline, RE2 (the DuckDB oracle) does not — strict
+        # anchors agree in both engines
+        & F.col("text").rlike("\\A[ -~]*\\z")
     )
     media = d.select(
         F.col("doc_id").alias("media_id"),
@@ -726,7 +730,11 @@ def mm4_audio_features(spark, sf_dir):
     )
 
     d = t(spark, "documents", sf_dir).filter(
-        (F.length("text") >= 128) & F.col("text").rlike("^[ -~]*$")
+        (F.length("text") >= 128)
+        # \A..\z (not ^..$): Java $ matches before a trailing
+        # newline, RE2 (the DuckDB oracle) does not — strict
+        # anchors agree in both engines
+        & F.col("text").rlike("\\A[ -~]*\\z")
     )
     src = d.select("doc_id", F.substring("text", 1, 128).alias("chunk"))
 
@@ -803,7 +811,11 @@ def mm5_image_resize(spark, sf_dir):
     )
 
     d = t(spark, "documents", sf_dir).filter(
-        (F.length("text") >= 192) & F.col("text").rlike("^[ -~]*$")
+        (F.length("text") >= 192)
+        # \A..\z (not ^..$): Java $ matches before a trailing
+        # newline, RE2 (the DuckDB oracle) does not — strict
+        # anchors agree in both engines
+        & F.col("text").rlike("\\A[ -~]*\\z")
     )
     media = d.select(
         F.col("doc_id").alias("media_id"),

@@ -329,43 +329,57 @@ def test_h6b_transform_with_state(spark, sf_dir, archive_root, tmp_path):
 
 
 def test_c2c_streaming_merge_kill_resume(spark, sf_dir, tmp_path):
-    """C2c: kill the merge stream mid-fold, resume from the checkpoint —
-    the final snapshot must equal the uninterrupted batch argmax
-    (idempotence of the monotonic-guard merge under batch re-execution),
-    and the kill must have happened mid-stream (some batches applied,
-    not all)."""
+    """C2c: kill the merge stream mid-fold DETERMINISTICALLY (injected
+    failure after batch 1's write+publish but before its stream commit —
+    review r8: the old poll-then-stop raced a fast drain), resume from
+    the checkpoint — the resumed stream RE-EXECUTES batch 1, exercising
+    the already-published short-circuit for real, and the final snapshot
+    must equal the uninterrupted batch argmax."""
     import os
-    import time
 
     from s3_kinesis_replay_spark.streaming.merge_sink import (
-        run_streaming_merge,
+        merge_foreach_batch,
         snapshot_live,
     )
 
     root = stage_archive(sf_dir, gz=True)
     snap_root = str(tmp_path / "snap")
     ckpt = str(tmp_path / "ckpt")
-    stream = stream_archive(spark, root, max_files_per_trigger=2)
-    q = run_streaming_merge(spark, stream, snap_root, ckpt)
-    deadline = time.time() + 120
-    while time.time() < deadline and not os.path.exists(
-        os.path.join(snap_root, "current")
-    ):
-        time.sleep(0.25)
-    q.stop()
+    inner = merge_foreach_batch(snap_root)
+
+    def failing(batch_df, batch_id):
+        inner(batch_df, batch_id)  # write + publish COMPLETE...
+        if batch_id == 1:
+            raise RuntimeError("injected kill")  # ...then die pre-commit
+
+    q = (
+        stream_archive(spark, root, max_files_per_trigger=2)
+        .writeStream.foreachBatch(failing)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(600)
+    except Exception:
+        pass  # run 1 dies on the injected failure; checkpoint survives
     applied_first = len(
         [d for d in os.listdir(snap_root) if d.startswith("batch-")]
     )
-    assert applied_first >= 1, "kill happened before any batch applied"
+    assert applied_first == 2, "batches 0 and 1 should have applied"
 
-    q2 = run_streaming_merge(
-        spark, stream_archive(spark, root, max_files_per_trigger=2), snap_root, ckpt
+    q2 = (
+        stream_archive(spark, root, max_files_per_trigger=2)
+        .writeStream.foreachBatch(inner)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
     )
     q2.awaitTermination(600)
     applied_total = len(
         [d for d in os.listdir(snap_root) if d.startswith("batch-")]
     )
-    assert applied_total > applied_first, "kill was not mid-stream"
+    assert applied_total > applied_first, "resume applied no further batches"
 
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     expected = {
@@ -561,6 +575,7 @@ def test_d4c_streaming_sketch_union_equals_single_pass(spark, sf_dir):
 
     from s3_kinesis_replay_spark.registry import all_queries
 
+    pre = set(glob.glob("/tmp/skr_shll_*"))
     rows = {
         r["event_type"]: r
         for r in all_queries()["d4c_streaming_hll_merge"]
@@ -582,10 +597,12 @@ def test_d4c_streaming_sketch_union_equals_single_pass(spark, sf_dir):
             f"{et}: union-of-batch-sketches {r['est_users']} != "
             f"single-pass {single[et]}"
         )
-    # the drain really was multi-batch (pacing bit)
-    batch_dirs = [
-        d for d in glob.glob("/tmp/skr_shll_*/batch-*") if "batch-" in d
-    ]
+    # the drain really was multi-batch — count batch artifacts only in
+    # THIS run's sketch root (review r8: a global glob counted stale
+    # dirs from earlier runs, passing vacuously)
+    new_roots = set(glob.glob("/tmp/skr_shll_*")) - pre
+    assert len(new_roots) == 1, new_roots
+    batch_dirs = glob.glob(f"{new_roots.pop()}/batch-*")
     assert len(batch_dirs) >= 2
 
 
