@@ -109,6 +109,7 @@ EXTRAS = [
     "c2c_streaming_merge",    # replay stream -> CDC snapshot upsert
     "i13i_residual_pq_topk",  # residual IVFADC over stored indexes
     "mm5_image_resize",       # real decode + mean-pool resize in one pass
+    "d4c_streaming_hll_merge",  # per-batch sketch artifacts union-merged
 ]
 
 

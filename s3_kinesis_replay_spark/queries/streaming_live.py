@@ -241,6 +241,16 @@ def d4c_streaming_hll_merge(spark, sf_dir):
     )
 
     root = stage_archive(sf_dir, gz=True)
+    # pace to ~5 micro-batches at ANY scale factor (c2c discipline):
+    # sketch union is commutative/associative so batch boundaries cannot
+    # change the estimate, and each batch pays a parquet write
+    n_files = sum(
+        1
+        for _dir, _sub, files in os.walk(root)
+        for f in files
+        if f.endswith(".gz")
+    )
+    per_trigger = max(6, -(-n_files // 5))
     sketch_root = tempfile.mkdtemp(prefix="skr_shll_")
 
     def sink(batch_df, batch_id: int):
@@ -255,7 +265,7 @@ def d4c_streaming_hll_merge(spark, sf_dir):
         )
 
     q = (
-        stream_archive(spark, root, max_files_per_trigger=6)
+        stream_archive(spark, root, max_files_per_trigger=per_trigger)
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="skr_ckpt_"))
         .outputMode("append")
