@@ -570,18 +570,30 @@ def d7b_quantile_sketch_merge(spark, sf_dir):
         qs=(0.25, 0.5, 0.75),
         m=128,
     ).localCheckpoint(eager=True)
-    p = lambda q: F.percentile("o_totalprice", F.lit(q))  # noqa: E731
-    exact = o.groupBy("o_orderpriority").agg(
-        r6(p(0.25)).alias("p25_exact"),
-        r6(p(0.5)).alias("p50_exact"),
-        r6(p(0.75)).alias("p75_exact"),
-        F.count("*").alias("n"),
-        p(0.23).alias("_lo25"),
-        p(0.27).alias("_hi25"),
-        p(0.48).alias("_lo50"),
-        p(0.52).alias("_hi50"),
-        p(0.73).alias("_lo75"),
-        p(0.77).alias("_hi75"),
+    # ONE percentile aggregate evaluating all 9 fractions in a single
+    # sort per group (9 separate aggs each re-walked the group's values)
+    fracs = [0.25, 0.5, 0.75, 0.23, 0.27, 0.48, 0.52, 0.73, 0.77]
+    exact = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile(
+                "o_totalprice", F.array(*[F.lit(x) for x in fracs])
+            ).alias("_ps"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            r6(F.col("_ps")[0]).alias("p25_exact"),
+            r6(F.col("_ps")[1]).alias("p50_exact"),
+            r6(F.col("_ps")[2]).alias("p75_exact"),
+            F.col("_ps")[3].alias("_lo25"),
+            F.col("_ps")[4].alias("_hi25"),
+            F.col("_ps")[5].alias("_lo50"),
+            F.col("_ps")[6].alias("_hi50"),
+            F.col("_ps")[7].alias("_lo75"),
+            F.col("_ps")[8].alias("_hi75"),
+        )
     )
     in_bounds = (
         F.col("est_p25").between(F.col("_lo25"), F.col("_hi25"))
