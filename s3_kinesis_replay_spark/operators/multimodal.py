@@ -143,26 +143,26 @@ def resize_frame(
     downsampled output is what ships to the feature extractor — at
     100 TB resizing AT THE SCAN cuts the bytes entering the pipeline by
     (w·h)/(out_w·out_h)."""
+    import numpy as np
+
     if len(frame) != w * h:
         raise ValueError(f"frame size {len(frame)} != {w}x{h}")
     if out_w <= 0 or out_h <= 0:
         raise ValueError("target dimensions must be positive")
+    a = np.frombuffer(frame, dtype=np.uint8)
     if w % out_w == 0 and h % out_h == 0:
         sx, sy = w // out_w, h // out_h
-        out = bytearray(out_w * out_h)
-        for r in range(out_h):
-            for c in range(out_w):
-                s = 0
-                for dy in range(sy):
-                    for dx in range(sx):
-                        s += frame[(r * sy + dy) * w + c * sx + dx]
-                out[r * out_w + c] = s // (sx * sy)
-        return bytes(out)
-    return bytes(
-        frame[(r * h // out_h) * w + (c * w // out_w)]
-        for r in range(out_h)
-        for c in range(out_w)
-    )
+        # vectorized floor-average per sy×sx block — bit-identical to the
+        # per-pixel loop (int64 sum // block size), ~100× cheaper in the
+        # mapInPandas hot path (review r8)
+        pooled = (
+            a.reshape(out_h, sy, out_w, sx).sum(axis=(1, 3), dtype=np.int64)
+            // (sx * sy)
+        )
+        return pooled.astype(np.uint8).tobytes()
+    rows = (np.arange(out_h) * h // out_h)[:, None]
+    cols = (np.arange(out_w) * w // out_w)[None, :]
+    return a.reshape(h, w)[rows, cols].tobytes()
 
 
 def extract_features(media: DataFrame) -> DataFrame:

@@ -38,6 +38,24 @@ from s3_kinesis_replay_spark.streaming.replay import ReplayConfig, run_replay
 EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
 
+def _pace_per_trigger(root: str, target_batches: int = 5) -> int:
+    """maxFilesPerTrigger that drains the staged archive in
+    ~``target_batches`` micro-batches at ANY scale factor — the pacing
+    policy shared by the fold-style streaming composites (c2c, d4c),
+    whose results are batch-boundary-invariant by construction: more
+    batches only add per-batch overhead (34 batches at sf0.1 measured
+    20 s for c2c / 9.7 s for d4c where ~5 measure 4.6 / 2.9 s)."""
+    import os
+
+    n_files = sum(
+        1
+        for _dir, _sub, files in os.walk(root)
+        for f in files
+        if f.endswith(".gz")
+    )
+    return max(6, -(-n_files // target_batches))
+
+
 def _drain(spark, stream_df, mode="append", name=None):
     """Run a streaming DF to completion (AvailableNow) into a memory sink."""
     name = name or ("skr_live_" + uuid.uuid4().hex[:12])
@@ -241,17 +259,10 @@ def d4c_streaming_hll_merge(spark, sf_dir):
     )
 
     root = stage_archive(sf_dir, gz=True)
-    # pace to ~5 micro-batches at ANY scale factor (c2c discipline):
-    # sketch union is commutative/associative so batch boundaries cannot
-    # change the estimate, and each batch pays a parquet write
-    n_files = sum(
-        1
-        for _dir, _sub, files in os.walk(root)
-        for f in files
-        if f.endswith(".gz")
-    )
-    per_trigger = max(6, -(-n_files // 5))
-    sketch_root = tempfile.mkdtemp(prefix="skr_shll_")
+    per_trigger = _pace_per_trigger(root)
+    # "run_" infix: the oracle pointer lives at /tmp/skr_shll_oracle and
+    # tests glob for this run's root — the prefixes must not collide
+    sketch_root = tempfile.mkdtemp(prefix="skr_shll_run_")
 
     def sink(batch_df, batch_id: int):
         (
@@ -613,17 +624,7 @@ def c2c_streaming_merge(spark, sf_dir):
     )
 
     root = stage_archive(sf_dir, gz=True)
-    # pace to ~5 micro-batches at ANY scale factor: the fold converges to
-    # the same snapshot regardless of batch boundaries (that is the
-    # contract under test), and per-batch cost includes a full snapshot
-    # rewrite — 34 batches at sf0.1 measured 20 s where 5 measure ~4 s
-    n_files = sum(
-        1
-        for _dir, _sub, files in os.walk(root)
-        for f in files
-        if f.endswith(".gz")
-    )
-    per_trigger = max(6, -(-n_files // 5))
+    per_trigger = _pace_per_trigger(root)
     snap_root = tempfile.mkdtemp(prefix="skr_merge_snap_")
     q = run_streaming_merge(
         spark,

@@ -131,10 +131,26 @@ def merge_foreach_batch(snapshot_root: str):
             )
         )
         target = _read_snapshot(spark, pointer)
+        prev = (
+            os.path.realpath(pointer) if os.path.islink(pointer) else None
+        )
         # no broadcast hint: FULL OUTER cannot broadcast-hash — the join
         # shuffles on user_id only; the change side is micro-batch-sized
         merge_batch(target, changes).write.mode("overwrite").parquet(out_dir)
         publish_index_pointer(out_dir, pointer)
+        # reap the superseded snapshot (review r8: a long-running stream
+        # otherwise keeps O(n_batches) full copies): after publish the
+        # previous dir is referenced by nothing — the re-execution
+        # short-circuit only needs the CURRENTLY-published dir. A crash
+        # between publish and reap strands at most one dir.
+        if (
+            prev
+            and prev != os.path.realpath(out_dir)
+            and os.path.dirname(prev) == os.path.realpath(snapshot_root)
+        ):
+            import shutil
+
+            shutil.rmtree(prev, ignore_errors=True)
 
     return fn
 

@@ -363,10 +363,17 @@ def test_c2c_streaming_merge_kill_resume(spark, sf_dir, tmp_path):
         q.awaitTermination(600)
     except Exception:
         pass  # run 1 dies on the injected failure; checkpoint survives
-    applied_first = len(
-        [d for d in os.listdir(snap_root) if d.startswith("batch-")]
-    )
-    assert applied_first == 2, "batches 0 and 1 should have applied"
+
+    def published_batch_id() -> int:
+        # superseded snapshot dirs are reaped after publish, so progress
+        # is read off the pointer's target, not a dir count
+        return int(
+            os.path.basename(
+                os.path.realpath(os.path.join(snap_root, "current"))
+            ).split("-")[1]
+        )
+
+    assert published_batch_id() == 1, "batch 1 should have applied+published"
 
     q2 = (
         stream_archive(spark, root, max_files_per_trigger=2)
@@ -376,10 +383,12 @@ def test_c2c_streaming_merge_kill_resume(spark, sf_dir, tmp_path):
         .start()
     )
     q2.awaitTermination(600)
-    applied_total = len(
-        [d for d in os.listdir(snap_root) if d.startswith("batch-")]
+    assert published_batch_id() > 1, "resume applied no further batches"
+    # reaping held: at most the published dir plus one straggler
+    assert (
+        len([d for d in os.listdir(snap_root) if d.startswith("batch-")])
+        <= 2
     )
-    assert applied_total > applied_first, "resume applied no further batches"
 
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     expected = {
@@ -575,7 +584,11 @@ def test_d4c_streaming_sketch_union_equals_single_pass(spark, sf_dir):
 
     from s3_kinesis_replay_spark.registry import all_queries
 
-    pre = set(glob.glob("/tmp/skr_shll_*"))
+    import os
+    import tempfile
+
+    run_glob = os.path.join(tempfile.gettempdir(), "skr_shll_run_*")
+    pre = set(glob.glob(run_glob))
     rows = {
         r["event_type"]: r
         for r in all_queries()["d4c_streaming_hll_merge"]
@@ -599,8 +612,10 @@ def test_d4c_streaming_sketch_union_equals_single_pass(spark, sf_dir):
         )
     # the drain really was multi-batch — count batch artifacts only in
     # THIS run's sketch root (review r8: a global glob counted stale
-    # dirs from earlier runs, passing vacuously)
-    new_roots = set(glob.glob("/tmp/skr_shll_*")) - pre
+    # dirs from earlier runs, passing vacuously; the run prefix is
+    # distinct from the skr_shll_oracle pointer dir and the glob honors
+    # TMPDIR like the mkdtemp that created the root)
+    new_roots = set(glob.glob(run_glob)) - pre
     assert len(new_roots) == 1, new_roots
     batch_dirs = glob.glob(f"{new_roots.pop()}/batch-*")
     assert len(batch_dirs) >= 2
