@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (SURVEY §2.I4–I6, §4).
 
-Three tiers, chosen by query-batch size:
+Tiers, chosen by query-batch size and corpus scale:
 
 * ``brute_topk`` — one query vector: broadcast it, score with codegen
   HOFs, reduce with TakeOrdered. No shuffle of the corpus.
@@ -9,10 +9,18 @@ Three tiers, chosen by query-batch size:
   Qᵀ) and emits only each partition's local top-k per query; a final
   window trims to global top-k. Data moved after scoring: k × Q ×
   n_partitions rows — independent of corpus size.
-* ``lsh_topk`` — random-hyperplane LSH prefilter: score only candidates
-  whose sign-sketch matches the query in ≥ b bands, then exact re-rank.
-  Trades recall for touching a fraction of the corpus; the bucketing is
-  an equi-join on sketch bands (shuffle of fixed-width signatures only).
+* ``block_topk_joined`` — query sets too large for a closure: cogrouped
+  (corpus block × query bucket) grid cells, each one NumPy matmul.
+* ``lsh_bucketed_topk`` — random-hyperplane LSH prefilter: score only
+  candidates whose sign-sketch matches the query in ≥ b bands, then
+  exact re-rank. Trades recall for touching a fraction of the corpus.
+* ``ivf_*`` — the stored-index tier: seeded-k-means cells materialized
+  as cluster-partitioned parquet (``ivf_build``/``ivf_build_cached``),
+  probes pruned to n_probe cells at the scan (``ivf_probe``,
+  ``ivf_probe_batch``, ``ivf_topk``). PQ/residual-PQ code tables build
+  on these in queries/llm_ops.py (i13e–i13i).
+* ``embedding_neardup_pairs`` / ``semdedup`` — all-pairs-above-threshold
+  via blocked/clustered cell matmuls, exact-fold re-score.
 
 All paths avoid driver-side loops and never materialize the O(n·Q) score
 matrix outside a partition.
@@ -23,6 +31,17 @@ from __future__ import annotations
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _unit_rows(M):
+    """Row-normalize a float64 matrix for cosine matmuls — ONE
+    definition shared by every block-scoring site (block_topk,
+    block_topk_joined, embedding_neardup_pairs, semdedup) so a future
+    policy change (e.g. zero-norm handling) cannot drift between them,
+    the same reasoning that keeps _sq_dists shared."""
+    import numpy as np
+
+    return M / np.linalg.norm(M, axis=1, keepdims=True)
 
 
 def dot_expr(x, y):
@@ -73,7 +92,7 @@ def block_topk(
 
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
     q_mat = np.array([q[1] for q in queries], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm = _unit_rows(q_mat)
 
     schema = "query_id long, vec_id long, sim double"
 
@@ -82,26 +101,37 @@ def block_topk(
             if len(pdf) == 0:
                 continue
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = (mat / norms) @ q_norm.T  # |block| × Q
+            sims = _unit_rows(mat) @ q_norm.T  # |block| × Q
             ids = pdf[id_col].to_numpy()
-            # local top-k per query — only k·Q rows leave the partition
+            # local top-k per query — only k·Q rows leave the partition.
+            # Selection mirrors the FINAL ordering rule (rounded sim
+            # desc, id asc — the block_topk_joined discipline): plain
+            # argpartition breaks exact ties by position and can drop
+            # the lowest-id member of a tie class the oracle keeps
             top = min(k, len(pdf))
-            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+            sims_r = np.round(sims, 6)
+            id_cols, sim_cols = [], []
+            for j in range(sims.shape[1]):
+                order = np.lexsort((ids, -sims_r[:, j]))[:top]
+                id_cols.append(ids[order])
+                sim_cols.append(sims[order, j])
             out = {
                 "query_id": np.repeat(q_ids, top),
-                "vec_id": ids[idx].T.ravel(),
-                "sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+                "vec_id": np.concatenate(id_cols),
+                "sim": np.concatenate(sim_cols),
             }
             yield pd.DataFrame(out)
 
     scored = corpus.select(id_col, vec_col).mapInPandas(score_block, schema)
+    # round BEFORE the trim window so the global ordering matches
+    # brute_topk's (rounded sim desc, id asc) — ordering by the raw sim
+    # could keep a different member of a rounded tie class at the k cut
+    rounded = scored.select(
+        "query_id", "vec_id", F.round("sim", 6).alias("sim")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
     return (
-        scored.select(
-            "query_id", "vec_id", F.round("sim", 6).alias("sim"),
-            F.row_number().over(w).alias("_rn"),
-        )
+        rounded.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
@@ -164,10 +194,8 @@ def block_topk_joined(
         )
         if len(left) == 0 or len(right) == 0:
             return empty
-        M = np.array(left["_cvec"].tolist(), dtype=np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        Qm = np.array(right["_qvec"].tolist(), dtype=np.float64)
-        Qm /= np.linalg.norm(Qm, axis=1, keepdims=True)
+        M = _unit_rows(np.array(left["_cvec"].tolist(), dtype=np.float64))
+        Qm = _unit_rows(np.array(right["_qvec"].tolist(), dtype=np.float64))
         sims = M @ Qm.T  # |block| × |bucket|
         t = min(take, len(left))
         cids = left["_cid"].to_numpy()
@@ -278,8 +306,8 @@ def embedding_neardup_pairs(
             return pd.DataFrame({"ia": [], "ib": []}).astype("int64")
         ml = np.array(lpdf["_vec"].tolist(), dtype=np.float64)
         mr = np.array(rpdf["_vec"].tolist(), dtype=np.float64)
-        ml = ml / np.linalg.norm(ml, axis=1, keepdims=True)
-        mr = mr / np.linalg.norm(mr, axis=1, keepdims=True)
+        ml = _unit_rows(ml)
+        mr = _unit_rows(mr)
         sims = ml @ mr.T
         li = lpdf["_id"].to_numpy()
         rj = rpdf["_id"].to_numpy()
@@ -298,8 +326,12 @@ def embedding_neardup_pairs(
     cand = tagged.groupBy("gi", "gj").applyInPandas(cell_pairs, "ia long, ib long")
     ea = corpus.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
     eb = corpus.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
+    # no broadcast hint on the candidate set (review r8): its size is
+    # unbounded in threshold/clustering (a 10^5-member near-dup cluster
+    # is ~5e9 pairs — past the broadcast limit); AQE still broadcasts a
+    # genuinely small candidate relation at runtime
     return (
-        ea.join(F.broadcast(cand), "ia")
+        ea.join(cand, "ia")
         .join(eb, "ib")
         .select(
             "ia",
@@ -526,39 +558,49 @@ def lsh_bucketed_topk(
     """
     import numpy as np
 
+    if planes <= 0 or bands <= 0 or planes % bands != 0:
+        # review r8: planes % bands != 0 silently discarded leftover
+        # hyperplanes, and bands > planes made every band the empty
+        # string (trivially matching -> the prefilter passed everything)
+        raise ValueError(
+            f"planes ({planes}) must be a positive multiple of bands "
+            f"({bands})"
+        )
     rng = np.random.RandomState(seed)
     dim = len(query_vec)
     h = rng.standard_normal((planes, dim))
     per_band = planes // bands
     n_bands = int(bands)
 
+    def band_strings(bits):  # n × planes 0/1 -> n × n_bands "01..." keys
+        chars = bits.astype("U1")
+        cols = []
+        for b in range(n_bands):
+            block = chars[:, b * per_band : (b + 1) * per_band]
+            s = block[:, 0]
+            for c in range(1, per_band):
+                s = np.char.add(s, block[:, c])
+            cols.append(s)
+        return np.stack(cols, axis=1)
+
     # sign sketch in ONE Arrow pass: a batch × planes matmul replaces
-    # `planes` interpreted HOF fold projections per row (the same
-    # per-element-lambda cost semdedup's pair stage paid before round 5)
+    # `planes` interpreted HOF fold projections per row; band-key
+    # construction is np.char column folds (review r8: the previous
+    # per-bit str(int(x)) join cost O(batch × planes) interpreted
+    # Python after the vectorized matmul)
     @F.pandas_udf("array<string>")
     def bands_udf(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype="object")
         M = np.array(vs.tolist(), dtype=np.float64)
         S = (M @ h.T >= 0).astype(np.int8)  # |batch| × planes
-        return pd.Series(
-            [
-                [
-                    "".join(str(int(x)) for x in row[b * per_band : (b + 1) * per_band])
-                    for b in range(n_bands)
-                ]
-                for row in S
-            ]
-        )
+        return pd.Series([list(r) for r in band_strings(S)])
 
     sketched = corpus.select(id_col, vec_col, bands_udf(F.col(vec_col)).alias("_bands"))
 
     qv = np.array(query_vec, dtype=np.float64)
     q_bits = ((h @ qv) >= 0).astype(np.int8)
-    q_bands = [
-        "".join(str(int(x)) for x in q_bits[b * per_band : (b + 1) * per_band])
-        for b in range(n_bands)
-    ]
+    q_bands = list(band_strings(q_bits[None, :])[0])
     match_count = sum(
         F.when(F.col("_bands")[b] == q_bands[b], 1).otherwise(0)
         for b in range(n_bands)
@@ -622,8 +664,7 @@ def semdedup(
                 {"ia": pd.Series([], dtype="int64"), "ib": pd.Series([], dtype="int64")}
             )
         ids = pdf[id_col].to_numpy()
-        M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        M = _unit_rows(np.array(pdf[vec_col].tolist(), dtype=np.float64))
         sims = M @ M.T
         ii, jj = np.nonzero(sims >= threshold - eps)
         keep = ids[ii] < ids[jj]
@@ -699,7 +740,14 @@ def atomic_cached_build(cache_root, key, build, success_rel) -> str:
         return final
     os.makedirs(cache_root, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix="build-", dir=cache_root)
-    build(tmp)
+    try:
+        build(tmp)
+    except BaseException:
+        # review r8: a failed build previously abandoned its partial
+        # 'build-*' dir under cache_root forever (each retry of a flaky
+        # job leaked another one)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, final)
     except OSError:
