@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from s3_kinesis_replay_spark.registry import register
 from s3_kinesis_replay_spark.queries.helpers import t
 from s3_kinesis_replay_spark.sources.archive import (
+    DEFAULT_CHUNK_ROWS,
     read_archive,
     stage_archive,
     stage_csv_table,
@@ -74,10 +75,11 @@ def a4_gzip_scan(spark, sf_dir):
 @register(
     "a5_archive_listing",
     "A5",
-    """
+    f"""
     WITH chunks AS (
-      SELECT event_id // 500 AS chunk_id, MIN(ts) AS min_ts, COUNT(*) AS n
-      FROM events GROUP BY event_id // 500
+      SELECT event_id // {DEFAULT_CHUNK_ROWS} AS chunk_id,
+             MIN(ts) AS min_ts, COUNT(*) AS n
+      FROM events GROUP BY event_id // {DEFAULT_CHUNK_ROWS}
     )
     SELECT strftime(min_ts, '%Y-%m-%d') AS dt,
            CAST(COUNT(*) AS BIGINT) AS n_files,
@@ -101,10 +103,11 @@ def a5_archive_listing(spark, sf_dir):
 @register(
     "a5b_key_range_filter",
     "A5",
-    """
+    f"""
     WITH chunks AS (
-      SELECT event_id // 500 AS chunk_id, MIN(ts) AS min_ts, COUNT(*) AS n
-      FROM events GROUP BY event_id // 500
+      SELECT event_id // {DEFAULT_CHUNK_ROWS} AS chunk_id,
+             MIN(ts) AS min_ts, COUNT(*) AS n
+      FROM events GROUP BY event_id // {DEFAULT_CHUNK_ROWS}
     )
     SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
            CAST(COUNT(*) AS BIGINT) AS n_files

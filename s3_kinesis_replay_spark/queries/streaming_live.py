@@ -39,21 +39,15 @@ EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
 
 def _pace_per_trigger(root: str, target_batches: int = 5) -> int:
-    """maxFilesPerTrigger that drains the staged archive in
-    ~``target_batches`` micro-batches at ANY scale factor — the pacing
-    policy shared by the fold-style streaming composites (c2c, d4c),
-    whose results are batch-boundary-invariant by construction: more
-    batches only add per-batch overhead (34 batches at sf0.1 measured
-    20 s for c2c / 9.7 s for d4c where ~5 measure 4.6 / 2.9 s)."""
-    import os
+    """Pacing for the fold-style streaming composites (c2c, d4c), whose
+    results are batch-boundary-invariant by construction: more batches
+    only add per-batch overhead (34 batches at sf0.1 measured 20 s for
+    c2c / 9.7 s for d4c where ~5 measure 4.6 / 2.9 s). Delegates to the
+    ONE policy in sources/archive.py (review r8: two inline copies had
+    drifted); floor 6 keeps the sf0.01 correctness runs multi-batch."""
+    from s3_kinesis_replay_spark.sources.archive import pace_per_trigger
 
-    n_files = sum(
-        1
-        for _dir, _sub, files in os.walk(root)
-        for f in files
-        if f.endswith(".gz")
-    )
-    return max(6, -(-n_files // target_batches))
+    return pace_per_trigger(root, target_batches=target_batches, floor=6)
 
 
 def _drain(spark, stream_df, mode="append", name=None):

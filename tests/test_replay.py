@@ -6,6 +6,7 @@ per-key ordered, checkpoint-resumable.
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
@@ -686,6 +687,92 @@ def test_replay_continuous_trigger_interval(spark, sf_dir):
     finally:
         q.stop()
     assert client.records, "continuous replay published nothing"
+
+
+def test_stream_dt_range_prunes_at_listing(spark, sf_dir, archive_root, tmp_path):
+    """Review r8: dt bounds must restrict the FileStreamSource's listing
+    (brace-glob source path), not just filter rows — excluded files must
+    not consume maxFilesPerTrigger slots. Pinned by micro-batch count:
+    with 1 file per trigger, the number of batches must track the
+    IN-WINDOW file count, not the whole archive's."""
+    import glob as _glob
+
+    all_files = _glob.glob(f"{archive_root}/dt=*/hr=*/part-*")
+    dts = sorted({p.split("dt=")[1].split("/")[0] for p in all_files})
+    assert len(dts) >= 3, "fixture archive spans too few days for this test"
+    window = dts[0]  # one-day window
+    window_files = [p for p in all_files if f"dt={window}" in p]
+    assert len(window_files) < len(all_files)
+
+    stream = stream_archive(
+        spark, archive_root, max_files_per_trigger=1,
+        dt_start=window, dt_end=window,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dt_pruned_replay")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    n_batches = len([p for p in q.recentProgress])
+    rows = spark.sql("SELECT COUNT(*) n FROM dt_pruned_replay").collect()[0]["n"]
+    expected_rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        * len(window_files)
+        // len(all_files)
+    )
+    assert rows == expected_rows  # uniform 500-row chunks
+    # listing-level pruning: ~1 batch per in-window file (+1 empty final),
+    # NOT one per archive file
+    assert n_batches <= len(window_files) + 2, (
+        f"{n_batches} batches for {len(window_files)} in-window files "
+        f"({len(all_files)} total) — listing not pruned"
+    )
+    # empty window drains cleanly to zero rows
+    s2 = stream_archive(
+        spark, archive_root, max_files_per_trigger=1,
+        dt_start="1990-01-01", dt_end="1990-01-02",
+    )
+    q2 = (
+        s2.writeStream.format("memory")
+        .queryName("dt_empty_replay")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert spark.sql("SELECT COUNT(*) n FROM dt_empty_replay").collect()[0]["n"] == 0
+
+
+def test_stage_atomicity_failed_build_leaves_nothing(tmp_path, monkeypatch):
+    """Review r8: staging builds in a temp tree and renames atomically —
+    a failed build must leave NO root (a reader can never observe a
+    truncated file), and a later successful staging must proceed."""
+    import pyarrow.parquet as _pq
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.sources import archive as arch
+
+    monkeypatch.setenv("SKR_ARCHIVE_DIR", str(tmp_path / "arch"))
+    sf = "/root/testdata/sf0.001"
+    root = arch._archive_root(sf, 500, True)
+    orig = _pq.read_table
+    calls = {"n": 0}
+
+    def failing(path, *a, **k):
+        calls["n"] += 1
+        raise RuntimeError("injected staging failure")
+
+    monkeypatch.setattr(arch.pq, "read_table", failing)
+    with _pytest.raises(RuntimeError, match="injected"):
+        arch.stage_archive(sf)
+    assert not root.exists(), "failed build left a (possibly partial) root"
+    assert not list((tmp_path / "arch").glob("*.build-*")), "temp leaked"
+    monkeypatch.setattr(arch.pq, "read_table", orig)
+    staged = arch.stage_archive(sf)
+    assert (Path(staged) / "_STAGED").exists()
 
 
 def test_archive_schema_drift_tolerance(spark, tmp_path):
