@@ -341,6 +341,7 @@ def neardup_components(
         .select("v", F.col("v").alias("label"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = edges.join(labels, edges["dst"] == labels["v"]).groupBy(
             "src"
@@ -360,7 +361,18 @@ def neardup_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # review r8: exhausting the loop silently returned INTERMEDIATE
+        # labels — a near-dup chain longer than max_iterations (25+
+        # incrementally-edited boilerplate docs) would emit bogus split
+        # components while looking successful
+        raise RuntimeError(
+            f"neardup_components did not converge within {max_iterations} "
+            "rounds — the near-dup graph has a component with diameter "
+            "beyond the limit; raise max_iterations"
+        )
     return labels.select(
         F.col("v").alias(id_col), F.col("label").alias("component_id")
     )

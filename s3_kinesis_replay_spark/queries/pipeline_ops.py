@@ -48,21 +48,34 @@ _HEX = "0123456789abcdef"
 _SQL_STOPWORDS = "[" + ",".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
 
 
+def _hexint_sql(md5_expr: str, start: int, n: int) -> str:
+    """DuckDB: integer value of ``n`` hex chars of an md5 hex string
+    starting at 1-based ``start`` — matches Spark's conv(substr,16,10)."""
+    terms = [
+        f"(instr('{_HEX}', substr({md5_expr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _hexint_col(md5_col, start: int, n: int):
+    """Spark side of _hexint_sql: same hex slice via conv(_, 16, 10)."""
+    return F.conv(F.substring(md5_col, start, n), 16, 10).cast("bigint")
+
+
 def _bucket_sql(id_expr: str) -> str:
-    """md5-derived bucket 0..255 (DuckDB side) — first two hex chars."""
-    m = f"md5(CAST({id_expr} AS VARCHAR))"
-    return (
-        f"(instr('{_HEX}', substr({m}, 1, 1)) - 1) * 16"
-        f" + (instr('{_HEX}', substr({m}, 2, 1)) - 1)"
-    )
+    """md5-derived bucket 0..255 (DuckDB side) — the general hex-int
+    helper at (start=1, n=2); ONE hex→int definition (review r8: a
+    second instr-arithmetic copy lived here and could drift)."""
+    return _hexint_sql(f"md5(CAST({id_expr} AS VARCHAR))", 1, 2)
 
 
 def _bucket_col(id_col: str) -> F.Column:
     """Same bucket on the Spark side — identical md5 hex in both engines."""
-    m = F.md5(F.col(id_col).cast("string"))
-    b1 = F.instr(F.lit(_HEX), F.substring(m, 1, 1)) - 1
-    b2 = F.instr(F.lit(_HEX), F.substring(m, 2, 1)) - 1
-    return (b1 * 16 + b2).alias("bucket")
+    return _hexint_col(F.md5(F.col(id_col).cast("string")), 1, 2).alias(
+        "bucket"
+    )
 
 
 @register(
@@ -258,18 +271,24 @@ def p5_curriculum_deciles(spark, sf_dir):
         .crossJoin(F.broadcast(total))
     )
     # ntile(10): the first N%10 buckets hold ceil(N/10) rows, the rest
-    # floor(N/10) — bucket from rank by arithmetic, no global window
-    small = F.floor(F.col("n_total") / 10)
-    n_big = F.col("n_total") % 10
-    big = small + 1
+    # floor(N/10) — bucket from rank by INTEGER arithmetic throughout
+    # (review r8: the module's declared integer-exact discipline; the
+    # previous double-division ceil was safe only by an unstated
+    # rank < 2^53 argument). ceil(a/b) == (a + b - 1) div b for a,b > 0;
+    # the WHEN guard keeps the small-divisor branch unreached when
+    # N < 10 (small = 0).
+    with_parts = ranked.withColumn(
+        "small", F.expr("n_total div 10")
+    ).withColumn("n_big", F.col("n_total") % 10)
     decile = F.when(
-        F.col("rk") <= n_big * big,
-        F.ceil(F.col("rk").cast("double") / big),
+        F.col("rk") <= F.col("n_big") * (F.col("small") + 1),
+        F.expr("(rk + small) div (small + 1)"),
     ).otherwise(
-        n_big + F.ceil((F.col("rk") - n_big * big).cast("double") / small)
+        F.col("n_big")
+        + F.expr("(rk - n_big * (small + 1) + small - 1) div small")
     )
     return (
-        ranked.select("n_chars", decile.cast("int").alias("decile"))
+        with_parts.select("n_chars", decile.cast("int").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -398,18 +417,43 @@ def p7_contamination_check(spark, sf_dir):
     )
 
 
-@register(
-    "p8_domain_mixture",
-    "I15",
-    """
-    WITH s AS (
+# ONE definition of the sqrt-damped (alpha=0.5) mixture totals, shared
+# by p8 (published weights) and p11 (materialized sample) in BOTH
+# engines (review r8: four independent copies could silently drift the
+# temperature between the weights and the sample drawn from them).
+_SQRT_DAMPED_CTE = """s AS (
       SELECT source, COUNT(*) AS n,
              CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS fs
       FROM documents GROUP BY source
     ),
-    tt AS (
-      SELECT *, SUM(fs) OVER () AS sw, SUM(n) OVER () AS total FROM s
+    tt AS (SELECT *, SUM(fs) OVER () AS sw, SUM(n) OVER () AS total FROM s)"""
+
+
+def _sqrt_damped_totals(per_src):
+    """Spark side of _SQRT_DAMPED_CTE: (source, n_docs, fs, sw, total)
+    from a (source, n_docs) aggregate — the global window is bounded
+    (one row per source)."""
+    w = Window.partitionBy()
+    fs = F.floor(F.sqrt(F.col("n_docs"))).cast("bigint")
+    return per_src.select("source", "n_docs", fs.alias("fs")).select(
+        "source",
+        "n_docs",
+        "fs",
+        F.sum("fs").over(w).alias("sw"),
+        F.sum("n_docs").over(w).alias("total"),
     )
+
+
+def _seeded_rank_key() -> F.Column:
+    """The deterministic '#s42' md5 rank key shared by p9 and p11."""
+    return F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#s42")))
+
+
+@register(
+    "p8_domain_mixture",
+    "I15",
+    f"""
+    WITH {_SQRT_DAMPED_CTE}
     SELECT source,
            CAST(n AS BIGINT) AS n_docs,
            ROUND(CAST(fs AS DOUBLE) / sw, 6) AS mix_weight,
@@ -428,16 +472,7 @@ def p7_contamination_check(spark, sf_dir):
 def p8_domain_mixture(spark, sf_dir):
     d = t(spark, "documents", sf_dir)
     per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.partitionBy()
-    fs = F.floor(F.sqrt(F.col("n_docs"))).cast("bigint")
-    src = per_src.select("source", "n_docs", fs.alias("fs"))
-    src = src.select(
-        "source",
-        "n_docs",
-        "fs",
-        F.sum("fs").over(w).alias("sw"),
-        F.sum("n_docs").over(w).alias("total"),
-    )
+    src = _sqrt_damped_totals(per_src)
     target = F.expr("DIV(total * fs, sw)")
     return src.select(
         "source",
@@ -473,8 +508,7 @@ def p8_domain_mixture(spark, sf_dir):
 )
 def p9_group_sample(spark, sf_dir):
     d = t(spark, "documents", sf_dir)
-    rank_key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#s42")))
-    w = Window.partitionBy("lang").orderBy(rank_key, "doc_id")
+    w = Window.partitionBy("lang").orderBy(_seeded_rank_key(), "doc_id")
     return (
         d.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rn"))
         .filter(F.col("rn") <= 5)
@@ -546,13 +580,8 @@ def p10_cluster_canonical(spark, sf_dir):
     )
 
 
-_P11_TARGETS = """
-    WITH s AS (
-      SELECT source, COUNT(*) AS n,
-             CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS fs
-      FROM documents GROUP BY source
-    ),
-    tt AS (SELECT *, SUM(fs) OVER () AS sw, SUM(n) OVER () AS total FROM s),
+_P11_TARGETS = f"""
+    WITH {_SQRT_DAMPED_CTE},
     targets AS (
       SELECT source, CAST((total * fs) // sw AS BIGINT) AS target_n FROM tt
     )
@@ -583,43 +612,16 @@ _P11_TARGETS = """
 def p11_mixture_sample(spark, sf_dir):
     d = t(spark, "documents", sf_dir)
     per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    w_all = Window.partitionBy()
-    fs = F.floor(F.sqrt(F.col("n_docs"))).cast("bigint")
-    targets = (
-        per_src.select("source", "n_docs", fs.alias("fs"))
-        .select(
-            "source",
-            "n_docs",
-            F.col("fs"),
-            F.sum("fs").over(w_all).alias("sw"),
-            F.sum("n_docs").over(w_all).alias("total"),
-        )
-        .select("source", F.expr("DIV(total * fs, sw)").cast("bigint").alias("target_n"))
+    targets = _sqrt_damped_totals(per_src).select(
+        "source", F.expr("DIV(total * fs, sw)").cast("bigint").alias("target_n")
     )
-    rank_key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#s42")))
-    w = Window.partitionBy("source").orderBy(rank_key, "doc_id")
+    w = Window.partitionBy("source").orderBy(_seeded_rank_key(), "doc_id")
     ranked = d.select(
         "doc_id", "source", F.row_number().over(w).cast("bigint").alias("rn")
     )
     return ranked.join(F.broadcast(targets), "source").filter(
         F.col("rn") <= F.col("target_n")
     ).select("doc_id", "source", "rn")
-
-
-def _hexint_sql(md5_expr: str, start: int, n: int) -> str:
-    """DuckDB: integer value of ``n`` hex chars of an md5 hex string
-    starting at 1-based ``start`` — matches Spark's conv(substr,16,10)."""
-    terms = [
-        f"(instr('{_HEX}', substr({md5_expr}, {start + i}, 1)) - 1)"
-        f" * {16 ** (n - 1 - i)}"
-        for i in range(n)
-    ]
-    return "(" + " + ".join(terms) + ")"
-
-
-def _hexint_col(md5_col, start: int, n: int):
-    """Spark side of _hexint_sql: same hex slice via conv(_, 16, 10)."""
-    return F.conv(F.substring(md5_col, start, n), 16, 10).cast("bigint")
 
 
 @register(
@@ -671,10 +673,18 @@ def i3e_dupgram_rate(spark, sf_dir):
             F.explode(word_shingles(F.col("toks"), k=5)).alias("gram"),
         )
         .select("doc_id", F.xxhash64("gram").alias("gh"))
+        # materialized once: both the frequency agg and the join consume
+        # this relation (8-byte pairs), and without it the shingle
+        # pipeline would execute per consumer
+        .localCheckpoint(eager=True)
     )
-    counted = g.withColumn(
-        "c", F.count("*").over(Window.partitionBy("gh"))
-    )
+    # corpus frequency via partial-agg groupBy + join, NOT a window
+    # partitioned by gh (review r8): a viral boilerplate gram would make
+    # one WindowExec partition buffer its entire occurrence list in a
+    # single task with no skew mitigation, while the groupBy combines
+    # map-side and the join back is AQE-skew-splittable
+    freq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+    counted = g.join(freq, "gh")
     dup = F.count_if(F.col("c") >= 2)
     return counted.groupBy("doc_id").agg(
         F.count("*").alias("n_grams"),
@@ -854,7 +864,7 @@ def p16_dataset_card(spark, sf_dir):
       FROM documents
     ),
     ev_g AS (SELECT DISTINCT unnest(grams) AS g FROM base
-             WHERE bucket >= {_VAL_LT}),
+             WHERE bucket >= {_TRAIN_LT}),
     contaminated AS (
       SELECT DISTINCT t.doc_id
       FROM (SELECT doc_id, unnest(grams) AS g FROM base
@@ -883,14 +893,17 @@ def p16_dataset_card(spark, sf_dir):
     """,
     note="end-to-end DECONTAMINATED training mix — the round-5b tier "
     "composed in one plan: hash split (p3) -> bloom pre-screen of train "
-    "grams against the eval set's bit table (p14 shape; engine-side "
-    "only — the bloom is a routing optimization with no false "
-    "negatives, so the oracle's direct exact join defines the same "
-    "answer) -> exact gram-join confirm on the flagged subset (p7) -> "
-    "exact dedup of survivors by digest (i1) -> sqrt-damped per-source "
-    "mixture weights (p8). At 100 TB the bloom keeps the exact join's "
-    "left side to the flagged fraction, and every stage shuffles "
-    "digests/positions/grams, never documents.",
+    "grams against the heldout bit table (p14 shape; engine-side only — "
+    "the bloom is a routing optimization with no false negatives, so "
+    "the oracle's direct exact join defines the same answer) -> exact "
+    "gram-join confirm on the flagged subset (p7) -> exact dedup of "
+    "survivors by digest (i1) -> sqrt-damped per-source mixture weights "
+    "(p8). Since round 8 the screen covers ALL heldout buckets (val AND "
+    "test, bucket >= TRAIN_LT) — the earlier test-only screen left the "
+    "val split fully leaked into the 'decontaminated' mix, inflating "
+    "val metrics with memorized overlap. At 100 TB the bloom keeps the "
+    "exact join's left side to the flagged fraction, and every stage "
+    "shuffles digests/positions/grams, never documents.",
 )
 def p17_decontaminated_mix(spark, sf_dir):
     from pyspark.sql import Window as W
@@ -903,9 +916,15 @@ def p17_decontaminated_mix(spark, sf_dir):
         "doc_id", "source", "text", _bucket_col("doc_id"),
         F.split(F.lower(F.col("text")), " ").alias("toks"),
     )
-    ev_g = toked.filter(F.col("bucket") >= _VAL_LT).select(
-        F.explode(word_shingles(F.col("toks"), k=5)).alias("g")
-    ).distinct()
+    ev_g = (
+        toked.filter(F.col("bucket") >= _TRAIN_LT)
+        .select(F.explode(word_shingles(F.col("toks"), k=5)).alias("g"))
+        .distinct()
+        # materialized once: the bloom build AND the exact-confirm join
+        # both consume this relation — without it the heldout shingle
+        # pipeline executes per consumer (review r8)
+        .localCheckpoint(eager=True)
+    )
     tr_g = toked.filter(F.col("bucket") < _TRAIN_LT).select(
         "doc_id", F.explode(word_shingles(F.col("toks"), k=5)).alias("g")
     )
