@@ -43,8 +43,12 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def language_scores(text: Column) -> list[Column]:
-    """Marker-hit count per language over the token set."""
-    toks = F.split(F.lower(text), r"\s+")
+    """Marker-hit count per language over the token set.
+
+    Literal-space tokenization (review r8: was ``\\s+``, while the t1
+    oracle splits on ' ' — a tab/newline-separated token would flip a
+    score cross-engine; t5/t7/t10/i3b already use the literal split)."""
+    toks = F.split(F.lower(text), " ")
     out = []
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
@@ -53,8 +57,10 @@ def language_scores(text: Column) -> list[Column]:
 
 
 def quality_features(text: Column, n_chars: Column) -> dict[str, Column]:
-    """Length / punctuation / stopword-ratio features (public heuristics)."""
-    toks = F.split(F.lower(text), r"\s+")
+    """Length / punctuation / stopword-ratio features (public heuristics).
+    Literal-space tokenization for t2-oracle parity (see
+    language_scores)."""
+    toks = F.split(F.lower(text), " ")
     n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))

@@ -131,13 +131,19 @@ def i3c_char_ngram_jaccard(spark, sf_dir):
 
 # ---------------------------------------------------------------- text ops
 
+# GENERATED from the one marker/stopword definition in operators/text.py
+# (review r8: hand-copied lists can silently drop entries — the t2 SQL
+# list was missing 'der' — so the SQL literals derive from the source)
+from s3_kinesis_replay_spark.operators.text import (  # noqa: E402
+    LANG_MARKERS as _LM,
+    STOPWORDS as _SW,
+)
+
 _MARKER_SQL = {
-    "en": "['the','and','of','to','in']",
-    "de": "['der','die','und','das','ist']",
-    "es": "['el','la','de','que','los']",
-    "fr": "['le','la','et','les','des']",
-    "zh": "['的','是','了','在','我']",
+    lang: "[" + ",".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in _LM.items()
 }
+_SQL_STOPLIST = "[" + ",".join(f"'{w}'" for w in _SW) + "]"
 _SCORES_SQL = ",\n".join(
     f"CAST(len(list_intersect(list_distinct(string_split(lower(text),' ')), "
     f"{arr})) AS INTEGER) AS score_{lang}"
@@ -176,21 +182,21 @@ def t1_language_id(spark, sf_dir):
 @register(
     "t2_quality_score",
     "I9",
-    """
+    f"""
     SELECT doc_id,
            CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
            ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
                  / len(string_split(text, ' ')), 6) AS avg_token_len,
            ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
-                 w -> list_contains(['and','das','de','des','die','el','et','in',
-                                     'ist','la','le','les','los','of','que','the',
-                                     'to','und'], w))) AS DOUBLE)
+                 w -> list_contains({_SQL_STOPLIST}, w))) AS DOUBLE)
                  / len(string_split(lower(text), ' ')), 6) AS stopword_ratio,
            (length(text) = n_chars) AS len_matches_meta
     FROM documents
     """,
-    note="quality features: length / stopword-ratio heuristics (sorted "
-    "STOPWORDS list pinned in operators/text.py)",
+    note="quality features: length / stopword-ratio heuristics; the SQL "
+    "stopword list is GENERATED from operators/text.STOPWORDS (review "
+    "r8: a hand-copied list had silently dropped 'der', so the engines "
+    "counted different stopword sets for any doc containing it)",
 )
 def t2_quality_score(spark, sf_dir):
     from s3_kinesis_replay_spark.operators.text import quality_features
@@ -401,13 +407,16 @@ def t4_token_counts(spark, sf_dir):
     SELECT doc_id AS media_id,
            CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-           CAST(5 + length(text) AS BIGINT) AS n_bytes,
+           CAST(5 + strlen(text) AS BIGINT) AS n_bytes,
            sha256('FAKE0' || text) AS sha256
     FROM documents
     """,
     note="binary media columns + mapInPandas feature extraction (decode "
     "stubbed per driver instruction); oracle checks the Arrow round trip "
-    "via blob length + sha256",
+    "via blob length + sha256. strlen (BYTES), not length (CHARACTERS) "
+    "— the Spark side measures the UTF-8-encoded blob, so non-ASCII "
+    "text would diverge under length() (review r8; sha256 already "
+    "hashes the UTF-8 bytes in both engines)",
 )
 def mm1_media_features(spark, sf_dir):
     from s3_kinesis_replay_spark.operators.multimodal import (
@@ -627,6 +636,31 @@ def c8c_asof_nearest(spark, sf_dir):
     )
 
 
+def _ascii_eligible(d, min_len: int):
+    """Docs whose text can byte-faithfully become synthetic media: at
+    least ``min_len`` chars, pure printable ASCII. ONE definition for
+    mm3/mm4/mm5 (review r8: three hand-synced copies of a cross-engine-
+    sensitive predicate). \\A..\\z (not ^..$): Java $ matches before a
+    trailing newline, RE2 (the DuckDB oracle) does not — strict anchors
+    agree in both engines."""
+    return d.filter(
+        (F.length("text") >= min_len)
+        & F.col("text").rlike("\\A[ -~]*\\z")
+    )
+
+
+def _ppm8_media(d):
+    """(media_id, content): each eligible document's first 192 ASCII
+    bytes as a genuine 8x8 P6 PPM blob — the mm3/mm5 shared input."""
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(F.lit("P6\n8 8\n255\n"), F.substring("text", 1, 192)),
+            "UTF-8",
+        ).alias("content"),
+    )
+
+
 @register(
     "mm3_real_decode",
     "I9",
@@ -663,20 +697,7 @@ def mm3_real_decode(spark, sf_dir):
 
     from s3_kinesis_replay_spark.operators.multimodal import decode_image
 
-    d = t(spark, "documents", sf_dir).filter(
-        (F.length("text") >= 192)
-        # \A..\z (not ^..$): Java $ matches before a trailing
-        # newline, RE2 (the DuckDB oracle) does not — strict
-        # anchors agree in both engines
-        & F.col("text").rlike("\\A[ -~]*\\z")
-    )
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(
-            F.concat(F.lit("P6\n8 8\n255\n"), F.substring("text", 1, 192)),
-            "UTF-8",
-        ).alias("content"),
-    )
+    media = _ppm8_media(_ascii_eligible(t(spark, "documents", sf_dir), 192))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -729,13 +750,7 @@ def mm4_audio_features(spark, sf_dir):
         pack_wav_pcm16,
     )
 
-    d = t(spark, "documents", sf_dir).filter(
-        (F.length("text") >= 128)
-        # \A..\z (not ^..$): Java $ matches before a trailing
-        # newline, RE2 (the DuckDB oracle) does not — strict
-        # anchors agree in both engines
-        & F.col("text").rlike("\\A[ -~]*\\z")
-    )
+    d = _ascii_eligible(t(spark, "documents", sf_dir), 128)
     src = d.select("doc_id", F.substring("text", 1, 128).alias("chunk"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -810,20 +825,7 @@ def mm5_image_resize(spark, sf_dir):
         resize_frame,
     )
 
-    d = t(spark, "documents", sf_dir).filter(
-        (F.length("text") >= 192)
-        # \A..\z (not ^..$): Java $ matches before a trailing
-        # newline, RE2 (the DuckDB oracle) does not — strict
-        # anchors agree in both engines
-        & F.col("text").rlike("\\A[ -~]*\\z")
-    )
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(
-            F.concat(F.lit("P6\n8 8\n255\n"), F.substring("text", 1, 192)),
-            "UTF-8",
-        ).alias("content"),
-    )
+    media = _ppm8_media(_ascii_eligible(t(spark, "documents", sf_dir), 192))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -853,7 +855,9 @@ def mm5_image_resize(spark, sf_dir):
     f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM ww GROUP BY word),
     tot AS (SELECT SUM(c) AS t FROM f)
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-           ROUND(AVG(ln(CAST(c AS DOUBLE) / t)), 6) AS avg_logprob
+           ROUND(CAST(SUM(CAST(ln(CAST(c AS DOUBLE) / t)
+                              AS DECIMAL(38,6)) ) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_logprob
     FROM ww JOIN f USING (word), tot
     GROUP BY doc_id
     """,
@@ -867,8 +871,11 @@ def mm5_image_resize(spark, sf_dir):
     "partial-agg word count, the frequency relation broadcast back "
     "onto the exploded words (same web-scale-vocab caveat as t7 — at "
     "100 TB shuffle both sides on the word key instead), one per-doc "
-    "aggregate. ln/avg double discipline per §5.3 (rounded to 6 in "
-    "both engines, i8 TF-IDF precedent).",
+    "aggregate. The mean follows §5.3's decimal-sum ÷ count discipline "
+    "(review r8: engine-native AVG over irrational ln() doubles "
+    "accumulates in engine-specific order — each per-row ln rounds to "
+    "DECIMAL(38,6) first, the exact order-independent sum divides by "
+    "the count in double, then rounds to 6 in both engines).",
 )
 def t10_unigram_logprob(spark, sf_dir):
     d = t(spark, "documents", sf_dir)
@@ -883,8 +890,16 @@ def t10_unigram_logprob(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            r6(F.avg(F.log(F.col("c").cast("double") / F.col("t")))).alias(
-                "avg_logprob"
-            ),
+            # decimal-sum ÷ count (§5.3): per-row ln rounds to an exact
+            # decimal, the sum is order-independent, the division runs
+            # once per group in double
+            r6(
+                F.sum(
+                    F.log(F.col("c").cast("double") / F.col("t")).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_logprob"),
         )
     )
