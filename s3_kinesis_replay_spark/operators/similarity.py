@@ -336,10 +336,18 @@ def embedding_neardup_pairs(
         .select(
             "ia",
             "ib",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            cosine_expr(F.col("va"), F.col("vb")).alias("_raw_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold)
-        .select(F.col("ia").alias("vec_a"), F.col("ib").alias("vec_b"), "cos_sim")
+        # threshold on the RAW fold value, exactly as the declared oracle's
+        # WHERE does (review r8: filtering the rounded value admitted pairs
+        # at 0.4499996 that round up across the threshold; semdedup already
+        # filters unrounded — the output column alone is rounded)
+        .filter(F.col("_raw_sim") >= threshold)
+        .select(
+            F.col("ia").alias("vec_a"),
+            F.col("ib").alias("vec_b"),
+            F.round("_raw_sim", 6).alias("cos_sim"),
+        )
     )
 
 

@@ -33,10 +33,15 @@ from s3_kinesis_replay_spark.queries.helpers import r6, t
     note="fixtures are dup-free → dedup declared over a constructed 2× union",
 )
 def i1_exact_dedup(spark, sf_dir):
-    d = t(spark, "documents", sf_dir)
-    return d.unionAll(d).dropDuplicates(["text"]).select(
+    d = t(spark, "documents", sf_dir).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+    # full-row distinct, matching the declared DISTINCT over all columns
+    # (review r8: dropDuplicates(['text']) picked an ARBITRARY survivor
+    # when two doc_ids share a text — guaranteed not to happen only at
+    # sf0.01 per FIXTURES.md; the deterministic keyed form with a min-id
+    # survivor rule is i1c/p1)
+    return d.unionAll(d).distinct()
 
 
 @register(
@@ -269,14 +274,17 @@ def i4_cosine_pairs(spark, sf_dir):
     SELECT b.vec_id, ROUND({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6) AS sim
     FROM q a CROSS JOIN embeddings b
     WHERE b.vec_id <> 0
-    ORDER BY {_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}) DESC, b.vec_id
+    ORDER BY sim DESC, b.vec_id
     LIMIT 10
     """,
     note="brute-force baseline: 1-row driver fetch of the query vector "
     "(bounded, same pattern as i13), query norm folded at plan-build time "
     "with the identical sequential left-fold → single corpus scan, two "
     "HOF folds per row instead of three, TakeOrdered merge; block-matmul "
-    "scale path in operators/similarity.py",
+    "scale path in operators/similarity.py. Both engines cut the top-10 "
+    "on the ROUNDED sim with vec_id tiebreak (review r8: the oracle "
+    "previously ordered by the raw expression, which could keep a "
+    "different member of a rounded tie class at the k boundary).",
 )
 def i5_topk_cosine(spark, sf_dir):
     import math
@@ -513,6 +521,14 @@ _IVF_ORACLE_PTR = "/tmp/skr_ivf_oracle/current"
 _IVF_ORACLE_PTR_B = "/tmp/skr_ivf_oracle/i13b"
 _IVF_ORACLE_PTR_D = "/tmp/skr_ivf_oracle/i13d"
 _IVF_ORACLE_PTR_I13 = "/tmp/skr_ivf_oracle/i13"
+# review r8: i13h and i13i previously published the i13 pointer (and
+# i13h reused i13f's PQ pointer) — a mid-round fixture regeneration
+# could let one entry's rebuild swing another entry's oracle, exactly
+# what the per-entry scheme above promises cannot happen
+_IVF_ORACLE_PTR_H = "/tmp/skr_ivf_oracle/i13h"
+_IVF_ORACLE_PTR_I = "/tmp/skr_ivf_oracle/i13i"
+_PQ_ORACLE_PTR_H = "/tmp/skr_pq_oracle/i13h"
+_PQ_ORACLE_PTR_F = "/tmp/skr_pq_oracle/i13f"
 
 
 def _duck_sqdist(vec: str, q: str) -> str:
@@ -585,7 +601,10 @@ def i13_ivf_topk(spark, sf_dir):
         corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42, corpus_tag="ex0"
     )
     publish_index_pointer(idx, _IVF_ORACLE_PTR_I13)
-    return ivf_topk(corpus, list(qv), k=10)
+    # explicit params (review r8): the in-memory twin MUST mirror the
+    # exported index the oracle probes — relying on ivf_topk's defaults
+    # let a default change silently desynchronize them
+    return ivf_topk(corpus, list(qv), k=10, n_clusters=16, n_probe=4, seed=42)
 
 
 @register(
@@ -833,6 +852,45 @@ def i13c_ivf_probe_xengine(spark, sf_dir):
 _SEMDEDUP_ORACLE_PTR_I14 = "/tmp/skr_semdedup_oracle/i14"
 
 
+def _semdedup_with_export(spark, sf_dir, pointer: str):
+    """Run the seeded SemDeDup pass, export this run's (vec_id, cell)
+    assignment behind ``pointer`` (fingerprint-cached, atomic), and
+    return the full result. ONE definition for i14 and i14b (review r8:
+    two verbatim bodies could silently decouple the 'same cells'
+    oracles). The quantizer parameters feed BOTH the semdedup call and
+    the cache key from the same locals."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        QUANTIZER_VERSION,
+        atomic_cached_build,
+        data_fingerprint,
+        publish_index_pointer,
+        semdedup,
+    )
+
+    n_clusters, seed = 16, 42
+    e = t(spark, "embeddings", sf_dir)
+    res = semdedup(
+        e.select("vec_id", "embedding"),
+        threshold=0.45,
+        n_clusters=n_clusters,
+        seed=seed,
+    )
+    fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    final = atomic_cached_build(
+        "/tmp/skr_semdedup_oracle",
+        f"{fp}-k{n_clusters}-s{seed}-{QUANTIZER_VERSION}",
+        lambda tmp: res.select("vec_id", "cell")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp),
+        "_SUCCESS",
+    )
+    publish_index_pointer(final, pointer)
+    return res
+
+
 @register(
     "i14_semdedup",
     "I3",
@@ -866,36 +924,9 @@ _SEMDEDUP_ORACLE_PTR_I14 = "/tmp/skr_semdedup_oracle/i14"
     "test_operators.py::test_i14_semdedup_contract",
 )
 def i14_semdedup(spark, sf_dir):
-    import os
-
-    from s3_kinesis_replay_spark.operators.similarity import (
-        QUANTIZER_VERSION,
-        atomic_cached_build,
-        data_fingerprint,
-        publish_index_pointer,
-        semdedup,
-    )
-
-    n_clusters, seed = 16, 42
-    e = t(spark, "embeddings", sf_dir)
-    res = semdedup(
-        e.select("vec_id", "embedding"),
-        threshold=0.45,
-        n_clusters=n_clusters,
-        seed=seed,
-    )
-    fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    final = atomic_cached_build(
-        "/tmp/skr_semdedup_oracle",
-        f"{fp}-k{n_clusters}-s{seed}-{QUANTIZER_VERSION}",
-        lambda tmp: res.select("vec_id", "cell")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(tmp),
-        "_SUCCESS",
-    )
-    publish_index_pointer(final, _SEMDEDUP_ORACLE_PTR_I14)
-    return res.orderBy("vec_id")
+    return _semdedup_with_export(
+        spark, sf_dir, _SEMDEDUP_ORACLE_PTR_I14
+    ).orderBy("vec_id")
 
 
 # Fixed pointer the i14b oracle reads (the i13c pattern): the query fn
@@ -935,39 +966,9 @@ _SEMDEDUP_ORACLE_PTR = "/tmp/skr_semdedup_oracle/current"
     "k-means — remains engine-local, exactly as in i13c",
 )
 def i14b_semdedup_xengine(spark, sf_dir):
-    import os
-
-    from s3_kinesis_replay_spark.operators.similarity import (
-        QUANTIZER_VERSION,
-        atomic_cached_build,
-        data_fingerprint,
-        publish_index_pointer,
-        semdedup,
-    )
-
-    # single source of truth for the quantizer parameters: the same
-    # values feed the semdedup call AND the export cache key, so editing
-    # one cannot silently serve a stale export to the oracle
-    n_clusters, seed = 16, 42
-    e = t(spark, "embeddings", sf_dir)
-    res = semdedup(
-        e.select("vec_id", "embedding"),
-        threshold=0.45,
-        n_clusters=n_clusters,
-        seed=seed,
-    )
-    fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    final = atomic_cached_build(
-        "/tmp/skr_semdedup_oracle",
-        f"{fp}-k{n_clusters}-s{seed}-{QUANTIZER_VERSION}",
-        lambda tmp: res.select("vec_id", "cell")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(tmp),
-        "_SUCCESS",
-    )
-    publish_index_pointer(final, _SEMDEDUP_ORACLE_PTR)
-    return res.orderBy("vec_id")
+    return _semdedup_with_export(
+        spark, sf_dir, _SEMDEDUP_ORACLE_PTR
+    ).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------- text
@@ -988,6 +989,27 @@ def i7_wordcount(spark, sf_dir):
         d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
+    )
+
+
+def _perturbed_batch(d):
+    """The constructed incremental batch shared by i3f and i3h (ONE
+    definition — i3h's note claims it screens 'i3f's constructed
+    batch', review r8): lightly perturbed snapshot docs (append ' zz9',
+    near-dup of their source) plus word-reversed decoys (near-dup of
+    nothing)."""
+    return (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+            )
+        )
     )
 
 
@@ -1028,19 +1050,7 @@ def i3f_incremental_neardup(spark, sf_dir):
     )
 
     d = t(spark, "documents", sf_dir).select("doc_id", "text")
-    batch = (
-        d.filter(F.col("doc_id") % 5 == 0)
-        .select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
-        )
-        .unionAll(
-            d.filter(F.col("doc_id") % 5 == 1).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"),
-                F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
-            )
-        )
-    )
+    batch = _perturbed_batch(d)
     return minhash_lsh_incremental_pairs(d, batch, threshold=0.8)
 
 
@@ -1480,19 +1490,7 @@ def i3h_incremental_winnow(spark, sf_dir):
 
     k, w, min_shared = 20, 4, 20
     d = t(spark, "documents", sf_dir).select("doc_id", "text")
-    batch = (
-        d.filter(F.col("doc_id") % 5 == 0)
-        .select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
-        )
-        .unionAll(
-            d.filter(F.col("doc_id") % 5 == 1).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"),
-                F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
-            )
-        )
-    )
+    batch = _perturbed_batch(d)
     fp = data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     snap_store = atomic_cached_build(
         "/tmp/skr_winnow_fps",
@@ -1668,19 +1666,64 @@ def _duck_adc_cell(qexpr: str) -> str:
     )
 
 
+def _ensure_pq_export(spark, sf_dir, pointer: str) -> None:
+    """Publish the fingerprint-keyed PQ export behind ``pointer`` —
+    a complete cached build short-circuits (no codebook retraining),
+    else i13e builds it once. Shared by i13f and i13h (review r8)."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        publish_index_pointer,
+    )
+
+    final = os.path.join("/tmp/skr_pq_oracle", _pq_cache_key(sf_dir))
+    if not os.path.exists(os.path.join(final, "codes", "_SUCCESS")):
+        i13e_pq_codes(spark, sf_dir)
+    publish_index_pointer(final, pointer)
+
+
+def _adc_topk(spark, qv, pq_ptr: str, members=None, k: int = 10):
+    """ADC top-k over a published PQ export: expand the query into the
+    8x16 distance table, score codes by table lookup + partial-agg sum,
+    cut on the unrounded sum with vec_id tiebreak, round after. ONE
+    scoring definition shared by i13f (full corpus) and i13h (IVF-pruned
+    ``members``) so a fold/rounding change cannot diverge them
+    (review r8)."""
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    cb = spark.read.parquet(f"{pq_ptr}/codebooks")
+    sub_q = F.slice(q, F.col("subv") * _PQ_DIM + 1, F.lit(_PQ_DIM))
+    d = F.aggregate(
+        F.zip_with(sub_q, F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dtab = cb.select("subv", F.col("cell").alias("code"), d.alias("d"))
+    codes = spark.read.parquet(f"{pq_ptr}/codes").filter(F.col("vec_id") != 0)
+    if members is not None:
+        codes = codes.join(members, "vec_id", "left_semi")
+    return (
+        codes.join(F.broadcast(dtab), ["subv", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("adc"))
+        .orderBy(F.col("adc").asc(), "vec_id")
+        .limit(k)
+        .select("vec_id", F.round("adc", 6).alias("adc_dist"))
+    )
+
+
 @register(
     "i13f_pq_adc_topk",
     "I5",
     f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     cb AS (SELECT subv, cell, centroid
-           FROM read_parquet('{_PQ_ORACLE_PTR}/codebooks/*.parquet')),
+           FROM read_parquet('{_PQ_ORACLE_PTR_F}/codebooks/*.parquet')),
     dtab AS (
       SELECT cb.subv, cb.cell, {_duck_adc_cell("q.qv")} AS d
       FROM cb, q
     ),
     codes AS (SELECT vec_id, subv, code
-              FROM read_parquet('{_PQ_ORACLE_PTR}/codes/*.parquet')
+              FROM read_parquet('{_PQ_ORACLE_PTR_F}/codes/*.parquet')
               WHERE vec_id <> 0),
     scored AS (
       SELECT c.vec_id, SUM(d.d) AS adc
@@ -1706,45 +1749,12 @@ def _duck_adc_cell(qexpr: str) -> str:
     "(no rounding-boundary flakes, same discipline as i13c).",
 )
 def i13f_pq_adc_topk(spark, sf_dir):
-    import os
-
-    from s3_kinesis_replay_spark.operators.similarity import (
-        publish_index_pointer,
-    )
-
-    # ensure the PQ export exists and the pointer is current: a complete
-    # fingerprint-keyed build short-circuits (no codebook retraining);
-    # otherwise run i13e once to build it
-    final = os.path.join("/tmp/skr_pq_oracle", _pq_cache_key(sf_dir))
-    if os.path.exists(os.path.join(final, "codes", "_SUCCESS")):
-        publish_index_pointer(final, _PQ_ORACLE_PTR)
-    else:
-        i13e_pq_codes(spark, sf_dir)
+    _ensure_pq_export(spark, sf_dir, _PQ_ORACLE_PTR_F)
     e = t(spark, "embeddings", sf_dir)
     qv = [
         r[0] for r in e.filter(F.col("vec_id") == 0).select("embedding").collect()
     ][0]
-    q = F.array(*[F.lit(float(x)) for x in qv])
-
-    cb = spark.read.parquet(f"{_PQ_ORACLE_PTR}/codebooks")
-    sub_q = F.slice(q, F.col("subv") * _PQ_DIM + 1, F.lit(_PQ_DIM))
-    d = F.aggregate(
-        F.zip_with(sub_q, F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    dtab = cb.select("subv", F.col("cell").alias("code"), d.alias("d"))
-    codes = spark.read.parquet(f"{_PQ_ORACLE_PTR}/codes").filter(
-        F.col("vec_id") != 0
-    )
-    return (
-        codes.join(F.broadcast(dtab), ["subv", "code"])
-        .groupBy("vec_id")
-        .agg(F.sum("d").alias("adc"))
-        .orderBy(F.col("adc").asc(), "vec_id")
-        .limit(10)
-        .select("vec_id", F.round("adc", 6).alias("adc_dist"))
-    )
+    return _adc_topk(spark, qv, _PQ_ORACLE_PTR_F)
 
 
 @register(
@@ -1754,25 +1764,25 @@ def i13f_pq_adc_topk(spark, sf_dir):
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     probe AS (
       SELECT cell
-      FROM read_parquet('{_IVF_ORACLE_PTR_I13}/_centroids/*.parquet'), q
+      FROM read_parquet('{_IVF_ORACLE_PTR_H}/_centroids/*.parquet'), q
       ORDER BY {_duck_sqdist("centroid", "qv")} ASC, cell ASC
       LIMIT 4
     ),
     members AS (
       SELECT vec_id
-      FROM read_parquet('{_IVF_ORACLE_PTR_I13}/vectors/*/*.parquet',
+      FROM read_parquet('{_IVF_ORACLE_PTR_H}/vectors/*/*.parquet',
                         hive_partitioning = 1)
       WHERE cell IN (SELECT cell FROM probe)
     ),
     cb AS (SELECT subv, cell, centroid
-           FROM read_parquet('{_PQ_ORACLE_PTR}/codebooks/*.parquet')),
+           FROM read_parquet('{_PQ_ORACLE_PTR_H}/codebooks/*.parquet')),
     dtab AS (
       SELECT cb.subv, cb.cell, {_duck_adc_cell("q.qv")} AS d
       FROM cb, q
     ),
     codes AS (
       SELECT c.vec_id, c.subv, c.code
-      FROM read_parquet('{_PQ_ORACLE_PTR}/codes/*.parquet') c
+      FROM read_parquet('{_PQ_ORACLE_PTR_H}/codes/*.parquet') c
       JOIN members m ON m.vec_id = c.vec_id
       WHERE c.vec_id <> 0
     ),
@@ -1813,12 +1823,8 @@ def i13h_ivfpq_topk(spark, sf_dir):
     idx = ivf_build_cached(
         corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42, corpus_tag="ex0"
     )
-    publish_index_pointer(idx, _IVF_ORACLE_PTR_I13)
-    pq_dir = os.path.join("/tmp/skr_pq_oracle", _pq_cache_key(sf_dir))
-    if os.path.exists(os.path.join(pq_dir, "codes", "_SUCCESS")):
-        publish_index_pointer(pq_dir, _PQ_ORACLE_PTR)
-    else:
-        i13e_pq_codes(spark, sf_dir)
+    publish_index_pointer(idx, _IVF_ORACLE_PTR_H)
+    _ensure_pq_export(spark, sf_dir, _PQ_ORACLE_PTR_H)
 
     qv = [
         r[0] for r in e.filter(F.col("vec_id") == 0).select("embedding").collect()
@@ -1835,28 +1841,7 @@ def i13h_ivfpq_topk(spark, sf_dir):
         .select("vec_id")
     )
 
-    q = F.array(*[F.lit(float(x)) for x in qv])
-    cb = spark.read.parquet(f"{_PQ_ORACLE_PTR}/codebooks")
-    sub_q = F.slice(q, F.col("subv") * _PQ_DIM + 1, F.lit(_PQ_DIM))
-    d = F.aggregate(
-        F.zip_with(sub_q, F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    dtab = cb.select("subv", F.col("cell").alias("code"), d.alias("d"))
-    codes = (
-        spark.read.parquet(f"{_PQ_ORACLE_PTR}/codes")
-        .filter(F.col("vec_id") != 0)
-        .join(members, "vec_id", "left_semi")
-    )
-    return (
-        codes.join(F.broadcast(dtab), ["subv", "code"])
-        .groupBy("vec_id")
-        .agg(F.sum("d").alias("adc"))
-        .orderBy(F.col("adc").asc(), "vec_id")
-        .limit(10)
-        .select("vec_id", F.round("adc", 6).alias("adc_dist"))
-    )
+    return _adc_topk(spark, qv, _PQ_ORACLE_PTR_H, members=members)
 
 
 # Fixed pointer the i13i oracle reads: residual-PQ codebooks + codes
@@ -1887,13 +1872,13 @@ def _rpq_cache_key(sf_dir: str) -> str:
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     probe AS (
       SELECT cell, centroid
-      FROM read_parquet('{_IVF_ORACLE_PTR_I13}/_centroids/*.parquet'), q
+      FROM read_parquet('{_IVF_ORACLE_PTR_I}/_centroids/*.parquet'), q
       ORDER BY {_duck_sqdist("centroid", "qv")} ASC, cell ASC
       LIMIT 4
     ),
     members AS (
       SELECT vec_id, cell
-      FROM read_parquet('{_IVF_ORACLE_PTR_I13}/vectors/*/*.parquet',
+      FROM read_parquet('{_IVF_ORACLE_PTR_I}/vectors/*/*.parquet',
                         hive_partitioning = 1)
       WHERE cell IN (SELECT cell FROM probe)
     ),
@@ -1960,7 +1945,7 @@ def i13i_residual_pq_topk(spark, sf_dir):
     idx = ivf_build_cached(
         corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42, corpus_tag="ex0"
     )
-    publish_index_pointer(idx, _IVF_ORACLE_PTR_I13)
+    publish_index_pointer(idx, _IVF_ORACLE_PTR_I)
 
     def _export(tmp: str) -> None:
         vec = spark.read.parquet(f"{idx}/vectors")
