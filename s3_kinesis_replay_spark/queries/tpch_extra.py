@@ -97,8 +97,16 @@ def q7_volume_shipping(spark, sf_dir):
     n2 = t(spark, "nation", sf_dir).select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
+    # pre-filter BOTH nation sides to the named pair before the
+    # broadcast (review r8: the note claimed this but the code filtered
+    # post-join, relying on Catalyst deriving per-side IN-lists from the
+    # cross-pair OR), and broadcast supplier so lineitem never shuffles
+    # on l_suppkey with auto-broadcast off — the pinned 100 TB shape
+    pair = ["NATION_1", "NATION_2"]
+    n1 = n1.filter(F.col("supp_nation").isin(pair))
+    n2 = n2.filter(F.col("cust_nation").isin(pair))
     joined = (
-        s.join(li, s.s_suppkey == li.l_suppkey)
+        F.broadcast(s).join(li, s.s_suppkey == li.l_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -320,16 +328,20 @@ def q15_top_supplier(spark, sf_dir):
 def q17_small_quantity_revenue(spark, sf_dir):
     li = t(spark, "lineitem", sf_dir)
     p = t(spark, "part", sf_dir)
-    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+    brand = F.broadcast(p.filter(F.col("p_brand") == "Brand#13"))
+    # threshold over BRAND-FILTERED lineitem only (review r8): p_brand
+    # is functionally determined by l_partkey, so aggregating the whole
+    # fact for thresholds only Brand#13 parts consume shuffled ~25x more
+    # rows than needed — identical result, oracle unchanged
+    li_brand = li.join(brand, li.l_partkey == p.p_partkey)
+    thr = li_brand.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (
             F.lit(0.2)
             * (F.sum(sdec("l_quantity")).cast("double") / F.count("*"))
         ).alias("lim")
     )
     return (
-        li.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#13")),
-                li.l_partkey == p.p_partkey)
-        .join(thr, li.l_partkey == thr.t_partkey)
+        li_brand.join(thr, li_brand.l_partkey == thr.t_partkey)
         .filter(F.col("l_quantity") < F.col("lim"))
         .agg(
             r6(F.sum(sdec("l_extendedprice")).cast("double") / 7.0).alias(
@@ -478,7 +490,10 @@ def q8_market_share(spark, sf_dir):
     zero = F.expr(f"CAST(0 AS {DEC})")
     base = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
+        # broadcast supplier (review r8: the note said five dim
+        # broadcasts but only four had hints — with auto-broadcast off,
+        # the q9-pinned 100 TB shape, lineitem shuffled on l_suppkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
@@ -655,6 +670,38 @@ def q12_ship_priority_classes(spark, sf_dir):
     )
 
 
+def q21_waiting_stats(li, ords, days: int = 60):
+    """The q21 single-window decorrelation, SHARED with the fuzz test in
+    tests/test_property.py (review r8: the test previously exercised a
+    frozen inline copy, not the shipped plan): ONE fact shuffle (the
+    l_orderkey window) replaces the three-scan semi-join derivation —
+    for an 'F' order every lineitem survives the join, so the per-order
+    distinct-supplier counts (all suppliers / late suppliers) computed
+    over the window are exactly the EXISTS / NOT-EXISTS cardinalities.
+    Per-order window state is the supplier set (a handful of ids) — no
+    e1-style funnel, l_orderkey is high-cardinality."""
+    from pyspark.sql import Window
+
+    late_flag = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {int(days)} DAYS"
+    )
+    j = li.join(ords, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", late_flag.alias("late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    return j.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("ns"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).over(w)
+        ).alias("nl"),
+    )
+
+
 @register(
     "q21_waiting_supplier",
     "C4",
@@ -691,16 +738,6 @@ def q12_ship_priority_classes(spark, sf_dir):
     "pinning the rewrite's equivalence.",
 )
 def q21_waiting_supplier(spark, sf_dir):
-    # single-pass form: ONE fact shuffle (the l_orderkey window) replaces
-    # the three-scan semi-join derivation — for an 'F' order every line
-    # item survives the join, so the per-order distinct-supplier counts
-    # (all suppliers / late suppliers) computed over the window are
-    # exactly the EXISTS / NOT-EXISTS cardinalities. Per-order window
-    # state is the supplier set (a handful of ids) — no e1-style funnel,
-    # l_orderkey is high-cardinality. The decorrelation itself is also
-    # fuzzed against the literal correlated SQL in tests/test_property.py
-    from pyspark.sql import Window
-
     li = t(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -709,24 +746,7 @@ def q21_waiting_supplier(spark, sf_dir):
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
-    late_flag = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
-        "INTERVAL 60 DAYS"
-    )
-    j = li.join(ords, F.col("l_orderkey") == F.col("o_orderkey")).select(
-        "l_orderkey", "l_suppkey", late_flag.alias("late")
-    )
-    w = Window.partitionBy("l_orderkey")
-    stats = j.select(
-        "l_orderkey",
-        "l_suppkey",
-        "late",
-        F.size(F.collect_set("l_suppkey").over(w)).alias("ns"),
-        F.size(
-            F.collect_set(
-                F.when(F.col("late"), F.col("l_suppkey"))
-            ).over(w)
-        ).alias("nl"),
-    )
+    stats = q21_waiting_stats(li, ords, days=60)
     s = t(spark, "supplier", sf_dir)
     n = t(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_3")
     return (
@@ -822,13 +842,16 @@ def q20_excess_shippers(spark, sf_dir):
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 30)
+        # no .distinct(): the left_semi consumer is duplicate-insensitive
+        # (review r8 — the distinct cost an extra exchange for nothing)
         .select("l_suppkey")
-        .distinct()
     )
     s = t(spark, "supplier", sf_dir)
     n = t(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_9")
     return (
-        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        # heavy is a post-HAVING supplier-key set — broadcast it so the
+        # semi join never shuffles supplier
+        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", r6(F.col("s_acctbal")).alias("s_acctbal"))
     )

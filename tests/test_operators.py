@@ -1365,6 +1365,15 @@ def test_c1c_bucket_cache_names_per_table_fingerprint(spark, sf_dir):
         ("q21_waiting_supplier", {"broadcast_joins": 2, "shuffle_joins": 1}),
         # q2: supplier joins the bridge broadcast; part filter broadcast
         ("q2_min_balance_supplier", {"broadcast_joins": 2, "shuffle_joins": 0}),
+        # round 8 (review): q20 broadcasts the red-part filter AND the
+        # post-HAVING supplier-key set — no shuffle join at all
+        ("q20_excess_shippers", {"broadcast_joins": 3, "shuffle_joins": 0}),
+        # q11: every dim broadcast, the only exchanges are aggregates
+        ("q11_important_parts", {"broadcast_joins": 5, "shuffle_joins": 0}),
+        # q7/q8: all dims (incl. supplier) broadcast; the ONLY shuffle
+        # joins are the two fact-fact joins (li-o, o-c)
+        ("q7_volume_shipping", {"broadcast_joins": 3, "shuffle_joins": 2}),
+        ("q8_market_share", {"broadcast_joins": 5, "shuffle_joins": 2}),
     ],
 )
 def test_new_tpch_plan_pins(spark, sf_dir, name, expect):

@@ -1453,28 +1453,12 @@ class TestDecorrelationRewriteFuzz:
             .filter(F.col("o_orderstatus") == "F")
             .select("o_orderkey", "o_orderdate")
         )
-        # the SHIPPED single-window decorrelation (tpch_extra.q21),
-        # parameterized the same way the correlated SQL below is
-        from pyspark.sql import Window
+        # the SHIPPED single-window decorrelation itself — imported, not
+        # an inline copy (review r8: a frozen copy left the shipped plan
+        # untested against the correlated SQL)
+        from s3_kinesis_replay_spark.queries.tpch_extra import q21_waiting_stats
 
-        j = li.join(ords, F.col("l_orderkey") == F.col("o_orderkey")).select(
-            "l_orderkey",
-            "l_suppkey",
-            (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr(f"INTERVAL {days} DAYS")
-            ).alias("late"),
-        )
-        w = Window.partitionBy("l_orderkey")
-        stats = j.select(
-            "l_orderkey",
-            "l_suppkey",
-            "late",
-            F.size(F.collect_set("l_suppkey").over(w)).alias("ns"),
-            F.size(
-                F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
-            ).alias("nl"),
-        )
+        stats = q21_waiting_stats(li, ords, days=days)
         s = table(spark, "supplier", sf_dir)
         n = table(spark, "nation", sf_dir).filter(
             F.col("n_name") == f"NATION_{nation}"
