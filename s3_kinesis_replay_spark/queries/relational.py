@@ -363,13 +363,19 @@ def c5_cross_join(spark, sf_dir):
     FROM supplier s1 JOIN supplier s2
       ON s1.s_acctbal < s2.s_acctbal AND s1.s_nationkey <> s2.s_nationkey
     """,
-    note="pure inequality join → BroadcastNestedLoopJoin; bounded side declared",
+    note="pure inequality join → BroadcastNestedLoopJoin. The C6 "
+    "contract REQUIRES one bounded side (an inequality-only join has no "
+    "hash/merge strategy), and the code now declares it: s2 carries an "
+    "explicit broadcast hint (review r8 — the note claimed a declared "
+    "bound the code didn't express). At scale, a theta join whose "
+    "smaller side exceeds broadcast limits must be rewritten as a "
+    "banded range join (the c7 pattern), not run as-is.",
 )
 def c6_theta_join(spark, sf_dir):
     s1 = t(spark, "supplier", sf_dir).alias("s1")
     s2 = t(spark, "supplier", sf_dir).alias("s2")
     return s1.join(
-        s2,
+        F.broadcast(s2),
         (F.col("s1.s_acctbal") < F.col("s2.s_acctbal"))
         & (F.col("s1.s_nationkey") != F.col("s2.s_nationkey")),
     ).select(F.col("s1.s_suppkey").alias("sk1"), F.col("s2.s_suppkey").alias("sk2"))
@@ -431,7 +437,9 @@ def c9_self_join(spark, sf_dir):
     FROM orders
     ORDER BY o_orderpriority DESC NULLS LAST, o_totalprice ASC, o_orderkey
     """,
-    note="driver hash is order-insensitive; local harness checks ordered output",
+    note="driver hash is order-insensitive; the ORDER itself is pinned "
+    "by tests/test_operators.py::test_f1_output_order (review r8: this "
+    "note used to claim an ordered check that did not exist)",
 )
 def f1_multi_key_sort(spark, sf_dir):
     return (
@@ -679,6 +687,56 @@ def c1b_salted_join(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "o_orderpriority")
 
 
+def _ensure_bucketed_table(spark, df, key: str, tname: str) -> None:
+    """Install the 8-bucket sorted copy of ``df`` ATOMICALLY (review r8:
+    the previous direct mode('overwrite').saveAsTable to the shared
+    fixed path let two concurrent sessions corrupt each other's bucket
+    files mid-write). Build via saveAsTable into a temp dir under a
+    throwaway catalog name (bucket-id file naming comes from the
+    writer), drop the temp entry (external — files stay), atomically
+    rename the dir into the fingerprint-keyed location, then register
+    the bucketed external table over it. Stale sibling fingerprints of
+    the same table are reaped after install (each held a full fact-table
+    copy forever). The repartition(8, key) uses the same Murmur3 hash as
+    bucketBy -> ONE file per bucket, so the sorted-bucket guarantee
+    holds globally and the join needs no Sort either."""
+    import os
+    import shutil
+    import uuid
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+    )
+
+    root = "/tmp/skr_bucketed"
+
+    def build(tmp: str) -> None:
+        tmp_tbl = f"skr_bld_{uuid.uuid4().hex[:10]}"
+        (
+            df.repartition(8, F.col(key))
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", tmp)
+            .mode("overwrite")
+            .saveAsTable(tmp_tbl)
+        )
+        spark.sql(f"DROP TABLE {tmp_tbl}")  # external: files remain
+
+    final = atomic_cached_build(root, tname, build, "_SUCCESS")
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE {tname} ({cols}) USING parquet "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
+        f"LOCATION '{final}'"
+    )
+    prefix = tname.rsplit("_", 1)[0] + "_"
+    for d in os.listdir(root):
+        if d.startswith(prefix) and d != tname and not d.startswith("build-"):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
 @register(
     "c1c_bucketed_join",
     "C1",
@@ -721,19 +779,7 @@ def c1c_bucketed_join(spark, sf_dir):
     }
     for tbl, (key, tname) in specs.items():
         if not spark.catalog.tableExists(tname):
-            (
-                # repartition on the bucket key with numPartitions ==
-                # numBuckets (same Murmur3 hash) -> ONE file per bucket,
-                # so the sorted-bucket guarantee holds globally and the
-                # join needs no Sort either
-                t(spark, tbl, sf_dir)
-                .repartition(8, F.col(key))
-                .write.bucketBy(8, key)
-                .sortBy(key)
-                .option("path", f"/tmp/skr_bucketed/{tname}")
-                .mode("overwrite")
-                .saveAsTable(tname)
-            )
+            _ensure_bucketed_table(spark, t(spark, tbl, sf_dir), key, tname)
     li = spark.table(specs["lineitem"][1])
     o = spark.table(specs["orders"][1])
     return (
@@ -758,7 +804,7 @@ def c1c_bucketed_join(spark, sf_dir):
              text || ' [rev2]' AS new_text
       FROM documents WHERE doc_id % 11 = 3 OR doc_id % 7 = 0
       UNION ALL
-      SELECT doc_id + 5000000, 'I',
+      SELECT -doc_id - 1, 'I',
              'new doc ' || CAST(doc_id AS VARCHAR)
       FROM documents WHERE doc_id % 13 = 5
     ),
@@ -797,7 +843,12 @@ def c2b_merge_upsert(spark, sf_dir):
         )
         .unionByName(
             d.filter(F.col("doc_id") % 13 == 5).select(
-                (F.col("doc_id") + 5000000).alias("doc_id"),
+                # negative key space for synthetic inserts (review r8:
+                # doc_id + 5000000 collided with real ids past 5M rows,
+                # breaking MERGE's one-source-row-per-target contract at
+                # the design point; -id - 1 is disjoint from any
+                # non-negative id domain)
+                (-F.col("doc_id") - 1).alias("doc_id"),
                 F.lit("I").alias("op"),
                 F.concat(
                     F.lit("new doc "), F.col("doc_id").cast("string")

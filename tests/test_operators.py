@@ -1393,6 +1393,25 @@ def test_new_tpch_plan_pins(spark, sf_dir, name, expect):
         assert feats[k] == v, f"{name}: {k}={feats[k]} expected {v} ({feats})"
 
 
+def test_f1_output_order(spark, sf_dir):
+    """F1's ROW ORDER is the contract (the driver hash is
+    order-insensitive, so only this test sees the sort): priority DESC
+    with NULLS LAST, then price ASC, then key."""
+    rows = QUERIES["f1_multi_key_sort"].fn(spark, sf_dir).collect()
+    assert len(rows) > 100
+
+    # two-phase stable sort: secondary keys ascending first, then the
+    # string priority DESC (Python's reverse=True is stable), nulls last
+    expected = sorted(rows, key=lambda r: (r["o_totalprice"], r["o_orderkey"]))
+    nonnull = [r for r in expected if r["o_orderpriority"] is not None]
+    nulls = [r for r in expected if r["o_orderpriority"] is None]
+    nonnull.sort(key=lambda r: r["o_orderpriority"], reverse=True)
+    expected = nonnull + nulls
+    assert [r["o_orderkey"] for r in rows] == [
+        r["o_orderkey"] for r in expected
+    ]
+
+
 def test_no_undeclared_unbounded_funnels(spark, sf_dir):
     """Machine-enforced replacement for PLANS.md's hand-listed
     single-partition whitelist (VERDICT r7 item 6): every
