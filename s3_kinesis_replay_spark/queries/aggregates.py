@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from s3_kinesis_replay_spark.registry import register
-from s3_kinesis_replay_spark.queries.helpers import DEC, fdec, r6, sdec, t
+from s3_kinesis_replay_spark.queries.helpers import DEC, fdec, in_tol, r6, sdec, t
 
 
 @register(
@@ -96,10 +96,7 @@ def d4_approx_count_distinct(spark, sf_dir):
         .select(
             "exact_parts",
             "n_rows",
-            (
-                F.abs(F.col("approx").cast("double") - F.col("exact_parts"))
-                <= 0.05 * F.col("exact_parts")
-            ).alias("est_in_tol"),
+            in_tol(F.col("approx"), F.col("exact_parts")).alias("est_in_tol"),
         )
     )
 
@@ -123,7 +120,9 @@ def d4_approx_count_distinct(spark, sf_dir):
     "sqrt(n(n-1))/(n-2); Spark kurtosis is population excess = kurtosis_pop",
 )
 def d5_stat_aggs(spark, sf_dir):
-    n = F.count("*")
+    # non-null count (review r8): the sample-skew bias correction must
+    # use DuckDB's n (non-NULL values of the column), not the row count
+    n = F.count("l_quantity")
     sample_skew = F.skewness("l_quantity") * F.sqrt(n * (n - 1)) / (n - 2)
     return (
         t(spark, "lineitem", sf_dir)
@@ -156,11 +155,23 @@ def d5_stat_aggs(spark, sf_dir):
 )
 def d6_percentiles(spark, sf_dir):
     o = t(spark, "orders", sf_dir)
-    return o.groupBy("o_orderpriority").agg(
-        r6(F.percentile("o_totalprice", F.lit(0.25))).alias("p25"),
-        r6(F.percentile("o_totalprice", F.lit(0.5))).alias("p50"),
-        r6(F.percentile("o_totalprice", F.lit(0.75))).alias("p75"),
-        r6(F.median("o_totalprice")).alias("med"),
+    # ONE array-valued percentile per group (review r8, the d7b
+    # optimization): four separate aggregates each re-buffered and
+    # re-sorted the group's values; med == p50 by definition
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile(
+                "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            ).alias("_ps")
+        )
+        .select(
+            "o_orderpriority",
+            r6(F.col("_ps")[0]).alias("p25"),
+            r6(F.col("_ps")[1]).alias("p50"),
+            r6(F.col("_ps")[2]).alias("p75"),
+            r6(F.col("_ps")[1]).alias("med"),
+        )
     )
 
 
@@ -186,15 +197,16 @@ def d7_percentile_approx(spark, sf_dir):
         t(spark, "orders", sf_dir)
         .agg(
             F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
-            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
-            F.percentile("o_totalprice", F.lit(0.49)).alias("lo"),
-            F.percentile("o_totalprice", F.lit(0.51)).alias("hi"),
+            # one sort for all three exact anchors (review r8)
+            F.percentile(
+                "o_totalprice", F.array(F.lit(0.5), F.lit(0.49), F.lit(0.51))
+            ).alias("_ps"),
         )
         .select(
-            r6(F.col("p50")).alias("p50_exact"),
+            r6(F.col("_ps")[0]).alias("p50_exact"),
             (
-                (F.col("approx") >= F.col("lo"))
-                & (F.col("approx") <= F.col("hi"))
+                (F.col("approx") >= F.col("_ps")[1])
+                & (F.col("approx") <= F.col("_ps")[2])
             ).alias("approx_in_bounds"),
         )
     )
@@ -391,12 +403,17 @@ def d13_having(spark, sf_dir):
         t(spark, "lineitem", sf_dir)
         .groupBy("l_partkey")
         .agg(
-            fdec(F.sum(sdec("l_quantity"))).alias("total_qty"),
+            # ONE decimal sum: the HAVING filters on the exact decimal
+            # (review r8 — a third raw-double aggregate both violated the
+            # declared order-independent discipline and re-summed the
+            # column), the output projects it to rounded double
+            F.sum(sdec("l_quantity")).alias("_dec_qty"),
             F.count("*").alias("n"),
-            F.sum("l_quantity").alias("_raw_qty"),
         )
-        .filter((F.col("_raw_qty") > 300) & (F.col("n") >= 5))
-        .drop("_raw_qty")
+        .filter((F.col("_dec_qty") > 300) & (F.col("n") >= 5))
+        .select(
+            "l_partkey", fdec(F.col("_dec_qty")).alias("total_qty"), "n"
+        )
     )
 
 
@@ -496,11 +513,13 @@ def d4b_hll_sketch_union(spark, sf_dir):
     out = (
         per_type_est.unionByName(merged)
         .withColumn(
-            "est_in_tol",
-            F.abs(F.col("est_users").cast("double") - F.col("exact_users"))
-            <= 0.05 * F.col("exact_users"),
+            "est_in_tol", in_tol(F.col("est_users"), F.col("exact_users"))
         )
         .orderBy("event_type")
+        # materialized once (review r8): the export write and the
+        # harness's later collect otherwise re-derived the whole
+        # multi-branch aggregation tree
+        .localCheckpoint(eager=True)
     )
     export_behind_pointer(
         _HLL_ORACLE_PTR,

@@ -49,5 +49,12 @@ def fdec(col: Column | str) -> Column:
     return F.round(c.cast("double"), 6)
 
 
+def in_tol(est: Column, exact: Column, rel: float = 0.05) -> Column:
+    """The declared relative-tolerance flag the sketch flag-oracles hash
+    (d4/d4b/d4c): |est − exact| ≤ rel·exact. ONE definition (review r8:
+    three hand-copies of the contract expression could drift)."""
+    return F.abs(est.cast("double") - exact) <= rel * exact
+
+
 def t(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     return table(spark, name, sf_dir)

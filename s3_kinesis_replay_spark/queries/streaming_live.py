@@ -30,7 +30,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from s3_kinesis_replay_spark.registry import register
-from s3_kinesis_replay_spark.queries.helpers import DEC, fdec, sdec, t
+from s3_kinesis_replay_spark.queries.helpers import DEC, fdec, in_tol, sdec, t
 from s3_kinesis_replay_spark.sources.archive import stage_archive, stream_archive
 from s3_kinesis_replay_spark.streaming.kinesis_sink import CapturingClient
 from s3_kinesis_replay_spark.streaming.replay import ReplayConfig, run_replay
@@ -296,10 +296,9 @@ def d4c_streaming_hll_merge(spark, sf_dir):
             "est_users",
             "exact_users",
             "n_events",
-            (
-                F.abs(F.col("est_users").cast("double") - F.col("exact_users"))
-                <= 0.05 * F.col("exact_users")
-            ).alias("est_in_tol"),
+            in_tol(F.col("est_users"), F.col("exact_users")).alias(
+                "est_in_tol"
+            ),
         )
         .orderBy("event_type")
         .localCheckpoint(eager=True)
