@@ -19,7 +19,6 @@ is assertable after the fact.
 from __future__ import annotations
 
 import base64
-import importlib
 import json
 import os
 import uuid
@@ -32,7 +31,10 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from s3_kinesis_replay_spark.streaming.kinesis_sink import publish_batch
+from s3_kinesis_replay_spark.streaming.kinesis_sink import (
+    publish_batch,
+    resolve_client_factory,
+)
 
 
 @dataclass
@@ -47,16 +49,25 @@ class KinesisStreamWriter(DataSourceStreamWriter):
         self.factory_arg = options.get("client_arg", "")
 
     def _client(self):
-        mod_name, fn_name = self.factory_path.split(":")
-        factory = getattr(importlib.import_module(mod_name), fn_name)
-        return factory(self.factory_arg) if self.factory_arg else factory()
+        # the ONE module:callable resolution (review r8: this was the
+        # third hand-rolled copy, without the curated validation errors)
+        return resolve_client_factory(self.factory_path, self.factory_arg)()
 
     def write(self, iterator) -> KinesisCommitMessage:
-        client = self._client()
         # (key, seq) order within the partition = Kinesis shard order (H8).
         # The sort is in-memory per task; micro-batch pacing (A9) bounds it —
         # Spark itself forbids sortWithinPartitions on streaming DFs.
-        rows = sorted(iterator, key=lambda r: (r.partition_key, r.seq))
+        # Null-safe key (review r8): a null partition key must reach the
+        # batcher's descriptive ValueError, not die in the comparator;
+        # and the side-effectful client is built only for NON-EMPTY
+        # partitions (num_writers can exceed the distinct key count).
+        rows = sorted(
+            iterator,
+            key=lambda r: (r.partition_key is not None, r.partition_key or "", r.seq),
+        )
+        if not rows:
+            return KinesisCommitMessage(count=0)
+        client = self._client()
         records = ((row.partition_key, row.data.encode()) for row in rows)
         n = publish_batch(client, self.stream, records)
         return KinesisCommitMessage(count=n)

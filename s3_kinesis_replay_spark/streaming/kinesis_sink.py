@@ -57,8 +57,15 @@ class PutRecordsBatcher:
                     "PutRecords requires a non-empty PartitionKey"
                 )
             rec_size = len(data) + len(key.encode())
-            if rec_size > MAX_BYTES_PER_RECORD:
-                raise ValueError(f"record for key {key!r} exceeds 1 MiB: {rec_size}")
+            # also reject records that can never fit the INSTANCE's call
+            # budget (review r8: only the 1 MiB service constant was
+            # checked, so a smaller configured max_bytes was silently
+            # violated by a single-record oversized batch)
+            if rec_size > min(MAX_BYTES_PER_RECORD, self.max_bytes):
+                raise ValueError(
+                    f"record for key {key!r} exceeds the per-call budget: "
+                    f"{rec_size} > {min(MAX_BYTES_PER_RECORD, self.max_bytes)}"
+                )
             if batch and (
                 len(batch) >= self.max_records or size + rec_size > self.max_bytes
             ):
@@ -75,7 +82,10 @@ class CapturingClient:
     """In-memory PutRecords endpoint with injectable partial failures —
     used by tests to assert batching, retry, and per-key ordering."""
 
-    fail_every: int = 0  # fail the Nth record of each call (0 = never)
+    # fail every Nth record, on ODD-numbered calls only (0 = never): the
+    # even-call success is what lets retry tests observe recovery rather
+    # than exhaustion (review r8: the old comment claimed 'each call')
+    fail_every: int = 0
     calls: list = field(default_factory=list)
     records: list = field(default_factory=list)  # flattened successful puts
     _call_count: int = 0
@@ -125,7 +135,8 @@ def publish_batch(
             ]
             published += len(pending) - len(retry)
             pending = retry
-            time.sleep(backoff_s * (2**attempt))
+            if attempt < max_retries:  # no pointless sleep before raising
+                time.sleep(backoff_s * (2**attempt))
         if pending:
             raise RuntimeError(
                 f"{len(pending)} records still failing after {max_retries} retries"
@@ -141,7 +152,10 @@ def resolve_client_factory(spec, arg: str = ""):
     cross the pickle boundary), the same shape a boto3 deployment uses
     (factory reads env credentials in the worker)."""
     if callable(spec):
-        return spec
+        # honor arg for callables too (review r8: it was silently
+        # dropped, so a factory needing its argument either crashed or
+        # built a client against the wrong target)
+        return (lambda: spec(arg)) if arg else spec
     if spec.count(":") != 1 or spec.startswith(":") or spec.endswith(":"):
         raise ValueError(
             f"client factory spec {spec!r} must be 'module:callable' "
@@ -222,8 +236,21 @@ def kinesis_foreach_batch(
             parts = tagged.repartition(num_writers, "k").sortWithinPartitions("k", "s")
 
             def publish_partition(rows):
+                # build the (side-effectful) client only when the
+                # partition has rows: num_writers can exceed the
+                # distinct key count (review r8)
+                rows = iter(rows)
+                try:
+                    first = next(rows)
+                except StopIteration:
+                    return
+                import itertools
+
                 client = client_factory()
-                records = ((r["k"], r["payload"].encode()) for r in rows)
+                records = (
+                    (r["k"], r["payload"].encode())
+                    for r in itertools.chain([first], rows)
+                )
                 publish_batch(client, stream_name, records)
 
             # DataFrame-API action (SURVEY §1.3: no RDD API) — runs the

@@ -138,43 +138,58 @@ def merge_foreach_batch(snapshot_root: str):
         # shuffles on user_id only; the change side is micro-batch-sized
         merge_batch(target, changes).write.mode("overwrite").parquet(out_dir)
         publish_index_pointer(out_dir, pointer)
-        # reap the superseded snapshot (review r8: a long-running stream
-        # otherwise keeps O(n_batches) full copies): after publish the
-        # previous dir is referenced by nothing — the re-execution
-        # short-circuit only needs the CURRENTLY-published dir. A crash
-        # between publish and reap strands at most one dir.
-        if (
-            prev
-            and prev != os.path.realpath(out_dir)
-            and os.path.dirname(prev) == os.path.realpath(snapshot_root)
-        ):
-            import shutil
+        # reap superseded snapshots with ONE generation of grace (review
+        # r8, second pass): deleting the immediately-previous dir right
+        # after repointing could yank files from under a reader that
+        # resolved the pointer moments earlier — so publishing batch N
+        # keeps N-1 and reaps everything older. Disk is bounded at ~2
+        # snapshots instead of O(n_batches); a reader has a full
+        # micro-batch interval to finish its scan.
+        keep = {os.path.realpath(out_dir)}
+        if prev:
+            keep.add(prev)
+        import shutil
 
-            shutil.rmtree(prev, ignore_errors=True)
+        root_real = os.path.realpath(snapshot_root)
+        for d in os.listdir(snapshot_root):
+            full = os.path.join(root_real, d)
+            if (
+                d.startswith("batch-")
+                and os.path.realpath(full) not in keep
+            ):
+                shutil.rmtree(full, ignore_errors=True)
 
     return fn
 
 
 def snapshot_live(spark: SparkSession, snapshot_root: str, delete_type: str = "error") -> DataFrame:
-    """The LIVE view of the snapshot: tombstoned keys filtered out."""
+    """The LIVE view of the snapshot: tombstoned keys filtered out.
+    Null-safe (review r8): a key whose winning event_type is NULL is
+    live — `!= 'error'` evaluated to NULL and silently dropped it."""
     snap = _read_snapshot(spark, os.path.join(snapshot_root, "current"))
-    return snap.filter(F.col("last_type") != delete_type)
+    return snap.filter(~F.col("last_type").eqNullSafe(delete_type))
 
 
 def compact_tombstones(
     snapshot: DataFrame, watermark_ts, delete_type: str = "error"
 ) -> DataFrame:
-    """Drop tombstone rows whose event time is at or before
-    ``watermark_ts`` — safe once no change OLDER than the tombstone can
+    """Drop tombstone rows whose event time is STRICTLY before
+    ``watermark_ts`` — safe once no change older than the tombstone can
     still arrive (the stream's event-time watermark), because the only
-    reason to retain a tombstone is to outrank such stragglers. Bounds
-    snapshot growth at 100 TB: live keys persist, dead keys cost one row
-    only within the late-data horizon. The LIVE view is unchanged by
-    construction (tombstones are already filtered from it)."""
+    reason to retain a tombstone is to outrank such stragglers. The
+    bound is strict (review r8: the watermark only excludes events with
+    ts < watermark, so a ts == watermark straggler can still arrive and
+    must still lose to an equal-ts tombstone's (ts, event_id) guard —
+    dropping that tombstone re-opened the resurrection bug). The
+    comparison is null-safe: a NULL last_type is never a tombstone.
+    Bounds snapshot growth at 100 TB: live keys persist, dead keys cost
+    one row only within the late-data horizon. The LIVE view is
+    unchanged by construction (tombstones are already filtered from
+    it)."""
     return snapshot.filter(
         ~(
-            (F.col("last_type") == delete_type)
-            & (F.col("ts") <= F.lit(watermark_ts))
+            F.col("last_type").eqNullSafe(delete_type)
+            & (F.col("ts") < F.lit(watermark_ts))
         )
     )
 

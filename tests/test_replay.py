@@ -44,8 +44,13 @@ def test_batcher_byte_limit():
 
 def test_batcher_oversized_record_rejected():
     b = PutRecordsBatcher()
-    with pytest.raises(ValueError, match="1 MiB"):
+    with pytest.raises(ValueError, match="per-call budget"):
         list(b.batches([("k", b"x" * (1024 * 1024 + 1))]))
+    # an INSTANCE-configured smaller budget must also reject (review r8:
+    # only the 1 MiB service constant was checked)
+    small = PutRecordsBatcher(max_bytes=1024)
+    with pytest.raises(ValueError, match="per-call budget"):
+        list(small.batches([("k", b"x" * 2048)]))
 
 
 def test_publish_retries_partial_failures():

@@ -384,10 +384,10 @@ def test_c2c_streaming_merge_kill_resume(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(600)
     assert published_batch_id() > 1, "resume applied no further batches"
-    # reaping held: at most the published dir plus one straggler
+    # reaping held: current + one grace generation (+ one straggler)
     assert (
         len([d for d in os.listdir(snap_root) if d.startswith("batch-")])
-        <= 2
+        <= 3
     )
 
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -564,12 +564,17 @@ def test_c2c_tombstone_compaction_preserves_live_view(spark):
             (1, t0, 10, "error", 0.0),   # old tombstone: compactable
             (2, t2, 20, "error", 0.0),   # recent tombstone: must stay
             (3, t0, 30, "click", 1.0),   # old live row: must stay
+            # AT-watermark tombstone must stay (review r8: the watermark
+            # only excludes ts < w stragglers — an equal-ts change can
+            # still arrive and must lose to this row's guard)
+            (4, t1, 40, "error", 0.0),
+            (5, t0, 50, None, 1.0),      # NULL type is never a tombstone
         ],
         schema,
     )
     out = compact_tombstones(snap, t1)
     rows = {r["user_id"]: r["last_type"] for r in out.collect()}
-    assert rows == {2: "error", 3: "click"}
+    assert rows == {2: "error", 3: "click", 4: "error", 5: None}
     live_before = {r["user_id"] for r in snap.filter(F.col("last_type") != "error").collect()}
     live_after = {r["user_id"] for r in out.filter(F.col("last_type") != "error").collect()}
     assert live_before == live_after == {3}
