@@ -44,6 +44,41 @@ def _unit_rows(M):
     return M / np.linalg.norm(M, axis=1, keepdims=True)
 
 
+def _half_up6(A):
+    """Round a float64 array to 6 places with HALF_UP (away-from-zero)
+    tie-breaking — the SAME rule Spark's ``F.round`` applies in the
+    final trim (ADVICE r8: ``np.round`` is round-half-to-EVEN, so a sim
+    exactly on a 1e-6 half-ulp boundary could land in different tie
+    classes at the local cut vs the global one and drop the lowest-id
+    tie member the oracle keeps). Sign-aware because cosine sims can be
+    negative and Java's ROUND_HALF_UP rounds ties away from zero.
+
+    The vectorized floor formula itself drifts from Spark within a
+    float-ulp of a half boundary (Spark rounds the SHORTEST-DECIMAL repr
+    via BigDecimal.valueOf, the formula rounds the binary product), so
+    the rare near-boundary elements are corrected with an exact Decimal
+    quantize over repr() — Python's repr is the same shortest-decimal
+    form, making the correction bit-for-bit Spark parity. Pinned against
+    F.round in tests/test_operators.py::test_half_up6_matches_spark."""
+    import numpy as np
+
+    K = A * 1e6
+    out = np.where(A >= 0, np.floor(K + 0.5), -np.floor(-K + 0.5)) / 1e6
+    near = np.abs(np.abs(K) - np.floor(np.abs(K)) - 0.5) < 1e-7
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        flat, o = A.ravel(), out.ravel()
+        for i in np.flatnonzero(near.ravel()):
+            o[i] = float(
+                Decimal(repr(float(flat[i]))).quantize(
+                    q6, rounding=ROUND_HALF_UP
+                )
+            )
+    return out
+
+
 def dot_expr(x, y):
     """float64 dot product, sequential left-fold (codegen HOFs)."""
     return F.aggregate(
@@ -109,7 +144,7 @@ def block_topk(
             # argpartition breaks exact ties by position and can drop
             # the lowest-id member of a tie class the oracle keeps
             top = min(k, len(pdf))
-            sims_r = np.round(sims, 6)
+            sims_r = _half_up6(sims)
             id_cols, sim_cols = [], []
             for j in range(sims.shape[1]):
                 order = np.lexsort((ids, -sims_r[:, j]))[:top]
@@ -205,7 +240,7 @@ def block_topk_joined(
         # exact ties by position, which can exclude the lowest-id dups);
         # the margin then only has to absorb matmul-vs-fold rounding at
         # class boundaries, not tie-class membership
-        sims_r = np.round(sims, 6)
+        sims_r = _half_up6(sims)
         cols = []
         for j in range(sims.shape[1]):
             cols.append(cids[np.lexsort((cids, -sims_r[:, j]))[:t]])
@@ -829,18 +864,33 @@ def export_behind_pointer(pointer: str, write) -> str:
 
     base = os.path.dirname(pointer)
     os.makedirs(base, exist_ok=True)
-    prev = os.path.realpath(pointer) if os.path.islink(pointer) else None
     export = tempfile.mkdtemp(prefix="export-", dir=base)
     write(export)
     publish_index_pointer(export, pointer)
-    # only reap a dir WE published (lives directly under base) that the
-    # pointer no longer names
-    if (
-        prev
-        and prev != os.path.realpath(export)
-        and os.path.dirname(prev) == os.path.realpath(base)
-    ):
-        shutil.rmtree(prev, ignore_errors=True)
+    # Reap orphans by SCAN, not by remembered-prev (ADVICE r8: two racing
+    # runs each reaped only their own prev, so the losing run's export
+    # leaked forever and an in-flight oracle read could be orphaned
+    # mid-read). Every export-* dir under base that the pointer no
+    # longer names is an orphan; keep the single NEWEST one as a grace
+    # generation (covers a reader that resolved the pointer just before
+    # the repoint) and delete the rest — racers' leaks converge to at
+    # most one extra dir, cleaned by the next run.
+    current = os.path.realpath(pointer)
+    orphans = []
+    for d in os.listdir(base):
+        p = os.path.join(base, d)
+        if (
+            d.startswith("export-")
+            and os.path.isdir(p)
+            and os.path.realpath(p) != current
+        ):
+            try:
+                orphans.append((os.path.getmtime(p), p))
+            except OSError:
+                pass  # reaped concurrently between list and stat
+    orphans.sort(reverse=True)
+    for _, p in orphans[1:]:
+        shutil.rmtree(p, ignore_errors=True)
     return export
 
 

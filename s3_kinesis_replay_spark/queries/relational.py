@@ -731,10 +731,26 @@ def _ensure_bucketed_table(spark, df, key: str, tname: str) -> None:
         f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
         f"LOCATION '{final}'"
     )
+    # Reap stale sibling fingerprints with a ONE-GENERATION grace
+    # (ADVICE r8): a concurrent session whose catalog still references
+    # the immediately-previous fingerprint must not lose its bucket
+    # files mid-query, so keep the newest stale dir and delete only
+    # older generations (mirrors merge_sink's grace discipline).
     prefix = tname.rsplit("_", 1)[0] + "_"
-    for d in os.listdir(root):
-        if d.startswith(prefix) and d != tname and not d.startswith("build-"):
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    stale = [
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith(prefix) and d != tname and not d.startswith("build-")
+    ]
+    def _mtime(p):
+        try:
+            return os.path.getmtime(p)
+        except OSError:  # reaped by a concurrent session between list and stat
+            return 0.0
+
+    stale.sort(key=_mtime, reverse=True)
+    for p in stale[1:]:
+        shutil.rmtree(p, ignore_errors=True)
 
 
 @register(

@@ -50,6 +50,20 @@ def _pace_per_trigger(root: str, target_batches: int = 5) -> int:
     return pace_per_trigger(root, target_batches=target_batches, floor=6)
 
 
+def _await_drained(q, timeout: int = 600):
+    """Block until the streaming query terminates, FAILING LOUDLY on
+    timeout (ADVICE r8): ``awaitTermination(t)`` returns False when the
+    query is still running, and ignoring that meant a slow host could
+    read a partial snapshot/sketch set while the stream kept writing —
+    and leak the query. Stop it, then raise."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query did not drain within {timeout}s (stopped)"
+        )
+    return q
+
+
 def _drain(spark, stream_df, mode="append", name=None):
     """Run a streaming DF to completion (AvailableNow) into a memory sink."""
     name = name or ("skr_live_" + uuid.uuid4().hex[:12])
@@ -62,7 +76,7 @@ def _drain(spark, stream_df, mode="append", name=None):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drained(q)
     return spark.table(name)
 
 
@@ -79,7 +93,7 @@ def _run_capture_replay(spark, sf_dir, fail_every=0):
         max_files_per_trigger=5,
     )
     q = run_replay(spark, cfg, lambda: client, distributed=False)
-    q.awaitTermination(600)
+    _await_drained(q)
     return client
 
 
@@ -153,7 +167,7 @@ def a9_replay_pacing(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drained(q)
     return spark.createDataFrame(
         [(sum(counts), len(counts))], "n_rows BIGINT, n_batches BIGINT"
     )
@@ -194,7 +208,7 @@ def a10_checkpoint_resume(spark, sf_dir):
             .start()
         )
         try:
-            q.awaitTermination(600)
+            _await_drained(q)
         except Exception:
             pass  # run 1 dies on the injected failure; checkpoint survives
 
@@ -277,7 +291,7 @@ def d4c_streaming_hll_merge(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drained(q)
 
     sketches = spark.read.parquet(os.path.join(sketch_root, "batch-*"))
     merged = sketches.groupBy("event_type").agg(
@@ -625,7 +639,7 @@ def c2c_streaming_merge(spark, sf_dir):
         snap_root,
         tempfile.mkdtemp(prefix="skr_ckpt_"),
     )
-    q.awaitTermination(600)
+    _await_drained(q)
     assert os.path.exists(os.path.join(snap_root, "current"))
     return snapshot_live(spark, snap_root).select(
         "user_id",
@@ -692,7 +706,7 @@ def p18_replay_training_pipeline(spark, sf_dir):
         )
     )
     sink_dir = tempfile.mkdtemp(prefix="skr_p18_sink_")
-    (
+    _await_drained(
         stream_doc_archive(spark, root)
         .select("doc_id", "source", "text", F.md5(norm).alias("h"))
         .writeStream.format("parquet")
@@ -700,7 +714,6 @@ def p18_replay_training_pipeline(spark, sf_dir):
         .option("checkpointLocation", f"{sink_dir}/ckpt")
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(600)
     )
     crawl = spark.read.parquet(f"{sink_dir}/crawl")
 

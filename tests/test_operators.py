@@ -1730,3 +1730,113 @@ def test_decode_audio_real_wav():
         wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
                + b"fmt " + struct.pack("<I", len(fmt)) + fmt)
         decode_audio(wav)
+
+
+def test_half_up6_matches_spark(spark):
+    """The NumPy local-selection rounding kernel must agree bit-for-bit
+    with Spark's F.round(_, 6) (HALF_UP over the shortest-decimal repr)
+    — ADVICE r8: np.round's half-to-even broke tie-class parity at the
+    local cut. Adversarial half-boundary values, both signs, plus fuzz."""
+    import random
+
+    import numpy as np
+
+    from s3_kinesis_replay_spark.operators.similarity import _half_up6
+
+    vals = [
+        0.0000025, -0.0000025, 0.0000015, -0.0000015,
+        0.9999995, -0.9999995, 0.1234565, -0.1234565,
+        0.5e-6, -0.5e-6, 1.0, -1.0, 0.0,
+        # nextafter neighbors of a boundary: binary value strays a ulp
+        float(np.nextafter(0.0000025, 1)), float(np.nextafter(0.0000025, -1)),
+        float(np.nextafter(-0.0000025, -1)), float(np.nextafter(-0.0000025, 1)),
+    ]
+    rng = random.Random(9)
+    vals += [rng.uniform(-1, 1) for _ in range(500)]
+    # a half-boundary-dense band
+    vals += [round(rng.randrange(-2000000, 2000000) / 2 + 0.5) / 1e6 + 5e-7
+             for _ in range(200)]
+
+    ours = _half_up6(np.array(vals, dtype=np.float64))
+    sdf = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    got = {r["i"]: r["r"] for r in
+           sdf.select("i", F.round("v", 6).alias("r")).collect()}
+    for i, v in enumerate(vals):
+        assert ours[i] == got[i], (v, ours[i], got[i])
+
+
+def test_bucketed_reap_keeps_one_stale_generation(tmp_path):
+    """ADVICE r8: _ensure_bucketed_table's sibling reap must keep the
+    newest stale fingerprint dir (a concurrent session may still read
+    it) and delete only older generations. Exercised via the same
+    list/sort/rmtree discipline on a synthetic cache root."""
+    import os
+    import time
+
+    root = tmp_path / "skr_bucketed"
+    root.mkdir()
+    names = ["skr_li_b8_old1", "skr_li_b8_old2", "skr_li_b8_cur"]
+    for i, n in enumerate(names):
+        d = root / n
+        d.mkdir()
+        (d / "part").write_text("x")
+        t0 = time.time() - (len(names) - i) * 100
+        os.utime(d, (t0, t0))
+
+    # replicate the reap block with tname = the current fingerprint
+    import shutil
+
+    tname = "skr_li_b8_cur"
+    prefix = tname.rsplit("_", 1)[0] + "_"
+    stale = [
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith(prefix) and d != tname and not d.startswith("build-")
+    ]
+    stale.sort(key=lambda p: os.path.getmtime(p), reverse=True)
+    for p in stale[1:]:
+        shutil.rmtree(p, ignore_errors=True)
+
+    left = sorted(os.listdir(root))
+    assert left == ["skr_li_b8_cur", "skr_li_b8_old2"]
+
+
+def test_export_behind_pointer_grace_reap(tmp_path):
+    """ADVICE r8: orphaned export-* dirs (e.g. a racing run's loser) are
+    reaped by scan with a one-generation grace — after two sequential
+    exports plus one planted orphan, at most the pointer target and ONE
+    orphan remain, and a third export clears the planted one."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        export_behind_pointer,
+    )
+
+    base = tmp_path / "exp"
+    base.mkdir()
+    pointer = str(base / "current")
+
+    def writer(tag):
+        def write(d):
+            with open(os.path.join(d, "data"), "w") as f:
+                f.write(tag)
+        return write
+
+    e1 = export_behind_pointer(pointer, writer("one"))
+    # plant an orphan no pointer ever named (racing loser), older than e1
+    orphan = base / "export-loser"
+    orphan.mkdir()
+    (orphan / "data").write_text("lost")
+    os.utime(orphan, (os.path.getmtime(e1) - 50, os.path.getmtime(e1) - 50))
+
+    e2 = export_behind_pointer(pointer, writer("two"))
+    dirs = {d for d in os.listdir(base) if d.startswith("export-")}
+    # pointer names e2; grace keeps the newest orphan (e1); loser reaped
+    assert os.path.basename(e2) in dirs
+    assert os.path.basename(e1) in dirs
+    assert "export-loser" not in dirs
+    assert os.path.realpath(pointer) == os.path.realpath(e2)
+
+    e3 = export_behind_pointer(pointer, writer("three"))
+    dirs = {d for d in os.listdir(base) if d.startswith("export-")}
+    assert dirs == {os.path.basename(e3), os.path.basename(e2)}

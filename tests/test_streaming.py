@@ -659,3 +659,31 @@ def test_p18_replay_pipeline_bites_and_deterministic(spark, sf_dir, duck):
         for r in fn(spark, sf_dir).collect()
     }
     assert out1 == out2
+
+
+def test_await_drained_stops_and_raises_on_timeout():
+    """ADVICE r8: awaitTermination(t) returning False (still running)
+    must STOP the query and raise, not let the caller read a partial
+    result while the stream keeps writing."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.queries.streaming_live import _await_drained
+
+    class FakeQuery:
+        def __init__(self, finished):
+            self.finished = finished
+            self.stopped = False
+
+        def awaitTermination(self, timeout=None):
+            return self.finished
+
+        def stop(self):
+            self.stopped = True
+
+    ok = FakeQuery(True)
+    assert _await_drained(ok) is ok and not ok.stopped
+
+    hung = FakeQuery(False)
+    with _pytest.raises(TimeoutError, match="did not drain"):
+        _await_drained(hung, timeout=1)
+    assert hung.stopped
