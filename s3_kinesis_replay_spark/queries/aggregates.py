@@ -670,3 +670,113 @@ def d15_windowed_distinct(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
     )
+
+
+_MG_ORACLE_PTR = "/tmp/skr_mg_oracle/current"
+
+
+@register(
+    "d8b_heavy_hitters",
+    "D8",
+    f"""
+    WITH toks AS (SELECT lang,
+                         unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents),
+    exact AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+              FROM toks GROUP BY lang, tok),
+    tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM toks GROUP BY lang),
+    ranked AS (SELECT lang, tok, exact_n,
+                      ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY exact_n DESC, tok) AS rn
+               FROM exact),
+    est AS (SELECT lang, tok, est
+            FROM read_parquet('{_MG_ORACLE_PTR}/est/*.parquet'))
+    SELECT r.lang, r.tok, r.exact_n,
+           CAST(COALESCE(e.est, 0) AS BIGINT) AS est_n,
+           tt.n_total, TRUE AS in_bounds
+    FROM ranked r
+    JOIN tot tt ON tt.lang = r.lang
+    LEFT JOIN est e ON e.lang = r.lang AND e.tok = r.tok
+    WHERE r.rn <= 5
+    ORDER BY r.lang, r.tok
+    """,
+    note="MERGEABLE heavy hitters — the third sketch next to d4b "
+    "(distinct: HLL union) and d7b (quantiles: equi-rank merge): "
+    "per-(lang, shard) Misra-Gries summaries (operators/freq_sketch.py; "
+    "public: Misra-Gries 1982, Agarwal et al. 'Mergeable Summaries' "
+    "PODS 2012) of token frequencies, at most m=16 counters per shard, "
+    "merged by counter-sum + re-compress WITHOUT rescanning tokens — "
+    "per-day artifacts roll up into corpus heavy hitters the same way "
+    "HLL sketches union. Shards are a deterministic "
+    "pmod(xxhash64(doc_id), 8), so results are task-placement-free. "
+    "Oracle (d4b pattern): estimates export behind the pointer, DuckDB "
+    "recomputes the exact top-5 per lang, and Spark COMPUTES in_bounds "
+    "= the two-sided MG guarantee (est <= exact AND exact - est <= "
+    "N/(m+1)) while the oracle hard-codes TRUE — an overcount or an "
+    "out-of-bound undercount flips the flag. At 100 TB the exact side "
+    "is the oracle tax; production runs the sketch alone: one pass + "
+    "m-row-per-shard merge, no full token groupBy.",
+)
+def d8b_heavy_hitters(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.operators.freq_sketch import (
+        misra_gries_counts,
+    )
+    from s3_kinesis_replay_spark.operators.similarity import (
+        export_behind_pointer,
+    )
+
+    M = 16
+    toks = (
+        t(spark, "documents", sf_dir)
+        .select(
+            "lang",
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+    )
+    est = misra_gries_counts(
+        toks,
+        group_col="lang",
+        item_col="tok",
+        shard_col=F.pmod(F.xxhash64("doc_id"), F.lit(8)),
+        m=M,
+    ).localCheckpoint(eager=True)
+
+    exact = toks.groupBy("lang", "tok").agg(F.count("*").alias("exact_n"))
+    tot = toks.groupBy("lang").agg(F.count("*").alias("n_total"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("exact_n").desc(), "tok")
+    top5 = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    est_n = F.coalesce(F.col("est"), F.lit(0)).cast("long")
+    in_bounds = (est_n <= F.col("exact_n")) & (
+        F.col("exact_n") - est_n
+        <= F.floor(F.col("n_total") / F.lit(M + 1))
+    )
+    out = (
+        top5.join(F.broadcast(est), ["lang", "tok"], "left")
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "tok",
+            "exact_n",
+            est_n.alias("est_n"),
+            "n_total",
+            in_bounds.alias("in_bounds"),
+        )
+        .orderBy("lang", "tok")
+    )
+    export_behind_pointer(
+        _MG_ORACLE_PTR,
+        lambda export: est.write.mode("overwrite").parquet(
+            os.path.join(export, "est")
+        ),
+    )
+    return out

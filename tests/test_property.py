@@ -1726,3 +1726,68 @@ class TestSketchKernels:
             assert min(out) >= min(frame) - 0 and max(out) <= max(frame)
         # identity resize is exact
         assert resize_frame(frame, w, h, w, h) == frame
+
+
+class TestFreqSketchKernels:
+    """Misra–Gries mergeable heavy hitters (operators/freq_sketch.py):
+    the two-sided bound est <= exact, exact - est <= N/(m+1) must hold
+    for EVERY item (not just the reported top-k) after shard + merge +
+    re-compress, for any sharding of the stream."""
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        data=st.lists(
+            st.integers(min_value=0, max_value=40),  # zipf-ish small key space
+            min_size=1,
+            max_size=500,
+        ),
+        n_shards=st.integers(min_value=1, max_value=8),
+        m=st.integers(min_value=2, max_value=24),
+    )
+    def test_mg_merge_two_sided_bound(self, data, n_shards, m):
+        from collections import Counter
+
+        import numpy as np
+
+        from s3_kinesis_replay_spark.operators.freq_sketch import _mg_compress
+
+        x = np.array(data)
+        rng = np.random.RandomState(11)
+        shard_of = rng.randint(0, n_shards, len(x))
+        acc: dict = {}
+        for s in range(n_shards):
+            sv = x[shard_of == s]
+            if len(sv) == 0:
+                continue
+            items, counts = np.unique(sv, return_counts=True)
+            items, counts = _mg_compress(items, counts.astype(np.int64), m)
+            for it, c in zip(items, counts):
+                acc[int(it)] = acc.get(int(it), 0) + int(c)
+        if acc:
+            items = np.array(list(acc.keys()))
+            counts = np.array(list(acc.values()), dtype=np.int64)
+            items, counts = _mg_compress(items, counts, m)
+            est = dict(zip(items.tolist(), counts.tolist()))
+        else:
+            est = {}
+        exact = Counter(data)
+        bound = len(data) / (m + 1)
+        for item, c in exact.items():
+            e = est.get(item, 0)
+            assert e <= c, (item, e, c)
+            assert c - e <= bound, (item, e, c, bound)
+        # nothing hallucinated: every estimated item exists
+        assert set(est) <= set(exact)
+
+    def test_mg_compress_keeps_at_most_m(self):
+        import numpy as np
+
+        from s3_kinesis_replay_spark.operators.freq_sketch import _mg_compress
+
+        items = np.arange(100)
+        counts = np.arange(1, 101, dtype=np.int64)
+        ki, kc = _mg_compress(items, counts, 10)
+        assert len(ki) <= 10
+        # survivors are the largest, deducted by the (m+1)-th largest (90)
+        assert set(ki.tolist()) == set(range(90, 100))
+        assert kc.tolist() == [c - 90 for c in range(91, 101)]
