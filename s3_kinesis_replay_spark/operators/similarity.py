@@ -929,6 +929,43 @@ def ivf_build(
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
 
 
+def ivf_append(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a batch of new vectors to an ALREADY-BUILT IVF index
+    without rebuilding it — the index-maintenance half of the ANN story
+    (standard FAISS practice: the coarse quantizer is trained once and
+    FROZEN; ``add`` only assigns and stores).
+
+    Reads the index's own ``_centroids`` table (n_clusters tiny rows),
+    assigns each batch vector with the SAME shared ``_sq_dists`` argmin
+    the builder used (bit-identical cell choice), and appends the
+    assigned rows into the existing ``cell=`` partition dirs — one map
+    pass plus a partitioned write of JUST the batch. The existing corpus
+    is never read, shuffled, or rewritten: at 100 TB a daily ingest
+    costs O(batch), not O(index). Probing the appended index is
+    indistinguishable from probing a same-centroid index of the full
+    corpus (pinned by i13j's agree flag and
+    tests/test_operators.py::test_ivf_append_equals_joint_build).
+
+    Callers appending into a fingerprint-CACHED index must do so inside
+    the ``atomic_cached_build`` build function (i13j does), never into
+    an installed cache entry another query may be reading.
+    """
+    import numpy as np
+
+    cents = spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
+    centers = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    assigned = assign_cells(
+        batch.select(id_col, vec_col), centers, vec_col=vec_col, out_col="cell"
+    )
+    assigned.write.partitionBy("cell").mode("append").parquet(f"{path}/vectors")
+
+
 def ivf_probe_batch(
     spark,
     path: str,

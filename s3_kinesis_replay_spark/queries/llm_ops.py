@@ -2046,3 +2046,135 @@ def i13i_residual_pq_topk(spark, sf_dir):
         .limit(10)
         .select("vec_id", F.round("adc", 6).alias("adc_dist"))
     )
+
+
+_IVF_ORACLE_PTR_J = "/tmp/skr_ivf_oracle/i13j"
+
+
+@register(
+    "i13j_ivf_append",
+    "I5",
+    # Cross-engine oracle over the EXPORTED appended index (i13b's SQL
+    # shape over the i13j pointer): DuckDB re-runs the probe — nearest-4
+    # centroids by the sequential-fold distance with cell tiebreak, exact
+    # cosine re-rank over only the probed cells' partition dirs (which
+    # now contain both the base build's files AND the appended batch's) —
+    # and hard-codes agree=TRUE. A broken append (batch vectors missing,
+    # mis-assigned cells, corrupted base files) makes the Spark-side
+    # full-corpus reference disagree with the probe and flips the flag.
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cell
+      FROM read_parquet('{_IVF_ORACLE_PTR_J}/_centroids/*.parquet'), q
+      ORDER BY {_duck_sqdist("centroid", "qv")} ASC, cell ASC
+      LIMIT 4
+    ),
+    v AS (
+      SELECT vec_id, embedding
+      FROM read_parquet('{_IVF_ORACLE_PTR_J}/vectors/*/*.parquet',
+                        hive_partitioning = 1)
+      WHERE cell IN (SELECT cell FROM probe)
+    ),
+    top AS (
+      SELECT v.vec_id,
+             ROUND({_duck_dotf("v.embedding", "q.qv")}
+                   / (sqrt({_duck_dotf("v.embedding", "v.embedding")})
+                      * sqrt({_duck_dotf("q.qv", "q.qv")})), 6) AS sim
+      FROM v, q
+      ORDER BY sim DESC, v.vec_id
+      LIMIT 10
+    )
+    SELECT vec_id, sim AS probe_sim, sim AS full_sim, TRUE AS agree
+    FROM top ORDER BY vec_id
+    """,
+    note="INCREMENTAL index maintenance — the missing half of the IVF "
+    "story: i13/i13b build once and probe; i13j proves new vectors join "
+    "an existing index WITHOUT a rebuild (operators/similarity.py::"
+    "ivf_append — FAISS's train-once/add-forever discipline). The base "
+    "index trains on 3/4 of the corpus; the held-out quarter is then "
+    "APPENDED: one assign_cells map pass over just the batch + a "
+    "partitioned write into the existing cell= dirs — the base files "
+    "are never read or rewritten, so a daily ingest at 100 TB costs "
+    "O(batch), not O(index). Both steps run inside atomic_cached_build "
+    "(append never mutates an installed cache entry). Verification: "
+    "probe of the appended index must equal the exact-cosine top-10 "
+    "over the FULL corpus restricted to the probed cells under the "
+    "frozen quantizer (agree flag, every row), and the oracle re-runs "
+    "the probe over the exported index.",
+)
+def i13j_ivf_append(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        QUANTIZER_VERSION,
+        assign_cells,
+        atomic_cached_build,
+        cosine_expr,
+        data_fingerprint,
+        ivf_append,
+        ivf_build,
+        ivf_probe,
+        publish_index_pointer,
+    )
+
+    e = t(spark, "embeddings", sf_dir)
+    qv = [
+        r[0]
+        for r in e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    ][0]
+    corpus = e.filter(F.col("vec_id") != 0)
+    base = corpus.filter(F.col("vec_id") % 4 != 1)
+    batch = corpus.filter(F.col("vec_id") % 4 == 1)
+    fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def build(tmp: str) -> None:
+        ivf_build(base, tmp, n_clusters=16, seed=42)
+        ivf_append(spark, tmp, batch)
+
+    idx = atomic_cached_build(
+        "/tmp/skr_ivf",
+        f"{fp}-k16-s42-ex0j-append-{QUANTIZER_VERSION}",
+        build,
+        os.path.join("vectors", "_SUCCESS"),
+    )
+    publish_index_pointer(idx, _IVF_ORACLE_PTR_J)
+
+    probed = ivf_probe(spark, idx, list(qv), k=10, n_probe=4)
+
+    # full-corpus reference under the FROZEN quantizer: assign every
+    # corpus vector with the index's own centroids, keep the probed
+    # cells, exact-cosine top-10 — no index files involved
+    import numpy as np
+
+    cents = (
+        spark.read.parquet(f"{idx}/_centroids").orderBy("cell").collect()
+    )
+    centers = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    from s3_kinesis_replay_spark.operators.similarity import _probe_cells
+
+    pcells = _probe_cells(
+        [(r["cell"], r["centroid"]) for r in cents], list(qv), 4
+    )
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    full = (
+        assign_cells(corpus.select("vec_id", "embedding"), centers)
+        .filter(F.col("cell").isin(pcells))
+        .select(
+            "vec_id",
+            F.round(cosine_expr(q, F.col("embedding")), 6).alias("full_sim"),
+        )
+        .orderBy(F.col("full_sim").desc(), "vec_id")
+        .limit(10)
+    )
+    p = probed.select("vec_id", F.col("sim").alias("probe_sim"))
+    return (
+        p.join(full, "vec_id", "full_outer")
+        .select(
+            "vec_id",
+            "probe_sim",
+            "full_sim",
+            F.col("probe_sim").eqNullSafe(F.col("full_sim")).alias("agree"),
+        )
+        .orderBy("vec_id")
+    )

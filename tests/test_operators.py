@@ -1840,3 +1840,52 @@ def test_export_behind_pointer_grace_reap(tmp_path):
     e3 = export_behind_pointer(pointer, writer("three"))
     dirs = {d for d in os.listdir(base) if d.startswith("export-")}
     assert dirs == {os.path.basename(e3), os.path.basename(e2)}
+
+
+def test_ivf_append_equals_joint_build(spark, sf_dir, tmp_path):
+    """Appending a batch to a built index yields EXACTLY the rows of a
+    joint same-centroid index: (vec_id, cell) set of the appended index
+    == assign_cells(full corpus, frozen centroids), and the base files
+    were never rewritten (their (vec_id, cell) set is a strict subset)."""
+    import numpy as np
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        assign_cells,
+        ivf_append,
+        ivf_build,
+    )
+
+    emb = table(spark, "embeddings", sf_dir).filter(F.col("vec_id") != 0)
+    base = emb.filter(F.col("vec_id") % 4 != 1)
+    batch = emb.filter(F.col("vec_id") % 4 == 1)
+    idx = str(tmp_path / "idx")
+    ivf_build(base, idx, n_clusters=8, seed=7)
+    before = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(f"{idx}/vectors").collect()
+    }
+    ivf_append(spark, idx, batch)
+    after = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(f"{idx}/vectors").collect()
+    }
+    cents = spark.read.parquet(f"{idx}/_centroids").orderBy("cell").collect()
+    centers = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    expected = {
+        (r["vec_id"], r["cell"])
+        for r in assign_cells(emb.select("vec_id", "embedding"), centers)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert after == expected
+    assert before < after
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    assert {v for v, _ in after - before} == batch_ids
+
+
+def test_i13j_ivf_append_all_agree(spark, sf_dir):
+    """Every probe row of the appended index must match the frozen-
+    quantizer full-corpus reference (the flag the oracle hard-codes)."""
+    rows = all_queries()["i13j_ivf_append"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["agree"] for r in rows)
