@@ -1,0 +1,125 @@
+"""Multi-dimensional data layout — Z-order (Morton) clustering for
+file-level min/max skipping.
+
+Public background: Morton 1966 (interleaved bit codes); the technique as
+shipped by Delta Lake's OPTIMIZE ZORDER BY, Apache Hudi clustering, and
+Iceberg's z-ordered rewrites. The problem it solves at 100 TB: a table
+sorted by ONE column gives tight per-file min/max ranges on that column
+only — a predicate on any other column prunes nothing, so a 2-D box
+query scans every file. Interleaving the bits of several columns'
+bucket ranks makes each file's footprint a small hyper-rectangle in ALL
+those dimensions at once: every dimension of a box predicate prunes a
+fraction of the files, multiplicatively.
+
+Everything here is codegen column expressions — no UDFs, no shuffle
+beyond the ONE repartitionByRange that physically clusters the output:
+
+* bucket: ``floor((x - min) * 2^bits / (max - min + ulp))`` clamped to
+  [0, 2^bits) — min/max come from one scalar aggregate pass.
+* z-value: bitwise interleave of the bucket codes, built as a sum of
+  shiftleft/shiftright/AND terms (WholeStageCodegen keeps it JVM-side).
+* layout: ``repartitionByRange(n_files, z)`` + ``sortWithinPartitions``
+  → each output file covers a contiguous z-range = a small box in every
+  clustered dimension; parquet footers carry the per-file min/max that
+  any engine's scan pruning then exploits.
+
+The correctness contract is layout-INVARIANCE (same rows out, pinned by
+the a11 oracle); the efficiency contract — fewer candidate files for
+box predicates than a single-column sort — is measured from the real
+parquet footers in tests/test_operators.py::test_zorder_prunes_box_
+predicates and quantified in SCALE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def bucket_code(x: Column, lo: float, hi: float, bits: int) -> Column:
+    """Rank-free bucket code in [0, 2^bits): linear min/max scaling —
+    one scalar agg supplies lo/hi, no window/ntile (an ntile would
+    funnel the table through one partition)."""
+    n = 1 << bits
+    span = (hi - lo) or 1.0
+    raw = F.floor((x.cast("double") - F.lit(float(lo))) / F.lit(span) * n)
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)).cast("long")
+
+
+def z_value(codes: list[Column], bits: int) -> Column:
+    """Morton-interleave ``len(codes)`` bucket codes of ``bits`` bits
+    each into one long: output bit (i*ndims + d) = bit i of code d.
+    Pure shiftleft/shiftright/AND terms — stays in codegen."""
+    ndims = len(codes)
+    z = F.lit(0).cast("long")
+    for d, c in enumerate(codes):
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)),
+                    i * ndims + d,
+                )
+            )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    dims: list[Column],
+    n_files: int = 16,
+    bits: int = 10,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered by the
+    Z-order of ``dims`` (numeric column expressions). One aggregate pass
+    for min/max, one range shuffle on the z-value, sorted files out.
+    The z column itself is dropped — the value of the layout lives in
+    the per-file min/max footers of the ORIGINAL columns."""
+    mins = df.agg(
+        *[F.min(d.cast("double")).alias(f"lo{i}") for i, d in enumerate(dims)],
+        *[F.max(d.cast("double")).alias(f"hi{i}") for i, d in enumerate(dims)],
+    ).collect()[0]
+    codes = [
+        bucket_code(d, mins[f"lo{i}"], mins[f"hi{i}"], bits)
+        for i, d in enumerate(dims)
+    ]
+    (
+        df.withColumn("_z", z_value(codes, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def candidate_files(path: str, preds: dict[str, tuple]) -> tuple[int, int]:
+    """(files overlapping ALL [lo, hi] column predicates, total files)
+    straight from the parquet footers via pyarrow — the same min/max
+    stats any engine's scan pruning consults. Driver-side but bounded:
+    one footer read per file, no data pages."""
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(path, format="parquet")
+    total = 0
+    hit = 0
+    for f in dataset.files:
+        total += 1
+        md = pq.ParquetFile(f).metadata
+        overlaps = True
+        for col, (lo, hi) in preds.items():
+            cmin = cmax = None
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    c = row_group.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        cmin = s.min if cmin is None else min(cmin, s.min)
+                        cmax = s.max if cmax is None else max(cmax, s.max)
+            if cmin is not None and (cmax < lo or cmin > hi):
+                overlaps = False
+                break
+        if overlaps:
+            hit += 1
+    return hit, total

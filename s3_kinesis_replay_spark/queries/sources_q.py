@@ -207,3 +207,90 @@ def a8b_partition_pruned_read(spark, sf_dir):
             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         )
     )
+
+
+def _zorder_layout(spark, sf_dir: str) -> str:
+    """Fingerprint-cached Z-order rewrite of lineitem clustered on
+    (l_shipdate, l_partkey) — 16 sorted files whose footers carry tight
+    2-D min/max boxes (operators/layout.py). Atomic install; a
+    regenerated fixture rebuilds."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.layout import zorder_write
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    key = data_fingerprint(src) + "-z2"
+
+    def build(tmp_dir: str) -> None:
+        li = t(spark, "lineitem", sf_dir)
+        zorder_write(
+            li,
+            tmp_dir,
+            dims=[
+                F.datediff(F.col("l_shipdate"), F.lit("1995-01-01")),
+                F.col("l_partkey"),
+            ],
+            n_files=16,
+            bits=10,
+        )
+
+    return atomic_cached_build("/tmp/skr_zorder", key, build, "_SUCCESS")
+
+
+@register(
+    "a11_zorder_scan",
+    "A8",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'
+      AND l_partkey BETWEEN 100 AND 500
+    GROUP BY l_returnflag
+    """,
+    note="Z-ORDER clustered rewrite + 2-D box scan (operators/layout.py; "
+    "public technique: Morton codes as shipped by Delta OPTIMIZE ZORDER "
+    "/ Hudi clustering / Iceberg rewrites). lineitem is rewritten ONCE "
+    "(fingerprint-cached) as 16 files range-partitioned and sorted on "
+    "the interleaved (l_shipdate, l_partkey) bucket bits — all codegen "
+    "shift/AND expressions, one agg pass for min/max, ONE range shuffle "
+    "— then the box query reads the copy. Oracle = the same query on "
+    "the original table: layout invariance is the correctness half. The "
+    "efficiency half is BALANCED pruning: a date-sorted layout is "
+    "all-or-nothing (tight on l_shipdate, every file a candidate for "
+    "any l_partkey predicate — 16/16), while the z-layout prunes a "
+    "real fraction on EVERY clustered dimension (measured sf0.01 "
+    "footers: partkey-only 8/16 vs 16/16, date-only 7/16), so its "
+    "worst single-dimension scan beats the sort layout's. Measured in "
+    "tests/test_operators.py::test_zorder_prunes_box_predicates and "
+    "SCALE.md. At 100 TB that is the difference between full scans for "
+    "secondary-column predicates and bounded overlap fractions.",
+)
+def a11_zorder_scan(spark, sf_dir):
+    z = _zorder_layout(spark, sf_dir)
+    li = spark.read.parquet(z)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-07-01")
+            & F.col("l_partkey").between(100, 500)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(
+                    F.expr(
+                        "CAST(l_extendedprice * (1 - l_discount)"
+                        " AS DECIMAL(38,6))"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("revenue"),
+        )
+    )
