@@ -294,3 +294,127 @@ def e9_latest_per_key(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "ts", "event_type", "value")
     )
+
+
+@register(
+    "ts1_resample_interpolate",
+    "E2",
+    """
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                        / COUNT(*) AS DOUBLE), 6) AS v
+      FROM events WHERE user_id % 50 = 7
+      GROUP BY user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
+    ),
+    span AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx
+             FROM obs GROUP BY user_id),
+    grid AS (
+      SELECT s.user_id, UNNEST(generate_series(s.mn, s.mx,
+                                               INTERVAL 1 HOUR)) AS h
+      FROM span s
+    ),
+    j AS (
+      SELECT g.user_id, g.h, o.v
+      FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h
+    ),
+    f AS (
+      SELECT user_id, h, v,
+        LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER wp AS pt,
+        FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER wn AS nt
+      FROM j
+      WINDOW
+        wp AS (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, h, (v IS NOT NULL) AS is_observed,
+           -- engine-neutral 6-dp HALF_UP: FLOOR over the IEEE product is
+           -- bit-identical in both engines, while ROUND() semantics
+           -- diverge on decimal midpoints (e.g. 16.1496875)
+           FLOOR(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (CAST(epoch(h) - epoch(pt) AS DOUBLE)
+                                 / CAST(epoch(nt) - epoch(pt) AS DOUBLE))
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv
+           END * 1000000 + 0.5) / 1000000 AS value
+    FROM f ORDER BY user_id, h
+    """,
+    note="time-series RESAMPLE + GAP-FILL — hourly grid per user "
+    "(sequence+explode, no driver loop), linear interpolation between "
+    "the nearest observations via two ignore-nulls window passes "
+    "(last/first over ROWS frames), forward/backward fill at the edges. "
+    "All built-ins: date_trunc bucketing -> exact-decimal hourly mean "
+    "-> per-user span join -> interpolation arithmetic on integer epoch "
+    "seconds (identical association both engines). Shuffle shape: one "
+    "groupBy(user, hour), one per-user window sort — the same cost "
+    "class as any E-family window at 100 TB; the grid never "
+    "materializes beyond each user's own span.",
+)
+def ts1_resample_interpolate(spark, sf_dir):
+    e = t(spark, "events", sf_dir).filter(F.col("user_id") % 50 == 7)
+    obs = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        fdec(F.sum(sdec("value")) / F.count("*")).alias("v")
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = grid.join(obs, ["user_id", "h"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col("v")
+    ht = F.when(v.isNotNull(), F.col("h"))
+    f = j.select(
+        "user_id",
+        "h",
+        "v",
+        F.last(v, ignorenulls=True).over(wp).alias("pv"),
+        F.last(ht, ignorenulls=True).over(wp).alias("pt"),
+        F.first(v, ignorenulls=True).over(wn).alias("nv"),
+        F.first(ht, ignorenulls=True).over(wn).alias("nt"),
+    )
+    frac = (
+        (F.unix_timestamp("h") - F.unix_timestamp("pt")).cast("double")
+        / (F.unix_timestamp("nt") - F.unix_timestamp("pt")).cast("double")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    # engine-neutral 6-dp HALF_UP (see oracle comment): F.round's
+    # shortest-repr HALF_UP and DuckDB's binary-value ROUND disagree on
+    # decimal midpoints the interpolation can land on exactly
+    return f.select(
+        "user_id",
+        "h",
+        F.col("v").isNotNull().alias("is_observed"),
+        (F.floor(filled * 1000000 + 0.5) / 1000000).alias("value"),
+    ).orderBy("user_id", "h")

@@ -1983,3 +1983,32 @@ def test_zorder_kernels():
     for r in out:
         assert r["z"] == morton(r["x"], r["y"]), r
         assert 0 <= r["bx"] < 8
+
+
+def test_ts1_interpolation_semantics(spark, sf_dir):
+    """Gap-fill invariants: the per-user grid is DENSE hourly between
+    the user's first and last observed hour; every filled value lies
+    within [min(pv, nv), max(pv, nv)] of its bracketing observations;
+    edge gaps use pure forward/backward fill (constant)."""
+    rows = (
+        all_queries()["ts1_resample_interpolate"].fn(spark, sf_dir).collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r["h"])
+        # dense hourly grid
+        for a, b in zip(rs, rs[1:]):
+            assert (b["h"] - a["h"]).total_seconds() == 3600, (uid, a, b)
+        # grid endpoints are observed by construction
+        assert rs[0]["is_observed"] and rs[-1]["is_observed"]
+        obs_idx = [i for i, r in enumerate(rs) if r["is_observed"]]
+        for lo, hi in zip(obs_idx, obs_idx[1:]):
+            a, b = rs[lo]["value"], rs[hi]["value"]
+            vlo, vhi = min(a, b), max(a, b)
+            for i in range(lo + 1, hi):
+                assert vlo - 1e-9 <= rs[i]["value"] <= vhi + 1e-9, (
+                    uid, rs[lo], rs[i], rs[hi],
+                )
