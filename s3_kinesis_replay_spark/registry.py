@@ -104,6 +104,7 @@ def all_queries() -> dict[str, Query]:
         aggregates,
         windows,
         tpch_extra,
+        quality,
     )
 
     first = _window_first()

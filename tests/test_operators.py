@@ -2012,3 +2012,65 @@ def test_ts1_interpolation_semantics(spark, sf_dir):
                 assert vlo - 1e-9 <= rs[i]["value"] <= vhi + 1e-9, (
                     uid, rs[lo], rs[i], rs[hi],
                 )
+
+
+def test_v1_audit_detects_injected_violations(spark, sf_dir, tmp_path):
+    """The audit is not trivially green: corrupt a copy of the fixture
+    (duplicate customer PK, out-of-domain discount, orphaned order) and
+    every corresponding check must flip to failed with the right count."""
+    import os
+    import shutil
+
+    bad = tmp_path / "bad_sf"
+    bad.mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        os.symlink(
+            os.path.join(sf_dir, f"{name}.parquet"), bad / f"{name}.parquet"
+        )
+
+    # duplicate one customer row (breaks pk_unique by exactly 1)
+    cust = table(spark, "customer", sf_dir)
+    dup = cust.unionAll(cust.limit(1))
+    os.remove(bad / "customer.parquet")
+    dup.coalesce(1).write.parquet(str(bad / "customer.parquet"))
+
+    # one order pointing at a customer key that cannot exist
+    o = table(spark, "orders", sf_dir)
+    orphan = o.limit(1).withColumn("o_custkey", F.lit(-987654321))
+    os.remove(bad / "orders.parquet")
+    o.unionAll(orphan).coalesce(1).write.parquet(str(bad / "orders.parquet"))
+
+    # one lineitem with discount 1.5
+    li = table(spark, "lineitem", sf_dir)
+    badli = li.limit(1).withColumn("l_discount", F.lit(1.5)).withColumn(
+        "l_linenumber", F.lit(999)
+    )
+    os.remove(bad / "lineitem.parquet")
+    li.unionAll(badli).coalesce(1).write.parquet(str(bad / "lineitem.parquet"))
+
+    rows = {
+        (r["table_name"], r["check_name"]): r
+        for r in all_queries()["v1_data_quality_audit"]
+        .fn(spark, str(bad))
+        .collect()
+    }
+    assert rows[("customer", "pk_unique")]["violations"] == 1
+    assert not rows[("customer", "pk_unique")]["passed"]
+    assert rows[("orders", "custkey_ri")]["violations"] == 1
+    assert not rows[("orders", "custkey_ri")]["passed"]
+    assert rows[("lineitem", "discount_domain")]["violations"] == 1
+    assert not rows[("lineitem", "discount_domain")]["passed"]
+    # untouched checks still pass
+    assert rows[("documents", "text_nonempty")]["passed"]
+    assert rows[("events", "ts_in_window")]["passed"]
+    # clean fixture: the audit is not a rubber stamp — it flags the one
+    # REAL defect in the synthetic data (lineitem's (l_orderkey,
+    # l_linenumber) is not unique) and passes everything else
+    clean = all_queries()["v1_data_quality_audit"].fn(spark, sf_dir).collect()
+    failed = {
+        (r["table_name"], r["check_name"]) for r in clean if not r["passed"]
+    }
+    assert failed == {("lineitem", "pk_unique")}, failed
