@@ -780,3 +780,80 @@ def d8b_heavy_hitters(spark, sf_dir):
         ),
     )
     return out
+
+
+@register(
+    "e11_funnel_conversion",
+    "D10",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+             AS n_view_click_purchase,
+           ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM s1), 6) AS conversion
+    """,
+    note="ORDERED event-sequence funnel (view -> click -> purchase, "
+    "strictly increasing event time) — the MATCH_RECOGNIZE-class "
+    "analytic every event store runs, expressed as three stage "
+    "aggregates chained by (user, after-timestamp) joins: stage k "
+    "reduces to one row per surviving user BEFORE joining stage k+1, so "
+    "each join moves only user-grain rows and each groupBy partial-aggs "
+    "map-side. At 100 TB the alternative — per-user event collect + "
+    "imperative scan — shuffles the raw stream; this shape shuffles "
+    "user cardinality three times and nothing else.",
+)
+def e11_funnel_conversion(spark, sf_dir):
+    e = t(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count("*").alias("n_view"))
+    n2 = s2.agg(F.count("*").alias("n_view_click"))
+    n3 = s3.agg(F.count("*").alias("n_view_click_purchase"))
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(n3)
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_view_click_purchase",
+            F.round(
+                F.col("n_view_click_purchase").cast("double")
+                / F.col("n_view"),
+                6,
+            ).alias("conversion"),
+        )
+    )

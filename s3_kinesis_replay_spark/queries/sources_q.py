@@ -294,3 +294,87 @@ def a11_zorder_scan(spark, sf_dir):
             ).alias("revenue"),
         )
     )
+
+
+def _compacted_archive(spark, sf_dir: str, target_rows: int = 4000) -> str:
+    """Fingerprint-cached COMPACTION of the staged gz-NDJSON archive into
+    right-sized parquet: the operational fix for the small-file problem a
+    Firehose-style delivery creates (one object per flush — the staged
+    archive at sf0.1 is ~200 files of 500 rows; S3 listings and task
+    scheduling cost per FILE, so a year of that is millions of tiny
+    objects). One range shuffle clusters rows by (dt, event_id) and
+    ``maxRecordsPerFile`` caps file size; output is dt=-partitioned
+    parquet with ~target_rows rows per file. Atomic install."""
+    import math
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+    from s3_kinesis_replay_spark.sources.archive import (
+        read_archive,
+        stage_archive,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = data_fingerprint(src) + f"-compact{target_rows}"
+
+    def build(tmp_dir: str) -> None:
+        root = stage_archive(sf_dir, gz=True)
+        df = read_archive(spark, root, with_partitions=True)
+        n = df.count()
+        n_out = max(1, math.ceil(n / target_rows))
+        (
+            df.repartitionByRange(n_out, "dt", "event_id")
+            .sortWithinPartitions("dt", "event_id")
+            .write.option("maxRecordsPerFile", target_rows)
+            .partitionBy("dt")
+            .mode("overwrite")
+            .parquet(tmp_dir)
+        )
+
+    return atomic_cached_build("/tmp/skr_compact", key, build, "_SUCCESS")
+
+
+@register(
+    "a12_compact_small_files",
+    "A8",
+    """
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    note="SMALL-FILE COMPACTION — the operational follow-on to the "
+    "archive staging (A5) and parquet sink (A8): the Firehose-shaped "
+    "gz-NDJSON archive (one small object per flush) is compacted into "
+    "dt=-partitioned parquet with ~4000 rows/file via ONE "
+    "repartitionByRange(dt, event_id) + maxRecordsPerFile — the "
+    "standard bin-pack recipe (Delta OPTIMIZE / Iceberg rewrite_data_"
+    "files, public). Correctness = content invariance through "
+    "gz->compact->scan (per-day aggregate equals the original table); "
+    "the file-count collapse (~200 chunks -> ~26 right-sized files at "
+    "sf0.1) and per-file row discipline are asserted in tests/test_"
+    "operators.py::test_compaction_binpacks_files. At 100 TB this is "
+    "what keeps listings, footers, and task counts proportional to "
+    "DATA, not to flush cadence.",
+)
+def a12_compact_small_files(spark, sf_dir):
+    out = _compacted_archive(spark, sf_dir)
+    df = spark.read.parquet(out)
+    # group by the EVENT's day, not the dt= dir: a staged chunk spanning
+    # midnight is labeled with its min-ts date, so the layout column is
+    # clustering metadata while ts stays the source of truth
+    return (
+        df.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("dt")
+    )

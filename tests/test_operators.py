@@ -2074,3 +2074,72 @@ def test_v1_audit_detects_injected_violations(spark, sf_dir, tmp_path):
         (r["table_name"], r["check_name"]) for r in clean if not r["passed"]
     }
     assert failed == {("lineitem", "pk_unique")}, failed
+
+
+def test_compaction_binpacks_files(spark, sf_dir):
+    """a12's efficiency claim: the staged archive's many small chunk
+    files collapse into right-sized parquet — output file count is
+    bounded by ceil(rows/target) + one tail per dt partition, every
+    file respects maxRecordsPerFile, and the content round-trips."""
+    import glob
+    import math
+    import os
+
+    from s3_kinesis_replay_spark.queries.sources_q import _compacted_archive
+    from s3_kinesis_replay_spark.sources.archive import stage_archive
+
+    target = 4000
+    out = _compacted_archive(spark, sf_dir, target_rows=target)
+    root = stage_archive(sf_dir, gz=True)
+    n_in = len(glob.glob(os.path.join(root, "dt=*", "hr=*", "*.gz")))
+    files = glob.glob(os.path.join(out, "dt=*", "*.parquet"))
+    n = table(spark, "events", sf_dir).count()
+    n_dt = len(glob.glob(os.path.join(out, "dt=*")))
+    assert len(files) <= math.ceil(n / target) + n_dt, (len(files), n, n_dt)
+    if n_in > math.ceil(n / target) + n_dt:
+        assert len(files) < n_in  # actual collapse at this sf
+    import pyarrow.parquet as pq
+
+    for f in files:
+        assert pq.ParquetFile(f).metadata.num_rows <= target
+    # content invariance through gz -> compact -> scan
+    got = spark.read.parquet(out)
+    assert got.count() == n
+    assert got.select(F.sum("event_id")).collect()[0][0] == \
+        table(spark, "events", sf_dir).select(F.sum("event_id")).collect()[0][0]
+
+
+def test_e11_funnel_monotone(spark, sf_dir):
+    """Funnel stages can only shrink, and each stage-k user genuinely
+    has the ordered subsequence (cross-checked imperatively per user)."""
+    row = all_queries()["e11_funnel_conversion"].fn(spark, sf_dir).collect()[0]
+    assert row["n_view"] >= row["n_view_click"] >= row["n_view_click_purchase"]
+    assert row["n_view_click_purchase"] > 0  # fixture has full journeys
+    # imperative cross-check on the raw events
+    ev = sorted(
+        table(spark, "events", sf_dir)
+        .select("user_id", "event_type", "ts")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"]),
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n1 = n2 = n3 = 0
+    for rs in by_user.values():
+        t1 = next((r["ts"] for r in rs if r["event_type"] == "view"), None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = next(
+            (r["ts"] for r in rs
+             if r["event_type"] == "click" and r["ts"] > t1),
+            None,
+        )
+        if t2 is None:
+            continue
+        n2 += 1
+        if any(r["event_type"] == "purchase" and r["ts"] > t2 for r in rs):
+            n3 += 1
+    assert (row["n_view"], row["n_view_click"],
+            row["n_view_click_purchase"]) == (n1, n2, n3)
