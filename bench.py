@@ -111,7 +111,7 @@ EXTRAS = [
     "mm5_image_resize",       # real decode + mean-pool resize in one pass
     "d4c_streaming_hll_merge",  # per-batch sketch artifacts union-merged
     # round 9
-    "d8b_heavy_hitters",      # mergeable Misra-Gries frequency sketch
+    "d8c_heavy_hitters",      # mergeable Misra-Gries frequency sketch
     "i13j_ivf_append",        # incremental index append + pruned probe
     "a11_zorder_scan",        # z-order clustered rewrite + 2-D box scan
     "ts1_resample_interpolate",  # hourly gap-fill with linear interpolation

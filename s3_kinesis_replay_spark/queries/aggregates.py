@@ -676,7 +676,7 @@ _MG_ORACLE_PTR = "/tmp/skr_mg_oracle/current"
 
 
 @register(
-    "d8b_heavy_hitters",
+    "d8c_heavy_hitters",
     "D8",
     f"""
     WITH toks AS (SELECT lang,
@@ -718,7 +718,7 @@ _MG_ORACLE_PTR = "/tmp/skr_mg_oracle/current"
     "is the oracle tax; production runs the sketch alone: one pass + "
     "m-row-per-shard merge, no full token groupBy.",
 )
-def d8b_heavy_hitters(spark, sf_dir):
+def d8c_heavy_hitters(spark, sf_dir):
     import os
 
     from s3_kinesis_replay_spark.operators.freq_sketch import (
