@@ -116,6 +116,9 @@ EXTRAS = [
     "a11_zorder_scan",        # z-order clustered rewrite + 2-D box scan
     "ts1_resample_interpolate",  # hourly gap-fill with linear interpolation
     "v1_data_quality_audit",  # constraint suite: PK/RI/domain/freshness
+    "a12_compact_small_files",  # archive bin-pack into right-sized parquet
+    "e11_funnel_conversion",  # ordered view->click->purchase stage joins
+    "d8d_streaming_heavy_hitters",  # per-batch MG artifacts merged at drain
 ]
 
 

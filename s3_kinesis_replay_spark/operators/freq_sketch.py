@@ -50,19 +50,18 @@ def _mg_compress(items: np.ndarray, counts: np.ndarray, m: int):
     return items[mask], kept[mask]
 
 
-def misra_gries_counts(
+def mg_partial_summaries(
     df: DataFrame,
     group_col: str,
     item_col: str,
     shard_col: Column,
     m: int = 16,
 ) -> DataFrame:
-    """(group, item, est) estimated counts from mergeable per-(group,
-    shard) Misra–Gries summaries. ``est`` obeys the two-sided MG bound
-    per group: est <= exact and exact - est <= N_group/(m+1), where
-    N_group counts every row of the group (the bound a correctness flag
-    can assert without tolerance). ``shard_col`` must be deterministic
-    over the row (e.g. ``pmod(xxhash64(key), n_shards)``)."""
+    """(g, items, cnts) per-(group, shard) MG summaries — the mergeable
+    ARTIFACT form: each row is at most m counters standing in for its
+    shard with undercount <= n_shard/(m+1). Persist these (e.g. one per
+    day / per micro-batch) and roll up later with ``mg_merge`` without
+    rescanning the raw rows."""
     gtype = df.schema[group_col].dataType.simpleString()
     ityp = df.schema[item_col].dataType.simpleString()
     sharded = df.select(
@@ -84,9 +83,16 @@ def misra_gries_counts(
             }
         )
 
-    partials = sharded.groupBy("g", "_shard").applyInPandas(
+    return sharded.groupBy("g", "_shard").applyInPandas(
         partial, f"g {gtype}, items array<{ityp}>, cnts array<long>"
     )
+
+
+def mg_merge(partials: DataFrame, m: int = 16, item_type: str = "string") -> DataFrame:
+    """(g, it, est) from stored MG summaries: per group, sum counters
+    across summaries and re-compress — the Agarwal et al. merge, which
+    preserves the combined bound est <= exact <= est + N/(m+1)."""
+    gtype = partials.schema["g"].dataType.simpleString()
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         acc: dict = {}
@@ -108,9 +114,27 @@ def misra_gries_counts(
             }
         )
 
-    merged = partials.groupBy("g").applyInPandas(
-        merge, f"g {gtype}, it {ityp}, est long"
+    return partials.groupBy("g").applyInPandas(
+        merge, f"g {gtype}, it {item_type}, est long"
     )
+
+
+def misra_gries_counts(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    shard_col: Column,
+    m: int = 16,
+) -> DataFrame:
+    """(group, item, est) estimated counts from mergeable per-(group,
+    shard) Misra–Gries summaries. ``est`` obeys the two-sided MG bound
+    per group: est <= exact and exact - est <= N_group/(m+1), where
+    N_group counts every row of the group (the bound a correctness flag
+    can assert without tolerance). ``shard_col`` must be deterministic
+    over the row (e.g. ``pmod(xxhash64(key), n_shards)``)."""
+    ityp = df.schema[item_col].dataType.simpleString()
+    partials = mg_partial_summaries(df, group_col, item_col, shard_col, m)
+    merged = mg_merge(partials, m, item_type=ityp)
     return merged.select(
         F.col("g").alias(group_col),
         F.col("it").alias(item_col),

@@ -864,3 +864,144 @@ def p18_replay_training_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tokens").alias("shard_tokens"),
     )
+
+
+_SMG_ORACLE_PTR = "/tmp/skr_smg_oracle/current"
+
+
+@register(
+    "d8d_streaming_heavy_hitters",
+    "D8",
+    f"""
+    WITH toks AS (SELECT lang,
+                         unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents),
+    exact AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+              FROM toks GROUP BY lang, tok),
+    tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM toks GROUP BY lang),
+    ranked AS (SELECT lang, tok, exact_n,
+                      ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY exact_n DESC, tok) AS rn
+               FROM exact),
+    est AS (SELECT lang, tok, est
+            FROM read_parquet('{_SMG_ORACLE_PTR}/est/*.parquet'))
+    SELECT r.lang, r.tok, r.exact_n,
+           CAST(COALESCE(e.est, 0) AS BIGINT) AS est_n,
+           tt.n_total, TRUE AS in_bounds
+    FROM ranked r
+    JOIN tot tt ON tt.lang = r.lang
+    LEFT JOIN est e ON e.lang = r.lang AND e.tok = r.tok
+    WHERE r.rn <= 5
+    ORDER BY r.lang, r.tok
+    """,
+    check="SEM",
+    note="STREAMING heavy hitters — d4c's streaming-sketch pattern for "
+    "the frequency trio member: the crawl archive streams in paced "
+    "micro-batches, each batch writes its per-lang Misra-Gries counter "
+    "set (operators/freq_sketch.py::mg_partial_summaries — at most m "
+    "counters per lang per batch, the batch IS the shard) to a "
+    "per-batch parquet artifact, and the drain-end merge counter-sums "
+    "+ re-compresses the STORED artifacts without rescanning any text "
+    "(mg_merge; Agarwal et al. PODS 2012 — merging preserves est <= "
+    "exact <= est + N/(m+1) over the combined stream). Batch "
+    "boundaries are irrelevant because the merge is commutative/"
+    "associative — the algebra that turns per-day counter artifacts "
+    "into corpus heavy hitters at 100 TB. Oracle (d8c pattern): merged "
+    "estimates export behind the pointer, DuckDB recomputes the exact "
+    "top-5 per lang, Spark computes the two-sided MG bound flag the "
+    "oracle hard-codes TRUE.",
+)
+def d8d_streaming_heavy_hitters(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.operators.freq_sketch import (
+        mg_merge,
+        mg_partial_summaries,
+    )
+    from s3_kinesis_replay_spark.operators.similarity import (
+        export_behind_pointer,
+    )
+    from s3_kinesis_replay_spark.sources.archive import (
+        stage_doc_archive,
+        stream_doc_archive,
+    )
+
+    from s3_kinesis_replay_spark.sources.archive import pace_per_trigger
+
+    M = 16
+    root = stage_doc_archive(sf_dir)
+    # ~4 micro-batches at any sf (the d4c pacing lesson: 17 batches at
+    # sf0.1 cost 8.3 s of pure per-batch overhead where 4 cost ~3 s);
+    # floor 2 keeps the sf0.01 correctness runs genuinely multi-batch
+    per_trigger = pace_per_trigger(root, target_batches=4, floor=2)
+    art_root = tempfile.mkdtemp(prefix="skr_smg_run_")
+
+    def sink(batch_df, batch_id: int):
+        toks = batch_df.select(
+            "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        (
+            mg_partial_summaries(
+                toks, "lang", "tok", shard_col=F.lit(0), m=M
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(art_root, f"batch-{batch_id}"))
+        )
+
+    q = (
+        stream_doc_archive(spark, root, max_files_per_trigger=per_trigger)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="skr_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(q)
+
+    partials = spark.read.parquet(os.path.join(art_root, "batch-*"))
+    est = (
+        mg_merge(partials, m=M, item_type="string")
+        .select(
+            F.col("g").alias("lang"), F.col("it").alias("tok"), "est"
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    toks = t(spark, "documents", sf_dir).select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    exact = toks.groupBy("lang", "tok").agg(F.count("*").alias("exact_n"))
+    tot = toks.groupBy("lang").agg(F.count("*").alias("n_total"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("exact_n").desc(), "tok")
+    top5 = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    est_n = F.coalesce(F.col("est"), F.lit(0)).cast("long")
+    in_bounds = (est_n <= F.col("exact_n")) & (
+        F.col("exact_n") - est_n <= F.floor(F.col("n_total") / F.lit(M + 1))
+    )
+    out = (
+        top5.join(F.broadcast(est), ["lang", "tok"], "left")
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "tok",
+            "exact_n",
+            est_n.alias("est_n"),
+            "n_total",
+            in_bounds.alias("in_bounds"),
+        )
+        .orderBy("lang", "tok")
+    )
+    export_behind_pointer(
+        _SMG_ORACLE_PTR,
+        lambda export: est.write.mode("overwrite").parquet(
+            os.path.join(export, "est")
+        ),
+    )
+    return out

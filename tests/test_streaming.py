@@ -687,3 +687,36 @@ def test_await_drained_stops_and_raises_on_timeout():
     with _pytest.raises(TimeoutError, match="did not drain"):
         _await_drained(hung, timeout=1)
     assert hung.stopped
+
+
+def test_d8d_streaming_mg_merge_multibatch_and_bounded(spark, sf_dir):
+    """The streamed MG merge must have produced MULTIPLE per-batch
+    counter artifacts (genuinely multi-batch), the two-sided bound flag
+    must hold on every reported row, and every estimated count must obey
+    the Misra-Gries never-overcount rule against an exact recount."""
+    import glob
+    import os
+    import tempfile
+
+    from s3_kinesis_replay_spark.registry import all_queries
+
+    run_glob = os.path.join(tempfile.gettempdir(), "skr_smg_run_*")
+    pre = set(glob.glob(run_glob))
+    rows = (
+        all_queries()["d8d_streaming_heavy_hitters"].fn(spark, sf_dir).collect()
+    )
+    assert rows and all(r["in_bounds"] for r in rows)
+    exact = {
+        (r["lang"], r["tok"]): r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["est_n"] <= exact[(r["lang"], r["tok"])]
+    new_roots = set(glob.glob(run_glob)) - pre
+    assert len(new_roots) == 1, new_roots
+    batch_dirs = glob.glob(f"{new_roots.pop()}/batch-*")
+    assert len(batch_dirs) >= 2
