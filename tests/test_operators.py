@@ -2143,3 +2143,42 @@ def test_e11_funnel_monotone(spark, sf_dir):
             n3 += 1
     assert (row["n_view"], row["n_view_click"],
             row["n_view_click_purchase"]) == (n1, n2, n3)
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_sink(spark, sf_dir):
+    """The a8/a8b partitioned layout composes with Spark's DYNAMIC
+    partition pruning: joining the fact on its partition column against
+    a filtered dim inserts a dynamicpruning expression into the scan's
+    PartitionFilters — at 100 TB the fact reads only the partitions the
+    dim side selects at RUNTIME. The fixture is too small for the stats
+    heuristic to deem DPP profitable (that heuristic is exactly what
+    turns it on at scale), so the test disables useStats to expose the
+    mechanism, and restores the conf."""
+    from s3_kinesis_replay_spark.queries.sources_q import _lineitem_sink
+
+    keys = (
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats",
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
+    )
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(keys[0], "false")
+        spark.conf.set(keys[1], "10000")
+        fact = _lineitem_sink(spark, sf_dir)
+        dim = spark.createDataFrame(
+            [("R", "returned"), ("A", "ack")], "flag string, label string"
+        ).filter(F.col("label") == "returned")
+        j = (
+            fact.join(dim, fact.l_returnflag == dim.flag)
+            .groupBy("label")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # and the answer is right: only the R partition's rows
+        got = {(r["label"], r["n"]) for r in j.collect()}
+        want_n = fact.filter(F.col("l_returnflag") == "R").count()
+        assert got == {("returned", want_n)}
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
