@@ -251,3 +251,55 @@ def pack_wav_pcm16(samples, sample_rate: int = 16000) -> bytes:
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data
     )
+
+
+def decode_video(content: bytes):
+    """REAL video decode for uncompressed YUV4MPEG2 (Y4M) streams — the
+    public raw-video interchange format (plain-text header, ``FRAME``
+    markers, planar YUV bytes; what ffmpeg emits with ``-f yuv4mpegpipe``)
+    — pure byte parsing like the PPM/BMP/WAV decoders. Returns
+    ``(width, height, [y_plane_bytes per frame])``. Only the C420 layout
+    (the Y4M default) parses; compressed/container formats (AVI, MP4,
+    MKV magics) raise NotImplementedError — codec libraries are absent
+    in this container, same honesty contract as decode_image."""
+    if not content.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "compressed/container video decode requires codec libraries "
+            "absent in this environment; only raw Y4M parses"
+        )
+    nl = content.index(b"\n")
+    w = h = None
+    for tok in content[:nl].decode("ascii").split(" ")[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C") and not tok.startswith("C420"):
+            raise NotImplementedError("only C420 chroma layouts parse here")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    fsize = w * h + 2 * ((w // 2) * (h // 2))
+    frames = []
+    pos = nl + 1
+    while pos < len(content):
+        if content[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = content.index(b"\n", pos) + 1
+        if pos + fsize > len(content):
+            raise ValueError("truncated frame payload")
+        frames.append(content[pos : pos + w * h])  # luma plane only
+        pos += fsize
+    return w, h, frames
+
+
+def pack_y4m(frames: list[bytes], width: int, height: int) -> bytes:
+    """Build a genuine Y4M stream from raw planar frames (test/fixture
+    helper, the pack_wav_pcm16 analog). Chroma planes are zero-filled —
+    the luma plane is what the feature extractors read."""
+    fsize_uv = 2 * ((width // 2) * (height // 2))
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()]
+    for y in frames:
+        if len(y) != width * height:
+            raise ValueError("luma plane size mismatch")
+        out.append(b"FRAME\n" + y + b"\x00" * fsize_uv)
+    return b"".join(out)

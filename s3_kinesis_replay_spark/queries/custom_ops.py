@@ -903,3 +903,84 @@ def t10_unigram_logprob(spark, sf_dir):
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "mm6_video_frame_sample",
+    "I9",
+    """
+    WITH eligible AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= 144 AND regexp_matches(text, '^[ -~]*$')
+    ),
+    fr AS (
+      SELECT doc_id, text, unnest([0, 2, 4]) AS frame_idx FROM eligible
+    ),
+    px AS (
+      SELECT doc_id, frame_idx, text, unnest(range(0, 16)) AS j FROM fr
+    )
+    SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(6 AS INTEGER) AS n_frames,
+           ROUND(SUM(ascii(substr(text,
+                     24 * CAST(frame_idx AS INTEGER) + CAST(j AS INTEGER) + 1,
+                     1))) / 16.0, 6) AS mean_luma
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+    note="REAL video decode + FRAME SAMPLING, oracle-checked — the last "
+    "multimodal verb (decode/feature/resize were mm3-mm5): each "
+    "eligible document's first 144 ASCII bytes become a genuine 6-frame "
+    "4x4 YUV4MPEG2 stream (Y4M — the public raw-video format ffmpeg "
+    "emits; header + FRAME markers built in pure SQL, luma bytes = the "
+    "text), and operators/multimodal.decode_video parses it for REAL — "
+    "magic check, W/H header tokenizer, FRAME-marker walk, planar C420 "
+    "frame-size arithmetic — inside ONE mapInPandas pass. Every 2nd "
+    "frame is sampled (0/2/4) and its mean luma emitted: sum/16 "
+    "terminates in 4 decimals, so no rounding ambiguity. The oracle "
+    "recomputes frame offsets and exact luma means from the character "
+    "codes. Blobs never shuffle; at 100 TB sampling at the scan is "
+    "what makes video feature extraction tractable — only sampled-"
+    "frame features (fixed width) flow downstream. Compressed "
+    "containers (AVI/MP4) raise the documented NotImplementedError.",
+)
+def mm6_video_frame_sample(spark, sf_dir):
+    import pandas as pd
+
+    from s3_kinesis_replay_spark.operators.multimodal import decode_video
+
+    d = _ascii_eligible(t(spark, "documents", sf_dir), 144)
+    # 6 frames x (FRAME\n + 16 luma bytes + 8 zero chroma bytes); luma
+    # bytes are the doc's chars so the oracle can recompute them. Chroma
+    # must be in-band for the parser's frame-size walk — zeros, like
+    # pack_y4m. encode() of the concat keeps everything JVM-side.
+    segs = [F.lit("YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n")]
+    for k in range(6):
+        segs.append(F.lit("FRAME\n"))
+        segs.append(F.substring("text", k * 24 + 1, 16))
+        segs.append(F.lit("\x00" * 8))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(*segs), "UTF-8").alias("content"),
+    )
+
+    def sample_frames(batches):
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "frame_idx": [],
+                "n_frames": [],
+                "mean_luma": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                w, h, frames = decode_video(bytes(blob))
+                for idx in range(0, len(frames), 2):  # sample every 2nd
+                    y = frames[idx]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(len(frames))
+                    out["mean_luma"].append(round(sum(y) / (w * h), 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        sample_frames,
+        "media_id long, frame_idx int, n_frames int, mean_luma double",
+    ).orderBy("media_id", "frame_idx")

@@ -2182,3 +2182,26 @@ def test_dynamic_partition_pruning_fires_on_partitioned_sink(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_decode_video_real_y4m():
+    """Y4M parses for real (round-trip through pack_y4m), container/
+    compressed magics raise, and malformed streams fail loudly."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.operators.multimodal import (
+        decode_video,
+        pack_y4m,
+    )
+
+    frames = [bytes(range(16)), bytes(range(16, 32)), b"a" * 16]
+    w, h, got = decode_video(pack_y4m(frames, 4, 4))
+    assert (w, h) == (4, 4) and got == frames
+    with _pytest.raises(NotImplementedError, match="codec"):
+        decode_video(b"RIFF\x00\x00\x00\x00AVI LIST")
+    with _pytest.raises(NotImplementedError, match="C420"):
+        decode_video(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + b"\x00" * 48)
+    with _pytest.raises(ValueError, match="FRAME"):
+        decode_video(b"YUV4MPEG2 W4 H4\nGARBAGE\n" + b"\x00" * 24)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_video(b"YUV4MPEG2 W4 H4\nFRAME\n" + b"\x00" * 10)
