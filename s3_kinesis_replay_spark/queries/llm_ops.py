@@ -2178,3 +2178,59 @@ def i13j_ivf_append(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "i18_pca_covariance",
+    "I16",
+    f"""
+    WITH pairs AS (
+      SELECT i.i, j.j FROM range(0, 8) AS i(i), range(0, 8) AS j(j)
+      WHERE j.j >= i.i
+    )
+    SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+           ROUND(covar_pop(CAST(e.embedding[CAST(p.i AS INTEGER) + 1]
+                                AS DOUBLE),
+                           CAST(e.embedding[CAST(p.j AS INTEGER) + 1]
+                                AS DOUBLE)), 6) AS cov
+    FROM embeddings e, pairs p
+    WHERE e.vec_id != 0
+    GROUP BY p.i, p.j
+    ORDER BY i, j
+    """,
+    note="DISTRIBUTED PCA, the data-dependent counterpart of i16's "
+    "random projection (operators/pca.py; the RowMatrix/Gram-matrix "
+    "recipe every distributed ML text ships): ONE Arrow pass reduces "
+    "the corpus to per-partition (n, column-sum, upper-tri Gram) "
+    "artifacts — 2144 doubles per partition regardless of row count — "
+    "whose sum yields the exact 64x64 population covariance; the "
+    "eigendecomposition is driver-side numpy on a matrix that small. "
+    "The entry emits the custom Gram path's covariance entries for the "
+    "first 8 dimensions (36 upper-triangle values) and DuckDB "
+    "recomputes them with covar_pop over the same rows — the oracle "
+    "verifies the DISTRIBUTED summation itself, not a Spark built-in. "
+    "Eigen/projection properties (orthonormality, variance ordering, "
+    "agreement of projected variance with eigenvalues, sign "
+    "determinism) are pinned in tests/test_operators.py. At 100 TB: "
+    "one scan, no shuffle beyond fixed-width partials, driver holds "
+    "O(partitions * d^2). Whitening embeddings this way is standard "
+    "preprocessing for SemDeDup-style dedup (i14) and retrieval.",
+)
+def i18_pca_covariance(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.pca import (
+        covariance_from_partials,
+        gram_partials,
+    )
+
+    e = t(spark, "embeddings", sf_dir).filter(F.col("vec_id") != 0)
+    partials = gram_partials(e, "embedding", 64).collect()  # bounded:
+    # one row per partition (n, 64 sums, 2080 tri entries)
+    _, cov = covariance_from_partials(partials, 64)
+    rows = [
+        (i, j, round(float(cov[i, j]), 6))
+        for i in range(8)
+        for j in range(i, 8)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov double").orderBy(
+        "i", "j"
+    )

@@ -2205,3 +2205,53 @@ def test_decode_video_real_y4m():
         decode_video(b"YUV4MPEG2 W4 H4\nGARBAGE\n" + b"\x00" * 24)
     with _pytest.raises(ValueError, match="truncated"):
         decode_video(b"YUV4MPEG2 W4 H4\nFRAME\n" + b"\x00" * 10)
+
+
+def test_pca_eigen_properties(spark, sf_dir):
+    """PCA over the real embeddings: components orthonormal, eigenvalues
+    descending and non-negative, the variance of each projected
+    coordinate equals its eigenvalue, the Gram-path covariance matches
+    covar_pop, and component signs are deterministic."""
+    import numpy as np
+
+    from s3_kinesis_replay_spark.operators.pca import (
+        covariance_from_partials,
+        gram_partials,
+        pca_components,
+        project,
+    )
+
+    e = table(spark, "embeddings", sf_dir).filter(F.col("vec_id") != 0)
+    n, cov = covariance_from_partials(
+        gram_partials(e, "embedding", 64).collect(), 64
+    )
+    assert n == e.count()
+    # spot-check the distributed Gram against Spark's covar_pop
+    for i, j in [(0, 0), (0, 5), (3, 7), (63, 63)]:
+        builtin = e.select(
+            F.covar_pop(
+                F.col("embedding")[i].cast("double"),
+                F.col("embedding")[j].cast("double"),
+            )
+        ).collect()[0][0]
+        assert abs(cov[i, j] - builtin) < 1e-9, (i, j, cov[i, j], builtin)
+
+    k = 4
+    vals, comps = pca_components(cov, k)
+    assert np.all(vals[:-1] >= vals[1:]) and np.all(vals >= -1e-12)
+    assert np.allclose(comps @ comps.T, np.eye(k), atol=1e-10)
+    # sign convention: the largest-|coordinate| entry is positive
+    for c in comps:
+        assert c[int(np.argmax(np.abs(c)))] > 0
+    # projected variance per coordinate == eigenvalue (population)
+    P = np.array(
+        [
+            r["p"]
+            for r in project(e, comps, "embedding", "p").select("p").collect()
+        ]
+    )
+    pv = P.var(axis=0)
+    assert np.allclose(pv, vals, rtol=1e-6), (pv, vals)
+    # determinism: same input -> identical components
+    vals2, comps2 = pca_components(cov, k)
+    assert np.array_equal(vals, vals2) and np.array_equal(comps, comps2)
