@@ -119,6 +119,8 @@ EXTRAS = [
     "a12_compact_small_files",  # archive bin-pack into right-sized parquet
     "e11_funnel_conversion",  # ordered view->click->purchase stage joins
     "d8d_streaming_heavy_hitters",  # per-batch MG artifacts merged at drain
+    "mm6_video_frame_sample",  # real Y4M decode + every-2nd-frame sampling
+    "i18_pca_covariance",     # partition Gram partials -> exact covariance
 ]
 
 
