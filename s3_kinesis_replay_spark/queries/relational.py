@@ -895,3 +895,91 @@ def c2b_merge_upsert(spark, sf_dir):
     return survivors.unionByName(inserts).select(
         "doc_id", F.md5("text").alias("h"), "status"
     )
+
+
+@register(
+    "c2d_snapshot_diff",
+    "C2",
+    """
+    WITH old_state AS (
+      SELECT user_id, event_type AS last_type,
+             CAST(event_id AS BIGINT) AS last_event_id
+      FROM (SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_id < 5000)
+      WHERE rn = 1
+    ),
+    new_state AS (
+      SELECT user_id, event_type AS last_type,
+             CAST(event_id AS BIGINT) AS last_event_id
+      FROM (SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    )
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           o.last_event_id AS old_event_id,
+           n.last_event_id AS new_event_id,
+           n.last_type AS new_type
+    FROM old_state o FULL OUTER JOIN new_state n ON n.user_id = o.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.last_event_id IS DISTINCT FROM n.last_event_id
+    ORDER BY user_id
+    """,
+    note="SNAPSHOT DIFF / CDC extraction — the read-side complement of "
+    "c2b's MERGE and c2c's streaming upsert: given two snapshot states "
+    "(yesterday = events below an id watermark, today = all events), "
+    "emit the change feed (insert/update/delete per key) via ONE "
+    "full-outer join of the two per-key argmax states, keeping only "
+    "changed keys. Both states reduce to user-grain rows BEFORE the "
+    "join (partial-agg groupBys), so the join moves key cardinality, "
+    "not events — the same discipline as e11. At 100 TB this is how a "
+    "downstream consumer derives incremental updates from two table "
+    "versions without any transaction log: cost = two aggregates + one "
+    "key-grain join. Append-only fixture -> zero deletes (the branch "
+    "is exercised in tests with a constructed deletion).",
+)
+def c2d_snapshot_diff(spark, sf_dir):
+    e = t(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+
+    def state(df):
+        key = F.struct("ts", "event_id")
+        return df.groupBy("user_id").agg(
+            F.max_by("event_type", key).alias("last_type"),
+            F.max_by("event_id", key).alias("last_event_id"),
+        )
+
+    old = state(e.filter(F.col("event_id") < 5000)).select(
+        "user_id",
+        F.col("last_event_id").alias("old_event_id"),
+    )
+    new = state(e).select(
+        "user_id",
+        F.col("last_event_id").alias("new_event_id"),
+        F.col("last_type").alias("new_type"),
+    )
+    j = old.join(new, "user_id", "full_outer")
+    op = (
+        F.when(F.col("old_event_id").isNull(), F.lit("insert"))
+        .when(F.col("new_event_id").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        j.filter(
+            F.col("old_event_id").isNull()
+            | F.col("new_event_id").isNull()
+            | ~F.col("old_event_id").eqNullSafe(F.col("new_event_id"))
+        )
+        .select(
+            "user_id", op.alias("op"), "old_event_id", "new_event_id",
+            "new_type",
+        )
+        .orderBy("user_id")
+    )

@@ -2255,3 +2255,75 @@ def test_pca_eigen_properties(spark, sf_dir):
     # determinism: same input -> identical components
     vals2, comps2 = pca_components(cov, k)
     assert np.array_equal(vals, vals2) and np.array_equal(comps, comps2)
+
+
+def test_c2d_snapshot_diff_detects_all_ops(spark, sf_dir):
+    """The diff operator on constructed states must classify inserts,
+    updates, deletes, and drop unchanged keys — including the delete
+    branch the append-only fixture never exercises."""
+    from s3_kinesis_replay_spark.queries.relational import (  # noqa: F401
+        c2d_snapshot_diff,
+    )
+
+    # constructed: old has users 1,2,3; new has 2(changed),3(same),4(new)
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 1, 2)
+    rows = [
+        (1, t0, 10, "view"),   # old only -> delete
+        (2, t0, 20, "view"),   # old
+        (3, t0, 30, "view"),   # old, unchanged in new
+        (2, t1, 21, "click"),  # new: update for 2
+        (4, t1, 40, "signup"), # new only -> insert
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+
+    def state(df):
+        key = F.struct("ts", "event_id")
+        return df.groupBy("user_id").agg(
+            F.max_by("event_type", key).alias("last_type"),
+            F.max_by("event_id", key).alias("last_event_id"),
+        )
+
+    old = state(e.filter(F.col("event_id") < 40).filter(F.col("event_id") != 21)).select(
+        "user_id", F.col("last_event_id").alias("old_event_id")
+    )
+    new = state(e.filter(F.col("event_id") != 10)).select(
+        "user_id",
+        F.col("last_event_id").alias("new_event_id"),
+        F.col("last_type").alias("new_type"),
+    )
+    j = old.join(new, "user_id", "full_outer")
+    op = (
+        F.when(F.col("old_event_id").isNull(), F.lit("insert"))
+        .when(F.col("new_event_id").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    out = {
+        r["user_id"]: r["op"]
+        for r in j.filter(
+            F.col("old_event_id").isNull()
+            | F.col("new_event_id").isNull()
+            | ~F.col("old_event_id").eqNullSafe(F.col("new_event_id"))
+        )
+        .select("user_id", op.alias("op"))
+        .collect()
+    }
+    assert out == {1: "delete", 2: "update", 4: "insert"}
+    # registry form on the real fixture: append-only -> no deletes,
+    # inserts are exactly the users whose FIRST event id >= 5000
+    rows2 = all_queries()["c2d_snapshot_diff"].fn(spark, sf_dir).collect()
+    assert all(r["op"] in ("insert", "update") for r in rows2)
+    firsts = {
+        r["user_id"]: r["mn"]
+        for r in table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("mn"))
+        .collect()
+    }
+    for r in rows2:
+        if r["op"] == "insert":
+            assert firsts[r["user_id"]] >= 5000
