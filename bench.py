@@ -121,6 +121,8 @@ EXTRAS = [
     "d8d_streaming_heavy_hitters",  # per-batch MG artifacts merged at drain
     "mm6_video_frame_sample",  # real Y4M decode + every-2nd-frame sampling
     "i18_pca_covariance",     # partition Gram partials -> exact covariance
+    "c2d_snapshot_diff",      # CDC extraction between two table versions
+    "p19_lakehouse_maintenance",  # replay->compact->zorder->audit->diff
 ]
 
 

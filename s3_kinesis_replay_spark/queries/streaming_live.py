@@ -1005,3 +1005,154 @@ def d8d_streaming_heavy_hitters(spark, sf_dir):
         ),
     )
     return out
+
+
+@register(
+    "p19_lakehouse_maintenance",
+    "A6",
+    """
+    WITH new_state AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ),
+    old_state AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id < 5000) WHERE rn = 1
+    ),
+    diff AS (
+      SELECT CASE WHEN o.user_id IS NULL THEN 'insert'
+                  WHEN n.user_id IS NULL THEN 'delete'
+                  ELSE 'update' END AS op
+      FROM old_state o FULL OUTER JOIN new_state n ON n.user_id = o.user_id
+      WHERE o.user_id IS NULL OR n.user_id IS NULL
+         OR o.event_id IS DISTINCT FROM n.event_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_rows,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+             AS n_users,
+           TRUE AS audit_ok,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM diff
+            WHERE op = 'insert') AS n_inserts,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM diff
+            WHERE op = 'update') AS n_updates
+    """,
+    check="SEM",
+    note="LAKEHOUSE MAINTENANCE composite — the operational twin of "
+    "p18's training composite, proving the round-9 layer composes over "
+    "the replay soul: the gz archive stream-replays into a RAW LANDING "
+    "parquet sink (paced micro-batches -> naturally many small files), "
+    "which is then COMPACTED (a12's repartitionByRange + "
+    "maxRecordsPerFile bin-pack, day-partitioned), Z-ORDER rewritten "
+    "on (time, user) (a11's codegen Morton codes -> balanced file "
+    "pruning for time-or-user predicates), AUDITED (v1's constraint "
+    "style: event-time window, event_id uniqueness, user completeness "
+    "— computed over the MAINTAINED table, so a maintenance step that "
+    "drops/duplicates/corrupts rows flips audit_ok or the counts), and "
+    "DIFFED against the id<5000 previous snapshot (c2d's CDC "
+    "extraction). The oracle recomputes counts and the change feed "
+    "from the source events and hard-codes audit_ok=TRUE. File "
+    "discipline (landing fragments > compacted files >= z files, "
+    "per-file row caps) is pinned in tests/test_streaming.py.",
+)
+def p19_lakehouse_maintenance(spark, sf_dir):
+    import math
+    import os
+
+    from s3_kinesis_replay_spark.operators.layout import zorder_write
+
+    root = stage_archive(sf_dir, gz=True)
+    work = tempfile.mkdtemp(prefix="skr_p19_")
+
+    # 1) replay -> raw landing (the Firehose-shaped small-file mess)
+    _await_drained(
+        stream_archive(spark, root, max_files_per_trigger=_pace_per_trigger(root))
+        .writeStream.format("parquet")
+        .option("path", f"{work}/landing")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    landing = spark.read.parquet(f"{work}/landing")
+
+    # 2) compact: day-partitioned, ~4000 rows per file
+    target = 4000
+    n = landing.count()
+    (
+        landing.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .repartitionByRange(
+            max(1, math.ceil(n / target)), "day", "event_id"
+        )
+        .sortWithinPartitions("day", "event_id")
+        .write.option("maxRecordsPerFile", target)
+        .partitionBy("day")
+        .mode("overwrite")
+        .parquet(f"{work}/compacted")
+    )
+
+    # 3) z-order maintenance rewrite on (event time, user)
+    compacted = spark.read.parquet(f"{work}/compacted").drop("day")
+    zorder_write(
+        compacted,
+        f"{work}/zorder",
+        dims=[F.unix_timestamp("ts"), F.col("user_id")],
+        n_files=8,
+        bits=10,
+    )
+    maintained = spark.read.parquet(f"{work}/zorder")
+
+    # 4) audit the MAINTAINED table (not the source): window, PK, nulls
+    audit = maintained.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        (
+            (F.count("*") == F.countDistinct("event_id"))
+            & (F.sum(F.col("user_id").isNull().cast("int")) == 0)
+            & (
+                F.sum(
+                    (
+                        F.col("ts").isNull()
+                        | (F.col("ts") < "2024-01-01 00:00:00")
+                        | (F.col("ts") >= "2024-02-01 00:00:00")
+                    ).cast("int")
+                )
+                == 0
+            )
+        ).alias("audit_ok"),
+    )
+
+    # 5) CDC vs the id<5000 previous snapshot (c2d shape, key grain)
+    def state(df):
+        key = F.struct("ts", "event_id")
+        return df.groupBy("user_id").agg(
+            F.max_by("event_id", key).alias("last_event_id")
+        )
+
+    old = state(maintained.filter(F.col("event_id") < 5000)).select(
+        "user_id", F.col("last_event_id").alias("old_event_id")
+    )
+    new = state(maintained).select(
+        "user_id", F.col("last_event_id").alias("new_event_id")
+    )
+    j = old.join(new, "user_id", "full_outer").filter(
+        F.col("old_event_id").isNull()
+        | F.col("new_event_id").isNull()
+        | ~F.col("old_event_id").eqNullSafe(F.col("new_event_id"))
+    )
+    diff = j.agg(
+        F.sum(F.col("old_event_id").isNull().cast("long")).alias("n_inserts"),
+        F.sum(
+            (
+                F.col("old_event_id").isNotNull()
+                & F.col("new_event_id").isNotNull()
+            ).cast("long")
+        ).alias("n_updates"),
+    )
+    return audit.crossJoin(diff).select(
+        "n_rows", "n_users", "audit_ok", "n_inserts", "n_updates"
+    )

@@ -720,3 +720,47 @@ def test_d8d_streaming_mg_merge_multibatch_and_bounded(spark, sf_dir):
     assert len(new_roots) == 1, new_roots
     batch_dirs = glob.glob(f"{new_roots.pop()}/batch-*")
     assert len(batch_dirs) >= 2
+
+
+def test_p19_maintenance_file_discipline(spark, sf_dir):
+    """The maintenance chain must actually transform the layout: the
+    landing zone holds MORE fragments than the compacted table, every
+    compacted file respects the row cap, the z-ordered table has its
+    declared file count, and the summary row matches the source."""
+    import glob
+    import tempfile
+
+    from s3_kinesis_replay_spark.registry import all_queries
+
+    pre = set(glob.glob(tempfile.gettempdir() + "/skr_p19_*"))
+    row = (
+        all_queries()["p19_lakehouse_maintenance"].fn(spark, sf_dir).collect()[0]
+    )
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert row["n_rows"] == n_src
+    assert row["audit_ok"]
+    assert row["n_inserts"] >= 0 and row["n_updates"] > 0
+
+    new_roots = set(glob.glob(tempfile.gettempdir() + "/skr_p19_*")) - pre
+    assert len(new_roots) == 1
+    work = new_roots.pop()
+    landing = glob.glob(f"{work}/landing/*.parquet")
+    compacted = glob.glob(f"{work}/compacted/day=*/*.parquet")
+    zfiles = glob.glob(f"{work}/zorder/*.parquet")
+    n_days = len(glob.glob(f"{work}/compacted/day=*"))
+    import math
+
+    # bin-pack bound: at most one tail file per day partition beyond the
+    # row-cap-implied count (at tiny sf the day count dominates — the
+    # landing-vs-compacted collapse is only demonstrable when landing
+    # fragments exceed the day count, so gate that comparison)
+    assert len(compacted) <= n_days + math.ceil(n_src / 4000), (
+        len(compacted), n_days, n_src,
+    )
+    if len(landing) > n_days + math.ceil(n_src / 4000):
+        assert len(landing) > len(compacted), (len(landing), len(compacted))
+    assert len(zfiles) == 8
+    import pyarrow.parquet as pq
+
+    for f in compacted:
+        assert pq.ParquetFile(f).metadata.num_rows <= 4000
