@@ -21,7 +21,8 @@ SF = "/root/testdata/sf0.01"
 # fns that run a real stream (or stage sinks) when called — audited by the
 # streaming test suite instead; listing them here documents the split.
 SKIP_PREFIXES = ("a6", "a7", "a9", "a10", "c10", "c11", "h1_", "h2_", "h3_",
-                 "h4", "h5_", "h6_", "h7", "h8", "a8", "p18", "c2c", "d4c")
+                 "h4", "h5_", "h6_", "h7", "h8", "a8", "p18", "c2c", "d4c",
+                 "d8d", "p19")
 
 COLS = [
     "exchanges", "single_partition", "sp_class", "broadcast_joins",
