@@ -274,8 +274,17 @@ def decode_video(content: bytes):
             w = int(tok[1:])
         elif tok.startswith("H"):
             h = int(tok[1:])
-        elif tok.startswith("C") and not tok.startswith("C420"):
-            raise NotImplementedError("only C420 chroma layouts parse here")
+        elif tok.startswith("C") and tok not in (
+            "C420",
+            "C420jpeg",
+            "C420mpeg2",
+            "C420paldv",
+        ):
+            # prefix-matching 'C420' would accept C420p10/C420p12, whose
+            # 2-byte samples break the 8-bit frame-size walk (review r9)
+            raise NotImplementedError(
+                "only 8-bit C420 chroma layouts parse here"
+            )
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
     fsize = w * h + 2 * ((w // 2) * (h // 2))

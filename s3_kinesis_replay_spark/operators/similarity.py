@@ -33,6 +33,9 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+_EXPORT_REAP_GRACE_S = 600.0  # export_behind_pointer's in-flight shield
+
+
 def _unit_rows(M):
     """Row-normalize a float64 matrix for cosine matmuls — ONE
     definition shared by every block-scoring site (block_topk,
@@ -861,6 +864,7 @@ def export_behind_pointer(pointer: str, write) -> str:
     import os
     import shutil
     import tempfile
+    import time as _time
 
     base = os.path.dirname(pointer)
     os.makedirs(base, exist_ok=True)
@@ -876,6 +880,7 @@ def export_behind_pointer(pointer: str, write) -> str:
     # the repoint) and delete the rest — racers' leaks converge to at
     # most one extra dir, cleaned by the next run.
     current = os.path.realpath(pointer)
+    now = _time.time()
     orphans = []
     for d in os.listdir(base):
         p = os.path.join(base, d)
@@ -889,8 +894,16 @@ def export_behind_pointer(pointer: str, write) -> str:
             except OSError:
                 pass  # reaped concurrently between list and stat
     orphans.sort(reverse=True)
-    for _, p in orphans[1:]:
-        shutil.rmtree(p, ignore_errors=True)
+    # AGE GUARD (review r9): a racing run's not-yet-published export is
+    # indistinguishable from an orphan by name, so never reap anything
+    # younger than the grace age — in-flight write() phases finish in
+    # seconds, and a reader that resolved the pointer just before this
+    # repoint is covered by the same window. The newest orphan is kept
+    # unconditionally (one-generation grace); older-than-grace leaks
+    # from crashed runs still converge to at most one dir.
+    for mtime, p in orphans[1:]:
+        if now - mtime > _EXPORT_REAP_GRACE_S:
+            shutil.rmtree(p, ignore_errors=True)
     return export
 
 

@@ -675,23 +675,87 @@ def d15_windowed_distinct(spark, sf_dir):
 _MG_ORACLE_PTR = "/tmp/skr_mg_oracle/current"
 
 
-@register(
-    "d8c_heavy_hitters",
-    "D8",
-    f"""
+def doc_tokens(spark, sf_dir):
+    """(lang, doc_id, tok) — the i7-convention tokenizer shared by d8c
+    and d8d (ONE definition; review r9: hand-synced copies of a
+    cross-engine-sensitive tokenizer are the _ascii_eligible lesson)."""
+    return t(spark, "documents", sf_dir).select(
+        "lang",
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    )
+
+
+def mg_top5_report(spark, sf_dir, est, m, pointer):
+    """Shared heavy-hitter verification block (d8c batch / d8d
+    streaming — review r9 deduplication): exact top-5 tokens per lang
+    (the oracle tax), two-sided MG bound flag, estimate export behind
+    ``pointer``. ``n_total`` is DERIVED from the exact per-token counts
+    (sum per lang) rather than a second full tokenization scan."""
+    import os
+
+    from pyspark.sql import Window
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        export_behind_pointer,
+    )
+
+    exact = (
+        doc_tokens(spark, sf_dir)
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("exact_n"))
+        .localCheckpoint(eager=True)  # feeds both top-5 and n_total
+    )
+    tot = exact.groupBy("lang").agg(F.sum("exact_n").alias("n_total"))
+    w = Window.partitionBy("lang").orderBy(F.col("exact_n").desc(), "tok")
+    top5 = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    est_n = F.coalesce(F.col("est"), F.lit(0)).cast("long")
+    in_bounds = (est_n <= F.col("exact_n")) & (
+        F.col("exact_n") - est_n <= F.floor(F.col("n_total") / F.lit(m + 1))
+    )
+    out = (
+        top5.join(F.broadcast(est), ["lang", "tok"], "left")
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "tok",
+            "exact_n",
+            est_n.alias("est_n"),
+            "n_total",
+            in_bounds.alias("in_bounds"),
+        )
+        .orderBy("lang", "tok")
+    )
+    export_behind_pointer(
+        pointer,
+        lambda export: est.write.mode("overwrite").parquet(
+            os.path.join(export, "est")
+        ),
+    )
+    return out
+
+
+def mg_top5_oracle_sql(pointer: str) -> str:
+    """The matching DuckDB side, parameterized by export pointer — ONE
+    definition serving both the batch and streaming entries."""
+    return f"""
     WITH toks AS (SELECT lang,
                          unnest(string_split(lower(text), ' ')) AS tok
                   FROM documents),
     exact AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS exact_n
               FROM toks GROUP BY lang, tok),
-    tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total
-            FROM toks GROUP BY lang),
+    tot AS (SELECT lang, CAST(SUM(exact_n) AS BIGINT) AS n_total
+            FROM exact GROUP BY lang),
     ranked AS (SELECT lang, tok, exact_n,
                       ROW_NUMBER() OVER (PARTITION BY lang
                                          ORDER BY exact_n DESC, tok) AS rn
                FROM exact),
     est AS (SELECT lang, tok, est
-            FROM read_parquet('{_MG_ORACLE_PTR}/est/*.parquet'))
+            FROM read_parquet('{pointer}/est/*.parquet'))
     SELECT r.lang, r.tok, r.exact_n,
            CAST(COALESCE(e.est, 0) AS BIGINT) AS est_n,
            tt.n_total, TRUE AS in_bounds
@@ -700,7 +764,13 @@ _MG_ORACLE_PTR = "/tmp/skr_mg_oracle/current"
     LEFT JOIN est e ON e.lang = r.lang AND e.tok = r.tok
     WHERE r.rn <= 5
     ORDER BY r.lang, r.tok
-    """,
+    """
+
+
+@register(
+    "d8c_heavy_hitters",
+    "D8",
+    mg_top5_oracle_sql(_MG_ORACLE_PTR),
     note="MERGEABLE heavy hitters — the third sketch next to d4b "
     "(distinct: HLL union) and d7b (quantiles: equi-rank merge): "
     "per-(lang, shard) Misra-Gries summaries (operators/freq_sketch.py; "
@@ -719,67 +789,19 @@ _MG_ORACLE_PTR = "/tmp/skr_mg_oracle/current"
     "m-row-per-shard merge, no full token groupBy.",
 )
 def d8c_heavy_hitters(spark, sf_dir):
-    import os
-
     from s3_kinesis_replay_spark.operators.freq_sketch import (
         misra_gries_counts,
     )
-    from s3_kinesis_replay_spark.operators.similarity import (
-        export_behind_pointer,
-    )
 
     M = 16
-    toks = (
-        t(spark, "documents", sf_dir)
-        .select(
-            "lang",
-            "doc_id",
-            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
-        )
-    )
     est = misra_gries_counts(
-        toks,
+        doc_tokens(spark, sf_dir),
         group_col="lang",
         item_col="tok",
         shard_col=F.pmod(F.xxhash64("doc_id"), F.lit(8)),
         m=M,
     ).localCheckpoint(eager=True)
-
-    exact = toks.groupBy("lang", "tok").agg(F.count("*").alias("exact_n"))
-    tot = toks.groupBy("lang").agg(F.count("*").alias("n_total"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("lang").orderBy(F.col("exact_n").desc(), "tok")
-    top5 = (
-        exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .drop("rn")
-    )
-    est_n = F.coalesce(F.col("est"), F.lit(0)).cast("long")
-    in_bounds = (est_n <= F.col("exact_n")) & (
-        F.col("exact_n") - est_n
-        <= F.floor(F.col("n_total") / F.lit(M + 1))
-    )
-    out = (
-        top5.join(F.broadcast(est), ["lang", "tok"], "left")
-        .join(F.broadcast(tot), "lang")
-        .select(
-            "lang",
-            "tok",
-            "exact_n",
-            est_n.alias("est_n"),
-            "n_total",
-            in_bounds.alias("in_bounds"),
-        )
-        .orderBy("lang", "tok")
-    )
-    export_behind_pointer(
-        _MG_ORACLE_PTR,
-        lambda export: est.write.mode("overwrite").parquet(
-            os.path.join(export, "est")
-        ),
-    )
-    return out
+    return mg_top5_report(spark, sf_dir, est, M, _MG_ORACLE_PTR)
 
 
 @register(

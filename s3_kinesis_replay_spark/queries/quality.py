@@ -113,10 +113,18 @@ def v1_data_quality_audit(spark, sf_dir):
             "pk_unique",
         ),
         check(
+            # struct-based distinct mirrors DuckDB's ROW semantics: a
+            # tuple with a NULL field still counts as one distinct key
+            # (bare countDistinct(a, b) would SKIP it, so a NULL-keyed
+            # row — the dirty data an audit exists to catch — would be
+            # reported as a violation by Spark but not by the oracle;
+            # review r9)
             li.agg(
                 (
                     F.count("*")
-                    - F.countDistinct("l_orderkey", "l_linenumber")
+                    - F.countDistinct(
+                        F.struct("l_orderkey", "l_linenumber")
+                    )
                 ).alias("violations")
             ),
             "lineitem",

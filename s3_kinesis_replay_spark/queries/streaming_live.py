@@ -869,32 +869,18 @@ def p18_replay_training_pipeline(spark, sf_dir):
 _SMG_ORACLE_PTR = "/tmp/skr_smg_oracle/current"
 
 
+def _smg_oracle():
+    from s3_kinesis_replay_spark.queries.aggregates import (
+        mg_top5_oracle_sql,
+    )
+
+    return mg_top5_oracle_sql(_SMG_ORACLE_PTR)
+
+
 @register(
     "d8d_streaming_heavy_hitters",
     "D8",
-    f"""
-    WITH toks AS (SELECT lang,
-                         unnest(string_split(lower(text), ' ')) AS tok
-                  FROM documents),
-    exact AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS exact_n
-              FROM toks GROUP BY lang, tok),
-    tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total
-            FROM toks GROUP BY lang),
-    ranked AS (SELECT lang, tok, exact_n,
-                      ROW_NUMBER() OVER (PARTITION BY lang
-                                         ORDER BY exact_n DESC, tok) AS rn
-               FROM exact),
-    est AS (SELECT lang, tok, est
-            FROM read_parquet('{_SMG_ORACLE_PTR}/est/*.parquet'))
-    SELECT r.lang, r.tok, r.exact_n,
-           CAST(COALESCE(e.est, 0) AS BIGINT) AS est_n,
-           tt.n_total, TRUE AS in_bounds
-    FROM ranked r
-    JOIN tot tt ON tt.lang = r.lang
-    LEFT JOIN est e ON e.lang = r.lang AND e.tok = r.tok
-    WHERE r.rn <= 5
-    ORDER BY r.lang, r.tok
-    """,
+    _smg_oracle(),
     check="SEM",
     note="STREAMING heavy hitters — d4c's streaming-sketch pattern for "
     "the frequency trio member: the crawl archive streams in paced "
@@ -919,15 +905,12 @@ def d8d_streaming_heavy_hitters(spark, sf_dir):
         mg_merge,
         mg_partial_summaries,
     )
-    from s3_kinesis_replay_spark.operators.similarity import (
-        export_behind_pointer,
-    )
+    from s3_kinesis_replay_spark.queries.aggregates import mg_top5_report
     from s3_kinesis_replay_spark.sources.archive import (
+        pace_per_trigger,
         stage_doc_archive,
         stream_doc_archive,
     )
-
-    from s3_kinesis_replay_spark.sources.archive import pace_per_trigger
 
     M = 16
     root = stage_doc_archive(sf_dir)
@@ -967,44 +950,9 @@ def d8d_streaming_heavy_hitters(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
-
-    toks = t(spark, "documents", sf_dir).select(
-        "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
-    )
-    exact = toks.groupBy("lang", "tok").agg(F.count("*").alias("exact_n"))
-    tot = toks.groupBy("lang").agg(F.count("*").alias("n_total"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("lang").orderBy(F.col("exact_n").desc(), "tok")
-    top5 = (
-        exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .drop("rn")
-    )
-    est_n = F.coalesce(F.col("est"), F.lit(0)).cast("long")
-    in_bounds = (est_n <= F.col("exact_n")) & (
-        F.col("exact_n") - est_n <= F.floor(F.col("n_total") / F.lit(M + 1))
-    )
-    out = (
-        top5.join(F.broadcast(est), ["lang", "tok"], "left")
-        .join(F.broadcast(tot), "lang")
-        .select(
-            "lang",
-            "tok",
-            "exact_n",
-            est_n.alias("est_n"),
-            "n_total",
-            in_bounds.alias("in_bounds"),
-        )
-        .orderBy("lang", "tok")
-    )
-    export_behind_pointer(
-        _SMG_ORACLE_PTR,
-        lambda export: est.write.mode("overwrite").parquet(
-            os.path.join(export, "est")
-        ),
-    )
-    return out
+    # shared verification block (review r9): exact top-5 + two-sided MG
+    # bound flag + export, ONE definition with the batch entry d8c
+    return mg_top5_report(spark, sf_dir, est, M, _SMG_ORACLE_PTR)
 
 
 @register(
@@ -1144,13 +1092,21 @@ def p19_lakehouse_maintenance(spark, sf_dir):
         | F.col("new_event_id").isNull()
         | ~F.col("old_event_id").eqNullSafe(F.col("new_event_id"))
     )
+    # coalesce: F.sum over an EMPTY diff returns NULL where the oracle's
+    # COUNT(*) returns 0 — at sf0.001 every event_id < 5000, the diff is
+    # empty, and NULL would hash-mismatch (review r9)
     diff = j.agg(
-        F.sum(F.col("old_event_id").isNull().cast("long")).alias("n_inserts"),
-        F.sum(
-            (
-                F.col("old_event_id").isNotNull()
-                & F.col("new_event_id").isNotNull()
-            ).cast("long")
+        F.coalesce(
+            F.sum(F.col("old_event_id").isNull().cast("long")), F.lit(0)
+        ).alias("n_inserts"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("old_event_id").isNotNull()
+                    & F.col("new_event_id").isNotNull()
+                ).cast("long")
+            ),
+            F.lit(0),
         ).alias("n_updates"),
     )
     return audit.crossJoin(diff).select(

@@ -302,8 +302,13 @@ def e9_latest_per_key(spark, sf_dir):
     """
     WITH obs AS (
       SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6)))
-                        / COUNT(*) AS DOUBLE), 6) AS v
+             -- engine-neutral 6-dp mean: decimal-exact sum -> ONE double
+             -- division -> floor-HALF_UP. Spark's decimal quotient
+             -- pre-rounds at scale 6 and DuckDB's DECIMAL/COUNT silently
+             -- becomes double division, so ROUND-based forms split on the
+             -- 7th-decimal midpoints /2 creates constantly (review r9)
+             FLOOR(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*) * 1000000 + 0.5) / 1000000 AS v
       FROM events WHERE user_id % 50 = 7
       GROUP BY user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
     ),
@@ -360,10 +365,22 @@ def e9_latest_per_key(spark, sf_dir):
 )
 def ts1_resample_interpolate(spark, sf_dir):
     e = t(spark, "events", sf_dir).filter(F.col("user_id") % 50 == 7)
+    # see the oracle's v comment: decimal sum -> double division ->
+    # floor-HALF_UP keeps both engines on identical IEEE bits; fdec's
+    # decimal quotient pre-rounds at scale 6 where DuckDB divides in
+    # double (review r9 — a 2-event hour with odd 6-dp sum is a midpoint)
     obs = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(
-        fdec(F.sum(sdec("value")) / F.count("*")).alias("v")
+        (
+            F.floor(
+                F.sum(sdec("value")).cast("double")
+                / F.count("*")
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("v")
     )
     span = obs.groupBy("user_id").agg(
         F.min("h").alias("mn"), F.max("h").alias("mx")

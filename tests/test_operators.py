@@ -1823,20 +1823,32 @@ def test_export_behind_pointer_grace_reap(tmp_path):
         return write
 
     e1 = export_behind_pointer(pointer, writer("one"))
-    # plant an orphan no pointer ever named (racing loser), older than e1
+    # plant an orphan no pointer ever named (a crashed run's leak) that
+    # is OLDER than the reap grace age; also one YOUNG orphan standing
+    # in for a racing run's in-flight export
     orphan = base / "export-loser"
     orphan.mkdir()
     (orphan / "data").write_text("lost")
-    os.utime(orphan, (os.path.getmtime(e1) - 50, os.path.getmtime(e1) - 50))
+    old_t = os.path.getmtime(e1) - 10_000
+    os.utime(orphan, (old_t, old_t))
+    inflight = base / "export-inflight"
+    inflight.mkdir()
+    (inflight / "data").write_text("writing")
 
     e2 = export_behind_pointer(pointer, writer("two"))
     dirs = {d for d in os.listdir(base) if d.startswith("export-")}
-    # pointer names e2; grace keeps the newest orphan (e1); loser reaped
+    # pointer names e2; the stale leak is reaped; BOTH young dirs (e1 as
+    # the grace generation / the in-flight race) survive the age guard
     assert os.path.basename(e2) in dirs
     assert os.path.basename(e1) in dirs
+    assert "export-inflight" in dirs
     assert "export-loser" not in dirs
     assert os.path.realpath(pointer) == os.path.realpath(e2)
 
+    # age out e1 and the fake in-flight dir: next export reaps both,
+    # keeping only the pointer target and the newest orphan (e2)
+    for d in (str(base / os.path.basename(e1)), str(inflight)):
+        os.utime(d, (old_t, old_t))
     e3 = export_behind_pointer(pointer, writer("three"))
     dirs = {d for d in os.listdir(base) if d.startswith("export-")}
     assert dirs == {os.path.basename(e3), os.path.basename(e2)}
