@@ -700,11 +700,15 @@ def mg_top5_report(spark, sf_dir, est, m, pointer):
         export_behind_pointer,
     )
 
+    # exact feeds BOTH top-5 and n_total: the two branches share an
+    # identical aggregate subplan, so Catalyst reuses one exchange
+    # (ReusedExchange — verified in the plan; an eager localCheckpoint
+    # here measured SLOWER, 0.84 -> 1.79 s, because it serializes an
+    # extra job at fixture scale)
     exact = (
         doc_tokens(spark, sf_dir)
         .groupBy("lang", "tok")
         .agg(F.count("*").alias("exact_n"))
-        .localCheckpoint(eager=True)  # feeds both top-5 and n_total
     )
     tot = exact.groupBy("lang").agg(F.sum("exact_n").alias("n_total"))
     w = Window.partitionBy("lang").orderBy(F.col("exact_n").desc(), "tok")
