@@ -123,6 +123,7 @@ EXTRAS = [
     "i18_pca_covariance",     # partition Gram partials -> exact covariance
     "c2d_snapshot_diff",      # CDC extraction between two table versions
     "p19_lakehouse_maintenance",  # replay->compact->zorder->audit->diff
+    "i19_chunk_windows",      # 64-token windows at stride 48 (codegen-only)
 ]
 
 

@@ -2234,3 +2234,63 @@ def i18_pca_covariance(spark, sf_dir):
     return spark.createDataFrame(rows, "i int, j int, cov double").orderBy(
         "i", "j"
     )
+
+
+@register(
+    "i19_chunk_windows",
+    "I12",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS arr
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, arr,
+             unnest(generate_series(0, len(arr) - 1, 48)) AS start_tok
+      FROM toks
+    )
+    SELECT doc_id, CAST(start_tok // 48 AS INTEGER) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(list_slice(arr, CAST(start_tok AS INTEGER) + 1,
+                               CAST(start_tok AS INTEGER) + 64)) AS INTEGER)
+             AS n_tokens,
+           array_to_string(list_slice(arr, CAST(start_tok AS INTEGER) + 1,
+                                      CAST(start_tok AS INTEGER) + 64), ' ')
+             AS chunk_text
+    FROM starts ORDER BY doc_id, chunk_idx
+    """,
+    note="CONTEXT-WINDOW CHUNKING — the training-prep op between raw "
+    "documents and shard packing (I12): every document splits into "
+    "64-token windows at stride 48 (16-token overlap so no training "
+    "example loses cross-boundary context — the standard LM data "
+    "recipe). Pure codegen: one split, one sequence+explode, one "
+    "slice/array_join per chunk — no UDFs, no shuffle at all until a "
+    "downstream consumer groups (the plan is scan -> generate -> "
+    "project). Tokenization is the i7 whitespace convention so the "
+    "oracle reproduces chunks byte-for-byte. At 100 TB chunking at the "
+    "scan multiplies rows by ~n_tokens/stride but each output row is "
+    "bounded by the window size — the memory-safe shape for "
+    "feeding i12's token-budget shard packer.",
+)
+def i19_chunk_windows(spark, sf_dir):
+    W, S = 64, 48
+    d = t(spark, "documents", sf_dir).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("arr")
+    )
+    starts = d.select(
+        "doc_id",
+        "arr",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("arr") - 1, F.lit(0)), F.lit(S)
+            )
+        ).alias("start_tok"),
+    )
+    chunk = F.slice("arr", F.col("start_tok") + 1, W)
+    return starts.select(
+        "doc_id",
+        (F.col("start_tok") / S).cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")

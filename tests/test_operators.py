@@ -2339,3 +2339,40 @@ def test_c2d_snapshot_diff_detects_all_ops(spark, sf_dir):
     for r in rows2:
         if r["op"] == "insert":
             assert firsts[r["user_id"]] >= 5000
+
+
+def test_i19_chunk_invariants(spark, sf_dir):
+    """Chunking invariants: every chunk has 1..64 tokens, consecutive
+    chunks overlap by exactly 16 tokens (stride 48), and stitching the
+    stride-sized prefixes + the last chunk reproduces each document's
+    full token stream."""
+    rows = all_queries()["i19_chunk_windows"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, "documents", sf_dir)
+        .select("doc_id", F.lower("text").alias("text"))
+        .collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_idx"])
+        toks = docs[doc_id].split(" ")
+        stitched = []
+        for i, r in enumerate(rs):
+            assert 1 <= r["n_tokens"] <= 64
+            assert r["start_tok"] == i * 48
+            ctoks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            assert len(ctoks) == r["n_tokens"]
+            assert ctoks == toks[r["start_tok"] : r["start_tok"] + 64]
+            if i < len(rs) - 1:
+                # overlap: the next chunk repeats this one's last 16
+                nxt = rs[i + 1]["chunk_text"].split(" ")
+                if r["n_tokens"] == 64:
+                    assert nxt[:16] == ctoks[48:64]
+                stitched.extend(ctoks[:48])
+            else:
+                stitched.extend(ctoks)
+        assert stitched == toks, doc_id
