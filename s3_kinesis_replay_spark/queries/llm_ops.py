@@ -2242,11 +2242,17 @@ def i18_pca_covariance(spark, sf_dir):
     """
     WITH toks AS (
       SELECT doc_id, string_split(lower(text), ' ') AS arr
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     starts AS (
+      -- upper bound n-17 (not n-1): a window starting at s adds new
+      -- tokens only if n > s + (W - S) = s + 16; otherwise it is fully
+      -- contained in its predecessor and would DUPLICATE training text
+      -- (review r9: a 64-token doc produced [0..63] and [48..63]).
+      -- greatest(.., 0) keeps the single-window case for short docs.
       SELECT doc_id, arr,
-             unnest(generate_series(0, len(arr) - 1, 48)) AS start_tok
+             unnest(generate_series(0, greatest(len(arr) - 17, 0), 48))
+               AS start_tok
       FROM toks
     )
     SELECT doc_id, CAST(start_tok // 48 AS INTEGER) AS chunk_idx,
@@ -2266,7 +2272,10 @@ def i18_pca_covariance(spark, sf_dir):
     "recipe). Pure codegen: one split, one sequence+explode, one "
     "slice/array_join per chunk — no UDFs, no shuffle at all until a "
     "downstream consumer groups (the plan is scan -> generate -> "
-    "project). Tokenization is the i7 whitespace convention so the "
+    "project). The start bound excludes windows fully contained in "
+    "their predecessor (n <= s + overlap), so no training text is ever "
+    "emitted twice beyond the declared overlap. "
+    "Tokenization is the i7 whitespace convention so the "
     "oracle reproduces chunks byte-for-byte. At 100 TB chunking at the "
     "scan multiplies rows by ~n_tokens/stride but each output row is "
     "bounded by the window size — the memory-safe shape for "
@@ -2274,15 +2283,23 @@ def i18_pca_covariance(spark, sf_dir):
 )
 def i19_chunk_windows(spark, sf_dir):
     W, S = 64, 48
-    d = t(spark, "documents", sf_dir).select(
-        "doc_id", F.split(F.lower("text"), " ").alias("arr")
+    # NULL text filtered in BOTH engines (review r9: Spark's greatest()
+    # rescued a NULL-array doc into a phantom row the oracle dropped)
+    d = (
+        t(spark, "documents", sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.lower("text"), " ").alias("arr"))
     )
     starts = d.select(
         "doc_id",
         "arr",
+        # see the oracle comment: last start capped at n-17 so no window
+        # is fully contained in its predecessor (duplicated text)
         F.explode(
             F.sequence(
-                F.lit(0), F.greatest(F.size("arr") - 1, F.lit(0)), F.lit(S)
+                F.lit(0),
+                F.greatest(F.size("arr") - (W - S + 1), F.lit(0)),
+                F.lit(S),
             )
         ).alias("start_tok"),
     )

@@ -2364,9 +2364,16 @@ def test_i19_chunk_invariants(spark, sf_dir):
         for i, r in enumerate(rs):
             assert 1 <= r["n_tokens"] <= 64
             assert r["start_tok"] == i * 48
-            ctoks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            ctoks = r["chunk_text"].split(" ")  # "" -> [""], matching arr
             assert len(ctoks) == r["n_tokens"]
             assert ctoks == toks[r["start_tok"] : r["start_tok"] + 64]
+            if i > 0:
+                # no window is fully contained in its predecessor
+                prev = rs[i - 1]
+                assert (
+                    r["start_tok"] + r["n_tokens"]
+                    > prev["start_tok"] + prev["n_tokens"]
+                )
             if i < len(rs) - 1:
                 # overlap: the next chunk repeats this one's last 16
                 nxt = rs[i + 1]["chunk_text"].split(" ")
