@@ -124,6 +124,7 @@ EXTRAS = [
     "c2d_snapshot_diff",      # CDC extraction between two table versions
     "p19_lakehouse_maintenance",  # replay->compact->zorder->audit->diff
     "i19_chunk_windows",      # 64-token windows at stride 48 (codegen-only)
+    "a12b_incremental_compaction",  # partition-scoped OPTIMIZE (O(day), not O(corpus))
 ]
 
 

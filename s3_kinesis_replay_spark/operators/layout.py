@@ -123,3 +123,67 @@ def candidate_files(path: str, preds: dict[str, tuple]) -> tuple[int, int]:
         if overlaps:
             hit += 1
     return hit, total
+
+
+def compact_partitions(
+    spark,
+    table_root: str,
+    target_rows: int = 4000,
+    partition_glob: str = "dt=*",
+) -> list[str]:
+    """INCREMENTAL compaction: rewrite ONLY the partitions whose
+    fragment count exceeds what ``target_rows`` requires, leaving every
+    other partition's files byte-untouched — the daily OPTIMIZE shape
+    (Delta/Iceberg compaction is always partition-scoped at scale: a
+    year-old partition must not be rewritten because today's delivery
+    fragmented today's).
+
+    Policy reads parquet FOOTERS only (row counts, one metadata read
+    per file — bounded driver work): a partition with f files and r
+    rows needs ceil(r/target_rows) files; it is rewritten iff
+    f > that. The rewrite is per-partition atomic: sorted rows land in
+    a temp dir, then an os.replace swap. Returns the rewritten
+    partition dir names."""
+    import glob
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    rewritten = []
+    for pdir in sorted(glob.glob(os.path.join(table_root, partition_glob))):
+        files = [
+            f
+            for f in glob.glob(os.path.join(pdir, "*.parquet"))
+            if os.path.isfile(f)
+        ]
+        if not files:
+            continue
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        need = max(1, math.ceil(rows / target_rows))
+        if len(files) <= need:
+            continue  # already right-sized: NOT touched
+        part = spark.read.parquet(pdir)
+        order = [c for c in ("event_id",) if c in part.columns] or [
+            part.columns[0]
+        ]
+        tmp = tempfile.mkdtemp(
+            prefix=".compact-", dir=os.path.dirname(pdir)
+        )
+        (
+            part.repartitionByRange(need, *[F.col(c) for c in order])
+            .sortWithinPartitions(*order)
+            .write.option("maxRecordsPerFile", target_rows)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        old = pdir + ".old"
+        os.replace(pdir, old)
+        os.replace(tmp, pdir)
+        shutil.rmtree(old, ignore_errors=True)
+        rewritten.append(os.path.basename(pdir))
+    return rewritten

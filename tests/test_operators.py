@@ -2383,3 +2383,67 @@ def test_i19_chunk_invariants(spark, sf_dir):
             else:
                 stitched.extend(ctoks)
         assert stitched == toks, doc_id
+
+
+def test_incremental_compaction_touches_only_fragmented_partitions(
+    spark, sf_dir, tmp_path
+):
+    """compact_partitions rewrites exactly the partitions whose fragment
+    count exceeds the footer-derived need: untouched partitions keep
+    byte-identical files (same paths, same mtimes), the fragmented one
+    collapses, and content round-trips."""
+    import glob
+    import os
+
+    from s3_kinesis_replay_spark.operators.layout import compact_partitions
+
+    ev = table(spark, "events", sf_dir).withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    last_day = ev.agg(F.max("dt")).collect()[0][0]
+    root = str(tmp_path / "tbl")
+    (
+        # hash-repartition on dt: each day lands wholly in ONE task ->
+        # exactly one file per day dir (a range partitioning could split
+        # a boundary day across two tasks, making it look fragmented)
+        ev.filter(F.col("dt") < last_day)
+        .repartition(8, "dt")
+        .sortWithinPartitions("dt", "event_id")
+        .write.option("maxRecordsPerFile", 4000)
+        .partitionBy("dt")
+        .mode("overwrite")
+        .parquet(root)
+    )
+    (
+        ev.filter(F.col("dt") == last_day)
+        .repartition(4)
+        .write.option("maxRecordsPerFile", 50)
+        .partitionBy("dt")
+        .mode("append")
+        .parquet(root)
+    )
+    frag_dir = os.path.join(root, f"dt={last_day}")
+    n_frag_before = len(glob.glob(os.path.join(frag_dir, "*.parquet")))
+
+    def snapshot(skip_day):
+        out = {}
+        for f in glob.glob(os.path.join(root, "dt=*", "*.parquet")):
+            if f"dt={skip_day}" not in f:
+                out[f] = os.path.getmtime(f)
+        return out
+
+    before = snapshot(last_day)
+    rewritten = compact_partitions(spark, root, target_rows=4000)
+    assert rewritten == [f"dt={last_day}"], rewritten
+    assert snapshot(last_day) == before  # byte-untouched siblings
+    n_frag_after = len(glob.glob(os.path.join(frag_dir, "*.parquet")))
+    assert n_frag_after < n_frag_before, (n_frag_before, n_frag_after)
+    # content invariance
+    got = spark.read.parquet(root).drop("dt")
+    assert got.count() == ev.count()
+    assert (
+        got.select(F.sum("event_id")).collect()[0][0]
+        == ev.select(F.sum("event_id")).collect()[0][0]
+    )
+    # idempotence: a second pass rewrites nothing
+    assert compact_partitions(spark, root, target_rows=4000) == []
