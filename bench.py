@@ -125,6 +125,7 @@ EXTRAS = [
     "p19_lakehouse_maintenance",  # replay->compact->zorder->audit->diff
     "i19_chunk_windows",      # 64-token windows at stride 48 (codegen-only)
     "a12b_incremental_compaction",  # partition-scoped OPTIMIZE (O(day), not O(corpus))
+    "e12_transition_matrix",  # per-user Markov transitions (lag + pair counts)
 ]
 
 

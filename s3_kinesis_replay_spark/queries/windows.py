@@ -435,3 +435,58 @@ def ts1_resample_interpolate(spark, sf_dir):
         F.col("v").isNotNull().alias("is_observed"),
         (F.floor(filled * 1000000 + 0.5) / 1000000).alias("value"),
     ).orderBy("user_id", "h")
+
+
+@register(
+    "e12_transition_matrix",
+    "E2",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS n_from FROM pairs GROUP BY prev_type)
+    SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n,
+           ROUND(CAST(p.n AS DOUBLE) / t.n_from, 6) AS p_transition
+    FROM pairs p JOIN tot t ON t.prev_type = p.prev_type
+    ORDER BY p.prev_type, p.next_type
+    """,
+    note="EVENT-TYPE TRANSITION MATRIX — the Markov-chain view of the "
+    "event stream (what -> what next, per user journey): one lag window "
+    "per user ordered by (ts, event_id) for deterministic sequencing, "
+    "pair counts with map-side partial agg, row-normalized into "
+    "transition probabilities. Complements e11's fixed funnel with the "
+    "full 5x5 transition structure. Shuffle shape: one window sort on "
+    "user_id + one pair groupBy — E-family cost; probabilities divide "
+    "exact BIGINT counts in double, identically in both engines "
+    "(integer/integer division has no decimal-quotient trap).",
+)
+def e12_transition_matrix(spark, sf_dir):
+    e = t(spark, "events", sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    pairs = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias(
+                "p_transition"
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -2447,3 +2447,22 @@ def test_incremental_compaction_touches_only_fragmented_partitions(
     )
     # idempotence: a second pass rewrites nothing
     assert compact_partitions(spark, root, target_rows=4000) == []
+
+
+def test_e12_transition_rows_normalize(spark, sf_dir):
+    """Each prev_type's transition probabilities sum to ~1, every pair
+    count is positive, and total transitions = total events minus one
+    first-event per user."""
+    rows = all_queries()["e12_transition_matrix"].fn(spark, sf_dir).collect()
+    by_prev: dict = {}
+    n_total = 0
+    for r in rows:
+        assert r["n"] > 0
+        by_prev.setdefault(r["prev_type"], []).append(r["p_transition"])
+        n_total += r["n"]
+    for prev, ps in by_prev.items():
+        assert abs(sum(ps) - 1.0) < 1e-4, (prev, sum(ps))
+    ev = table(spark, "events", sf_dir)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert n_total == n_events - n_users
