@@ -125,6 +125,31 @@ def candidate_files(path: str, preds: dict[str, tuple]) -> tuple[int, int]:
     return hit, total
 
 
+def _recover_compaction(table_root: str) -> None:
+    """Crash recovery for compact_partitions (review r9): a ``.reap-*``
+    dir is the old partition parked during the two-rename swap. If the
+    live partition dir exists, the swap completed — drop the trash; if
+    not, the crash hit between the renames — restore the old dir so no
+    partition ever stays missing. Abandoned ``.compact-*`` build dirs
+    (failed rewrites) are deleted outright. Leading-dot names are
+    invisible to both Spark partition discovery and the ``dt=*`` policy
+    glob, so leftovers can never masquerade as partitions."""
+    import glob
+    import os
+    import shutil
+
+    for trash in glob.glob(os.path.join(table_root, ".reap-*")):
+        live = os.path.join(
+            table_root, os.path.basename(trash).split("-", 2)[2]
+        )
+        if os.path.isdir(live):
+            shutil.rmtree(trash, ignore_errors=True)
+        else:
+            os.replace(trash, live)
+    for tmp in glob.glob(os.path.join(table_root, ".compact-*")):
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def compact_partitions(
     spark,
     table_root: str,
@@ -140,20 +165,32 @@ def compact_partitions(
 
     Policy reads parquet FOOTERS only (row counts, one metadata read
     per file — bounded driver work): a partition with f files and r
-    rows needs ceil(r/target_rows) files; it is rewritten iff
-    f > that. The rewrite is per-partition atomic: sorted rows land in
-    a temp dir, then an os.replace swap. Returns the rewritten
-    partition dir names."""
+    rows needs ceil(r/target_rows) files; it is rewritten iff f > that.
+    The rewrite range-partitions to exactly ``need`` output files (no
+    maxRecordsPerFile re-split — review r9: a boundary-skewed range
+    sample could emit need+1 files and make the pass non-convergent;
+    per-file rows may exceed target by the sampling skew, which the
+    count policy tolerates), so a second pass rewrites nothing.
+
+    Swap discipline (review r9): new layout lands in a hidden
+    ``.compact-*`` dir (cleaned on failure), the old partition parks in
+    a hidden ``.reap-*`` dir, the new dir takes its place, trash is
+    dropped. A crash between the two renames is healed by the
+    ``_recover_compaction`` sweep that runs first — the partition is
+    restored, never silently missing, and hidden names can never be
+    discovered as partitions. Returns the rewritten partition names."""
     import glob
     import math
     import os
     import shutil
     import tempfile
+    import uuid
 
     import pyarrow.parquet as pq
 
     from pyspark.sql import functions as F
 
+    _recover_compaction(table_root)
     rewritten = []
     for pdir in sorted(glob.glob(os.path.join(table_root, partition_glob))):
         files = [
@@ -174,16 +211,60 @@ def compact_partitions(
         tmp = tempfile.mkdtemp(
             prefix=".compact-", dir=os.path.dirname(pdir)
         )
-        (
-            part.repartitionByRange(need, *[F.col(c) for c in order])
-            .sortWithinPartitions(*order)
-            .write.option("maxRecordsPerFile", target_rows)
-            .mode("overwrite")
-            .parquet(tmp)
+        try:
+            (
+                part.repartitionByRange(need, *[F.col(c) for c in order])
+                .sortWithinPartitions(*order)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)  # review r9: no leak
+            raise
+        trash = os.path.join(
+            os.path.dirname(pdir),
+            f".reap-{uuid.uuid4().hex[:8]}-{os.path.basename(pdir)}",
         )
-        old = pdir + ".old"
-        os.replace(pdir, old)
+        os.replace(pdir, trash)
         os.replace(tmp, pdir)
-        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
         rewritten.append(os.path.basename(pdir))
     return rewritten
+
+
+def seed_fragmented_layout(
+    ev,
+    root: str,
+    target_rows: int,
+    flush_rows: int,
+    n_tasks: int = 8,
+) -> str:
+    """Seed the incremental-compaction demonstration layout — ONE
+    definition shared by the a12b entry and its test (review r9): every
+    day right-sized except the LAST, which lands as tiny flush-sized
+    fragments ('today's delivery'). ``ev`` must carry a ``dt`` column.
+    Hash-repartition on dt puts each day wholly in one task -> exactly
+    one file per seeded day (a range partitioning could split a
+    boundary day across two tasks, which the compactor would then
+    rightly rewrite). Returns the last (fragmented) day."""
+    from pyspark.sql import functions as F
+
+    last_day = ev.agg(F.max("dt")).collect()[0][0]
+    (
+        ev.filter(F.col("dt") < last_day)
+        .repartition(n_tasks, "dt")
+        .sortWithinPartitions("dt", "event_id")
+        .write.option("maxRecordsPerFile", target_rows)
+        .partitionBy("dt")
+        .mode("overwrite")
+        .parquet(root)
+    )
+    (
+        ev.filter(F.col("dt") == last_day)
+        .repartition(4)
+        .write.option("maxRecordsPerFile", flush_rows)
+        .partitionBy("dt")
+        .mode("append")
+        .parquet(root)
+    )
+    return last_day

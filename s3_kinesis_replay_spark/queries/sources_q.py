@@ -400,29 +400,15 @@ def _incrementally_compacted(spark, sf_dir: str, target_rows: int = 4000) -> str
     key = data_fingerprint(src) + f"-inccompact{target_rows}"
 
     def build(tmp_dir: str) -> None:
+        from s3_kinesis_replay_spark.operators.layout import (
+            seed_fragmented_layout,
+        )
+
         ev = t(spark, "events", sf_dir).withColumn(
             "dt", F.date_format("ts", "yyyy-MM-dd")
         )
-        last_day = ev.agg(F.max("dt")).collect()[0][0]
-        (
-            # hash-repartition on dt so each seeded day is exactly one
-            # file (a range partitioning can split a boundary day across
-            # two tasks, which the compactor would then rightly rewrite)
-            ev.filter(F.col("dt") < last_day)
-            .repartition(16, "dt")
-            .sortWithinPartitions("dt", "event_id")
-            .write.option("maxRecordsPerFile", target_rows)
-            .partitionBy("dt")
-            .mode("overwrite")
-            .parquet(tmp_dir)
-        )
-        (
-            ev.filter(F.col("dt") == last_day)
-            .repartition(4)
-            .write.option("maxRecordsPerFile", 300)
-            .partitionBy("dt")
-            .mode("append")
-            .parquet(tmp_dir)
+        seed_fragmented_layout(
+            ev, tmp_dir, target_rows=target_rows, flush_rows=300, n_tasks=16
         )
         compact_partitions(spark, tmp_dir, target_rows=target_rows)
 

@@ -454,7 +454,11 @@ def ts1_resample_interpolate(spark, sf_dir):
     ),
     tot AS (SELECT prev_type, SUM(n) AS n_from FROM pairs GROUP BY prev_type)
     SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n,
-           ROUND(CAST(p.n AS DOUBLE) / t.n_from, 6) AS p_transition
+           -- engine-neutral 6-dp rounding (the ts1 floor form): ROUND
+           -- semantics diverge on 7th-decimal midpoints a count ratio
+           -- can land on exactly (review r9)
+           FLOOR(CAST(p.n AS DOUBLE) / t.n_from * 1000000 + 0.5)
+             / 1000000 AS p_transition
     FROM pairs p JOIN tot t ON t.prev_type = p.prev_type
     ORDER BY p.prev_type, p.next_type
     """,
@@ -465,8 +469,9 @@ def ts1_resample_interpolate(spark, sf_dir):
     "transition probabilities. Complements e11's fixed funnel with the "
     "full 5x5 transition structure. Shuffle shape: one window sort on "
     "user_id + one pair groupBy — E-family cost; probabilities divide "
-    "exact BIGINT counts in double, identically in both engines "
-    "(integer/integer division has no decimal-quotient trap).",
+    "exact BIGINT counts in double (identical IEEE quotient bits in "
+    "both engines) and round via the engine-neutral floor form, since "
+    "ROUND semantics diverge on decimal midpoints (the ts1 lesson).",
 )
 def e12_transition_matrix(spark, sf_dir):
     e = t(spark, "events", sf_dir).select("user_id", "event_type", "ts", "event_id")
@@ -484,9 +489,14 @@ def e12_transition_matrix(spark, sf_dir):
             "prev_type",
             "next_type",
             "n",
-            F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias(
-                "p_transition"
-            ),
+            # engine-neutral floor-HALF_UP (see oracle comment)
+            (
+                F.floor(
+                    F.col("n").cast("double") / F.col("n_from") * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("p_transition"),
         )
         .orderBy("prev_type", "next_type")
     )

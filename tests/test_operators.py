@@ -2350,6 +2350,7 @@ def test_i19_chunk_invariants(spark, sf_dir):
     docs = {
         r["doc_id"]: r["text"]
         for r in table(spark, "documents", sf_dir)
+        .filter(F.col("text").isNotNull())  # mirrors the query's filter
         .select("doc_id", F.lower("text").alias("text"))
         .collect()
     }
@@ -2397,30 +2398,16 @@ def test_incremental_compaction_touches_only_fragmented_partitions(
 
     from s3_kinesis_replay_spark.operators.layout import compact_partitions
 
+    from s3_kinesis_replay_spark.operators.layout import (
+        seed_fragmented_layout,
+    )
+
     ev = table(spark, "events", sf_dir).withColumn(
         "dt", F.date_format("ts", "yyyy-MM-dd")
     )
-    last_day = ev.agg(F.max("dt")).collect()[0][0]
     root = str(tmp_path / "tbl")
-    (
-        # hash-repartition on dt: each day lands wholly in ONE task ->
-        # exactly one file per day dir (a range partitioning could split
-        # a boundary day across two tasks, making it look fragmented)
-        ev.filter(F.col("dt") < last_day)
-        .repartition(8, "dt")
-        .sortWithinPartitions("dt", "event_id")
-        .write.option("maxRecordsPerFile", 4000)
-        .partitionBy("dt")
-        .mode("overwrite")
-        .parquet(root)
-    )
-    (
-        ev.filter(F.col("dt") == last_day)
-        .repartition(4)
-        .write.option("maxRecordsPerFile", 50)
-        .partitionBy("dt")
-        .mode("append")
-        .parquet(root)
+    last_day = seed_fragmented_layout(
+        ev, root, target_rows=4000, flush_rows=50, n_tasks=8
     )
     frag_dir = os.path.join(root, f"dt={last_day}")
     n_frag_before = len(glob.glob(os.path.join(frag_dir, "*.parquet")))
@@ -2466,3 +2453,48 @@ def test_e12_transition_rows_normalize(spark, sf_dir):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert n_total == n_events - n_users
+
+
+def test_compaction_crash_recovery(spark, sf_dir, tmp_path):
+    """A crash between the two swap renames leaves the partition parked
+    in a hidden .reap-* dir; the next compaction run restores it before
+    doing anything else, deletes abandoned .compact-* build dirs, and a
+    completed-swap leftover (.reap-* with a live partition) is dropped.
+    Hidden names are invisible to Spark partition discovery."""
+    import glob
+    import os
+
+    from s3_kinesis_replay_spark.operators.layout import (
+        compact_partitions,
+        seed_fragmented_layout,
+    )
+
+    ev = table(spark, "events", sf_dir).withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    root = str(tmp_path / "tbl")
+    last_day = seed_fragmented_layout(
+        ev, root, target_rows=4000, flush_rows=50, n_tasks=8
+    )
+    n_before = spark.read.parquet(root).count()
+
+    # simulate: crash AFTER parking the old partition, BEFORE the new
+    # one landed (the partition is missing)
+    victim = sorted(glob.glob(os.path.join(root, "dt=*")))[0]
+    vname = os.path.basename(victim)
+    os.replace(victim, os.path.join(root, f".reap-deadbeef-{vname}"))
+    # plus an abandoned build dir with junk
+    os.makedirs(os.path.join(root, ".compact-junk"))
+    assert not os.path.isdir(victim)
+
+    rewritten = compact_partitions(spark, root, target_rows=4000)
+    assert os.path.isdir(victim)  # restored, not lost
+    assert not glob.glob(os.path.join(root, ".reap-*"))
+    assert not glob.glob(os.path.join(root, ".compact-*"))
+    assert rewritten == [f"dt={last_day}"]
+    assert spark.read.parquet(root).count() == n_before
+
+    # completed-swap leftover: live partition + stale trash -> trash dropped
+    os.makedirs(os.path.join(root, f".reap-cafe1234-{vname}", "x"))
+    assert compact_partitions(spark, root, target_rows=4000) == []
+    assert not glob.glob(os.path.join(root, ".reap-*"))
