@@ -20,18 +20,21 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
 
 from s3_kinesis_replay_spark.registry import all_queries
 from s3_kinesis_replay_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+LOCAL_RECORD = REPO / "BENCH_LOCAL.json"
 
 # Headline set: one per operator family, weighted toward shuffle/join/window
 # heavy shapes (the 100 TB cost centers).
@@ -69,8 +72,17 @@ HEADLINE = [
     "p14_bloom_contamination",  # bounded-bit bloom pre-screen
 ]
 
-# Round-4 operators, timed identically but reported under "extras" so the
-# headline total stays comparable with the BASELINE.md series.
+# Entries added THIS round: always benched (they have no prior record),
+# on top of whatever rotating slice of the stable pool is due. Promote to
+# EXTRAS (the stable pool) next round once a baseline row exists.
+EXTRAS_ALWAYS: list[str] = []
+
+# Stable extras pool. Timed identically to HEADLINE but reported under
+# "extras" so the headline total stays comparable with the BASELINE.md
+# series. Round 10 on: only a deterministic ROTATE_K-entry slice (keyed on
+# the round number) is measured per round — 47 extras x 4 executions had
+# pushed bench wall time past the contention-drift horizon (VERDICT r9
+# item 6); every entry still cycles through within ~3 rounds.
 EXTRAS = [
     "t5_repetition_filter",   # bigram repetition (sort + adjacent compare)
     "t6_pii_redact",          # regex masking + hit counts
@@ -128,6 +140,28 @@ EXTRAS = [
     "e12_transition_matrix",  # per-user Markov transitions (lag + pair counts)
 ]
 
+ROTATE_K = 16
+
+
+def bench_round() -> int:
+    """The round this bench run will feed: max CORRECTNESS round on disk + 1
+    (deterministic for the driver's end-of-round run)."""
+    rounds = [
+        int(re.search(r"r(\d+)", p.name).group(1))
+        for p in REPO.glob("CORRECTNESS_r*.json")
+    ]
+    return (max(rounds) if rounds else 0) + 1
+
+
+def extras_for_round(rnd: int) -> list[str]:
+    """EXTRAS_ALWAYS (new-this-round entries) + a deterministic wrapping
+    ROTATE_K-slice of the stable pool keyed on the round number, so each
+    stable extra is re-measured every ceil(len(EXTRAS)/ROTATE_K) rounds."""
+    pool = EXTRAS
+    start = ((rnd - 10) * ROTATE_K) % len(pool) if pool else 0
+    sel = [pool[(start + i) % len(pool)] for i in range(min(ROTATE_K, len(pool)))]
+    return EXTRAS_ALWAYS + [s for s in sel if s not in EXTRAS_ALWAYS]
+
 
 def replay_roundtrip_seconds(spark) -> float:
     """End-to-end replay wall-clock: gzip archive → paced stream →
@@ -177,10 +211,17 @@ def _settle(max_wait_s: float = 600.0, target_load: float = 2.0) -> float:
 def main() -> None:
     settle_wait = _settle()
     load_before = os.getloadavg()
-    spark = get_spark(app_name="skr-bench")
+    # showConsoleProgress=false: BENCH_r09's official record was lost to
+    # progress bars interleaving the stdout stream (parsed: null) — the
+    # record line must own the stream.
+    spark = get_spark(
+        app_name="skr-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    rnd = bench_round()
 
     def timed(name: str) -> float:
         q = queries[name]
@@ -193,7 +234,7 @@ def main() -> None:
         return round(statistics.median(samples), 3)
 
     timings = {name: timed(name) for name in HEADLINE}
-    extras = {name: timed(name) for name in EXTRAS}
+    extras = {name: timed(name) for name in extras_for_round(rnd)}
 
     replay_roundtrip_seconds(spark)  # untimed warm-up
     timings["replay_roundtrip"] = round(
@@ -201,21 +242,28 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_median_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extras": extras,
-                "sf": float(sf),
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-                "settle_wait_s": settle_wait,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_total_median_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extras": extras,
+        "sf": float(sf),
+        "round": rnd,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "settle_wait_s": settle_wait,
+    }
+    payload = json.dumps(record)
+    # Mirror the record to a file FIRST: a truncated stdout tail can never
+    # again lose the round's perf record (BENCH_r09 post-mortem).
+    LOCAL_RECORD.write_text(payload + "\n")
+    # The JSON line goes LAST, after both streams are drained, preceded by
+    # a blank sentinel line so tail-capture always sees a whole record.
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(flush=True)
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

@@ -78,6 +78,15 @@ def zorder_write(
         *[F.min(d.cast("double")).alias(f"lo{i}") for i, d in enumerate(dims)],
         *[F.max(d.cast("double")).alias(f"hi{i}") for i, d in enumerate(dims)],
     ).collect()[0]
+    if any(
+        mins[f"lo{i}"] is None or mins[f"hi{i}"] is None
+        for i in range(len(dims))
+    ):
+        # Degenerate input (empty df or an all-NULL dim): no z-range to
+        # cluster by — plain write instead of an obscure None-arithmetic
+        # TypeError (ADVICE r9).
+        df.write.mode("overwrite").parquet(path)
+        return
     codes = [
         bucket_code(d, mins[f"lo{i}"], mins[f"hi{i}"], bits)
         for i, d in enumerate(dims)
@@ -109,15 +118,32 @@ def candidate_files(path: str, preds: dict[str, tuple]) -> tuple[int, int]:
         overlaps = True
         for col, (lo, hi) in preds.items():
             cmin = cmax = None
+            # Any row group without min/max stats for this column could
+            # contain matching rows — it forces the file to stay a
+            # candidate, mirroring real engine pruning semantics
+            # (ADVICE r9: stats-less groups must not be counted pruned).
+            missing_stats = False
             for rg in range(md.num_row_groups):
                 row_group = md.row_group(rg)
+                found = False
                 for ci in range(row_group.num_columns):
                     c = row_group.column(ci)
-                    if c.path_in_schema == col and c.statistics is not None:
-                        s = c.statistics
+                    if c.path_in_schema != col:
+                        continue
+                    found = True
+                    s = c.statistics
+                    if s is not None and s.has_min_max:
                         cmin = s.min if cmin is None else min(cmin, s.min)
                         cmax = s.max if cmax is None else max(cmax, s.max)
-            if cmin is not None and (cmax < lo or cmin > hi):
+                    else:
+                        missing_stats = True
+                if not found:
+                    missing_stats = True
+            if (
+                not missing_stats
+                and cmin is not None
+                and (cmax < lo or cmin > hi)
+            ):
                 overlaps = False
                 break
         if overlaps:

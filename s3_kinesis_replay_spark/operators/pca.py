@@ -31,7 +31,6 @@ def gram_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     column sums, and the upper triangle of Xᵀ·X for the partition's
     rows. Sums are float64 numpy matmuls (deterministic within a
     partition; partition contents are fixed by the file layout)."""
-    tri = dim * (dim + 1) // 2
     iu = np.triu_indices(dim)
 
     def part(batches):
@@ -52,7 +51,7 @@ def gram_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         )
 
     return df.select(vec_col).mapInPandas(
-        part, f"n long, s array<double>, g array<double>"
+        part, "n long, s array<double>, g array<double>"
     )
 
 

@@ -209,6 +209,8 @@ def a10_checkpoint_resume(spark, sf_dir):
         )
         try:
             _await_drained(q)
+        except TimeoutError:
+            raise  # a genuinely hung stream must fail loudly (ADVICE r9)
         except Exception:
             pass  # run 1 dies on the injected failure; checkpoint survives
 

@@ -14,8 +14,42 @@ from s3_kinesis_replay_spark.registry import all_queries
 
 def test_bench_names_resolve():
     qs = all_queries()
-    missing = [n for n in bench.HEADLINE + bench.EXTRAS if n not in qs]
+    missing = [
+        n
+        for n in bench.HEADLINE + bench.EXTRAS + bench.EXTRAS_ALWAYS
+        if n not in qs
+    ]
     assert not missing, f"bench names not in registry: {missing}"
+
+
+def test_extras_rotation_covers_pool():
+    """Every stable extra must cycle back within ceil(len/K) rounds, each
+    round's slice is deterministic, and new-this-round entries are always
+    included (VERDICT r9 item 6)."""
+    k = bench.ROTATE_K
+    pool = bench.EXTRAS
+    rounds_to_cover = -(-len(pool) // k)
+    covered = set()
+    for rnd in range(10, 10 + rounds_to_cover):
+        sel = bench.extras_for_round(rnd)
+        assert sel == bench.extras_for_round(rnd), "rotation not deterministic"
+        for n in bench.EXTRAS_ALWAYS:
+            assert n in sel
+        assert len(sel) <= k + len(bench.EXTRAS_ALWAYS)
+        covered.update(sel)
+    assert covered >= set(pool), sorted(set(pool) - covered)
+
+
+def test_bench_round_is_max_correctness_plus_one():
+    from pathlib import Path as P
+
+    import re as _re
+
+    rounds = [
+        int(_re.search(r"r(\d+)", p.name).group(1))
+        for p in P(bench.__file__).parent.glob("CORRECTNESS_r*.json")
+    ]
+    assert bench.bench_round() == max(rounds) + 1
 
 
 def test_bench_headline_set_unchanged():

@@ -1997,6 +1997,43 @@ def test_zorder_kernels():
         assert 0 <= r["bx"] < 8
 
 
+def test_zorder_degenerate_inputs(spark, tmp_path):
+    """ADVICE r9: zorder_write on an empty DataFrame or an all-NULL dim
+    falls back to a plain write instead of a None-arithmetic TypeError;
+    candidate_files keeps a stats-less file as a candidate even when the
+    predicate range is disjoint from the data."""
+    from s3_kinesis_replay_spark.operators.layout import (
+        candidate_files,
+        zorder_write,
+    )
+
+    empty = spark.createDataFrame([], "x long, y long")
+    p1 = str(tmp_path / "z_empty")
+    zorder_write(empty, p1, [F.col("x"), F.col("y")], n_files=4, bits=4)
+    assert spark.read.parquet(p1).count() == 0
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "x long, y long"
+    )
+    p2 = str(tmp_path / "z_nulls")
+    zorder_write(nulls, p2, [F.col("x"), F.col("y")], n_files=4, bits=4)
+    assert spark.read.parquet(p2).count() == 2
+
+    # stats-less parquet: the pruning walk must NOT count it pruned
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p3 = tmp_path / "nostats"
+    p3.mkdir()
+    pq.write_table(
+        pa.table({"x": [100, 200, 300]}),
+        p3 / "part-0.parquet",
+        write_statistics=False,
+    )
+    hit, total = candidate_files(str(p3), {"x": (0, 1)})
+    assert (hit, total) == (1, 1)
+
+
 def test_ts1_interpolation_semantics(spark, sf_dir):
     """Gap-fill invariants: the per-user grid is DENSE hourly between
     the user's first and last observed hour; every filled value lies
