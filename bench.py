@@ -75,7 +75,9 @@ HEADLINE = [
 # Entries added THIS round: always benched (they have no prior record),
 # on top of whatever rotating slice of the stable pool is due. Promote to
 # EXTRAS (the stable pool) next round once a baseline row exists.
-EXTRAS_ALWAYS: list[str] = []
+EXTRAS_ALWAYS: list[str] = [
+    "c1d_cbo_reordered_join",  # stats-driven join reorder (ANALYZE'd catalog)
+]
 
 # Stable extras pool. Timed identically to HEADLINE but reported under
 # "extras" so the headline total stays comparable with the BASELINE.md

@@ -17,6 +17,7 @@ partition pruning and predicate pushdown apply automatically.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +34,18 @@ TABLES = (
     "events",
     "documents",
     "embeddings",
+)
+
+# The relational subset that participates in multi-join shapes — the tables
+# worth catalog statistics for CostBasedJoinReorder.
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
 )
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,6 +76,89 @@ def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataF
         else:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _table_location(spark: SparkSession, name: str) -> str | None:
+    """LOCATION of an existing catalog table, or None if absent."""
+    if not spark.catalog.tableExists(name):
+        return None
+    rows = (
+        spark.sql(f"DESCRIBE FORMATTED {name}")
+        .filter(F.col("col_name") == "Location")
+        .collect()
+    )
+    return rows[0]["data_type"] if rows else None
+
+
+def bootstrap_cbo_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    tables: tuple[str, ...] = TPCH_TABLES,
+    suffix: str = "_cbo",
+) -> list[str]:
+    """Register the fixtures as EXTERNAL catalog tables and run
+    ``ANALYZE TABLE … COMPUTE STATISTICS FOR ALL COLUMNS`` so
+    ``CostBasedJoinReorder`` has row counts, sizes, and per-column
+    NDV/min/max to cost join trees with (SURVEY §4: the declared
+    catalog-bootstrap custom work; temp views registered from
+    ``spark.read.parquet`` carry no catalog stats, so CBO can never fire
+    through them).
+
+    Idempotent per (table, sf_dir): a catalog table already pointing at
+    this sf_dir is left alone (stats survive); pointing elsewhere it is
+    dropped and re-registered (external tables — DROP never touches the
+    parquet files).
+
+    NTZ workaround: Spark 4 infers parquet timestamps without UTC
+    adjustment as TIMESTAMP_NTZ, and CBO's FilterEstimation hits a
+    ``scala.MatchError: TimestampNTZType`` costing predicates over NTZ
+    column stats (observed on 4.1.2). The catalog tables are therefore
+    created with ``spark.sql.parquet.inferTimestampNTZ.enabled=false`` —
+    timestamps land as TIMESTAMP (LTZ); under the engine's pinned UTC
+    session zone the values are bit-identical to the naive reading.
+
+    100 TB note: FOR ALL COLUMNS is a full scan, so it runs once per
+    ingest batch (or per partition with ``ANALYZE … PARTITION``), not per
+    query — the stats live in the metastore and amortize across every
+    join that consults them.
+    """
+    prev_ntz = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    try:
+        out = []
+        for name in tables:
+            cat, path = f"{name}{suffix}", f"{sf_dir}/{name}.parquet"
+            loc = _table_location(spark, cat)
+            if loc is None or not loc.rstrip("/").endswith(
+                path.lstrip("/").rstrip("/")
+            ):
+                spark.sql(f"DROP TABLE IF EXISTS {cat}")
+                spark.sql(f"CREATE TABLE {cat} USING parquet LOCATION '{path}'")
+                spark.sql(
+                    f"ANALYZE TABLE {cat} COMPUTE STATISTICS FOR ALL COLUMNS"
+                )
+            out.append(cat)
+        return out
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev_ntz)
+
+
+@contextlib.contextmanager
+def cbo_conf(spark: SparkSession, enabled: bool = True):
+    """Scoped cost-based-optimizer switch: CBO + stats-driven join
+    reordering on inside the block, prior session values restored after.
+    Scoped because CBO only helps plans whose relations carry catalog
+    stats (bootstrap_cbo_tables); leaving it on for temp-view plans is
+    dead weight."""
+    keys = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    prev = {k: spark.conf.get(k) for k in keys}
+    for k in keys:
+        spark.conf.set(k, str(enabled).lower())
+    try:
+        yield spark
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
 
 
 def load_tables(

@@ -664,6 +664,65 @@ def q5_local_supplier_volume(spark, sf_dir):
 
 
 @register(
+    "c1d_cbo_reordered_join",
+    "C1",
+    f"""
+    SELECT n.n_name,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC}))
+                      AS DOUBLE), 6) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    note="q5's 6-table join with ZERO broadcast hints, planned by "
+    "CostBasedJoinReorder over ANALYZE'd catalog tables (SURVEY §4 "
+    "catalog bootstrap): statistics — not the written join order, not "
+    "hand hints — pick the dim-first tree. The plan inversion (nation⋈"
+    "region deepest, lineitem joined last) is pinned in "
+    "tests/test_operators.py::test_cbo_join_reorder_plan; at 100 TB "
+    "stats-driven reorder is what survives when a hinted broadcast "
+    "would OOM and the written order would shuffle the fact twice",
+)
+def c1d_cbo_reordered_join(spark, sf_dir):
+    from s3_kinesis_replay_spark.catalog import bootstrap_cbo_tables, cbo_conf
+
+    bootstrap_cbo_tables(spark, sf_dir)
+    with cbo_conf(spark):
+        df = spark.sql(
+            f"""
+            SELECT n_name,
+                   ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS {DEC})) AS DOUBLE), 6) AS revenue
+            FROM lineitem_cbo l
+            JOIN orders_cbo o ON l.l_orderkey = o.o_orderkey
+            JOIN customer_cbo c ON o.o_custkey = c.c_custkey
+            JOIN supplier_cbo s ON l.l_suppkey = s.s_suppkey
+                               AND c.c_nationkey = s.s_nationkey
+            JOIN nation_cbo n ON s.s_nationkey = n.n_nationkey
+            JOIN region_cbo r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+            """
+        )
+        # force planning inside the CBO scope: the optimized plan is built
+        # (and cached by lazy QueryExecution) while cbo.enabled is on
+        df._jdf.queryExecution().optimizedPlan()
+    return df
+
+
+@register(
     "c1b_salted_join",
     "C1",
     """

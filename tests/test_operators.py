@@ -2034,6 +2034,63 @@ def test_zorder_degenerate_inputs(spark, tmp_path):
     assert (hit, total) == (1, 1)
 
 
+def test_cbo_join_reorder_plan(spark, sf_dir):
+    """SURVEY §4 catalog bootstrap, pinned: with ANALYZE'd catalog tables
+    and CBO on, the hint-free q5-shaped 6-table join is REORDERED to the
+    dim-first tree (nation⋈region deepest, lineitem outermost probe);
+    with CBO off the written left-deep order (lineitem⋈orders deepest)
+    survives. Same rows either way."""
+    from s3_kinesis_replay_spark.catalog import bootstrap_cbo_tables, cbo_conf
+
+    bootstrap_cbo_tables(spark, sf_dir)
+
+    # stats actually landed: rowCount in the catalog matches the data
+    stats = (
+        spark.sql("DESC EXTENDED nation_cbo")
+        .filter(F.col("col_name") == "Statistics")
+        .collect()[0]["data_type"]
+    )
+    assert "25 rows" in stats, stats
+
+    sql = """
+        SELECT n_name, COUNT(*) AS cnt
+        FROM lineitem_cbo l
+        JOIN orders_cbo o ON l.l_orderkey = o.o_orderkey
+        JOIN customer_cbo c ON o.o_custkey = c.c_custkey
+        JOIN supplier_cbo s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+        JOIN nation_cbo n ON s.s_nationkey = n.n_nationkey
+        JOIN region_cbo r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """
+
+    def relation_order(enabled):
+        with cbo_conf(spark, enabled):
+            df = spark.sql(sql)
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            rows = sorted(df.collect())
+        # first textual occurrence ~ position in the join tree: the
+        # outermost (probe) side prints before deeper subtrees it joins
+        names = ("lineitem_cbo", "orders_cbo", "nation_cbo", "region_cbo")
+        return {n: plan.index(n) for n in names}, rows
+
+    cbo_pos, cbo_rows = relation_order(True)
+    off_pos, off_rows = relation_order(False)
+    assert cbo_rows == off_rows and cbo_rows  # reorder is result-invariant
+
+    # CBO off: written order — lineitem is the deepest-left leaf, so it
+    # prints FIRST among relations; dims print after it.
+    assert off_pos["lineitem_cbo"] < off_pos["nation_cbo"]
+    assert off_pos["lineitem_cbo"] < off_pos["region_cbo"]
+    # CBO on: stats invert the tree — the dim join is built first and
+    # lineitem becomes the outermost probe, printing AFTER the dims.
+    assert cbo_pos["nation_cbo"] < cbo_pos["lineitem_cbo"]
+    assert cbo_pos["region_cbo"] < cbo_pos["lineitem_cbo"]
+
+
 def test_ts1_interpolation_semantics(spark, sf_dir):
     """Gap-fill invariants: the per-user grid is DENSE hourly between
     the user's first and last observed hour; every filled value lies
