@@ -77,6 +77,7 @@ HEADLINE = [
 # EXTRAS (the stable pool) next round once a baseline row exists.
 EXTRAS_ALWAYS: list[str] = [
     "c1d_cbo_reordered_join",  # stats-driven join reorder (ANALYZE'd catalog)
+    "a13_schema_evolution",   # widened-schema partition + mergeSchema read
 ]
 
 # Stable extras pool. Timed identically to HEADLINE but reported under

@@ -452,3 +452,100 @@ def a12b_incremental_compaction(spark, sf_dir):
         )
         .orderBy("dt")
     )
+
+
+def _schema_evolved(spark, sf_dir: str, target_rows: int = 4000) -> str:
+    """Fingerprint-cached SCHEMA-EVOLVED layout: historical days land
+    with the original events schema; the NEWEST day arrives from an
+    upgraded producer carrying one extra column (``value_cents`` =
+    floor(value*100), the v2 ingest contract) AND fragmented into
+    flush-sized files — then the partition-scoped compactor (a12b path)
+    runs ACROSS the schema boundary. Old-schema partitions survive
+    byte-identical (the policy never touches right-sized days), the new
+    day is rewritten within its own schema, and a ``mergeSchema`` read
+    unifies the tree with NULL fill for pre-evolution rows."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.layout import compact_partitions
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = data_fingerprint(src) + f"-evolve{target_rows}"
+
+    def build(tmp_dir: str) -> None:
+        ev = t(spark, "events", sf_dir).withColumn(
+            "dt", F.date_format("ts", "yyyy-MM-dd")
+        )
+        last_day = ev.agg(F.max("dt")).collect()[0][0]
+        (
+            ev.filter(F.col("dt") < last_day)
+            .repartition(16, "dt")
+            .sortWithinPartitions("dt", "event_id")
+            .write.option("maxRecordsPerFile", target_rows)
+            .partitionBy("dt")
+            .mode("overwrite")
+            .parquet(tmp_dir)
+        )
+        (
+            ev.filter(F.col("dt") == last_day)
+            # the v2 producer's widened schema: floor keeps both engines
+            # bit-identical (round() tie semantics differ across engines)
+            .withColumn(
+                "value_cents", F.floor(F.col("value") * 100).cast("long")
+            )
+            .repartition(4)
+            .write.option("maxRecordsPerFile", 300)
+            .partitionBy("dt")
+            .mode("append")
+            .parquet(tmp_dir)
+        )
+        compact_partitions(spark, tmp_dir, target_rows=target_rows)
+
+    return atomic_cached_build("/tmp/skr_evolve", key, build, "_SUCCESS")
+
+
+@register(
+    "a13_schema_evolution",
+    "A8",
+    """
+    WITH e AS (
+      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt,
+             CAST(FLOOR(value * 100) AS BIGINT) AS vc
+      FROM events
+    )
+    SELECT dt,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN dt = (SELECT MAX(dt) FROM e) THEN vc END)
+                AS BIGINT) AS n_v2,
+           CAST(SUM(CASE WHEN dt = (SELECT MAX(dt) FROM e) THEN vc END)
+                AS BIGINT) AS sum_cents
+    FROM e GROUP BY dt ORDER BY dt
+    """,
+    note="PARQUET-SINK SCHEMA EVOLUTION — the lakehouse verb a12b left "
+    "unexercised (VERDICT r9 gap 4): the newest day's delivery carries a "
+    "WIDENED schema (added value_cents column, the v2 producer "
+    "contract), the partition-scoped compactor runs across the schema "
+    "boundary (old-schema partitions byte-untouched, pinned in tests/"
+    "test_operators.py::test_schema_evolution_preserves_old_partitions), "
+    "and the table reads back with mergeSchema=true: pre-evolution rows "
+    "take NULL in the new column — exactly the n_v2=0/sum_cents=NULL "
+    "rows of every historical day. Oracle = the same NULL-fill computed "
+    "explicitly from the source table. At 100 TB column-add without "
+    "corpus rewrite is the only affordable evolution path; the footer-"
+    "merge read and partition-scoped rewrite keep it O(new data).",
+)
+def a13_schema_evolution(spark, sf_dir):
+    out = _schema_evolved(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        df.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("value_cents").alias("n_v2"),
+            F.sum("value_cents").alias("sum_cents"),
+        )
+        .orderBy("dt")
+    )

@@ -2530,6 +2530,73 @@ def test_incremental_compaction_touches_only_fragmented_partitions(
     assert compact_partitions(spark, root, target_rows=4000) == []
 
 
+def test_schema_evolution_preserves_old_partitions(spark, sf_dir, tmp_path):
+    """Compaction across a schema boundary (a13): old-schema partitions
+    keep byte-identical files, only the widened fragmented day is
+    rewritten WITH its new column intact, and the mergeSchema read
+    NULL-fills exactly the pre-evolution rows."""
+    import glob
+    import os
+
+    from s3_kinesis_replay_spark.operators.layout import compact_partitions
+
+    ev = table(spark, "events", sf_dir).withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    last_day = ev.agg(F.max("dt")).collect()[0][0]
+    root = str(tmp_path / "tbl")
+    (
+        ev.filter(F.col("dt") < last_day)
+        .repartition(8, "dt")
+        .sortWithinPartitions("dt", "event_id")
+        .write.option("maxRecordsPerFile", 4000)
+        .partitionBy("dt")
+        .mode("overwrite")
+        .parquet(root)
+    )
+    (
+        ev.filter(F.col("dt") == last_day)
+        .withColumn("value_cents", F.floor(F.col("value") * 100).cast("long"))
+        .repartition(4)
+        .write.option("maxRecordsPerFile", 50)
+        .partitionBy("dt")
+        .mode("append")
+        .parquet(root)
+    )
+
+    def snapshot(skip_day):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(root, "dt=*", "*.parquet"))
+            if f"dt={skip_day}" not in f
+        }
+
+    before = snapshot(last_day)
+    rewritten = compact_partitions(spark, root, target_rows=4000)
+    assert rewritten == [f"dt={last_day}"], rewritten
+    assert snapshot(last_day) == before  # old-schema days byte-untouched
+
+    # the rewritten partition kept the v2 column
+    evolved = spark.read.parquet(os.path.join(root, f"dt={last_day}"))
+    assert "value_cents" in evolved.columns
+
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert "value_cents" in merged.columns
+    n_total = ev.count()
+    n_new = ev.filter(F.col("dt") == last_day).count()
+    assert merged.count() == n_total
+    assert merged.filter(F.col("value_cents").isNull()).count() == (
+        n_total - n_new
+    )
+    # v2 values survive the compaction rewrite exactly
+    want = (
+        ev.filter(F.col("dt") == last_day)
+        .select(F.sum(F.floor(F.col("value") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert merged.select(F.sum("value_cents")).collect()[0][0] == want
+
+
 def test_e12_transition_rows_normalize(spark, sf_dir):
     """Each prev_type's transition probabilities sum to ~1, every pair
     count is positive, and total transitions = total events minus one

@@ -1791,3 +1791,117 @@ class TestFreqSketchKernels:
         # survivors are the largest, deducted by the (m+1)-th largest (90)
         assert set(ki.tolist()) == set(range(90, 100))
         assert kc.tolist() == [c - 90 for c in range(91, 101)]
+
+
+class TestLakehouseInvariants:
+    """Round-10 lakehouse fuzz (VERDICT r9 item 7): the compactor must be
+    idempotent under ARBITRARY file-size distributions, and the z-order
+    rewrite must be layout-invariant under ARBITRARY box predicates —
+    the two invariants the hand-picked fixtures can't sweep."""
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        days=st.lists(
+            st.lists(st.integers(1, 400), min_size=1, max_size=6),
+            min_size=1,
+            max_size=3,
+        ),
+        target_rows=st.integers(50, 800),
+    )
+    def test_compaction_idempotent_any_distribution(
+        self, spark, days, target_rows
+    ):
+        import glob
+        import math
+        import os
+        import shutil
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from s3_kinesis_replay_spark.operators.layout import (
+            compact_partitions,
+        )
+
+        root = tempfile.mkdtemp(prefix="skr_prop_compact_")
+        try:
+            eid = 0
+            totals = {}
+            for d, files in enumerate(days):
+                pdir = os.path.join(root, f"dt=2024-02-{d + 1:02d}")
+                os.makedirs(pdir)
+                for i, n in enumerate(files):
+                    ids = list(range(eid, eid + n))
+                    eid += n
+                    pq.write_table(
+                        pa.table({"event_id": ids}),
+                        os.path.join(pdir, f"part-{i:04d}.parquet"),
+                    )
+                totals[os.path.basename(pdir)] = sum(files)
+
+            compact_partitions(spark, root, target_rows=target_rows)
+            # converged: every partition is at/below its footer-derived
+            # need, so a SECOND pass rewrites nothing
+            for pname, rows in totals.items():
+                n_files = len(
+                    glob.glob(os.path.join(root, pname, "*.parquet"))
+                )
+                assert n_files <= math.ceil(rows / target_rows), (
+                    pname,
+                    n_files,
+                    rows,
+                    target_rows,
+                )
+            assert compact_partitions(spark, root, target_rows=target_rows) == []
+            # content invariance
+            got = spark.read.parquet(root)
+            assert got.count() == eid
+            assert (
+                got.agg(F.sum("event_id")).collect()[0][0]
+                == eid * (eid - 1) // 2
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        d_lo=st.integers(min_value=-400, max_value=1400),
+        d_len=st.integers(min_value=0, max_value=900),
+        pk_lo=st.integers(min_value=0, max_value=2100),
+        pk_len=st.integers(min_value=0, max_value=900),
+    )
+    def test_zorder_box_scan_invariance(
+        self, spark, sf_dir, d_lo, d_len, pk_lo, pk_len
+    ):
+        from s3_kinesis_replay_spark.queries.sources_q import _zorder_layout
+
+        zpath = _zorder_layout(spark, sf_dir)
+        lo = F.date_add(F.lit("1995-01-01").cast("date"), d_lo)
+        hi = F.date_add(F.lit("1995-01-01").cast("date"), d_lo + d_len)
+        cond = (
+            (F.col("l_shipdate").cast("date") >= lo)
+            & (F.col("l_shipdate").cast("date") <= hi)
+            & F.col("l_partkey").between(pk_lo, pk_lo + pk_len)
+        )
+
+        def probe(df):
+            r = df.filter(cond).agg(
+                F.count("*"),
+                F.sum("l_orderkey"),
+                F.sum("l_partkey"),
+                F.sum("l_linenumber"),
+            ).collect()[0]
+            return tuple(r)
+
+        z = probe(spark.read.parquet(zpath))
+        orig = probe(table(spark, "lineitem", sf_dir))
+        assert z == orig, (z, orig)
