@@ -78,6 +78,8 @@ HEADLINE = [
 EXTRAS_ALWAYS: list[str] = [
     "c1d_cbo_reordered_join",  # stats-driven join reorder (ANALYZE'd catalog)
     "a13_schema_evolution",   # widened-schema partition + mergeSchema read
+    "d16_countmin_topk",      # codegen Count-Min sketch (sparse groupBy form)
+    "p21_drift_monitor",      # per-column null-rate/NDV drift vs prior snapshot
 ]
 
 # Stable extras pool. Timed identically to HEADLINE but reported under

@@ -119,6 +119,94 @@ def mg_merge(partials: DataFrame, m: int = 16, item_type: str = "string") -> Dat
     )
 
 
+def _cm_cells(item: Column, d: int, w: int) -> Column:
+    """The d (row, bucket) coordinates of an item in a Count-Min matrix:
+    row i uses ``pmod(xxhash64(i, item), w)`` — seeded JVM hashes, pure
+    codegen, identical wherever they're evaluated (update and query
+    sides MUST agree)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.pmod(F.xxhash64(F.lit(i), item), F.lit(w)).alias(
+                        "bucket"
+                    ),
+                )
+                for i in range(d)
+            ]
+        )
+    )
+
+
+def cm_partial_cells(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    shard_col: Column,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """(g, shard, i, bucket, cnt) — SPARSE per-(group, shard) Count-Min
+    partials (Cormode & Muthukrishnan 2005): each shard's d×w counter
+    matrix stored as its non-zero cells, ≤ min(d·w, d·distinct) rows per
+    shard whatever the row count. Everything is codegen + one groupBy:
+    no UDF touches the hot path (unlike the MG partials, CM's update is
+    a pure counter increment, so Spark's native hash aggregate IS the
+    sketch builder)."""
+    return (
+        df.select(
+            F.col(group_col).alias("g"),
+            shard_col.alias("shard"),
+            _cm_cells(F.col(item_col), d, w).alias("c"),
+        )
+        .groupBy("g", "shard", "c.i", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(partials: DataFrame) -> DataFrame:
+    """(g, i, bucket, cnt) — Count-Min merge is element-wise counter SUM
+    (the linearity that makes CM the easiest mergeable sketch): per-day
+    / per-shard artifacts roll up with one groupBy, no raw-data rescan,
+    and the merged sketch is bit-identical to one built in a single
+    pass over the union (pinned in tests)."""
+    return partials.groupBy("g", "i", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cm_estimate(
+    merged: DataFrame,
+    queries: DataFrame,
+    group_col: str,
+    item_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """(group, item, est) point queries against a merged sparse CM
+    sketch: est = min over the d rows of the item's counter — NEVER an
+    undercount (every occurrence incremented every row), overcount is
+    the item's collision mass (expected N/w per row, min over d rows).
+    The join moves only d rows per query item; the sketch side is ≤ d·w
+    rows per group regardless of data size."""
+    q = queries.select(
+        F.col(group_col).alias("g"),
+        F.col(item_col).alias("it"),
+        _cm_cells(F.col(item_col), d, w).alias("c"),
+    ).select("g", "it", "c.i", "c.bucket")
+    return (
+        q.join(merged, ["g", "i", "bucket"], "left")
+        .groupBy("g", "it")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("it").alias(item_col),
+            "est",
+        )
+    )
+
+
 def misra_gries_counts(
     df: DataFrame,
     group_col: str,

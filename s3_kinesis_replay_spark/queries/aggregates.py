@@ -686,12 +686,13 @@ def doc_tokens(spark, sf_dir):
     )
 
 
-def mg_top5_report(spark, sf_dir, est, m, pointer):
-    """Shared heavy-hitter verification block (d8c batch / d8d
-    streaming — review r9 deduplication): exact top-5 tokens per lang
-    (the oracle tax), two-sided MG bound flag, estimate export behind
-    ``pointer``. ``n_total`` is DERIVED from the exact per-token counts
-    (sum per lang) rather than a second full tokenization scan."""
+def sketch_top5_report(spark, sf_dir, est, pointer, in_bounds_fn):
+    """Shared sketch-verification block (d8c/d8d Misra–Gries, d16
+    Count-Min): exact top-5 tokens per lang (the oracle tax), the
+    sketch-specific guarantee flag from ``in_bounds_fn(est_n, exact_n,
+    n_total)``, estimate export behind ``pointer``. ``n_total`` is
+    DERIVED from the exact per-token counts (sum per lang) rather than
+    a second full tokenization scan."""
     import os
 
     from pyspark.sql import Window
@@ -718,9 +719,7 @@ def mg_top5_report(spark, sf_dir, est, m, pointer):
         .drop("rn")
     )
     est_n = F.coalesce(F.col("est"), F.lit(0)).cast("long")
-    in_bounds = (est_n <= F.col("exact_n")) & (
-        F.col("exact_n") - est_n <= F.floor(F.col("n_total") / F.lit(m + 1))
-    )
+    in_bounds = in_bounds_fn(est_n, F.col("exact_n"), F.col("n_total"))
     out = (
         top5.join(F.broadcast(est), ["lang", "tok"], "left")
         .join(F.broadcast(tot), "lang")
@@ -741,6 +740,19 @@ def mg_top5_report(spark, sf_dir, est, m, pointer):
         ),
     )
     return out
+
+
+def mg_top5_report(spark, sf_dir, est, m, pointer):
+    """d8c/d8d verification: the two-sided Misra–Gries guarantee —
+    est <= exact (never an overcount) and exact - est <= N/(m+1)."""
+    return sketch_top5_report(
+        spark,
+        sf_dir,
+        est,
+        pointer,
+        lambda est_n, exact_n, n_total: (est_n <= exact_n)
+        & (exact_n - est_n <= F.floor(n_total / F.lit(m + 1))),
+    )
 
 
 def mg_top5_oracle_sql(pointer: str) -> str:
@@ -806,6 +818,68 @@ def d8c_heavy_hitters(spark, sf_dir):
         m=M,
     ).localCheckpoint(eager=True)
     return mg_top5_report(spark, sf_dir, est, M, _MG_ORACLE_PTR)
+
+
+_CM_ORACLE_PTR = "/tmp/skr_cm_oracle/current"
+
+
+@register(
+    "d16_countmin_topk",
+    "D8",
+    mg_top5_oracle_sql(_CM_ORACLE_PTR),
+    note="COUNT-MIN sketch — the fourth mergeable sketch next to d4b "
+    "(HLL), d7b (quantiles), d8c (Misra-Gries), and MG's one-sided "
+    "complement: CM never UNDERcounts (est >= exact always — every "
+    "occurrence increments every row), overcount is collision mass "
+    "(expected N/w per row, min over d=4 rows; public: Cormode & "
+    "Muthukrishnan 2005). Implementation is the most Spark-native of "
+    "the four (operators/freq_sketch.py): the sparse d x w matrix IS a "
+    "groupBy — explode d seeded xxhash64 (row, bucket) coords per token "
+    "(codegen) + native hash aggregate; per-shard partials merge by "
+    "counter SUM (CM linearity), point queries are a d-row join. NO "
+    "Python in the path. Oracle (d8c pattern): estimates export behind "
+    "the pointer, DuckDB recomputes the exact top-5 per lang, Spark "
+    "computes in_bounds = (est >= exact AND overcount <= N/64 — 16x "
+    "headroom on the expected N/1024 collision mass, deterministic "
+    "given the seeded hashes) while the oracle hard-codes TRUE. At "
+    "100 TB the sketch side is <= d*w rows per group whatever the "
+    "token count; production queries candidates only — the full "
+    "distinct-token estimate here is the oracle tax.",
+)
+def d16_countmin_topk(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.freq_sketch import (
+        cm_estimate,
+        cm_merge,
+        cm_partial_cells,
+    )
+
+    D, W_CM = 4, 1024
+    toks = doc_tokens(spark, sf_dir)
+    partials = cm_partial_cells(
+        toks,
+        group_col="lang",
+        item_col="tok",
+        shard_col=F.pmod(F.xxhash64("doc_id"), F.lit(8)),
+        d=D,
+        w=W_CM,
+    )
+    merged = cm_merge(partials)
+    est = cm_estimate(
+        merged,
+        toks.select("lang", "tok").distinct(),
+        group_col="lang",
+        item_col="tok",
+        d=D,
+        w=W_CM,
+    )
+    return sketch_top5_report(
+        spark,
+        sf_dir,
+        est,
+        _CM_ORACLE_PTR,
+        lambda est_n, exact_n, n_total: (est_n >= exact_n)
+        & (est_n - exact_n <= F.floor(n_total / F.lit(64))),
+    )
 
 
 @register(

@@ -199,3 +199,124 @@ def v1_data_quality_audit(spark, sf_dir):
     return out.withColumn(
         "passed", F.col("violations") == 0
     ).orderBy("table_name", "check_name")
+
+
+_DRIFT_COLS = ("event_type", "props", "user_id", "value")
+
+
+@register(
+    "p21_drift_monitor",
+    "D2",
+    """
+    WITH old AS (SELECT * FROM events WHERE event_id < 5000),
+    o AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nulls_event_type,
+             SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nulls_props,
+             SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nulls_user_id,
+             SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls_value,
+             COUNT(DISTINCT event_type) AS ndv_event_type,
+             COUNT(DISTINCT props) AS ndv_props,
+             COUNT(DISTINCT user_id) AS ndv_user_id,
+             COUNT(DISTINCT value) AS ndv_value
+      FROM old
+    ),
+    w AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nulls_event_type,
+             SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nulls_props,
+             SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nulls_user_id,
+             SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls_value,
+             COUNT(DISTINCT event_type) AS ndv_event_type,
+             COUNT(DISTINCT props) AS ndv_props,
+             COUNT(DISTINCT user_id) AS ndv_user_id,
+             COUNT(DISTINCT value) AS ndv_value
+      FROM events
+    ),
+    cols AS (
+      SELECT 'event_type' AS column_name,
+             o.nulls_event_type AS old_nulls, w.nulls_event_type AS new_nulls,
+             o.ndv_event_type AS old_ndv, w.ndv_event_type AS new_ndv,
+             o.n AS old_n, w.n AS new_n FROM o, w
+      UNION ALL
+      SELECT 'props', o.nulls_props, w.nulls_props,
+             o.ndv_props, w.ndv_props, o.n, w.n FROM o, w
+      UNION ALL
+      SELECT 'user_id', o.nulls_user_id, w.nulls_user_id,
+             o.ndv_user_id, w.ndv_user_id, o.n, w.n FROM o, w
+      UNION ALL
+      SELECT 'value', o.nulls_value, w.nulls_value,
+             o.ndv_value, w.ndv_value, o.n, w.n FROM o, w
+    )
+    SELECT column_name,
+           CAST(old_nulls AS BIGINT) AS old_nulls,
+           CAST(new_nulls AS BIGINT) AS new_nulls,
+           CAST(old_ndv AS BIGINT) AS old_ndv,
+           CAST(new_ndv AS BIGINT) AS new_ndv,
+           ROUND(CAST(new_nulls AS DOUBLE) / new_n
+                 - CAST(old_nulls AS DOUBLE) / old_n, 6) AS null_rate_drift,
+           (ABS(CAST(new_nulls AS DOUBLE) / new_n
+                - CAST(old_nulls AS DOUBLE) / old_n) > 0.01
+            OR new_ndv < old_ndv) AS flagged
+    FROM cols ORDER BY column_name
+    """,
+    note="SCHEMA/DISTRIBUTION DRIFT MONITOR — v1's longitudinal twin "
+    "(public model: Deequ's AnalyzerContext diffs, Evidently-style "
+    "column drift): per-column null rate and NDV compared between the "
+    "previous snapshot (event_id < 5000, c2d's version convention) and "
+    "the current table, with a flag when the null rate moves > 1 pp or "
+    "the column's distinct count SHRINKS (the classic silent-upstream-"
+    "break signatures: a producer starts emitting NULLs, or a category "
+    "disappears). One scalar-aggregate scan per version computes every "
+    "column's metrics (conditional counts + count-distincts share the "
+    "pass), then a 4-row unpivot — at 100 TB this is two table scans "
+    "total, no shuffle beyond the distinct rewrites, and the monitor "
+    "output is COLUMNS x 1 rows whatever the data size.",
+)
+def p21_drift_monitor(spark, sf_dir):
+    ev = t(spark, "events", sf_dir)
+
+    def metrics(df, prefix):
+        return df.agg(
+            F.count("*").alias(f"{prefix}_n"),
+            *[
+                F.sum(F.col(c).isNull().cast("long")).alias(
+                    f"{prefix}_nulls_{c}"
+                )
+                for c in _DRIFT_COLS
+            ],
+            *[
+                F.countDistinct(c).alias(f"{prefix}_ndv_{c}")
+                for c in _DRIFT_COLS
+            ],
+        )
+
+    both = metrics(ev.filter(F.col("event_id") < 5000), "old").crossJoin(
+        metrics(ev, "new")
+    )
+    stack_args = ", ".join(
+        f"'{c}', old_nulls_{c}, new_nulls_{c}, old_ndv_{c}, new_ndv_{c}"
+        for c in _DRIFT_COLS
+    )
+    per_col = both.select(
+        F.expr(
+            f"stack({len(_DRIFT_COLS)}, {stack_args}) AS "
+            "(column_name, old_nulls, new_nulls, old_ndv, new_ndv)"
+        ),
+        "old_n",
+        "new_n",
+    )
+    drift = F.col("new_nulls") / F.col("new_n") - F.col("old_nulls") / F.col(
+        "old_n"
+    )
+    return per_col.select(
+        "column_name",
+        "old_nulls",
+        "new_nulls",
+        "old_ndv",
+        "new_ndv",
+        F.round(drift, 6).alias("null_rate_drift"),
+        (
+            (F.abs(drift) > 0.01) | (F.col("new_ndv") < F.col("old_ndv"))
+        ).alias("flagged"),
+    ).orderBy("column_name")

@@ -2597,6 +2597,58 @@ def test_schema_evolution_preserves_old_partitions(spark, sf_dir, tmp_path):
     assert merged.select(F.sum("value_cents")).collect()[0][0] == want
 
 
+def test_countmin_guarantee_and_merge_linearity(spark):
+    """Count-Min invariants: (1) est >= exact for EVERY item (the
+    deterministic CM guarantee); (2) merging per-shard partials yields
+    the IDENTICAL sketch to a single-pass build (CM linearity) — so
+    per-day artifacts roll up losslessly."""
+    import random
+
+    from s3_kinesis_replay_spark.operators.freq_sketch import (
+        cm_estimate,
+        cm_merge,
+        cm_partial_cells,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        ("g1", f"item{rng.randrange(40)}", i) for i in range(800)
+    ] + [("g2", f"item{rng.randrange(10)}", i) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, it string, rid long")
+    exact = {
+        (r["g"], r["it"]): r["n"]
+        for r in df.groupBy("g", "it").agg(F.count("*").alias("n")).collect()
+    }
+    queries = df.select("g", "it").distinct()
+
+    sharded = cm_merge(
+        cm_partial_cells(
+            df, "g", "it", F.pmod(F.xxhash64("rid"), F.lit(8)), d=3, w=64
+        )
+    )
+    single = cm_merge(
+        cm_partial_cells(df, "g", "it", F.lit(0), d=3, w=64)
+    )
+    assert sorted(map(tuple, sharded.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+
+    est = {
+        (r["g"], r["it"]): r["est"]
+        for r in cm_estimate(sharded, queries, "g", "it", d=3, w=64).collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert e >= exact[k], (k, e, exact[k])
+    # an item never seen estimates via its (possibly colliding) cells —
+    # still >= its true count of 0, and 0 when all its cells are empty
+    ghost = spark.createDataFrame(
+        [("g1", "never-seen-item-xyz")], "g string, it string"
+    )
+    g_est = cm_estimate(sharded, ghost, "g", "it", d=3, w=64).collect()[0]
+    assert g_est["est"] >= 0
+
+
 def test_e12_transition_rows_normalize(spark, sf_dir):
     """Each prev_type's transition probabilities sum to ~1, every pair
     count is positive, and total transitions = total events minus one
