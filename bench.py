@@ -205,9 +205,13 @@ def _settle(max_wait_s: float = 600.0, target_load: float = 2.0) -> float:
     target_load 2.0 (was 8.0): BENCH_r07 started at loadavg 3.77 — under
     the old threshold — and every untouched query drifted 1.1-1.9x while
     the same code solo read 0.99x. On a 32-cpu host loadavg ~2 is the
-    empirical idle line; anything above inherits 30-90% noise."""
+    empirical idle line; anything above inherits 30-90% noise.
+    Round 10: gate on the 5-MINUTE average as well — a run right after a
+    12-min pytest sweep read load1 0.56 / load5 2.9 and drifted the
+    NumPy-heavy entries 1.7-3.4x (page-cache + teardown tail the 1-min
+    average had already forgotten)."""
     waited = 0.0
-    while waited < max_wait_s and os.getloadavg()[0] > target_load:
+    while waited < max_wait_s and max(os.getloadavg()[:2]) > target_load:
         time.sleep(5)
         waited += 5
     return waited

@@ -188,15 +188,16 @@ def cm_estimate(
     sketch: est = min over the d rows of the item's counter — NEVER an
     undercount (every occurrence incremented every row), overcount is
     the item's collision mass (expected N/w per row, min over d rows).
-    The join moves only d rows per query item; the sketch side is ≤ d·w
-    rows per group regardless of data size."""
+    The sketch side is ≤ d·w rows per group BY CONSTRUCTION whatever the
+    data size, so it broadcasts — the query side never shuffles for the
+    lookup, only for its own final min-per-item aggregate."""
     q = queries.select(
         F.col(group_col).alias("g"),
         F.col(item_col).alias("it"),
         _cm_cells(F.col(item_col), d, w).alias("c"),
     ).select("g", "it", "c.i", "c.bucket")
     return (
-        q.join(merged, ["g", "i", "bucket"], "left")
+        q.join(F.broadcast(merged), ["g", "i", "bucket"], "left")
         .groupBy("g", "it")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
         .select(
