@@ -148,12 +148,15 @@ EXTRAS = [
 ROTATE_K = 16
 
 
-def bench_round() -> int:
+def bench_round(repo: Path = REPO) -> int:
     """The round this bench run will feed: max CORRECTNESS round on disk + 1
-    (deterministic for the driver's end-of-round run)."""
+    (deterministic for the driver's end-of-round run). Non-round files
+    that happen to match the glob (e.g. CORRECTNESS_rerun.json) are
+    skipped, not crashed on (review r10)."""
     rounds = [
-        int(re.search(r"r(\d+)", p.name).group(1))
-        for p in REPO.glob("CORRECTNESS_r*.json")
+        int(m.group(1))
+        for p in repo.glob("CORRECTNESS_r*.json")
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name))
     ]
     return (max(rounds) if rounds else 0) + 1
 

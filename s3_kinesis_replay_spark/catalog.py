@@ -78,16 +78,26 @@ def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataF
     return df
 
 
-def _table_location(spark: SparkSession, name: str) -> str | None:
-    """LOCATION of an existing catalog table, or None if absent."""
+def _table_meta(spark: SparkSession, name: str) -> tuple[str | None, bool]:
+    """(normalized LOCATION path, has catalog statistics) for an existing
+    table, or (None, False) if absent. The location is scheme-stripped
+    and trailing-slash-normalized so callers compare ABSOLUTE PATH
+    EQUALITY, not a suffix match (review r10: `/mnt/backup/...sf0.1`
+    endswith-matched `/...sf0.1` and served the wrong data)."""
     if not spark.catalog.tableExists(name):
-        return None
-    rows = (
-        spark.sql(f"DESCRIBE FORMATTED {name}")
-        .filter(F.col("col_name") == "Location")
-        .collect()
+        return None, False
+    desc = spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+    loc = next(
+        (r["data_type"] for r in desc if r["col_name"] == "Location"), None
     )
-    return rows[0]["data_type"] if rows else None
+    has_stats = any(r["col_name"] == "Statistics" for r in desc)
+    if loc is not None:
+        loc = loc.split("://", 1)[-1]
+        if loc.startswith("file:"):
+            loc = loc[5:]
+        loc = "/" + loc.lstrip("/")
+        loc = loc.rstrip("/")
+    return loc, has_stats
 
 
 def bootstrap_cbo_tables(
@@ -128,10 +138,14 @@ def bootstrap_cbo_tables(
         out = []
         for name in tables:
             cat, path = f"{name}{suffix}", f"{sf_dir}/{name}.parquet"
-            loc = _table_location(spark, cat)
-            if loc is None or not loc.rstrip("/").endswith(
-                path.lstrip("/").rstrip("/")
-            ):
+            want = "/" + os.path.abspath(path).lstrip("/").rstrip("/")
+            loc, has_stats = _table_meta(spark, cat)
+            # Skip ONLY when the table points at exactly this data AND
+            # already carries stats: a crash between CREATE and ANALYZE
+            # must not leave a permanently stats-less table that every
+            # later run trusts (review r10) — re-registering is cheap,
+            # a silently CBO-dead catalog is not.
+            if loc != want or not has_stats:
                 spark.sql(f"DROP TABLE IF EXISTS {cat}")
                 spark.sql(f"CREATE TABLE {cat} USING parquet LOCATION '{path}'")
                 spark.sql(

@@ -40,16 +40,21 @@ def test_extras_rotation_covers_pool():
     assert covered >= set(pool), sorted(set(pool) - covered)
 
 
-def test_bench_round_is_max_correctness_plus_one():
-    from pathlib import Path as P
-
-    import re as _re
-
-    rounds = [
-        int(_re.search(r"r(\d+)", p.name).group(1))
-        for p in P(bench.__file__).parent.glob("CORRECTNESS_r*.json")
-    ]
-    assert bench.bench_round() == max(rounds) + 1
+def test_bench_round_semantics(tmp_path):
+    """bench_round = max CORRECTNESS round + 1, pinned against synthetic
+    dirs (review r10: the old test mirrored the implementation): empty
+    dir -> round 1, gaps don't matter, stray glob-matching files that
+    are not round records are skipped rather than crashed on."""
+    assert bench.bench_round(tmp_path) == 1
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{}")
+    (tmp_path / "CORRECTNESS_r07.json").write_text("{}")
+    assert bench.bench_round(tmp_path) == 8
+    (tmp_path / "CORRECTNESS_rerun.json").write_text("{}")
+    (tmp_path / "CORRECTNESS_r.json").write_text("{}")
+    assert bench.bench_round(tmp_path) == 8
+    # the real repo currently has rounds 1..9 on disk -> this bench
+    # feeds round 10+
+    assert bench.bench_round() >= 10
 
 
 def test_bench_headline_set_unchanged():

@@ -120,16 +120,23 @@ def drain_docs_seconds(spark, sf_dir: str) -> None:
     )
     from s3_kinesis_replay_spark.queries.streaming_live import _await_drained
 
+    import shutil
+
     root = stage_doc_archive(sf_dir)
     sink = tempfile.mkdtemp(prefix="skr_scale_drain_")
-    _await_drained(
-        stream_doc_archive(spark, root)
-        .writeStream.format("parquet")
-        .option("path", f"{sink}/crawl")
-        .option("checkpointLocation", f"{sink}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
+    try:
+        _await_drained(
+            stream_doc_archive(spark, root)
+            .writeStream.format("parquet")
+            .option("path", f"{sink}/crawl")
+            .option("checkpointLocation", f"{sink}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        # each timed call would otherwise strand a full corpus copy in
+        # /tmp (4 per k — review r10)
+        shutil.rmtree(sink, ignore_errors=True)
 
 
 def batch_tier_seconds(spark, batch_dir: str, snap_sf_dir: str) -> int:
