@@ -80,6 +80,7 @@ EXTRAS_ALWAYS: list[str] = [
     "a13_schema_evolution",   # widened-schema partition + mergeSchema read
     "d16_countmin_topk",      # codegen Count-Min sketch (sparse groupBy form)
     "p21_drift_monitor",      # per-column null-rate/NDV drift vs prior snapshot
+    "i20_ann_recall",         # IVF probe recall@10 vs exact ground truth
 ]
 
 # Stable extras pool. Timed identically to HEADLINE but reported under

@@ -2311,3 +2311,130 @@ def i19_chunk_windows(spark, sf_dir):
         F.size(chunk).cast("int").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+_ANN_RECALL_PTR = "/tmp/skr_annrecall_oracle/current"
+
+
+@register(
+    "i20_ann_recall",
+    "I5",
+    f"""
+    WITH qs AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT qs.query_id, b.vec_id,
+             ROUND({_duck_dotf("b.embedding", "qs.qv")}
+                   / (sqrt({_duck_dotf("b.embedding", "b.embedding")})
+                      * sqrt({_duck_dotf("qs.qv", "qs.qv")})), 6) AS sim
+      FROM embeddings b, qs
+      WHERE b.vec_id <> qs.query_id
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM scored) WHERE rn <= 10
+    ),
+    ann AS (
+      SELECT query_id, vec_id
+      FROM read_parquet('{_ANN_RECALL_PTR}/ann/*.parquet')
+    ),
+    hits AS (
+      SELECT e.query_id,
+             CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM exact e LEFT JOIN ann a
+        ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, n_hits, CAST(10 AS BIGINT) AS k,
+           ROUND(CAST(n_hits AS DOUBLE) / 10, 6) AS recall
+    FROM hits ORDER BY query_id
+    """,
+    note="ANN RECALL EVALUATION HARNESS — the measurement loop every "
+    "approximate index needs before production: probe the STORED IVF "
+    "index (i13 cache, full-corpus tag) for every vec_id%100 query, "
+    "export the claimed neighbors behind a pointer, and score "
+    "recall@10 against the exact brute-force ground truth. The oracle "
+    "recomputes the ground truth INDEPENDENTLY in DuckDB (identical "
+    "sequential-fold cosine, rounded-sim cut, vec_id tiebreak — the i5 "
+    "convention) and joins the exported ANN rows, so a probe that "
+    "returns plausible-but-wrong neighbors, or a recall computation "
+    "that flatters the index, hash-mismatches. Self-matches excluded "
+    "on both sides (the corpus contains the queries). At 100 TB the "
+    "brute side is the oracle tax run on a sampled query set — the "
+    "probe side scans ~n_probe/n_clusters of the corpus per query and "
+    "the recall join moves k rows per query.",
+)
+def i20_ann_recall(spark, sf_dir):
+    import os
+
+    from pyspark.sql import Window as W
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        data_fingerprint,
+        export_behind_pointer,
+        ivf_build_cached,
+        ivf_probe_batch,
+    )
+
+    K = 10
+    e = t(spark, "embeddings", sf_dir)
+    fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = ivf_build_cached(
+        e, "/tmp/skr_ivf", fp, n_clusters=16, seed=42, corpus_tag="full"
+    )
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
+    # probe k+1 then drop the self-match (the corpus contains the query)
+    ann = (
+        ivf_probe_batch(spark, idx, queries, k=K + 1, n_probe=4)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("query_id", "vec_id")
+        .localCheckpoint()
+    )
+    export_behind_pointer(
+        _ANN_RECALL_PTR,
+        lambda export: ann.write.mode("overwrite").parquet(
+            os.path.join(export, "ann")
+        ),
+    )
+    exact = (
+        e.alias("b")
+        .crossJoin(queries.alias("q"))
+        .filter(F.col("b.vec_id") != F.col("q.query_id"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            r6(_cosine(F.col("q.qvec"), F.col("b.embedding"))).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("query_id", "vec_id")
+    )
+    n_hits = (
+        exact.join(ann, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        queries.select("query_id")
+        .join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.lit(K).cast("long").alias("k"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.lit(K), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
