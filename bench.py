@@ -81,6 +81,8 @@ EXTRAS_ALWAYS: list[str] = [
     "d16_countmin_topk",      # codegen Count-Min sketch (sparse groupBy form)
     "p21_drift_monitor",      # per-column null-rate/NDV drift vs prior snapshot
     "i20_ann_recall",         # IVF probe recall@10 vs exact ground truth
+    "d17_salted_distinct",    # skew-bounded two-phase count-distinct
+    "a14_bucketed_append",    # bucketed-table append, zero-exchange reads
 ]
 
 # Stable extras pool. Timed identically to HEADLINE but reported under

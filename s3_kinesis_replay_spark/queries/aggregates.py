@@ -672,6 +672,44 @@ def d15_windowed_distinct(spark, sf_dir):
     )
 
 
+@register(
+    "d17_salted_distinct",
+    "D3",
+    """
+    SELECT CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS dt, event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+    """,
+    note="SALTED two-phase count-distinct — c1b's skew discipline "
+    "applied to aggregation: salting BY THE DISTINCT KEY "
+    "(pmod(xxhash64(user_id), 16)) partitions each group's distinct "
+    "users DISJOINTLY across salts, so per-(group, salt) distinct "
+    "counts are ADDITIVE and phase 2 is a plain SUM — result identical "
+    "to d15's direct countDistinct (same oracle). Why it exists: the "
+    "direct form's final per-group distinct state lives in one task per "
+    "group, so one hot (day, type) key concentrates its whole user set "
+    "on one executor at 100 TB; the salted form bounds per-task state "
+    "at 1/16th of the hottest group with one extra (tiny) shuffle of "
+    "16 rows per group. The same rewrite under approximation is d4b "
+    "(HLL sketches union across salts).",
+)
+def d17_salted_distinct(spark, sf_dir):
+    e = t(spark, "events", sf_dir)
+    partial = (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+            "event_type",
+            F.pmod(F.xxhash64("user_id"), F.lit(16)).alias("_salt"),
+        )
+        .agg(F.countDistinct("user_id").alias("part_distinct"))
+    )
+    return (
+        partial.groupBy("dt", "event_type")
+        .agg(F.sum("part_distinct").cast("long").alias("distinct_users"))
+    )
+
+
 _MG_ORACLE_PTR = "/tmp/skr_mg_oracle/current"
 
 

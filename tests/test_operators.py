@@ -2649,6 +2649,66 @@ def test_countmin_guarantee_and_merge_linearity(spark):
     assert g_est["est"] >= 0
 
 
+def test_a14_bucketed_append_layout(spark, sf_dir):
+    """Append-into-bucketed-table invariants: the delivery lands as ONE
+    extra file per bucket (history untouched — 2 files per bucket
+    total), and both a user_id-keyed aggregate and a self-join run with
+    ZERO exchange off the bucketed scan."""
+    import glob
+    import os
+    import re
+
+    from s3_kinesis_replay_spark.queries.sources_q import (
+        _appended_bucketed_events,
+    )
+
+    tname = _appended_bucketed_events(spark, sf_dir)
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED {tname}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    )
+    loc = loc[5:] if loc.startswith("file:") else loc
+    per_bucket: dict = {}
+    for f in glob.glob(os.path.join(loc, "*.parquet")):
+        m = re.search(r"_(\d{5})[._]", os.path.basename(f))
+        assert m, f
+        per_bucket.setdefault(int(m.group(1)), []).append(f)
+    assert sorted(per_bucket) == list(range(8))
+    assert all(len(v) == 2 for v in per_bucket.values()), {
+        k: len(v) for k, v in per_bucket.items()
+    }
+
+    tb = spark.table(tname)
+    agg = tb.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert "Exchange" not in plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a, b = tb.alias("a"), tb.alias("b")
+        j = (
+            a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+            .groupBy(F.col("a.user_id"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert jplan.count("SortMergeJoin") == 1
+    # no exchange feeds the join OR the bucket-key aggregate above it
+    assert "Exchange" not in jplan
+    # content: appended table is exactly the source
+    ev = table(spark, "events", sf_dir)
+    assert tb.count() == ev.count()
+    assert (
+        tb.agg(F.sum("event_id")).collect()[0][0]
+        == ev.agg(F.sum("event_id")).collect()[0][0]
+    )
+
+
 def test_e12_transition_rows_normalize(spark, sf_dir):
     """Each prev_type's transition probabilities sum to ~1, every pair
     count is positive, and total transitions = total events minus one
