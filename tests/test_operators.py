@@ -2091,6 +2091,35 @@ def test_cbo_join_reorder_plan(spark, sf_dir):
     assert cbo_pos["region_cbo"] < cbo_pos["lineitem_cbo"]
 
 
+def test_cbo_bootstrap_heals_statsless_table(spark, sf_dir):
+    """Review r10 pin: a table left behind by a crash between CREATE and
+    ANALYZE (exists, right location, NO stats) must be re-registered
+    with stats on the next bootstrap, not trusted; and cbo_conf restores
+    prior session values on exit."""
+    from s3_kinesis_replay_spark.catalog import (
+        _table_meta,
+        bootstrap_cbo_tables,
+        cbo_conf,
+    )
+
+    # simulate the crash: CREATE without ANALYZE
+    spark.sql("DROP TABLE IF EXISTS region_cbo")
+    spark.sql(
+        f"CREATE TABLE region_cbo USING parquet "
+        f"LOCATION '{sf_dir}/region.parquet'"
+    )
+    loc, has_stats = _table_meta(spark, "region_cbo")
+    assert loc and not has_stats
+    bootstrap_cbo_tables(spark, sf_dir, tables=("region",))
+    loc2, has_stats2 = _table_meta(spark, "region_cbo")
+    assert loc2 == loc and has_stats2
+
+    before = spark.conf.get("spark.sql.cbo.enabled")
+    with cbo_conf(spark):
+        assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+    assert spark.conf.get("spark.sql.cbo.enabled") == before
+
+
 def test_ts1_interpolation_semantics(spark, sf_dir):
     """Gap-fill invariants: the per-user grid is DENSE hourly between
     the user's first and last observed hour; every filled value lies
