@@ -83,6 +83,7 @@ EXTRAS_ALWAYS: list[str] = [
     "i20_ann_recall",         # IVF probe recall@10 vs exact ground truth
     "d17_salted_distinct",    # skew-bounded two-phase count-distinct
     "a14_bucketed_append",    # bucketed-table append, zero-exchange reads
+    "ts2_ohlc_downsample",    # mergeable OHLC candlesticks (no window sort)
 ]
 
 # Stable extras pool. Timed identically to HEADLINE but reported under

@@ -710,6 +710,67 @@ def d17_salted_distinct(spark, sf_dir):
     )
 
 
+@register(
+    "ts2_ohlc_downsample",
+    "D8",
+    """
+    WITH e AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             event_type, value, ts, event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY hr, event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY hr, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT CAST(strftime(hr, '%Y-%m-%d %H:00:00') AS VARCHAR) AS hr,
+           event_type,
+           ROUND(CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE), 6)
+             AS open,
+           ROUND(CAST(MAX(value) AS DOUBLE), 6) AS high,
+           ROUND(CAST(MIN(value) AS DOUBLE), 6) AS low,
+           ROUND(CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE), 6)
+             AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ranked GROUP BY hr, event_type ORDER BY hr, event_type
+    """,
+    note="OHLC time-bucket DOWNSAMPLING — ts1's resolution-reduction "
+    "twin (gap-fill densifies, OHLC compresses): per (hour, type) the "
+    "open/high/low/close/count candlestick, the standard lossy "
+    "summarization every metrics store runs before long-horizon "
+    "retention. Spark form: ONE groupBy with min_by/max_by on the "
+    "(ts, event_id) struct key — all five aggregates are PARTIAL-"
+    "aggregable (mergeable), so the raw stream combines map-side and "
+    "only (bucket, type)-grain rows shuffle; the oracle's two "
+    "ROW_NUMBER windows express the same open/close but would SORT "
+    "every partition at scale — the declared plan never sorts. "
+    "Deterministic under the full (ts, event_id) tiebreak.",
+)
+def ts2_ohlc_downsample(spark, sf_dir):
+    e = t(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    key = F.struct("ts", "event_id")
+    return (
+        e.groupBy(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00"
+            ).alias("hr"),
+            "event_type",
+        )
+        .agg(
+            F.round(F.min_by("value", key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", key), 6).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("hr", "event_type")
+    )
+
+
 _MG_ORACLE_PTR = "/tmp/skr_mg_oracle/current"
 
 
