@@ -95,8 +95,11 @@ def _table_meta(spark: SparkSession, name: str) -> tuple[str | None, bool]:
         loc = loc.split("://", 1)[-1]
         if loc.startswith("file:"):
             loc = loc[5:]
-        loc = "/" + loc.lstrip("/")
-        loc = loc.rstrip("/")
+        # normpath BOTH sides (callers normalize too): Hadoop's qualifier
+        # preserves '..' segments that os.path.abspath rewrites — a
+        # one-sided normalization would fail the equality check forever
+        # and silently re-run the full ANALYZE scans per call (review r10)
+        loc = os.path.normpath("/" + loc.lstrip("/"))
     return loc, has_stats
 
 
@@ -138,7 +141,7 @@ def bootstrap_cbo_tables(
         out = []
         for name in tables:
             cat, path = f"{name}{suffix}", f"{sf_dir}/{name}.parquet"
-            want = "/" + os.path.abspath(path).lstrip("/").rstrip("/")
+            want = os.path.normpath(os.path.abspath(path))
             loc, has_stats = _table_meta(spark, cat)
             # Skip ONLY when the table points at exactly this data AND
             # already carries stats: a crash between CREATE and ANALYZE

@@ -183,21 +183,26 @@ def cm_estimate(
     item_col: str,
     d: int = 4,
     w: int = 1024,
+    broadcast_sketch: bool = False,
 ) -> DataFrame:
     """(group, item, est) point queries against a merged sparse CM
     sketch: est = min over the d rows of the item's counter — NEVER an
     undercount (every occurrence incremented every row), overcount is
     the item's collision mass (expected N/w per row, min over d rows).
-    The sketch side is ≤ d·w rows per group BY CONSTRUCTION whatever the
-    data size, so it broadcasts — the query side never shuffles for the
-    lookup, only for its own final min-per-item aggregate."""
+    The sketch is ≤ d·w rows PER GROUP but d·w·n_groups in total, so
+    ``broadcast_sketch`` is the CALLER's call (review r10): pass True
+    when the group column is low-cardinality (d16's handful of langs —
+    the lookup then never shuffles the query side); leave False for
+    high-cardinality groups, where a forced broadcast of
+    n_groups·d·w rows would OOM and the shuffle join is the safe form."""
+    sketch = F.broadcast(merged) if broadcast_sketch else merged
     q = queries.select(
         F.col(group_col).alias("g"),
         F.col(item_col).alias("it"),
         _cm_cells(F.col(item_col), d, w).alias("c"),
     ).select("g", "it", "c.i", "c.bucket")
     return (
-        q.join(F.broadcast(merged), ["g", "i", "bucket"], "left")
+        q.join(sketch, ["g", "i", "bucket"], "left")
         .groupBy("g", "it")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
         .select(

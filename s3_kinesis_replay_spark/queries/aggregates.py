@@ -970,6 +970,7 @@ def d16_countmin_topk(spark, sf_dir):
         item_col="tok",
         d=D,
         w=W_CM,
+        broadcast_sketch=True,  # langs are a handful — bounded broadcast
     )
     return sketch_top5_report(
         spark,

@@ -746,7 +746,7 @@ def c1b_salted_join(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "o_orderpriority")
 
 
-def _ensure_bucketed_table(spark, df, key: str, tname: str) -> None:
+def _ensure_bucketed_table(spark, df, key: str, tname: str, write_fn=None) -> None:
     """Install the 8-bucket sorted copy of ``df`` ATOMICALLY (review r8:
     the previous direct mode('overwrite').saveAsTable to the shared
     fixed path let two concurrent sessions corrupt each other's bucket
@@ -758,7 +758,12 @@ def _ensure_bucketed_table(spark, df, key: str, tname: str) -> None:
     the same table are reaped after install (each held a full fact-table
     copy forever). The repartition(8, key) uses the same Murmur3 hash as
     bucketBy -> ONE file per bucket, so the sorted-bucket guarantee
-    holds globally and the join needs no Sort either."""
+    holds globally and the join needs no Sort either.
+
+    ``write_fn(tmp_tbl, tmp_path)``, when given, replaces the default
+    single bucketed save — a14 uses it for its initial-load-plus-append
+    sequence (review r10: the helper was duplicated there WITHOUT the
+    stale-fingerprint reap, reintroducing the r8 disk leak)."""
     import os
     import shutil
     import uuid
@@ -771,14 +776,17 @@ def _ensure_bucketed_table(spark, df, key: str, tname: str) -> None:
 
     def build(tmp: str) -> None:
         tmp_tbl = f"skr_bld_{uuid.uuid4().hex[:10]}"
-        (
-            df.repartition(8, F.col(key))
-            .write.bucketBy(8, key)
-            .sortBy(key)
-            .option("path", tmp)
-            .mode("overwrite")
-            .saveAsTable(tmp_tbl)
-        )
+        if write_fn is not None:
+            write_fn(tmp_tbl, tmp)
+        else:
+            (
+                df.repartition(8, F.col(key))
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", tmp)
+                .mode("overwrite")
+                .saveAsTable(tmp_tbl)
+            )
         spark.sql(f"DROP TABLE {tmp_tbl}")  # external: files remain
 
     final = atomic_cached_build(root, tname, build, "_SUCCESS")

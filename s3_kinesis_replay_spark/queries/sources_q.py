@@ -562,11 +562,10 @@ def _appended_bucketed_events(spark, sf_dir: str) -> str:
     while keeping ZERO Exchange (asserted in tests). Atomic install +
     fingerprint-keyed name, c1c discipline."""
     import os
-    import uuid
 
-    from s3_kinesis_replay_spark.operators.similarity import (
-        atomic_cached_build,
-        data_fingerprint,
+    from s3_kinesis_replay_spark.operators.similarity import data_fingerprint
+    from s3_kinesis_replay_spark.queries.relational import (
+        _ensure_bucketed_table,
     )
 
     fp = data_fingerprint(os.path.join(sf_dir, "events.parquet"))[:10]
@@ -578,8 +577,7 @@ def _appended_bucketed_events(spark, sf_dir: str) -> str:
         "event_id", "user_id", "event_type", "value"
     )
 
-    def build(tmp: str) -> None:
-        tmp_tbl = f"skr_bld_{uuid.uuid4().hex[:10]}"
+    def write_fn(tmp_tbl: str, tmp: str) -> None:
         initial = ev.filter(F.col("event_id") % 4 != 3)
         delivery = ev.filter(F.col("event_id") % 4 == 3)
         (
@@ -599,17 +597,11 @@ def _appended_bucketed_events(spark, sf_dir: str) -> str:
             .mode("append")
             .saveAsTable(tmp_tbl)
         )
-        spark.sql(f"DROP TABLE {tmp_tbl}")  # external: files remain
 
-    final = atomic_cached_build("/tmp/skr_bucketed", tname, build, "_SUCCESS")
-    cols = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in ev.schema.fields
-    )
-    spark.sql(
-        f"CREATE TABLE {tname} ({cols}) USING parquet "
-        f"CLUSTERED BY (user_id) SORTED BY (user_id) INTO 8 BUCKETS "
-        f"LOCATION '{final}'"
-    )
+    # shared install ritual: atomic rename + CREATE CLUSTERED BY + the
+    # stale-fingerprint reap (review r10: the inlined copy leaked every
+    # superseded skr_evb8_* dir — a full events copy each)
+    _ensure_bucketed_table(spark, ev, "user_id", tname, write_fn=write_fn)
     return tname
 
 
