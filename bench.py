@@ -84,6 +84,8 @@ EXTRAS_ALWAYS: list[str] = [
     "d17_salted_distinct",    # skew-bounded two-phase count-distinct
     "a14_bucketed_append",    # bucketed-table append, zero-exchange reads
     "ts2_ohlc_downsample",    # mergeable OHLC candlesticks (no window sort)
+    # h9_streaming_ohlc is NOT benched: H-family convention — live drains
+    # measure sink drainage, the batch twin (ts2) carries the bench cost
 ]
 
 # Stable extras pool. Timed identically to HEADLINE but reported under

@@ -192,6 +192,79 @@ def h1b_tumbling_window_batch(spark, sf_dir):
     return _h1_plan(t(spark, "events", sf_dir))
 
 
+_H9_SQL = """
+    WITH e AS (
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
+             event_type, value, ts, event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY ws, event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY ws, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT ws AS window_start, event_type,
+           ROUND(CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE), 6)
+             AS open,
+           ROUND(CAST(MAX(value) AS DOUBLE), 6) AS high,
+           ROUND(CAST(MIN(value) AS DOUBLE), 6) AS low,
+           ROUND(CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE), 6)
+             AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ranked GROUP BY ws, event_type
+    """
+
+
+def _h9_plan(df):
+    key = F.struct("ts", "event_id")
+    return (
+        df.filter(F.col("value").isNotNull())
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.round(F.min_by("value", key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", key), 6).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+
+
+@register(
+    "h9_streaming_ohlc",
+    "H1",
+    _H9_SQL,
+    check="SEM",
+    note="REAL stream: ts2's OHLC downsampling running as a live "
+    "tumbling-window aggregation — min_by/max_by on the (ts, event_id) "
+    "struct key are MERGEABLE, so the candlestick folds correctly "
+    "across micro-batch boundaries whatever the pacing (the property "
+    "that lets a metrics store downsample IN the ingest stream instead "
+    "of a nightly batch); complete-mode drain makes the drained state "
+    "exactly the batch candlesticks, which is what the oracle's "
+    "ranked-window form recomputes. ts2_ohlc_downsample is the batch "
+    "twin at the same semantics.",
+)
+def h9_streaming_ohlc(spark, sf_dir):
+    from s3_kinesis_replay_spark.queries.streaming_live import _drain
+
+    stream = _paced_stream(spark, sf_dir)
+    assert stream.isStreaming
+    return _drain(spark, _h9_plan(stream), mode="complete")
+
+
 @register(
     "h2_sliding_window",
     "H2",
