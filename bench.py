@@ -76,6 +76,9 @@ HEADLINE = [
 # on top of whatever rotating slice of the stable pool is due. Promote to
 # EXTRAS (the stable pool) next round once a baseline row exists.
 EXTRAS_ALWAYS: list[str] = [
+    # round 11 additions
+    "i20b_ann_recall_gate",   # recall floor gate at the n_probe=8 knee
+    # round 10 additions (promote to EXTRAS next round)
     "c1d_cbo_reordered_join",  # stats-driven join reorder (ANALYZE'd catalog)
     "a13_schema_evolution",   # widened-schema partition + mergeSchema read
     "d16_countmin_topk",      # codegen Count-Min sketch (sparse groupBy form)
@@ -267,6 +270,10 @@ def main() -> None:
         "queries": timings,
         "extras": extras,
         "sf": float(sf),
+        # NOTE: "round" = the round this record FEEDS (max CORRECTNESS
+        # round on disk + 1). The driver's closing bench runs AFTER
+        # CORRECTNESS_rN lands, so BENCH_rN.json self-labels N+1 — an
+        # expected artifact of run ordering, not a bug (VERDICT r10).
         "round": rnd,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],

@@ -141,6 +141,10 @@ def bootstrap_cbo_tables(
         out = []
         for name in tables:
             cat, path = f"{name}{suffix}", f"{sf_dir}/{name}.parquet"
+            # sf_dir is user-controlled (SPARK_GRAFT_SF_DIR); a quote in
+            # the path would otherwise break the LOCATION literal
+            # (ADVICE r10).
+            sql_path = path.replace("'", "''")
             want = os.path.normpath(os.path.abspath(path))
             loc, has_stats = _table_meta(spark, cat)
             # Skip ONLY when the table points at exactly this data AND
@@ -150,7 +154,9 @@ def bootstrap_cbo_tables(
             # a silently CBO-dead catalog is not.
             if loc != want or not has_stats:
                 spark.sql(f"DROP TABLE IF EXISTS {cat}")
-                spark.sql(f"CREATE TABLE {cat} USING parquet LOCATION '{path}'")
+                spark.sql(
+                    f"CREATE TABLE {cat} USING parquet LOCATION '{sql_path}'"
+                )
                 spark.sql(
                     f"ANALYZE TABLE {cat} COMPUTE STATISTICS FOR ALL COLUMNS"
                 )

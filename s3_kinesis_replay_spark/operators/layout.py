@@ -84,8 +84,9 @@ def zorder_write(
     ):
         # Degenerate input (empty df or an all-NULL dim): no z-range to
         # cluster by — plain write instead of an obscure None-arithmetic
-        # TypeError (ADVICE r9).
-        df.write.mode("overwrite").parquet(path)
+        # TypeError (ADVICE r9). Still repartition(n_files) so the
+        # declared file-count layout contract holds (ADVICE r10).
+        df.repartition(n_files).write.mode("overwrite").parquet(path)
         return
     codes = [
         bucket_code(d, mins[f"lo{i}"], mins[f"hi{i}"], bits)

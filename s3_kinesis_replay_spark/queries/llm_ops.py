@@ -557,7 +557,7 @@ def _duck_dotf(x: str, y: str) -> str:
       SELECT cell
       FROM read_parquet('{_IVF_ORACLE_PTR_I13}/_centroids/*.parquet'), q
       ORDER BY {_duck_sqdist("centroid", "qv")} ASC, cell ASC
-      LIMIT 4
+      LIMIT 8
     ),
     v AS (
       SELECT vec_id, embedding
@@ -573,7 +573,7 @@ def _duck_dotf(x: str, y: str) -> str:
     ORDER BY sim DESC, v.vec_id
     LIMIT 10
     """,
-    note="IVF-style ANN: seeded k-means coarse quantizer, probe 4/16 "
+    note="IVF-style ANN: seeded k-means coarse quantizer, probe 8/16 "
     "cells, exact re-rank — the partition-pruned scale path for I5. "
     "Oracle-checked since r7: the fn RETURNS the in-memory ivf_topk but "
     "also installs the fingerprint-cached stored index (same corpus/"
@@ -604,14 +604,14 @@ def i13_ivf_topk(spark, sf_dir):
     # explicit params (review r8): the in-memory twin MUST mirror the
     # exported index the oracle probes — relying on ivf_topk's defaults
     # let a default change silently desynchronize them
-    return ivf_topk(corpus, list(qv), k=10, n_clusters=16, n_probe=4, seed=42)
+    return ivf_topk(corpus, list(qv), k=10, n_clusters=16, n_probe=8, seed=42)
 
 
 @register(
     "i13b_ivf_probe",
     "I5",
     # Cross-engine oracle over the EXPORTED index (i13c pattern, VERDICT r6
-    # item 2): DuckDB re-runs the probe — nearest-4-centroid selection with
+    # item 2): DuckDB re-runs the probe — nearest-8-centroid selection with
     # the identical sequential-fold distance + cell tiebreak, exact-cosine
     # re-rank over only the probed cells — and emits the same agreement
     # shape the Spark side emits. The oracle asserts probe == in-memory by
@@ -624,7 +624,7 @@ def i13_ivf_topk(spark, sf_dir):
       SELECT cell
       FROM read_parquet('{_IVF_ORACLE_PTR_B}/_centroids/*.parquet'), q
       ORDER BY {_duck_sqdist("centroid", "qv")} ASC, cell ASC
-      LIMIT 4
+      LIMIT 8
     ),
     v AS (
       SELECT vec_id, embedding
@@ -672,8 +672,8 @@ def i13b_ivf_probe(spark, sf_dir):
         corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42, corpus_tag="ex0"
     )
     publish_index_pointer(idx, _IVF_ORACLE_PTR_B)
-    probed = ivf_probe(spark, idx, list(qv), k=10, n_probe=4)
-    mem = ivf_topk(corpus, list(qv), k=10, n_clusters=16, n_probe=4, seed=42)
+    probed = ivf_probe(spark, idx, list(qv), k=10, n_probe=8)
+    mem = ivf_topk(corpus, list(qv), k=10, n_clusters=16, n_probe=8, seed=42)
     # same seed + same data → identical quantizer → the pruned-scan probe
     # must return exactly the in-memory result, row for row
     p = probed.select(F.col("vec_id"), F.col("sim").alias("probe_sim"))
@@ -723,7 +723,7 @@ def i13b_ivf_probe(spark, sf_dir):
              ROUND({_duck_dotf("v.embedding", "qs.qv")}
                    / (sqrt({_duck_dotf("v.embedding", "v.embedding")})
                       * sqrt({_duck_dotf("qs.qv", "qs.qv")})), 6) AS sim
-      FROM (SELECT query_id, cell FROM cd WHERE rn <= 4) p
+      FROM (SELECT query_id, cell FROM cd WHERE rn <= 8) p
       JOIN v ON v.cell = p.cell
       JOIN qs ON qs.query_id = p.query_id
     ),
@@ -767,7 +767,7 @@ def i13d_ivf_batch_probe(spark, sf_dir):
     queries = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    batch = ivf_probe_batch(spark, idx, queries, k=10, n_probe=4)
+    batch = ivf_probe_batch(spark, idx, queries, k=10, n_probe=8)
 
     qvs = {
         r["query_id"]: list(r["qvec"])
@@ -775,7 +775,7 @@ def i13d_ivf_batch_probe(spark, sf_dir):
     }
     singles = None
     for qid, qv in sorted(qvs.items()):
-        s = ivf_probe(spark, idx, qv, k=10, n_probe=4).select(
+        s = ivf_probe(spark, idx, qv, k=10, n_probe=8).select(
             F.lit(qid).cast("bigint").alias("query_id"),
             F.col("vec_id"),
             F.col("sim").alias("single_sim"),
@@ -805,7 +805,7 @@ def i13d_ivf_batch_probe(spark, sf_dir):
       SELECT cell
       FROM read_parquet('{_IVF_ORACLE_PTR}/_centroids/*.parquet'), q
       ORDER BY {_duck_sqdist("centroid", "qv")} ASC, cell ASC
-      LIMIT 4
+      LIMIT 8
     ),
     v AS (
       SELECT vec_id, embedding
@@ -824,7 +824,7 @@ def i13d_ivf_batch_probe(spark, sf_dir):
     note="cross-engine check of the IVF SCALE path (VERDICT r4 item 5): "
     "the quantizer stays Spark (k-means, not SQL) but its OUTPUT — the "
     "cell-partitioned index — is exported behind a fixed atomic pointer, "
-    "and DuckDB re-runs the probe (nearest-4-centroid selection + exact "
+    "and DuckDB re-runs the probe (nearest-8-centroid selection + exact "
     "cosine re-rank) over that export. Probe selection uses the identical "
     "sequential-fold distance + cell tiebreak in both engines",
 )
@@ -846,7 +846,7 @@ def i13c_ivf_probe_xengine(spark, sf_dir):
         corpus, "/tmp/skr_ivf", fp, n_clusters=16, seed=42, corpus_tag="ex0"
     )
     publish_index_pointer(idx, _IVF_ORACLE_PTR)
-    return ivf_probe(spark, idx, list(qv), k=10, n_probe=4)
+    return ivf_probe(spark, idx, list(qv), k=10, n_probe=8)
 
 
 _SEMDEDUP_ORACLE_PTR_I14 = "/tmp/skr_semdedup_oracle/i14"
@@ -1804,7 +1804,10 @@ def i13f_pq_adc_topk(spark, sf_dir):
     "fingerprint-cache-keyed; probe selection + every ADC value "
     "recompute cross-engine with sequential folds — only the cell/code "
     "assignments themselves (numpy argmin, i13b/i13e-pinned) ride as "
-    "exported data.",
+    "exported data. n_probe=4 here is DELIBERATE (r11): for this entry "
+    "the probe width is an equivalence-check parameter — narrower probe "
+    "= stronger pruning assertion — not the quality default, which is "
+    "n_probe=8 (i13/i13b/i13c/i13d) gated by i20b.",
 )
 def i13h_ivfpq_topk(spark, sf_dir):
     import os
@@ -1924,7 +1927,9 @@ def _rpq_cache_key(sf_dir: str) -> str:
     "probe selection, every distance-table value, scoring, and top-k "
     "recompute cross-engine with identical sequential folds (the "
     "(q[i]−c[i])−r[i] association mirrored); only the seeded k-means "
-    "assignments ride as exported data.",
+    "assignments ride as exported data. n_probe=4 kept deliberately "
+    "(r11): an equivalence-check parameter here, not the quality "
+    "default (n_probe=8, gated by i20b).",
 )
 def i13i_residual_pq_topk(spark, sf_dir):
     import os
@@ -2101,7 +2106,10 @@ _IVF_ORACLE_PTR_J = "/tmp/skr_ivf_oracle/i13j"
     "probe of the appended index must equal the exact-cosine top-10 "
     "over the FULL corpus restricted to the probed cells under the "
     "frozen quantizer (agree flag, every row), and the oracle re-runs "
-    "the probe over the exported index.",
+    "the probe over the exported index. n_probe=4 kept deliberately "
+    "(r11): the claim under test is append-equals-joint-build, checked "
+    "cell-restricted — probe width is not the quality default here "
+    "(that is n_probe=8, gated by i20b).",
 )
 def i13j_ivf_append(spark, sf_dir):
     import os
@@ -2368,9 +2376,23 @@ _ANN_RECALL_PTR = "/tmp/skr_annrecall_oracle/current"
     "on both sides (the corpus contains the queries). At 100 TB the "
     "brute side is the oracle tax run on a sampled query set — the "
     "probe side scans ~n_probe/n_clusters of the corpus per query and "
-    "the recall join moves k rows per query.",
+    "the recall join moves k rows per query. Probes n_probe=4 — the "
+    "curve's documented LOW point (recall 0.540 at sf0.1); the "
+    "production default is n_probe=8, enforced by i20b's floor.",
 )
 def i20_ann_recall(spark, sf_dir):
+    return _ann_recall_per_query(spark, sf_dir, n_probe=4, pointer=_ANN_RECALL_PTR)
+
+
+def _ann_recall_per_query(spark, sf_dir, n_probe: int, pointer: str):
+    """Probe the full-corpus cached IVF index for every vec_id%100 query
+    at ``n_probe``, export the claimed neighbors behind ``pointer`` (so a
+    DuckDB oracle can join them against its OWN ground truth), and return
+    the per-query (query_id, n_hits, k, recall) frame scored against the
+    exact in-engine brute-force top-10. ONE body shared by i20 (the
+    measurement harness, probing the curve's n_probe=4 point) and i20b
+    (the gate, probing the n_probe=8 knee) — review-r8 discipline: two
+    verbatim recall computations could silently diverge."""
     import os
 
     from pyspark.sql import Window as W
@@ -2394,7 +2416,7 @@ def i20_ann_recall(spark, sf_dir):
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
     # probe k+1 then drop the self-match (the corpus contains the query)
     ann = (
-        ivf_probe_batch(spark, idx, queries, k=K + 1, n_probe=4)
+        ivf_probe_batch(spark, idx, queries, k=K + 1, n_probe=n_probe)
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= K)
@@ -2402,7 +2424,7 @@ def i20_ann_recall(spark, sf_dir):
         .localCheckpoint()
     )
     export_behind_pointer(
-        _ANN_RECALL_PTR,
+        pointer,
         lambda export: ann.write.mode("overwrite").parquet(
             os.path.join(export, "ann")
         ),
@@ -2438,3 +2460,111 @@ def i20_ann_recall(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+_ANN_GATE_PTR = "/tmp/skr_annrecall_oracle/i20b"
+
+# Declared recall floor for the production probe default (n_probe=8, the
+# measured 0.8-recall knee of the SCALE.md curve: n_probe 2/4/8/16 ->
+# 0.365/0.540/0.795/1.000 at sf0.1). The i20b entry RAISES when the mean
+# recall@10 drops below this, so a quantizer/probe regression fails the
+# correctness gate instead of hiding behind a hash-green measurement
+# (VERDICT r10 item 1).
+ANN_RECALL_FLOOR = 0.75
+
+
+@register(
+    "i20b_ann_recall_gate",
+    "I5",
+    f"""
+    WITH qs AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT qs.query_id, b.vec_id,
+             ROUND({_duck_dotf("b.embedding", "qs.qv")}
+                   / (sqrt({_duck_dotf("b.embedding", "b.embedding")})
+                      * sqrt({_duck_dotf("qs.qv", "qs.qv")})), 6) AS sim
+      FROM embeddings b, qs
+      WHERE b.vec_id <> qs.query_id
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM scored) WHERE rn <= 10
+    ),
+    ann AS (
+      SELECT query_id, vec_id
+      FROM read_parquet('{_ANN_GATE_PTR}/ann/*.parquet')
+    ),
+    hits AS (
+      SELECT e.query_id,
+             CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM exact e LEFT JOIN ann a
+        ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      GROUP BY e.query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(n_hits) AS BIGINT) AS sum_hits,
+           CAST(10 AS BIGINT) AS k,
+           CAST(8 AS BIGINT) AS n_probe,
+           ROUND(CAST(SUM(n_hits) AS DOUBLE) / (10 * COUNT(*)), 6)
+             AS mean_recall,
+           (2 * SUM(n_hits) >= 15 * COUNT(*)) AS gate_pass
+    FROM hits
+    """,
+    check="TOL",
+    tol=1e-6,
+    note="ANN RECALL GATE — the enforcement half of i20's measurement "
+    "harness (VERDICT r10 item 1: before this entry, no CORRECTNESS row "
+    "FAILED when index quality silently degraded). Probes the stored "
+    "full-corpus IVF index at the production default n_probe=8 (the "
+    "measured 0.8-recall knee) for every vec_id%100 query and asserts "
+    "ENGINE-SIDE that mean recall@10 >= 0.75, raising (-> driver err) "
+    "on violation; the returned one-row summary carries the gate verdict "
+    "so the hash encodes it too. The oracle recomputes the exact ground "
+    "truth INDEPENDENTLY in DuckDB and re-scores the exported ANN rows — "
+    "an engine-side recall computation that flatters the index "
+    "hash-mismatches. Mean computed as SUM(hits)/(10*n_queries) — one "
+    "division of exact integers, no float-accumulation-order flake — and "
+    "the floor compared in integer form (2*sum >= 15*n). At 100 TB this "
+    "is the nightly index-quality canary on a 1-in-100 sampled query "
+    "set: probe cost ~n_probe/n_clusters of the corpus, the brute-force "
+    "side is the declared oracle tax on the sample.",
+)
+def i20b_ann_recall_gate(spark, sf_dir):
+    per_q = _ann_recall_per_query(
+        spark, sf_dir, n_probe=8, pointer=_ANN_GATE_PTR
+    )
+    summary = (
+        per_q.agg(
+            F.count("query_id").cast("long").alias("n_queries"),
+            F.sum("n_hits").cast("long").alias("sum_hits"),
+        )
+        .select(
+            "n_queries",
+            "sum_hits",
+            F.lit(10).cast("long").alias("k"),
+            F.lit(8).cast("long").alias("n_probe"),
+            F.round(
+                F.col("sum_hits") / (F.lit(10) * F.col("n_queries")), 6
+            ).alias("mean_recall"),
+            # integer-form floor test: mean >= 0.75  <=>  2*sum >= 15*n
+            (F.col("sum_hits") * 2 >= F.col("n_queries") * 15).alias(
+                "gate_pass"
+            ),
+        )
+        .localCheckpoint()
+    )
+    row = summary.collect()[0]  # bounded: one summary row
+    if not row["gate_pass"]:
+        raise RuntimeError(
+            f"ANN recall gate FAILED: mean recall@10 {row['mean_recall']} "
+            f"< {ANN_RECALL_FLOOR} at n_probe=8 over {row['n_queries']} "
+            "queries — quantizer or probe regression"
+        )
+    return summary

@@ -52,9 +52,11 @@ def test_bench_round_semantics(tmp_path):
     (tmp_path / "CORRECTNESS_rerun.json").write_text("{}")
     (tmp_path / "CORRECTNESS_r.json").write_text("{}")
     assert bench.bench_round(tmp_path) == 8
-    # the real repo currently has rounds 1..9 on disk -> this bench
-    # feeds round 10+
-    assert bench.bench_round() >= 10
+    # Sanity-check against the live repo only when round records exist —
+    # archiving/pruning CORRECTNESS_r*.json must not break a unit test
+    # whose semantics the tmp_path cases above already pin (ADVICE r10).
+    if list(bench.REPO.glob("CORRECTNESS_r[0-9]*.json")):
+        assert bench.bench_round() >= 2
 
 
 def test_bench_headline_set_unchanged():

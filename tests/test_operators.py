@@ -2800,3 +2800,44 @@ def test_compaction_crash_recovery(spark, sf_dir, tmp_path):
     os.makedirs(os.path.join(root, f".reap-cafe1234-{vname}", "x"))
     assert compact_partitions(spark, root, target_rows=4000) == []
     assert not glob.glob(os.path.join(root, ".reap-*"))
+
+
+def test_i20b_recall_gate_passes_and_encodes_verdict(spark, sf_dir):
+    """The gate entry returns ONE summary row whose mean_recall clears
+    the declared floor on the healthy index, with the integer-form
+    gate_pass agreeing with the float reading (no boundary drift)."""
+    from s3_kinesis_replay_spark.queries.llm_ops import (
+        ANN_RECALL_FLOOR,
+        i20b_ann_recall_gate,
+    )
+
+    rows = i20b_ann_recall_gate(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_probe"] == 8 and r["k"] == 10
+    assert r["gate_pass"] is True
+    assert r["mean_recall"] >= ANN_RECALL_FLOOR
+    assert r["sum_hits"] <= 10 * r["n_queries"]
+    # integer form <-> float form agreement at the declared floor
+    assert (2 * r["sum_hits"] >= 15 * r["n_queries"]) == (
+        r["mean_recall"] >= 0.75
+    )
+
+
+def test_i20b_recall_gate_raises_on_degraded_index(spark, sf_dir, monkeypatch):
+    """A quantizer/probe regression must FAIL the correctness entry, not
+    pass with a lower hash: feed the gate a degraded per-query frame
+    (2/10 hits per query) and assert it raises."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.queries import llm_ops
+
+    def degraded(spark_, sf_dir_, n_probe, pointer):
+        return spark.createDataFrame(
+            [(int(q), 2, 10, 0.2) for q in range(5)],
+            "query_id long, n_hits long, k long, recall double",
+        )
+
+    monkeypatch.setattr(llm_ops, "_ann_recall_per_query", degraded)
+    with _pytest.raises(RuntimeError, match="ANN recall gate FAILED"):
+        llm_ops.i20b_ann_recall_gate(spark, sf_dir)

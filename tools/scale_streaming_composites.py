@@ -60,17 +60,27 @@ def replicated_dir(spark, k: int) -> str:
     d_parts, e_parts = [], []
     for i in range(k):
         tag = F.lit(f"x{i}")
+        # Replica 0 keeps the REAL fixture text untouched so the k=1 row
+        # is directly comparable to BENCH/BASELINE numbers; replicas 1+
+        # get the per-replica word tag that keeps shingles distinct
+        # across replicas (ADVICE r10: tagging replica 0 too shifted
+        # token lengths by +2 chars and broke cross-series comparison).
+        text_col = (
+            F.col("text")
+            if i == 0
+            else F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(tag, w),
+                ),
+                " ",
+            )
+        )
         d_parts.append(
             docs.select(
                 (F.col("doc_id") + i * max_doc).alias("doc_id"),
                 "source",
-                F.array_join(
-                    F.transform(
-                        F.split(F.col("text"), " "),
-                        lambda w: F.concat(tag, w),
-                    ),
-                    " ",
-                ).alias("text"),
+                text_col.alias("text"),
                 *[c for c in docs.columns if c not in ("doc_id", "source", "text")],
             )
         )
