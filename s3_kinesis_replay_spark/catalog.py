@@ -195,3 +195,47 @@ def load_tables(
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def table_stats(spark: SparkSession, name: str) -> tuple[int | None, int | None]:
+    """(sizeInBytes, rowCount) the COST-BASED PLANNER currently sees for a
+    catalog table, parsed from ``DESCRIBE TABLE EXTENDED``'s Statistics
+    row — ``(None, None)`` when the table carries no stats. This is the
+    observability half of the stats lifecycle: what ANALYZE wrote, not
+    what the files contain."""
+    import re
+
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    stat = next(
+        (r["data_type"] for r in desc if r["col_name"] == "Statistics"), None
+    )
+    if stat is None:
+        return None, None
+    size = re.search(r"(\d+) bytes", stat)
+    rows = re.search(r"(\d+) rows", stat)
+    return (
+        int(size.group(1)) if size else None,
+        int(rows.group(1)) if rows else None,
+    )
+
+
+def refresh_stats(
+    spark: SparkSession, name: str, columns: bool = False
+) -> tuple[int | None, int | None]:
+    """Post-ingest ANALYZE — the stats LIFECYCLE beyond bootstrap
+    (VERDICT r10 item 2: ``bootstrap_cbo_tables``'s idempotence guard
+    skips tables that already carry stats, so an appended table would
+    otherwise be costed with pre-append row counts forever). Run after
+    every append/compaction batch; returns the refreshed (sizeInBytes,
+    rowCount) so callers can assert the planner now sees the new data.
+
+    ``columns=False`` (table-level: row count + size, one count-style
+    scan) is the per-ingest default; ``columns=True`` adds per-column
+    NDV/min/max (the full bootstrap scan) and is worth it on the cadence
+    at which join-reorder decisions drift, not every batch. At 100 TB:
+    table-level ANALYZE on each ingest batch, FOR ALL COLUMNS weekly or
+    after major skew shifts — stats live in the metastore, so both
+    amortize across every query that consults them."""
+    suffix = " FOR ALL COLUMNS" if columns else ""
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS{suffix}")
+    return table_stats(spark, name)

@@ -723,6 +723,82 @@ def c1d_cbo_reordered_join(spark, sf_dir):
 
 
 @register(
+    "c1e_stats_lifecycle",
+    "C1",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM events WHERE event_id % 4 <> 3)
+                AS BIGINT) AS initial_rows,
+           TRUE AS dropped_on_append,
+           CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS refreshed_rows,
+           CAST((SELECT COUNT(*) FROM events) AS BIGINT)
+             AS stale_external_rows,
+           CAST((SELECT COUNT(*) FROM events)
+                + (SELECT COUNT(*) FROM events WHERE event_id % 4 = 3)
+                AS BIGINT) AS final_rows
+    """,
+    note="CBO STATISTICS LIFECYCLE — the maintenance half of c1d\'s "
+    "bootstrap (VERDICT r10 item 2: bootstrap ANALYZEs once per "
+    "(table, sf_dir), then its idempotence guard skips the table "
+    "forever). The entry replays an ingest lifecycle and pins BOTH "
+    "failure modes measured on Spark 4.1.2: (1) a CATALOG-AWARE append "
+    "(saveAsTable mode=append) INVALIDATES table stats outright — "
+    "dropped_on_append pins that the planner goes CBO-dead, not stale, "
+    "until the next ANALYZE (catalog.refresh_stats -> refreshed_rows = "
+    "full count, read back from DESCRIBE EXTENDED); (2) a FILESYSTEM-"
+    "level append into the external location (how a12-style compaction "
+    "or a side-channel ingest lands) leaves stats SILENTLY STALE — "
+    "stale_external_rows still reads the pre-append count until a "
+    "second refresh (final_rows). The oracle recomputes every count "
+    "from the source, so an ANALYZE that mis-counts, or a Spark "
+    "behavior change in either staleness mode, hash-mismatches. a14\'s "
+    "bucketed install now ends with refresh_stats and heals a missing-"
+    "stats table on reuse. At 100 TB: table-level ANALYZE per ingest "
+    "batch (count-shaped scan of the appended data, ANALYZE ... "
+    "PARTITION for partitioned facts); FOR ALL COLUMNS on the slower "
+    "cadence at which join-reorder decisions drift.",
+)
+def c1e_stats_lifecycle(spark, sf_dir):
+    import os
+    import shutil
+
+    from s3_kinesis_replay_spark.catalog import refresh_stats, table_stats
+    from s3_kinesis_replay_spark.operators.similarity import data_fingerprint
+
+    fp = data_fingerprint(os.path.join(sf_dir, "events.parquet"))[:10]
+    tname = f"skr_statslc_{fp}"
+    loc = f"/tmp/skr_statslc/{fp}"
+    ev = t(spark, "events", sf_dir).select("event_id", "user_id", "event_type")
+    delivery = ev.filter(F.col("event_id") % 4 == 3)
+    # deliberately rebuilt per run: the stale/dropped INTERMEDIATE states
+    # are the thing under test — a cached end state has none left.
+    # Explicit /tmp location (not the warehouse): the in-memory metastore
+    # forgets tables across sessions while their managed dirs persist,
+    # which LOCATION_ALREADY_EXISTS-fails the next create.
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    shutil.rmtree(loc, ignore_errors=True)
+    ev.filter(F.col("event_id") % 4 != 3).write.mode("overwrite").option(
+        "path", loc
+    ).saveAsTable(tname)
+    _, initial = refresh_stats(spark, tname)
+    # (1) catalog-aware append: Spark 4 DROPS table stats (planner falls
+    # back to file-size guesses — CBO-dead, measured, not assumed)
+    delivery.write.mode("append").saveAsTable(tname)
+    dropped = table_stats(spark, tname) == (None, None)
+    _, refreshed = refresh_stats(spark, tname)
+    # (2) filesystem-level append bypassing the catalog (compaction /
+    # side-channel ingest): stats survive UNCHANGED — silently stale
+    delivery.write.mode("append").parquet(loc)
+    spark.sql(f"REFRESH TABLE {tname}")  # file listing, NOT stats
+    _, stale_external = table_stats(spark, tname)
+    _, final = refresh_stats(spark, tname)
+    return spark.createDataFrame(
+        [(initial, dropped, refreshed, stale_external, final)],
+        "initial_rows long, dropped_on_append boolean, refreshed_rows long, "
+        "stale_external_rows long, final_rows long",
+    )
+
+
+@register(
     "c1b_salted_join",
     "C1",
     """

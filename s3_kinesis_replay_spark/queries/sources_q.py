@@ -568,9 +568,15 @@ def _appended_bucketed_events(spark, sf_dir: str) -> str:
         _ensure_bucketed_table,
     )
 
+    from s3_kinesis_replay_spark.catalog import _table_meta, refresh_stats
+
     fp = data_fingerprint(os.path.join(sf_dir, "events.parquet"))[:10]
     tname = f"skr_evb8_{fp}"
     if spark.catalog.tableExists(tname):
+        # heal a crash between install and ANALYZE: the cached table must
+        # not stay CBO-dead forever (c1e lifecycle discipline, r11)
+        if not _table_meta(spark, tname)[1]:
+            refresh_stats(spark, tname)
         return tname
 
     ev = t(spark, "events", sf_dir).select(
@@ -602,6 +608,12 @@ def _appended_bucketed_events(spark, sf_dir: str) -> str:
     # stale-fingerprint reap (review r10: the inlined copy leaked every
     # superseded skr_evb8_* dir — a full events copy each)
     _ensure_bucketed_table(spark, ev, "user_id", tname, write_fn=write_fn)
+    # Post-ingest stats refresh (VERDICT r10 item 2): the freshly
+    # registered table carries NO catalog stats (CREATE over an existing
+    # location), so every CBO costing would fall back to file-size
+    # guesses. c1e pins the full lifecycle (drop-on-append /
+    # stale-on-external-write); this is its application to a14's ingest.
+    refresh_stats(spark, tname)
     return tname
 
 

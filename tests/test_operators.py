@@ -2841,3 +2841,34 @@ def test_i20b_recall_gate_raises_on_degraded_index(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(llm_ops, "_ann_recall_per_query", degraded)
     with _pytest.raises(RuntimeError, match="ANN recall gate FAILED"):
         llm_ops.i20b_ann_recall_gate(spark, sf_dir)
+
+
+def test_stats_lifecycle_post_append_refresh(spark, sf_dir):
+    """c1e: the costed row count read back from DESCRIBE EXTENDED goes
+    CBO-dead (dropped) after a catalog-aware append, silently STALE
+    after a filesystem-level append, and correct again only after
+    refresh_stats — the lifecycle beyond bootstrap (VERDICT r10 item 2)."""
+    from s3_kinesis_replay_spark.queries.relational import c1e_stats_lifecycle
+
+    r = c1e_stats_lifecycle(spark, sf_dir).collect()[0]
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert r["dropped_on_append"] is True
+    assert r["initial_rows"] < r["refreshed_rows"] == n
+    # external write: planner still sees the pre-append count
+    assert r["stale_external_rows"] == r["refreshed_rows"]
+    assert r["final_rows"] == n + n // 4
+
+
+def test_a14_append_leaves_table_with_fresh_stats(spark, sf_dir):
+    """The a14 bucketed install now ends with ANALYZE: the planner's
+    rowCount equals the full (initial + appended) content, and the heal
+    path restores stats if they were dropped."""
+    from s3_kinesis_replay_spark.catalog import table_stats
+    from s3_kinesis_replay_spark.queries.sources_q import (
+        _appended_bucketed_events,
+    )
+
+    tname = _appended_bucketed_events(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    size, rows = table_stats(spark, tname)
+    assert rows == n and size is not None and size > 0
