@@ -265,6 +265,40 @@ def h9_streaming_ohlc(spark, sf_dir):
     return _drain(spark, _h9_plan(stream), mode="complete")
 
 
+_H9B_SQL = _H9_SQL.rstrip() + """
+    HAVING ws + INTERVAL '1 hour'
+           <= (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL '2 hours'
+               FROM events)
+    """
+
+
+@register(
+    "h9b_streaming_ohlc_append",
+    "H1",
+    _H9B_SQL,
+    check="SEM",
+    note="h9's candlesticks in their 100 TB shape (VERDICT r10 item 3): "
+    "withWatermark('ts', '2 hours') + APPEND output, so each OHLC row "
+    "emits exactly once when its window closes and the operator state "
+    "is BOUNDED (open windows only — complete-mode h9 retains every "
+    "window ever seen, which at 100 TB of ingest is the whole history "
+    "in executor memory). min_by/max_by stay mergeable across "
+    "micro-batches exactly as in h9; the h4 late-drop discipline "
+    "supplies the close condition. Oracle = the h9 ranked-window SQL "
+    "restricted to windows whose end <= final watermark (max ts − 2 h); "
+    "fixture disorder << delay, so emitted candles are complete. h9 "
+    "remains the SEM drain of the full state; a live dashboard would "
+    "run THIS form and union the open-window tail from a side query.",
+)
+def h9b_streaming_ohlc_append(spark, sf_dir):
+    from s3_kinesis_replay_spark.queries.streaming_live import _drain
+
+    stream = _paced_stream(spark, sf_dir)
+    assert stream.isStreaming
+    plan = _h9_plan(stream.withWatermark("ts", "2 hours"))
+    return _drain(spark, plan, mode="append")
+
+
 @register(
     "h2_sliding_window",
     "H2",

@@ -957,6 +957,106 @@ def d8d_streaming_heavy_hitters(spark, sf_dir):
     return mg_top5_report(spark, sf_dir, est, M, _SMG_ORACLE_PTR)
 
 
+_SCM_ORACLE_PTR = "/tmp/skr_scm_oracle/current"
+
+
+def _scm_oracle():
+    from s3_kinesis_replay_spark.queries.aggregates import (
+        mg_top5_oracle_sql,
+    )
+
+    return mg_top5_oracle_sql(_SCM_ORACLE_PTR)
+
+
+@register(
+    "d16b_streaming_countmin",
+    "D8",
+    _scm_oracle(),
+    check="SEM",
+    note="STREAMING Count-Min — completes the streaming tier of the "
+    "mergeable-sketch quartet (d4c HLL, d7b quantiles, d8d MG, now CM; "
+    "VERDICT r10 item 5): each paced micro-batch of the crawl archive "
+    "builds its SPARSE per-lang d x w counter cells (operators/"
+    "freq_sketch.py::cm_partial_cells — pure codegen + native hash "
+    "aggregate, <= d*distinct cells per batch whatever the text "
+    "volume) and persists them as a per-batch parquet artifact; the "
+    "drain-end merge is ONE groupBy counter-SUM over the stored "
+    "artifacts (cm_merge — CM linearity, Cormode & Muthukrishnan "
+    "2005), no raw text rescanned, and the merged sketch is "
+    "BIT-IDENTICAL to a single-pass batch build (pinned in tests "
+    "against d16). Batch boundaries are irrelevant because counter "
+    "addition is commutative/associative — per-day CM artifacts roll "
+    "up to corpus frequency estimates at 100 TB the same way. Oracle "
+    "(d8c pattern): merged estimates export behind the pointer, DuckDB "
+    "recomputes the exact top-5 per lang, Spark computes the one-sided "
+    "CM bound flag (est >= exact, overcount <= N/64) the oracle "
+    "hard-codes TRUE.",
+)
+def d16b_streaming_countmin(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.operators.freq_sketch import (
+        cm_estimate,
+        cm_merge,
+        cm_partial_cells,
+    )
+    from s3_kinesis_replay_spark.queries.aggregates import (
+        doc_tokens,
+        sketch_top5_report,
+    )
+    from s3_kinesis_replay_spark.sources.archive import (
+        pace_per_trigger,
+        stage_doc_archive,
+        stream_doc_archive,
+    )
+
+    D, W_CM = 4, 1024
+    root = stage_doc_archive(sf_dir)
+    per_trigger = pace_per_trigger(root, target_batches=4, floor=2)
+    art_root = tempfile.mkdtemp(prefix="skr_scm_run_")
+
+    def sink(batch_df, batch_id: int):
+        toks = batch_df.select(
+            "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        (
+            cm_partial_cells(
+                toks, "lang", "tok", shard_col=F.lit(0), d=D, w=W_CM
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(art_root, f"batch-{batch_id}"))
+        )
+
+    q = (
+        stream_doc_archive(spark, root, max_files_per_trigger=per_trigger)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="skr_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(q)
+
+    merged = cm_merge(spark.read.parquet(os.path.join(art_root, "batch-*")))
+    est = cm_estimate(
+        merged,
+        doc_tokens(spark, sf_dir).select("lang", "tok").distinct(),
+        group_col="lang",
+        item_col="tok",
+        d=D,
+        w=W_CM,
+        broadcast_sketch=True,  # langs are a handful — bounded broadcast
+    ).localCheckpoint(eager=True)
+    return sketch_top5_report(
+        spark,
+        sf_dir,
+        est,
+        _SCM_ORACLE_PTR,
+        lambda est_n, exact_n, n_total: (est_n >= exact_n)
+        & (est_n - exact_n <= F.floor(n_total / F.lit(64))),
+    )
+
+
 @register(
     "p19_lakehouse_maintenance",
     "A6",

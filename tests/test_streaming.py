@@ -764,3 +764,64 @@ def test_p19_maintenance_file_discipline(spark, sf_dir):
 
     for f in compacted:
         assert pq.ParquetFile(f).metadata.num_rows <= 4000
+
+
+def test_h9b_append_ohlc_emits_exactly_closed_windows(spark, sf_dir):
+    """h9b (watermarked append OHLC): the emitted candle set is exactly
+    the batch candles whose window closed under the final watermark
+    (max ts − 2 h) — no open-window rows, identical OHLC values, and the
+    withheld tail is the complete-mode extra state h9 carries."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.queries.streaming_batch import (
+        _h9_plan,
+        h9b_streaming_ohlc_append,
+    )
+
+    got = h9b_streaming_ohlc_append(spark, sf_dir).collect()
+    ev = table(spark, "events", sf_dir)
+    wm = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=2)
+    batch = {
+        (r["window_start"], r["event_type"]): r
+        for r in _h9_plan(ev).collect()
+    }
+    closed = {
+        k
+        for k in batch
+        if k[0] + datetime.timedelta(hours=1) <= wm
+    }
+    assert {(r["window_start"], r["event_type"]) for r in got} == closed
+    assert 0 < len(got) < len(batch)  # something emitted, something withheld
+    for r in got:
+        b = batch[(r["window_start"], r["event_type"])]
+        assert (r["open"], r["high"], r["low"], r["close"], r["n"]) == (
+            b["open"], b["high"], b["low"], b["close"], b["n"],
+        )
+
+
+def test_d16b_streaming_cm_identical_to_batch_sketch(spark, sf_dir):
+    """CM linearity end-to-end: the streaming entry's merged estimates
+    are BIT-IDENTICAL to the batch entry's (same seeds, same d x w) —
+    micro-batch boundaries leave no trace — and every top-5 row carries
+    the one-sided CM guarantee flag."""
+    from s3_kinesis_replay_spark.queries.aggregates import d16_countmin_topk
+    from s3_kinesis_replay_spark.queries.streaming_live import (
+        d16b_streaming_countmin,
+    )
+
+    srows = {
+        (r["lang"], r["tok"]): r for r in d16b_streaming_countmin(spark, sf_dir).collect()
+    }
+    brows = {
+        (r["lang"], r["tok"]): r for r in d16_countmin_topk(spark, sf_dir).collect()
+    }
+    assert srows.keys() == brows.keys() and len(srows) > 0
+    for k, s in srows.items():
+        b = brows[k]
+        assert (s["est_n"], s["exact_n"], s["n_total"]) == (
+            b["est_n"], b["exact_n"], b["n_total"],
+        )
+        assert s["in_bounds"] is True
