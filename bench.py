@@ -80,6 +80,7 @@ EXTRAS_ALWAYS: list[str] = [
     "i20b_ann_recall_gate",   # recall floor gate at the n_probe=8 knee
     "c1e_stats_lifecycle",    # post-ingest ANALYZE lifecycle (CBO stats)
     "d16b_streaming_countmin",  # per-batch CM artifacts, counter-SUM merge
+    "d7c_streaming_quantile_merge",  # per-batch equi-rank summaries, drain merge
     # h9b_streaming_ohlc_append is NOT benched: H-family convention
     # (same as h9 — the batch twin ts2 carries the bench cost)
     # round 10 additions (promote to EXTRAS next round)

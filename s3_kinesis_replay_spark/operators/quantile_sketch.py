@@ -61,20 +61,22 @@ def _merge_estimate(
     return out
 
 
-def sketch_quantiles(
+def quantile_partials(
     df: DataFrame,
     group_col: str,
     value_col: str,
     shard_col: Column,
-    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
     m: int = 128,
 ) -> DataFrame:
-    """(group, est_p{q}...) per-group quantile estimates from mergeable
-    per-(group, shard) summaries. ``shard_col`` must be a deterministic
-    expression over the row (e.g. ``pmod(xxhash64(key), n_shards)``) so
-    results do not depend on physical partitioning. Rank error bound:
-    N/(2m) per group."""
-    est_cols = [f"est_p{int(round(q * 100))}" for q in qs]
+    """(g, n, vals, wts) — the mergeable per-(group, shard) equi-rank
+    summaries, exposed as a standalone phase (r11) so a streaming
+    pipeline can persist each micro-batch's summaries as artifacts and
+    merge at drain (d7c), exactly as the batch path composes them.
+    ``shard_col`` must be a deterministic expression over the row so the
+    sketch is reproducible regardless of physical partitioning; in the
+    streaming form the micro-batch is an additional implicit shard,
+    which changes NOTHING about the bound (Σ n_i/(2m) over whatever the
+    split is)."""
     # group column keeps its own type through both phases (review r8:
     # a hardcoded string schema broke int/bigint group keys)
     gtype = df.schema[group_col].dataType.simpleString()
@@ -95,9 +97,22 @@ def sketch_quantiles(
             }
         )
 
-    partials = sharded.groupBy("g", "_shard").applyInPandas(
+    return sharded.groupBy("g", "_shard").applyInPandas(
         partial, f"g {gtype}, n long, vals array<double>, wts array<double>"
     )
+
+
+def quantile_merge(
+    partials: DataFrame,
+    group_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """(group, est_p{q}...) — weighted cumulative-rank walk over
+    concatenated summaries. Weights are exact, so merging adds NO error;
+    works identically over live partials and re-read parquet artifacts
+    (the d7c streaming path)."""
+    est_cols = [f"est_p{int(round(q * 100))}" for q in qs]
+    gtype = partials.schema["g"].dataType.simpleString()
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         vals = np.concatenate([np.asarray(x) for x in pdf["vals"]])
@@ -114,3 +129,23 @@ def sketch_quantiles(
         merge, f"g {gtype}, " + ", ".join(f"{c} double" for c in est_cols)
     )
     return merged.withColumnRenamed("g", group_col)
+
+
+def sketch_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    shard_col: Column,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    m: int = 128,
+) -> DataFrame:
+    """(group, est_p{q}...) per-group quantile estimates from mergeable
+    per-(group, shard) summaries — the single-pass composition of
+    ``quantile_partials`` + ``quantile_merge`` (one body each since r11;
+    the streaming entry d7c runs the same two phases with a parquet
+    artifact store between them). Rank error bound: N/(2m) per group."""
+    return quantile_merge(
+        quantile_partials(df, group_col, value_col, shard_col, m=m),
+        group_col,
+        qs=qs,
+    )

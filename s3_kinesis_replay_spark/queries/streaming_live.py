@@ -1057,6 +1057,145 @@ def d16b_streaming_countmin(spark, sf_dir):
     )
 
 
+_SQSK_ORACLE_PTR = "/tmp/skr_sqsk_oracle/current"
+
+
+@register(
+    "d7c_streaming_quantile_merge",
+    "D7",
+    f"""
+    WITH est AS (SELECT event_type, est_p25, est_p50, est_p75
+                 FROM read_parquet('{_SQSK_ORACLE_PTR}/est/*.parquet')),
+    exact AS (SELECT event_type,
+                     ROUND(quantile_cont(value, 0.25), 6) AS p25_exact,
+                     ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+                     ROUND(quantile_cont(value, 0.75), 6) AS p75_exact,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT x.event_type, e.est_p25, e.est_p50, e.est_p75,
+           x.p25_exact, x.p50_exact, x.p75_exact, x.n,
+           TRUE AS in_bounds
+    FROM exact x JOIN est e ON e.event_type = x.event_type
+    ORDER BY x.event_type
+    """,
+    check="SEM",
+    note="STREAMING quantiles — the LAST member of the sketch quartet's "
+    "streaming tier (d4c HLL, d8d MG, d16b CM, now d7b's equi-rank "
+    "quantile summaries): each paced micro-batch of the event archive "
+    "writes its per-(event_type, shard) weighted summary points "
+    "(operators/quantile_sketch.py::quantile_partials — m points per "
+    "shard whatever the batch size) as a parquet artifact; the "
+    "drain-end quantile_merge walks the concatenated weighted points "
+    "WITHOUT rescanning any event. The micro-batch acts as one more "
+    "implicit shard, which the bound absorbs unchanged (rank error <= "
+    "Σ n_i/(2m) = N/(2m) for ANY split — the property that makes "
+    "per-day summary artifacts roll up to corpus quantiles at 100 TB). "
+    "Oracle (d7b pattern): merged estimates export behind the pointer, "
+    "DuckDB recomputes exact quantile_cont per event_type, Spark "
+    "computes in_bounds = every estimate inside the exact (q-2%, "
+    "q+2%) rank window (5x slack on the declared 0.4%) while the "
+    "oracle hard-codes TRUE.",
+)
+def d7c_streaming_quantile_merge(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.operators.quantile_sketch import (
+        quantile_merge,
+        quantile_partials,
+    )
+    from s3_kinesis_replay_spark.operators.similarity import (
+        export_behind_pointer,
+    )
+
+    M = 128
+    root = stage_archive(sf_dir, gz=True)
+    per_trigger = _pace_per_trigger(root)
+    art_root = tempfile.mkdtemp(prefix="skr_sqsk_run_")
+
+    def sink(batch_df, batch_id: int):
+        (
+            quantile_partials(
+                batch_df.filter(F.col("value").isNotNull()),
+                group_col="event_type",
+                value_col="value",
+                shard_col=F.pmod(F.xxhash64("event_id"), F.lit(4)),
+                m=M,
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(art_root, f"batch-{batch_id}"))
+        )
+
+    q = (
+        stream_archive(spark, root, max_files_per_trigger=per_trigger)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="skr_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(q)
+
+    est = quantile_merge(
+        spark.read.parquet(os.path.join(art_root, "batch-*")),
+        "event_type",
+        qs=(0.25, 0.5, 0.75),
+    ).localCheckpoint(eager=True)
+
+    # exact + rank windows, ONE percentile aggregate for all 9 fractions
+    # (the d7b discipline — 9 separate aggs re-walk the group each time)
+    fracs = [0.25, 0.5, 0.75, 0.23, 0.27, 0.48, 0.52, 0.73, 0.77]
+    ev = t(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    exact = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile(
+                "value", F.array(*[F.lit(x) for x in fracs])
+            ).alias("_ps"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("_ps")[0], 6).alias("p25_exact"),
+            F.round(F.col("_ps")[1], 6).alias("p50_exact"),
+            F.round(F.col("_ps")[2], 6).alias("p75_exact"),
+            F.col("_ps")[3].alias("_lo25"),
+            F.col("_ps")[4].alias("_hi25"),
+            F.col("_ps")[5].alias("_lo50"),
+            F.col("_ps")[6].alias("_hi50"),
+            F.col("_ps")[7].alias("_lo75"),
+            F.col("_ps")[8].alias("_hi75"),
+        )
+    )
+    in_bounds = (
+        F.col("est_p25").between(F.col("_lo25"), F.col("_hi25"))
+        & F.col("est_p50").between(F.col("_lo50"), F.col("_hi50"))
+        & F.col("est_p75").between(F.col("_lo75"), F.col("_hi75"))
+    )
+    out = (
+        exact.join(F.broadcast(est), "event_type")
+        .select(
+            "event_type",
+            "est_p25",
+            "est_p50",
+            "est_p75",
+            "p25_exact",
+            "p50_exact",
+            "p75_exact",
+            "n",
+            in_bounds.alias("in_bounds"),
+        )
+        .orderBy("event_type")
+    )
+    export_behind_pointer(
+        _SQSK_ORACLE_PTR,
+        lambda export: est.write.mode("overwrite").parquet(
+            os.path.join(export, "est")
+        ),
+    )
+    return out
+
+
 @register(
     "p19_lakehouse_maintenance",
     "A6",

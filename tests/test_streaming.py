@@ -825,3 +825,27 @@ def test_d16b_streaming_cm_identical_to_batch_sketch(spark, sf_dir):
             b["est_n"], b["exact_n"], b["n_total"],
         )
         assert s["in_bounds"] is True
+
+
+def test_d7c_streaming_quantiles_in_bounds(spark, sf_dir):
+    """d7c: drain-end merged quantiles sit inside the exact ±2% rank
+    window for every event_type (the N/(2m) bound at 5x slack holds for
+    ANY micro-batch split), and n matches the non-null source count."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.queries.streaming_live import (
+        d7c_streaming_quantile_merge,
+    )
+
+    rows = d7c_streaming_quantile_merge(spark, sf_dir).collect()
+    assert len(rows) > 0
+    ev = table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    n_by_type = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        assert r["in_bounds"] is True, r
+        assert r["n"] == n_by_type[r["event_type"]]
+        assert r["est_p25"] <= r["est_p50"] <= r["est_p75"]
