@@ -81,6 +81,7 @@ EXTRAS_ALWAYS: list[str] = [
     "c1e_stats_lifecycle",    # post-ingest ANALYZE lifecycle (CBO stats)
     "d16b_streaming_countmin",  # per-batch CM artifacts, counter-SUM merge
     "d7c_streaming_quantile_merge",  # per-batch equi-rank summaries, drain merge
+    "c1f_aqe_skew_join",      # runtime skew split (OptimizeSkewedJoin pinned)
     # h9b_streaming_ohlc_append is NOT benched: H-family convention
     # (same as h9 — the batch twin ts2 carries the bench cost)
     # round 10 additions (promote to EXTRAS next round)

@@ -58,3 +58,30 @@ def in_tol(est: Column, exact: Column, rel: float = 0.05) -> Column:
 
 def t(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     return table(spark, name, sf_dir)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def scoped_conf(spark: SparkSession, confs: dict[str, str]):
+    """Set session confs for the duration of the block, restoring prior
+    values (or unsetting keys that had none) after — the cbo_conf
+    discipline generalized (r11, for the AQE skew-join entry): entries
+    must never leak tuned thresholds into sibling queries' plans."""
+    prev: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

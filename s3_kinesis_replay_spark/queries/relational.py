@@ -822,6 +822,103 @@ def c1b_salted_join(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "o_orderpriority")
 
 
+# AQE tuning for c1f, module-level so the plan-pin test applies the SAME
+# scope: thresholds lowered to make fixture-scale skew visible to
+# OptimizeSkewedJoin (at production scale the DEFAULTS — 5x median and
+# 256 MB — are the right knee; only the scale changes, not the rule).
+AQE_SKEW_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    # the dim side would broadcast at fixture scale, removing the SMJ the
+    # rule rewrites — at 100 TB both sides genuinely exceed the threshold
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _c1f_plan(spark, sf_dir):
+    """The skewed-join DataFrame (shared by the entry and the plan-pin
+    test). 30% of lineitem rows are remapped onto the single smallest
+    orderkey — a deterministic hot key the oracle reproduces — and the
+    fact side is repartitioned so the shuffle has MULTIPLE map outputs:
+    AQE splits a skewed reduce partition at map-output granularity, so a
+    one-file scan (one mapper) is unsplittable no matter the skew — the
+    same reason a production job reading one giant unsplittable file
+    can't be rescued by AQE either."""
+    o = t(spark, "orders", sf_dir)
+    # bounded scalar: the hot key the oracle's scalar subquery recomputes
+    mk = o.agg(F.min("o_orderkey")).collect()[0][0]
+    li = (
+        t(spark, "lineitem", sf_dir)
+        .repartition(16)
+        .select(
+            F.when(F.col("l_orderkey") % 10 < 3, F.lit(mk))
+            .otherwise(F.col("l_orderkey"))
+            .alias("jk"),
+            "l_extendedprice",
+        )
+    )
+    return (
+        li.join(
+            o.select(F.col("o_orderkey").alias("jk"), "o_orderpriority"),
+            "jk",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fdec(F.sum(sdec("l_extendedprice"))).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "c1f_aqe_skew_join",
+    "C1",
+    f"""
+    WITH mk AS (SELECT MIN(o_orderkey) AS k FROM orders),
+    l AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN (SELECT k FROM mk)
+                      ELSE l_orderkey END AS jk,
+                 l_extendedprice
+          FROM lineitem)
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS {DEC})) AS DOUBLE), 6)
+             AS revenue
+    FROM l JOIN orders o ON o.o_orderkey = l.jk
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+    note="AQE RUNTIME SKEW-JOIN — the third member of the skew tier "
+    "(c1b salts by hand, d17 salts a distinct; this entry lets the "
+    "ENGINE re-plan): 30% of the fact rows are remapped onto one hot "
+    "orderkey, and with adaptive execution on, OptimizeSkewedJoin "
+    "splits the skewed reduce partition at map-output granularity at "
+    "RUNTIME — the executed plan carries SortMergeJoin(skew=true) and "
+    "an 'AQEShuffleRead coalesced and skewed' node, pinned in "
+    "tests/test_operators.py::test_c1f_aqe_skew_join_plan (results "
+    "invariant vs the same join with AQE off, also pinned). Thresholds "
+    "are scoped DOWN to make fixture-scale skew visible (8KB vs the "
+    "256MB default — the rule, not the scale, is under test) and "
+    "restored after. Mapper-count caveat discovered building this: a "
+    "single-file scan yields ONE map output, which AQE cannot split "
+    "regardless of skew — the repartition(16) models the many-mapper "
+    "shape a real 100 TB fact scan always has. When one KEY (not one "
+    "partition) dominates so hard that even split map ranges overload, "
+    "that is c1b's salting territory — AQE splits partitions, salts "
+    "split keys.",
+)
+def c1f_aqe_skew_join(spark, sf_dir):
+    from s3_kinesis_replay_spark.queries.helpers import scoped_conf
+
+    with scoped_conf(spark, AQE_SKEW_CONFS):
+        df = _c1f_plan(spark, sf_dir)
+        # force planning + execution inside the scope so the adaptive
+        # rewrite actually runs under the tuned thresholds
+        rows = df.localCheckpoint(eager=True)
+    return rows
+
+
 def _ensure_bucketed_table(spark, df, key: str, tname: str, write_fn=None) -> None:
     """Install the 8-bucket sorted copy of ``df`` ATOMICALLY (review r8:
     the previous direct mode('overwrite').saveAsTable to the shared

@@ -2872,3 +2872,28 @@ def test_a14_append_leaves_table_with_fresh_stats(spark, sf_dir):
     n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     size, rows = table_stats(spark, tname)
     assert rows == n and size is not None and size > 0
+
+
+def test_c1f_aqe_skew_join_plan(spark, sf_dir):
+    """c1f: under the scoped thresholds the ADAPTIVE plan actually
+    rewrites the skewed SMJ (SortMergeJoin(skew=true) + a skewed
+    AQEShuffleRead in the final plan), and the result is invariant vs
+    the identical join with AQE off."""
+    from s3_kinesis_replay_spark.queries.helpers import scoped_conf
+    from s3_kinesis_replay_spark.queries.relational import (
+        AQE_SKEW_CONFS,
+        _c1f_plan,
+    )
+
+    with scoped_conf(spark, AQE_SKEW_CONFS):
+        df = _c1f_plan(spark, sf_dir)
+        with_aqe = [tuple(r) for r in df.collect()]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+    assert "skewed" in plan
+    with scoped_conf(
+        spark,
+        {**AQE_SKEW_CONFS, "spark.sql.adaptive.enabled": "false"},
+    ):
+        without_aqe = [tuple(r) for r in _c1f_plan(spark, sf_dir).collect()]
+    assert with_aqe == without_aqe and len(with_aqe) > 0
