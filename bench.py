@@ -82,6 +82,7 @@ EXTRAS_ALWAYS: list[str] = [
     "d16b_streaming_countmin",  # per-batch CM artifacts, counter-SUM merge
     "d7c_streaming_quantile_merge",  # per-batch equi-rank summaries, drain merge
     "c1f_aqe_skew_join",      # runtime skew split (OptimizeSkewedJoin pinned)
+    "a15_time_travel",        # manifest-versioned table, 3 snapshots read AS OF
     # h9b_streaming_ohlc_append is NOT benched: H-family convention
     # (same as h9 — the batch twin ts2 carries the bench cost)
     # round 10 additions (promote to EXTRAS next round)

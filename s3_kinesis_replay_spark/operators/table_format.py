@@ -1,0 +1,167 @@
+"""Manifest-versioned parquet tables: time travel + vacuum (SURVEY §2.A8
+maintenance tier, r11).
+
+A deliberately minimal member of the Delta/Iceberg/Hudi family (public
+designs), built only on immutable parquet files + atomic manifest swaps:
+
+* ``data/``: immutable parquet files, written once, NEVER rewritten or
+  appended in place. Writers add files; only vacuum deletes them.
+* ``manifests/v{N}.json``: snapshot N = an explicit list of the data
+  files visible at version N, plus the operation that produced it.
+  Written to a temp name and ``os.replace``d — readers see an old
+  complete manifest or a new complete manifest, never a partial one.
+* ``_latest``: one-line pointer to the newest version, same atomic-swap
+  discipline (the export_behind_pointer convention).
+
+Why this shape survives 100 TB: a snapshot is O(#files) metadata, not
+O(data); appends commit without touching history (the a13/a14 lesson);
+time travel is "read the old file list" — no copy-on-write of data; and
+vacuum's reachability set is the union of kept manifests' file lists, so
+retention is a metadata diff plus deletes of provably-unreferenced
+files. What it deliberately omits vs the real formats: column-level
+stats in manifests (parquet footers already carry them — see
+layout.py's candidate_files), optimistic-concurrency commit protocol
+(single-writer here), and deletion vectors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "manifests")
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_manifest_dir(root), f"v{version}.json")
+
+
+def latest_version(root: str) -> int:
+    """Newest committed version via the _latest pointer (0 = empty)."""
+    ptr = os.path.join(root, "_latest")
+    if not os.path.exists(ptr):
+        return 0
+    with open(ptr) as f:
+        return int(f.read().strip())
+
+
+def versions(root: str) -> list[int]:
+    """All retained versions, ascending (gaps appear after vacuum)."""
+    d = _manifest_dir(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(root: str, version: int) -> dict:
+    path = _manifest_path(root, version)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"snapshot v{version} not found under {root} "
+            f"(retained: {versions(root)}) — vacuumed or never committed"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
+def _commit(root: str, files: list[str], op: str) -> int:
+    """Atomically commit a new manifest over ``files`` (relative paths).
+    Single-writer discipline: version = latest + 1."""
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    v = latest_version(root) + 1
+    manifest = {"version": v, "operation": op, "files": sorted(files)}
+    tmp = _manifest_path(root, v) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(root, v))
+    ptr_tmp = os.path.join(root, f"_latest.tmp-{uuid.uuid4().hex[:8]}")
+    with open(ptr_tmp, "w") as f:
+        f.write(str(v))
+    os.replace(ptr_tmp, os.path.join(root, "_latest"))
+    return v
+
+
+def snapshot_write(
+    spark: SparkSession, df: DataFrame, root: str, mode: str = "append"
+) -> int:
+    """Write ``df`` as new immutable data files and commit a snapshot.
+    ``mode='append'``: new version = prior file list + the new files
+    (history untouched — the a14 discipline). ``mode='overwrite'``: new
+    version lists ONLY the new files; the old files stay on disk,
+    reachable through older manifests until vacuum. Returns the
+    committed version number."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    part = f"part-{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(root, "data", part)
+    df.write.mode("error").parquet(out_dir)
+    new_files = [
+        os.path.join("data", part, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    ]
+    prior: list[str] = []
+    if mode == "append" and latest_version(root) > 0:
+        prior = _read_manifest(root, latest_version(root))["files"]
+    return _commit(root, prior + new_files, mode)
+
+
+def snapshot_read(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read the table AS OF ``version`` (default: latest) — time travel
+    is nothing but reading an older manifest's file list. Raises
+    FileNotFoundError for a vacuumed/unknown version."""
+    v = latest_version(root) if version is None else version
+    m = _read_manifest(root, v)
+    if not m["files"]:
+        raise ValueError(f"snapshot v{v} is empty")
+    return spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+
+
+def snapshot_vacuum(root: str, keep_last: int = 2) -> dict:
+    """Retention: drop all but the newest ``keep_last`` manifests, then
+    delete every data file not referenced by a RETAINED manifest (the
+    reachability rule that makes Delta-style VACUUM safe). Returns
+    {'dropped_versions': [...], 'deleted_files': n, 'kept_files': n}."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = versions(root)
+    keep, drop = vs[-keep_last:], vs[:-keep_last]
+    reachable: set[str] = set()
+    for v in keep:
+        reachable.update(_read_manifest(root, v)["files"])
+    deleted = 0
+    data_root = os.path.join(root, "data")
+    for dirpath, _dirs, files in os.walk(data_root, topdown=False):
+        for f in files:
+            rel = os.path.relpath(os.path.join(dirpath, f), root)
+            if f.endswith(".parquet") and rel not in reachable:
+                os.remove(os.path.join(dirpath, f))
+                deleted += 1
+        # reap directories emptied by the deletes (and Spark _SUCCESS
+        # markers of fully-unreferenced parts)
+        remaining = os.listdir(dirpath)
+        if remaining == ["_SUCCESS"] and not any(
+            r.startswith(os.path.relpath(dirpath, root)) for r in reachable
+        ):
+            os.remove(os.path.join(dirpath, "_SUCCESS"))
+            remaining = []
+        if not remaining and dirpath != data_root:
+            os.rmdir(dirpath)
+    for v in drop:
+        os.remove(_manifest_path(root, v))
+    return {
+        "dropped_versions": drop,
+        "deleted_files": deleted,
+        "kept_files": len(reachable),
+    }

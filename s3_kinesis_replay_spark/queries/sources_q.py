@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from s3_kinesis_replay_spark.registry import register
-from s3_kinesis_replay_spark.queries.helpers import t
+from s3_kinesis_replay_spark.queries.helpers import DEC, t
 from s3_kinesis_replay_spark.sources.archive import (
     DEFAULT_CHUNK_ROWS,
     read_archive,
@@ -652,3 +652,100 @@ def a14_bucketed_append(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+def _time_travel_table(spark, sf_dir: str) -> str:
+    """Install (once, fingerprint-cached, atomic) a 3-version
+    manifest-table over events: v1 = initial load (event_id < 5000),
+    v2 = append of the rest, v3 = overwrite keeping only purchases —
+    the create/ingest/rewrite lifecycle every versioned table lives."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_write,
+    )
+
+    fp = data_fingerprint(os.path.join(sf_dir, "events.parquet"))[:10]
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def build(tmp: str) -> None:
+        snapshot_write(
+            spark, ev.filter(F.col("event_id") < 5000), tmp, mode="overwrite"
+        )
+        snapshot_write(
+            spark, ev.filter(F.col("event_id") >= 5000), tmp, mode="append"
+        )
+        snapshot_write(
+            spark,
+            ev.filter(F.col("event_type") == "purchase"),
+            tmp,
+            mode="overwrite",
+        )
+
+    return atomic_cached_build(
+        "/tmp/skr_timetravel", f"{fp}-v3", build, "_latest"
+    )
+
+
+@register(
+    "a15_time_travel",
+    "A8",
+    f"""
+    SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS operation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value
+    FROM events WHERE event_id < 5000
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'append', CAST(COUNT(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6)
+    FROM events
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'overwrite', CAST(COUNT(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6)
+    FROM events WHERE event_type = 'purchase'
+    ORDER BY version
+    """,
+    note="TIME TRAVEL over a manifest-versioned parquet table "
+    "(operators/table_format.py — the minimal Delta/Iceberg-family "
+    "member: immutable data files + atomic manifest swaps; public "
+    "designs). The installed table carries three snapshots (initial "
+    "load / append / compaction-style overwrite) and the entry reads "
+    "ALL THREE 'AS OF' their versions from ONE physical table — the "
+    "append never rewrote v1's files (a14 discipline) and the "
+    "overwrite never deleted them (only vacuum does, tested "
+    "separately with the reachability rule). The oracle recomputes "
+    "each version's aggregate from the source filters, so a manifest "
+    "that lists wrong files, an append that drops history, or a "
+    "version pointer off by one hash-mismatches. At 100 TB: a "
+    "snapshot is O(#files) metadata — time travel costs one manifest "
+    "read, reproducible-training-run pinning costs one version "
+    "number, and retention is a metadata diff (snapshot_vacuum).",
+)
+def a15_time_travel(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_read,
+        versions,
+    )
+    from s3_kinesis_replay_spark.queries.helpers import fdec, sdec
+
+    root = _time_travel_table(spark, sf_dir)
+    ops = {1: "overwrite", 2: "append", 3: "overwrite"}
+    out = None
+    for v in versions(root):
+        agg = snapshot_read(spark, root, version=v).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            fdec(F.sum(sdec("value"))).alias("sum_value"),
+        ).select(
+            F.lit(v).cast("bigint").alias("version"),
+            F.lit(ops[v]).alias("operation"),
+            "n_rows",
+            "sum_value",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("version")

@@ -2897,3 +2897,69 @@ def test_c1f_aqe_skew_join_plan(spark, sf_dir):
     ):
         without_aqe = [tuple(r) for r in _c1f_plan(spark, sf_dir).collect()]
     assert with_aqe == without_aqe and len(with_aqe) > 0
+
+
+def test_table_format_time_travel_and_vacuum(spark, sf_dir, tmp_path):
+    """Manifest-table lifecycle: append preserves history byte-untouched,
+    overwrite hides but does not delete, every version reads its own
+    content, and vacuum deletes exactly the unreachable files while
+    kept versions stay readable and vacuumed versions raise."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators.table_format import (
+        latest_version,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write,
+        versions,
+    )
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id", "value")
+    a = ev.filter(F.col("event_id") % 3 == 0)
+    b = ev.filter(F.col("event_id") % 3 == 1)
+    c = ev.filter(F.col("event_id") % 3 == 2)
+
+    assert snapshot_write(spark, a, root, mode="overwrite") == 1
+    v1_files = sorted(glob.glob(f"{root}/data/*/*.parquet"))
+    v1_mtimes = {f: os.path.getmtime(f) for f in v1_files}
+    assert snapshot_write(spark, b, root, mode="append") == 2
+    assert snapshot_write(spark, c, root, mode="overwrite") == 3
+    assert versions(root) == [1, 2, 3] and latest_version(root) == 3
+
+    na, nb, nc = a.count(), b.count(), c.count()
+    assert snapshot_read(spark, root, 1).count() == na
+    assert snapshot_read(spark, root, 2).count() == na + nb
+    assert snapshot_read(spark, root).count() == nc  # latest = v3
+    # append/overwrite never rewrote v1's files (mtime-pinned)
+    assert {f: os.path.getmtime(f) for f in v1_files} == v1_mtimes
+
+    rep = snapshot_vacuum(root, keep_last=2)
+    assert rep["dropped_versions"] == [1]
+    # v2 references v1's files (append) -> nothing deletable yet
+    assert rep["deleted_files"] == 0
+    assert snapshot_read(spark, root, 2).count() == na + nb
+
+    rep = snapshot_vacuum(root, keep_last=1)
+    assert rep["dropped_versions"] == [2]
+    assert rep["deleted_files"] > 0  # v1+v2 parts now unreachable
+    assert snapshot_read(spark, root, 3).count() == nc
+    with _pytest.raises(FileNotFoundError):
+        snapshot_read(spark, root, 2)
+    # every remaining data file is referenced by the kept manifest
+    left = {
+        os.path.relpath(f, root)
+        for f in glob.glob(f"{root}/data/*/*.parquet")
+    }
+    import json as _json
+
+    kept = set(
+        _json.load(open(f"{root}/manifests/v3.json"))["files"]
+    )
+    assert left == kept
