@@ -2568,3 +2568,236 @@ def i20b_ann_recall_gate(spark, sf_dir):
             "queries — quantizer or probe regression"
         )
     return summary
+
+
+_LSH_CAL_PTR = "/tmp/skr_lshcal_oracle/current"
+
+# Declared recall floor for banded MinHash-LSH candidate generation at
+# the i3 production parameters (32 hashes, 16 bands, r=2): pairs at
+# Jaccard >= 0.8 must be caught at >= 0.95 (theory: 1-(1-s^2)^16 >
+# 0.9999999 at s=0.8 — the floor leaves room for nothing but a real
+# banding/hashing regression). The i21 entry RAISES below it (i20b
+# discipline applied to the dedup tier).
+LSH_RECALL_FLOOR = 0.95
+
+_LSH_CAL_FRACS = (0.3, 0.5, 0.7, 0.9)
+
+
+def _duck_lsh_corpus() -> str:
+    """DuckDB twin of the calibration corpus: each sampled doc plus its
+    prefix-truncated variants (known, graded shingle overlap)."""
+    parts = [
+        "SELECT doc_id, 0 AS j, array_to_string(toks, ' ') AS text FROM d"
+    ]
+    for j, f in enumerate(_LSH_CAL_FRACS, 1):
+        parts.append(
+            f"SELECT doc_id, {j}, array_to_string(list_slice(toks, 1, "
+            f"GREATEST(3, CAST(FLOOR(len(toks) * {f}) AS INT))), ' ') FROM d"
+        )
+    return "\n      UNION ALL ".join(parts)
+
+
+@register(
+    "i21_lsh_calibration",
+    "I3",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id % 20 = 0 AND text IS NOT NULL
+        AND len(string_split(text, ' ')) >= 10
+    ),
+    corpus AS (
+      {_duck_lsh_corpus()}
+    ),
+    sh AS (SELECT doc_id, j, {_DUCK_SHINGLES} AS ss FROM corpus),
+    pairs AS (
+      SELECT o.doc_id, v.j,
+             CAST(len(list_intersect(o.ss, v.ss)) AS DOUBLE)
+               / len(list_distinct(list_concat(o.ss, v.ss))) AS jacc
+      FROM sh o JOIN sh v ON v.doc_id = o.doc_id AND v.j > 0
+      WHERE o.j = 0
+    ),
+    caught AS (
+      SELECT vid FROM read_parquet('{_LSH_CAL_PTR}/caught/*.parquet')
+    ),
+    flagged AS (
+      SELECT p.jacc, (c.vid IS NOT NULL) AS is_caught
+      FROM pairs p LEFT JOIN caught c ON c.vid = p.doc_id * 8 + p.j
+    )
+    SELECT CAST(LEAST(9, CAST(FLOOR(jacc * 10) AS BIGINT)) AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN is_caught THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_caught,
+           ROUND(AVG(jacc), 6) AS mean_jacc,
+           ROUND(CAST(SUM(CASE WHEN is_caught THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS observed_rate,
+           ROUND(AVG(1 - POWER(1 - POWER(jacc, 2), 16)), 6)
+             AS expected_rate
+    FROM flagged
+    GROUP BY 1 ORDER BY bucket
+    """,
+    check="TOL",
+    tol=1e-6,
+    note="LSH CALIBRATION HARNESS + RECALL GATE — i20/i20b's discipline "
+    "applied to the dedup tier (the fixture's similarity distribution "
+    "is bimodal, so the production i3 entries can never observe the "
+    "banding S-curve; this entry CONSTRUCTS graded-similarity pairs): "
+    "each sampled doc gets prefix-truncated variants at 30/50/70/90% "
+    "of its tokens (shingle-set overlap ~ the kept fraction — known, "
+    "deterministic, reproducible in SQL), the whole variant corpus "
+    "runs through the PRODUCTION signature+banding path "
+    "(operators/dedup.py, 32 hashes, 16 bands, r=2), and each "
+    "(original, variant) pair is scored caught/not by shared band. "
+    "Output: per-similarity-decile observed candidate rate vs the "
+    "theoretical S-curve 1-(1-s^r)^b evaluated per pair — the curve "
+    "every banding parameter choice is calibrated against (Broder; "
+    "Leskovec et al. MMDS ch.3). ENGINE-SIDE GATE: recall over pairs "
+    "with exact Jaccard >= 0.8 must clear 0.95 or the entry raises "
+    "(driver err, not a quietly different hash). The oracle recomputes "
+    "exact Jaccard from STRING shingles (engine uses xxhash64 sets — "
+    "collision probability < 1e-8 corpus-wide) and re-derives every "
+    "rate from the exported caught set, so a flattering engine-side "
+    "recall computation hash-mismatches. At 100 TB this runs on a "
+    "1-in-N doc sample as the banding-parameter canary next to the "
+    "ANN recall canary (i20b).",
+)
+def i21_lsh_calibration(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signatures,
+    )
+    from s3_kinesis_replay_spark.operators.similarity import (
+        export_behind_pointer,
+    )
+
+    H, B = 32, 16  # the i3 production parameters; r = H/B = 2
+    d = (
+        t(spark, "documents", sf_dir)
+        .filter((F.col("doc_id") % 20 == 0) & F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 10)
+    )
+    parts = [
+        d.select(
+            (F.col("doc_id") * 8).alias("vid"),
+            F.array_join("toks", " ").alias("text"),
+        )
+    ]
+    for j, f in enumerate(_LSH_CAL_FRACS, 1):
+        keep = F.greatest(
+            F.lit(3), F.floor(F.size("toks") * F.lit(f)).cast("int")
+        )
+        parts.append(
+            d.select(
+                (F.col("doc_id") * 8 + j).alias("vid"),
+                F.array_join(F.slice("toks", 1, keep), " ").alias("text"),
+            )
+        )
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+
+    sigs = minhash_signatures(
+        corpus,
+        id_col="vid",
+        text_col="text",
+        k=3,
+        num_hashes=H,
+        keep_shingle_hashes=True,
+    ).localCheckpoint(eager=True)
+    banded = banded_signatures(sigs, H, B, id_col="vid")
+
+    orig_b = banded.filter(F.col("vid") % 8 == 0).select(
+        (F.col("vid") / 8).cast("long").alias("doc_id"),
+        "band_id",
+        "band_sig",
+    )
+    var_b = banded.filter(F.col("vid") % 8 != 0).select(
+        F.col("vid").alias("vvid"),
+        (F.col("vid") / 8).cast("long").alias("doc_id"),
+        "band_id",
+        "band_sig",
+    )
+    caught = (
+        var_b.join(orig_b, ["doc_id", "band_id", "band_sig"])
+        .select(F.col("vvid").alias("vid"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    export_behind_pointer(
+        _LSH_CAL_PTR,
+        lambda export: caught.write.mode("overwrite").parquet(
+            os.path.join(export, "caught")
+        ),
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    pairs = (
+        sigs.filter(F.col("vid") % 8 == 0)
+        .select(
+            (F.col("vid") / 8).cast("long").alias("doc_id"),
+            F.col("sh_set").alias("sh_a"),
+        )
+        .join(
+            sigs.filter(F.col("vid") % 8 != 0).select(
+                (F.col("vid") / 8).cast("long").alias("doc_id"),
+                F.col("vid").alias("vvid"),
+                F.col("sh_set").alias("sh_b"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "vvid",
+            (
+                inter
+                / (F.size("sh_a") + F.size("sh_b") - inter)
+            ).alias("jacc"),
+        )
+        .join(
+            caught.select(F.col("vid").alias("vvid"), F.lit(True).alias("c")),
+            "vvid",
+            "left",
+        )
+        .select("jacc", F.coalesce(F.col("c"), F.lit(False)).alias("is_caught"))
+    )
+    report = (
+        pairs.groupBy(
+            F.least(F.lit(9), F.floor(F.col("jacc") * 10))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("is_caught").cast("long")).alias("n_caught"),
+            F.round(F.avg("jacc"), 6).alias("mean_jacc"),
+            F.round(
+                F.sum(F.col("is_caught").cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("observed_rate"),
+            F.round(
+                F.avg(
+                    1 - F.pow(1 - F.pow(F.col("jacc"), F.lit(2)), F.lit(16))
+                ),
+                6,
+            ).alias("expected_rate"),
+        )
+        .orderBy("bucket")
+        .localCheckpoint(eager=True)
+    )
+    # ENGINE-SIDE GATE over the raw pairs (not the buckets): recall at
+    # the dedup threshold — integer comparison, i20b discipline
+    hi = pairs.filter(F.col("jacc") >= 0.8).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_caught").cast("long")).alias("c"),
+    ).collect()[0]  # bounded: one row
+    if hi["n"] > 0 and hi["c"] * 100 < hi["n"] * 95:
+        raise RuntimeError(
+            f"LSH recall gate FAILED: {hi['c']}/{hi['n']} pairs at "
+            f"jacc>=0.8 caught (< {LSH_RECALL_FLOOR}) — banding or "
+            "hashing regression"
+        )
+    return report

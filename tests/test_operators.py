@@ -2963,3 +2963,50 @@ def test_table_format_time_travel_and_vacuum(spark, sf_dir, tmp_path):
         _json.load(open(f"{root}/manifests/v3.json"))["files"]
     )
     assert left == kept
+
+
+def test_i21_lsh_calibration_curve_and_gate(spark, sf_dir):
+    """i21: the observed candidate rate tracks the theoretical banding
+    S-curve per similarity decile, full recall at the dedup threshold,
+    and the gate passes on the healthy path."""
+    from s3_kinesis_replay_spark.queries.llm_ops import i21_lsh_calibration
+
+    rows = i21_lsh_calibration(spark, sf_dir).collect()
+    assert len(rows) >= 3
+    by_bucket = {r["bucket"]: r for r in rows}
+    for r in rows:
+        assert 0 <= r["n_caught"] <= r["n_pairs"]
+        if r["n_pairs"] >= 20:
+            # binomial noise at n=25 stays well inside 0.2 of the mean
+            assert abs(r["observed_rate"] - r["expected_rate"]) < 0.2, r
+    top = by_bucket[max(by_bucket)]
+    assert top["mean_jacc"] >= 0.8 and top["observed_rate"] == 1.0
+    # monotone trend across the populated low->high buckets
+    ordered = [r for r in rows if r["n_pairs"] >= 20]
+    assert all(
+        a["observed_rate"] <= b["observed_rate"] + 0.1
+        for a, b in zip(ordered, ordered[1:])
+    )
+
+
+def test_i21_lsh_gate_raises_on_banding_regression(spark, sf_dir, monkeypatch):
+    """Degrade banding so no pair shares a band (each variant's band_sig
+    salted by its own id): every high-sim pair goes uncaught and the
+    recall gate must raise."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.operators import dedup as dedup_mod
+    from s3_kinesis_replay_spark.queries import llm_ops
+    from pyspark.sql import functions as F
+
+    real = dedup_mod.banded_signatures
+
+    def broken(sigs, num_hash_tables=32, bands=16, id_col="doc_id"):
+        out = real(sigs, num_hash_tables, bands, id_col)
+        return out.withColumn(
+            "band_sig", F.xxhash64(F.col("band_sig"), F.col(id_col))
+        )
+
+    monkeypatch.setattr(dedup_mod, "banded_signatures", broken)
+    with _pytest.raises(RuntimeError, match="LSH recall gate FAILED"):
+        llm_ops.i21_lsh_calibration(spark, sf_dir)
