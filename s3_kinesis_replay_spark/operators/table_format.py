@@ -165,3 +165,34 @@ def snapshot_vacuum(root: str, keep_last: int = 2) -> dict:
         "deleted_files": deleted,
         "kept_files": len(reachable),
     }
+
+
+def snapshot_changes(
+    spark: SparkSession, root: str, from_version: int, to_version: int
+) -> DataFrame:
+    """FILE-LEVEL change-data capture between two snapshots: the rows
+    added between ``from_version`` and ``to_version``, read from ONLY
+    the manifest file-list diff — for append commits this is exact
+    row-level CDC with ZERO data diffing (the new files ARE the new
+    rows; Delta's CDF for append-only workloads works the same way).
+    Refuses non-append histories: after an overwrite, a file diff is a
+    layout diff, not a row diff — that case needs c2d's snapshot-diff
+    (key-level compare), and silently returning it as 'changes' would
+    be wrong-answer territory."""
+    if to_version <= from_version:
+        raise ValueError("to_version must be > from_version")
+    frm = set(_read_manifest(root, from_version)["files"])
+    for v in range(from_version + 1, to_version + 1):
+        m = _read_manifest(root, v)
+        if m["operation"] != "append":
+            raise ValueError(
+                f"v{v} is '{m['operation']}', not append — file-diff CDC "
+                "is only row-exact over append-only history; use a "
+                "key-level snapshot diff instead"
+            )
+    added = sorted(set(_read_manifest(root, to_version)["files"]) - frm)
+    if not added:
+        raise ValueError(
+            f"no files added between v{from_version} and v{to_version}"
+        )
+    return spark.read.parquet(*[os.path.join(root, f) for f in added])

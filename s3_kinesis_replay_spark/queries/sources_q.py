@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from s3_kinesis_replay_spark.registry import register
-from s3_kinesis_replay_spark.queries.helpers import DEC, t
+from s3_kinesis_replay_spark.queries.helpers import DEC, fdec, sdec, t
 from s3_kinesis_replay_spark.sources.archive import (
     DEFAULT_CHUNK_ROWS,
     read_archive,
@@ -749,3 +749,46 @@ def a15_time_travel(spark, sf_dir):
         )
         out = agg if out is None else out.unionByName(agg)
     return out.orderBy("version")
+
+
+@register(
+    "a15b_snapshot_changes",
+    "A8",
+    f"""
+    SELECT 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value
+    FROM events WHERE event_id >= 5000
+    """,
+    note="FILE-LEVEL CDC over the a15 manifest table: 'what changed "
+    "between v1 and v2' is answered from the MANIFEST DIFF alone — the "
+    "v2 append committed new files without touching v1's, so reading "
+    "exactly (files(v2) − files(v1)) IS the inserted-rows relation, "
+    "zero data diffing, zero history scan (Delta CDF's append-only "
+    "fast path; c2d's key-level snapshot diff covers the "
+    "updates/deletes case this operator REFUSES — asserted in tests: "
+    "crossing an overwrite version raises instead of mislabeling a "
+    "layout diff as a row diff). The scan-only-new-files property is "
+    "pinned via inputFiles() ⊂ manifest diff in the test. At 100 TB "
+    "this is how an incremental consumer (p18's daily batch, an index "
+    "append, a downstream aggregate refresh) discovers its day's work "
+    "in O(metadata), not O(table).",
+)
+def a15b_snapshot_changes(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_changes,
+    )
+
+    root = _time_travel_table(spark, sf_dir)
+    changes = snapshot_changes(spark, root, from_version=1, to_version=2)
+    return changes.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        fdec(F.sum(sdec("value"))).alias("sum_value"),
+    ).select(
+        F.lit("insert").alias("change_type"),
+        "n_rows",
+        "n_users",
+        "sum_value",
+    )

@@ -3010,3 +3010,104 @@ def test_i21_lsh_gate_raises_on_banding_regression(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(dedup_mod, "banded_signatures", broken)
     with _pytest.raises(RuntimeError, match="LSH recall gate FAILED"):
         llm_ops.i21_lsh_calibration(spark, sf_dir)
+
+
+def test_a15b_cdc_reads_only_new_files_and_refuses_overwrites(spark, sf_dir):
+    """File-level CDC: the changes scan opens ONLY the manifest-diff
+    files (inputFiles ⊂ files(v2)−files(v1)), and crossing an overwrite
+    version raises instead of mislabeling a layout diff as a row diff."""
+    import os
+
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.operators.table_format import (
+        _read_manifest,
+        snapshot_changes,
+    )
+    from s3_kinesis_replay_spark.queries.sources_q import _time_travel_table
+
+    root = _time_travel_table(spark, sf_dir)
+    diff = set(_read_manifest(root, 2)["files"]) - set(
+        _read_manifest(root, 1)["files"]
+    )
+    changes = snapshot_changes(spark, root, 1, 2)
+    opened = {
+        os.path.relpath(f.replace("file:", ""), root)
+        for f in changes.inputFiles()
+    }
+    assert opened and opened <= diff
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert changes.count() == n - 5000 if n >= 5000 else changes.count() > 0
+    # v3 is an overwrite -> file diff is NOT row-level CDC
+    with _pytest.raises(ValueError, match="not append"):
+        snapshot_changes(spark, root, 2, 3)
+    with _pytest.raises(ValueError):
+        snapshot_changes(spark, root, 2, 2)
+
+
+def test_partition_scoped_analyze_per_ingest(spark, sf_dir, tmp_path):
+    """The ANALYZE ... PARTITION path claimed by catalog.py's 100 TB
+    note, exercised: a partitioned external table gets per-partition
+    stats for ONE day (an ingest batch paying only for its own
+    partition), the partition's costed row count is exact, and a day
+    analyzed later does not disturb the first."""
+    import re
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+
+    ev = (
+        table(spark, "events", sf_dir)
+        .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .select("event_id", "value", "dt")
+    )
+    loc = str(tmp_path / "ptbl")
+    ev.write.partitionBy("dt").parquet(loc)
+    tname = f"skr_ptest_{uuid.uuid4().hex[:8]}"
+    try:
+        spark.sql(
+            f"CREATE TABLE {tname} (event_id bigint, value double, dt string)"
+            f" USING parquet PARTITIONED BY (dt) LOCATION '{loc}'"
+        )
+        spark.sql(f"MSCK REPAIR TABLE {tname}")
+        days = sorted(
+            r["partition"].split("=")[1]
+            for r in spark.sql(f"SHOW PARTITIONS {tname}").collect()
+        )
+        assert len(days) >= 2
+
+        def part_rows(d):
+            desc = spark.sql(
+                f"DESC EXTENDED {tname} PARTITION (dt='{d}')"
+            ).collect()
+            st = next(
+                (
+                    r["data_type"]
+                    for r in desc
+                    if r["col_name"] == "Partition Statistics"
+                ),
+                None,
+            )
+            if st is None:
+                return None
+            m = re.search(r"(\d+) rows", st)
+            return int(m.group(1)) if m else None
+
+        assert part_rows(days[0]) is None  # nothing analyzed yet
+        spark.sql(
+            f"ANALYZE TABLE {tname} PARTITION (dt='{days[0]}') "
+            "COMPUTE STATISTICS"
+        )
+        exact0 = ev.filter(F.col("dt") == days[0]).count()
+        assert part_rows(days[0]) == exact0
+        assert part_rows(days[1]) is None  # untouched partitions stay so
+        spark.sql(
+            f"ANALYZE TABLE {tname} PARTITION (dt='{days[1]}') "
+            "COMPUTE STATISTICS"
+        )
+        assert part_rows(days[0]) == exact0  # day-2 ingest didn't disturb
+        assert part_rows(days[1]) == ev.filter(F.col("dt") == days[1]).count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
