@@ -85,6 +85,7 @@ EXTRAS_ALWAYS: list[str] = [
     "a15_time_travel",        # manifest-versioned table, 3 snapshots read AS OF
     "i21_lsh_calibration",    # LSH banding S-curve measurement + recall gate
     "a15b_snapshot_changes",  # manifest-diff CDC (reads only new files)
+    "p22_incremental_aggregate",  # stored base + CDC delta merge (IVM)
     # h9b_streaming_ohlc_append is NOT benched: H-family convention
     # (same as h9 — the batch twin ts2 carries the bench cost)
     # round 10 additions (promote to EXTRAS next round)

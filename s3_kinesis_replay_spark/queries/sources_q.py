@@ -792,3 +792,89 @@ def a15b_snapshot_changes(spark, sf_dir):
         "n_users",
         "sum_value",
     )
+
+
+def _p22_base_aggregate(spark, sf_dir: str, root: str) -> str:
+    """The STORED materialized aggregate (per-user count/sum over
+    snapshot v1), built once per fixture content and persisted —
+    incremental refresh reads this artifact plus the CDC delta, never
+    the v1 data again."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+    from s3_kinesis_replay_spark.operators.table_format import snapshot_read
+
+    fp = data_fingerprint(os.path.join(sf_dir, "events.parquet"))[:10]
+
+    def build(tmp: str) -> None:
+        (
+            snapshot_read(spark, root, version=1)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(sdec("value")).alias("sum_value_dec"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "agg"))
+        )
+
+    return atomic_cached_build(
+        "/tmp/skr_p22_base", f"{fp}-v1agg", build, os.path.join("agg", "_SUCCESS")
+    )
+
+
+@register(
+    "p22_incremental_aggregate",
+    "D1",
+    f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    note="INCREMENTAL VIEW MAINTENANCE — the downstream consumer the "
+    "a15b CDC exists for: a per-user aggregate is maintained as a "
+    "STORED artifact (built once over snapshot v1, fingerprint-cached) "
+    "and refreshed by merging ONLY the CDC delta (files(v2)−files(v1), "
+    "read via snapshot_changes) — decimal partial sums and counts are "
+    "ADDITIVE, so refresh = union the stored partials with the delta's "
+    "partials and re-aggregate, touching O(delta) data + O(groups) "
+    "artifact, never the v1 history (the self-maintainable-view case; "
+    "non-additive aggregates — MIN/MAX under deletes, exact distinct — "
+    "need the sketch tier d4b/d7b/d16 or a recompute). Oracle = the "
+    "full aggregate over ALL events recomputed from source: a merge "
+    "that double-counts, drops a group, or loses decimal exactness "
+    "hash-mismatches. Equality with the direct v2 aggregate plus the "
+    "reads-only-delta property are additionally pinned in tests.",
+)
+def p22_incremental_aggregate(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_changes,
+    )
+
+    root = _time_travel_table(spark, sf_dir)
+    base = spark.read.parquet(
+        os.path.join(_p22_base_aggregate(spark, sf_dir, root), "agg")
+    )
+    delta = (
+        snapshot_changes(spark, root, from_version=1, to_version=2)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(sdec("value")).alias("sum_value_dec"),
+        )
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            fdec(F.sum("sum_value_dec")).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -3111,3 +3111,43 @@ def test_partition_scoped_analyze_per_ingest(spark, sf_dir, tmp_path):
         assert part_rows(days[1]) == ev.filter(F.col("dt") == days[1]).count()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_p22_incremental_merge_equals_recompute_and_reads_only_delta(
+    spark, sf_dir
+):
+    """p22: the stored-base + CDC-delta merge equals a direct recompute
+    over snapshot v2, and the refresh plan's data inputs are exactly
+    the stored artifact + the delta files — v1 history is never read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators.table_format import _read_manifest
+    from s3_kinesis_replay_spark.queries.helpers import fdec, sdec
+    from s3_kinesis_replay_spark.queries.sources_q import (
+        _time_travel_table,
+        p22_incremental_aggregate,
+    )
+    from s3_kinesis_replay_spark.operators.table_format import snapshot_read
+
+    root = _time_travel_table(spark, sf_dir)
+    merged = p22_incremental_aggregate(spark, sf_dir)
+    direct = (
+        snapshot_read(spark, root, version=2)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fdec(F.sum(sdec("value"))).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+    assert [tuple(r) for r in merged.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+    # reads-only-delta: no v1 data file appears among the plan's inputs
+    v1_files = {
+        os.path.join(root, f) for f in _read_manifest(root, 1)["files"]
+    }
+    opened = {f.replace("file:", "") for f in merged.inputFiles()}
+    assert opened and not (opened & v1_files)
