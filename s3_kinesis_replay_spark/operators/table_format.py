@@ -184,7 +184,9 @@ def snapshot_changes(
     frm = set(_read_manifest(root, from_version)["files"])
     for v in range(from_version + 1, to_version + 1):
         m = _read_manifest(root, v)
-        if m["operation"] != "append":
+        # tagged appends ("append:b<batch_id>", the a15c idempotent
+        # streaming commits) are appends for CDC purposes
+        if not m["operation"].startswith("append"):
             raise ValueError(
                 f"v{v} is '{m['operation']}', not append — file-diff CDC "
                 "is only row-exact over append-only history; use a "

@@ -1353,3 +1353,84 @@ def p19_lakehouse_maintenance(spark, sf_dir):
     return audit.crossJoin(diff).select(
         "n_rows", "n_users", "audit_ok", "n_inserts", "n_updates"
     )
+
+
+@register(
+    "a15c_streaming_snapshot_ingest",
+    "A8",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    check="SEM",
+    note="STREAMING INGEST INTO THE VERSIONED TABLE — closes the "
+    "lakehouse chain (stream -> a15 snapshots -> a15b CDC -> p22 "
+    "incremental refresh): each paced micro-batch commits ONE append "
+    "snapshot via operators/table_format.py::snapshot_write, so the "
+    "version history IS the ingest history (any version is "
+    "time-travel-readable mid-stream, and every consecutive version "
+    "pair is a valid CDC window). Commits are made IDEMPOTENT under "
+    "foreachBatch's at-least-once retries by tagging each manifest "
+    "with its batch_id and skipping an already-committed batch — the "
+    "(batch_id, commit) dedup that turns retries into exactly-once "
+    "table state, same discipline as the c2c merge sink. Result = the "
+    "final table's per-type aggregate (batch-boundary-invariant; the "
+    "oracle recomputes from source). Version COUNT varies with pacing "
+    "— deliberately not part of the checked result.",
+)
+def a15c_streaming_snapshot_ingest(spark, sf_dir):
+    import json
+    import os
+
+    from s3_kinesis_replay_spark.operators.table_format import (
+        _commit,
+        _read_manifest,
+        latest_version,
+        snapshot_read,
+        versions,
+    )
+
+    root_archive = stage_archive(sf_dir, gz=True)
+    per_trigger = _pace_per_trigger(root_archive)
+    tbl = tempfile.mkdtemp(prefix="skr_snaping_")
+
+    def sink(batch_df, batch_id: int):
+        # idempotence: a retried batch finds its tag and commits nothing
+        for v in versions(tbl):
+            if _read_manifest(tbl, v)["operation"] == f"append:b{batch_id}":
+                return
+        part = f"batch-{batch_id}"
+        out_dir = os.path.join(tbl, "data", part)
+        batch_df.write.mode("overwrite").parquet(out_dir)
+        new_files = [
+            os.path.join("data", part, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        ]
+        prior = (
+            _read_manifest(tbl, latest_version(tbl))["files"]
+            if latest_version(tbl) > 0
+            else []
+        )
+        _commit(tbl, prior + new_files, f"append:b{batch_id}")
+
+    q = (
+        stream_archive(spark, root_archive, max_files_per_trigger=per_trigger)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="skr_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(q)
+
+    return (
+        snapshot_read(spark, tbl)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fdec(F.sum(sdec("value"))).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

