@@ -86,6 +86,7 @@ EXTRAS_ALWAYS: list[str] = [
     "i21_lsh_calibration",    # LSH banding S-curve measurement + recall gate
     "a15b_snapshot_changes",  # manifest-diff CDC (reads only new files)
     "p22_incremental_aggregate",  # stored base + CDC delta merge (IVM)
+    "a15c_streaming_snapshot_ingest",  # per-batch idempotent snapshot commits
     # h9b_streaming_ohlc_append is NOT benched: H-family convention
     # (same as h9 — the batch twin ts2 carries the bench cost)
     # round 10 additions (promote to EXTRAS next round)
