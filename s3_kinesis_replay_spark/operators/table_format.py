@@ -42,12 +42,16 @@ def _manifest_path(root: str, version: int) -> str:
 
 
 def latest_version(root: str) -> int:
-    """Newest committed version via the _latest pointer (0 = empty)."""
-    ptr = os.path.join(root, "_latest")
-    if not os.path.exists(ptr):
-        return 0
-    with open(ptr) as f:
-        return int(f.read().strip())
+    """Newest committed version (0 = empty table). The MANIFEST FILES are
+    the source of truth — each lands atomically via os.replace, so a
+    manifest's existence IS the commit. The ``_latest`` pointer is only a
+    convenience marker (and the atomic-install done-flag for cached
+    builds); deriving the version from it instead caused a real
+    lost-write hazard (review r11): a crash between manifest write and
+    pointer swap left an orphaned manifest that batch-id dedup could
+    see but the next commit's numbering would silently overwrite."""
+    vs = versions(root)
+    return max(vs) if vs else 0
 
 
 def versions(root: str) -> list[int]:
@@ -136,6 +140,14 @@ def snapshot_vacuum(root: str, keep_last: int = 2) -> dict:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = versions(root)
+    if not vs:
+        # review r11: with zero manifests the reachable set is empty and
+        # the walk below would delete EVERY data file — refuse loudly
+        # (lost manifests dir, wrong root, vacuum before first commit).
+        raise ValueError(
+            f"no manifests under {root} — refusing to vacuum (an empty "
+            "reachable set would delete every data file)"
+        )
     keep, drop = vs[-keep_last:], vs[:-keep_last]
     reachable: set[str] = set()
     for v in keep:
@@ -143,20 +155,31 @@ def snapshot_vacuum(root: str, keep_last: int = 2) -> dict:
     deleted = 0
     data_root = os.path.join(root, "data")
     for dirpath, _dirs, files in os.walk(data_root, topdown=False):
+        # separator-anchored prefix test (review r11: bare startswith let
+        # reachable 'data/batch-10/...' shield dead 'data/batch-1/')
+        rel_dir = os.path.relpath(dirpath, root)
+        dir_reachable = any(r.startswith(rel_dir + os.sep) for r in reachable)
         for f in files:
-            rel = os.path.relpath(os.path.join(dirpath, f), root)
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, root)
             if f.endswith(".parquet") and rel not in reachable:
-                os.remove(os.path.join(dirpath, f))
+                os.remove(full)
                 deleted += 1
-        # reap directories emptied by the deletes (and Spark _SUCCESS
-        # markers of fully-unreferenced parts)
-        remaining = os.listdir(dirpath)
-        if remaining == ["_SUCCESS"] and not any(
-            r.startswith(os.path.relpath(dirpath, root)) for r in reachable
-        ):
-            os.remove(os.path.join(dirpath, "_SUCCESS"))
-            remaining = []
-        if not remaining and dirpath != data_root:
+                # Hadoop local-FS checksum sibling of the deleted file
+                crc = os.path.join(dirpath, f".{f}.crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
+            elif (
+                not f.endswith(".parquet")
+                and not dir_reachable
+                and dirpath != data_root
+            ):
+                # _SUCCESS/.crc markers of a fully-unreferenced part dir
+                # (the walk's file list was snapshotted before the
+                # parquet branch removed crc siblings — tolerate gone)
+                if os.path.exists(full):
+                    os.remove(full)
+        if dirpath != data_root and not os.listdir(dirpath):
             os.rmdir(dirpath)
     for v in drop:
         os.remove(_manifest_path(root, v))

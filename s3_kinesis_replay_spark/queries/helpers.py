@@ -75,9 +75,12 @@ def scoped_conf(spark: SparkSession, confs: dict[str, str]):
             prev[k] = spark.conf.get(k)
         except Exception:
             prev[k] = None
-    for k, v in confs.items():
-        spark.conf.set(k, v)
     try:
+        # apply INSIDE the try (review r11): a failure on the Nth set must
+        # still restore the N-1 already-applied keys — leaking them is the
+        # exact hazard this helper exists to prevent
+        for k, v in confs.items():
+            spark.conf.set(k, v)
         yield spark
     finally:
         for k, v in prev.items():

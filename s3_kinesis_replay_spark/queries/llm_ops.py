@@ -2472,6 +2472,16 @@ _ANN_GATE_PTR = "/tmp/skr_annrecall_oracle/i20b"
 # (VERDICT r10 item 1).
 ANN_RECALL_FLOOR = 0.75
 
+# The integer form of the floor used in BOTH the engine expression and
+# the oracle SQL is DERIVED from the constant (review r11: independently
+# hardcoded integers meant changing the constant silently left the real
+# gates unchanged): mean = sum_hits/(10*n) >= NUM/DEN
+# <=> sum_hits*DEN >= 10*NUM*n.
+from fractions import Fraction as _Fraction
+
+_ANN_FR = _Fraction(ANN_RECALL_FLOOR).limit_denominator(10**6)
+_ANN_NUM, _ANN_DEN = _ANN_FR.numerator, _ANN_FR.denominator
+
 
 @register(
     "i20b_ann_recall_gate",
@@ -2514,7 +2524,8 @@ ANN_RECALL_FLOOR = 0.75
            CAST(8 AS BIGINT) AS n_probe,
            ROUND(CAST(SUM(n_hits) AS DOUBLE) / (10 * COUNT(*)), 6)
              AS mean_recall,
-           (2 * SUM(n_hits) >= 15 * COUNT(*)) AS gate_pass
+           (SUM(n_hits) * {_ANN_DEN} >= {10 * _ANN_NUM} * COUNT(*))
+             AS gate_pass
     FROM hits
     """,
     check="TOL",
@@ -2553,10 +2564,12 @@ def i20b_ann_recall_gate(spark, sf_dir):
             F.round(
                 F.col("sum_hits") / (F.lit(10) * F.col("n_queries")), 6
             ).alias("mean_recall"),
-            # integer-form floor test: mean >= 0.75  <=>  2*sum >= 15*n
-            (F.col("sum_hits") * 2 >= F.col("n_queries") * 15).alias(
-                "gate_pass"
-            ),
+            # integer-form floor test derived from ANN_RECALL_FLOOR:
+            # mean >= NUM/DEN  <=>  sum*DEN >= 10*NUM*n
+            (
+                F.col("sum_hits") * _ANN_DEN
+                >= F.col("n_queries") * (10 * _ANN_NUM)
+            ).alias("gate_pass"),
         )
         .localCheckpoint()
     )
@@ -2579,6 +2592,13 @@ _LSH_CAL_PTR = "/tmp/skr_lshcal_oracle/current"
 # banding/hashing regression). The i21 entry RAISES below it (i20b
 # discipline applied to the dedup tier).
 LSH_RECALL_FLOOR = 0.95
+
+# integer form derived from the constant (review r11 — same discipline
+# as _ANN_NUM/_ANN_DEN): recall = caught/n >= NUM/DEN <=> c*DEN >= n*NUM
+from fractions import Fraction as _LshFraction
+
+_LSH_FR = _LshFraction(LSH_RECALL_FLOOR).limit_denominator(10**6)
+_LSH_NUM, _LSH_DEN = _LSH_FR.numerator, _LSH_FR.denominator
 
 _LSH_CAL_FRACS = (0.3, 0.5, 0.7, 0.9)
 
@@ -2794,7 +2814,15 @@ def i21_lsh_calibration(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("is_caught").cast("long")).alias("c"),
     ).collect()[0]  # bounded: one row
-    if hi["n"] > 0 and hi["c"] * 100 < hi["n"] * 95:
+    if hi["n"] == 0:
+        # review r11: an empty above-threshold pair set must FAIL, not
+        # silently disable the gate — it means the calibration corpus
+        # construction itself regressed (fracs/filters/truncation).
+        raise RuntimeError(
+            "LSH recall gate FAILED: calibration corpus produced ZERO "
+            "pairs at jacc>=0.8 — corpus construction regression"
+        )
+    if hi["c"] * _LSH_DEN < hi["n"] * _LSH_NUM:
         raise RuntimeError(
             f"LSH recall gate FAILED: {hi['c']}/{hi['n']} pairs at "
             f"jacc>=0.8 caught (< {LSH_RECALL_FLOOR}) — banding or "

@@ -1396,10 +1396,19 @@ def a15c_streaming_snapshot_ingest(spark, sf_dir):
     tbl = tempfile.mkdtemp(prefix="skr_snaping_")
 
     def sink(batch_df, batch_id: int):
-        # idempotence: a retried batch finds its tag and commits nothing
-        for v in versions(tbl):
-            if _read_manifest(tbl, v)["operation"] == f"append:b{batch_id}":
+        # idempotence: a retried batch finds its tag and commits nothing.
+        # Batch ids commit in order, so scan manifests NEWEST-FIRST and
+        # stop at the first tag below batch_id — O(1) amortized per batch
+        # instead of re-reading the whole history every commit (review
+        # r11: the full scan was O(V^2) over the drain, contradicting the
+        # entry's own version-per-micro-batch production framing).
+        for v in sorted(versions(tbl), reverse=True):
+            op = _read_manifest(tbl, v)["operation"]
+            bid = int(op.rsplit(":b", 1)[1])
+            if bid == batch_id:
                 return
+            if bid < batch_id:
+                break
         part = f"batch-{batch_id}"
         out_dir = os.path.join(tbl, "data", part)
         batch_df.write.mode("overwrite").parquet(out_dir)
