@@ -89,17 +89,8 @@ EXTRAS_ALWAYS: list[str] = [
     "a15c_streaming_snapshot_ingest",  # per-batch idempotent snapshot commits
     # h9b_streaming_ohlc_append is NOT benched: H-family convention
     # (same as h9 — the batch twin ts2 carries the bench cost)
-    # round 10 additions (promote to EXTRAS next round)
-    "c1d_cbo_reordered_join",  # stats-driven join reorder (ANALYZE'd catalog)
-    "a13_schema_evolution",   # widened-schema partition + mergeSchema read
-    "d16_countmin_topk",      # codegen Count-Min sketch (sparse groupBy form)
-    "p21_drift_monitor",      # per-column null-rate/NDV drift vs prior snapshot
-    "i20_ann_recall",         # IVF probe recall@10 vs exact ground truth
-    "d17_salted_distinct",    # skew-bounded two-phase count-distinct
-    "a14_bucketed_append",    # bucketed-table append, zero-exchange reads
-    "ts2_ohlc_downsample",    # mergeable OHLC candlesticks (no window sort)
-    # h9_streaming_ohlc is NOT benched: H-family convention — live drains
-    # measure sink drainage, the batch twin (ts2) carries the bench cost
+    # h9_streaming_ohlc / h9b are NOT benched: H-family convention — live
+    # drains measure sink drainage, the batch twin (ts2) carries the cost
 ]
 
 # Stable extras pool. Timed identically to HEADLINE but reported under
@@ -109,6 +100,16 @@ EXTRAS_ALWAYS: list[str] = [
 # pushed bench wall time past the contention-drift horizon (VERDICT r9
 # item 6); every entry still cycles through within ~3 rounds.
 EXTRAS = [
+    # round 10 (promoted from EXTRAS_ALWAYS in r11 — BENCH_r10/r11 carry
+    # their baseline rows)
+    "c1d_cbo_reordered_join",  # stats-driven join reorder (ANALYZE'd catalog)
+    "a13_schema_evolution",   # widened-schema partition + mergeSchema read
+    "d16_countmin_topk",      # codegen Count-Min sketch (sparse groupBy form)
+    "p21_drift_monitor",      # per-column null-rate/NDV drift vs prior snapshot
+    "i20_ann_recall",         # IVF probe recall@10 vs exact ground truth
+    "d17_salted_distinct",    # skew-bounded two-phase count-distinct
+    "a14_bucketed_append",    # bucketed-table append, zero-exchange reads
+    "ts2_ohlc_downsample",    # mergeable OHLC candlesticks (no window sort)
     "t5_repetition_filter",   # bigram repetition (sort + adjacent compare)
     "t6_pii_redact",          # regex masking + hit counts
     "t7_rare_word_ratio",     # corpus-frequency join quality signal
