@@ -102,12 +102,50 @@ def zorder_write(
     )
 
 
+def file_overlaps(file_path: str, preds: dict[str, tuple]) -> bool:
+    """Footer-stats overlap test for ONE parquet file against [lo, hi]
+    column predicates (extracted from candidate_files in r11 so the
+    manifest table's pruned reads share the SAME semantics). One footer
+    read, no data pages. Any row group without min/max stats for a
+    predicate column keeps the file a candidate — mirroring real engine
+    pruning semantics (ADVICE r9: stats-less groups must not be counted
+    pruned)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(file_path).metadata
+    for col, (lo, hi) in preds.items():
+        cmin = cmax = None
+        missing_stats = False
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            found = False
+            for ci in range(row_group.num_columns):
+                c = row_group.column(ci)
+                if c.path_in_schema != col:
+                    continue
+                found = True
+                s = c.statistics
+                if s is not None and s.has_min_max:
+                    cmin = s.min if cmin is None else min(cmin, s.min)
+                    cmax = s.max if cmax is None else max(cmax, s.max)
+                else:
+                    missing_stats = True
+            if not found:
+                missing_stats = True
+        if (
+            not missing_stats
+            and cmin is not None
+            and (cmax < lo or cmin > hi)
+        ):
+            return False
+    return True
+
+
 def candidate_files(path: str, preds: dict[str, tuple]) -> tuple[int, int]:
     """(files overlapping ALL [lo, hi] column predicates, total files)
     straight from the parquet footers via pyarrow — the same min/max
     stats any engine's scan pruning consults. Driver-side but bounded:
     one footer read per file, no data pages."""
-    import pyarrow.parquet as pq
     import pyarrow.dataset as ds
 
     dataset = ds.dataset(path, format="parquet")
@@ -115,39 +153,7 @@ def candidate_files(path: str, preds: dict[str, tuple]) -> tuple[int, int]:
     hit = 0
     for f in dataset.files:
         total += 1
-        md = pq.ParquetFile(f).metadata
-        overlaps = True
-        for col, (lo, hi) in preds.items():
-            cmin = cmax = None
-            # Any row group without min/max stats for this column could
-            # contain matching rows — it forces the file to stay a
-            # candidate, mirroring real engine pruning semantics
-            # (ADVICE r9: stats-less groups must not be counted pruned).
-            missing_stats = False
-            for rg in range(md.num_row_groups):
-                row_group = md.row_group(rg)
-                found = False
-                for ci in range(row_group.num_columns):
-                    c = row_group.column(ci)
-                    if c.path_in_schema != col:
-                        continue
-                    found = True
-                    s = c.statistics
-                    if s is not None and s.has_min_max:
-                        cmin = s.min if cmin is None else min(cmin, s.min)
-                        cmax = s.max if cmax is None else max(cmax, s.max)
-                    else:
-                        missing_stats = True
-                if not found:
-                    missing_stats = True
-            if (
-                not missing_stats
-                and cmin is not None
-                and (cmax < lo or cmin > hi)
-            ):
-                overlaps = False
-                break
-        if overlaps:
+        if file_overlaps(f, preds):
             hit += 1
     return hit, total
 

@@ -31,6 +31,9 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_kinesis_replay_spark.operators.layout import file_overlaps
 
 
 def _manifest_dir(root: str) -> str:
@@ -221,3 +224,38 @@ def snapshot_changes(
             f"no files added between v{from_version} and v{to_version}"
         )
     return spark.read.parquet(*[os.path.join(root, f) for f in added])
+
+
+def snapshot_read_pruned(
+    spark: SparkSession,
+    root: str,
+    preds: dict[str, tuple],
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Time-travel read with MANIFEST-LEVEL FILE SKIPPING: the snapshot's
+    file list is pruned against [lo, hi] column predicates using parquet
+    footer min/max (operators/layout.py::file_overlaps — the identical
+    semantics the zorder layout's pruning measurement uses), and only
+    overlapping files are handed to Spark; the residual predicate is
+    re-applied on the scan for row-level exactness. Returns
+    (df, files_read, files_total). Iceberg keeps these stats IN the
+    manifest to skip the footer reads too; here the footers are the
+    stats store (one bounded driver-side read per file, no data pages) —
+    at 100 TB you'd lift them into the manifest at commit time, which
+    changes where the numbers live, not the pruning rule."""
+    v = latest_version(root) if version is None else version
+    m = _read_manifest(root, v)
+    keep = [
+        f
+        for f in m["files"]
+        if file_overlaps(os.path.join(root, f), preds)
+    ]
+    if not keep:
+        # empty candidate set: preserve schema by reading one file with
+        # an always-false filter rather than inventing a schema
+        df = spark.read.parquet(os.path.join(root, m["files"][0])).limit(0)
+    else:
+        df = spark.read.parquet(*[os.path.join(root, f) for f in keep])
+    for col, (lo, hi) in preds.items():
+        df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    return df, len(keep), len(m["files"])

@@ -878,3 +878,42 @@ def p22_incremental_aggregate(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "a15d_pruned_time_travel",
+    "A8",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value
+    FROM events WHERE event_id BETWEEN 7000 AND 8000
+    """,
+    note="MANIFEST-LEVEL FILE SKIPPING on the time-travel read path: the "
+    "snapshot's file list is pruned against the [7000, 8000] event_id "
+    "predicate using parquet footer min/max BEFORE Spark ever lists a "
+    "file (operators/table_format.py::snapshot_read_pruned, sharing "
+    "layout.py::file_overlaps' exact semantics — stats-less row groups "
+    "keep a file candidate), with the residual predicate re-applied on "
+    "the scan for row-level exactness. v1's initial-load files carry "
+    "only event_id < 5000, so they are provably outside the predicate "
+    "box and never opened (pinned via inputFiles() in tests). This is "
+    "Iceberg's signature read-path win expressed over the a15 table: "
+    "at 100 TB the stats would be lifted INTO the manifest at commit "
+    "time so skipping costs zero footer reads — same rule, different "
+    "stats residence. Oracle recomputes from the source predicate.",
+)
+def a15d_pruned_time_travel(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_read_pruned,
+    )
+
+    root = _time_travel_table(spark, sf_dir)
+    df, _n_read, _n_total = snapshot_read_pruned(
+        spark, root, {"event_id": (7000, 8000)}, version=2
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        fdec(F.sum(sdec("value"))).alias("sum_value"),
+    )

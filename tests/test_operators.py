@@ -3151,3 +3151,41 @@ def test_p22_incremental_merge_equals_recompute_and_reads_only_delta(
     }
     opened = {f.replace("file:", "") for f in merged.inputFiles()}
     assert opened and not (opened & v1_files)
+
+
+def test_a15d_manifest_file_skipping(spark, sf_dir):
+    """snapshot_read_pruned: v1's files (event_id < 5000) are provably
+    outside the [7000, 8000] predicate box and never opened; the pruned
+    result equals the unpruned filtered read; the empty-candidate path
+    preserves schema with zero rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators.table_format import (
+        _read_manifest,
+        snapshot_read,
+        snapshot_read_pruned,
+    )
+    from s3_kinesis_replay_spark.queries.sources_q import _time_travel_table
+
+    root = _time_travel_table(spark, sf_dir)
+    df, n_read, n_total = snapshot_read_pruned(
+        spark, root, {"event_id": (7000, 8000)}, version=2
+    )
+    assert 0 < n_read < n_total
+    v1_files = {
+        os.path.join(root, f) for f in _read_manifest(root, 1)["files"]
+    }
+    opened = {f.replace("file:", "") for f in df.inputFiles()}
+    assert opened and not (opened & v1_files)
+    unpruned = snapshot_read(spark, root, version=2).filter(
+        F.col("event_id").between(7000, 8000)
+    )
+    assert df.count() == unpruned.count() == 1001
+    # predicate box outside ALL files -> schema-preserving empty frame
+    empty, n_read0, _ = snapshot_read_pruned(
+        spark, root, {"event_id": (10**12, 10**12 + 5)}, version=2
+    )
+    assert n_read0 == 0 and empty.count() == 0
+    assert empty.schema == unpruned.schema
