@@ -18,10 +18,13 @@ O(data); appends commit without touching history (the a13/a14 lesson);
 time travel is "read the old file list" — no copy-on-write of data; and
 vacuum's reachability set is the union of kept manifests' file lists, so
 retention is a metadata diff plus deletes of provably-unreferenced
-files. What it deliberately omits vs the real formats: column-level
-stats in manifests (parquet footers already carry them — see
-layout.py's candidate_files), optimistic-concurrency commit protocol
-(single-writer here), and deletion vectors.
+files. Commits use an optimistic-concurrency create-exclusive
+(os.link) so racing writers conflict loudly instead of silently
+overwriting each other (CommitConflict -> re-read + retry). What it
+deliberately omits vs the real formats: column-level stats in
+manifests (parquet footers already carry them — see layout.py's
+candidate_files, lifted into snapshot_read_pruned) and deletion
+vectors.
 """
 
 from __future__ import annotations
@@ -80,16 +83,35 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first — re-read the table
+    state (the new latest manifest) and retry the commit on top of it."""
+
+
 def _commit(root: str, files: list[str], op: str) -> int:
-    """Atomically commit a new manifest over ``files`` (relative paths).
-    Single-writer discipline: version = latest + 1."""
+    """Atomically commit a new manifest over ``files`` (relative paths)
+    with OPTIMISTIC CONCURRENCY (r11): the manifest is staged to a temp
+    name and published with ``os.link`` — an atomic create-EXCLUSIVE, so
+    of two racing writers targeting the same version number exactly one
+    wins and the loser gets :class:`CommitConflict` instead of silently
+    overwriting the winner's manifest (``os.replace`` did exactly that —
+    the Iceberg commit protocol exists for this race). The loser's
+    correct move is re-read + retry on the new latest."""
     os.makedirs(_manifest_dir(root), exist_ok=True)
     v = latest_version(root) + 1
     manifest = {"version": v, "operation": op, "files": sorted(files)}
     tmp = _manifest_path(root, v) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, _manifest_path(root, v))
+    try:
+        os.link(tmp, _manifest_path(root, v))
+    except FileExistsError:
+        raise CommitConflict(
+            f"v{v} was committed concurrently under {root} — re-read "
+            "latest and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
     ptr_tmp = os.path.join(root, f"_latest.tmp-{uuid.uuid4().hex[:8]}")
     with open(ptr_tmp, "w") as f:
         f.write(str(v))

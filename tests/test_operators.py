@@ -3189,3 +3189,38 @@ def test_a15d_manifest_file_skipping(spark, sf_dir):
     )
     assert n_read0 == 0 and empty.count() == 0
     assert empty.schema == unpruned.schema
+
+
+def test_table_format_commit_conflict_detection(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Optimistic concurrency: of two writers racing for the same
+    version number exactly one wins; the loser raises CommitConflict
+    (never a silent overwrite) and succeeds after re-reading latest.
+    The race window (between _commit's latest read and its create-
+    exclusive link) is reproduced by pinning the loser's latest read to
+    the stale pre-race value."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id")
+    tf.snapshot_write(spark, ev.filter(F.col("event_id") < 100), root, "overwrite")
+    files_v1 = tf._read_manifest(root, 1)["files"]
+    # the winner lands v2 inside the loser's race window
+    tf._commit(root, files_v1, "append")
+    winner_manifest = tf._read_manifest(root, 2)
+
+    monkeypatch.setattr(tf, "latest_version", lambda r: 1)  # stale read
+    with _pytest.raises(tf.CommitConflict, match="v2 was committed"):
+        tf._commit(root, ["data/loser.parquet"], "append")
+    monkeypatch.undo()
+
+    # winner's manifest intact (no silent overwrite), retry succeeds
+    assert tf._read_manifest(root, 2) == winner_manifest
+    assert tf._commit(root, files_v1, "append") == 3
+    assert tf.latest_version(root) == 3
