@@ -20,11 +20,14 @@ vacuum's reachability set is the union of kept manifests' file lists, so
 retention is a metadata diff plus deletes of provably-unreferenced
 files. Commits use an optimistic-concurrency create-exclusive
 (os.link) so racing writers conflict loudly instead of silently
-overwriting each other (CommitConflict -> re-read + retry). What it
-deliberately omits vs the real formats: column-level stats in
-manifests (parquet footers already carry them — see layout.py's
-candidate_files, lifted into snapshot_read_pruned) and deletion
-vectors.
+overwriting each other (CommitConflict -> re-read + retry).
+Row-level deletes are MERGE-ON-READ (snapshot_delete): a delete commit
+adds a key file, readers anti-join it, data files stay byte-untouched
+until a compaction rewrites them. What it deliberately omits vs the
+real formats: column-level stats in manifests (parquet footers already
+carry them — see layout.py's candidate_files, lifted into
+snapshot_read_pruned) and position-based (row-offset) delete vectors —
+keys are the fixtures' natural identity.
 """
 
 from __future__ import annotations
@@ -88,7 +91,13 @@ class CommitConflict(RuntimeError):
     state (the new latest manifest) and retry the commit on top of it."""
 
 
-def _commit(root: str, files: list[str], op: str) -> int:
+def _commit(
+    root: str,
+    files: list[str],
+    op: str,
+    delete_files: list[str] | None = None,
+    delete_key: str | None = None,
+) -> int:
     """Atomically commit a new manifest over ``files`` (relative paths)
     with OPTIMISTIC CONCURRENCY (r11): the manifest is staged to a temp
     name and published with ``os.link`` — an atomic create-EXCLUSIVE, so
@@ -100,6 +109,9 @@ def _commit(root: str, files: list[str], op: str) -> int:
     os.makedirs(_manifest_dir(root), exist_ok=True)
     v = latest_version(root) + 1
     manifest = {"version": v, "operation": op, "files": sorted(files)}
+    if delete_files:
+        manifest["delete_files"] = sorted(delete_files)
+        manifest["delete_key"] = delete_key
     tmp = _manifest_path(root, v) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -139,9 +151,17 @@ def snapshot_write(
         if f.endswith(".parquet")
     ]
     prior: list[str] = []
+    prior_del: list[str] = []
+    prior_key = None
     if mode == "append" and latest_version(root) > 0:
-        prior = _read_manifest(root, latest_version(root))["files"]
-    return _commit(root, prior + new_files, mode)
+        pm = _read_manifest(root, latest_version(root))
+        prior = pm["files"]
+        prior_del = pm.get("delete_files", [])
+        prior_key = pm.get("delete_key")
+    return _commit(
+        root, prior + new_files, mode,
+        delete_files=prior_del, delete_key=prior_key,
+    )
 
 
 def snapshot_read(
@@ -154,7 +174,19 @@ def snapshot_read(
     m = _read_manifest(root, v)
     if not m["files"]:
         raise ValueError(f"snapshot v{v} is empty")
-    return spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+    df = spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+    dels = m.get("delete_files", [])
+    if dels:
+        # MERGE-ON-READ: the delete-key files are tiny relative to data,
+        # so the anti-join broadcasts; data files stay byte-untouched
+        # until a compaction folds the deletes in
+        keys = spark.read.parquet(*[os.path.join(root, f) for f in dels])
+        df = df.join(
+            F.broadcast(keys.select(m["delete_key"]).distinct()),
+            m["delete_key"],
+            "left_anti",
+        )
+    return df
 
 
 def snapshot_vacuum(root: str, keep_last: int = 2) -> dict:
@@ -176,7 +208,9 @@ def snapshot_vacuum(root: str, keep_last: int = 2) -> dict:
     keep, drop = vs[-keep_last:], vs[:-keep_last]
     reachable: set[str] = set()
     for v in keep:
-        reachable.update(_read_manifest(root, v)["files"])
+        m = _read_manifest(root, v)
+        reachable.update(m["files"])
+        reachable.update(m.get("delete_files", []))
     deleted = 0
     data_root = os.path.join(root, "data")
     for dirpath, _dirs, files in os.walk(data_root, topdown=False):
@@ -281,3 +315,40 @@ def snapshot_read_pruned(
     for col, (lo, hi) in preds.items():
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
     return df, len(keep), len(m["files"])
+
+
+def snapshot_delete(
+    spark: SparkSession, root: str, keys: DataFrame, key_col: str
+) -> int:
+    """MERGE-ON-READ row deletes: commit a snapshot whose data files are
+    UNCHANGED plus a new delete-key file readers anti-join (Hudi/Iceberg
+    MOR discipline, key-based). O(delete keys) write, zero data rewrite;
+    the read-side anti-join cost is what a later compaction (rewrite the
+    surviving rows, drop the delete files) amortizes away. Time travel
+    still shows the rows at pre-delete versions. Mixed-key-column delete
+    chains are refused — one table, one row identity."""
+    v = latest_version(root)
+    if v == 0:
+        raise ValueError("cannot delete from an empty table")
+    m = _read_manifest(root, v)
+    prior_key = m.get("delete_key")
+    if prior_key is not None and prior_key != key_col:
+        raise ValueError(
+            f"table's delete key is {prior_key!r}; refusing a delete on "
+            f"{key_col!r} — one row identity per table"
+        )
+    part = f"del-{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(root, "data", part)
+    keys.select(key_col).distinct().write.mode("error").parquet(out_dir)
+    new_del = [
+        os.path.join("data", part, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    ]
+    return _commit(
+        root,
+        m["files"],
+        "delete",
+        delete_files=m.get("delete_files", []) + new_del,
+        delete_key=key_col,
+    )

@@ -917,3 +917,81 @@ def a15d_pruned_time_travel(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"),
         fdec(F.sum(sdec("value"))).alias("sum_value"),
     )
+
+
+def _mor_delete_table(spark, sf_dir: str) -> str:
+    """Install (once, fingerprint-cached, atomic) the merge-on-read
+    table: v1 = full events load, v2 = DELETE of every click by a
+    user_id%7==0 user — committed as a key file, data untouched."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_delete,
+        snapshot_write,
+    )
+
+    fp = data_fingerprint(os.path.join(sf_dir, "events.parquet"))[:10]
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def build(tmp: str) -> None:
+        snapshot_write(spark, ev, tmp, mode="overwrite")
+        doomed = ev.filter(
+            (F.col("event_type") == "click") & (F.col("user_id") % 7 == 0)
+        ).select("event_id")
+        snapshot_delete(spark, tmp, doomed, "event_id")
+
+    return atomic_cached_build(
+        "/tmp/skr_mordelete", f"{fp}-mor", build, "_latest"
+    )
+
+
+@register(
+    "a15e_merge_on_read_delete",
+    "A8",
+    f"""
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value
+    FROM events
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6)
+    FROM events WHERE NOT (event_type = 'click' AND user_id % 7 = 0)
+    ORDER BY version
+    """,
+    note="MERGE-ON-READ ROW DELETES over the manifest table "
+    "(operators/table_format.py::snapshot_delete — the Hudi/Iceberg "
+    "MOR discipline, key-based): the delete commit writes ONLY a "
+    "key file (O(deleted keys)), data files stay byte-untouched, and "
+    "readers apply a broadcast anti-join of the delete keys. The entry "
+    "reads v1 (pre-delete: rows still visible — time travel across a "
+    "delete) and v2 (post-delete) from one physical table; the oracle "
+    "recomputes both from the source predicate, so a delete that "
+    "misses keys, leaks rows, or bleeds into the earlier version "
+    "hash-mismatches. At 100 TB: deletes land in O(keys) at commit "
+    "time; the read-side anti-join is the rent until an a12-style "
+    "compaction folds the deletes into rewritten files and drops the "
+    "key files — the same write-cheap/read-rent trade every MOR table "
+    "makes. GDPR-erasure shape: the delete is durable, versioned, and "
+    "vacuum-safe (delete files are reachability-tracked).",
+)
+def a15e_merge_on_read_delete(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.table_format import snapshot_read
+
+    root = _mor_delete_table(spark, sf_dir)
+    out = None
+    for v in (1, 2):
+        agg = snapshot_read(spark, root, version=v).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            fdec(F.sum(sdec("value"))).alias("sum_value"),
+        ).select(
+            F.lit(v).cast("bigint").alias("version"), "n_rows", "sum_value"
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("version")

@@ -3224,3 +3224,63 @@ def test_table_format_commit_conflict_detection(
     assert tf._read_manifest(root, 2) == winner_manifest
     assert tf._commit(root, files_v1, "append") == 3
     assert tf.latest_version(root) == 3
+
+
+def test_a15e_merge_on_read_delete_lifecycle(spark, sf_dir, tmp_path):
+    """MOR deletes: data files byte-untouched by the delete commit,
+    append-after-delete preserves the delete state, CDC refuses to
+    cross a delete, vacuum keeps delete files reachable, and a
+    mixed-key delete chain is refused."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_changes,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id", "user_id")
+    snapshot_write(spark, ev.filter(F.col("event_id") < 2000), root, "overwrite")
+    data_files = sorted(glob.glob(f"{root}/data/part-*/*.parquet"))
+    mtimes = {f: os.path.getmtime(f) for f in data_files}
+
+    doomed = ev.filter(F.col("event_id") < 100).select("event_id")
+    assert snapshot_delete(spark, root, doomed, "event_id") == 2
+    # data untouched; rows gone at v2, visible at v1
+    assert {f: os.path.getmtime(f) for f in data_files} == mtimes
+    assert snapshot_read(spark, root, 1).count() == 2000
+    assert snapshot_read(spark, root, 2).count() == 1900
+    assert (
+        snapshot_read(spark, root, 2)
+        .filter(F.col("event_id") < 100)
+        .count()
+        == 0
+    )
+
+    # append after delete: new rows land, delete state carried forward
+    snapshot_write(
+        spark,
+        ev.filter(F.col("event_id").between(2000, 2099)),
+        root,
+        "append",
+    )
+    assert snapshot_read(spark, root, 3).count() == 2000
+    # CDC refuses to cross the delete commit
+    with _pytest.raises(ValueError, match="not append"):
+        snapshot_changes(spark, root, 1, 3)
+    # vacuum: delete files are reachable from kept manifests
+    snapshot_vacuum(root, keep_last=1)
+    assert glob.glob(f"{root}/data/del-*/*.parquet")
+    assert snapshot_read(spark, root, 3).count() == 2000
+    # one row identity per table
+    with _pytest.raises(ValueError, match="one row identity"):
+        snapshot_delete(spark, root, ev.select("user_id"), "user_id")
