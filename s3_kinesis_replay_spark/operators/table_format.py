@@ -352,3 +352,26 @@ def snapshot_delete(
         delete_files=m.get("delete_files", []) + new_del,
         delete_key=key_col,
     )
+
+
+def snapshot_compact(spark: SparkSession, root: str) -> int:
+    """COPY-ON-WRITE compaction — the other half of the MOR trade:
+    materialize the current merge-on-read view (data minus delete keys)
+    into fresh files and commit an overwrite carrying NO delete files,
+    paying the rewrite once to drop the per-read anti-join rent. Prior
+    versions (including the pre-compaction MOR chain) remain
+    time-travel-readable until vacuum reaps them; the delete-key files
+    stay on disk exactly as long as a kept manifest references them."""
+    v = latest_version(root)
+    if v == 0:
+        raise ValueError("cannot compact an empty table")
+    df = snapshot_read(spark, root, v)
+    part = f"part-{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(root, "data", part)
+    df.write.mode("error").parquet(out_dir)
+    files = [
+        os.path.join("data", part, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    ]
+    return _commit(root, files, "compact")

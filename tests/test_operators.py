@@ -3284,3 +3284,47 @@ def test_a15e_merge_on_read_delete_lifecycle(spark, sf_dir, tmp_path):
     # one row identity per table
     with _pytest.raises(ValueError, match="one row identity"):
         snapshot_delete(spark, root, ev.select("user_id"), "user_id")
+
+
+def test_snapshot_compact_folds_deletes(spark, sf_dir, tmp_path):
+    """Compaction materializes the MOR view: same rows, no delete files
+    in the new manifest, no del- files opened by the read, and a
+    keep_last=1 vacuum then reaps the whole pre-compaction chain."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators.table_format import (
+        _read_manifest,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id", "value")
+    snapshot_write(spark, ev.filter(F.col("event_id") < 2000), root, "overwrite")
+    snapshot_delete(
+        spark, root, ev.filter(F.col("event_id") < 100), "event_id"
+    )
+    before = snapshot_read(spark, root, 2)
+    n_before = before.count()
+
+    v = snapshot_compact(spark, root)
+    assert v == 3
+    m = _read_manifest(root, 3)
+    assert m["operation"] == "compact" and "delete_files" not in m
+    after = snapshot_read(spark, root, 3)
+    assert after.count() == n_before == 1900
+    assert not any("del-" in f for f in after.inputFiles())
+    assert sorted(tuple(r) for r in after.collect()) == sorted(
+        tuple(r) for r in before.collect()
+    )
+
+    rep = snapshot_vacuum(root, keep_last=1)
+    assert rep["deleted_files"] > 0
+    assert not glob.glob(f"{root}/data/del-*/*.parquet")  # rent is gone
+    assert snapshot_read(spark, root, 3).count() == 1900
