@@ -1905,3 +1905,104 @@ class TestLakehouseInvariants:
         z = probe(spark.read.parquet(zpath))
         orig = probe(table(spark, "lineitem", sf_dir))
         assert z == orig, (z, orig)
+
+
+@pytest.mark.usefixtures("spark")
+class TestTableFormatModel:
+    """Model-based fuzz of the manifest table (r11): a random sequence of
+    append/overwrite/delete/compact ops runs against BOTH the real table
+    and a trivial in-memory model; every retained version must read back
+    exactly the model's view at that version, and a keep_last=1 vacuum
+    must preserve the latest view while vacuumed versions raise."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ops=st.lists(
+            st.tuples(
+                st.sampled_from(["append", "overwrite", "delete", "compact"]),
+                st.integers(1, 5),  # row count / delete count
+                st.integers(0, 10**6),  # value seed
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def test_random_op_sequences_match_model(self, spark, tmp_path_factory, ops):
+        import tempfile
+        import shutil
+
+        from s3_kinesis_replay_spark.operators.table_format import (
+            snapshot_compact,
+            snapshot_delete,
+            snapshot_read,
+            snapshot_vacuum,
+            snapshot_write,
+            versions,
+        )
+
+        root = tempfile.mkdtemp(prefix="skr_prop_tbl_")
+        try:
+            next_id = 0
+            view: dict[int, int] = {}  # the model: id -> val
+            history: dict[int, dict[int, int]] = {}  # version -> view
+
+            def df_of(rows):
+                return spark.createDataFrame(
+                    list(rows.items()), "id long, val long"
+                )
+
+            for kind, n, seed in ops:
+                if kind == "append":
+                    new = {next_id + i: seed + i for i in range(n)}
+                    next_id += n
+                    v = snapshot_write(spark, df_of(new), root, "append")
+                    view = {**view, **new}
+                elif kind == "overwrite":
+                    new = {next_id + i: seed - i for i in range(n)}
+                    next_id += n
+                    v = snapshot_write(spark, df_of(new), root, "overwrite")
+                    view = new
+                elif kind == "delete":
+                    if not view:
+                        continue
+                    doomed = sorted(view)[: min(n, len(view))]
+                    v = snapshot_delete(
+                        spark,
+                        root,
+                        spark.createDataFrame(
+                            [(k,) for k in doomed], "id long"
+                        ),
+                        "id",
+                    )
+                    view = {k: x for k, x in view.items() if k not in doomed}
+                else:  # compact
+                    if not view:
+                        continue
+                    v = snapshot_compact(spark, root)
+                history[v] = dict(view)
+
+            for v, want in history.items():
+                got = {
+                    (r["id"], r["val"])
+                    for r in snapshot_read(spark, root, v).collect()
+                }
+                assert got == set(want.items()), (v, got, want)
+
+            if history:
+                latest = max(history)
+                snapshot_vacuum(root, keep_last=1)
+                assert versions(root) == [latest]
+                got = {
+                    (r["id"], r["val"])
+                    for r in snapshot_read(spark, root, latest).collect()
+                }
+                assert got == set(history[latest].items())
+                for v in sorted(history)[:-1]:
+                    with pytest.raises(FileNotFoundError):
+                        snapshot_read(spark, root, v)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
