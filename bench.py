@@ -89,6 +89,7 @@ EXTRAS_ALWAYS: list[str] = [
     "a15c_streaming_snapshot_ingest",  # per-batch idempotent snapshot commits
     "a15d_pruned_time_travel",  # manifest-level file skipping via footer stats
     "a15e_merge_on_read_delete",  # key-file delete commit, anti-join read
+    "ts3_rolling_anomaly",    # trailing-window z-score flags on hourly series
     # h9b_streaming_ohlc_append is NOT benched: H-family convention
     # (same as h9 — the batch twin ts2 carries the bench cost)
     # h9_streaming_ohlc / h9b are NOT benched: H-family convention — live

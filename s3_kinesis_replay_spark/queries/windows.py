@@ -500,3 +500,77 @@ def e12_transition_matrix(spark, sf_dir):
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "ts3_rolling_anomaly",
+    "E5",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+    ),
+    scored AS (
+      SELECT event_type, hr, v,
+             COUNT(*) OVER w AS n_prior,
+             AVG(v) OVER w AS mu,
+             STDDEV_SAMP(v) OVER w AS sd
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hr, v,
+           CASE WHEN n_prior >= 6 AND sd > 0
+                THEN ROUND((v - mu) / sd, 6) END AS z,
+           COALESCE(
+             CASE WHEN n_prior >= 6 AND sd > 0
+                  THEN ROUND((v - mu) / sd, 6) END > 3.0, FALSE
+           ) AS is_anomaly
+    FROM scored ORDER BY event_type, hr
+    """,
+    note="ROLLING-WINDOW ANOMALY DETECTION — the metrics-pipeline "
+    "companion of ts1/ts2: hourly per-type totals scored against the "
+    "TRAILING 12-hour window's mean/stddev (current row EXCLUDED — a "
+    "spike must not dilute its own baseline), z>3 flagged, warm-up "
+    "rows (<6 priors) and zero-variance baselines emit NULL z / false "
+    "flag rather than a divide artifact. The frame is ROWS -12..-1 "
+    "over the hourly AGGREGATE — one row per (type, hour) whatever the "
+    "event volume, so at 100 TB the window state is 12 doubles per "
+    "series, and the heavy lifting stays in the partial-agg groupBy "
+    "underneath (the d*-family shuffle shape). Flag computed from the "
+    "6-dp-ROUNDED z in BOTH engines so the >3 boundary cannot split on "
+    "last-ulp stddev differences.",
+)
+def ts3_rolling_anomaly(spark, sf_dir):
+    hourly = (
+        t(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(fdec(F.sum(sdec("value"))).alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-12, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hr",
+        "v",
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.avg("v").over(w).alias("mu"),
+        F.stddev_samp("v").over(w).alias("sd"),
+    )
+    z = F.when(
+        (F.col("n_prior") >= 6) & (F.col("sd") > 0),
+        F.round((F.col("v") - F.col("mu")) / F.col("sd"), 6),
+    )
+    return scored.select(
+        "event_type",
+        "hr",
+        "v",
+        z.alias("z"),
+        F.coalesce(z > 3.0, F.lit(False)).alias("is_anomaly"),
+    ).orderBy("event_type", "hr")

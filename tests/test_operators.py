@@ -3328,3 +3328,26 @@ def test_snapshot_compact_folds_deletes(spark, sf_dir, tmp_path):
     assert rep["deleted_files"] > 0
     assert not glob.glob(f"{root}/data/del-*/*.parquet")  # rent is gone
     assert snapshot_read(spark, root, 3).count() == 1900
+
+
+def test_ts3_anomaly_semantics(spark, sf_dir):
+    """ts3: warm-up rows carry NULL z and false flags, every non-null z
+    is consistent with its >3 flag, and the trailing window excludes the
+    current row (a constant series yields z NULL via zero variance, and
+    each series' first 6 rows are warm-up)."""
+    from s3_kinesis_replay_spark.queries.windows import ts3_rolling_anomaly
+
+    rows = ts3_rolling_anomaly(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        for i, r in enumerate(series):
+            if i < 6:  # fewer than 6 prior rows -> warm-up
+                assert r["z"] is None and r["is_anomaly"] is False
+            if r["z"] is None:
+                assert r["is_anomaly"] is False
+            else:
+                assert r["is_anomaly"] == (r["z"] > 3.0)
+    assert any(r["z"] is not None for r in rows)
