@@ -141,6 +141,53 @@ def file_overlaps(file_path: str, preds: dict[str, tuple]) -> bool:
     return True
 
 
+def file_column_stats(file_path: str) -> dict[str, list]:
+    """Per-column [min, max] for ONE parquet file, read from the footer
+    ONCE — the write-time half of manifest-embedded file skipping (r12,
+    Iceberg's manifest-stats discipline): the writer just produced the
+    file, so its footer is hot; lifting the stats into the manifest here
+    means the READ path prunes from O(1) manifest metadata with zero
+    per-query footer I/O (the a15d→a15f upgrade).
+
+    Only columns whose stats are (a) present in EVERY row group and
+    (b) JSON-serializable scalars (int/float/str/bool) are recorded —
+    an omitted column keeps its file a pruning CANDIDATE downstream,
+    mirroring file_overlaps' stats-less-group conservatism. NaN bounds
+    are skipped too (parquet writers disagree on NaN ordering)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(file_path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            c = row_group.column(ci)
+            col = c.path_in_schema
+            if col in bad or "." in col:  # nested leaves: not prunable here
+                continue
+            s = c.statistics
+            if s is None or not s.has_min_max:
+                bad.add(col)
+                continue
+            lo, hi = s.min, s.max
+            if not all(
+                isinstance(v, (int, float, str, bool))
+                and not (isinstance(v, float) and math.isnan(v))
+                for v in (lo, hi)
+            ):
+                bad.add(col)
+                continue
+            mins[col] = lo if col not in mins else min(mins[col], lo)
+            maxs[col] = hi if col not in maxs else max(maxs[col], hi)
+    return {
+        col: [mins[col], maxs[col]] for col in mins if col not in bad
+    }
+
+
 def candidate_files(path: str, preds: dict[str, tuple]) -> tuple[int, int]:
     """(files overlapping ALL [lo, hi] column predicates, total files)
     straight from the parquet footers via pyarrow — the same min/max

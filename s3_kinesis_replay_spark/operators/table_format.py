@@ -1,5 +1,6 @@
-"""Manifest-versioned parquet tables: time travel + vacuum (SURVEY §2.A8
-maintenance tier, r11).
+"""Manifest-versioned parquet tables: time travel, MOR deletes, MERGE,
+schema evolution, stats-pruned reads, vacuum (SURVEY §2.A8 maintenance
+tier; r11, hardened + extended r12).
 
 A deliberately minimal member of the Delta/Iceberg/Hudi family (public
 designs), built only on immutable parquet files + atomic manifest swaps:
@@ -7,27 +8,47 @@ designs), built only on immutable parquet files + atomic manifest swaps:
 * ``data/``: immutable parquet files, written once, NEVER rewritten or
   appended in place. Writers add files; only vacuum deletes them.
 * ``manifests/v{N}.json``: snapshot N = an explicit list of the data
-  files visible at version N, plus the operation that produced it.
-  Written to a temp name and ``os.replace``d — readers see an old
-  complete manifest or a new complete manifest, never a partial one.
-* ``_latest``: one-line pointer to the newest version, same atomic-swap
-  discipline (the export_behind_pointer convention).
+  FILE ENTRIES visible at version N — each entry carries the file's
+  relative path, the COMMIT SEQUENCE it was added at (Iceberg's
+  sequence-number discipline, the thing that scopes row-level deletes),
+  and per-file column [min, max] STATS captured from the parquet footer
+  ONCE at write time, so pruned reads never touch footers again.
+  The manifest also records the snapshot's SCHEMA (name, type pairs) —
+  add-column evolution is allowed, type changes are refused at commit.
+* ``_latest``: one-line pointer to the newest version, atomic-swap
+  (convenience only; the manifest files are the commit source of truth).
 
 Why this shape survives 100 TB: a snapshot is O(#files) metadata, not
-O(data); appends commit without touching history (the a13/a14 lesson);
-time travel is "read the old file list" — no copy-on-write of data; and
-vacuum's reachability set is the union of kept manifests' file lists, so
-retention is a metadata diff plus deletes of provably-unreferenced
-files. Commits use an optimistic-concurrency create-exclusive
-(os.link) so racing writers conflict loudly instead of silently
-overwriting each other (CommitConflict -> re-read + retry).
-Row-level deletes are MERGE-ON-READ (snapshot_delete): a delete commit
-adds a key file, readers anti-join it, data files stay byte-untouched
-until a compaction rewrites them. What it deliberately omits vs the
-real formats: column-level stats in manifests (parquet footers already
-carry them — see layout.py's candidate_files, lifted into
-snapshot_read_pruned) and position-based (row-offset) delete vectors —
-keys are the fixtures' natural identity.
+O(data); appends commit without touching history; time travel is "read
+the old file list"; file skipping is a manifest scan (zero per-query
+footer I/O — the r12 a15f upgrade); and vacuum's reachability set is
+the union of kept manifests' file lists plus an age grace window so
+in-flight writers and time-travel readers are never raced.
+
+CONCURRENCY (r12, closes the ADVICE lost-update race): every commit is
+validated against the BASE version its caller read — `_commit` links
+the new manifest at exactly ``base + 1`` with an atomic create-exclusive
+``os.link``. Any commit that landed between the caller's read and its
+own commit makes the link fail with :class:`CommitConflict` (Iceberg's
+base-snapshot validation). The public writers (`snapshot_write`,
+`snapshot_delete`, `snapshot_merge`, `commit_append_files`) write their
+data files ONCE, then run a bounded re-read-and-retry loop over the
+metadata commit only — two concurrent appenders both land, in some
+serial order, with no lost files. `snapshot_compact` deliberately does
+NOT auto-retry: its data files materialize a specific base snapshot, so
+a conflict means the view is stale and the caller must re-compact.
+
+ROW DELETES are MERGE-ON-READ and SEQUENCE-SCOPED (r12, closes the
+ADVICE delete-then-reinsert wrong-answer): a delete commit at sequence
+D adds a key file; readers anti-join its keys against ONLY data files
+with sequence < D (Iceberg equality-delete semantics). Rows appended
+AFTER the delete — including a re-insert of a deleted key, and the new
+rows of the very MERGE commit that carries the delete — are untouched.
+Data files stay byte-identical until a compaction rewrites them.
+
+What it deliberately omits vs the real formats: position-based
+(row-offset) delete vectors (keys are the fixtures' natural identity)
+and partition-transform specs (operators/layout.py owns layout).
 """
 
 from __future__ import annotations
@@ -35,11 +56,31 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3_kinesis_replay_spark.operators.layout import file_overlaps
+from s3_kinesis_replay_spark.operators.layout import (
+    file_column_stats,
+    file_overlaps,
+)
+
+# Count of read-path parquet-footer fallbacks (legacy entries without
+# manifest stats). The a15f gate asserts this stays FLAT across a pruned
+# read of a stats-bearing table — manifest skipping must cost zero
+# footer I/O per query.
+FOOTER_FALLBACK_READS = 0
+
+# Default vacuum grace: unreachable data files younger than this are
+# kept. Protects (a) a writer that has staged data files but not yet
+# committed its manifest and (b) a time-travel reader mid-scan on a
+# just-superseded snapshot (the similarity index's _EXPORT_REAP_GRACE_S
+# discipline applied to the table tier). Tests that want immediate
+# reaping pass min_age_s=0 explicitly.
+VACUUM_GRACE_S = 3600.0
+
+_COMMIT_RETRIES = 5
 
 
 def _manifest_dir(root: str) -> str:
@@ -52,13 +93,11 @@ def _manifest_path(root: str, version: int) -> str:
 
 def latest_version(root: str) -> int:
     """Newest committed version (0 = empty table). The MANIFEST FILES are
-    the source of truth — each lands atomically via os.replace, so a
-    manifest's existence IS the commit. The ``_latest`` pointer is only a
-    convenience marker (and the atomic-install done-flag for cached
-    builds); deriving the version from it instead caused a real
-    lost-write hazard (review r11): a crash between manifest write and
-    pointer swap left an orphaned manifest that batch-id dedup could
-    see but the next commit's numbering would silently overwrite."""
+    the source of truth — each lands atomically via create-exclusive
+    link, so a manifest's existence IS the commit. The ``_latest``
+    pointer is only a convenience marker (and the atomic-install
+    done-flag for cached builds); deriving the version from it instead
+    caused a real lost-write hazard (review r11)."""
     vs = versions(root)
     return max(vs) if vs else 0
 
@@ -86,31 +125,115 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
+def _norm_entry(e) -> dict:
+    """Normalize a manifest file entry. r11 manifests stored bare path
+    strings; r12 entries are dicts {path, seq, stats}. A legacy entry
+    has unknown sequence (None): deletes apply to it and it is affected
+    by every delete — exactly the r11 whole-snapshot semantics — and it
+    has no manifest stats, so pruning falls back to one footer read."""
+    if isinstance(e, str):
+        return {"path": e, "seq": None}
+    return e
+
+
+def _entries(m: dict) -> list[dict]:
+    return [_norm_entry(e) for e in m["files"]]
+
+
+def _delete_entries(m: dict) -> list[dict]:
+    return [_norm_entry(e) for e in m.get("delete_files", [])]
+
+
+def _paths(entries: list[dict]) -> list[str]:
+    return [e["path"] for e in entries]
+
+
+def _schema_of(df: DataFrame) -> list[list[str]]:
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+def _schema_ddl(schema: list[list[str]]) -> str:
+    return ", ".join(f"`{n}` {t}" for n, t in schema)
+
+
+def _merge_schema(
+    prior: list[list[str]] | None, new: list[list[str]]
+) -> list[list[str]]:
+    """ADD-COLUMN schema evolution: the merged schema is the prior
+    columns (their order preserved) plus any new columns appended.
+    A type change on an existing column is REFUSED — silently coercing
+    (or worse, letting two files disagree) is how tables corrupt; real
+    formats version type promotions explicitly and this one does not."""
+    if prior is None:
+        return new
+    prior_t = dict((n, t) for n, t in prior)
+    for n, t in new:
+        if n in prior_t and prior_t[n] != t:
+            raise ValueError(
+                f"incompatible type change for column {n!r}: table has "
+                f"{prior_t[n]}, incoming data has {t} — schema evolution "
+                "supports ADDING columns only"
+            )
+    prior_names = set(prior_t)
+    return [list(c) for c in prior] + [
+        [n, t] for n, t in new if n not in prior_names
+    ]
+
+
 class CommitConflict(RuntimeError):
-    """Another writer committed this version first — re-read the table
-    state (the new latest manifest) and retry the commit on top of it."""
+    """Another writer committed on top of the base version this writer
+    read — re-read the table state (the new latest manifest) and retry
+    the commit on top of it (or use the built-in bounded retry of the
+    public writers / :func:`snapshot_commit_retry`)."""
+
+
+def snapshot_commit_retry(fn: Callable[[], int], retries: int = _COMMIT_RETRIES) -> int:
+    """Run a commit-producing callable, retrying on CommitConflict up to
+    ``retries`` times (bounded — a livelock under pathological contention
+    surfaces as the final CommitConflict, never an infinite loop). The
+    callable must re-read table state itself each attempt; the public
+    writers already do, so this wrapper is for CUSTOM compositions."""
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except CommitConflict:
+            if attempt == retries:
+                raise
+    raise AssertionError("unreachable")
 
 
 def _commit(
     root: str,
-    files: list[str],
+    base: int,
+    files: list[dict],
     op: str,
-    delete_files: list[str] | None = None,
+    delete_files: list[dict] | None = None,
     delete_key: str | None = None,
+    schema: list[list[str]] | None = None,
 ) -> int:
-    """Atomically commit a new manifest over ``files`` (relative paths)
-    with OPTIMISTIC CONCURRENCY (r11): the manifest is staged to a temp
-    name and published with ``os.link`` — an atomic create-EXCLUSIVE, so
-    of two racing writers targeting the same version number exactly one
-    wins and the loser gets :class:`CommitConflict` instead of silently
-    overwriting the winner's manifest (``os.replace`` did exactly that —
-    the Iceberg commit protocol exists for this race). The loser's
-    correct move is re-read + retry on the new latest."""
+    """Atomically commit manifest ``base + 1`` with BASE-SNAPSHOT
+    VALIDATION (r12): ``base`` is the version the caller's prior-state
+    read observed, and the manifest is published with ``os.link`` — an
+    atomic create-EXCLUSIVE at exactly v = base + 1. If ANY commit
+    landed since the caller's read, v already exists, the link fails,
+    and the caller gets :class:`CommitConflict` instead of linking a
+    fresh number whose manifest silently omits the interloper's files
+    (the ADVICE r11 lost-update race: recomputing v = latest + 1 here
+    validated nothing). The loser's correct move: re-read + retry."""
     os.makedirs(_manifest_dir(root), exist_ok=True)
-    v = latest_version(root) + 1
-    manifest = {"version": v, "operation": op, "files": sorted(files)}
+    v = base + 1
+    manifest = {
+        "version": v,
+        "base": base,
+        "operation": op,
+        "files": sorted(files, key=lambda e: e["path"]),
+    }
+    if schema is not None:
+        manifest["schema"] = schema
     if delete_files:
-        manifest["delete_files"] = sorted(delete_files)
+        manifest["delete_files"] = sorted(
+            delete_files, key=lambda e: e["path"]
+        )
         manifest["delete_key"] = delete_key
     tmp = _manifest_path(root, v) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -131,37 +254,202 @@ def _commit(
     return v
 
 
-def snapshot_write(
-    spark: SparkSession, df: DataFrame, root: str, mode: str = "append"
-) -> int:
-    """Write ``df`` as new immutable data files and commit a snapshot.
-    ``mode='append'``: new version = prior file list + the new files
-    (history untouched — the a14 discipline). ``mode='overwrite'``: new
-    version lists ONLY the new files; the old files stay on disk,
-    reachable through older manifests until vacuum. Returns the
-    committed version number."""
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    part = f"part-{uuid.uuid4().hex[:12]}"
+def _write_data_files(
+    df: DataFrame, root: str, prefix: str = "part"
+) -> list[str]:
+    """Write ``df`` once as immutable parquet under a fresh uuid part
+    dir; returns the relative file paths. Separated from the commit so
+    a CommitConflict retry re-attempts METADATA only — the data is
+    never rewritten (a conflicted-away attempt's files are unreferenced
+    and reaped by an age-graced vacuum)."""
+    part = f"{prefix}-{uuid.uuid4().hex[:12]}"
     out_dir = os.path.join(root, "data", part)
     df.write.mode("error").parquet(out_dir)
-    new_files = [
+    return [
         os.path.join("data", part, f)
         for f in os.listdir(out_dir)
         if f.endswith(".parquet")
     ]
-    prior: list[str] = []
-    prior_del: list[str] = []
-    prior_key = None
-    if mode == "append" and latest_version(root) > 0:
-        pm = _read_manifest(root, latest_version(root))
-        prior = pm["files"]
-        prior_del = pm.get("delete_files", [])
-        prior_key = pm.get("delete_key")
-    return _commit(
-        root, prior + new_files, mode,
-        delete_files=prior_del, delete_key=prior_key,
-    )
+
+
+def _stat_entries(root: str, rel_files: list[str], seq: int) -> list[dict]:
+    """Build manifest entries for freshly written files: one footer read
+    per file NOW (write time, footer hot) so reads never pay it."""
+    return [
+        {
+            "path": p,
+            "seq": seq,
+            "stats": file_column_stats(os.path.join(root, p)),
+        }
+        for p in rel_files
+    ]
+
+
+def snapshot_write(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    retries: int = _COMMIT_RETRIES,
+) -> int:
+    """Write ``df`` as new immutable data files and commit a snapshot.
+    ``mode='append'``: new version = prior file list + the new files
+    (history untouched); add-column schema evolution is allowed, type
+    changes are refused. ``mode='overwrite'``: new version lists ONLY
+    the new files; old files stay on disk, reachable through older
+    manifests until vacuum. Data files are written ONCE; the metadata
+    commit retries on concurrent-writer conflicts (bounded). Returns
+    the committed version number."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    new_files = _write_data_files(df, root)
+    new_schema = _schema_of(df)
+
+    def attempt() -> int:
+        base = latest_version(root)
+        prior: list[dict] = []
+        prior_del: list[dict] = []
+        prior_key = None
+        schema = new_schema
+        if mode == "append" and base > 0:
+            pm = _read_manifest(root, base)
+            prior = _entries(pm)
+            prior_del = _delete_entries(pm)
+            prior_key = pm.get("delete_key")
+            schema = _merge_schema(pm.get("schema"), new_schema)
+        return _commit(
+            root,
+            base,
+            prior + _stat_entries(root, new_files, base + 1),
+            mode,
+            delete_files=prior_del,
+            delete_key=prior_key,
+            schema=schema,
+        )
+
+    return snapshot_commit_retry(attempt, retries)
+
+
+def commit_append_files(
+    root: str,
+    new_files: list[str],
+    op: str,
+    schema: list[list[str]],
+    retries: int = _COMMIT_RETRIES,
+) -> int:
+    """Commit PRE-WRITTEN parquet files (relative paths) as an append
+    snapshot — the streaming-ingest path (a15c), where the caller
+    writes each micro-batch's files idempotently under a deterministic
+    batch dir and tags the op (``append:b{batch_id}``). Same schema
+    rules, stats capture, and bounded conflict retry as
+    :func:`snapshot_write`."""
+
+    def attempt() -> int:
+        base = latest_version(root)
+        prior: list[dict] = []
+        prior_del: list[dict] = []
+        prior_key = None
+        merged = schema
+        if base > 0:
+            pm = _read_manifest(root, base)
+            prior = _entries(pm)
+            prior_del = _delete_entries(pm)
+            prior_key = pm.get("delete_key")
+            merged = _merge_schema(pm.get("schema"), schema)
+        return _commit(
+            root,
+            base,
+            prior + _stat_entries(root, new_files, base + 1),
+            op,
+            delete_files=prior_del,
+            delete_key=prior_key,
+            schema=merged,
+        )
+
+    return snapshot_commit_retry(attempt, retries)
+
+
+def _read_files(
+    spark: SparkSession,
+    root: str,
+    paths: list[str],
+    schema: list[list[str]] | None,
+) -> DataFrame:
+    """Read data files under the MANIFEST's schema: files written before
+    an add-column evolution lack the new columns, and pinning the read
+    schema makes Spark NULL-fill them per file — one scan, no
+    mergeSchema footer sweep, stable column order. Type changes were
+    refused at commit, so shared columns always agree."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(_schema_ddl(schema))
+    return reader.parquet(*[os.path.join(root, p) for p in paths])
+
+
+def _empty_frame(
+    spark: SparkSession, root: str, m: dict
+) -> DataFrame:
+    """Schema-preserving empty DataFrame for an empty candidate set."""
+    schema = m.get("schema")
+    if schema is not None:
+        return spark.createDataFrame([], _schema_ddl(schema))
+    ents = _entries(m)
+    if not ents:
+        raise ValueError(
+            f"snapshot v{m['version']} is empty — no schema to preserve"
+        )
+    # legacy manifest: borrow one file's schema with an always-empty read
+    return spark.read.parquet(
+        os.path.join(root, ents[0]["path"])
+    ).limit(0)
+
+
+def _assemble(
+    spark: SparkSession, root: str, m: dict, entries: list[dict]
+) -> DataFrame:
+    """The read core shared by snapshot_read / snapshot_read_pruned:
+    MERGE-ON-READ with SEQUENCE SCOPING. A delete file committed at
+    sequence D applies to data files with sequence < D only (Iceberg
+    equality-delete rule) — rows appended after the delete, and the
+    data half of the MERGE commit that carried the delete, are never
+    suppressed. Data files are grouped by their applicable-delete
+    horizon (at most #delete-commits + 1 groups); each group is one
+    scan anti-joined against the union of its applicable key files
+    (broadcast — key files are tiny relative to data), then the groups
+    union. Entries with unknown sequence (legacy) take every delete."""
+    schema = m.get("schema")
+    dels = _delete_entries(m)
+    if not dels:
+        return _read_files(spark, root, _paths(entries), schema)
+
+    def applicable(e: dict) -> tuple[str, ...]:
+        es = e.get("seq")
+        return tuple(
+            sorted(
+                d["path"]
+                for d in dels
+                if es is None or d.get("seq") is None or d["seq"] > es
+            )
+        )
+
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for e in entries:
+        groups.setdefault(applicable(e), []).append(e["path"])
+    parts = []
+    for app in sorted(groups):
+        df = _read_files(spark, root, groups[app], schema)
+        if app:
+            keys = (
+                _read_files(spark, root, list(app), None)
+                .select(m["delete_key"])
+                .distinct()
+            )
+            df = df.join(F.broadcast(keys), m["delete_key"], "left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def snapshot_read(
@@ -172,28 +460,27 @@ def snapshot_read(
     FileNotFoundError for a vacuumed/unknown version."""
     v = latest_version(root) if version is None else version
     m = _read_manifest(root, v)
-    if not m["files"]:
+    ents = _entries(m)
+    if not ents:
         raise ValueError(f"snapshot v{v} is empty")
-    df = spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
-    dels = m.get("delete_files", [])
-    if dels:
-        # MERGE-ON-READ: the delete-key files are tiny relative to data,
-        # so the anti-join broadcasts; data files stay byte-untouched
-        # until a compaction folds the deletes in
-        keys = spark.read.parquet(*[os.path.join(root, f) for f in dels])
-        df = df.join(
-            F.broadcast(keys.select(m["delete_key"]).distinct()),
-            m["delete_key"],
-            "left_anti",
-        )
-    return df
+    return _assemble(spark, root, m, ents)
 
 
-def snapshot_vacuum(root: str, keep_last: int = 2) -> dict:
+def snapshot_vacuum(
+    root: str, keep_last: int = 2, min_age_s: float = VACUUM_GRACE_S
+) -> dict:
     """Retention: drop all but the newest ``keep_last`` manifests, then
-    delete every data file not referenced by a RETAINED manifest (the
-    reachability rule that makes Delta-style VACUUM safe). Returns
-    {'dropped_versions': [...], 'deleted_files': n, 'kept_files': n}."""
+    delete every data file that is BOTH unreferenced by a retained
+    manifest (the reachability rule) AND older than ``min_age_s``
+    (mtime). The age grace (r12, ADVICE) is what makes vacuum safe
+    around concurrency: a writer that staged data files but has not yet
+    committed, a conflicted commit attempt about to retry, and a
+    time-travel reader mid-scan on a just-dropped snapshot all hold
+    files that are unreachable-right-now but must survive; after the
+    grace they are genuinely dead. Returns {'dropped_versions': [...],
+    'deleted_files': n, 'kept_files': n, 'skipped_young': n}."""
+    import time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = versions(root)
@@ -209,9 +496,18 @@ def snapshot_vacuum(root: str, keep_last: int = 2) -> dict:
     reachable: set[str] = set()
     for v in keep:
         m = _read_manifest(root, v)
-        reachable.update(m["files"])
-        reachable.update(m.get("delete_files", []))
+        reachable.update(_paths(_entries(m)))
+        reachable.update(_paths(_delete_entries(m)))
     deleted = 0
+    skipped_young = 0
+    now = time.time()
+
+    def young(path: str) -> bool:
+        try:
+            return now - os.path.getmtime(path) < min_age_s
+        except OSError:
+            return True  # vanished mid-walk: treat as not ours to reap
+
     data_root = os.path.join(root, "data")
     for dirpath, _dirs, files in os.walk(data_root, topdown=False):
         # separator-anchored prefix test (review r11: bare startswith let
@@ -222,6 +518,9 @@ def snapshot_vacuum(root: str, keep_last: int = 2) -> dict:
             full = os.path.join(dirpath, f)
             rel = os.path.relpath(full, root)
             if f.endswith(".parquet") and rel not in reachable:
+                if young(full):
+                    skipped_young += 1
+                    continue
                 os.remove(full)
                 deleted += 1
                 # Hadoop local-FS checksum sibling of the deleted file
@@ -237,7 +536,10 @@ def snapshot_vacuum(root: str, keep_last: int = 2) -> dict:
                 # (the walk's file list was snapshotted before the
                 # parquet branch removed crc siblings — tolerate gone)
                 if os.path.exists(full):
-                    os.remove(full)
+                    if young(full):
+                        skipped_young += 1
+                    else:
+                        os.remove(full)
         if dirpath != data_root and not os.listdir(dirpath):
             os.rmdir(dirpath)
     for v in drop:
@@ -246,6 +548,7 @@ def snapshot_vacuum(root: str, keep_last: int = 2) -> dict:
         "dropped_versions": drop,
         "deleted_files": deleted,
         "kept_files": len(reachable),
+        "skipped_young": skipped_young,
     }
 
 
@@ -257,13 +560,14 @@ def snapshot_changes(
     the manifest file-list diff — for append commits this is exact
     row-level CDC with ZERO data diffing (the new files ARE the new
     rows; Delta's CDF for append-only workloads works the same way).
-    Refuses non-append histories: after an overwrite, a file diff is a
-    layout diff, not a row diff — that case needs c2d's snapshot-diff
-    (key-level compare), and silently returning it as 'changes' would
-    be wrong-answer territory."""
+    Refuses non-append histories: after an overwrite, delete, or merge,
+    a file diff is a layout diff, not a row diff — that case needs
+    c2d's snapshot-diff (key-level compare), and silently returning it
+    as 'changes' would be wrong-answer territory."""
     if to_version <= from_version:
         raise ValueError("to_version must be > from_version")
-    frm = set(_read_manifest(root, from_version)["files"])
+    m_to = _read_manifest(root, to_version)
+    frm = set(_paths(_entries(_read_manifest(root, from_version))))
     for v in range(from_version + 1, to_version + 1):
         m = _read_manifest(root, v)
         # tagged appends ("append:b<batch_id>", the a15c idempotent
@@ -274,12 +578,38 @@ def snapshot_changes(
                 "is only row-exact over append-only history; use a "
                 "key-level snapshot diff instead"
             )
-    added = sorted(set(_read_manifest(root, to_version)["files"]) - frm)
+    added = sorted(set(_paths(_entries(m_to))) - frm)
     if not added:
         raise ValueError(
             f"no files added between v{from_version} and v{to_version}"
         )
-    return spark.read.parquet(*[os.path.join(root, f) for f in added])
+    return _read_files(spark, root, added, m_to.get("schema"))
+
+
+def _entry_overlaps(root: str, e: dict, preds: dict[str, tuple]) -> bool:
+    """[lo, hi] overlap test for one manifest entry. Manifest stats
+    (written at commit time) answer with ZERO I/O; a column missing
+    from the stats keeps the file a candidate (stats-less conservatism,
+    same rule as layout.file_overlaps). Only a LEGACY entry that
+    predates manifest stats falls back to a footer read — counted in
+    FOOTER_FALLBACK_READS so the a15f gate can assert the hot path
+    never pays it."""
+    stats = e.get("stats")
+    if stats is None:
+        global FOOTER_FALLBACK_READS
+        FOOTER_FALLBACK_READS += 1
+        return file_overlaps(os.path.join(root, e["path"]), preds)
+    for col, (lo, hi) in preds.items():
+        s = stats.get(col)
+        if s is None:
+            continue  # no stats for this column: stays a candidate
+        cmin, cmax = s
+        try:
+            if cmax < lo or cmin > hi:
+                return False
+        except TypeError:
+            continue  # incomparable types (str stats vs numeric pred)
+    return True
 
 
 def snapshot_read_pruned(
@@ -289,89 +619,155 @@ def snapshot_read_pruned(
     version: int | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Time-travel read with MANIFEST-LEVEL FILE SKIPPING: the snapshot's
-    file list is pruned against [lo, hi] column predicates using parquet
-    footer min/max (operators/layout.py::file_overlaps — the identical
-    semantics the zorder layout's pruning measurement uses), and only
-    overlapping files are handed to Spark; the residual predicate is
-    re-applied on the scan for row-level exactness. Returns
-    (df, files_read, files_total). Iceberg keeps these stats IN the
-    manifest to skip the footer reads too; here the footers are the
-    stats store (one bounded driver-side read per file, no data pages) —
-    at 100 TB you'd lift them into the manifest at commit time, which
-    changes where the numbers live, not the pruning rule."""
+    file entries are pruned against [lo, hi] column predicates using the
+    per-file min/max stats EMBEDDED IN THE MANIFEST at commit time (r12
+    — Iceberg's manifest-stats discipline; r11 re-read parquet footers
+    per query, O(files) driver I/O that a 100k-file table cannot pay).
+    Only overlapping files are handed to Spark; the residual predicate
+    is re-applied on the scan for row-level exactness; MOR delete keys
+    still apply (sequence-scoped, same as snapshot_read). Returns
+    (df, files_read, files_total)."""
     v = latest_version(root) if version is None else version
     m = _read_manifest(root, v)
-    keep = [
-        f
-        for f in m["files"]
-        if file_overlaps(os.path.join(root, f), preds)
-    ]
+    ents = _entries(m)
+    if not ents:
+        # ADVICE r11: the empty-manifest state used to surface as an
+        # opaque IndexError off m['files'][0]
+        raise ValueError(f"snapshot v{v} is empty")
+    keep = [e for e in ents if _entry_overlaps(root, e, preds)]
     if not keep:
-        # empty candidate set: preserve schema by reading one file with
-        # an always-false filter rather than inventing a schema
-        df = spark.read.parquet(os.path.join(root, m["files"][0])).limit(0)
+        df = _empty_frame(spark, root, m)
     else:
-        df = spark.read.parquet(*[os.path.join(root, f) for f in keep])
+        df = _assemble(spark, root, m, keep)
     for col, (lo, hi) in preds.items():
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
-    return df, len(keep), len(m["files"])
+    return df, len(keep), len(ents)
 
 
-def snapshot_delete(
-    spark: SparkSession, root: str, keys: DataFrame, key_col: str
-) -> int:
-    """MERGE-ON-READ row deletes: commit a snapshot whose data files are
-    UNCHANGED plus a new delete-key file readers anti-join (Hudi/Iceberg
-    MOR discipline, key-based). O(delete keys) write, zero data rewrite;
-    the read-side anti-join cost is what a later compaction (rewrite the
-    surviving rows, drop the delete files) amortizes away. Time travel
-    still shows the rows at pre-delete versions. Mixed-key-column delete
-    chains are refused — one table, one row identity."""
-    v = latest_version(root)
-    if v == 0:
-        raise ValueError("cannot delete from an empty table")
-    m = _read_manifest(root, v)
+def _validate_delete_key(m: dict, key_col: str) -> None:
     prior_key = m.get("delete_key")
     if prior_key is not None and prior_key != key_col:
         raise ValueError(
             f"table's delete key is {prior_key!r}; refusing a delete on "
             f"{key_col!r} — one row identity per table"
         )
-    part = f"del-{uuid.uuid4().hex[:12]}"
-    out_dir = os.path.join(root, "data", part)
-    keys.select(key_col).distinct().write.mode("error").parquet(out_dir)
-    new_del = [
-        os.path.join("data", part, f)
-        for f in os.listdir(out_dir)
-        if f.endswith(".parquet")
-    ]
-    return _commit(
-        root,
-        m["files"],
-        "delete",
-        delete_files=m.get("delete_files", []) + new_del,
-        delete_key=key_col,
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    key_col: str,
+    retries: int = _COMMIT_RETRIES,
+) -> int:
+    """MERGE-ON-READ row deletes: commit a snapshot whose data files are
+    UNCHANGED plus a new delete-key file readers anti-join (Hudi/Iceberg
+    MOR discipline, key-based). O(delete keys) write, zero data rewrite;
+    the read-side anti-join cost is what a later compaction amortizes
+    away. The delete is SEQUENCE-SCOPED: it suppresses keys only in data
+    files committed BEFORE it, so a later re-insert of a deleted key is
+    visible (r12; unscoped deletes silently tombstoned re-inserts
+    forever — the ADVICE wrong-answer). Time travel still shows the
+    rows at pre-delete versions. Mixed-key-column delete chains are
+    refused — one table, one row identity."""
+    if latest_version(root) == 0:
+        raise ValueError("cannot delete from an empty table")
+    del_files = _write_data_files(
+        keys.select(key_col).distinct(), root, prefix="del"
     )
+
+    def attempt() -> int:
+        base = latest_version(root)
+        if base == 0:
+            raise ValueError("cannot delete from an empty table")
+        m = _read_manifest(root, base)
+        _validate_delete_key(m, key_col)
+        return _commit(
+            root,
+            base,
+            _entries(m),
+            "delete",
+            delete_files=_delete_entries(m)
+            + [{"path": p, "seq": base + 1} for p in del_files],
+            delete_key=key_col,
+            schema=m.get("schema"),
+        )
+
+    return snapshot_commit_retry(attempt, retries)
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key_col: str,
+    retries: int = _COMMIT_RETRIES,
+) -> int:
+    """Key-based MERGE INTO (upsert) as ONE atomic commit — the
+    composition the MOR pieces exist for: the commit simultaneously
+    (a) appends the source rows as new data files and (b) adds a
+    delete-key file of the source's keys. Sequence scoping does the
+    rest at read time: the delete (sequence v) suppresses matched keys
+    in OLDER files only, while the merge's own data files (also
+    sequence v) are untouched — so matched rows are replaced, unmatched
+    source rows are inserts, and unmatched target rows survive. Zero
+    data rewrite (MOR), O(source) write cost, time travel shows the
+    pre-merge state at version v-1, and concurrent writers conflict
+    cleanly via base validation + bounded retry. Add-column schema
+    evolution applies to the source like any append; CDC refuses to
+    cross a merge (it is not row-append-only)."""
+    if latest_version(root) == 0:
+        raise ValueError(
+            "cannot merge into an empty table — snapshot_write the "
+            "initial load first"
+        )
+    if key_col not in source.columns:
+        raise ValueError(f"source has no key column {key_col!r}")
+    new_files = _write_data_files(source, root, prefix="mrg")
+    del_files = _write_data_files(
+        source.select(key_col).distinct(), root, prefix="del"
+    )
+    new_schema = _schema_of(source)
+
+    def attempt() -> int:
+        base = latest_version(root)
+        m = _read_manifest(root, base)
+        _validate_delete_key(m, key_col)
+        v = base + 1
+        return _commit(
+            root,
+            base,
+            _entries(m) + _stat_entries(root, new_files, v),
+            "merge",
+            delete_files=_delete_entries(m)
+            + [{"path": p, "seq": v} for p in del_files],
+            delete_key=key_col,
+            schema=_merge_schema(m.get("schema"), new_schema),
+        )
+
+    return snapshot_commit_retry(attempt, retries)
 
 
 def snapshot_compact(spark: SparkSession, root: str) -> int:
     """COPY-ON-WRITE compaction — the other half of the MOR trade:
-    materialize the current merge-on-read view (data minus delete keys)
-    into fresh files and commit an overwrite carrying NO delete files,
-    paying the rewrite once to drop the per-read anti-join rent. Prior
-    versions (including the pre-compaction MOR chain) remain
-    time-travel-readable until vacuum reaps them; the delete-key files
-    stay on disk exactly as long as a kept manifest references them."""
-    v = latest_version(root)
-    if v == 0:
+    materialize the current merge-on-read view (data minus applicable
+    delete keys) into fresh files and commit an overwrite carrying NO
+    delete files, paying the rewrite once to drop the per-read
+    anti-join rent. Prior versions remain time-travel-readable until
+    vacuum. NO auto-retry on CommitConflict: the materialized files
+    snapshot a specific base version, so a concurrent commit makes them
+    stale — the caller must re-compact from the new state (Iceberg's
+    rewrite-validation rule), not re-link old bytes over it."""
+    base = latest_version(root)
+    if base == 0:
         raise ValueError("cannot compact an empty table")
-    df = snapshot_read(spark, root, v)
-    part = f"part-{uuid.uuid4().hex[:12]}"
-    out_dir = os.path.join(root, "data", part)
-    df.write.mode("error").parquet(out_dir)
-    files = [
-        os.path.join("data", part, f)
-        for f in os.listdir(out_dir)
-        if f.endswith(".parquet")
-    ]
-    return _commit(root, files, "compact")
+    df = snapshot_read(spark, root, base)
+    files = _write_data_files(df, root)
+    m = _read_manifest(root, base)
+    return _commit(
+        root,
+        base,
+        _stat_entries(root, files, base + 1),
+        "compact",
+        schema=m.get("schema"),
+    )

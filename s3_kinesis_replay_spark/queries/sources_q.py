@@ -688,8 +688,9 @@ def _time_travel_table(spark, sf_dir: str) -> str:
             mode="overwrite",
         )
 
+    # cache tag bumped r12: manifests now carry per-file seq/stats/schema
     return atomic_cached_build(
-        "/tmp/skr_timetravel", f"{fp}-v3", build, "_latest"
+        "/tmp/skr_timetravel", f"{fp}-v3s", build, "_latest"
     )
 
 
@@ -946,8 +947,9 @@ def _mor_delete_table(spark, sf_dir: str) -> str:
         ).select("event_id")
         snapshot_delete(spark, tmp, doomed, "event_id")
 
+    # cache tag bumped r12: manifests now carry per-file seq/stats/schema
     return atomic_cached_build(
-        "/tmp/skr_mordelete", f"{fp}-mor", build, "_latest"
+        "/tmp/skr_mordelete", f"{fp}-mor2", build, "_latest"
     )
 
 

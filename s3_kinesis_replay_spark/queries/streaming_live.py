@@ -1384,9 +1384,8 @@ def a15c_streaming_snapshot_ingest(spark, sf_dir):
     import os
 
     from s3_kinesis_replay_spark.operators.table_format import (
-        _commit,
         _read_manifest,
-        latest_version,
+        commit_append_files,
         snapshot_read,
         versions,
     )
@@ -1417,12 +1416,15 @@ def a15c_streaming_snapshot_ingest(spark, sf_dir):
             for f in os.listdir(out_dir)
             if f.endswith(".parquet")
         ]
-        prior = (
-            _read_manifest(tbl, latest_version(tbl))["files"]
-            if latest_version(tbl) > 0
-            else []
+        # commit_append_files (r12) owns the prior-merge + base-validated
+        # commit + bounded CommitConflict retry — a concurrent writer on
+        # the same table no longer loses this batch's files silently
+        commit_append_files(
+            tbl,
+            new_files,
+            f"append:b{batch_id}",
+            [[f.name, f.dataType.simpleString()] for f in batch_df.schema.fields],
         )
-        _commit(tbl, prior + new_files, f"append:b{batch_id}")
 
     q = (
         stream_archive(spark, root_archive, max_files_per_trigger=per_trigger)

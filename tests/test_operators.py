@@ -2940,14 +2940,18 @@ def test_table_format_time_travel_and_vacuum(spark, sf_dir, tmp_path):
     # append/overwrite never rewrote v1's files (mtime-pinned)
     assert {f: os.path.getmtime(f) for f in v1_files} == v1_mtimes
 
-    rep = snapshot_vacuum(root, keep_last=2)
+    rep = snapshot_vacuum(root, keep_last=2, min_age_s=0.0)
     assert rep["dropped_versions"] == [1]
     # v2 references v1's files (append) -> nothing deletable yet
     assert rep["deleted_files"] == 0
     assert snapshot_read(spark, root, 2).count() == na + nb
 
+    # the default age grace keeps just-written unreachable files alive
+    # (in-flight writers / mid-scan readers); nothing is reaped yet
     rep = snapshot_vacuum(root, keep_last=1)
-    assert rep["dropped_versions"] == [2]
+    assert rep["deleted_files"] == 0 and rep["skipped_young"] > 0
+
+    rep = snapshot_vacuum(root, keep_last=1, min_age_s=0.0)
     assert rep["deleted_files"] > 0  # v1+v2 parts now unreachable
     assert snapshot_read(spark, root, 3).count() == nc
     with _pytest.raises(FileNotFoundError):
@@ -2959,9 +2963,10 @@ def test_table_format_time_travel_and_vacuum(spark, sf_dir, tmp_path):
     }
     import json as _json
 
-    kept = set(
-        _json.load(open(f"{root}/manifests/v3.json"))["files"]
-    )
+    kept = {
+        e["path"]
+        for e in _json.load(open(f"{root}/manifests/v3.json"))["files"]
+    }
     assert left == kept
 
 
@@ -3021,15 +3026,16 @@ def test_a15b_cdc_reads_only_new_files_and_refuses_overwrites(spark, sf_dir):
     import pytest as _pytest
 
     from s3_kinesis_replay_spark.operators.table_format import (
+        _entries,
         _read_manifest,
         snapshot_changes,
     )
     from s3_kinesis_replay_spark.queries.sources_q import _time_travel_table
 
     root = _time_travel_table(spark, sf_dir)
-    diff = set(_read_manifest(root, 2)["files"]) - set(
-        _read_manifest(root, 1)["files"]
-    )
+    diff = {e["path"] for e in _entries(_read_manifest(root, 2))} - {
+        e["path"] for e in _entries(_read_manifest(root, 1))
+    }
     changes = snapshot_changes(spark, root, 1, 2)
     opened = {
         os.path.relpath(f.replace("file:", ""), root)
@@ -3147,7 +3153,8 @@ def test_p22_incremental_merge_equals_recompute_and_reads_only_delta(
     ]
     # reads-only-delta: no v1 data file appears among the plan's inputs
     v1_files = {
-        os.path.join(root, f) for f in _read_manifest(root, 1)["files"]
+        os.path.join(root, e["path"])
+        for e in _read_manifest(root, 1)["files"]
     }
     opened = {f.replace("file:", "") for f in merged.inputFiles()}
     assert opened and not (opened & v1_files)
@@ -3175,7 +3182,8 @@ def test_a15d_manifest_file_skipping(spark, sf_dir):
     )
     assert 0 < n_read < n_total
     v1_files = {
-        os.path.join(root, f) for f in _read_manifest(root, 1)["files"]
+        os.path.join(root, e["path"])
+        for e in _read_manifest(root, 1)["files"]
     }
     opened = {f.replace("file:", "") for f in df.inputFiles()}
     assert opened and not (opened & v1_files)
@@ -3191,15 +3199,13 @@ def test_a15d_manifest_file_skipping(spark, sf_dir):
     assert empty.schema == unpruned.schema
 
 
-def test_table_format_commit_conflict_detection(
-    spark, sf_dir, tmp_path, monkeypatch
-):
-    """Optimistic concurrency: of two writers racing for the same
-    version number exactly one wins; the loser raises CommitConflict
-    (never a silent overwrite) and succeeds after re-reading latest.
-    The race window (between _commit's latest read and its create-
-    exclusive link) is reproduced by pinning the loser's latest read to
-    the stale pre-race value."""
+def test_table_format_commit_conflict_detection(spark, sf_dir, tmp_path):
+    """Base-snapshot validation (r12, the ADVICE lost-update fix): a
+    writer that read base=1 and then has a competitor land v2 MUST get
+    CommitConflict — under the r11 scheme (_commit recomputing latest+1)
+    it would happily link v3 with a manifest that silently omits the
+    competitor's files. The winner's manifest survives intact and a
+    re-read retry lands cleanly."""
     import pytest as _pytest
 
     from pyspark.sql import functions as F
@@ -3210,20 +3216,76 @@ def test_table_format_commit_conflict_detection(
     root = str(tmp_path / "tbl")
     ev = table(spark, "events", sf_dir).select("event_id")
     tf.snapshot_write(spark, ev.filter(F.col("event_id") < 100), root, "overwrite")
-    files_v1 = tf._read_manifest(root, 1)["files"]
-    # the winner lands v2 inside the loser's race window
-    tf._commit(root, files_v1, "append")
+
+    # the loser reads its base/prior state ...
+    base = tf.latest_version(root)
+    prior = tf._entries(tf._read_manifest(root, base))
+    # ... then the winner commits v2 inside the loser's race window
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id").between(100, 199)), root, "append"
+    )
     winner_manifest = tf._read_manifest(root, 2)
 
-    monkeypatch.setattr(tf, "latest_version", lambda r: 1)  # stale read
     with _pytest.raises(tf.CommitConflict, match="v2 was committed"):
-        tf._commit(root, ["data/loser.parquet"], "append")
-    monkeypatch.undo()
+        tf._commit(root, base, prior, "append")
 
-    # winner's manifest intact (no silent overwrite), retry succeeds
+    # winner's manifest intact (no silent overwrite); a re-read retry
+    # lands at v3 CARRYING the winner's files (nothing lost)
     assert tf._read_manifest(root, 2) == winner_manifest
-    assert tf._commit(root, files_v1, "append") == 3
-    assert tf.latest_version(root) == 3
+    base2 = tf.latest_version(root)
+    prior2 = tf._entries(tf._read_manifest(root, base2))
+    assert tf._commit(root, base2, prior2, "append") == 3
+    assert {e["path"] for e in tf._entries(tf._read_manifest(root, 3))} >= {
+        e["path"] for e in tf._entries(winner_manifest)
+    }
+
+
+def test_table_format_two_writer_race_both_land(spark, sf_dir, tmp_path):
+    """Two threads appending concurrently with the built-in bounded
+    retry: BOTH commits land, the manifest chain is linear (versions
+    1..3 with each base = version-1), and the final manifest carries
+    the union of both writers' files — no lost update (ADVICE r11)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id", "value")
+    tf.snapshot_write(spark, ev.filter(F.col("event_id") < 100), root, "overwrite")
+
+    errs = []
+    barrier = threading.Barrier(2)
+
+    def appender(lo, hi):
+        try:
+            barrier.wait()
+            tf.snapshot_write(
+                spark,
+                ev.filter(F.col("event_id").between(lo, hi)),
+                root,
+                "append",
+            )
+        except Exception as e:  # noqa: BLE001 — surfaced via errs
+            errs.append(e)
+
+    t1 = threading.Thread(target=appender, args=(100, 199))
+    t2 = threading.Thread(target=appender, args=(200, 299))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    assert tf.versions(root) == [1, 2, 3]
+    for v in (2, 3):
+        assert tf._read_manifest(root, v)["base"] == v - 1
+    assert tf.snapshot_read(spark, root).count() == 300
+    # monotone file-list growth: v3 ⊇ v2 ⊇ v1
+    f1, f2, f3 = (
+        {e["path"] for e in tf._entries(tf._read_manifest(root, v))}
+        for v in (1, 2, 3)
+    )
+    assert f1 < f2 < f3
 
 
 def test_a15e_merge_on_read_delete_lifecycle(spark, sf_dir, tmp_path):
@@ -3278,7 +3340,7 @@ def test_a15e_merge_on_read_delete_lifecycle(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError, match="not append"):
         snapshot_changes(spark, root, 1, 3)
     # vacuum: delete files are reachable from kept manifests
-    snapshot_vacuum(root, keep_last=1)
+    snapshot_vacuum(root, keep_last=1, min_age_s=0.0)
     assert glob.glob(f"{root}/data/del-*/*.parquet")
     assert snapshot_read(spark, root, 3).count() == 2000
     # one row identity per table
@@ -3324,7 +3386,7 @@ def test_snapshot_compact_folds_deletes(spark, sf_dir, tmp_path):
         tuple(r) for r in before.collect()
     )
 
-    rep = snapshot_vacuum(root, keep_last=1)
+    rep = snapshot_vacuum(root, keep_last=1, min_age_s=0.0)
     assert rep["deleted_files"] > 0
     assert not glob.glob(f"{root}/data/del-*/*.parquet")  # rent is gone
     assert snapshot_read(spark, root, 3).count() == 1900

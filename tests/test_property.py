@@ -1994,7 +1994,7 @@ class TestTableFormatModel:
 
             if history:
                 latest = max(history)
-                snapshot_vacuum(root, keep_last=1)
+                snapshot_vacuum(root, keep_last=1, min_age_s=0.0)
                 assert versions(root) == [latest]
                 got = {
                     (r["id"], r["val"])

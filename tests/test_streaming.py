@@ -862,9 +862,8 @@ def test_a15c_version_history_is_ingest_history(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
     from s3_kinesis_replay_spark.operators.table_format import (
-        _commit,
         _read_manifest,
-        latest_version,
+        commit_append_files,
         snapshot_changes,
         snapshot_read,
         snapshot_write,
@@ -887,12 +886,12 @@ def test_a15c_version_history_is_ingest_history(spark, sf_dir, tmp_path):
             for f in os.listdir(out_dir)
             if f.endswith(".parquet")
         ]
-        prior = (
-            _read_manifest(tbl, latest_version(tbl))["files"]
-            if latest_version(tbl) > 0
-            else []
+        commit_append_files(
+            tbl,
+            files,
+            f"append:b{j}",
+            [[f.name, f.dataType.simpleString()] for f in b.schema.fields],
         )
-        _commit(tbl, prior + files, f"append:b{j}")
 
     assert versions(tbl) == [1, 2, 3]
     counts = [snapshot_read(spark, tbl, v).count() for v in (1, 2, 3)]
