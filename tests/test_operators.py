@@ -3413,3 +3413,264 @@ def test_ts3_anomaly_semantics(spark, sf_dir):
             else:
                 assert r["is_anomaly"] == (r["z"] > 3.0)
     assert any(r["z"] is not None for r in rows)
+
+
+def test_a15f_pruned_read_zero_footer_io(spark, sf_dir, tmp_path, monkeypatch):
+    """Manifest-embedded stats (r12): a pruned read of a stats-bearing
+    table performs ZERO parquet footer reads — pruning is pure manifest
+    metadata. Enforced by making the footer fallback raise; a hand-built
+    LEGACY manifest (bare path strings) proves the fallback still works
+    and is counted."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id", "value")
+    tf.snapshot_write(spark, ev.filter(F.col("event_id") < 3000), root, "overwrite")
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id").between(3000, 5999)), root, "append"
+    )
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") >= 6000), root, "append"
+    )
+
+    def no_footers(*a, **k):
+        raise AssertionError("footer read on the manifest-stats path")
+
+    monkeypatch.setattr(tf, "file_overlaps", no_footers)
+    before = tf.FOOTER_FALLBACK_READS
+    df, n_read, n_total = tf.snapshot_read_pruned(
+        spark, root, {"event_id": (3500, 4500)}
+    )
+    assert tf.FOOTER_FALLBACK_READS == before
+    assert 0 < n_read < n_total
+    want = ev.filter(F.col("event_id").between(3500, 4500)).count()
+    assert df.count() == want
+    # no v1/v3 file is opened (their manifest stats exclude the box)
+    opened = {os.path.basename(f) for f in df.inputFiles()}
+    m = tf._read_manifest(root, 3)
+    outside = {
+        os.path.basename(e["path"])
+        for e in tf._entries(m)
+        if e["stats"]["event_id"][1] < 3500 or e["stats"]["event_id"][0] > 4500
+    }
+    assert opened and not (opened & outside)
+    monkeypatch.undo()
+
+    # LEGACY manifest (r11 bare strings): fallback path, counted
+    legacy_root = str(tmp_path / "legacy")
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") < 1000), legacy_root, "overwrite"
+    )
+    m1 = tf._read_manifest(legacy_root, 1)
+    m1["files"] = [e["path"] for e in tf._entries(m1)]
+    m1.pop("schema", None)
+    with open(tf._manifest_path(legacy_root, 1), "w") as f:
+        json.dump(m1, f)
+    before = tf.FOOTER_FALLBACK_READS
+    df2, n_read2, n_total2 = tf.snapshot_read_pruned(
+        spark, legacy_root, {"event_id": (0, 10)}
+    )
+    assert tf.FOOTER_FALLBACK_READS > before
+    assert df2.count() == 11
+
+    # empty manifest: clear ValueError, not IndexError (ADVICE r11)
+    er = str(tmp_path / "empty")
+    os.makedirs(os.path.join(er, "manifests"))
+    with open(tf._manifest_path(er, 1), "w") as f:
+        json.dump({"version": 1, "base": 0, "operation": "overwrite", "files": []}, f)
+    with _pytest.raises(ValueError, match="empty"):
+        tf.snapshot_read_pruned(spark, er, {"event_id": (0, 10)})
+
+
+def test_vacuum_grace_protects_inflight_state(spark, sf_dir, tmp_path):
+    """The vacuum age grace (r12, ADVICE): (a) a time-travel reader whose
+    snapshot is dropped mid-scan still completes — its data files are
+    young, so the default grace keeps them; (b) data files STAGED by an
+    uncommitted writer survive a concurrent vacuum, so the writer's
+    later commit references live files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id", "value")
+    tf.snapshot_write(spark, ev.filter(F.col("event_id") < 500), root, "overwrite")
+    reader = tf.snapshot_read(spark, root, 1)  # lazy: scan not started
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") >= 500), root, "overwrite"
+    )
+    rep = tf.snapshot_vacuum(root, keep_last=1)  # default grace
+    assert rep["dropped_versions"] == [1]
+    assert rep["deleted_files"] == 0 and rep["skipped_young"] > 0
+    assert reader.count() == 500  # v1 files physically intact
+
+    # (b) staged-but-uncommitted files survive the graced vacuum ...
+    staged = tf._write_data_files(
+        ev.filter(F.col("event_id") < 100), root
+    )
+    tf.snapshot_vacuum(root, keep_last=1)
+    for p in staged:
+        assert os.path.exists(os.path.join(root, p))
+    # ... so the in-flight writer's commit lands on live files
+    v = tf.commit_append_files(
+        root, staged, "append",
+        [["event_id", "bigint"], ["value", "double"]],
+    )
+    n_total = ev.count()
+    assert tf.snapshot_read(spark, root, v).count() == (n_total - 500) + 100
+
+
+def test_snapshot_merge_upsert_semantics(spark, sf_dir, tmp_path):
+    """MERGE INTO (r12): matched keys are replaced, unmatched source rows
+    insert, unmatched target rows survive — in ONE commit. The merge's
+    own rows are NOT suppressed by its own delete file (sequence
+    scoping); time travel shows the pre-merge state; CDC refuses to
+    cross the merge; compaction folds it away."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id", "value")
+    base = ev.filter(F.col("event_id") < 1000)
+    tf.snapshot_write(spark, base, root, "overwrite")
+
+    updates = base.filter(F.col("event_id").between(500, 599)).withColumn(
+        "value", F.col("value") * 2
+    )
+    inserts = base.filter(F.col("event_id") < 50).select(
+        (F.col("event_id") + 100000).alias("event_id"), "value"
+    )
+    v = tf.snapshot_merge(spark, root, updates.unionByName(inserts), "event_id")
+    assert v == 2
+
+    got = tf.snapshot_read(spark, root, 2)
+    assert got.count() == 1000 + 50
+    # matched rows carry the doubled value
+    doubled = got.filter(F.col("event_id").between(500, 599))
+    orig = {r["event_id"]: r["value"] for r in
+            base.filter(F.col("event_id").between(500, 599)).collect()}
+    assert doubled.count() == 100
+    for r in doubled.collect():
+        assert r["value"] == orig[r["event_id"]] * 2
+    # unmatched target rows untouched; inserts present
+    assert got.filter(F.col("event_id") < 500).count() == 500
+    assert got.filter(F.col("event_id") >= 100000).count() == 50
+    # time travel: pre-merge state intact
+    assert tf.snapshot_read(spark, root, 1).count() == 1000
+    # CDC refuses the merge boundary
+    with _pytest.raises(ValueError, match="not append"):
+        tf.snapshot_changes(spark, root, 1, 2)
+    # compaction folds the MOR rent; rows identical
+    tf.snapshot_compact(spark, root)
+    after = tf.snapshot_read(spark, root, 3)
+    assert after.count() == 1050
+    assert "delete_files" not in tf._read_manifest(root, 3)
+
+
+def test_delete_then_reinsert_key_visible(spark, sf_dir, tmp_path):
+    """Sequence-scoped deletes (r12, the ADVICE wrong-answer fix): a key
+    deleted at v2 and re-appended at v3 is VISIBLE at v3 with its new
+    value (the delete only applies to files committed before it), while
+    v2 still suppresses it and v1 still shows the original."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, val double"
+    )
+    tf.snapshot_write(spark, rows, root, "overwrite")
+    tf.snapshot_delete(
+        spark, root, spark.createDataFrame([(5,), (7,)], "id long"), "id"
+    )
+    reins = spark.createDataFrame([(5, 999.0)], "id long, val double")
+    tf.snapshot_write(spark, reins, root, "append")
+
+    assert tf.snapshot_read(spark, root, 1).count() == 100
+    v2 = tf.snapshot_read(spark, root, 2)
+    assert v2.count() == 98 and v2.filter("id in (5, 7)").count() == 0
+    v3 = tf.snapshot_read(spark, root, 3)
+    assert v3.count() == 99
+    got = v3.filter("id = 5").collect()
+    assert len(got) == 1 and got[0]["val"] == 999.0  # the NEW row
+    assert v3.filter("id = 7").count() == 0  # still tombstoned
+
+    # merge can also resurrect a tombstoned key
+    tf.snapshot_merge(
+        spark, root,
+        spark.createDataFrame([(7, 777.0)], "id long, val double"),
+        "id",
+    )
+    v4 = tf.snapshot_read(spark, root, 4)
+    assert v4.count() == 100
+    assert v4.filter("id = 7").collect()[0]["val"] == 777.0
+
+
+def test_schema_evolution_add_column_and_refuse_type_change(
+    spark, sf_dir, tmp_path
+):
+    """Schema evolution (r12): an append may ADD columns — old files
+    NULL-fill them at read, column order follows the manifest schema,
+    and time travel shows each version under its own schema. A type
+    change on an existing column is refused at commit."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    v1_rows = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, val double"
+    )
+    tf.snapshot_write(spark, v1_rows, root, "overwrite")
+    v2_rows = spark.createDataFrame(
+        [(100 + i, float(i), "batch2") for i in range(5)],
+        "id long, val double, src string",
+    )
+    tf.snapshot_write(spark, v2_rows, root, "append")
+
+    latest = tf.snapshot_read(spark, root)
+    assert latest.columns == ["id", "val", "src"]
+    assert latest.count() == 15
+    assert latest.filter(F.col("src").isNull()).count() == 10  # NULL fill
+    assert latest.filter(F.col("src") == "batch2").count() == 5
+    # time travel: v1 keeps its original (narrower) schema
+    assert tf.snapshot_read(spark, root, 1).columns == ["id", "val"]
+
+    # narrower-than-table appends are fine too (missing col NULL-fills)
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(200, 1.5)], "id long, val double"),
+        root,
+        "append",
+    )
+    assert tf.snapshot_read(spark, root).filter(
+        "id = 200 and src is null"
+    ).count() == 1
+
+    # type change refused
+    bad = spark.createDataFrame([(300, "oops")], "id long, val string")
+    with _pytest.raises(ValueError, match="incompatible type change"):
+        tf.snapshot_write(spark, bad, root, "append")
+
+    # CDC across the schema boundary null-fills under the TO schema
+    delta = tf.snapshot_changes(spark, root, 1, 3)
+    assert delta.columns == ["id", "val", "src"]
+    assert delta.count() == 6

@@ -1923,7 +1923,20 @@ class TestTableFormatModel:
     @given(
         ops=st.lists(
             st.tuples(
-                st.sampled_from(["append", "overwrite", "delete", "compact"]),
+                st.sampled_from(
+                    [
+                        "append",
+                        "overwrite",
+                        "delete",
+                        "compact",
+                        "reinsert",  # r12: re-append a DELETED key — must
+                        # be visible again (sequence-scoped deletes)
+                        "merge",  # r12: upsert existing + new keys
+                        "race_append",  # r12: two threads append at once —
+                        # base-validated commits + bounded retry must land
+                        # BOTH (no lost update), in some serial order
+                    ]
+                ),
                 st.integers(1, 5),  # row count / delete count
                 st.integers(0, 10**6),  # value seed
             ),
@@ -1938,6 +1951,7 @@ class TestTableFormatModel:
         from s3_kinesis_replay_spark.operators.table_format import (
             snapshot_compact,
             snapshot_delete,
+            snapshot_merge,
             snapshot_read,
             snapshot_vacuum,
             snapshot_write,
@@ -1948,6 +1962,7 @@ class TestTableFormatModel:
         try:
             next_id = 0
             view: dict[int, int] = {}  # the model: id -> val
+            tombstoned: set[int] = set()  # deleted, never re-inserted
             history: dict[int, dict[int, int]] = {}  # version -> view
 
             def df_of(rows):
@@ -1966,6 +1981,7 @@ class TestTableFormatModel:
                     next_id += n
                     v = snapshot_write(spark, df_of(new), root, "overwrite")
                     view = new
+                    tombstoned = set()
                 elif kind == "delete":
                     if not view:
                         continue
@@ -1979,6 +1995,55 @@ class TestTableFormatModel:
                         "id",
                     )
                     view = {k: x for k, x in view.items() if k not in doomed}
+                    tombstoned |= set(doomed)
+                elif kind == "reinsert":
+                    if not tombstoned:
+                        continue
+                    back = sorted(tombstoned)[: min(n, len(tombstoned))]
+                    new = {k: seed + k for k in back}
+                    v = snapshot_write(spark, df_of(new), root, "append")
+                    view = {**view, **new}
+                    tombstoned -= set(back)
+                elif kind == "merge":
+                    if not view:
+                        continue
+                    upd = {
+                        k: seed - k
+                        for k in sorted(view)[: min(n, len(view))]
+                    }
+                    ins = {next_id + i: seed + i for i in range(n)}
+                    next_id += n
+                    src = {**upd, **ins}
+                    v = snapshot_merge(spark, root, df_of(src), "id")
+                    view = {**view, **src}
+                    tombstoned -= set(src)
+                elif kind == "race_append":
+                    import threading
+
+                    a = {next_id + i: seed + i for i in range(n)}
+                    b = {next_id + n + i: seed - i for i in range(n)}
+                    next_id += 2 * n
+                    barrier = threading.Barrier(2)
+                    errs: list[Exception] = []
+
+                    def racer(rows):
+                        try:
+                            barrier.wait()
+                            snapshot_write(spark, df_of(rows), root, "append")
+                        except Exception as e:  # noqa: BLE001
+                            errs.append(e)
+
+                    ts = [
+                        threading.Thread(target=racer, args=(r,))
+                        for r in (a, b)
+                    ]
+                    for t in ts:
+                        t.start()
+                    for t in ts:
+                        t.join()
+                    assert not errs, errs
+                    view = {**view, **a, **b}
+                    v = max(versions(root))  # both landed: two commits
                 else:  # compact
                     if not view:
                         continue
