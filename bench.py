@@ -76,20 +76,10 @@ HEADLINE = [
 # on top of whatever rotating slice of the stable pool is due. Promote to
 # EXTRAS (the stable pool) next round once a baseline row exists.
 EXTRAS_ALWAYS: list[str] = [
-    # round 11 additions
-    "i20b_ann_recall_gate",   # recall floor gate at the n_probe=8 knee
-    "c1e_stats_lifecycle",    # post-ingest ANALYZE lifecycle (CBO stats)
-    "d16b_streaming_countmin",  # per-batch CM artifacts, counter-SUM merge
-    "d7c_streaming_quantile_merge",  # per-batch equi-rank summaries, drain merge
-    "c1f_aqe_skew_join",      # runtime skew split (OptimizeSkewedJoin pinned)
-    "a15_time_travel",        # manifest-versioned table, 3 snapshots read AS OF
-    "i21_lsh_calibration",    # LSH banding S-curve measurement + recall gate
-    "a15b_snapshot_changes",  # manifest-diff CDC (reads only new files)
-    "p22_incremental_aggregate",  # stored base + CDC delta merge (IVM)
-    "a15c_streaming_snapshot_ingest",  # per-batch idempotent snapshot commits
-    "a15d_pruned_time_travel",  # manifest-level file skipping via footer stats
-    "a15e_merge_on_read_delete",  # key-file delete commit, anti-join read
-    "ts3_rolling_anomaly",    # trailing-window z-score flags on hourly series
+    # round 12 additions
+    "a15f_manifest_stats_pruning",  # zero-footer-IO manifest-stats skipping
+    "a15g_merge_upsert",      # atomic MOR MERGE (append + seq-scoped delete)
+    "a15h_schema_evolution",  # add-column append, manifest-schema NULL-fill
     # h9b_streaming_ohlc_append is NOT benched: H-family convention
     # (same as h9 — the batch twin ts2 carries the bench cost)
     # h9_streaming_ohlc / h9b are NOT benched: H-family convention — live
@@ -103,6 +93,21 @@ EXTRAS_ALWAYS: list[str] = [
 # pushed bench wall time past the contention-drift horizon (VERDICT r9
 # item 6); every entry still cycles through within ~3 rounds.
 EXTRAS = [
+    # round 11 (promoted from EXTRAS_ALWAYS in r12 — BENCH_r11 carries
+    # their baseline rows)
+    "i20b_ann_recall_gate",   # recall floor gate at the n_probe=8 knee
+    "c1e_stats_lifecycle",    # post-ingest ANALYZE lifecycle (CBO stats)
+    "d16b_streaming_countmin",  # per-batch CM artifacts, counter-SUM merge
+    "d7c_streaming_quantile_merge",  # per-batch equi-rank summaries, drain merge
+    "c1f_aqe_skew_join",      # runtime skew split (OptimizeSkewedJoin pinned)
+    "a15_time_travel",        # manifest-versioned table, 3 snapshots read AS OF
+    "i21_lsh_calibration",    # LSH banding S-curve measurement + recall gate
+    "a15b_snapshot_changes",  # manifest-diff CDC (reads only new files)
+    "p22_incremental_aggregate",  # stored base + CDC delta merge (IVM)
+    "a15c_streaming_snapshot_ingest",  # per-batch idempotent snapshot commits
+    "a15d_pruned_time_travel",  # manifest-level file skipping (now via a15f stats)
+    "a15e_merge_on_read_delete",  # key-file delete commit, anti-join read
+    "ts3_rolling_anomaly",    # trailing-window z-score flags on hourly series
     # round 10 (promoted from EXTRAS_ALWAYS in r11 — BENCH_r10/r11 carry
     # their baseline rows)
     "c1d_cbo_reordered_join",  # stats-driven join reorder (ANALYZE'd catalog)
@@ -285,11 +290,13 @@ def main() -> None:
         "queries": timings,
         "extras": extras,
         "sf": float(sf),
-        # NOTE: "round" = the round this record FEEDS (max CORRECTNESS
-        # round on disk + 1). The driver's closing bench runs AFTER
-        # CORRECTNESS_rN lands, so BENCH_rN.json self-labels N+1 — an
-        # expected artifact of run ordering, not a bug (VERDICT r10).
+        # The driver's closing bench runs AFTER CORRECTNESS_rN lands, so
+        # a record saved as BENCH_rN.json self-labels N+1 under the old
+        # single "round" key — confusing every judge since r10. r12: emit
+        # BOTH semantics explicitly; "round" kept for series compat.
         "round": rnd,
+        "feeds_round": rnd,
+        "measured_after_round": rnd - 1,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "settle_wait_s": settle_wait,

@@ -272,17 +272,18 @@ def _write_data_files(
     ]
 
 
-def _stat_entries(root: str, rel_files: list[str], seq: int) -> list[dict]:
-    """Build manifest entries for freshly written files: one footer read
-    per file NOW (write time, footer hot) so reads never pay it."""
-    return [
-        {
-            "path": p,
-            "seq": seq,
-            "stats": file_column_stats(os.path.join(root, p)),
-        }
-        for p in rel_files
-    ]
+def _file_stats(root: str, rel_files: list[str]) -> dict[str, dict]:
+    """One footer read per freshly written file NOW (write time, footer
+    hot) so reads never pay it. Computed ONCE per write, outside the
+    commit-retry loop — a conflict retry re-links metadata, it must not
+    re-read footers."""
+    return {p: file_column_stats(os.path.join(root, p)) for p in rel_files}
+
+
+def _stat_entries(
+    stats: dict[str, dict], rel_files: list[str], seq: int
+) -> list[dict]:
+    return [{"path": p, "seq": seq, "stats": stats[p]} for p in rel_files]
 
 
 def snapshot_write(
@@ -303,6 +304,7 @@ def snapshot_write(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     new_files = _write_data_files(df, root)
+    new_stats = _file_stats(root, new_files)
     new_schema = _schema_of(df)
 
     def attempt() -> int:
@@ -320,7 +322,7 @@ def snapshot_write(
         return _commit(
             root,
             base,
-            prior + _stat_entries(root, new_files, base + 1),
+            prior + _stat_entries(new_stats, new_files, base + 1),
             mode,
             delete_files=prior_del,
             delete_key=prior_key,
@@ -343,6 +345,7 @@ def commit_append_files(
     batch dir and tags the op (``append:b{batch_id}``). Same schema
     rules, stats capture, and bounded conflict retry as
     :func:`snapshot_write`."""
+    new_stats = _file_stats(root, new_files)
 
     def attempt() -> int:
         base = latest_version(root)
@@ -359,7 +362,7 @@ def commit_append_files(
         return _commit(
             root,
             base,
-            prior + _stat_entries(root, new_files, base + 1),
+            prior + _stat_entries(new_stats, new_files, base + 1),
             op,
             delete_files=prior_del,
             delete_key=prior_key,
@@ -724,6 +727,7 @@ def snapshot_merge(
     if key_col not in source.columns:
         raise ValueError(f"source has no key column {key_col!r}")
     new_files = _write_data_files(source, root, prefix="mrg")
+    new_stats = _file_stats(root, new_files)
     del_files = _write_data_files(
         source.select(key_col).distinct(), root, prefix="del"
     )
@@ -737,7 +741,7 @@ def snapshot_merge(
         return _commit(
             root,
             base,
-            _entries(m) + _stat_entries(root, new_files, v),
+            _entries(m) + _stat_entries(new_stats, new_files, v),
             "merge",
             delete_files=_delete_entries(m)
             + [{"path": p, "seq": v} for p in del_files],
@@ -767,7 +771,7 @@ def snapshot_compact(spark: SparkSession, root: str) -> int:
     return _commit(
         root,
         base,
-        _stat_entries(root, files, base + 1),
+        _stat_entries(_file_stats(root, files), files, base + 1),
         "compact",
         schema=m.get("schema"),
     )
