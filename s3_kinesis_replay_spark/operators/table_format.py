@@ -7,23 +7,30 @@ designs), built only on immutable parquet files + atomic manifest swaps:
 
 * ``data/``: immutable parquet files, written once, NEVER rewritten or
   appended in place. Writers add files; only vacuum deletes them.
-* ``manifests/v{N}.json``: snapshot N = an explicit list of the data
-  FILE ENTRIES visible at version N — each entry carries the file's
-  relative path, the COMMIT SEQUENCE it was added at (Iceberg's
-  sequence-number discipline, the thing that scopes row-level deletes),
-  and per-file column [min, max] STATS captured from the parquet footer
-  ONCE at write time, so pruned reads never touch footers again.
-  The manifest also records the snapshot's SCHEMA (name, type pairs) —
-  add-column evolution is allowed, type changes are refused at commit.
+* ``manifests/v{N}.json``: snapshot N = the snapshot's SCHEMA (name,
+  type pairs — add-column evolution allowed, type changes refused at
+  commit) plus SEGMENT DESCRIPTORS ({path, seq}): TWO-LEVEL metadata
+  (r12b, Iceberg's manifest-list/manifest split). The descriptor's
+  ``seq`` is the COMMIT SEQUENCE of that segment's files — the thing
+  that scopes row-level deletes.
+* ``segments/seg-*.json``: one IMMUTABLE segment per commit, listing
+  only THAT commit's new file entries ({path, stats}) — per-file
+  column [min, max] captured from the parquet footer ONCE at write
+  time, so pruned reads never touch footers again. Appends carry prior
+  descriptors verbatim: commit metadata cost is O(new files) +
+  O(#commits) descriptors, never O(table files).
 * ``_latest``: one-line pointer to the newest version, atomic-swap
   (convenience only; the manifest files are the commit source of truth).
 
 Why this shape survives 100 TB: a snapshot is O(#files) metadata, not
-O(data); appends commit without touching history; time travel is "read
-the old file list"; file skipping is a manifest scan (zero per-query
-footer I/O — the r12 a15f upgrade); and vacuum's reachability set is
-the union of kept manifests' file lists plus an age grace window so
-in-flight writers and time-travel readers are never raced.
+O(data), and a COMMIT is O(its own files), not O(table) — a15c's
+per-micro-batch ingest commits stay constant-cost as the table ages;
+appends commit without touching history; time travel is "read the old
+file list"; file skipping is a manifest scan (zero per-query footer
+I/O — the r12 a15f upgrade); and vacuum's reachability set is the
+union of kept manifests' file lists plus an age grace window so
+in-flight writers and time-travel readers are never raced. Segment
+files are reaped by vacuum under the same reachability + grace rule.
 
 CONCURRENCY (r12, closes the ADVICE lost-update race): every commit is
 validated against the BASE version its caller read — `_commit` links
@@ -136,12 +143,60 @@ def _norm_entry(e) -> dict:
     return e
 
 
-def _entries(m: dict) -> list[dict]:
-    return [_norm_entry(e) for e in m["files"]]
+def _segment_dir(root: str) -> str:
+    return os.path.join(root, "segments")
 
 
-def _delete_entries(m: dict) -> list[dict]:
-    return [_norm_entry(e) for e in m.get("delete_files", [])]
+def _write_segment(root: str, entries: list[dict]) -> str:
+    """Write an IMMUTABLE metadata segment — the entry list of ONE
+    commit's new files ({path, stats}; the sequence lives in the
+    manifest's segment DESCRIPTOR, so a conflict retry re-links the
+    same segment bytes under a new sequence). This is the two-level
+    metadata that makes commits O(new files), not O(table): Iceberg's
+    manifest-list/manifest split — the r12 flat manifest re-serialized
+    every file entry on every commit, ~30 MB of JSON PER APPEND at a
+    100k-file table. Returns the segment's relative path."""
+    os.makedirs(_segment_dir(root), exist_ok=True)
+    rel = os.path.join("segments", f"seg-{uuid.uuid4().hex[:12]}.json")
+    tmp = os.path.join(root, rel + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"entries": entries}, f)
+    os.replace(tmp, os.path.join(root, rel))
+    return rel
+
+
+def _load_segment(root: str, desc: dict) -> list[dict]:
+    with open(os.path.join(root, desc["path"])) as f:
+        seg = json.load(f)
+    seq = desc.get("seq")
+    return [{**e, "seq": seq} for e in seg["entries"]]
+
+
+def _entries(m: dict, root: str | None = None) -> list[dict]:
+    """All data-file entries of a snapshot: inline ``files`` (legacy
+    flat manifests, carried forward untouched) plus the entries of
+    every referenced segment. ``root`` is only needed when the manifest
+    references segments; accessors that predate segmentation pass the
+    manifest alone and keep working on flat manifests."""
+    out = [_norm_entry(e) for e in m.get("files", [])]
+    for desc in m.get("segments", []):
+        if root is None:
+            raise ValueError(
+                "segmented manifest requires root to load entries"
+            )
+        out.extend(_load_segment(root, desc))
+    return out
+
+
+def _delete_entries(m: dict, root: str | None = None) -> list[dict]:
+    out = [_norm_entry(e) for e in m.get("delete_files", [])]
+    for desc in m.get("delete_segments", []):
+        if root is None:
+            raise ValueError(
+                "segmented manifest requires root to load entries"
+            )
+        out.extend(_load_segment(root, desc))
+    return out
 
 
 def _paths(entries: list[dict]) -> list[str]:
@@ -192,22 +247,29 @@ def snapshot_commit_retry(fn: Callable[[], int], retries: int = _COMMIT_RETRIES)
     ``retries`` times (bounded — a livelock under pathological contention
     surfaces as the final CommitConflict, never an infinite loop). The
     callable must re-read table state itself each attempt; the public
-    writers already do, so this wrapper is for CUSTOM compositions."""
+    writers already do, so this wrapper is for CUSTOM compositions.
+    A short linearly-growing pause between attempts keeps N racing
+    writers from re-colliding in lockstep (metadata commits are
+    millisecond-scale, so tiny pauses suffice)."""
+    import time
+
     for attempt in range(retries + 1):
         try:
             return fn()
         except CommitConflict:
             if attempt == retries:
                 raise
+            time.sleep(0.01 * (attempt + 1))
     raise AssertionError("unreachable")
 
 
 def _commit(
     root: str,
     base: int,
-    files: list[dict],
     op: str,
-    delete_files: list[dict] | None = None,
+    carry_from: dict | None = None,
+    new_segment: str | None = None,
+    new_delete_segment: str | None = None,
     delete_key: str | None = None,
     schema: list[list[str]] | None = None,
 ) -> int:
@@ -219,22 +281,46 @@ def _commit(
     and the caller gets :class:`CommitConflict` instead of linking a
     fresh number whose manifest silently omits the interloper's files
     (the ADVICE r11 lost-update race: recomputing v = latest + 1 here
-    validated nothing). The loser's correct move: re-read + retry."""
+    validated nothing). The loser's correct move: re-read + retry.
+
+    TWO-LEVEL METADATA (r12b): the manifest carries segment DESCRIPTORS
+    ({path, seq, n}), not file entries — ``carry_from`` (the base
+    manifest, or None for overwrite/compact) contributes its
+    descriptors + any legacy inline entries verbatim; ``new_segment``
+    is the pre-written immutable segment of this commit's new files.
+    A commit therefore writes O(new files) segment bytes + O(#commits)
+    descriptor bytes, never O(table files) — the flat r12 manifest
+    re-serialized every entry per append."""
     os.makedirs(_manifest_dir(root), exist_ok=True)
     v = base + 1
-    manifest = {
-        "version": v,
-        "base": base,
-        "operation": op,
-        "files": sorted(files, key=lambda e: e["path"]),
-    }
+    manifest: dict = {"version": v, "base": base, "operation": op}
     if schema is not None:
         manifest["schema"] = schema
-    if delete_files:
-        manifest["delete_files"] = sorted(
-            delete_files, key=lambda e: e["path"]
-        )
-        manifest["delete_key"] = delete_key
+    segs = list(carry_from.get("segments", [])) if carry_from else []
+    if new_segment is not None:
+        segs.append({"path": new_segment, "seq": v})
+    if segs:
+        manifest["segments"] = segs
+    if carry_from and carry_from.get("files"):
+        manifest["files"] = carry_from["files"]  # legacy inline, verbatim
+    dsegs = (
+        list(carry_from.get("delete_segments", [])) if carry_from else []
+    )
+    if new_delete_segment is not None:
+        dsegs.append({"path": new_delete_segment, "seq": v})
+    if dsegs:
+        manifest["delete_segments"] = dsegs
+    if carry_from and carry_from.get("delete_files"):
+        manifest["delete_files"] = carry_from["delete_files"]
+    key = (
+        delete_key
+        if delete_key is not None
+        else (carry_from.get("delete_key") if carry_from else None)
+    )
+    if key is not None and (
+        manifest.get("delete_segments") or manifest.get("delete_files")
+    ):
+        manifest["delete_key"] = key
     tmp = _manifest_path(root, v) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -280,12 +366,6 @@ def _file_stats(root: str, rel_files: list[str]) -> dict[str, dict]:
     return {p: file_column_stats(os.path.join(root, p)) for p in rel_files}
 
 
-def _stat_entries(
-    stats: dict[str, dict], rel_files: list[str], seq: int
-) -> list[dict]:
-    return [{"path": p, "seq": seq, "stats": stats[p]} for p in rel_files]
-
-
 def snapshot_write(
     spark: SparkSession,
     df: DataFrame,
@@ -306,26 +386,23 @@ def snapshot_write(
     new_files = _write_data_files(df, root)
     new_stats = _file_stats(root, new_files)
     new_schema = _schema_of(df)
+    seg = _write_segment(
+        root, [{"path": p, "stats": new_stats[p]} for p in new_files]
+    )
 
     def attempt() -> int:
         base = latest_version(root)
-        prior: list[dict] = []
-        prior_del: list[dict] = []
-        prior_key = None
+        pm = None
         schema = new_schema
         if mode == "append" and base > 0:
             pm = _read_manifest(root, base)
-            prior = _entries(pm)
-            prior_del = _delete_entries(pm)
-            prior_key = pm.get("delete_key")
             schema = _merge_schema(pm.get("schema"), new_schema)
         return _commit(
             root,
             base,
-            prior + _stat_entries(new_stats, new_files, base + 1),
             mode,
-            delete_files=prior_del,
-            delete_key=prior_key,
+            carry_from=pm,
+            new_segment=seg,
             schema=schema,
         )
 
@@ -346,26 +423,23 @@ def commit_append_files(
     rules, stats capture, and bounded conflict retry as
     :func:`snapshot_write`."""
     new_stats = _file_stats(root, new_files)
+    seg = _write_segment(
+        root, [{"path": p, "stats": new_stats[p]} for p in new_files]
+    )
 
     def attempt() -> int:
         base = latest_version(root)
-        prior: list[dict] = []
-        prior_del: list[dict] = []
-        prior_key = None
+        pm = None
         merged = schema
         if base > 0:
             pm = _read_manifest(root, base)
-            prior = _entries(pm)
-            prior_del = _delete_entries(pm)
-            prior_key = pm.get("delete_key")
             merged = _merge_schema(pm.get("schema"), schema)
         return _commit(
             root,
             base,
-            prior + _stat_entries(new_stats, new_files, base + 1),
             op,
-            delete_files=prior_del,
-            delete_key=prior_key,
+            carry_from=pm,
+            new_segment=seg,
             schema=merged,
         )
 
@@ -396,7 +470,7 @@ def _empty_frame(
     schema = m.get("schema")
     if schema is not None:
         return spark.createDataFrame([], _schema_ddl(schema))
-    ents = _entries(m)
+    ents = _entries(m, root)
     if not ents:
         raise ValueError(
             f"snapshot v{m['version']} is empty — no schema to preserve"
@@ -421,7 +495,7 @@ def _assemble(
     (broadcast — key files are tiny relative to data), then the groups
     union. Entries with unknown sequence (legacy) take every delete."""
     schema = m.get("schema")
-    dels = _delete_entries(m)
+    dels = _delete_entries(m, root)
     if not dels:
         return _read_files(spark, root, _paths(entries), schema)
 
@@ -463,7 +537,7 @@ def snapshot_read(
     FileNotFoundError for a vacuumed/unknown version."""
     v = latest_version(root) if version is None else version
     m = _read_manifest(root, v)
-    ents = _entries(m)
+    ents = _entries(m, root)
     if not ents:
         raise ValueError(f"snapshot v{v} is empty")
     return _assemble(spark, root, m, ents)
@@ -497,10 +571,13 @@ def snapshot_vacuum(
         )
     keep, drop = vs[-keep_last:], vs[:-keep_last]
     reachable: set[str] = set()
+    reachable_meta: set[str] = set()
     for v in keep:
         m = _read_manifest(root, v)
-        reachable.update(_paths(_entries(m)))
-        reachable.update(_paths(_delete_entries(m)))
+        reachable.update(_paths(_entries(m, root)))
+        reachable.update(_paths(_delete_entries(m, root)))
+        reachable_meta.update(d["path"] for d in m.get("segments", []))
+        reachable_meta.update(d["path"] for d in m.get("delete_segments", []))
     deleted = 0
     skipped_young = 0
     now = time.time()
@@ -545,6 +622,18 @@ def snapshot_vacuum(
                         os.remove(full)
         if dirpath != data_root and not os.listdir(dirpath):
             os.rmdir(dirpath)
+    # metadata segments: same reachability + age-grace rule as data
+    seg_root = _segment_dir(root)
+    if os.path.isdir(seg_root):
+        for f in os.listdir(seg_root):
+            rel = os.path.join("segments", f)
+            full = os.path.join(seg_root, f)
+            if rel in reachable_meta or not f.endswith(".json"):
+                continue
+            if young(full):
+                skipped_young += 1
+            else:
+                os.remove(full)
     for v in drop:
         os.remove(_manifest_path(root, v))
     return {
@@ -570,7 +659,7 @@ def snapshot_changes(
     if to_version <= from_version:
         raise ValueError("to_version must be > from_version")
     m_to = _read_manifest(root, to_version)
-    frm = set(_paths(_entries(_read_manifest(root, from_version))))
+    frm = set(_paths(_entries(_read_manifest(root, from_version), root)))
     for v in range(from_version + 1, to_version + 1):
         m = _read_manifest(root, v)
         # tagged appends ("append:b<batch_id>", the a15c idempotent
@@ -581,7 +670,7 @@ def snapshot_changes(
                 "is only row-exact over append-only history; use a "
                 "key-level snapshot diff instead"
             )
-    added = sorted(set(_paths(_entries(m_to))) - frm)
+    added = sorted(set(_paths(_entries(m_to, root))) - frm)
     if not added:
         raise ValueError(
             f"no files added between v{from_version} and v{to_version}"
@@ -632,7 +721,7 @@ def snapshot_read_pruned(
     (df, files_read, files_total)."""
     v = latest_version(root) if version is None else version
     m = _read_manifest(root, v)
-    ents = _entries(m)
+    ents = _entries(m, root)
     if not ents:
         # ADVICE r11: the empty-manifest state used to surface as an
         # opaque IndexError off m['files'][0]
@@ -678,6 +767,7 @@ def snapshot_delete(
     del_files = _write_data_files(
         keys.select(key_col).distinct(), root, prefix="del"
     )
+    dseg = _write_segment(root, [{"path": p} for p in del_files])
 
     def attempt() -> int:
         base = latest_version(root)
@@ -688,10 +778,9 @@ def snapshot_delete(
         return _commit(
             root,
             base,
-            _entries(m),
             "delete",
-            delete_files=_delete_entries(m)
-            + [{"path": p, "seq": base + 1} for p in del_files],
+            carry_from=m,
+            new_delete_segment=dseg,
             delete_key=key_col,
             schema=m.get("schema"),
         )
@@ -728,23 +817,26 @@ def snapshot_merge(
         raise ValueError(f"source has no key column {key_col!r}")
     new_files = _write_data_files(source, root, prefix="mrg")
     new_stats = _file_stats(root, new_files)
+    seg = _write_segment(
+        root, [{"path": p, "stats": new_stats[p]} for p in new_files]
+    )
     del_files = _write_data_files(
         source.select(key_col).distinct(), root, prefix="del"
     )
+    dseg = _write_segment(root, [{"path": p} for p in del_files])
     new_schema = _schema_of(source)
 
     def attempt() -> int:
         base = latest_version(root)
         m = _read_manifest(root, base)
         _validate_delete_key(m, key_col)
-        v = base + 1
         return _commit(
             root,
             base,
-            _entries(m) + _stat_entries(new_stats, new_files, v),
             "merge",
-            delete_files=_delete_entries(m)
-            + [{"path": p, "seq": v} for p in del_files],
+            carry_from=m,
+            new_segment=seg,
+            new_delete_segment=dseg,
             delete_key=key_col,
             schema=_merge_schema(m.get("schema"), new_schema),
         )
@@ -767,11 +859,48 @@ def snapshot_compact(spark: SparkSession, root: str) -> int:
         raise ValueError("cannot compact an empty table")
     df = snapshot_read(spark, root, base)
     files = _write_data_files(df, root)
+    stats = _file_stats(root, files)
+    seg = _write_segment(
+        root, [{"path": p, "stats": stats[p]} for p in files]
+    )
     m = _read_manifest(root, base)
     return _commit(
         root,
         base,
-        _stat_entries(_file_stats(root, files), files, base + 1),
         "compact",
+        new_segment=seg,
         schema=m.get("schema"),
+    )
+
+
+def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per retained snapshot — version, base,
+    operation, file/segment counts, delete state, schema width. Pure
+    metadata (manifests + segment descriptors; segment files are loaded
+    only for entry counts, no data file is touched), so it costs
+    O(retained versions) however big the table is. The audit surface
+    every versioned-table user reaches for first: 'what happened to
+    this table and when'."""
+    rows = []
+    for v in versions(root):
+        m = _read_manifest(root, v)
+        ents = _entries(m, root)
+        dels = _delete_entries(m, root)
+        rows.append(
+            (
+                v,
+                m.get("base"),
+                m["operation"],
+                len(ents),
+                len(m.get("segments", [])),
+                len(dels),
+                m.get("delete_key"),
+                len(m.get("schema") or []),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, base int, operation string, n_files int, "
+        "n_segments int, n_delete_files int, delete_key string, "
+        "n_columns int",
     )

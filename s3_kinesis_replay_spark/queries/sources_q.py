@@ -1211,3 +1211,105 @@ def a15h_schema_evolution(spark, sf_dir):
         )
         .orderBy("src")
     )
+
+
+def _incremental_manifest_table(spark, sf_dir: str) -> str:
+    """Install (once, fingerprint-cached, atomic) the a15i fixture: an
+    initial load (event_id%4==0) plus three appends (parts 1..3) —
+    four commits whose metadata growth the entry's gate measures."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+    from s3_kinesis_replay_spark.operators.table_format import snapshot_write
+
+    fp = data_fingerprint(os.path.join(sf_dir, "events.parquet"))[:10]
+    ev = t(spark, "events", sf_dir).select("event_id", "event_type", "value")
+
+    def build(tmp: str) -> None:
+        snapshot_write(
+            spark, ev.filter(F.col("event_id") % 4 == 0), tmp, "overwrite"
+        )
+        for j in (1, 2, 3):
+            snapshot_write(
+                spark, ev.filter(F.col("event_id") % 4 == j), tmp, "append"
+            )
+
+    return atomic_cached_build(
+        "/tmp/skr_incrmanifest", f"{fp}-im1", build, "_latest"
+    )
+
+
+@register(
+    "a15i_incremental_manifest",
+    "A8",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="TWO-LEVEL MANIFEST METADATA (r12b) — Iceberg's manifest-list/"
+    "manifest split applied to the a15 table: a manifest holds segment "
+    "DESCRIPTORS ({path, seq}); each commit writes ONE immutable "
+    "segment listing only ITS OWN new files (+stats), so commit "
+    "metadata cost is O(new files) + O(#commits) descriptors — the "
+    "flat manifest re-serialized EVERY file entry per append, ~30 MB "
+    "of JSON per commit at a 100k-file table, an O(table) write that "
+    "murders high-frequency ingest (a15c commits per micro-batch). "
+    "ENFORCED engine-side: over an initial load + 3 appends the gate "
+    "raises unless (a) each append adds exactly one segment descriptor, "
+    "(b) each append's segment lists only that commit's files, and "
+    "(c) consecutive manifest byte sizes differ by less than one "
+    "descriptor+slack (512 B) while the table's file count grows. "
+    "Sequence numbers live on the DESCRIPTOR, so a conflict retry "
+    "re-links the same segment bytes under the new sequence with zero "
+    "rewrite. Oracle = content invariance of the fully-assembled table.",
+)
+def a15i_incremental_manifest(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = _incremental_manifest_table(spark, sf_dir)
+    sizes = {}
+    for v in tf.versions(root):
+        m = tf._read_manifest(root, v)
+        segs = m.get("segments", [])
+        if len(segs) != v:
+            raise RuntimeError(
+                f"a15i gate FAILED: v{v} carries {len(segs)} segments, "
+                f"expected {v} (one immutable segment per commit)"
+            )
+        own = [d for d in segs if d["seq"] == v]
+        if len(own) != 1:
+            raise RuntimeError(
+                f"a15i gate FAILED: v{v} added {len(own)} segments at its "
+                "own sequence — a commit must write exactly one"
+            )
+        n_total = len(tf._entries(m, root))
+        n_own = len(tf._load_segment(root, own[0]))
+        if v > 1 and not (0 < n_own < n_total):
+            raise RuntimeError(
+                f"a15i gate FAILED: v{v}'s segment lists {n_own} of "
+                f"{n_total} files — it must list ONLY its own commit"
+            )
+        sizes[v] = os.path.getsize(tf._manifest_path(root, v))
+    for v in range(3, max(sizes) + 1):
+        growth = sizes[v] - sizes[v - 1]
+        if growth > 512:
+            raise RuntimeError(
+                f"a15i gate FAILED: manifest v{v} grew {growth} B over "
+                f"v{v - 1} — append metadata must be O(one descriptor), "
+                "not O(table files)"
+            )
+    return (
+        tf.snapshot_read(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fdec(F.sum(sdec("value"))).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

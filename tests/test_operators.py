@@ -2961,12 +2961,12 @@ def test_table_format_time_travel_and_vacuum(spark, sf_dir, tmp_path):
         os.path.relpath(f, root)
         for f in glob.glob(f"{root}/data/*/*.parquet")
     }
-    import json as _json
+    from s3_kinesis_replay_spark.operators.table_format import (
+        _entries,
+        _read_manifest,
+    )
 
-    kept = {
-        e["path"]
-        for e in _json.load(open(f"{root}/manifests/v3.json"))["files"]
-    }
+    kept = {e["path"] for e in _entries(_read_manifest(root, 3), root)}
     assert left == kept
 
 
@@ -3033,8 +3033,8 @@ def test_a15b_cdc_reads_only_new_files_and_refuses_overwrites(spark, sf_dir):
     from s3_kinesis_replay_spark.queries.sources_q import _time_travel_table
 
     root = _time_travel_table(spark, sf_dir)
-    diff = {e["path"] for e in _entries(_read_manifest(root, 2))} - {
-        e["path"] for e in _entries(_read_manifest(root, 1))
+    diff = {e["path"] for e in _entries(_read_manifest(root, 2), root)} - {
+        e["path"] for e in _entries(_read_manifest(root, 1), root)
     }
     changes = snapshot_changes(spark, root, 1, 2)
     opened = {
@@ -3152,9 +3152,11 @@ def test_p22_incremental_merge_equals_recompute_and_reads_only_delta(
         tuple(r) for r in direct.collect()
     ]
     # reads-only-delta: no v1 data file appears among the plan's inputs
+    from s3_kinesis_replay_spark.operators.table_format import _entries
+
     v1_files = {
         os.path.join(root, e["path"])
-        for e in _read_manifest(root, 1)["files"]
+        for e in _entries(_read_manifest(root, 1), root)
     }
     opened = {f.replace("file:", "") for f in merged.inputFiles()}
     assert opened and not (opened & v1_files)
@@ -3181,9 +3183,11 @@ def test_a15d_manifest_file_skipping(spark, sf_dir):
         spark, root, {"event_id": (7000, 8000)}, version=2
     )
     assert 0 < n_read < n_total
+    from s3_kinesis_replay_spark.operators.table_format import _entries
+
     v1_files = {
         os.path.join(root, e["path"])
-        for e in _read_manifest(root, 1)["files"]
+        for e in _entries(_read_manifest(root, 1), root)
     }
     opened = {f.replace("file:", "") for f in df.inputFiles()}
     assert opened and not (opened & v1_files)
@@ -3219,7 +3223,7 @@ def test_table_format_commit_conflict_detection(spark, sf_dir, tmp_path):
 
     # the loser reads its base/prior state ...
     base = tf.latest_version(root)
-    prior = tf._entries(tf._read_manifest(root, base))
+    prior_m = tf._read_manifest(root, base)
     # ... then the winner commits v2 inside the loser's race window
     tf.snapshot_write(
         spark, ev.filter(F.col("event_id").between(100, 199)), root, "append"
@@ -3227,17 +3231,21 @@ def test_table_format_commit_conflict_detection(spark, sf_dir, tmp_path):
     winner_manifest = tf._read_manifest(root, 2)
 
     with _pytest.raises(tf.CommitConflict, match="v2 was committed"):
-        tf._commit(root, base, prior, "append")
+        tf._commit(root, base, "append", carry_from=prior_m)
 
     # winner's manifest intact (no silent overwrite); a re-read retry
     # lands at v3 CARRYING the winner's files (nothing lost)
     assert tf._read_manifest(root, 2) == winner_manifest
     base2 = tf.latest_version(root)
-    prior2 = tf._entries(tf._read_manifest(root, base2))
-    assert tf._commit(root, base2, prior2, "append") == 3
-    assert {e["path"] for e in tf._entries(tf._read_manifest(root, 3))} >= {
-        e["path"] for e in tf._entries(winner_manifest)
-    }
+    assert (
+        tf._commit(
+            root, base2, "append", carry_from=tf._read_manifest(root, base2)
+        )
+        == 3
+    )
+    assert {
+        e["path"] for e in tf._entries(tf._read_manifest(root, 3), root)
+    } >= {e["path"] for e in tf._entries(winner_manifest, root)}
 
 
 def test_table_format_two_writer_race_both_land(spark, sf_dir, tmp_path):
@@ -3282,7 +3290,7 @@ def test_table_format_two_writer_race_both_land(spark, sf_dir, tmp_path):
     assert tf.snapshot_read(spark, root).count() == 300
     # monotone file-list growth: v3 ⊇ v2 ⊇ v1
     f1, f2, f3 = (
-        {e["path"] for e in tf._entries(tf._read_manifest(root, v))}
+        {e["path"] for e in tf._entries(tf._read_manifest(root, v), root)}
         for v in (1, 2, 3)
     )
     assert f1 < f2 < f3
@@ -3378,7 +3386,8 @@ def test_snapshot_compact_folds_deletes(spark, sf_dir, tmp_path):
     v = snapshot_compact(spark, root)
     assert v == 3
     m = _read_manifest(root, 3)
-    assert m["operation"] == "compact" and "delete_files" not in m
+    assert m["operation"] == "compact"
+    assert "delete_files" not in m and "delete_segments" not in m
     after = snapshot_read(spark, root, 3)
     assert after.count() == n_before == 1900
     assert not any("del-" in f for f in after.inputFiles())
@@ -3458,7 +3467,7 @@ def test_a15f_pruned_read_zero_footer_io(spark, sf_dir, tmp_path, monkeypatch):
     m = tf._read_manifest(root, 3)
     outside = {
         os.path.basename(e["path"])
-        for e in tf._entries(m)
+        for e in tf._entries(m, root)
         if e["stats"]["event_id"][1] < 3500 or e["stats"]["event_id"][0] > 4500
     }
     assert opened and not (opened & outside)
@@ -3470,7 +3479,10 @@ def test_a15f_pruned_read_zero_footer_io(spark, sf_dir, tmp_path, monkeypatch):
         spark, ev.filter(F.col("event_id") < 1000), legacy_root, "overwrite"
     )
     m1 = tf._read_manifest(legacy_root, 1)
-    m1["files"] = [e["path"] for e in tf._entries(m1)]
+    m1["files"] = [
+        e["path"] for e in tf._entries(m1, legacy_root)
+    ]
+    m1.pop("segments", None)
     m1.pop("schema", None)
     with open(tf._manifest_path(legacy_root, 1), "w") as f:
         json.dump(m1, f)
@@ -3579,7 +3591,8 @@ def test_snapshot_merge_upsert_semantics(spark, sf_dir, tmp_path):
     tf.snapshot_compact(spark, root)
     after = tf.snapshot_read(spark, root, 3)
     assert after.count() == 1050
-    assert "delete_files" not in tf._read_manifest(root, 3)
+    m3 = tf._read_manifest(root, 3)
+    assert "delete_files" not in m3 and "delete_segments" not in m3
 
 
 def test_delete_then_reinsert_key_visible(spark, sf_dir, tmp_path):
@@ -3674,3 +3687,91 @@ def test_schema_evolution_add_column_and_refuse_type_change(
     delta = tf.snapshot_changes(spark, root, 1, 3)
     assert delta.columns == ["id", "val", "src"]
     assert delta.count() == 6
+
+
+def test_segmented_manifest_commit_cost_and_vacuum(spark, sf_dir, tmp_path):
+    """Two-level metadata (r12b): appends reuse prior segment files
+    byte-identical (mtime-pinned), the manifest grows by one descriptor
+    per commit, and vacuum reaps exactly the segment files referenced
+    only by dropped manifests (age-graced like data)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id", "value")
+    tf.snapshot_write(spark, ev.filter(F.col("event_id") < 500), root, "overwrite")
+    seg_dir = os.path.join(root, "segments")
+    segs_v1 = sorted(os.listdir(seg_dir))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(seg_dir, f)) for f in segs_v1
+    }
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id").between(500, 999)), root, "append"
+    )
+    # v1's segment carried forward untouched; one new segment appeared
+    m2 = tf._read_manifest(root, 2)
+    assert len(m2["segments"]) == 2
+    assert {
+        os.path.getmtime(os.path.join(seg_dir, f)) for f in segs_v1
+    } == set(mtimes.values())
+    # overwrite starts a fresh lineage: v3 references ONE segment
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") >= 1000), root, "overwrite"
+    )
+    assert len(tf._read_manifest(root, 3)["segments"]) == 1
+
+    n_before = len(os.listdir(seg_dir))
+    rep = tf.snapshot_vacuum(root, keep_last=1, min_age_s=0.0)
+    assert rep["deleted_files"] > 0
+    # v1+v2's segments are unreferenced by the kept manifest -> reaped
+    left = [f for f in os.listdir(seg_dir) if f.endswith(".json")]
+    assert len(left) == 1 and n_before == 3
+    assert tf.snapshot_read(spark, root, 3).count() == ev.filter(
+        F.col("event_id") >= 1000
+    ).count()
+
+
+def test_snapshot_history_describes_lifecycle(spark, sf_dir, tmp_path):
+    """snapshot_history: one metadata-only row per retained version with
+    the op, file/segment/delete counts, and schema width — across a
+    write/append/delete/merge/compact lifecycle."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id", "value")
+    tf.snapshot_write(spark, ev.filter(F.col("event_id") < 500), root, "overwrite")
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id").between(500, 999)), root, "append"
+    )
+    tf.snapshot_delete(
+        spark, root, ev.filter(F.col("event_id") < 10), "event_id"
+    )
+    tf.snapshot_merge(
+        spark,
+        root,
+        ev.filter(F.col("event_id").between(20, 29)).withColumn(
+            "value", F.col("value") + 1
+        ),
+        "event_id",
+    )
+    tf.snapshot_compact(spark, root)
+
+    h = {r["version"]: r for r in tf.snapshot_history(spark, root).collect()}
+    assert sorted(h) == [1, 2, 3, 4, 5]
+    assert [h[v]["operation"] for v in (1, 2, 3, 4, 5)] == [
+        "overwrite", "append", "delete", "merge", "compact",
+    ]
+    assert all(h[v]["base"] == v - 1 for v in h)
+    assert h[1]["n_segments"] == 1 and h[2]["n_segments"] == 2
+    assert h[2]["n_files"] > h[1]["n_files"]
+    assert h[3]["n_delete_files"] > 0 and h[3]["delete_key"] == "event_id"
+    assert h[4]["n_delete_files"] > h[3]["n_delete_files"]  # merge adds keys
+    assert h[5]["n_delete_files"] == 0 and h[5]["delete_key"] is None
+    assert all(h[v]["n_columns"] == 2 for v in h)
