@@ -293,7 +293,17 @@ def _commit(
     re-serialized every entry per append."""
     os.makedirs(_manifest_dir(root), exist_ok=True)
     v = base + 1
-    manifest: dict = {"version": v, "base": base, "operation": op}
+    import time
+
+    manifest: dict = {
+        "version": v,
+        "base": base,
+        "operation": op,
+        # wall-clock commit time: what snapshot_as_of resolves against.
+        # Advisory (single-FS deployment, no cross-host skew defense) —
+        # version numbers stay the authoritative order.
+        "committed_at": time.time(),
+    }
     if schema is not None:
         manifest["schema"] = schema
     segs = list(carry_from.get("segments", [])) if carry_from else []
@@ -904,3 +914,28 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
         "n_segments int, n_delete_files int, delete_key string, "
         "n_columns int",
     )
+
+
+def snapshot_as_of(
+    spark: SparkSession, root: str, ts: float
+) -> DataFrame:
+    """TIMESTAMP AS OF time travel: read the newest snapshot whose
+    commit time is <= ``ts`` (epoch seconds) — the 'what did the table
+    look like yesterday 09:00' verb (Delta's TIMESTAMP AS OF / Iceberg's
+    snapshot-at-timestamp). Resolution is a metadata walk over retained
+    manifests; a ``ts`` before the first retained commit raises (the
+    answer would silently be a LATER state than asked for — after
+    vacuum, honest failure beats a wrong snapshot). Manifests without a
+    commit time (legacy) are skipped the same way."""
+    best = None
+    for v in versions(root):
+        at = _read_manifest(root, v).get("committed_at")
+        if at is not None and at <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no retained snapshot committed at or before {ts} under "
+            f"{root} (retained: {versions(root)}) — vacuumed or in the "
+            "future"
+        )
+    return snapshot_read(spark, root, best)

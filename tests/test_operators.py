@@ -3775,3 +3775,37 @@ def test_snapshot_history_describes_lifecycle(spark, sf_dir, tmp_path):
     assert h[4]["n_delete_files"] > h[3]["n_delete_files"]  # merge adds keys
     assert h[5]["n_delete_files"] == 0 and h[5]["delete_key"] is None
     assert all(h[v]["n_columns"] == 2 for v in h)
+
+
+def test_snapshot_as_of_timestamp_travel(spark, sf_dir, tmp_path):
+    """TIMESTAMP AS OF: resolves to the newest snapshot committed at or
+    before the asked time; a pre-history timestamp raises instead of
+    silently answering with a later state."""
+    import time
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id")
+    t0 = time.time()
+    tf.snapshot_write(spark, ev.filter(F.col("event_id") < 100), root, "overwrite")
+    t1 = tf._read_manifest(root, 1)["committed_at"]
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id").between(100, 199)), root, "append"
+    )
+    t2 = tf._read_manifest(root, 2)["committed_at"]
+    assert t0 <= t1 <= t2
+
+    assert tf.snapshot_as_of(spark, root, t1).count() == 100
+    mid = (t1 + t2) / 2
+    assert tf.snapshot_as_of(spark, root, mid).count() == (
+        100 if mid < t2 else 200
+    )
+    assert tf.snapshot_as_of(spark, root, time.time() + 60).count() == 200
+    with _pytest.raises(ValueError, match="at or before"):
+        tf.snapshot_as_of(spark, root, t0 - 10)
