@@ -284,7 +284,7 @@ def _commit(
     validated nothing). The loser's correct move: re-read + retry.
 
     TWO-LEVEL METADATA (r12b): the manifest carries segment DESCRIPTORS
-    ({path, seq, n}), not file entries — ``carry_from`` (the base
+    ({path, seq}), not file entries — ``carry_from`` (the base
     manifest, or None for overwrite/compact) contributes its
     descriptors + any legacy inline entries verbatim; ``new_segment``
     is the pre-written immutable segment of this commit's new files.
@@ -406,7 +406,18 @@ def snapshot_write(
         schema = new_schema
         if mode == "append" and base > 0:
             pm = _read_manifest(root, base)
-            schema = _merge_schema(pm.get("schema"), new_schema)
+            # appending to a LEGACY (schema-less) lineage: the prior
+            # files' true schema is unknown here, so pinning the
+            # incoming df's schema would silently drop legacy-only
+            # columns from every future read AND skip the type-change
+            # refusal (review r12). Commit schema-less — reads stay
+            # inferred, the legacy status quo — until an overwrite or
+            # compact establishes a recorded schema.
+            schema = (
+                _merge_schema(pm["schema"], new_schema)
+                if pm.get("schema") is not None
+                else None
+            )
         return _commit(
             root,
             base,
@@ -443,7 +454,14 @@ def commit_append_files(
         merged = schema
         if base > 0:
             pm = _read_manifest(root, base)
-            merged = _merge_schema(pm.get("schema"), schema)
+            # legacy schema-less lineage: stay schema-less (see
+            # snapshot_write) rather than silently adopting the
+            # incoming schema over unknown prior columns
+            merged = (
+                _merge_schema(pm["schema"], schema)
+                if pm.get("schema") is not None
+                else None
+            )
         return _commit(
             root,
             base,
@@ -598,6 +616,14 @@ def snapshot_vacuum(
         except OSError:
             return True  # vanished mid-walk: treat as not ours to reap
 
+    # Drop manifests FIRST (review r12): a crash between file reaping
+    # and manifest removal would leave a retained-looking manifest whose
+    # segments/data are already gone — snapshot_read AND snapshot_history
+    # (which walks every retained version) would raise until a later
+    # vacuum re-dropped it. Removing the manifest first fails the safe
+    # way: a crash leaves orphan FILES, which the next vacuum reaps.
+    for v in drop:
+        os.remove(_manifest_path(root, v))
     data_root = os.path.join(root, "data")
     for dirpath, _dirs, files in os.walk(data_root, topdown=False):
         # separator-anchored prefix test (review r11: bare startswith let
@@ -632,20 +658,40 @@ def snapshot_vacuum(
                         os.remove(full)
         if dirpath != data_root and not os.listdir(dirpath):
             os.rmdir(dirpath)
-    # metadata segments: same reachability + age-grace rule as data
+    # metadata segments: same reachability + age-grace rule as data.
+    # Non-.json names here are crash residue (a writer died between
+    # _write_segment's dump and its os.replace) — unreferenced by
+    # construction, reaped once old enough (review r12: the .json
+    # filter used to skip them forever).
     seg_root = _segment_dir(root)
     if os.path.isdir(seg_root):
         for f in os.listdir(seg_root):
             rel = os.path.join("segments", f)
             full = os.path.join(seg_root, f)
-            if rel in reachable_meta or not f.endswith(".json"):
+            if rel in reachable_meta:
                 continue
             if young(full):
                 skipped_young += 1
             else:
                 os.remove(full)
-    for v in drop:
-        os.remove(_manifest_path(root, v))
+    # manifest-dir / pointer crash residue: v{N}.json.tmp-* (a crash
+    # between _commit's dump and its create-exclusive link — the
+    # finally-unlink never ran) and _latest.tmp-* (between pointer write
+    # and swap) — never referenced, reaped once old enough
+    residue = [
+        os.path.join(_manifest_dir(root), f)
+        for f in os.listdir(_manifest_dir(root))
+        if ".tmp-" in f or f.endswith(".tmp")
+    ] + [
+        os.path.join(root, f)
+        for f in os.listdir(root)
+        if f.startswith("_latest.tmp-")
+    ]
+    for full in residue:
+        if young(full):
+            skipped_young += 1
+        else:
+            os.remove(full)
     return {
         "dropped_versions": drop,
         "deleted_files": deleted,
@@ -830,8 +876,28 @@ def snapshot_merge(
     seg = _write_segment(
         root, [{"path": p, "stats": new_stats[p]} for p in new_files]
     )
+    # Delete keys come from the WRITTEN files, not a second evaluation
+    # of ``source`` (review r12): a non-deterministic source (sampling,
+    # rand(), a concurrently-changing input) would otherwise tombstone
+    # keys that diverge from the rows actually appended. Reading back
+    # the fresh files is also cheaper than re-running the source plan.
+    written = spark.read.parquet(
+        *[os.path.join(root, p) for p in new_files]
+    )
+    kc = written.agg(
+        F.count(key_col).alias("n"),
+        F.countDistinct(key_col).alias("nd"),
+        F.count(F.when(F.col(key_col).isNull(), 1)).alias("nn"),
+    ).collect()[0]
+    if kc["nn"] or kc["n"] != kc["nd"]:
+        raise ValueError(
+            f"merge source is ambiguous on {key_col!r}: {kc['n']} rows, "
+            f"{kc['nd']} distinct keys, {kc['nn']} NULL keys — a key may "
+            "appear at most once (real MERGE refuses multi-match sources; "
+            "duplicates would materialize forever under one identity)"
+        )
     del_files = _write_data_files(
-        source.select(key_col).distinct(), root, prefix="del"
+        written.select(key_col), root, prefix="del"
     )
     dseg = _write_segment(root, [{"path": p} for p in del_files])
     new_schema = _schema_of(source)
@@ -873,13 +939,15 @@ def snapshot_compact(spark: SparkSession, root: str) -> int:
     seg = _write_segment(
         root, [{"path": p, "stats": stats[p]} for p in files]
     )
-    m = _read_manifest(root, base)
+    # compaction materializes the whole view, so its schema is
+    # authoritative — this is also how a legacy schema-less lineage
+    # acquires a recorded schema (review r12)
     return _commit(
         root,
         base,
         "compact",
         new_segment=seg,
-        schema=m.get("schema"),
+        schema=_schema_of(df),
     )
 
 
@@ -888,22 +956,35 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
     operation, file/segment counts, delete state, schema width. Pure
     metadata (manifests + segment descriptors; segment files are loaded
     only for entry counts, no data file is touched), so it costs
-    O(retained versions) however big the table is. The audit surface
+    O(distinct segments) however big the table is — consecutive
+    versions share almost all their segments, so each immutable
+    segment file is loaded ONCE into a per-call cache instead of once
+    per version referencing it (review r12: the naive walk was O(V^2)
+    segment reads over a V-commit ingest history). The audit surface
     every versioned-table user reaches for first: 'what happened to
     this table and when'."""
+    seg_n: dict[str, int] = {}
+
+    def n_of(descs: list[dict]) -> int:
+        total = 0
+        for d in descs:
+            if d["path"] not in seg_n:
+                seg_n[d["path"]] = len(_load_segment(root, d))
+            total += seg_n[d["path"]]
+        return total
+
     rows = []
     for v in versions(root):
         m = _read_manifest(root, v)
-        ents = _entries(m, root)
-        dels = _delete_entries(m, root)
         rows.append(
             (
                 v,
                 m.get("base"),
                 m["operation"],
-                len(ents),
+                len(m.get("files", [])) + n_of(m.get("segments", [])),
                 len(m.get("segments", [])),
-                len(dels),
+                len(m.get("delete_files", []))
+                + n_of(m.get("delete_segments", [])),
                 m.get("delete_key"),
                 len(m.get("schema") or []),
             )

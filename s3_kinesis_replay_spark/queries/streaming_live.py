@@ -1385,6 +1385,7 @@ def a15c_streaming_snapshot_ingest(spark, sf_dir):
 
     from s3_kinesis_replay_spark.operators.table_format import (
         _read_manifest,
+        _schema_of,
         commit_append_files,
         snapshot_read,
         versions,
@@ -1420,10 +1421,7 @@ def a15c_streaming_snapshot_ingest(spark, sf_dir):
         # commit + bounded CommitConflict retry — a concurrent writer on
         # the same table no longer loses this batch's files silently
         commit_append_files(
-            tbl,
-            new_files,
-            f"append:b{batch_id}",
-            [[f.name, f.dataType.simpleString()] for f in batch_df.schema.fields],
+            tbl, new_files, f"append:b{batch_id}", _schema_of(batch_df)
         )
 
     q = (

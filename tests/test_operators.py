@@ -3809,3 +3809,108 @@ def test_snapshot_as_of_timestamp_travel(spark, sf_dir, tmp_path):
     assert tf.snapshot_as_of(spark, root, time.time() + 60).count() == 200
     with _pytest.raises(ValueError, match="at or before"):
         tf.snapshot_as_of(spark, root, t0 - 10)
+
+
+def test_merge_refuses_ambiguous_source(spark, sf_dir, tmp_path):
+    """MERGE refuses a source with duplicate or NULL keys (real MERGE
+    INTO's multi-match error): silently appending both rows would
+    materialize two rows under one identity forever."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, val double"),
+        root,
+        "overwrite",
+    )
+    dup = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0)], "id long, val double"
+    )
+    with _pytest.raises(ValueError, match="ambiguous"):
+        tf.snapshot_merge(spark, root, dup, "id")
+    nullk = spark.createDataFrame(
+        [(None, 5.0)], "id long, val double"
+    )
+    with _pytest.raises(ValueError, match="ambiguous"):
+        tf.snapshot_merge(spark, root, nullk, "id")
+    # the refused merges left no committed version behind
+    assert tf.versions(root) == [1]
+
+
+def test_legacy_lineage_append_stays_schemaless(spark, sf_dir, tmp_path):
+    """Appending to a LEGACY (schema-less r11) lineage must not adopt
+    the incoming df's schema: prior files may hold columns the new df
+    lacks, and pinning would silently drop them (review r12). The
+    append commits schema-less (reads stay inferred); compaction then
+    establishes an authoritative recorded schema."""
+    import json
+    import os
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [(1, 1.0, "keepme")], "id long, val double, extra string"
+        ),
+        root,
+        "overwrite",
+    )
+    # strip the schema record: simulate an r11 manifest
+    m1 = tf._read_manifest(root, 1)
+    m1.pop("schema")
+    with open(tf._manifest_path(root, 1), "w") as f:
+        json.dump(m1, f)
+
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(2, 2.0)], "id long, val double"),
+        root,
+        "append",
+    )
+    m2 = tf._read_manifest(root, 2)
+    assert "schema" not in m2  # did NOT adopt the narrower schema
+    got = tf.snapshot_read(spark, root, 2)
+    assert "extra" in got.columns  # legacy column survived
+    assert got.count() == 2
+    # compaction materializes the view -> records the true union schema
+    tf.snapshot_compact(spark, root)
+    m3 = tf._read_manifest(root, 3)
+    assert [c for c, _t in m3["schema"]] == got.columns
+
+
+def test_vacuum_reaps_crash_residue(spark, sf_dir, tmp_path):
+    """Crash residue (segment/manifest/pointer tmp files) is reaped by
+    vacuum once past the age grace, and counted as young before it."""
+    import os
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(1, 1.0)], "id long, val double"),
+        root,
+        "overwrite",
+    )
+    residue = [
+        os.path.join(root, "segments", "seg-dead.json.tmp"),
+        os.path.join(root, "manifests", "v9.json.tmp-deadbeef"),
+        os.path.join(root, "_latest.tmp-deadbeef"),
+    ]
+    for p in residue:
+        with open(p, "w") as f:
+            f.write("crash residue")
+    rep = tf.snapshot_vacuum(root, keep_last=2)  # default grace: young
+    assert rep["skipped_young"] >= 3
+    for p in residue:
+        assert os.path.exists(p)
+    tf.snapshot_vacuum(root, keep_last=2, min_age_s=0.0)
+    for p in residue:
+        assert not os.path.exists(p)
+    # the live table is untouched
+    assert tf.snapshot_read(spark, root).count() == 1

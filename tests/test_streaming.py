@@ -863,6 +863,7 @@ def test_a15c_version_history_is_ingest_history(spark, sf_dir, tmp_path):
 
     from s3_kinesis_replay_spark.operators.table_format import (
         _read_manifest,
+        _schema_of,
         commit_append_files,
         snapshot_changes,
         snapshot_read,
@@ -886,12 +887,7 @@ def test_a15c_version_history_is_ingest_history(spark, sf_dir, tmp_path):
             for f in os.listdir(out_dir)
             if f.endswith(".parquet")
         ]
-        commit_append_files(
-            tbl,
-            files,
-            f"append:b{j}",
-            [[f.name, f.dataType.simpleString()] for f in b.schema.fields],
-        )
+        commit_append_files(tbl, files, f"append:b{j}", _schema_of(b))
 
     assert versions(tbl) == [1, 2, 3]
     counts = [snapshot_read(spark, tbl, v).count() for v in (1, 2, 3)]

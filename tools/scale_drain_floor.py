@@ -18,7 +18,9 @@ reads bytes; row identity is irrelevant to floor/slope), then time
    quantile summaries written as parquet artifacts + drain-end merge).
    full(k) - empty(k) is the OPERATOR's own cost at k.
 
-3-run medians after one warm-up. The pacing rule (files/5, the entry's
+SPARK_GRAFT_FLOOR_RUNS timed runs after one warm-up (default 2 — the
+"median" of two runs is their mean; SCALE.md labels the recorded
+numbers accordingly). The pacing rule (files/5, the entry's
 own _pace_per_trigger) keeps batch COUNT roughly constant while batch
 SIZE grows k-fold, so a flat empty(k) series confirms the floor is
 per-BATCH, not per-row. Results land in SCALE.md; rerun with
