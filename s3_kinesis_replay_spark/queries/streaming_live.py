@@ -1443,3 +1443,87 @@ def a15c_streaming_snapshot_ingest(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "a15j_streaming_upsert_ingest",
+    "A8",
+    f"""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           ROUND(CAST(CAST(value AS {DEC}) AS DOUBLE), 6) AS last_value
+    FROM events e
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    ORDER BY user_id
+    """,
+    check="SEM",
+    note="STREAMING UPSERT INGEST (CDC apply) — the capstone on the r12 "
+    "lakehouse tier: each paced micro-batch reduces to one row per "
+    "user_id (max_by event_id, a struct-max codegen aggregate) and "
+    "applies it to the manifest table with ONE atomic snapshot_merge — "
+    "append + sequence-scoped delete-key file, so the batch's rows "
+    "replace each user's prior state without rewriting a byte of data. "
+    "The maintained table IS 'latest event per user', the shape every "
+    "CDC consumer materializes; because the archive replays in "
+    "event_id order and merge-per-batch is last-writer-wins, the final "
+    "state is batch-boundary-invariant (checked against the oracle's "
+    "windowed recompute from source), and a RETRIED batch re-merges "
+    "identical rows — row-level idempotent, converging state, though "
+    "version COUNT varies with pacing (SEM, the a15c discipline). "
+    "At 100 TB: per-batch cost is O(batch users) data + O(new files) "
+    "metadata (two-level manifests), never O(table) — the table ages "
+    "without ingest slowing down; compaction folds the delete rent on "
+    "its own schedule. Every intermediate version remains "
+    "time-travel-readable mid-stream.",
+)
+def a15j_streaming_upsert_ingest(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.table_format import (
+        latest_version,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root_archive = stage_archive(sf_dir, gz=True)
+    per_trigger = _pace_per_trigger(root_archive)
+    tbl = tempfile.mkdtemp(prefix="skr_upsering_")
+
+    def sink(batch_df, batch_id: int):
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("event_id", "event_type", "value")
+                ).alias("s")
+            )
+            .select(
+                "user_id",
+                F.col("s.event_id").alias("last_event_id"),
+                F.col("s.event_type").alias("last_type"),
+                F.col("s.value").alias("last_value"),
+            )
+        )
+        if latest_version(tbl) == 0:
+            snapshot_write(spark, latest, tbl, mode="overwrite")
+        else:
+            snapshot_merge(spark, tbl, latest, "user_id")
+
+    q = (
+        stream_archive(spark, root_archive, max_files_per_trigger=per_trigger)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="skr_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(q)
+
+    return (
+        snapshot_read(spark, tbl)
+        .select(
+            "user_id",
+            "last_event_id",
+            "last_type",
+            fdec(sdec("last_value")).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
