@@ -3914,3 +3914,55 @@ def test_vacuum_reaps_crash_residue(spark, sf_dir, tmp_path):
         assert not os.path.exists(p)
     # the live table is untouched
     assert tf.snapshot_read(spark, root).count() == 1
+
+
+def test_eight_writer_contention_all_land(spark, sf_dir, tmp_path):
+    """Commit contention beyond the 2-writer case: 8 threads append
+    concurrently (retries raised to cover worst-case serialization);
+    every commit lands, the version chain is gapless with base = v-1
+    throughout, and the final state holds all 8 writers' rows."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id", "value")
+    tf.snapshot_write(spark, ev.filter(F.col("event_id") < 50), root, "overwrite")
+
+    n_writers = 8
+    errs: list[Exception] = []
+    barrier = threading.Barrier(n_writers)
+
+    def appender(i):
+        try:
+            barrier.wait()
+            tf.snapshot_write(
+                spark,
+                ev.filter(
+                    F.col("event_id").between(100 * (i + 1), 100 * (i + 1) + 49)
+                ),
+                root,
+                "append",
+                retries=2 * n_writers,
+            )
+        except Exception as e:  # noqa: BLE001 — surfaced via errs
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=appender, args=(i,)) for i in range(n_writers)
+    ]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs, errs
+
+    assert tf.versions(root) == list(range(1, n_writers + 2))
+    for v in range(2, n_writers + 2):
+        m = tf._read_manifest(root, v)
+        assert m["base"] == v - 1
+        assert len(m["segments"]) == v  # every prior segment carried
+    assert tf.snapshot_read(spark, root).count() == 50 * (n_writers + 1)
