@@ -166,10 +166,14 @@ def _write_segment(root: str, entries: list[dict]) -> str:
 
 
 def _load_segment(root: str, desc: dict) -> list[dict]:
+    """Entries inherit the descriptor's sequence UNLESS they carry their
+    own: a FOLDED segment (snapshot_fold_metadata) holds entries from
+    many commits, each keeping its original sequence inline so delete
+    scoping survives the fold."""
     with open(os.path.join(root, desc["path"])) as f:
         seg = json.load(f)
     seq = desc.get("seq")
-    return [{**e, "seq": seq} for e in seg["entries"]]
+    return [{"seq": seq, **e} for e in seg["entries"]]
 
 
 def _entries(m: dict, root: str | None = None) -> list[dict]:
@@ -484,10 +488,19 @@ def _read_files(
     an add-column evolution lack the new columns, and pinning the read
     schema makes Spark NULL-fill them per file — one scan, no
     mergeSchema footer sweep, stable column order. Type changes were
-    refused at commit, so shared columns always agree."""
+    refused at commit, so shared columns always agree.
+
+    A LEGACY schema-less lineage (no recorded schema) reads with
+    mergeSchema instead: without it Spark infers from ONE arbitrary
+    file's footer and silently drops columns the other files carry
+    (review r12 — the flake that motivated recorded schemas in the
+    first place). The footer sweep is the legacy tax; every r12+ commit
+    records a schema and never pays it."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(_schema_ddl(schema))
+    elif len(paths) > 1:
+        reader = reader.option("mergeSchema", "true")
     return reader.parquet(*[os.path.join(root, p) for p in paths])
 
 
@@ -1020,3 +1033,42 @@ def snapshot_as_of(
             "future"
         )
     return snapshot_read(spark, root, best)
+
+
+def snapshot_fold_metadata(root: str, retries: int = _COMMIT_RETRIES) -> int:
+    """METADATA-ONLY compaction (Iceberg's rewrite_manifests): fold the
+    accumulated per-commit segments into ONE data segment (+ one delete
+    segment if delete state exists) and commit the result — zero data
+    files touched, zero rows moved. This is what resets the
+    O(#commits) descriptor growth of an append-only ingest that never
+    data-compacts (10k micro-batch commits ≈ 0.5 MB of descriptors per
+    manifest; after the fold, 1). Each entry keeps its ORIGINAL commit
+    sequence inline in the folded segment, so sequence-scoped delete
+    semantics (including delete-then-reinsert visibility) survive the
+    fold byte-for-byte. Like any non-append commit, file-diff CDC
+    refuses to cross it — use key-level diffs across a fold. No-ops
+    (returns the current version) when there is nothing to fold."""
+
+    def attempt() -> int:
+        base = latest_version(root)
+        if base == 0:
+            raise ValueError("cannot fold an empty table")
+        m = _read_manifest(root, base)
+        n_segs = len(m.get("segments", []))
+        n_dsegs = len(m.get("delete_segments", []))
+        if n_segs <= 1 and n_dsegs <= 1 and not m.get("files"):
+            return base  # already folded
+        seg = _write_segment(root, _entries(m, root))
+        dels = _delete_entries(m, root)
+        dseg = _write_segment(root, dels) if dels else None
+        return _commit(
+            root,
+            base,
+            "fold",
+            new_segment=seg,
+            new_delete_segment=dseg,
+            delete_key=m.get("delete_key") if dels else None,
+            schema=m.get("schema"),
+        )
+
+    return snapshot_commit_retry(attempt, retries)

@@ -3966,3 +3966,74 @@ def test_eight_writer_contention_all_land(spark, sf_dir, tmp_path):
         assert m["base"] == v - 1
         assert len(m["segments"]) == v  # every prior segment carried
     assert tf.snapshot_read(spark, root).count() == 50 * (n_writers + 1)
+
+
+def test_fold_metadata_preserves_semantics(spark, sf_dir, tmp_path):
+    """snapshot_fold_metadata: many per-commit segments fold into one,
+    data files untouched, rows identical, and — the subtle part —
+    per-entry commit sequences survive, so a pre-fold
+    delete-then-reinsert still reads correctly after the fold."""
+    import glob
+    import os
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, val double"
+    )
+    tf.snapshot_write(spark, rows, root, "overwrite")          # v1
+    tf.snapshot_delete(                                        # v2
+        spark, root, spark.createDataFrame([(5,)], "id long"), "id"
+    )
+    tf.snapshot_write(                                         # v3: reinsert
+        spark,
+        spark.createDataFrame([(5, 999.0)], "id long, val double"),
+        root,
+        "append",
+    )
+    tf.snapshot_write(                                         # v4
+        spark,
+        spark.createDataFrame([(100, 1.0)], "id long, val double"),
+        root,
+        "append",
+    )
+    pre = sorted(
+        tuple(r) for r in tf.snapshot_read(spark, root).collect()
+    )
+    data_files = sorted(glob.glob(f"{root}/data/*/*.parquet"))
+    mtimes = {f: os.path.getmtime(f) for f in data_files}
+
+    v = tf.snapshot_fold_metadata(root)
+    assert v == 5
+    m = tf._read_manifest(root, 5)
+    assert m["operation"] == "fold"
+    assert len(m["segments"]) == 1 and len(m["delete_segments"]) == 1
+    # zero data movement
+    assert {f: os.path.getmtime(f) for f in data_files} == mtimes
+    # identical rows; reinserted key still visible with its NEW value
+    post = sorted(
+        tuple(r) for r in tf.snapshot_read(spark, root).collect()
+    )
+    assert post == pre
+    assert [r for r in post if r[0] == 5] == [(5, 999.0)]
+    # fold is idempotent (no-op second time)
+    assert tf.snapshot_fold_metadata(root) == 5
+    # CDC refuses to cross the fold; appends on top keep working
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not append"):
+        tf.snapshot_changes(spark, root, 4, 5)
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(101, 2.0)], "id long, val double"),
+        root,
+        "append",
+    )
+    assert tf.snapshot_read(spark, root).count() == len(pre) + 1
+    # history sees the fold as one more metadata row
+    ops = [
+        r["operation"]
+        for r in tf.snapshot_history(spark, root).collect()
+    ]
+    assert "fold" in ops
