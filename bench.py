@@ -82,6 +82,7 @@ EXTRAS_ALWAYS: list[str] = [
     "a15h_schema_evolution",  # add-column append, manifest-schema NULL-fill
     "a15i_incremental_manifest",  # two-level metadata, O(new) commit gate
     "a15j_streaming_upsert_ingest",  # per-batch MERGE (CDC apply) into the table
+    "a15k_fold_metadata",     # metadata-only manifest compaction (seq-safe)
     # h9b_streaming_ohlc_append is NOT benched: H-family convention
     # (same as h9 — the batch twin ts2 carries the bench cost)
     # h9_streaming_ohlc / h9b are NOT benched: H-family convention — live

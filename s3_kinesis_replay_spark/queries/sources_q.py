@@ -1313,3 +1313,89 @@ def a15i_incremental_manifest(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+def _folded_table(spark, sf_dir: str) -> str:
+    """Install (once, fingerprint-cached, atomic) the a15k fixture:
+    load + append + MOR delete, then a metadata-only fold — the admin
+    sequence an always-on ingest table runs periodically."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_delete,
+        snapshot_fold_metadata,
+        snapshot_write,
+    )
+
+    fp = data_fingerprint(os.path.join(sf_dir, "events.parquet"))[:10]
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def build(tmp: str) -> None:
+        snapshot_write(
+            spark, ev.filter(F.col("event_id") < 5000), tmp, "overwrite"
+        )
+        snapshot_write(
+            spark, ev.filter(F.col("event_id") >= 5000), tmp, "append"
+        )
+        doomed = ev.filter(
+            (F.col("event_type") == "click") & (F.col("user_id") % 9 == 0)
+        ).select("event_id")
+        snapshot_delete(spark, tmp, doomed, "event_id")
+        snapshot_fold_metadata(tmp)
+
+    return atomic_cached_build(
+        "/tmp/skr_foldtbl", f"{fp}-fold1", build, "_latest"
+    )
+
+
+@register(
+    "a15k_fold_metadata",
+    "A8",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value
+    FROM events WHERE NOT (event_type = 'click' AND user_id % 9 = 0)
+    """,
+    note="MANIFEST COMPACTION (metadata-only fold — Iceberg's "
+    "rewrite_manifests expressed over the a15 table): after a "
+    "load/append/MOR-delete history, snapshot_fold_metadata commits a "
+    "version whose metadata is ONE data segment + ONE delete segment, "
+    "touching ZERO data files — the reset for the O(#commits) "
+    "descriptor growth an always-on ingest accrues (measured in "
+    "SCALE.md: 10k micro-batch commits ≈ 0.5 MB of descriptors per "
+    "manifest before the fold, one descriptor after). The subtle "
+    "correctness burden is SEQUENCE PRESERVATION: folded entries keep "
+    "their original commit sequence inline, so the sequence-scoped "
+    "delete (committed before the fold) still suppresses exactly the "
+    "pre-delete files. ENFORCED engine-side: the entry raises unless "
+    "the folded manifest has exactly one data segment and one delete "
+    "segment; the oracle recomputes the surviving rows from source, so "
+    "a fold that loses an entry, drops delete state, or breaks seq "
+    "scoping hash-mismatches.",
+)
+def a15k_fold_metadata(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = _folded_table(spark, sf_dir)
+    m = tf._read_manifest(root, tf.latest_version(root))
+    if m["operation"] != "fold" or len(m["segments"]) != 1 or len(
+        m.get("delete_segments", [])
+    ) != 1:
+        raise RuntimeError(
+            "a15k gate FAILED: expected a folded manifest with exactly "
+            f"one data + one delete segment, got op={m['operation']!r}, "
+            f"{len(m.get('segments', []))} data segments, "
+            f"{len(m.get('delete_segments', []))} delete segments"
+        )
+    return tf.snapshot_read(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        fdec(F.sum(sdec("value"))).alias("sum_value"),
+    )
