@@ -1935,6 +1935,9 @@ class TestTableFormatModel:
                         "race_append",  # r12: two threads append at once —
                         # base-validated commits + bounded retry must land
                         # BOTH (no lost update), in some serial order
+                        "fold",  # r12b: metadata-only manifest compaction —
+                        # a pure no-op on the visible view, including the
+                        # per-entry sequence scoping deletes rely on
                     ]
                 ),
                 st.integers(1, 5),  # row count / delete count
@@ -1951,6 +1954,7 @@ class TestTableFormatModel:
         from s3_kinesis_replay_spark.operators.table_format import (
             snapshot_compact,
             snapshot_delete,
+            snapshot_fold_metadata,
             snapshot_merge,
             snapshot_read,
             snapshot_vacuum,
@@ -2044,6 +2048,10 @@ class TestTableFormatModel:
                     assert not errs, errs
                     view = {**view, **a, **b}
                     v = max(versions(root))  # both landed: two commits
+                elif kind == "fold":
+                    if not view:
+                        continue
+                    v = snapshot_fold_metadata(root)
                 else:  # compact
                     if not view:
                         continue
