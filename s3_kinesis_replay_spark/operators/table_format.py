@@ -62,6 +62,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 from collections.abc import Callable
 
@@ -74,10 +75,13 @@ from s3_kinesis_replay_spark.operators.layout import (
 )
 
 # Count of read-path parquet-footer fallbacks (legacy entries without
-# manifest stats). The a15f gate asserts this stays FLAT across a pruned
-# read of a stats-bearing table — manifest skipping must cost zero
-# footer I/O per query.
+# manifest stats), incremented under _FALLBACK_LOCK so concurrent pruned
+# reads don't interleave half-written increments (ADVICE r12). The
+# before/after-delta idiom is only sound single-threaded; concurrent
+# callers should use snapshot_read_pruned's per-call ``counters`` out-dict
+# instead — the a15f gate does.
 FOOTER_FALLBACK_READS = 0
+_FALLBACK_LOCK = threading.Lock()
 
 # Default vacuum grace: unreachable data files younger than this are
 # kept. Protects (a) a writer that has staged data files but not yet
@@ -566,7 +570,12 @@ def _assemble(
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # a LEGACY schema-less lineage infers each horizon group
+        # independently, so groups can carry different column sets —
+        # NULL-fill the union instead of raising (ADVICE r12); with a
+        # recorded schema every group was read pinned, columns agree,
+        # and allowMissingColumns is inert.
+        out = out.unionByName(p, allowMissingColumns=schema is None)
     return out
 
 
@@ -744,21 +753,50 @@ def snapshot_changes(
         raise ValueError(
             f"no files added between v{from_version} and v{to_version}"
         )
-    return _read_files(spark, root, added, m_to.get("schema"))
+    df = _read_files(spark, root, added, m_to.get("schema"))
+    # A carried LEGACY delete file (seq None, committed at or before
+    # from_version — anything later would have tripped the append-only
+    # refusal above) suppresses keys in ALL data files including these
+    # new appends, so rows matching its keys were never visible in any
+    # snapshot of the range (ADVICE r12). Anti-join them out so CDC
+    # emits exactly the rows a reader of to_version gained. Sequence-
+    # scoped deletes need no handling: added files postdate them.
+    legacy_dels = [
+        d["path"]
+        for d in _delete_entries(m_to, root)
+        if d.get("seq") is None
+    ]
+    if legacy_dels:
+        keys = (
+            _read_files(spark, root, legacy_dels, None)
+            .select(m_to["delete_key"])
+            .distinct()
+        )
+        df = df.join(F.broadcast(keys), m_to["delete_key"], "left_anti")
+    return df
 
 
-def _entry_overlaps(root: str, e: dict, preds: dict[str, tuple]) -> bool:
+def _entry_overlaps(
+    root: str,
+    e: dict,
+    preds: dict[str, tuple],
+    fallback_counter: list[int] | None = None,
+) -> bool:
     """[lo, hi] overlap test for one manifest entry. Manifest stats
     (written at commit time) answer with ZERO I/O; a column missing
     from the stats keeps the file a candidate (stats-less conservatism,
     same rule as layout.file_overlaps). Only a LEGACY entry that
     predates manifest stats falls back to a footer read — counted in
-    FOOTER_FALLBACK_READS so the a15f gate can assert the hot path
-    never pays it."""
+    FOOTER_FALLBACK_READS (lock-guarded) and in the caller's per-call
+    ``fallback_counter`` so the a15f gate can assert the hot path never
+    pays it without racing concurrent reads."""
     stats = e.get("stats")
     if stats is None:
         global FOOTER_FALLBACK_READS
-        FOOTER_FALLBACK_READS += 1
+        with _FALLBACK_LOCK:
+            FOOTER_FALLBACK_READS += 1
+        if fallback_counter is not None:
+            fallback_counter[0] += 1
         return file_overlaps(os.path.join(root, e["path"]), preds)
     for col, (lo, hi) in preds.items():
         s = stats.get(col)
@@ -778,6 +816,7 @@ def snapshot_read_pruned(
     root: str,
     preds: dict[str, tuple],
     version: int | None = None,
+    counters: dict | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Time-travel read with MANIFEST-LEVEL FILE SKIPPING: the snapshot's
     file entries are pruned against [lo, hi] column predicates using the
@@ -787,7 +826,10 @@ def snapshot_read_pruned(
     Only overlapping files are handed to Spark; the residual predicate
     is re-applied on the scan for row-level exactness; MOR delete keys
     still apply (sequence-scoped, same as snapshot_read). Returns
-    (df, files_read, files_total)."""
+    (df, files_read, files_total); pass ``counters`` (a dict) to receive
+    this CALL's footer-fallback count under ``'footer_fallbacks'`` —
+    race-free under concurrent pruned reads, unlike a before/after
+    delta on the module-global (ADVICE r12)."""
     v = latest_version(root) if version is None else version
     m = _read_manifest(root, v)
     ents = _entries(m, root)
@@ -795,7 +837,10 @@ def snapshot_read_pruned(
         # ADVICE r11: the empty-manifest state used to surface as an
         # opaque IndexError off m['files'][0]
         raise ValueError(f"snapshot v{v} is empty")
-    keep = [e for e in ents if _entry_overlaps(root, e, preds)]
+    fb = [0]
+    keep = [e for e in ents if _entry_overlaps(root, e, preds, fb)]
+    if counters is not None:
+        counters["footer_fallbacks"] = fb[0]
     if not keep:
         df = _empty_frame(spark, root, m)
     else:
@@ -919,6 +964,11 @@ def snapshot_merge(
         base = latest_version(root)
         m = _read_manifest(root, base)
         _validate_delete_key(m, key_col)
+        # merging into a LEGACY (schema-less) lineage: stay schema-less,
+        # mirroring snapshot_write/commit_append_files (ADVICE r12 —
+        # _merge_schema(None, new) would pin the SOURCE's schema over
+        # unknown prior columns, NULL-dropping legacy-only columns from
+        # every later read and bypassing the type-change refusal).
         return _commit(
             root,
             base,
@@ -927,7 +977,11 @@ def snapshot_merge(
             new_segment=seg,
             new_delete_segment=dseg,
             delete_key=key_col,
-            schema=_merge_schema(m.get("schema"), new_schema),
+            schema=(
+                _merge_schema(m["schema"], new_schema)
+                if m.get("schema") is not None
+                else None
+            ),
         )
 
     return snapshot_commit_retry(attempt, retries)
