@@ -76,13 +76,8 @@ HEADLINE = [
 # on top of whatever rotating slice of the stable pool is due. Promote to
 # EXTRAS (the stable pool) next round once a baseline row exists.
 EXTRAS_ALWAYS: list[str] = [
-    # round 12 additions
-    "a15f_manifest_stats_pruning",  # zero-footer-IO manifest-stats skipping
-    "a15g_merge_upsert",      # atomic MOR MERGE (append + seq-scoped delete)
-    "a15h_schema_evolution",  # add-column append, manifest-schema NULL-fill
-    "a15i_incremental_manifest",  # two-level metadata, O(new) commit gate
-    "a15j_streaming_upsert_ingest",  # per-batch MERGE (CDC apply) into the table
-    "a15k_fold_metadata",     # metadata-only manifest compaction (seq-safe)
+    # round 13 additions
+    "a16_sql_time_travel",    # engine.sql() VERSION/TIMESTAMP AS OF rewrite
     # h9b_streaming_ohlc_append is NOT benched: H-family convention
     # (same as h9 — the batch twin ts2 carries the bench cost)
     # h9_streaming_ohlc / h9b are NOT benched: H-family convention — live
@@ -96,6 +91,14 @@ EXTRAS_ALWAYS: list[str] = [
 # pushed bench wall time past the contention-drift horizon (VERDICT r9
 # item 6); every entry still cycles through within ~3 rounds.
 EXTRAS = [
+    # round 12 (promoted from EXTRAS_ALWAYS in r13 — BENCH_r12 carries
+    # their baseline rows)
+    "a15f_manifest_stats_pruning",  # zero-footer-IO manifest-stats skipping
+    "a15g_merge_upsert",      # atomic MOR MERGE (append + seq-scoped delete)
+    "a15h_schema_evolution",  # add-column append, manifest-schema NULL-fill
+    "a15i_incremental_manifest",  # two-level metadata, O(new) commit gate
+    "a15j_streaming_upsert_ingest",  # per-batch MERGE (CDC apply) into the table
+    "a15k_fold_metadata",     # metadata-only manifest compaction (seq-safe)
     # round 11 (promoted from EXTRAS_ALWAYS in r12 — BENCH_r11 carries
     # their baseline rows)
     "i20b_ann_recall_gate",   # recall floor gate at the n_probe=8 knee
@@ -179,6 +182,13 @@ EXTRAS = [
 
 ROTATE_K = 16
 
+# Control-bracket drift gate (VERDICT r12 item 3): q1 is timed before AND
+# after the series; a >15% disagreement marks the run contaminated and
+# triggers one settle+rerun. q1 is the natural control — scan-bound,
+# ~0.5 s, in every BASELINE series since round 1.
+CONTROL = "q1_pricing_summary"
+CONTROL_DRIFT_MAX = 0.15
+
 
 def bench_round(repo: Path = REPO) -> int:
     """The round this bench run will feed: max CORRECTNESS round on disk + 1
@@ -225,6 +235,45 @@ def replay_roundtrip_seconds(spark) -> float:
     q.awaitTermination(600)
     dt = time.perf_counter() - t0
     assert client.records, "replay produced no records"
+    return dt
+
+
+def replay_roundtrip_distributed_seconds(spark) -> float:
+    """Same archive → stream round trip, but through the DISTRIBUTED
+    publish path (VERDICT r12 item 2): foreachPartition executor-side
+    publishing, every worker building its own client from the importable
+    factory — the designed 100 TB path (driver-mode collects every batch
+    to one process; this one never does). First baseline recorded r13."""
+    import shutil
+    import tempfile
+
+    from s3_kinesis_replay_spark.sources.archive import stage_archive
+    from s3_kinesis_replay_spark.streaming.kinesis_datasource import (
+        read_captured,
+    )
+    from s3_kinesis_replay_spark.streaming.replay import ReplayConfig, run_replay
+
+    root = stage_archive(SF_DIR, gz=True)
+    capture_dir = tempfile.mkdtemp(prefix="skr_bench_dist_")
+    cfg = ReplayConfig(
+        archive_root=root,
+        stream_name="skr-bench-dist",
+        checkpoint_dir=tempfile.mkdtemp(prefix="skr_bench_dckpt_"),
+        max_files_per_trigger=200,
+    )
+    t0 = time.perf_counter()
+    q = run_replay(
+        spark,
+        cfg,
+        "s3_kinesis_replay_spark.streaming.kinesis_datasource:"
+        "file_client_factory",
+        distributed=True,
+        client_arg=capture_dir,
+    )
+    q.awaitTermination(600)
+    dt = time.perf_counter() - t0
+    assert read_captured(capture_dir), "distributed replay captured nothing"
+    shutil.rmtree(capture_dir, ignore_errors=True)  # ~full events as JSON
     return dt
 
 
@@ -277,13 +326,57 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         return round(statistics.median(samples), 3)
 
-    timings = {name: timed(name) for name in HEADLINE}
-    extras = {name: timed(name) for name in extras_for_round(rnd)}
+    def run_series() -> tuple[dict, dict, dict]:
+        """One full measurement series, bracketed by the CONTROL query —
+        the drift gate (VERDICT r12 item 3): BENCH_r12's five-run spread
+        (0.85×–1.17× from near-identical settled starts) proved the
+        loadavg gate alone no longer predicts host state, so the series
+        now measures its OWN stationarity: the same fixed query timed
+        before and after everything else. Controls disagreeing by more
+        than CONTROL_DRIFT_MAX means the host changed speed MID-SERIES
+        and every number between them inherits unknown noise."""
+        c_before = timed(CONTROL)
+        timings = {name: timed(name) for name in HEADLINE}
+        extras = {name: timed(name) for name in extras_for_round(rnd)}
 
-    replay_roundtrip_seconds(spark)  # untimed warm-up
-    timings["replay_roundtrip"] = round(
-        statistics.median([replay_roundtrip_seconds(spark) for _ in range(RUNS)]), 3
-    )
+        replay_roundtrip_seconds(spark)  # untimed warm-up
+        timings["replay_roundtrip"] = round(
+            statistics.median(
+                [replay_roundtrip_seconds(spark) for _ in range(RUNS)]
+            ),
+            3,
+        )
+        # distributed (foreachPartition, executor-side clients) publish
+        # path — extras row, first baseline r13 (VERDICT r12 item 2)
+        replay_roundtrip_distributed_seconds(spark)  # untimed warm-up
+        extras["replay_roundtrip_distributed"] = round(
+            statistics.median(
+                [replay_roundtrip_distributed_seconds(spark) for _ in range(RUNS)]
+            ),
+            3,
+        )
+        c_after = timed(CONTROL)
+        control = {
+            "query": CONTROL,
+            "before": c_before,
+            "after": c_after,
+            "drift": round(abs(c_after - c_before) / c_before, 4),
+        }
+        return timings, extras, control
+
+    contaminated_reruns = 0
+    timings, extras, control = run_series()
+    if control["drift"] > CONTROL_DRIFT_MAX:
+        # contaminated: settle again and re-measure ONCE; if the rerun
+        # drifts too, the record stands but self-labels contaminated.
+        print(
+            f"control drift {control['drift']} > {CONTROL_DRIFT_MAX}: "
+            "host changed speed mid-series; settling and re-running once",
+            file=sys.stderr,
+        )
+        contaminated_reruns = 1
+        settle_wait += _settle()
+        timings, extras, control = run_series()
 
     total = round(sum(timings.values()), 3)
     record = {
@@ -293,6 +386,13 @@ def main() -> None:
         "queries": timings,
         "extras": extras,
         "sf": float(sf),
+        # control-bracket stationarity evidence (BASELINE.md documents the
+        # rule): drift <= CONTROL_DRIFT_MAX -> the series is internally
+        # consistent; "contaminated": true -> even the rerun drifted.
+        "control": control,
+        "control_drift": control["drift"],
+        "contaminated": control["drift"] > CONTROL_DRIFT_MAX,
+        "contaminated_reruns": contaminated_reruns,
         # The driver's closing bench runs AFTER CORRECTNESS_rN lands, so
         # a record saved as BENCH_rN.json self-labels N+1 under the old
         # single "round" key — confusing every judge since r10. r12: emit

@@ -133,6 +133,39 @@ def build_parser() -> argparse.ArgumentParser:
     ls = sub.add_parser("list-queries", help="list every declared query")
     ls.add_argument("--survey-id", help="filter by SURVEY §2 row, e.g. I5")
 
+    tb = sub.add_parser(
+        "table",
+        help="inspect/maintain a manifest-versioned table "
+        "(operators/table_format.py): history, time-travel reads, "
+        "vacuum, compaction",
+    )
+    tb.add_argument(
+        "verb",
+        choices=["history", "read", "vacuum", "compact", "fold"],
+        help="history = one row per retained snapshot (metadata only); "
+        "read = the table AS OF --version/--as-of (default latest); "
+        "vacuum = drop old manifests + reap unreachable files "
+        "(age-graced); compact = copy-on-write materialize (drops MOR "
+        "delete rent); fold = metadata-only manifest compaction",
+    )
+    tb.add_argument("--root", required=True, help="table root directory")
+    tb.add_argument("--version", type=int, help="read: VERSION AS OF")
+    tb.add_argument(
+        "--as-of",
+        help="read: TIMESTAMP AS OF — epoch seconds or ISO-8601 (UTC)",
+    )
+    tb.add_argument("--limit", type=int, default=20, help="rows to print (JSONL)")
+    tb.add_argument(
+        "--output", help="write the FULL result as parquet here instead of printing"
+    )
+    tb.add_argument("--keep-last", type=int, default=2, help="vacuum: manifests kept")
+    tb.add_argument(
+        "--min-age-s",
+        type=float,
+        help="vacuum: age grace in seconds (default: 1h — protects "
+        "in-flight writers and mid-scan time travelers)",
+    )
+
     sq = sub.add_parser(
         "sql",
         help="run ad-hoc Spark SQL with the fixture tables as temp views",
@@ -142,6 +175,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="SQL text, or @FILE to read the statement from a file",
     )
     sq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sq.add_argument(
+        "--snapshot-table",
+        action="append",
+        default=[],
+        metavar="NAME=ROOT",
+        help="register a manifest-versioned table as view NAME "
+        "(repeatable); the statement may then use NAME, "
+        "'NAME VERSION AS OF n', or \"NAME TIMESTAMP AS OF 'ts'\"",
+    )
     sq.add_argument("--limit", type=int, default=20, help="rows to print (JSONL)")
     sq.add_argument(
         "--output", help="write the FULL result as parquet here instead of printing"
@@ -192,6 +234,20 @@ def run_sql_cmd(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="skr-sql")
     spark.sparkContext.setLogLevel("ERROR")
     load_tables(spark, args.sf_dir, register_views=True)
+    if args.snapshot_table:
+        from s3_kinesis_replay_spark.catalog import (
+            register_snapshot_table,
+            resolve_time_travel,
+        )
+
+        for spec in args.snapshot_table:
+            if "=" not in spec:
+                raise SystemExit(
+                    f"--snapshot-table expects NAME=ROOT, got: {spec!r}"
+                )
+            name, root = spec.split("=", 1)
+            register_snapshot_table(spark, name, root)
+        stmt = resolve_time_travel(spark, stmt)
     df = spark.sql(stmt)
     if args.explain:
         print(df._jdf.queryExecution().executedPlan().toString())
@@ -199,6 +255,55 @@ def run_sql_cmd(args: argparse.Namespace) -> int:
     if args.output:
         df.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"sql": stmt[:120], "output": args.output}))
+        return 0
+    for r in df.limit(args.limit).collect():
+        print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+    return 0
+
+
+def run_table_cmd(args: argparse.Namespace) -> int:
+    """Manifest-table verbs — the CLI face of the a15 lakehouse tier
+    (VERDICT r12 item 1): history/read are pure snapshot queries;
+    vacuum/compact/fold are the maintenance verbs, printing a JSON
+    summary. ``read`` honors --version (VERSION AS OF) and --as-of
+    (TIMESTAMP AS OF, epoch or ISO-8601 UTC)."""
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.session import get_spark
+
+    if args.verb == "vacuum":  # metadata + filesystem only, no session
+        kwargs = {"keep_last": args.keep_last}
+        if args.min_age_s is not None:
+            kwargs["min_age_s"] = args.min_age_s
+        print(json.dumps({"verb": "vacuum", **tf.snapshot_vacuum(args.root, **kwargs)}))
+        return 0
+    if args.verb == "fold":
+        v = tf.snapshot_fold_metadata(args.root)
+        print(json.dumps({"verb": "fold", "version": v}))
+        return 0
+
+    spark = get_spark(app_name="skr-table")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.verb == "compact":
+        v = tf.snapshot_compact(spark, args.root)
+        print(json.dumps({"verb": "compact", "version": v}))
+        return 0
+    if args.verb == "history":
+        df = tf.snapshot_history(spark, args.root)
+    else:  # read
+        if args.version is not None and args.as_of is not None:
+            raise SystemExit("pass --version OR --as-of, not both")
+        if args.as_of is not None:
+            from s3_kinesis_replay_spark.catalog import _parse_as_of_spec
+
+            spec = args.as_of
+            if not spec.replace(".", "", 1).isdigit():
+                spec = f"'{spec}'"  # ISO form: quote for the parser
+            df = tf.snapshot_as_of(spark, args.root, _parse_as_of_spec(spec))
+        else:
+            df = tf.snapshot_read(spark, args.root, args.version)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"verb": args.verb, "output": args.output}))
         return 0
     for r in df.limit(args.limit).collect():
         print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
@@ -345,6 +450,8 @@ def main(argv: list[str] | None = None) -> int:
         return list_queries_cmd(args)
     if args.cmd == "sql":
         return run_sql_cmd(args)
+    if args.cmd == "table":
+        return run_table_cmd(args)
     return 2  # pragma: no cover
 
 

@@ -13,7 +13,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from s3_kinesis_replay_spark.catalog import DEFAULT_SF_DIR, load_tables, table
+from s3_kinesis_replay_spark.catalog import (
+    DEFAULT_SF_DIR,
+    load_tables,
+    register_snapshot_table,
+    resolve_time_travel,
+    table,
+)
 from s3_kinesis_replay_spark.session import get_spark
 from s3_kinesis_replay_spark.streaming.replay import ReplayConfig, run_replay
 
@@ -29,11 +35,27 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         return table(self.spark, name, self.sf_dir)
 
+    def register_snapshot_table(
+        self,
+        name: str,
+        root: str,
+        version: int | None = None,
+        as_of: float | None = None,
+    ) -> DataFrame:
+        """Expose a manifest-versioned table (operators/table_format.py)
+        to ``sql()`` as the view ``name`` — after this, plain SQL can
+        query it alongside the fixture views, including Delta-style
+        ``name VERSION AS OF n`` / ``name TIMESTAMP AS OF 'ts'`` clauses
+        (resolved per-query from the table's immutable manifests)."""
+        return register_snapshot_table(
+            self.spark, name, root, version=version, as_of=as_of
+        )
+
     def sql(self, query: str) -> DataFrame:
         if not self._views_registered:
             load_tables(self.spark, self.sf_dir, register_views=True)
             self._views_registered = True
-        return self.spark.sql(query)
+        return self.spark.sql(resolve_time_travel(self.spark, query))
 
     def replay(self, cfg: ReplayConfig, client_factory, distributed: bool = False):
         return run_replay(self.spark, cfg, client_factory, distributed=distributed)

@@ -688,9 +688,10 @@ def _time_travel_table(spark, sf_dir: str) -> str:
             mode="overwrite",
         )
 
-    # cache tag bumped r12: manifests now carry per-file seq/stats/schema
+    # cache tag bumped r13: manifests must carry committed_at (a16's
+    # TIMESTAMP AS OF reads v2's commit time; an r12-cached build lacks it)
     return atomic_cached_build(
-        "/tmp/skr_timetravel", f"{fp}-v3s", build, "_latest"
+        "/tmp/skr_timetravel", f"{fp}-v4t", build, "_latest"
     )
 
 
@@ -1030,14 +1031,17 @@ def a15f_manifest_stats_pruning(spark, sf_dir):
     from s3_kinesis_replay_spark.operators import table_format as tf
 
     root = _time_travel_table(spark, sf_dir)
-    before = tf.FOOTER_FALLBACK_READS
+    # per-call counter, not a global before/after delta — a concurrent
+    # pruned read elsewhere in the driver can no longer fire this gate
+    # spuriously or mask a real fallback (ADVICE r12)
+    ctr: dict = {}
     df, n_read, n_total = tf.snapshot_read_pruned(
-        spark, root, {"event_id": (6000, 6500)}, version=2
+        spark, root, {"event_id": (6000, 6500)}, version=2, counters=ctr
     )
-    if tf.FOOTER_FALLBACK_READS != before:
+    if ctr["footer_fallbacks"]:
         raise RuntimeError(
             "a15f gate FAILED: pruned read paid "
-            f"{tf.FOOTER_FALLBACK_READS - before} parquet footer reads — "
+            f"{ctr['footer_fallbacks']} parquet footer reads — "
             "manifest stats must answer pruning with zero per-query I/O"
         )
     if not (0 < n_read < n_total):
@@ -1398,4 +1402,73 @@ def a15k_fold_metadata(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
         fdec(F.sum(sdec("value"))).alias("sum_value"),
+    )
+
+
+@register(
+    "a16_sql_time_travel",
+    "A8",
+    f"""
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value
+    FROM events WHERE event_id < 5000
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6)
+    FROM events
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6)
+    FROM events WHERE event_type = 'purchase'
+    ORDER BY version
+    """,
+    note="SQL/CATALOG SURFACE for the manifest-table tier (VERDICT r12 "
+    "item 1 — the a15 capabilities were reachable only by importing "
+    "operator modules): Engine.register_snapshot_table exposes a "
+    "versioned table as an ordinary temp view, and Engine.sql resolves "
+    "Delta-style time-travel clauses over it — this entry's THREE "
+    "branches read 'snap VERSION AS OF 1', \"snap TIMESTAMP AS OF "
+    "<v2's committed_at>\", and plain latest (v3) from ONE registered "
+    "name, in ONE SQL statement, through the same Catalyst planner as "
+    "every fixture view (catalog.resolve_time_travel rewrites each "
+    "clause into a per-snapshot view via the ordinary manifest read — "
+    "pure metadata, the trick Delta's SQL extension plays at parser "
+    "level). The oracle recomputes each version's aggregate from the "
+    "source filters, so a rewrite that resolves the wrong version, a "
+    "TIMESTAMP resolution off by one commit, or a stale registered view "
+    "hash-mismatches. At 100 TB nothing changes: clause resolution is "
+    "one manifest read, and the resolved scan is the same pruned "
+    "file-list read every a15 entry already pays.",
+)
+def a16_sql_time_travel(spark, sf_dir):
+    from s3_kinesis_replay_spark.engine import Engine
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = _time_travel_table(spark, sf_dir)
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.register_snapshot_table("events_snap", root)
+    # v2's wall-clock commit time, straight from the immutable manifest —
+    # TIMESTAMP AS OF at exactly this instant must resolve to v2
+    ts2 = tf._read_manifest(root, 2)["committed_at"]
+    agg = (
+        f"CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+        f"ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value"
+    )
+    return eng.sql(
+        f"""
+        SELECT CAST(1 AS BIGINT) AS version, {agg}
+        FROM events_snap VERSION AS OF 1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT) AS version, {agg}
+        FROM events_snap TIMESTAMP AS OF {ts2!r}
+        UNION ALL
+        SELECT CAST(3 AS BIGINT) AS version, {agg}
+        FROM events_snap
+        ORDER BY version
+        """
     )

@@ -3883,6 +3883,211 @@ def test_legacy_lineage_append_stays_schemaless(spark, sf_dir, tmp_path):
     assert [c for c, _t in m3["schema"]] == got.columns
 
 
+def test_legacy_lineage_merge_stays_schemaless(spark, tmp_path):
+    """ADVICE r13: snapshot_merge into a LEGACY (schema-less) lineage
+    must commit schema-less like the append paths — pinning the merge
+    SOURCE's schema would NULL-drop legacy-only columns from every later
+    read and bypass the type-change refusal. Also exercises the
+    schema-less MOR read across delete-horizon groups with differing
+    column sets (NULL-fill, not AnalysisException)."""
+    import json
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [(1, 1.0, "keepme"), (2, 2.0, "metoo")],
+            "id long, val double, extra string",
+        ),
+        root,
+        "overwrite",
+    )
+    # strip the schema record: simulate an r11 manifest
+    m1 = tf._read_manifest(root, 1)
+    m1.pop("schema")
+    with open(tf._manifest_path(root, 1), "w") as f:
+        json.dump(m1, f)
+
+    # merge with a NARROWER source (no 'extra'): updates id=1, inserts id=3
+    tf.snapshot_merge(
+        spark,
+        root,
+        spark.createDataFrame([(1, 10.0), (3, 3.0)], "id long, val double"),
+        "id",
+    )
+    m2 = tf._read_manifest(root, 2)
+    assert "schema" not in m2  # did NOT adopt the merge source's schema
+    # schema-less MOR read: two horizon groups (v1 files take the delete,
+    # the merge's own files don't) with DIFFERENT column sets — the union
+    # NULL-fills instead of raising
+    got = tf.snapshot_read(spark, root, 2)
+    assert "extra" in got.columns  # legacy column survived the merge
+    rows = {r["id"]: r for r in got.collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[1]["val"] == 10.0 and rows[1]["extra"] is None  # replaced
+    assert rows[2]["val"] == 2.0 and rows[2]["extra"] == "metoo"  # survived
+    assert rows[3]["val"] == 3.0  # inserted
+
+
+def test_cdc_suppresses_carried_legacy_delete_keys(spark, tmp_path):
+    """ADVICE r13: a carried LEGACY delete (seq None) suppresses keys in
+    ALL files including post-delete appends, so rows matching it were
+    never visible in ANY snapshot — snapshot_changes must not emit them
+    as 'added'. Sequence-scoped (r12) deletes are unaffected."""
+    import json
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, val double"
+        ),
+        root,
+        "overwrite",
+    )
+    tf.snapshot_delete(
+        spark, root, spark.createDataFrame([(5,), (7,)], "id long"), "id"
+    )
+    # demote the delete to LEGACY: strip the seq from its descriptor
+    m2 = tf._read_manifest(root, 2)
+    m2["delete_segments"] = [
+        {"path": d["path"]} for d in m2["delete_segments"]
+    ]
+    with open(tf._manifest_path(root, 2), "w") as f:
+        json.dump(m2, f)
+
+    # append a batch that re-uses a deleted key (5) plus a fresh one (200)
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(5, 55.0), (200, 200.0)], "id long, val double"),
+        root,
+        "append",
+    )
+    # the legacy delete tombstones id=5 even in the NEW file (r11
+    # whole-snapshot semantics) — so no snapshot in (2, 3] ever shows it
+    v3 = tf.snapshot_read(spark, root, 3)
+    assert v3.filter("id = 5").count() == 0
+    assert v3.filter("id = 200").count() == 1
+    # CDC over the append must agree: only id=200 was gained
+    delta = tf.snapshot_changes(spark, root, 2, 3)
+    assert {r["id"] for r in delta.collect()} == {200}
+
+
+def test_pruned_read_per_call_fallback_counter(spark, tmp_path):
+    """ADVICE r13: snapshot_read_pruned's ``counters`` out-dict reports
+    THIS call's footer fallbacks — stats-bearing tables report 0, a
+    legacy stats-less manifest reports one per entry tested — so gates
+    need not race the module-global before/after delta."""
+    import json
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "id long, val double"
+        ),
+        root,
+        "overwrite",
+    )
+    ctr: dict = {}
+    df, n_read, n_total = tf.snapshot_read_pruned(
+        spark, root, {"id": (0, 10)}, counters=ctr
+    )
+    assert ctr["footer_fallbacks"] == 0
+    assert df.count() == 11
+
+    # legacy manifest (bare path strings, no stats): every entry tested
+    # falls back to one footer read, reported per-call
+    m1 = tf._read_manifest(root, 1)
+    m1["files"] = [e["path"] for e in tf._entries(m1, root)]
+    m1.pop("segments", None)
+    with open(tf._manifest_path(root, 1), "w") as f:
+        json.dump(m1, f)
+    ctr2: dict = {}
+    df2, _, n_total2 = tf.snapshot_read_pruned(
+        spark, root, {"id": (0, 10)}, counters=ctr2
+    )
+    assert ctr2["footer_fallbacks"] == n_total2 > 0
+    assert df2.count() == 11
+
+
+def test_engine_sql_snapshot_time_travel(spark, tmp_path):
+    """VERDICT r12 item 1, engine half: register_snapshot_table exposes a
+    manifest table to Engine.sql(), and resolve_time_travel rewrites
+    VERSION AS OF / TIMESTAMP AS OF (epoch and quoted-ISO forms) over
+    REGISTERED names only — unregistered names and string literals pass
+    through verbatim."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark import catalog as cat
+    from s3_kinesis_replay_spark.engine import Engine
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id long, val double"
+        ),
+        root,
+        "overwrite",
+    )
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(100, 1.0)], "id long, val double"),
+        root,
+        "append",
+    )
+    eng = Engine(spark)
+    eng.register_snapshot_table("ttt_snap", root)
+
+    got = eng.sql(
+        "SELECT (SELECT COUNT(*) FROM ttt_snap VERSION AS OF 1) AS v1, "
+        "(SELECT COUNT(*) FROM ttt_snap) AS latest"
+    ).collect()[0]
+    assert (got["v1"], got["latest"]) == (8, 9)
+
+    # TIMESTAMP AS OF: epoch literal and quoted ISO both resolve to v1
+    ts1 = tf._read_manifest(root, 1)["committed_at"]
+    assert (
+        eng.sql(f"SELECT COUNT(*) AS n FROM ttt_snap TIMESTAMP AS OF {ts1!r}")
+        .collect()[0]["n"]
+        == 8
+    )
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(ts1, tz=timezone.utc).replace(
+        tzinfo=None
+    ).isoformat()
+    assert (
+        eng.sql(f"SELECT COUNT(*) AS n FROM ttt_snap TIMESTAMP AS OF '{iso}'")
+        .collect()[0]["n"]
+        == 8
+    )
+    # a version registered AT registration time can also be pinned directly
+    eng.register_snapshot_table("ttt_v1", root, version=1)
+    assert eng.sql("SELECT COUNT(*) AS n FROM ttt_v1").collect()[0]["n"] == 8
+
+    # unregistered names are never rewritten
+    q = "SELECT 'foo VERSION AS OF 3' AS s"
+    assert cat.resolve_time_travel(spark, q) == q
+    # VERSION takes an integer; version+as_of together refused
+    with _pytest.raises(ValueError, match="integer"):
+        cat.resolve_time_travel(
+            spark, "SELECT * FROM ttt_snap VERSION AS OF '1'"
+        )
+    with _pytest.raises(ValueError, match="not both"):
+        cat.register_snapshot_table(
+            spark, "x", root, version=1, as_of=ts1
+        )
+
+
 def test_vacuum_reaps_crash_residue(spark, sf_dir, tmp_path):
     """Crash residue (segment/manifest/pointer tmp files) is reaped by
     vacuum once past the age grace, and counted as young before it."""

@@ -574,6 +574,99 @@ def test_cli_sql_adhoc(spark, sf_dir, capsys, tmp_path):
     assert "Project" in capsys.readouterr().out
 
 
+def test_cli_table_verbs_round_trip(spark, capsys, tmp_path):
+    """VERDICT r12 item 1, CLI half: the `table` subcommand drives a
+    manifest table end-to-end — history, latest/VERSION/TIMESTAMP reads,
+    metadata fold, vacuum — and `sql --snapshot-table` queries it with a
+    time-travel clause, all without importing operator modules."""
+    import json as _json
+
+    from s3_kinesis_replay_spark.cli import (
+        build_parser,
+        run_sql_cmd,
+        run_table_cmd,
+    )
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, val double"
+        ),
+        root,
+        "overwrite",
+    )
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10, 25)], "id long, val double"
+        ),
+        root,
+        "append",
+    )
+    ts1 = tf._read_manifest(root, 1)["committed_at"]
+
+    def run(argv):
+        args = build_parser().parse_args(argv)
+        rc = run_sql_cmd(args) if argv[0] == "sql" else run_table_cmd(args)
+        assert rc == 0
+        return [
+            _json.loads(l)
+            for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")
+        ]
+
+    hist = run(["table", "history", "--root", root])
+    assert [h["version"] for h in hist] == ["1", "2"]
+    assert [h["operation"] for h in hist] == ["overwrite", "append"]
+
+    assert len(run(["table", "read", "--root", root, "--limit", "100"])) == 25
+    assert (
+        len(
+            run(
+                ["table", "read", "--root", root, "--version", "1",
+                 "--limit", "100"]
+            )
+        )
+        == 10
+    )
+    # TIMESTAMP AS OF v1's commit instant resolves to v1 (epoch form)
+    assert (
+        len(
+            run(
+                ["table", "read", "--root", root, "--as-of", repr(ts1),
+                 "--limit", "100"]
+            )
+        )
+        == 10
+    )
+
+    # SQL surface: snapshot view + VERSION AS OF through the CLI
+    rows = run(
+        [
+            "sql",
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_v1, "
+            "(SELECT COUNT(*) FROM snap) AS n_latest "
+            "FROM snap VERSION AS OF 1",
+            "--snapshot-table",
+            f"snap={root}",
+        ]
+    )
+    assert rows == [{"n_v1": "10", "n_latest": "25"}]
+
+    # maintenance verbs: fold is a no-op version bump check, vacuum reaps
+    out = run(["table", "fold", "--root", root])
+    assert out[0]["verb"] == "fold" and int(out[0]["version"]) == 3
+    out = run(
+        ["table", "vacuum", "--root", root, "--keep-last", "1",
+         "--min-age-s", "0"]
+    )
+    assert out[0]["dropped_versions"] == [1, 2]
+    # post-vacuum: latest still reads clean
+    assert len(run(["table", "read", "--root", root, "--limit", "100"])) == 25
+
+
 def test_replay_observe_metrics(spark, sf_dir):
     """The in-stream observe() metrics must account for every published
     record and byte across micro-batches, and count partition-key-path
