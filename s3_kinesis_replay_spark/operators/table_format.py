@@ -151,22 +151,38 @@ def _segment_dir(root: str) -> str:
     return os.path.join(root, "segments")
 
 
-def _write_segment(root: str, entries: list[dict]) -> str:
+# Max distinct partition tuples summarized in a segment DESCRIPTOR. Past
+# this the summary is omitted (the segment loads on every pruned read —
+# stats still prune per-file); a summary that grew with partition count
+# would re-inflate the manifest the two-level split exists to shrink.
+_PARTITION_SUMMARY_CAP = 64
+
+
+def _write_segment(root: str, entries: list[dict]) -> dict:
     """Write an IMMUTABLE metadata segment — the entry list of ONE
-    commit's new files ({path, stats}; the sequence lives in the
-    manifest's segment DESCRIPTOR, so a conflict retry re-links the
-    same segment bytes under a new sequence). This is the two-level
+    commit's new files ({path, stats, partition?}; the sequence lives
+    in the manifest's segment DESCRIPTOR, so a conflict retry re-links
+    the same segment bytes under a new sequence). This is the two-level
     metadata that makes commits O(new files), not O(table): Iceberg's
     manifest-list/manifest split — the r12 flat manifest re-serialized
     every file entry on every commit, ~30 MB of JSON PER APPEND at a
-    100k-file table. Returns the segment's relative path."""
+    100k-file table. Returns the segment's DESCRIPTOR (path + entry
+    count + partition-tuple summary when every entry carries one and
+    the distinct count is bounded) — what pruned reads consult to skip
+    loading the segment at all (r13, Iceberg's manifest-list
+    partition-range skipping)."""
     os.makedirs(_segment_dir(root), exist_ok=True)
     rel = os.path.join("segments", f"seg-{uuid.uuid4().hex[:12]}.json")
     tmp = os.path.join(root, rel + ".tmp")
     with open(tmp, "w") as f:
         json.dump({"entries": entries}, f)
     os.replace(tmp, os.path.join(root, rel))
-    return rel
+    desc: dict = {"path": rel, "n": len(entries)}
+    if entries and all(e.get("partition") is not None for e in entries):
+        tuples = {tuple(sorted(e["partition"].items())) for e in entries}
+        if len(tuples) <= _PARTITION_SUMMARY_CAP:
+            desc["partitions"] = [dict(t) for t in sorted(tuples)]
+    return desc
 
 
 def _load_segment(root: str, desc: dict) -> list[dict]:
@@ -276,10 +292,11 @@ def _commit(
     base: int,
     op: str,
     carry_from: dict | None = None,
-    new_segment: str | None = None,
-    new_delete_segment: str | None = None,
+    new_segment: dict | None = None,
+    new_delete_segment: dict | None = None,
     delete_key: str | None = None,
     schema: list[list[str]] | None = None,
+    partition_spec: list[str] | None = None,
 ) -> int:
     """Atomically commit manifest ``base + 1`` with BASE-SNAPSHOT
     VALIDATION (r12): ``base`` is the version the caller's prior-state
@@ -314,9 +331,21 @@ def _commit(
     }
     if schema is not None:
         manifest["schema"] = schema
+    # partition spec: recorded when this commit's writer declared one,
+    # carried forward otherwise. ADVISORY metadata (discoverability /
+    # history) — pruning correctness derives from per-ENTRY partition
+    # values, so mixed partitioned/unpartitioned lineages stay sound
+    # (unpartitioned entries simply aren't partition-prunable).
+    spec = (
+        partition_spec
+        if partition_spec is not None
+        else (carry_from.get("partition_spec") if carry_from else None)
+    )
+    if spec is not None:
+        manifest["partition_spec"] = spec
     segs = list(carry_from.get("segments", [])) if carry_from else []
     if new_segment is not None:
-        segs.append({"path": new_segment, "seq": v})
+        segs.append({**new_segment, "seq": v})
     if segs:
         manifest["segments"] = segs
     if carry_from and carry_from.get("files"):
@@ -325,7 +354,7 @@ def _commit(
         list(carry_from.get("delete_segments", [])) if carry_from else []
     )
     if new_delete_segment is not None:
-        dsegs.append({"path": new_delete_segment, "seq": v})
+        dsegs.append({**new_delete_segment, "seq": v})
     if dsegs:
         manifest["delete_segments"] = dsegs
     if carry_from and carry_from.get("delete_files"):
@@ -376,6 +405,52 @@ def _write_data_files(
     ]
 
 
+def _write_partitioned_data_files(
+    df: DataFrame, root: str, partition_by: list[str], prefix: str = "part"
+) -> list[dict]:
+    """Write ``df`` once as immutable parquet, hash-partitioned into one
+    directory PER PARTITION VALUE TUPLE (Hive layout under a fresh uuid
+    part dir). Returns partial entries [{path, partition: {col: str}}].
+
+    The partition columns are DUPLICATED into directory-encoded ``__pv``
+    copies so the DATA FILES keep the original columns — the read path
+    (explicit file lists, no partition discovery, pinned schema) stays
+    byte-identical to unpartitioned tables; the few bytes per row are
+    the price of never needing basePath reconstruction. NULL partition
+    values land in Hive's default-partition dir and read back intact
+    from the data columns (they are never partition-pruned — a NULL
+    matches no [lo, hi] predicate conservatively)."""
+    part = f"{prefix}-{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(root, "data", part)
+    pv_cols = [f"{c}__pv" for c in partition_by]
+    staged = df
+    for c in partition_by:
+        staged = staged.withColumn(f"{c}__pv", F.col(c))
+    staged.write.mode("error").partitionBy(*pv_cols).parquet(out_dir)
+    from urllib.parse import unquote
+
+    entries = []
+    for dirpath, _dirs, files in os.walk(out_dir):
+        vals: dict[str, str] = {}
+        rel_dir = os.path.relpath(dirpath, out_dir)
+        if rel_dir != ".":
+            for comp in rel_dir.split(os.sep):
+                k, _, raw = comp.partition("=")
+                if k.endswith("__pv"):
+                    vals[k[:-4]] = unquote(raw)
+        for f in files:
+            if f.endswith(".parquet"):
+                entries.append(
+                    {
+                        "path": os.path.relpath(
+                            os.path.join(dirpath, f), root
+                        ),
+                        "partition": vals,
+                    }
+                )
+    return entries
+
+
 def _file_stats(root: str, rel_files: list[str]) -> dict[str, dict]:
     """One footer read per freshly written file NOW (write time, footer
     hot) so reads never pay it. Computed ONCE per write, outside the
@@ -390,6 +465,7 @@ def snapshot_write(
     root: str,
     mode: str = "append",
     retries: int = _COMMIT_RETRIES,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as new immutable data files and commit a snapshot.
     ``mode='append'``: new version = prior file list + the new files
@@ -398,14 +474,26 @@ def snapshot_write(
     the new files; old files stay on disk, reachable through older
     manifests until vacuum. Data files are written ONCE; the metadata
     commit retries on concurrent-writer conflicts (bounded). Returns
-    the committed version number."""
+    the committed version number.
+
+    ``partition_by`` (r13): lay this write's files out one-directory-
+    per-partition-tuple and record each entry's partition values in the
+    manifest — ``snapshot_read_pruned`` then skips whole SEGMENTS whose
+    descriptor summary excludes the predicate and whole entries by
+    exact partition value, BEFORE any min/max stats test. Per-write and
+    advisory: mixing partitioned and unpartitioned commits is sound
+    (unpartitioned entries just aren't partition-prunable)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    new_files = _write_data_files(df, root)
+    if partition_by:
+        partial = _write_partitioned_data_files(df, root, partition_by)
+    else:
+        partial = [{"path": p} for p in _write_data_files(df, root)]
+    new_files = [e["path"] for e in partial]
     new_stats = _file_stats(root, new_files)
     new_schema = _schema_of(df)
     seg = _write_segment(
-        root, [{"path": p, "stats": new_stats[p]} for p in new_files]
+        root, [{**e, "stats": new_stats[e["path"]]} for e in partial]
     )
 
     def attempt() -> int:
@@ -433,6 +521,7 @@ def snapshot_write(
             carry_from=pm,
             new_segment=seg,
             schema=schema,
+            partition_spec=list(partition_by) if partition_by else None,
         )
 
     return snapshot_commit_retry(attempt, retries)
@@ -776,6 +865,38 @@ def snapshot_changes(
     return df
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _pv_in_range(val: str, lo, hi) -> bool:
+    """Directory-encoded partition value vs [lo, hi] predicate. Values
+    arrive as strings (Hive layout); compare numerically when BOTH
+    sides parse as numbers, lexically otherwise, and keep NULL/
+    incomparable values as candidates (same conservatism as stats)."""
+    if val == _HIVE_NULL:
+        return True  # unknown: stays a candidate (reads resolve it)
+    try:
+        return float(lo) <= float(val) <= float(hi)
+    except (TypeError, ValueError):
+        pass
+    try:
+        return lo <= val <= hi
+    except TypeError:
+        return True
+
+
+def _partition_matches(part: dict, preds: dict[str, tuple]) -> bool:
+    """True unless some predicate column is partition-valued here AND
+    its exact value falls outside [lo, hi] — the pre-stats pruning test
+    (exact, not min/max-conservative, because a partition value IS the
+    column's only value in the file)."""
+    for col, (lo, hi) in preds.items():
+        v = part.get(col)
+        if v is not None and not _pv_in_range(v, lo, hi):
+            return False
+    return True
+
+
 def _entry_overlaps(
     root: str,
     e: dict,
@@ -790,6 +911,9 @@ def _entry_overlaps(
     FOOTER_FALLBACK_READS (lock-guarded) and in the caller's per-call
     ``fallback_counter`` so the a15f gate can assert the hot path never
     pays it without racing concurrent reads."""
+    part = e.get("partition")
+    if part and not _partition_matches(part, preds):
+        return False  # exact partition-value exclusion, zero I/O
     stats = e.get("stats")
     if stats is None:
         global FOOTER_FALLBACK_READS
@@ -827,27 +951,53 @@ def snapshot_read_pruned(
     is re-applied on the scan for row-level exactness; MOR delete keys
     still apply (sequence-scoped, same as snapshot_read). Returns
     (df, files_read, files_total); pass ``counters`` (a dict) to receive
-    this CALL's footer-fallback count under ``'footer_fallbacks'`` —
-    race-free under concurrent pruned reads, unlike a before/after
-    delta on the module-global (ADVICE r12)."""
+    this CALL's observability, race-free under concurrent pruned reads
+    (ADVICE r12): ``footer_fallbacks`` (legacy stats-less entries that
+    cost a footer read), ``descriptor_visits`` (file entries actually
+    overlap-tested) and ``segments_skipped`` (segments never even
+    LOADED because their descriptor's partition summary excludes the
+    predicate — r13: at 100k files, partition pruning must fire before
+    the O(files) per-entry walk, so the a15l gate asserts
+    descriptor_visits stays bounded by the matching partitions)."""
     v = latest_version(root) if version is None else version
     m = _read_manifest(root, v)
-    ents = _entries(m, root)
-    if not ents:
+    # Segment-level partition skipping: a descriptor whose partition
+    # summary excludes every predicate value contributes only its entry
+    # COUNT (files_total bookkeeping) — its entries are never loaded or
+    # visited. Descriptors without a summary (unpartitioned, legacy, or
+    # over-cap cardinality) load as before.
+    skipped_segments = 0
+    total = 0
+    cand: list[dict] = [_norm_entry(e) for e in m.get("files", [])]
+    total += len(cand)
+    for desc in m.get("segments", []):
+        summ = desc.get("partitions")
+        if summ is not None and not any(
+            _partition_matches(p, preds) for p in summ
+        ):
+            skipped_segments += 1
+            total += desc["n"]  # summary implies an r13 descriptor
+            continue
+        seg_entries = _load_segment(root, desc)
+        total += len(seg_entries)
+        cand.extend(seg_entries)
+    if not total:
         # ADVICE r11: the empty-manifest state used to surface as an
         # opaque IndexError off m['files'][0]
         raise ValueError(f"snapshot v{v} is empty")
     fb = [0]
-    keep = [e for e in ents if _entry_overlaps(root, e, preds, fb)]
+    keep = [e for e in cand if _entry_overlaps(root, e, preds, fb)]
     if counters is not None:
         counters["footer_fallbacks"] = fb[0]
+        counters["descriptor_visits"] = len(cand)
+        counters["segments_skipped"] = skipped_segments
     if not keep:
         df = _empty_frame(spark, root, m)
     else:
         df = _assemble(spark, root, m, keep)
     for col, (lo, hi) in preds.items():
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
-    return df, len(keep), len(ents)
+    return df, len(keep), total
 
 
 def _validate_delete_key(m: dict, key_col: str) -> None:
@@ -1000,11 +1150,18 @@ def snapshot_compact(spark: SparkSession, root: str) -> int:
     base = latest_version(root)
     if base == 0:
         raise ValueError("cannot compact an empty table")
+    m = _read_manifest(root, base)
     df = snapshot_read(spark, root, base)
-    files = _write_data_files(df, root)
-    stats = _file_stats(root, files)
+    # a partitioned table re-materializes UNDER ITS SPEC — compaction
+    # must not silently flatten the layout pruned reads depend on (r13)
+    spec = m.get("partition_spec")
+    if spec:
+        partial = _write_partitioned_data_files(df, root, spec)
+    else:
+        partial = [{"path": p} for p in _write_data_files(df, root)]
+    stats = _file_stats(root, [e["path"] for e in partial])
     seg = _write_segment(
-        root, [{"path": p, "stats": stats[p]} for p in files]
+        root, [{**e, "stats": stats[e["path"]]} for e in partial]
     )
     # compaction materializes the whole view, so its schema is
     # authoritative — this is also how a legacy schema-less lineage
@@ -1015,6 +1172,7 @@ def snapshot_compact(spark: SparkSession, root: str) -> int:
         "compact",
         new_segment=seg,
         schema=_schema_of(df),
+        partition_spec=spec,
     )
 
 
@@ -1089,6 +1247,58 @@ def snapshot_as_of(
     return snapshot_read(spark, root, best)
 
 
+def snapshot_auto_maintain(
+    spark: SparkSession,
+    root: str,
+    fold_at: int = 8,
+    compact_at: int | None = None,
+) -> list[str]:
+    """MAINTENANCE CADENCE for always-on ingest (r13, VERDICT r12 item
+    6): a streaming upsert adds one data segment + one delete segment
+    PER MICRO-BATCH forever — unbounded descriptor growth in every
+    manifest and, worse, unbounded MOR read rent (each delete commit is
+    its own delete-horizon group in ``_assemble``: one more scan + one
+    more anti-join per read). Call this after each commit; it applies
+    at most ONE maintenance action per call, keeping the per-batch cost
+    spike bounded:
+
+    * ``compact_at`` delete segments reached → copy-on-write
+      :func:`snapshot_compact` (rewrites data ONCE, drops all delete
+      state — the only action that resets read-side rent; amortized
+      O(table/compact_at) per batch);
+    * else ``fold_at`` total segment descriptors reached →
+      :func:`snapshot_fold_metadata` (metadata-only, zero data moved —
+      bounds manifest size between compactions).
+
+    Returns the actions taken ([], ['fold'] or ['compact']). Single-
+    writer discipline: compact does not auto-retry on conflicts (by
+    design), so run maintenance from the ingest owner, not a bystander."""
+    base = latest_version(root)
+    if base == 0:
+        return []
+    m = _read_manifest(root, base)
+    # read rent = DISTINCT DELETE HORIZONS (each is one extra scan +
+    # anti-join group per read), NOT delete-segment count — a fold
+    # collapses many delete commits into one segment whose entries keep
+    # their seqs inline, so counting segments would never re-trigger
+    # compaction after the first fold
+    if compact_at is not None:
+        dels = _delete_entries(m, root)
+        if dels and len({d.get("seq") for d in dels}) >= compact_at:
+            snapshot_compact(spark, root)
+            return ["compact"]
+    n_segs = (
+        len(m.get("segments", []))
+        + len(m.get("delete_segments", []))
+        + len(m.get("files", []))
+        + len(m.get("delete_files", []))
+    )
+    if n_segs >= fold_at:
+        snapshot_fold_metadata(root)
+        return ["fold"]
+    return []
+
+
 def snapshot_fold_metadata(root: str, retries: int = _COMMIT_RETRIES) -> int:
     """METADATA-ONLY compaction (Iceberg's rewrite_manifests): fold the
     accumulated per-commit segments into ONE data segment (+ one delete
@@ -1123,6 +1333,7 @@ def snapshot_fold_metadata(root: str, retries: int = _COMMIT_RETRIES) -> int:
             new_delete_segment=dseg,
             delete_key=m.get("delete_key") if dels else None,
             schema=m.get("schema"),
+            partition_spec=m.get("partition_spec"),
         )
 
     return snapshot_commit_retry(attempt, retries)

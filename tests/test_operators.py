@@ -4062,7 +4062,10 @@ def test_engine_sql_snapshot_time_travel(spark, tmp_path):
     )
     from datetime import datetime, timezone
 
-    iso = datetime.fromtimestamp(ts1, tz=timezone.utc).replace(
+    # +1 ms: datetime truncates the float to µs, which can land a hair
+    # BEFORE committed_at; the nudge stays far inside the v1→v2 gap
+    # (two parquet-writing commits are never 1 ms apart)
+    iso = datetime.fromtimestamp(ts1 + 0.001, tz=timezone.utc).replace(
         tzinfo=None
     ).isoformat()
     assert (
@@ -4086,6 +4089,161 @@ def test_engine_sql_snapshot_time_travel(spark, tmp_path):
         cat.register_snapshot_table(
             spark, "x", root, version=1, as_of=ts1
         )
+
+
+def test_partitioned_snapshot_write_and_prune(spark, tmp_path):
+    """Partition-aware snapshots (r13, VERDICT r12 item 5): partition_by
+    lays files out one-dir-per-value with the column KEPT in data (read
+    path unchanged), records per-entry partition values + a descriptor
+    summary, and pruned reads (a) skip whole SEGMENTS via the summary
+    without loading them and (b) exclude entries by exact value before
+    any stats test. Compaction preserves the layout."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(i, ["click", "view", "purchase"][i % 3], float(i)) for i in range(90)],
+        "id long, etype string, val double",
+    )
+    # three partition-homogeneous commits (one etype each)
+    tf.snapshot_write(
+        spark, rows.filter("etype = 'click'"), root, "overwrite",
+        partition_by=["etype"],
+    )
+    tf.snapshot_write(
+        spark, rows.filter("etype = 'view'"), root, "append",
+        partition_by=["etype"],
+    )
+    tf.snapshot_write(
+        spark, rows.filter("etype = 'purchase'"), root, "append",
+        partition_by=["etype"],
+    )
+    m = tf._read_manifest(root, 3)
+    assert m["partition_spec"] == ["etype"]
+    assert all(
+        d["partitions"] and "n" in d for d in m["segments"]
+    )
+    # plain read: full table, original columns (no __pv leakage)
+    full = tf.snapshot_read(spark, root)
+    assert full.columns == ["id", "etype", "val"]
+    assert full.count() == 90
+
+    # pruned read on the partition column: the two non-matching SEGMENTS
+    # are never loaded; only the matching segment's entries are visited
+    ctr: dict = {}
+    df, n_read, n_total = tf.snapshot_read_pruned(
+        spark, root, {"etype": ("purchase", "purchase")}, counters=ctr
+    )
+    assert ctr["segments_skipped"] == 2
+    assert ctr["footer_fallbacks"] == 0
+    n_purchase_files = len(
+        [e for e in tf._entries(m, root)
+         if e.get("partition", {}).get("etype") == "purchase"]
+    )
+    assert ctr["descriptor_visits"] == n_purchase_files
+    assert n_read == n_purchase_files and n_total == len(tf._entries(m, root))
+    assert df.count() == 30
+    assert df.filter(F.col("etype") != "purchase").count() == 0
+
+    # mixed predicate: partition col + value range composes with stats
+    df2, _, _ = tf.snapshot_read_pruned(
+        spark, root, {"etype": ("view", "view"), "id": (0, 10)}
+    )
+    got = sorted(r["id"] for r in df2.collect())
+    assert got == [1, 4, 7, 10]
+
+    # compaction re-materializes UNDER the spec: still partition-prunable
+    tf.snapshot_compact(spark, root)
+    ctr3: dict = {}
+    df3, n_read3, n_total3 = tf.snapshot_read_pruned(
+        spark, root, {"etype": ("click", "click")}, counters=ctr3
+    )
+    assert df3.count() == 30 and 0 < n_read3 < n_total3
+    m4 = tf._read_manifest(root, 4)
+    assert m4["partition_spec"] == ["etype"]
+
+    # fold preserves spec + summaries (post-compact it's a no-op; append
+    # one more commit so there is something to fold)
+    tf.snapshot_write(
+        spark, rows.filter("id < 3"), root, "append", partition_by=["etype"]
+    )
+    v = tf.snapshot_fold_metadata(root)
+    mf = tf._read_manifest(root, v)
+    assert mf["partition_spec"] == ["etype"] and len(mf["segments"]) == 1
+
+
+def test_partitioned_snapshot_null_and_mixed_lineage(spark, tmp_path):
+    """NULL partition values stay candidates (never wrongly pruned) and
+    read back intact from the data columns; a lineage mixing
+    partitioned and unpartitioned commits stays correct — the
+    unpartitioned entries just aren't partition-prunable."""
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "b", 3.0)],
+        "id long, k string, val double",
+    )
+    tf.snapshot_write(spark, rows, root, "overwrite", partition_by=["k"])
+    # unpartitioned append into the partitioned lineage
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(4, "a", 4.0)], "id long, k string, val double"),
+        root,
+        "append",
+    )
+    full = tf.snapshot_read(spark, root)
+    assert full.count() == 4
+    assert {r["k"] for r in full.collect()} == {"a", "b", None}
+
+    # prune k='b': the NULL row's file must stay a candidate (its value
+    # is unknown at the metadata level) but the residual filter drops it
+    df, n_read, n_total = tf.snapshot_read_pruned(
+        spark, root, {"k": ("b", "b")}
+    )
+    assert [r["id"] for r in df.collect()] == [3]
+    assert n_read < n_total  # k=a partition was pruned; NULL+b+append kept
+
+
+def test_auto_maintain_bounds_long_drain(spark, tmp_path):
+    """VERDICT r12 item 6: 30 merge commits with snapshot_auto_maintain
+    after each — manifest descriptor count and distinct delete horizons
+    stay BOUNDED (folds + periodic compaction fire), and the final state
+    equals the batch-by-batch expected upsert fold exactly."""
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    expected: dict[int, float] = {}
+    actions: list[str] = []
+    for b in range(30):
+        # batch b upserts keys [b % 7, b % 7 + 4] with value b*100+key
+        rows = [(k, float(b * 100 + k)) for k in range(b % 7, b % 7 + 5)]
+        for k, v in rows:
+            expected[k] = v
+        df = spark.createDataFrame(rows, "id long, val double")
+        if tf.latest_version(root) == 0:
+            tf.snapshot_write(spark, df, root, "overwrite")
+        else:
+            tf.snapshot_merge(spark, root, df, "id")
+        actions += tf.snapshot_auto_maintain(
+            spark, root, fold_at=6, compact_at=8
+        )
+        m = tf._read_manifest(root, tf.latest_version(root))
+        n_desc = len(m.get("segments", [])) + len(
+            m.get("delete_segments", [])
+        )
+        assert n_desc <= 7, f"descriptors unbounded at batch {b}: {n_desc}"
+        horizons = {
+            d.get("seq") for d in tf._delete_entries(m, root)
+        }
+        assert len(horizons) <= 8, f"delete horizons unbounded: {horizons}"
+    assert "fold" in actions and "compact" in actions
+    got = {
+        r["id"]: r["val"] for r in tf.snapshot_read(spark, root).collect()
+    }
+    assert got == expected
 
 
 def test_vacuum_reaps_crash_residue(spark, sf_dir, tmp_path):

@@ -1938,6 +1938,13 @@ class TestTableFormatModel:
                         "fold",  # r12b: metadata-only manifest compaction —
                         # a pure no-op on the visible view, including the
                         # per-entry sequence scoping deletes rely on
+                        "part_append",  # r13: PARTITIONED append (Hive
+                        # layout + descriptor summaries) — reads identical
+                        # to a plain append; pruning correctness is pinned
+                        # by the post-loop pruned-read check
+                        "maintain",  # r13: auto-maintenance (fold/compact
+                        # on thresholds) — whatever fires must be invisible
+                        # to every read
                     ]
                 ),
                 st.integers(1, 5),  # row count / delete count
@@ -1952,11 +1959,13 @@ class TestTableFormatModel:
         import shutil
 
         from s3_kinesis_replay_spark.operators.table_format import (
+            snapshot_auto_maintain,
             snapshot_compact,
             snapshot_delete,
             snapshot_fold_metadata,
             snapshot_merge,
             snapshot_read,
+            snapshot_read_pruned,
             snapshot_vacuum,
             snapshot_write,
             versions,
@@ -2052,6 +2061,21 @@ class TestTableFormatModel:
                     if not view:
                         continue
                     v = snapshot_fold_metadata(root)
+                elif kind == "part_append":
+                    new = {next_id + i: seed + i for i in range(n)}
+                    next_id += n
+                    v = snapshot_write(
+                        spark, df_of(new), root, "append",
+                        partition_by=["val"],
+                    )
+                    view = {**view, **new}
+                elif kind == "maintain":
+                    if not view:
+                        continue
+                    snapshot_auto_maintain(
+                        spark, root, fold_at=3, compact_at=3
+                    )
+                    v = max(versions(root))
                 else:  # compact
                     if not view:
                         continue
@@ -2064,6 +2088,24 @@ class TestTableFormatModel:
                     for r in snapshot_read(spark, root, v).collect()
                 }
                 assert got == set(want.items()), (v, got, want)
+
+            # pruned read vs the model, latest version: whatever mix of
+            # partitioned/unpartitioned/deleted/folded state accrued,
+            # manifest pruning + the residual filter must equal a plain
+            # model filter on the same id range (r13)
+            if history and next_id:
+                lo, hi = 0, max(1, next_id // 2)
+                latest = max(history)
+                pruned, _, _ = snapshot_read_pruned(
+                    spark, root, {"id": (lo, hi)}, version=latest
+                )
+                got = {(r["id"], r["val"]) for r in pruned.collect()}
+                want_rows = {
+                    (k, x)
+                    for k, x in history[latest].items()
+                    if lo <= k <= hi
+                }
+                assert got == want_rows, (latest, got, want_rows)
 
             if history:
                 latest = max(history)
