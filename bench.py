@@ -79,6 +79,7 @@ EXTRAS_ALWAYS: list[str] = [
     # round 13 additions
     "a16_sql_time_travel",    # engine.sql() VERSION/TIMESTAMP AS OF rewrite
     "a15l_partition_pruned_read",  # segment-level partition skipping
+    "a15m_days_partition_scan",  # days(ts) hidden partitioning, time window
     # h9b_streaming_ohlc_append is NOT benched: H-family convention
     # (same as h9 — the batch twin ts2 carries the bench cost)
     # h9_streaming_ohlc / h9b are NOT benched: H-family convention — live

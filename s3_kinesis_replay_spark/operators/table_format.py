@@ -53,9 +53,18 @@ AFTER the delete — including a re-insert of a deleted key, and the new
 rows of the very MERGE commit that carries the delete — are untouched.
 Data files stay byte-identical until a compaction rewrites them.
 
+PARTITIONING (r13): ``snapshot_write(partition_by=[...])`` lays each
+commit out one directory per partition tuple and records exact
+per-entry transform values plus a distinct-tuple summary in the
+segment descriptor — pruned reads skip whole segments UNLOADED, then
+entries by exact value, before any min/max stats. Transforms:
+identity, ``bucket(N, int_col)`` (pmod, driver-recomputable),
+``truncate(W, col)`` (order-preserving → range-prunable),
+``days(ts_col)``. Per-write and advisory: mixing partitioned and
+unpartitioned commits stays sound.
+
 What it deliberately omits vs the real formats: position-based
-(row-offset) delete vectors (keys are the fixtures' natural identity)
-and partition-transform specs (operators/layout.py owns layout).
+(row-offset) delete vectors (keys are the fixtures' natural identity).
 """
 
 from __future__ import annotations
@@ -405,28 +414,89 @@ def _write_data_files(
     ]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1024)  # called per entry in the pruning walk
+def _parse_transform(spec: str) -> tuple[str, int | None, str]:
+    """Partition-transform spec → (kind, param, source column).
+    ``'col'`` = identity; ``'bucket(N, col)'`` = pmod(col, N) on integer
+    keys; ``'truncate(W, col)'`` = floor-to-W (numeric) / W-char prefix
+    (string); ``'days(col)'`` = calendar day of a timestamp/date."""
+    import re
+
+    s = spec.strip()
+    m = re.fullmatch(r"(bucket|truncate)\(\s*(\d+)\s*,\s*(\w+)\s*\)", s)
+    if m:
+        return m.group(1), int(m.group(2)), m.group(3)
+    m = re.fullmatch(r"days\(\s*(\w+)\s*\)", s)
+    if m:
+        return "days", None, m.group(1)
+    if not re.fullmatch(r"\w+", s):
+        raise ValueError(
+            f"unrecognized partition transform {spec!r} — use a column "
+            "name, bucket(N, col), truncate(W, col), or days(col)"
+        )
+    return "identity", None, s
+
+
+def _transform_expr(df: DataFrame, spec: str):
+    """The directory-encoded value of one transform, as a Column. The
+    write side resolves type-dependent transforms (truncate) from the
+    df schema so the read side only ever compares strings."""
+    kind, p, col = _parse_transform(spec)
+    c = F.col(col)
+    if kind == "identity":
+        return c
+    dt = df.schema[col].dataType.simpleString()
+    if kind == "bucket":
+        # pmod on integer keys, NOT a murmur hash (Iceberg's choice):
+        # driver-side pruning must recompute the transform of a
+        # predicate value with zero Spark round-trips, and pmod is
+        # transparent + spreads sequential keys perfectly. Integer-only.
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"bucket() partitions integer keys; {col!r} is {dt}"
+            )
+        return F.pmod(c.cast("long"), F.lit(p))
+    if kind == "truncate":
+        if dt == "string":
+            return F.substring(c, 1, p)
+        if dt in ("tinyint", "smallint", "int", "bigint"):
+            return (F.floor(c.cast("long") / p) * p).cast("long")
+        raise ValueError(
+            f"truncate() partitions integer/string keys; {col!r} is {dt}"
+        )
+    # days
+    if not dt.startswith(("timestamp", "date")):
+        raise ValueError(f"days() partitions timestamps; {col!r} is {dt}")
+    return F.date_format(c, "yyyy-MM-dd")
+
+
 def _write_partitioned_data_files(
     df: DataFrame, root: str, partition_by: list[str], prefix: str = "part"
 ) -> list[dict]:
-    """Write ``df`` once as immutable parquet, hash-partitioned into one
-    directory PER PARTITION VALUE TUPLE (Hive layout under a fresh uuid
-    part dir). Returns partial entries [{path, partition: {col: str}}].
+    """Write ``df`` once as immutable parquet, laid out one directory
+    PER PARTITION VALUE TUPLE (Hive layout under a fresh uuid part
+    dir). ``partition_by`` entries are transform SPECS (see
+    :func:`_parse_transform`). Returns partial entries
+    [{path, partition: {spec: str_value}}].
 
-    The partition columns are DUPLICATED into directory-encoded ``__pv``
-    copies so the DATA FILES keep the original columns — the read path
-    (explicit file lists, no partition discovery, pinned schema) stays
-    byte-identical to unpartitioned tables; the few bytes per row are
-    the price of never needing basePath reconstruction. NULL partition
-    values land in Hive's default-partition dir and read back intact
-    from the data columns (they are never partition-pruned — a NULL
-    matches no [lo, hi] predicate conservatively)."""
+    Transform values are written as positional ``pt{i}__pv`` directory
+    columns (specs contain characters paths shouldn't) and mapped back
+    to their spec in the manifest entry; the ORIGINAL columns stay in
+    the DATA FILES untouched — the read path (explicit file lists, no
+    partition discovery, pinned schema) is byte-identical to
+    unpartitioned tables. NULL transform values land in Hive's
+    default-partition dir and read back intact from the data columns
+    (never partition-pruned — NULL matches no [lo, hi] conservatively)."""
     part = f"{prefix}-{uuid.uuid4().hex[:12]}"
     out_dir = os.path.join(root, "data", part)
-    pv_cols = [f"{c}__pv" for c in partition_by]
+    pv_names = {f"pt{i}__pv": spec for i, spec in enumerate(partition_by)}
     staged = df
-    for c in partition_by:
-        staged = staged.withColumn(f"{c}__pv", F.col(c))
-    staged.write.mode("error").partitionBy(*pv_cols).parquet(out_dir)
+    for name, spec in pv_names.items():
+        staged = staged.withColumn(name, _transform_expr(df, spec))
+    staged.write.mode("error").partitionBy(*pv_names).parquet(out_dir)
     from urllib.parse import unquote
 
     entries = []
@@ -436,8 +506,8 @@ def _write_partitioned_data_files(
         if rel_dir != ".":
             for comp in rel_dir.split(os.sep):
                 k, _, raw = comp.partition("=")
-                if k.endswith("__pv"):
-                    vals[k[:-4]] = unquote(raw)
+                if k in pv_names:
+                    vals[pv_names[k]] = unquote(raw)
         for f in files:
             if f.endswith(".parquet"):
                 entries.append(
@@ -885,15 +955,62 @@ def _pv_in_range(val: str, lo, hi) -> bool:
         return True
 
 
+def _day_str(x) -> str:
+    """Calendar-day prefix of a predicate bound: datetime/date objects
+    via isoformat, strings as-is — both yield 'YYYY-MM-DD...' whose
+    first 10 chars compare lexically as days."""
+    return (x.isoformat() if hasattr(x, "isoformat") else str(x))[:10]
+
+
+def _transform_value_matches(spec: str, val: str, lo, hi) -> bool:
+    """Can a source value in [lo, hi] live in the partition whose
+    transform value is ``val``? Exact per transform (a partition value
+    IS the transform of every row in the file): identity = range test;
+    bucket = recompute the bucket of an EQUALITY predicate (a range
+    can't constrain a modular bucket — conservative candidate);
+    truncate = order-preserving, so the truncated bounds bracket it;
+    days = the day-prefix of the bounds brackets it."""
+    if val == _HIVE_NULL:
+        return True  # unknown: stays a candidate (reads resolve it)
+    kind, p, _col = _parse_transform(spec)
+    if kind == "identity":
+        return _pv_in_range(val, lo, hi)
+    if kind == "bucket":
+        if lo != hi:
+            return True  # range over a modular bucket: no pruning power
+        try:
+            return int(val) == int(lo) % p
+        except (TypeError, ValueError):
+            return True
+    if kind == "truncate":
+        try:  # numeric form: file covers [T, T+W)
+            t = float(val)
+            return t <= float(hi) and t + p > float(lo)
+        except (TypeError, ValueError):
+            pass
+        try:  # string form: prefix truncation is monotone
+            return str(lo)[:p] <= val <= str(hi)[:p]
+        except TypeError:
+            return True
+    # days: file covers one calendar day
+    try:
+        return _day_str(lo) <= val <= _day_str(hi)
+    except TypeError:
+        return True
+
+
 def _partition_matches(part: dict, preds: dict[str, tuple]) -> bool:
-    """True unless some predicate column is partition-valued here AND
-    its exact value falls outside [lo, hi] — the pre-stats pruning test
-    (exact, not min/max-conservative, because a partition value IS the
-    column's only value in the file)."""
+    """True unless some predicate column is a partition SOURCE here AND
+    no value in [lo, hi] could produce this partition's transform value
+    — the pre-stats pruning test. Every transform whose source column
+    is predicated must admit the range (multiple transforms of one
+    column all constrain)."""
     for col, (lo, hi) in preds.items():
-        v = part.get(col)
-        if v is not None and not _pv_in_range(v, lo, hi):
-            return False
+        for spec, val in part.items():
+            if _parse_transform(spec)[2] != col:
+                continue
+            if not _transform_value_matches(spec, val, lo, hi):
+                return False
     return True
 
 
@@ -1201,6 +1318,7 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
     rows = []
     for v in versions(root):
         m = _read_manifest(root, v)
+        spec = m.get("partition_spec")
         rows.append(
             (
                 v,
@@ -1212,13 +1330,18 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
                 + n_of(m.get("delete_segments", [])),
                 m.get("delete_key"),
                 len(m.get("schema") or []),
+                # the TIMESTAMP AS OF resolution target — surfacing it is
+                # what makes 'read the table as of THAT commit' usable
+                # without opening manifest JSON by hand (r13)
+                m.get("committed_at"),
+                ", ".join(spec) if spec else None,
             )
         )
     return spark.createDataFrame(
         rows,
         "version int, base int, operation string, n_files int, "
         "n_segments int, n_delete_files int, delete_key string, "
-        "n_columns int",
+        "n_columns int, committed_at double, partition_spec string",
     )
 
 

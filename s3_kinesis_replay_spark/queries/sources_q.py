@@ -1576,3 +1576,109 @@ def a15l_partition_pruned_read(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"),
         fdec(F.sum(sdec("value"))).alias("sum_value"),
     ).withColumn("pruned", F.lit(True))
+
+
+def _days_partitioned_table(spark, sf_dir: str) -> str:
+    """Install (once, fingerprint-cached, atomic) a days(ts)-partitioned
+    manifest table over events, committed in two month-halves so a
+    time-window read can skip one whole SEGMENT unloaded and then prune
+    the loaded half to the matching days."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_write,
+    )
+
+    fp = data_fingerprint(os.path.join(sf_dir, "events.parquet"))[:10]
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    mid = "2024-01-16"
+
+    def build(tmp: str) -> None:
+        snapshot_write(
+            spark, ev.filter(F.col("ts") < mid), tmp,
+            mode="overwrite", partition_by=["days(ts)"],
+        )
+        snapshot_write(
+            spark, ev.filter(F.col("ts") >= mid), tmp,
+            mode="append", partition_by=["days(ts)"],
+        )
+
+    return atomic_cached_build(
+        "/tmp/skr_daystbl", f"{fp}-dy1", build, "_latest"
+    )
+
+
+@register(
+    "a15m_days_partition_scan",
+    "A8",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value,
+           TRUE AS pruned
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts < TIMESTAMP '2024-01-13 00:00:00'
+    """,
+    note="HIDDEN PARTITIONING on TIME (r13 — Iceberg's days() transform "
+    "re-expressed): the table is laid out days(ts) WITHOUT a derived "
+    "date column in the data (directory-encoded transform values only; "
+    "the query still predicates on raw ts), committed in two "
+    "month-half segments. A 3-day window read (a) skips the "
+    "non-overlapping half-month SEGMENT without loading it — descriptor "
+    "partition summaries, the manifest-list discipline — and (b) "
+    "prunes the loaded half to exactly the 3 matching day partitions "
+    "by EXACT transform value. This is the pruning tier parquet "
+    "min/max cannot provide here at all: timestamp footer stats are "
+    "deliberately not lifted into manifests (datetime is not a JSON "
+    "scalar), so time predicates would otherwise scan every file. "
+    "ENFORCED engine-side: raises unless >=1 segment skipped unloaded, "
+    "files read <= the 3 days' files, zero footer fallbacks. The "
+    "residual ts filter keeps row exactness; oracle recomputes from "
+    "source. At 100 TB: days() is THE first filter of every "
+    "time-series lakehouse — a day query touches O(day) metadata and "
+    "data regardless of table age.",
+)
+def a15m_days_partition_scan(spark, sf_dir):
+    import datetime as dtm
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = _days_partitioned_table(spark, sf_dir)
+    m = tf._read_manifest(root, tf.latest_version(root))
+    lo = dtm.datetime(2024, 1, 10, 0, 0, 0)
+    hi = dtm.datetime(2024, 1, 12, 23, 59, 59, 999999)
+    ctr: dict = {}
+    df, n_read, n_total = tf.snapshot_read_pruned(
+        spark, root, {"ts": (lo, hi)}, counters=ctr
+    )
+    days = {"2024-01-10", "2024-01-11", "2024-01-12"}
+    matching = len(
+        [
+            e
+            for e in tf._entries(m, root)
+            if e.get("partition", {}).get("days(ts)") in days
+        ]
+    )
+    if (
+        ctr["segments_skipped"] < 1
+        or ctr["footer_fallbacks"]
+        or n_read > matching
+    ):
+        raise RuntimeError(
+            "a15m gate FAILED: days() pruning must skip the "
+            "non-overlapping half-month segment unloaded and read at "
+            f"most the 3 days' files — got {ctr}, {n_read} read of "
+            f"{n_total} total, {matching} in-window files"
+        )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        fdec(F.sum(sdec("value"))).alias("sum_value"),
+    ).withColumn("pruned", F.lit(True))

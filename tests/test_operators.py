@@ -3775,6 +3775,10 @@ def test_snapshot_history_describes_lifecycle(spark, sf_dir, tmp_path):
     assert h[4]["n_delete_files"] > h[3]["n_delete_files"]  # merge adds keys
     assert h[5]["n_delete_files"] == 0 and h[5]["delete_key"] is None
     assert all(h[v]["n_columns"] == 2 for v in h)
+    # committed_at is surfaced (the TIMESTAMP AS OF target) and monotone
+    ats = [h[v]["committed_at"] for v in (1, 2, 3, 4, 5)]
+    assert all(a is not None for a in ats) and ats == sorted(ats)
+    assert all(h[v]["partition_spec"] is None for v in h)  # unpartitioned
 
 
 def test_snapshot_as_of_timestamp_travel(spark, sf_dir, tmp_path):
@@ -4172,6 +4176,100 @@ def test_partitioned_snapshot_write_and_prune(spark, tmp_path):
     v = tf.snapshot_fold_metadata(root)
     mf = tf._read_manifest(root, v)
     assert mf["partition_spec"] == ["etype"] and len(mf["segments"]) == 1
+
+
+def test_partition_transforms_bucket_truncate_days(spark, tmp_path):
+    """Transform partitioning (r13, Iceberg's hidden-partitioning specs
+    re-expressed): bucket(N, int) prunes equality predicates by
+    recomputing the bucket; truncate(W, ·) is order-preserving so range
+    predicates prune; days(ts) prunes time ranges by calendar day — and
+    every pruned read equals the unpruned filter exactly."""
+    import datetime as dtm
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [
+            (
+                i,
+                f"u{i % 40:03d}xyz",
+                dtm.datetime(2026, 8, 1 + (i % 20), i % 24, 0, 0),
+                float(i),
+            )
+            for i in range(400)
+        ],
+        "id long, name string, ts timestamp, val double",
+    )
+    tf.snapshot_write(
+        spark, rows, root, "overwrite",
+        partition_by=["bucket(8, id)", "truncate(4, name)", "days(ts)"],
+    )
+    m = tf._read_manifest(root, 1)
+    assert m["partition_spec"] == [
+        "bucket(8, id)", "truncate(4, name)", "days(ts)"
+    ]
+    ents = tf._entries(m, root)
+    assert all(
+        set(e["partition"]) ==
+        {"bucket(8, id)", "truncate(4, name)", "days(ts)"}
+        for e in ents
+    )
+
+    # bucket: equality pred prunes to the one bucket (plus nothing else)
+    ctr: dict = {}
+    df, n_read, n_total = tf.snapshot_read_pruned(
+        spark, root, {"id": (37, 37)}, counters=ctr
+    )
+    assert [r["id"] for r in df.collect()] == [37]
+    in_bucket = [
+        e for e in ents
+        if e["partition"]["bucket(8, id)"] == str(37 % 8)
+    ]
+    assert n_read <= len(in_bucket) < n_total
+    # bucket over a RANGE has no pruning power on its own dimension
+    df_r, _, _ = tf.snapshot_read_pruned(spark, root, {"id": (10, 20)})
+    assert df_r.count() == 11
+
+    # truncate(string): 4-char-prefix range pruning
+    df2, n2, _ = tf.snapshot_read_pruned(
+        spark, root, {"name": ("u010", "u012zzz")}
+    )
+    assert sorted({r["name"] for r in df2.collect()}) == [
+        "u010xyz", "u011xyz", "u012xyz"
+    ]
+    pfx = {e["partition"]["truncate(4, name)"] for e in ents}
+    assert n2 <= sum(1 for e in ents
+                     if "u010" <= e["partition"]["truncate(4, name)"] <= "u012")
+    assert len(pfx) == 40  # one prefix per name group
+
+    # days(ts): a two-day window prunes to those days' files
+    lo = dtm.datetime(2026, 8, 3, 0, 0, 0)
+    hi = dtm.datetime(2026, 8, 4, 23, 59, 59)
+    df3, n3, ntot3 = tf.snapshot_read_pruned(spark, root, {"ts": (lo, hi)})
+    want = rows.filter(
+        (F.col("ts") >= lo) & (F.col("ts") <= hi)
+    ).count()
+    assert df3.count() == want > 0
+    in_days = [
+        e for e in ents
+        if e["partition"]["days(ts)"] in ("2026-08-03", "2026-08-04")
+    ]
+    assert n3 <= len(in_days) < ntot3
+
+    # unparseable / wrong-type specs refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket"):
+        tf.snapshot_write(
+            spark, rows, str(tmp_path / "bad1"), "overwrite",
+            partition_by=["bucket(8, name)"],
+        )
+    with _pytest.raises(ValueError, match="transform"):
+        tf.snapshot_write(
+            spark, rows, str(tmp_path / "bad2"), "overwrite",
+            partition_by=["frobnicate(id)"],
+        )
 
 
 def test_partitioned_snapshot_null_and_mixed_lineage(spark, tmp_path):
