@@ -280,11 +280,21 @@ def resolve_time_travel(spark: SparkSession, query: str) -> str:
         snapshot_read,
     )
 
+    # spans of single-quoted string literals ('' = escaped quote): a
+    # clause whose TABLE NAME starts inside one is literal text, not a
+    # table reference — e.g. SELECT 'read tbl VERSION AS OF 3 first'
+    # must survive verbatim even when tbl IS registered (r13)
+    literal_spans = [
+        m.span() for m in re.finditer(r"'(?:[^']|'')*'", query)
+    ]
+
     def sub(m: re.Match) -> str:
         name = m.group("name")
         root = _SNAPSHOT_ROOTS.get(name)
         if root is None:
             return m.group(0)  # not a snapshot table: leave verbatim
+        if any(a < m.start() < b for a, b in literal_spans):
+            return m.group(0)  # inside a string literal: leave verbatim
         kind, spec = m.group("kind").upper(), m.group("spec")
         if kind == "VERSION":
             if spec.startswith("'"):

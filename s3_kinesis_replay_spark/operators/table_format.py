@@ -63,8 +63,14 @@ identity, ``bucket(N, int_col)`` (pmod, driver-recomputable),
 ``days(ts_col)``. Per-write and advisory: mixing partitioned and
 unpartitioned commits stays sound.
 
-What it deliberately omits vs the real formats: position-based
-(row-offset) delete vectors (keys are the fixtures' natural identity).
+POSITION DELETES (r13): ``snapshot_delete_where`` deletes rows WITHOUT
+key identity by exact row address — (data file, ``_metadata.row_index``)
+— written as a position-delete file readers anti-join. File-identity
+scoped (later appends are new files, never suppressed), stale-address
+validated at commit (a concurrent compact/overwrite refuses), folded
+through metadata compaction verbatim, dropped by copy-on-write compact
+like all MOR state. With this, both delete tiers of the real formats
+(equality + position) are present.
 """
 
 from __future__ import annotations
@@ -232,6 +238,22 @@ def _delete_entries(m: dict, root: str | None = None) -> list[dict]:
     return out
 
 
+def _pos_delete_entries(m: dict, root: str | None = None) -> list[dict]:
+    """Position-delete file entries (r13): each referenced parquet holds
+    (file_path string, pos bigint) rows naming exact rows of exact data
+    files. No sequence scoping needed — a position delete is scoped by
+    FILE IDENTITY (later appends are new files, untouched by
+    construction; Iceberg's position-delete rule)."""
+    out = []
+    for desc in m.get("pos_delete_segments", []):
+        if root is None:
+            raise ValueError(
+                "segmented manifest requires root to load entries"
+            )
+        out.extend(_load_segment(root, desc))
+    return out
+
+
 def _paths(entries: list[dict]) -> list[str]:
     return [e["path"] for e in entries]
 
@@ -306,6 +328,8 @@ def _commit(
     delete_key: str | None = None,
     schema: list[list[str]] | None = None,
     partition_spec: list[str] | None = None,
+    new_pos_delete_segment: dict | None = None,
+    pos_delete_carry: list[dict] | None = None,
 ) -> int:
     """Atomically commit manifest ``base + 1`` with BASE-SNAPSHOT
     VALIDATION (r12): ``base`` is the version the caller's prior-state
@@ -366,6 +390,21 @@ def _commit(
         dsegs.append({**new_delete_segment, "seq": v})
     if dsegs:
         manifest["delete_segments"] = dsegs
+    # position-delete state (r13): carried from the base like delete
+    # segments (or passed explicitly by fold, whose carry_from is None)
+    psegs = (
+        list(pos_delete_carry)
+        if pos_delete_carry is not None
+        else (
+            list(carry_from.get("pos_delete_segments", []))
+            if carry_from
+            else []
+        )
+    )
+    if new_pos_delete_segment is not None:
+        psegs.append({**new_pos_delete_segment, "seq": v})
+    if psegs:
+        manifest["pos_delete_segments"] = psegs
     if carry_from and carry_from.get("delete_files"):
         manifest["delete_files"] = carry_from["delete_files"]
     key = (
@@ -641,11 +680,17 @@ def commit_append_files(
     return snapshot_commit_retry(attempt, retries)
 
 
+# hidden row-address columns carried only through position-delete reads
+_POS_FILE = "__skr_file"
+_POS_IDX = "__skr_pos"
+
+
 def _read_files(
     spark: SparkSession,
     root: str,
     paths: list[str],
     schema: list[list[str]] | None,
+    with_positions: bool = False,
 ) -> DataFrame:
     """Read data files under the MANIFEST's schema: files written before
     an add-column evolution lack the new columns, and pinning the read
@@ -658,13 +703,33 @@ def _read_files(
     file's footer and silently drops columns the other files carry
     (review r12 — the flake that motivated recorded schemas in the
     first place). The footer sweep is the legacy tax; every r12+ commit
-    records a schema and never pays it."""
+    records a schema and never pays it.
+
+    ``with_positions`` (r13): append each row's address — its data
+    file's ROOT-RELATIVE path and its ``_metadata.row_index`` — as
+    hidden columns. The path arrives from Spark as
+    ``file:<absolute>``; joining the scan on realpath(root) makes the
+    prefix strip exact (symlinked roots would otherwise disagree with
+    what Spark reports, and snapshot_delete_where's containment check
+    would catch it loudly)."""
+    base = os.path.realpath(root) if with_positions else root
     reader = spark.read
     if schema is not None:
         reader = reader.schema(_schema_ddl(schema))
     elif len(paths) > 1:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[os.path.join(root, p) for p in paths])
+    df = reader.parquet(*[os.path.join(base, p) for p in paths])
+    if with_positions:
+        prefix = "file:" + os.path.realpath(root) + os.sep
+        df = df.select(
+            "*",
+            F.expr(
+                f"substring(_metadata.file_path, {len(prefix) + 1}) "
+                f"AS {_POS_FILE}"
+            ),
+            F.col("_metadata.row_index").alias(_POS_IDX),
+        )
+    return df
 
 
 def _empty_frame(
@@ -686,7 +751,11 @@ def _empty_frame(
 
 
 def _assemble(
-    spark: SparkSession, root: str, m: dict, entries: list[dict]
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    entries: list[dict],
+    with_positions: bool = False,
 ) -> DataFrame:
     """The read core shared by snapshot_read / snapshot_read_pruned:
     MERGE-ON-READ with SEQUENCE SCOPING. A delete file committed at
@@ -697,44 +766,71 @@ def _assemble(
     horizon (at most #delete-commits + 1 groups); each group is one
     scan anti-joined against the union of its applicable key files
     (broadcast — key files are tiny relative to data), then the groups
-    union. Entries with unknown sequence (legacy) take every delete."""
+    union. Entries with unknown sequence (legacy) take every delete.
+
+    POSITION deletes (r13) then anti-join on the row address
+    (file, row_index) — file-identity-scoped, so they never need
+    sequence bookkeeping; the hidden address columns are dropped unless
+    the caller asked for them (``with_positions``, the delete-where
+    write path)."""
     schema = m.get("schema")
     dels = _delete_entries(m, root)
+    pos_dels = _pos_delete_entries(m, root)
+    need_pos = with_positions or bool(pos_dels)
     if not dels:
-        return _read_files(spark, root, _paths(entries), schema)
-
-    def applicable(e: dict) -> tuple[str, ...]:
-        es = e.get("seq")
-        return tuple(
-            sorted(
-                d["path"]
-                for d in dels
-                if es is None or d.get("seq") is None or d["seq"] > es
-            )
+        out = _read_files(
+            spark, root, _paths(entries), schema, with_positions=need_pos
         )
+    else:
 
-    groups: dict[tuple[str, ...], list[str]] = {}
-    for e in entries:
-        groups.setdefault(applicable(e), []).append(e["path"])
-    parts = []
-    for app in sorted(groups):
-        df = _read_files(spark, root, groups[app], schema)
-        if app:
-            keys = (
-                _read_files(spark, root, list(app), None)
-                .select(m["delete_key"])
-                .distinct()
+        def applicable(e: dict) -> tuple[str, ...]:
+            es = e.get("seq")
+            return tuple(
+                sorted(
+                    d["path"]
+                    for d in dels
+                    if es is None or d.get("seq") is None or d["seq"] > es
+                )
             )
-            df = df.join(F.broadcast(keys), m["delete_key"], "left_anti")
-        parts.append(df)
-    out = parts[0]
-    for p in parts[1:]:
-        # a LEGACY schema-less lineage infers each horizon group
-        # independently, so groups can carry different column sets —
-        # NULL-fill the union instead of raising (ADVICE r12); with a
-        # recorded schema every group was read pinned, columns agree,
-        # and allowMissingColumns is inert.
-        out = out.unionByName(p, allowMissingColumns=schema is None)
+
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for e in entries:
+            groups.setdefault(applicable(e), []).append(e["path"])
+        parts = []
+        for app in sorted(groups):
+            df = _read_files(
+                spark, root, groups[app], schema, with_positions=need_pos
+            )
+            if app:
+                keys = (
+                    _read_files(spark, root, list(app), None)
+                    .select(m["delete_key"])
+                    .distinct()
+                )
+                df = df.join(F.broadcast(keys), m["delete_key"], "left_anti")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            # a LEGACY schema-less lineage infers each horizon group
+            # independently, so groups can carry different column sets —
+            # NULL-fill the union instead of raising (ADVICE r12); with a
+            # recorded schema every group was read pinned, columns agree,
+            # and allowMissingColumns is inert.
+            out = out.unionByName(p, allowMissingColumns=schema is None)
+    if pos_dels:
+        addrs = (
+            spark.read.parquet(
+                *[os.path.join(root, p) for p in _paths(pos_dels)]
+            )
+            .select(
+                F.col("file_path").alias(_POS_FILE),
+                F.col("pos").alias(_POS_IDX),
+            )
+            .distinct()
+        )
+        out = out.join(F.broadcast(addrs), [_POS_FILE, _POS_IDX], "left_anti")
+    if need_pos and not with_positions:
+        out = out.drop(_POS_FILE, _POS_IDX)
     return out
 
 
@@ -785,8 +881,12 @@ def snapshot_vacuum(
         m = _read_manifest(root, v)
         reachable.update(_paths(_entries(m, root)))
         reachable.update(_paths(_delete_entries(m, root)))
+        reachable.update(_paths(_pos_delete_entries(m, root)))
         reachable_meta.update(d["path"] for d in m.get("segments", []))
         reachable_meta.update(d["path"] for d in m.get("delete_segments", []))
+        reachable_meta.update(
+            d["path"] for d in m.get("pos_delete_segments", [])
+        )
     deleted = 0
     skipped_young = 0
     now = time.time()
@@ -1169,6 +1269,100 @@ def snapshot_delete(
     return snapshot_commit_retry(attempt, retries)
 
 
+def snapshot_delete_where(
+    spark: SparkSession,
+    root: str,
+    condition,
+    retries: int = _COMMIT_RETRIES,
+) -> int:
+    """POSITION-based MERGE-ON-READ delete (r13 — closes the last
+    documented omission vs the real formats): delete the CURRENT rows
+    matching ``condition`` (SQL string or Column) by writing their exact
+    row addresses — (data file, ``_metadata.row_index``) — as a
+    position-delete file; readers anti-join the addresses. Use it when
+    rows have NO key identity (the equality tier's requirement):
+    duplicate rows, rows selected by predicate, one of two identical
+    rows. Zero data rewrite; compaction drops the rent like any MOR
+    state.
+
+    Scoping is FILE IDENTITY, not sequence: later appends are new files
+    and can never be suppressed, so a matching row ingested after the
+    delete is visible (Iceberg's position-delete rule). Positions are
+    computed against the CURRENT view — equality-deleted rows can't
+    match; time travel still shows deleted rows at prior versions.
+
+    Concurrency: an append/merge landing between read and commit is
+    safe (the named files stay in the live set); a compact/overwrite is
+    NOT — the named files may have left it, and blindly committing
+    would silently delete nothing. Each commit attempt therefore
+    re-validates that every named file is still live and refuses with
+    a clear error otherwise (Iceberg's rewrite-validation applied to
+    position deletes). Matching nothing commits nothing (returns the
+    current version)."""
+    base = latest_version(root)
+    if base == 0:
+        raise ValueError("cannot delete from an empty table")
+    m = _read_manifest(root, base)
+    ents = _entries(m, root)
+    if not ents:
+        raise ValueError(f"snapshot v{base} is empty")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    matched = (
+        _assemble(spark, root, m, ents, with_positions=True)
+        .filter(cond)
+        .select(
+            F.col(_POS_FILE).alias("file_path"),
+            F.col(_POS_IDX).alias("pos"),
+        )
+    )
+    pdel_files = _write_data_files(matched, root, prefix="pdel")
+    # the files the written addresses name — bounded driver fetch
+    # (<= #data files); doubles as the prefix-strip self-check: a root
+    # whose realpath disagrees with Spark's reported file_path yields
+    # garbage relative paths and fails containment LOUDLY here
+    named = {
+        r["file_path"]
+        for r in spark.read.parquet(
+            *[os.path.join(root, p) for p in pdel_files]
+        )
+        .select("file_path")
+        .distinct()
+        .collect()
+    }
+    if not named:
+        return base  # nothing matched: no commit (addresses reaped by vacuum)
+    unknown = named - set(_paths(ents))
+    if unknown:
+        raise RuntimeError(
+            f"position-delete addresses name unknown files {unknown} — "
+            "file_path prefix strip failed (symlinked root?) or manifest "
+            "drift; refusing to commit a delete that cannot apply"
+        )
+    dseg = _write_segment(root, [{"path": p} for p in pdel_files])
+
+    def attempt() -> int:
+        b = latest_version(root)
+        m2 = _read_manifest(root, b)
+        live = set(_paths(_entries(m2, root)))
+        gone = named - live
+        if gone:
+            raise ValueError(
+                f"stale position delete: files {sorted(gone)[:3]}... left "
+                "the live set (concurrent compact/overwrite/merge) — "
+                "recompute the delete against the current version"
+            )
+        return _commit(
+            root,
+            b,
+            "pos_delete",
+            carry_from=m2,
+            new_pos_delete_segment=dseg,
+            schema=m2.get("schema"),
+        )
+
+    return snapshot_commit_retry(attempt, retries)
+
+
 def snapshot_merge(
     spark: SparkSession,
     root: str,
@@ -1327,7 +1521,8 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
                 len(m.get("files", [])) + n_of(m.get("segments", [])),
                 len(m.get("segments", [])),
                 len(m.get("delete_files", []))
-                + n_of(m.get("delete_segments", [])),
+                + n_of(m.get("delete_segments", []))
+                + n_of(m.get("pos_delete_segments", [])),
                 m.get("delete_key"),
                 len(m.get("schema") or []),
                 # the TIMESTAMP AS OF resolution target — surfacing it is
@@ -1457,6 +1652,9 @@ def snapshot_fold_metadata(root: str, retries: int = _COMMIT_RETRIES) -> int:
             delete_key=m.get("delete_key") if dels else None,
             schema=m.get("schema"),
             partition_spec=m.get("partition_spec"),
+            # position-delete state rides through a fold verbatim
+            # (carry_from is None here; losing it would resurrect rows)
+            pos_delete_carry=m.get("pos_delete_segments", []),
         )
 
     return snapshot_commit_retry(attempt, retries)

@@ -1682,3 +1682,93 @@ def a15m_days_partition_scan(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"),
         fdec(F.sum(sdec("value"))).alias("sum_value"),
     ).withColumn("pruned", F.lit(True))
+
+
+def _pos_delete_table(spark, sf_dir: str) -> str:
+    """Install (once, fingerprint-cached, atomic) the position-delete
+    fixture: v1 = full events load; v2 = snapshot_delete_where on a
+    predicate shape (no key identity involved); v3 = append of shifted
+    copies MATCHING the deleted predicate — visible by file-identity
+    scoping."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_delete_where,
+        snapshot_write,
+    )
+
+    fp = data_fingerprint(os.path.join(sf_dir, "events.parquet"))[:10]
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    doomed = (F.col("event_type") == "click") & (F.col("user_id") % 7 == 0)
+
+    def build(tmp: str) -> None:
+        snapshot_write(spark, ev, tmp, mode="overwrite")
+        snapshot_delete_where(
+            spark, tmp, "event_type = 'click' AND user_id % 7 = 0"
+        )
+        snapshot_write(
+            spark,
+            ev.filter(doomed & (F.col("event_id") % 2 == 0)).withColumn(
+                "event_id", F.col("event_id") + 30000000
+            ),
+            tmp,
+            mode="append",
+        )
+
+    return atomic_cached_build(
+        "/tmp/skr_posdeltbl", f"{fp}-pd1", build, "_latest"
+    )
+
+
+@register(
+    "a15n_position_delete",
+    "A8",
+    f"""
+    WITH surviving AS (
+      SELECT event_id, user_id, value FROM events
+      WHERE NOT (event_type = 'click' AND user_id % 7 = 0)
+      UNION ALL
+      SELECT event_id + 30000000, user_id, value FROM events
+      WHERE event_type = 'click' AND user_id % 7 = 0 AND event_id % 2 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value
+    FROM surviving
+    """,
+    note="POSITION-based MOR deletes (r13 — the other delete tier of "
+    "the real formats, closing the repo's last documented omission): "
+    "snapshot_delete_where deletes by exact row address (data file + "
+    "_metadata.row_index, Spark 3.5+'s hidden file metadata) written "
+    "as a position-delete file readers anti-join — the verb for rows "
+    "WITHOUT key identity, where the equality tier cannot apply. "
+    "Scoping is FILE IDENTITY, not sequence: v3 appends rows MATCHING "
+    "the deleted predicate and they stay visible (new files are "
+    "untouched by construction — Iceberg's position-delete rule), "
+    "which the oracle's shifted-copy union recomputes exactly. Commit "
+    "re-validates that every named file is still live, so a concurrent "
+    "compact/overwrite refuses instead of silently deleting nothing. "
+    "At 100 TB: O(matched rows) write, zero data rewrite, and the "
+    "anti-join rent is broadcast-sized until compaction folds it — "
+    "the same economics as the equality tier with addresses instead "
+    "of keys.",
+)
+def a15n_position_delete(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_read,
+    )
+
+    root = _pos_delete_table(spark, sf_dir)
+    return snapshot_read(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("event_id").alias("max_event_id"),
+        fdec(F.sum(sdec("value"))).alias("sum_value"),
+    )

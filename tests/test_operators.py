@@ -4084,6 +4084,14 @@ def test_engine_sql_snapshot_time_travel(spark, tmp_path):
     # unregistered names are never rewritten
     q = "SELECT 'foo VERSION AS OF 3' AS s"
     assert cat.resolve_time_travel(spark, q) == q
+    # a REGISTERED name inside a string literal is literal text (r13)
+    q2 = "SELECT 'use ttt_snap VERSION AS OF 1 here' AS hint"
+    assert cat.resolve_time_travel(spark, q2) == q2
+    assert eng.sql(q2).collect()[0]["hint"].startswith("use ttt_snap")
+    # ...while the same clause OUTSIDE the literal still rewrites
+    q3 = ("SELECT 'v1' AS tag, COUNT(*) AS n "
+          "FROM ttt_snap VERSION AS OF 1")
+    assert eng.sql(q3).collect()[0]["n"] == 8
     # VERSION takes an integer; version+as_of together refused
     with _pytest.raises(ValueError, match="integer"):
         cat.resolve_time_travel(
@@ -4342,6 +4350,122 @@ def test_auto_maintain_bounds_long_drain(spark, tmp_path):
         r["id"]: r["val"] for r in tf.snapshot_read(spark, root).collect()
     }
     assert got == expected
+
+
+def test_position_delete_where(spark, tmp_path):
+    """Position deletes (r13): snapshot_delete_where removes rows by
+    exact (file, row_index) address — including ONE of two fully
+    identical rows, which no key-based tier can express. File-identity
+    scoping: a matching row appended later is visible. Time travel shows
+    pre-delete state; history counts the delete file; fold carries the
+    state; compact drops it; equality+position tiers compose."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(i % 8, float(i % 8), "dup" if i >= 8 else "one") for i in range(12)],
+        "k long, val double, tag string",
+    )  # keys 0..7 once, keys 0..3 twice more (true duplicates in 'dup')
+    tf.snapshot_write(spark, rows, root, "overwrite")
+
+    # delete the duplicate copies only — predicate on a non-key shape
+    v = tf.snapshot_delete_where(spark, root, "tag = 'dup'")
+    assert v == 2
+    got = tf.snapshot_read(spark, root, 2)
+    assert got.count() == 8 and got.filter("tag = 'dup'").count() == 0
+    # time travel: v1 intact
+    assert tf.snapshot_read(spark, root, 1).count() == 12
+
+    # file-identity scoping: append a row matching the deleted predicate
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(99, 9.0, "dup")], "k long, val double, tag string"),
+        root,
+        "append",
+    )
+    v3 = tf.snapshot_read(spark, root, 3)
+    assert v3.count() == 9 and v3.filter("k = 99").count() == 1
+
+    # history counts position-delete files; ops labeled
+    h = {r["version"]: r for r in tf.snapshot_history(spark, root).collect()}
+    assert h[2]["operation"] == "pos_delete" and h[2]["n_delete_files"] > 0
+
+    # fold carries position state verbatim
+    tf.snapshot_fold_metadata(root)
+    v4 = tf.snapshot_read(spark, root)
+    assert v4.count() == 9 and v4.filter("tag = 'dup'").count() == 1
+
+    # matching nothing commits nothing
+    assert tf.snapshot_delete_where(spark, root, "k = 12345") == 4
+    assert tf.latest_version(root) == 4
+
+    # compact materializes the view and drops all MOR state
+    v5 = tf.snapshot_compact(spark, root)
+    m5 = tf._read_manifest(root, v5)
+    assert "pos_delete_segments" not in m5
+    assert tf.snapshot_read(spark, root, v5).count() == 9
+
+    # stale addresses refuse: delete computed against v5, then compact
+    # lands first -> the files left the live set
+    m = tf._read_manifest(root, v5)
+    ents = tf._entries(m, root)
+    matched = (
+        tf._assemble(spark, root, m, ents, with_positions=True)
+        .filter("k = 0")
+        .select(
+            F.col(tf._POS_FILE).alias("file_path"),
+            F.col(tf._POS_IDX).alias("pos"),
+        )
+    )
+    pdel = tf._write_data_files(matched, root, prefix="pdel")
+    dseg = tf._write_segment(root, [{"path": p} for p in pdel])
+    tf.snapshot_compact(spark, root)  # rewrites: v5's files leave the live set
+
+    def stale_commit():
+        b = tf.latest_version(root)
+        m2 = tf._read_manifest(root, b)
+        live = set(tf._paths(tf._entries(m2, root)))
+        named = {
+            r["file_path"]
+            for r in spark.read.parquet(
+                *[str(tmp_path / "tbl" / p) for p in pdel]
+            ).collect()
+        }
+        gone = named - live
+        if gone:
+            raise ValueError("stale position delete")
+        raise AssertionError("compact should have invalidated the files")
+
+    with _pytest.raises(ValueError, match="stale"):
+        stale_commit()
+
+
+def test_position_and_equality_deletes_compose(spark, tmp_path):
+    """Both MOR delete tiers on one table: an equality delete (key-based,
+    sequence-scoped) and a position delete (address-based, file-scoped)
+    apply together, and the pruned-read path honors both."""
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, val double"
+    )
+    tf.snapshot_write(spark, rows, root, "overwrite")
+    tf.snapshot_delete(
+        spark, root, spark.createDataFrame([(3,), (4,)], "id long"), "id"
+    )
+    tf.snapshot_delete_where(spark, root, "id >= 15")
+    got = sorted(
+        r["id"] for r in tf.snapshot_read(spark, root).collect()
+    )
+    assert got == [0, 1, 2, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14]
+    # pruned read applies both tiers too
+    df, _, _ = tf.snapshot_read_pruned(spark, root, {"id": (2, 16)})
+    assert sorted(r["id"] for r in df.collect()) == [
+        2, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+    ]
 
 
 def test_vacuum_reaps_crash_residue(spark, sf_dir, tmp_path):

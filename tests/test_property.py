@@ -1945,6 +1945,9 @@ class TestTableFormatModel:
                         "maintain",  # r13: auto-maintenance (fold/compact
                         # on thresholds) — whatever fires must be invisible
                         # to every read
+                        "pos_delete",  # r13: position (row-address) delete
+                        # by predicate — file-scoped, composes with the
+                        # equality tier, folds/compacts away
                     ]
                 ),
                 st.integers(1, 5),  # row count / delete count
@@ -1962,6 +1965,7 @@ class TestTableFormatModel:
             snapshot_auto_maintain,
             snapshot_compact,
             snapshot_delete,
+            snapshot_delete_where,
             snapshot_fold_metadata,
             snapshot_merge,
             snapshot_read,
@@ -2076,6 +2080,16 @@ class TestTableFormatModel:
                         spark, root, fold_at=3, compact_at=3
                     )
                     v = max(versions(root))
+                elif kind == "pos_delete":
+                    if not view:
+                        continue
+                    r = seed % 3  # Spark pmod == Python % for positive mod
+                    v = snapshot_delete_where(
+                        spark, root, f"pmod(val, 3) = {r}"
+                    )
+                    # a fully-emptied view still READS as zero rows (the
+                    # manifest keeps its entries) — model it as {}
+                    view = {k: x for k, x in view.items() if x % 3 != r}
                 else:  # compact
                     if not view:
                         continue
