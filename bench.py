@@ -81,6 +81,7 @@ EXTRAS_ALWAYS: list[str] = [
     "a15l_partition_pruned_read",  # segment-level partition skipping
     "a15m_days_partition_scan",  # days(ts) hidden partitioning, time window
     "a15n_position_delete",   # row-address MOR deletes (file+row_index)
+    "a15o_update_where",      # atomic UPDATE: append + position-delete
     # h9b_streaming_ohlc_append is NOT benched: H-family convention
     # (same as h9 — the batch twin ts2 carries the bench cost)
     # h9_streaming_ohlc / h9b are NOT benched: H-family convention — live

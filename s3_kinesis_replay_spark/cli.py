@@ -141,14 +141,29 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tb.add_argument(
         "verb",
-        choices=["history", "read", "vacuum", "compact", "fold"],
+        choices=[
+            "history", "read", "vacuum", "compact", "fold",
+            "delete-where", "update",
+        ],
         help="history = one row per retained snapshot (metadata only); "
         "read = the table AS OF --version/--as-of (default latest); "
         "vacuum = drop old manifests + reap unreachable files "
         "(age-graced); compact = copy-on-write materialize (drops MOR "
-        "delete rent); fold = metadata-only manifest compaction",
+        "delete rent); fold = metadata-only manifest compaction; "
+        "delete-where = position-delete rows matching --where; "
+        "update = rewrite rows matching --where per --set (atomic, MOR)",
     )
     tb.add_argument("--root", required=True, help="table root directory")
+    tb.add_argument(
+        "--where", help="SQL predicate for delete-where/update"
+    )
+    tb.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="COL=EXPR",
+        help="update assignment, repeatable (SQL expression RHS)",
+    )
     tb.add_argument("--version", type=int, help="read: VERSION AS OF")
     tb.add_argument(
         "--as-of",
@@ -286,6 +301,24 @@ def run_table_cmd(args: argparse.Namespace) -> int:
     if args.verb == "compact":
         v = tf.snapshot_compact(spark, args.root)
         print(json.dumps({"verb": "compact", "version": v}))
+        return 0
+    if args.verb == "delete-where":
+        if not args.where:
+            raise SystemExit("delete-where requires --where PREDICATE")
+        v = tf.snapshot_delete_where(spark, args.root, args.where)
+        print(json.dumps({"verb": "delete-where", "version": v}))
+        return 0
+    if args.verb == "update":
+        if not args.where or not args.set:
+            raise SystemExit("update requires --where and >=1 --set COL=EXPR")
+        assignments = {}
+        for s in args.set:
+            if "=" not in s:
+                raise SystemExit(f"--set expects COL=EXPR, got: {s!r}")
+            col, expr = s.split("=", 1)
+            assignments[col.strip()] = expr
+        v = tf.snapshot_update_where(spark, args.root, args.where, assignments)
+        print(json.dumps({"verb": "update", "version": v}))
         return 0
     if args.verb == "history":
         df = tf.snapshot_history(spark, args.root)

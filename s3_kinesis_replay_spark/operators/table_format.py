@@ -1363,6 +1363,101 @@ def snapshot_delete_where(
     return snapshot_commit_retry(attempt, retries)
 
 
+def snapshot_update_where(
+    spark: SparkSession,
+    root: str,
+    condition,
+    assignments: dict,
+    retries: int = _COMMIT_RETRIES,
+) -> int:
+    """UPDATE ... WHERE as ONE atomic commit (r13) — the composition the
+    position tier makes possible for rows WITHOUT key identity (MERGE
+    covers keyed upserts): the commit simultaneously (a) appends the
+    matching rows with ``assignments`` applied ({column: SQL expr or
+    Column}; add-column evolution allowed, type changes refused) and
+    (b) adds a position-delete file of the matched rows' addresses.
+    Old copies vanish, updated copies appear, unmatched rows are
+    untouched — zero data rewrite, O(matched) write cost, time travel
+    shows the pre-update state, and the same stale-address validation
+    as :func:`snapshot_delete_where` refuses after a concurrent
+    compact/overwrite. Matching nothing commits nothing.
+
+    The matched set is evaluated twice (addresses, then updated rows) —
+    safe because data files are immutable and ``condition`` sees only
+    stored columns, so both evaluations agree by construction."""
+    base = latest_version(root)
+    if base == 0:
+        raise ValueError("cannot update an empty table")
+    m = _read_manifest(root, base)
+    ents = _entries(m, root)
+    if not ents:
+        raise ValueError(f"snapshot v{base} is empty")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    matched = _assemble(spark, root, m, ents, with_positions=True).filter(
+        cond
+    )
+    updated = matched
+    for col, expr in assignments.items():
+        updated = updated.withColumn(
+            col, F.expr(expr) if isinstance(expr, str) else expr
+        )
+    updated = updated.drop(_POS_FILE, _POS_IDX)
+    new_files = _write_data_files(updated, root, prefix="upd")
+    new_stats = _file_stats(root, new_files)
+    seg = _write_segment(
+        root, [{"path": p, "stats": new_stats[p]} for p in new_files]
+    )
+    addrs = matched.select(
+        F.col(_POS_FILE).alias("file_path"), F.col(_POS_IDX).alias("pos")
+    )
+    pdel_files = _write_data_files(addrs, root, prefix="pdel")
+    named = {
+        r["file_path"]
+        for r in spark.read.parquet(
+            *[os.path.join(root, p) for p in pdel_files]
+        )
+        .select("file_path")
+        .distinct()
+        .collect()
+    }  # bounded driver fetch (<= #data files); see snapshot_delete_where
+    if not named:
+        return base  # nothing matched (staged files reaped by vacuum)
+    unknown = named - set(_paths(ents))
+    if unknown:
+        raise RuntimeError(
+            f"update addresses name unknown files {unknown} — file_path "
+            "prefix strip failed or manifest drift; refusing"
+        )
+    dseg = _write_segment(root, [{"path": p} for p in pdel_files])
+    new_schema = _schema_of(updated)
+
+    def attempt() -> int:
+        b = latest_version(root)
+        m2 = _read_manifest(root, b)
+        gone = named - set(_paths(_entries(m2, root)))
+        if gone:
+            raise ValueError(
+                f"stale update: files {sorted(gone)[:3]}... left the live "
+                "set (concurrent compact/overwrite) — recompute against "
+                "the current version"
+            )
+        return _commit(
+            root,
+            b,
+            "update",
+            carry_from=m2,
+            new_segment=seg,
+            new_pos_delete_segment=dseg,
+            schema=(
+                _merge_schema(m2["schema"], new_schema)
+                if m2.get("schema") is not None
+                else None
+            ),
+        )
+
+    return snapshot_commit_retry(attempt, retries)
+
+
 def snapshot_merge(
     spark: SparkSession,
     root: str,

@@ -1772,3 +1772,82 @@ def a15n_position_delete(spark, sf_dir):
         F.max("event_id").alias("max_event_id"),
         fdec(F.sum(sdec("value"))).alias("sum_value"),
     )
+
+
+def _update_where_table(spark, sf_dir: str) -> str:
+    """Install (once, fingerprint-cached, atomic) the UPDATE fixture:
+    v1 = full events load; v2 = ONE atomic snapshot_update_where that
+    triples the value of every signup event (predicate shape, no key)."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_update_where,
+        snapshot_write,
+    )
+
+    fp = data_fingerprint(os.path.join(sf_dir, "events.parquet"))[:10]
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def build(tmp: str) -> None:
+        snapshot_write(spark, ev, tmp, mode="overwrite")
+        snapshot_update_where(
+            spark, tmp, "event_type = 'signup'", {"value": "value * 3"}
+        )
+
+    return atomic_cached_build(
+        "/tmp/skr_updtbl", f"{fp}-uw1", build, "_latest"
+    )
+
+
+@register(
+    "a15o_update_where",
+    "A8",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(
+             CASE WHEN event_type = 'signup' THEN value * 3 ELSE value END
+           AS {DEC})) AS DOUBLE), 6) AS sum_value,
+           ROUND(CAST(SUM(CAST(value AS {DEC}))
+                 FILTER (WHERE event_type <> 'signup') AS DOUBLE), 6)
+             AS sum_untouched
+    FROM events
+    """,
+    note="UPDATE ... WHERE as ONE atomic MOR commit (r13 — the verb the "
+    "position tier makes possible for rows WITHOUT key identity; MERGE "
+    "covers keyed upserts): the commit simultaneously appends the "
+    "matched rows with assignments applied and position-deletes their "
+    "old copies — zero data rewrite, O(matched) write, time travel "
+    "shows pre-update state, stale-address validation refuses after a "
+    "concurrent compact/overwrite. The oracle recomputes the update as "
+    "a CASE projection over the source, and separately pins the "
+    "UNTOUCHED rows' sum, so an update that leaks to non-matching "
+    "rows, double-applies (old copy not deleted), or drops rows "
+    "hash-mismatches. At 100 TB: predicate updates (GDPR erasure "
+    "rewrites, backfill corrections) cost O(matched) + one metadata "
+    "commit, not a table rewrite.",
+)
+def a15o_update_where(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_read,
+    )
+
+    root = _update_where_table(spark, sf_dir)
+    return snapshot_read(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        fdec(F.sum(sdec("value"))).alias("sum_value"),
+        fdec(
+            F.sum(
+                F.when(
+                    F.col("event_type") != "signup", sdec("value")
+                )
+            )
+        ).alias("sum_untouched"),
+    )

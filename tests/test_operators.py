@@ -4442,6 +4442,59 @@ def test_position_delete_where(spark, tmp_path):
         stale_commit()
 
 
+def test_update_where_atomic(spark, tmp_path):
+    """UPDATE ... WHERE (r13): one atomic commit appends the updated
+    copies and position-deletes the old ones — no key required, time
+    travel intact, add-column assignments evolve the schema, nothing-
+    matched commits nothing, equality deletes from earlier commits do
+    not suppress the updated copies (they're new files at a newer seq)."""
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(i, float(i), "x" if i % 2 else "y") for i in range(10)],
+        "id long, val double, tag string",
+    )
+    tf.snapshot_write(spark, rows, root, "overwrite")
+    # an equality delete BEFORE the update: id=1 tombstoned at seq 2
+    tf.snapshot_delete(
+        spark, root, spark.createDataFrame([(1,)], "id long"), "id"
+    )
+
+    v = tf.snapshot_update_where(
+        spark, root, "tag = 'x'", {"val": "val * 10"}
+    )
+    assert v == 3
+    got = {r["id"]: r["val"] for r in tf.snapshot_read(spark, root).collect()}
+    # updates apply to the CURRENT VIEW: tombstoned id=1 is not in it,
+    # stays deleted; the other x-rows carry updated copies (new files at
+    # seq 3, which the seq-2 equality delete cannot suppress)
+    assert 1 not in got
+    assert got[3] == 30.0 and got[5] == 50.0 and got[9] == 90.0  # updated
+    assert got[2] == 2.0 and got[0] == 0.0  # untouched
+    assert len(got) == 9
+    # time travel: pre-update values
+    pre = {r["id"]: r["val"]
+           for r in tf.snapshot_read(spark, root, 2).collect()}
+    assert pre[3] == 3.0 and 1 not in pre
+
+    # add-column assignment evolves the schema; old rows NULL-fill
+    tf.snapshot_update_where(
+        spark, root, "id = 0", {"flag": F.lit("updated")}
+    )
+    latest = tf.snapshot_read(spark, root)
+    assert latest.columns == ["id", "val", "tag", "flag"]
+    assert latest.filter("flag = 'updated'").count() == 1
+    assert latest.filter("flag IS NULL").count() == 8
+
+    # nothing matched -> no commit
+    before = tf.latest_version(root)
+    assert tf.snapshot_update_where(
+        spark, root, "id = 777", {"val": "0.0"}
+    ) == before
+    assert tf.latest_version(root) == before
+
+
 def test_position_and_equality_deletes_compose(spark, tmp_path):
     """Both MOR delete tiers on one table: an equality delete (key-based,
     sequence-scoped) and a position delete (address-based, file-scoped)

@@ -1948,6 +1948,8 @@ class TestTableFormatModel:
                         "pos_delete",  # r13: position (row-address) delete
                         # by predicate — file-scoped, composes with the
                         # equality tier, folds/compacts away
+                        "update_where",  # r13: atomic predicate UPDATE
+                        # (append updated copies + position-delete old)
                     ]
                 ),
                 st.integers(1, 5),  # row count / delete count
@@ -1967,6 +1969,7 @@ class TestTableFormatModel:
             snapshot_delete,
             snapshot_delete_where,
             snapshot_fold_metadata,
+            snapshot_update_where,
             snapshot_merge,
             snapshot_read,
             snapshot_read_pruned,
@@ -2090,6 +2093,20 @@ class TestTableFormatModel:
                     # a fully-emptied view still READS as zero rows (the
                     # manifest keeps its entries) — model it as {}
                     view = {k: x for k, x in view.items() if x % 3 != r}
+                elif kind == "update_where":
+                    if not view:
+                        continue
+                    r = seed % 3
+                    v = snapshot_update_where(
+                        spark,
+                        root,
+                        f"pmod(val, 3) = {r}",
+                        {"val": "val + 1000000"},
+                    )
+                    view = {
+                        k: (x + 1000000 if x % 3 == r else x)
+                        for k, x in view.items()
+                    }
                 else:  # compact
                     if not view:
                         continue

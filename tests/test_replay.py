@@ -655,16 +655,29 @@ def test_cli_table_verbs_round_trip(spark, capsys, tmp_path):
     )
     assert rows == [{"n_v1": "10", "n_latest": "25"}]
 
-    # maintenance verbs: fold is a no-op version bump check, vacuum reaps
+    # row-level verbs: position delete-where, then atomic update
+    out = run(["table", "delete-where", "--root", root, "--where", "id >= 20"])
+    assert out[0]["verb"] == "delete-where" and int(out[0]["version"]) == 3
+    assert len(run(["table", "read", "--root", root, "--limit", "100"])) == 20
+    out = run(
+        ["table", "update", "--root", root, "--where", "id < 3",
+         "--set", "val=val + 100"]
+    )
+    assert int(out[0]["version"]) == 4
+    rows = run(["table", "read", "--root", root, "--limit", "100"])
+    vals = {int(r["id"]): float(r["val"]) for r in rows}
+    assert vals[0] == 100.0 and vals[2] == 102.0 and vals[5] == 5.0
+
+    # maintenance verbs: fold, then vacuum reaps
     out = run(["table", "fold", "--root", root])
-    assert out[0]["verb"] == "fold" and int(out[0]["version"]) == 3
+    assert out[0]["verb"] == "fold" and int(out[0]["version"]) == 5
     out = run(
         ["table", "vacuum", "--root", root, "--keep-last", "1",
          "--min-age-s", "0"]
     )
-    assert out[0]["dropped_versions"] == [1, 2]
+    assert out[0]["dropped_versions"] == [1, 2, 3, 4]
     # post-vacuum: latest still reads clean
-    assert len(run(["table", "read", "--root", root, "--limit", "100"])) == 25
+    assert len(run(["table", "read", "--root", root, "--limit", "100"])) == 20
 
 
 def test_replay_observe_metrics(spark, sf_dir):
