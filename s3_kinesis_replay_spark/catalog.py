@@ -204,14 +204,16 @@ def register_snapshot_table(
     spark: SparkSession,
     name: str,
     root: str,
-    version: int | None = None,
+    version: int | str | None = None,
     as_of: float | None = None,
 ) -> DataFrame:
     """Register a manifest-versioned table (operators/table_format.py) as
     the temp view ``name``, queryable through ``spark.sql`` /
     ``Engine.sql`` alongside the fixture views — the catalog surface the
     a15 lakehouse tier was missing (VERDICT r12 item 1). ``version``
-    pins a snapshot, ``as_of`` (epoch seconds) resolves TIMESTAMP AS OF;
+    pins a snapshot (an int, or a TAG NAME — r13, resolved through the
+    table's named refs), ``as_of`` (epoch seconds) resolves TIMESTAMP
+    AS OF;
     default is the CURRENT latest. Because manifests are immutable, a
     registered view is a stable snapshot: re-register (or query with
     ``VERSION AS OF``) to see commits that land later. Also records
@@ -298,10 +300,16 @@ def resolve_time_travel(spark: SparkSession, query: str) -> str:
         kind, spec = m.group("kind").upper(), m.group("spec")
         if kind == "VERSION":
             if spec.startswith("'"):
-                raise ValueError(
-                    f"VERSION AS OF takes an integer, got {spec}"
+                # quoted spec = a NAMED REF (Iceberg's VERSION AS OF
+                # 'tag' in Spark SQL, r13): resolve tag → version so the
+                # view name stays deterministic per pinned snapshot
+                from s3_kinesis_replay_spark.operators.table_format import (
+                    resolve_ref,
                 )
-            v = int(float(spec))
+
+                v = resolve_ref(root, spec[1:-1])
+            else:
+                v = int(float(spec))
             view = f"{name}__v{v}"
             snapshot_read(spark, root, v).createOrReplaceTempView(view)
         else:

@@ -143,15 +143,23 @@ def build_parser() -> argparse.ArgumentParser:
         "verb",
         choices=[
             "history", "read", "vacuum", "compact", "fold",
-            "delete-where", "update",
+            "delete-where", "update", "tag", "tags", "drop-tag",
+            "restore", "cluster",
         ],
         help="history = one row per retained snapshot (metadata only); "
         "read = the table AS OF --version/--as-of (default latest); "
         "vacuum = drop old manifests + reap unreachable files "
-        "(age-graced); compact = copy-on-write materialize (drops MOR "
-        "delete rent); fold = metadata-only manifest compaction; "
-        "delete-where = position-delete rows matching --where; "
-        "update = rewrite rows matching --where per --set (atomic, MOR)",
+        "(age-graced; tagged versions are retention roots); compact = "
+        "copy-on-write materialize (drops MOR delete rent); fold = "
+        "metadata-only manifest compaction; delete-where = "
+        "position-delete rows matching --where; update = rewrite rows "
+        "matching --where per --set (atomic, MOR); tag = pin --name at "
+        "--version (default latest); tags = list named refs; drop-tag = "
+        "remove --name (releases retention, deletes nothing); restore = "
+        "roll back to --to (version or tag; metadata-only, "
+        "history-preserving); cluster = OPTIMIZE rewrite sorted on --by "
+        "(or a 2-column Morton key with --zorder) so manifest stats "
+        "prune",
     )
     tb.add_argument("--root", required=True, help="table root directory")
     tb.add_argument(
@@ -164,7 +172,33 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="COL=EXPR",
         help="update assignment, repeatable (SQL expression RHS)",
     )
-    tb.add_argument("--version", type=int, help="read: VERSION AS OF")
+    tb.add_argument(
+        "--version",
+        help="read/tag: VERSION AS OF — a number, or (read) a tag name",
+    )
+    tb.add_argument("--name", help="tag/drop-tag: ref name")
+    tb.add_argument(
+        "--to", help="restore: target version number or tag name"
+    )
+    tb.add_argument(
+        "--by",
+        action="append",
+        default=[],
+        help="cluster: layout column, repeatable (exactly 2 with --zorder)",
+    )
+    tb.add_argument(
+        "--zorder",
+        action="store_true",
+        help="cluster: interleaved-bit Morton layout over two columns",
+    )
+    tb.add_argument(
+        "--target-files", type=int, default=8, help="cluster: output files"
+    )
+    tb.add_argument(
+        "--replace",
+        action="store_true",
+        help="tag: move an existing tag instead of refusing",
+    )
     tb.add_argument(
         "--as-of",
         help="read: TIMESTAMP AS OF — epoch seconds or ISO-8601 (UTC)",
@@ -295,12 +329,44 @@ def run_table_cmd(args: argparse.Namespace) -> int:
         v = tf.snapshot_fold_metadata(args.root)
         print(json.dumps({"verb": "fold", "version": v}))
         return 0
+    if args.verb == "tag":
+        if not args.name:
+            raise SystemExit("tag requires --name")
+        pin = int(args.version) if args.version is not None else None
+        v = tf.snapshot_tag(args.root, args.name, pin, replace=args.replace)
+        print(json.dumps({"verb": "tag", "name": args.name, "version": v}))
+        return 0
+    if args.verb == "tags":
+        print(json.dumps({"verb": "tags", "tags": tf.list_tags(args.root)}))
+        return 0
+    if args.verb == "drop-tag":
+        if not args.name:
+            raise SystemExit("drop-tag requires --name")
+        tf.snapshot_drop_tag(args.root, args.name)
+        print(json.dumps({"verb": "drop-tag", "name": args.name}))
+        return 0
+    if args.verb == "restore":
+        if not args.to:
+            raise SystemExit("restore requires --to VERSION|TAG")
+        target = int(args.to) if args.to.isdigit() else args.to
+        v = tf.snapshot_restore(args.root, target)
+        print(json.dumps({"verb": "restore", "to": args.to, "version": v}))
+        return 0
 
     spark = get_spark(app_name="skr-table")
     spark.sparkContext.setLogLevel("ERROR")
     if args.verb == "compact":
         v = tf.snapshot_compact(spark, args.root)
         print(json.dumps({"verb": "compact", "version": v}))
+        return 0
+    if args.verb == "cluster":
+        if not args.by:
+            raise SystemExit("cluster requires >=1 --by COLUMN")
+        v = tf.snapshot_cluster(
+            spark, args.root, args.by,
+            target_files=args.target_files, zorder=args.zorder,
+        )
+        print(json.dumps({"verb": "cluster", "by": args.by, "version": v}))
         return 0
     if args.verb == "delete-where":
         if not args.where:
@@ -333,7 +399,11 @@ def run_table_cmd(args: argparse.Namespace) -> int:
                 spec = f"'{spec}'"  # ISO form: quote for the parser
             df = tf.snapshot_as_of(spark, args.root, _parse_as_of_spec(spec))
         else:
-            df = tf.snapshot_read(spark, args.root, args.version)
+            # numeric --version = snapshot number; anything else = tag
+            v = args.version
+            if v is not None and v.isdigit():
+                v = int(v)
+            df = tf.snapshot_read(spark, args.root, v)
     if args.output:
         df.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"verb": args.verb, "output": args.output}))

@@ -71,6 +71,24 @@ validated at commit (a concurrent compact/overwrite refuses), folded
 through metadata compaction verbatim, dropped by copy-on-write compact
 like all MOR state. With this, both delete tiers of the real formats
 (equality + position) are present.
+
+NAMED REFS + RESTORE (r13): ``snapshot_tag`` pins a version under a
+name (``refs/<name>.json``, create-exclusive like commits); tagged
+versions are RETENTION ROOTS — vacuum keeps them and their files
+however old (Iceberg tag semantics), which is what makes "the snapshot
+training run X read" reproducible after arbitrary churn. Tags are
+readable by name (``snapshot_read(..., 'tag')``, SQL ``VERSION AS OF
+'tag'`` via catalog.resolve_time_travel, CLI ``table tag/tags``).
+``snapshot_restore`` rolls the table back: a metadata-only commit
+carrying the target snapshot's manifest verbatim — history-preserving,
+zero data movement (Delta RESTORE / Iceberg rollback_to_snapshot).
+
+CLUSTERED REWRITE (r13): ``snapshot_cluster`` is OPTIMIZE — it
+re-materializes the view range-partitioned + sorted on chosen columns
+(or on a two-column interleaved-bit Morton key, ``zorder=True``), so
+the manifest's per-file min/max stats actually prune: an
+ingest-ordered table has every file spanning the whole key range and
+stats skip nothing, however good the pruning machinery is.
 """
 
 from __future__ import annotations
@@ -835,11 +853,16 @@ def _assemble(
 
 
 def snapshot_read(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession, root: str, version: int | str | None = None
 ) -> DataFrame:
     """Read the table AS OF ``version`` (default: latest) — time travel
-    is nothing but reading an older manifest's file list. Raises
+    is nothing but reading an older manifest's file list. A STRING
+    version is a tag name (r13): resolved through :func:`resolve_ref`,
+    so ``snapshot_read(spark, root, 'train-2026-08')`` reads the pinned
+    snapshot however much the table churned since. Raises
     FileNotFoundError for a vacuumed/unknown version."""
+    if isinstance(version, str):
+        version = resolve_ref(root, version)
     v = latest_version(root) if version is None else version
     m = _read_manifest(root, v)
     ents = _entries(m, root)
@@ -851,16 +874,18 @@ def snapshot_read(
 def snapshot_vacuum(
     root: str, keep_last: int = 2, min_age_s: float = VACUUM_GRACE_S
 ) -> dict:
-    """Retention: drop all but the newest ``keep_last`` manifests, then
-    delete every data file that is BOTH unreferenced by a retained
-    manifest (the reachability rule) AND older than ``min_age_s``
-    (mtime). The age grace (r12, ADVICE) is what makes vacuum safe
-    around concurrency: a writer that staged data files but has not yet
-    committed, a conflicted commit attempt about to retry, and a
-    time-travel reader mid-scan on a just-dropped snapshot all hold
-    files that are unreachable-right-now but must survive; after the
-    grace they are genuinely dead. Returns {'dropped_versions': [...],
-    'deleted_files': n, 'kept_files': n, 'skipped_young': n}."""
+    """Retention: drop all but the newest ``keep_last`` manifests — plus
+    every TAGGED version (r13: a named ref is a retention root, so the
+    snapshot a tag pins survives however old; Iceberg's tag-retention
+    rule) — then delete every data file that is BOTH unreferenced by a
+    retained manifest (the reachability rule) AND older than
+    ``min_age_s`` (mtime). The age grace (r12, ADVICE) is what makes
+    vacuum safe around concurrency: a writer that staged data files but
+    has not yet committed, a conflicted commit attempt about to retry,
+    and a time-travel reader mid-scan on a just-dropped snapshot all
+    hold files that are unreachable-right-now but must survive; after
+    the grace they are genuinely dead. Returns {'dropped_versions':
+    [...], 'deleted_files': n, 'kept_files': n, 'skipped_young': n}."""
     import time
 
     if keep_last < 1:
@@ -874,7 +899,12 @@ def snapshot_vacuum(
             f"no manifests under {root} — refusing to vacuum (an empty "
             "reachable set would delete every data file)"
         )
-    keep, drop = vs[-keep_last:], vs[:-keep_last]
+    # tags pin their versions (dangling tags — pre-tag-era vacuums —
+    # contribute nothing; intersecting with vs keeps the walk honest)
+    pinned = {v for v in list_tags(root).values() if v in vs}
+    keep_set = set(vs[-keep_last:]) | pinned
+    keep = sorted(keep_set)
+    drop = [v for v in vs if v not in keep_set]
     reachable: set[str] = set()
     reachable_meta: set[str] = set()
     for v in keep:
@@ -967,7 +997,17 @@ def snapshot_vacuum(
         os.path.join(root, f)
         for f in os.listdir(root)
         if f.startswith("_latest.tmp-")
-    ]
+    ] + (
+        # refs-dir crash residue: a tagger that died between its dump
+        # and the create-exclusive link (r13)
+        [
+            os.path.join(_refs_dir(root), f)
+            for f in os.listdir(_refs_dir(root))
+            if ".tmp-" in f
+        ]
+        if os.path.isdir(_refs_dir(root))
+        else []
+    )
     for full in residue:
         if young(full):
             skipped_young += 1
@@ -1753,3 +1793,248 @@ def snapshot_fold_metadata(root: str, retries: int = _COMMIT_RETRIES) -> int:
         )
 
     return snapshot_commit_retry(attempt, retries)
+
+
+# ---------------------------------------------------------------------------
+# Named refs (tags) — Iceberg tags / Delta named snapshots (r13)
+# ---------------------------------------------------------------------------
+
+def _refs_dir(root: str) -> str:
+    return os.path.join(root, "refs")
+
+
+def _validate_ref_name(name: str) -> None:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.-]*", name):
+        raise ValueError(
+            f"invalid ref name {name!r} — use an identifier "
+            "([A-Za-z_][A-Za-z0-9_.-]*); it doubles as a filename and a "
+            "SQL VERSION AS OF literal"
+        )
+
+
+def snapshot_tag(
+    root: str, name: str, version: int | None = None, replace: bool = False
+) -> int:
+    """Pin a NAMED REF (Iceberg tag) at ``version`` (default: latest).
+    A tag is a retention root: :func:`snapshot_vacuum` keeps a tagged
+    manifest and its files however old, so 'the snapshot the 2026-08
+    training run read' survives arbitrary later churn for the price of
+    one tiny JSON ref — the reproducibility pin a 100 TB corpus needs
+    (re-reading by version NUMBER stops working the day retention drops
+    the manifest). Creation is atomic create-exclusive (same os.link
+    discipline as commits): two racers creating one name get one winner
+    and one honest error; pass ``replace=True`` to move an existing tag
+    (atomic swap). Returns the pinned version."""
+    _validate_ref_name(name)
+    v = latest_version(root) if version is None else version
+    _read_manifest(root, v)  # refuse to tag a vacuumed/unknown version
+    os.makedirs(_refs_dir(root), exist_ok=True)
+    path = os.path.join(_refs_dir(root), f"{name}.json")
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    import time
+
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "version": v, "created_at": time.time()}, f)
+    if replace:
+        os.replace(tmp, path)
+    else:
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists under {root} (at "
+                f"v{resolve_ref(root, name)}) — pass replace=True to move it"
+            ) from None
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+    return v
+
+
+def snapshot_drop_tag(root: str, name: str) -> None:
+    """Remove a tag. The pinned version stays readable until a LATER
+    vacuum drops it under the ordinary keep_last rule — dropping a tag
+    releases retention, it never deletes data itself."""
+    path = os.path.join(_refs_dir(root), f"{name}.json")
+    if not os.path.exists(path):
+        raise ValueError(f"no tag {name!r} under {root}")
+    os.remove(path)
+
+
+def list_tags(root: str) -> dict[str, int]:
+    """name → pinned version, every tag (including ones whose manifest a
+    pre-tag-era vacuum already dropped — callers see the dangle rather
+    than a silently shrunk listing)."""
+    d = _refs_dir(root)
+    if not os.path.isdir(d):
+        return {}
+    out: dict[str, int] = {}
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".json") and ".tmp-" not in f:
+            with open(os.path.join(d, f)) as fh:
+                r = json.load(fh)
+            out[r["name"]] = r["version"]
+    return out
+
+
+def resolve_ref(root: str, name: str) -> int:
+    """Tag name → version number; raises for unknown tags."""
+    path = os.path.join(_refs_dir(root), f"{name}.json")
+    if not os.path.exists(path):
+        raise ValueError(
+            f"no tag {name!r} under {root} (tags: {sorted(list_tags(root))})"
+        )
+    with open(path) as f:
+        return json.load(f)["version"]
+
+
+def snapshot_restore(
+    root: str, to_version: int | str, retries: int = _COMMIT_RETRIES
+) -> int:
+    """RESTORE / ROLLBACK (Delta ``RESTORE TABLE ... VERSION AS OF`` /
+    Iceberg ``rollback_to_snapshot`` — public designs): make the latest
+    state identical to ``to_version`` (a number or a tag name) by
+    committing a NEW manifest that carries the target snapshot's
+    metadata verbatim — segments, delete state, schema, partition spec.
+    METADATA-ONLY (zero data files touched or rewritten: the target's
+    immutable files are simply referenced again, which also makes them
+    vacuum-reachable from the new latest) and HISTORY-PRESERVING: the
+    commits being undone stay time-travel readable until vacuum, so a
+    fat-finger overwrite is reverted in O(descriptors) while the
+    forensic trail survives. Restoring to the current latest is a no-op
+    (returns it) — no empty commit. Bounded-retried on concurrent
+    commits like every metadata-only writer; file-diff CDC refuses to
+    cross the resulting non-append commit, as it must."""
+
+    def attempt() -> int:
+        base = latest_version(root)
+        if base == 0:
+            raise ValueError("cannot restore an empty table")
+        v = (
+            resolve_ref(root, to_version)
+            if isinstance(to_version, str)
+            else to_version
+        )
+        tm = _read_manifest(root, v)  # raises if vacuumed/unknown
+        if v == base:
+            return base
+        return _commit(
+            root,
+            base,
+            "restore",
+            carry_from=tm,
+            schema=tm.get("schema"),
+            partition_spec=tm.get("partition_spec"),
+            delete_key=tm.get("delete_key"),
+        )
+
+    return snapshot_commit_retry(attempt, retries)
+
+
+def _z_spread16(c):
+    """Spread a 16-bit value's bits to the even positions of a 32-bit
+    lane (the classic public Morton-code bit-twiddling identity), all
+    JVM-side: shifts + masks stay inside whole-stage codegen."""
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def _morton_key(df: DataFrame, by: list[str]):
+    """Z-ORDER key for exactly two numeric columns: each is min/max
+    scaled to 16 bits (one single-row agg — a bounded driver fetch of
+    2×2 scalars — because value-scaling needs the global range; Delta's
+    OPTIMIZE ZORDER uses sampled range ids for the same reason), then
+    bit-interleaved. Scaling by value, not rank: documented trade — on
+    heavily skewed columns rank-based ids spread better, but need a
+    global sort this metadata op shouldn't pay."""
+    if len(by) != 2:
+        raise ValueError("zorder clustering takes exactly 2 columns")
+    rng = df.agg(
+        *(
+            a
+            for i, c in enumerate(by)
+            for a in (
+                F.min(c).cast("double").alias(f"mn{i}"),
+                F.max(c).cast("double").alias(f"mx{i}"),
+            )
+        )
+    ).collect()[0]  # bounded: one row, four scalars
+    lanes = []
+    for i, c in enumerate(by):
+        mn, mx = rng[f"mn{i}"], rng[f"mx{i}"]
+        span = (mx - mn) if (mn is not None and mx is not None) else 0.0
+        if span and span > 0:
+            scaled = F.floor(
+                (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * 65535
+            )
+        else:
+            scaled = F.lit(0)
+        lane = F.least(
+            F.greatest(F.coalesce(scaled, F.lit(0)), F.lit(0)),
+            F.lit(65535),
+        ).cast("long")
+        lanes.append(_z_spread16(lane))
+    return lanes[0].bitwiseOR(F.shiftleft(lanes[1], 1))
+
+
+def snapshot_cluster(
+    spark: SparkSession,
+    root: str,
+    by: list[str],
+    target_files: int = 8,
+    zorder: bool = False,
+) -> int:
+    """OPTIMIZE-style CLUSTERED REWRITE (Delta ``OPTIMIZE ... ZORDER BY``
+    / Iceberg sort-order rewrite — public designs): materialize the
+    current view into ``target_files`` files laid out so the per-file
+    min/max stats the manifest embeds actually PRUNE. ``zorder=False``:
+    range-partition + sort on ``by`` — files own disjoint key ranges, a
+    point/range predicate on the leading column matches O(selectivity ×
+    files) instead of all of them. ``zorder=True`` (two numeric
+    columns): range-partition on an interleaved-bit Morton key, so BOTH
+    columns' per-file ranges narrow — the multi-dimension trade Z-order
+    exists for. This is where manifest-stats pruning (a15f/a15l) earns
+    its keep at 100 TB: stats are only as good as the layout, and an
+    ingest-ordered table has every file spanning the full key range.
+    Like :func:`snapshot_compact` this drops MOR delete state (the view
+    is materialized) and does NOT auto-retry on conflicts — the files
+    snapshot a specific base. Partitioned tables are refused: their
+    layout authority is the partition spec (cluster-within-partition is
+    a further refinement this tier doesn't carry)."""
+    base = latest_version(root)
+    if base == 0:
+        raise ValueError("cannot cluster an empty table")
+    if not by:
+        raise ValueError("cluster needs at least one column")
+    m = _read_manifest(root, base)
+    if m.get("partition_spec"):
+        raise ValueError(
+            "refusing to cluster a partitioned table — its layout "
+            "authority is the partition spec; use snapshot_compact to "
+            "re-materialize under it"
+        )
+    df = snapshot_read(spark, root, base)
+    if zorder:
+        clustered = (
+            df.withColumn("__z", _morton_key(df, by))
+            .repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        clustered = df.repartitionByRange(
+            target_files, *by
+        ).sortWithinPartitions(*by)
+    rel = _write_data_files(clustered, root, prefix="cluster")
+    stats = _file_stats(root, rel)
+    seg = _write_segment(
+        root, [{"path": p, "stats": stats[p]} for p in rel]
+    )
+    return _commit(
+        root, base, "cluster", new_segment=seg, schema=_schema_of(df)
+    )

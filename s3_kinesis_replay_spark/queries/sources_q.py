@@ -1851,3 +1851,333 @@ def a15o_update_where(spark, sf_dir):
             )
         ).alias("sum_untouched"),
     )
+
+def _restore_table(spark, sf_dir: str) -> str:
+    """Install (once, fingerprint-cached, atomic) the RESTORE fixture:
+    v1 = full events load; v2 = fat-finger overwrite to purchases-only;
+    v3 = snapshot_restore back to v1 — the undo every versioned table
+    exists to make cheap."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_restore,
+        snapshot_write,
+    )
+
+    fp = data_fingerprint(os.path.join(sf_dir, "events.parquet"))[:10]
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def build(tmp: str) -> None:
+        snapshot_write(spark, ev, tmp, mode="overwrite")
+        snapshot_write(
+            spark,
+            ev.filter(F.col("event_type") == "purchase"),
+            tmp,
+            mode="overwrite",
+        )
+        snapshot_restore(tmp, 1)
+
+    return atomic_cached_build(
+        "/tmp/skr_restoretbl", f"{fp}-rs1", build, "_latest"
+    )
+
+
+@register(
+    "a17_restore_rollback",
+    "A8",
+    f"""
+    SELECT 'forensic_v2' AS state,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'restored_latest',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6)
+    FROM events
+    ORDER BY state
+    """,
+    note="RESTORE / ROLLBACK (r13 — Delta RESTORE VERSION AS OF / "
+    "Iceberg rollback_to_snapshot, public designs): snapshot_restore "
+    "undoes a fat-finger overwrite by committing a NEW manifest that "
+    "carries the target snapshot's metadata VERBATIM — metadata-only "
+    "(the gate asserts the restored manifest lists exactly v1's file "
+    "paths, so zero data was moved or rewritten) and history-preserving "
+    "(the entry's other branch still time-travels INTO the bad v2, the "
+    "forensic trail). The oracle recomputes both states from source, "
+    "so a restore that resurrects the wrong file set, loses delete "
+    "state, or lands on the wrong version hash-mismatches. At 100 TB: "
+    "undoing a bad commit costs O(manifest descriptors) — never a "
+    "data copy — and the restored files become vacuum-reachable from "
+    "the new latest again, so retention cannot eat the rollback target.",
+)
+def a17_restore_rollback(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = _restore_table(spark, sf_dir)
+    m1 = tf._read_manifest(root, 1)
+    m3 = tf._read_manifest(root, 3)
+    if m3["operation"] != "restore" or [
+        d["path"] for d in m3.get("segments", [])
+    ] != [d["path"] for d in m1.get("segments", [])]:
+        raise RuntimeError(
+            "a17 gate FAILED: restore must be a metadata-only commit "
+            "carrying exactly the target version's segments — got "
+            f"op={m3['operation']!r}, segments {m3.get('segments')} vs "
+            f"target {m1.get('segments')}"
+        )
+    agg = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        fdec(F.sum(sdec("value"))).alias("sum_value"),
+    ]
+    forensic = (
+        tf.snapshot_read(spark, root, 2)
+        .agg(*agg)
+        .select(F.lit("forensic_v2").alias("state"), "*")
+    )
+    restored = (
+        tf.snapshot_read(spark, root)
+        .agg(*agg)
+        .select(F.lit("restored_latest").alias("state"), "*")
+    )
+    return forensic.unionByName(restored).orderBy("state")
+
+
+def _tagged_table(spark, sf_dir: str) -> str:
+    """Install (once, fingerprint-cached, atomic) the TAG fixture:
+    the 3-version create/append/overwrite lifecycle, 'train_v1' tagged
+    at v1, then an aggressive vacuum (keep_last=1, no age grace) —
+    which must drop exactly v2: v3 is latest, v1 is pinned by the tag."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_tag,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    fp = data_fingerprint(os.path.join(sf_dir, "events.parquet"))[:10]
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def build(tmp: str) -> None:
+        snapshot_write(
+            spark, ev.filter(F.col("event_id") < 5000), tmp, mode="overwrite"
+        )
+        snapshot_write(
+            spark, ev.filter(F.col("event_id") >= 5000), tmp, mode="append"
+        )
+        snapshot_write(
+            spark,
+            ev.filter(F.col("event_type") == "purchase"),
+            tmp,
+            mode="overwrite",
+        )
+        snapshot_tag(tmp, "train_v1", 1)
+        snapshot_vacuum(tmp, keep_last=1, min_age_s=0)
+
+    return atomic_cached_build(
+        "/tmp/skr_taggedtbl", f"{fp}-tg1", build, "_latest"
+    )
+
+
+@register(
+    "a18_tag_protected_travel",
+    "A8",
+    f"""
+    SELECT 'latest' AS branch,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'tagged',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6)
+    FROM events WHERE event_id < 5000
+    ORDER BY branch
+    """,
+    note="NAMED REFS AS RETENTION ROOTS (r13 — Iceberg tags): "
+    "snapshot_tag pins 'train_v1' at v1, then a keep_last=1 vacuum "
+    "runs — and must drop exactly v2: v3 is the latest, v1 is pinned "
+    "(the gate asserts retained versions == [1, 3]). The entry then "
+    "reads the pinned snapshot BY NAME through the SQL surface "
+    "(engine.sql \"VERSION AS OF 'train_v1'\" — catalog resolves the "
+    "quoted spec via the table's refs, Iceberg's Spark SQL behavior) "
+    "and the latest, in one statement. The oracle recomputes both from "
+    "source, so a vacuum that eats the pinned snapshot's files, a tag "
+    "resolving to the wrong version, or a rewrite miss "
+    "hash-mismatches. This is the reproducibility verb of a 100 TB "
+    "corpus: 'the exact snapshot run X trained on' survives arbitrary "
+    "churn for one JSON ref, instead of depending on nobody ever "
+    "running retention.",
+)
+def a18_tag_protected_travel(spark, sf_dir):
+    from s3_kinesis_replay_spark.engine import Engine
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = _tagged_table(spark, sf_dir)
+    retained = tf.versions(root)
+    if retained != [1, 3] or tf.list_tags(root) != {"train_v1": 1}:
+        raise RuntimeError(
+            "a18 gate FAILED: keep_last=1 vacuum must retain exactly "
+            "the latest (v3) plus the tagged v1 — got retained "
+            f"{retained}, tags {tf.list_tags(root)}"
+        )
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.register_snapshot_table("events_tagged", root)
+    agg = (
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+        f"ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value"
+    )
+    return eng.sql(
+        f"""
+        SELECT 'latest' AS branch, {agg} FROM events_tagged
+        UNION ALL
+        SELECT 'tagged' AS branch, {agg}
+        FROM events_tagged VERSION AS OF 'train_v1'
+        ORDER BY branch
+        """
+    )
+
+
+def _clustered_table(spark, sf_dir: str) -> str:
+    """Install (once, fingerprint-cached, atomic) the OPTIMIZE fixture:
+    v1 = events ROUND-ROBIN shuffled into 8 files (ingest-ordered worst
+    case: every file spans the whole event_id AND user_id range, so
+    min/max stats prune nothing); v2 = snapshot_cluster sorted on
+    event_id; v3 = snapshot_cluster Z-ORDERED on (event_id, user_id)."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_cluster,
+        snapshot_write,
+    )
+
+    fp = data_fingerprint(os.path.join(sf_dir, "events.parquet"))[:10]
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def build(tmp: str) -> None:
+        snapshot_write(spark, ev.repartition(8), tmp, mode="overwrite")
+        snapshot_cluster(spark, tmp, ["event_id"], target_files=8)
+        snapshot_cluster(
+            spark, tmp, ["event_id", "user_id"], target_files=16, zorder=True
+        )
+
+    return atomic_cached_build(
+        "/tmp/skr_clustertbl", f"{fp}-cl1", build, "_latest"
+    )
+
+
+@register(
+    "a19_clustered_pruning",
+    "A8",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value,
+           TRUE AS clustered
+    FROM events WHERE event_id BETWEEN 100 AND 199
+    """,
+    note="OPTIMIZE / CLUSTERED REWRITE (r13 — Delta OPTIMIZE ZORDER's "
+    "sort tier / Iceberg sort-order rewrite): manifest min/max stats "
+    "are only as good as the LAYOUT — the fixture's v1 is the "
+    "ingest-ordered worst case (hash-shuffled, every file spans the "
+    "whole event_id range) and the gate FIRST asserts stats prune "
+    "nothing there (reads all 8 files), THEN that after "
+    "snapshot_cluster (range-partition + sort on event_id, pure "
+    "built-ins: repartitionByRange stays in codegen) the same 1%-range "
+    "predicate reads at most 2 of 8 files. Time travel makes "
+    "before/after measurable on ONE table — the pruned read at v1 is "
+    "the control. The oracle recomputes the range aggregate, so a "
+    "rewrite that loses or duplicates rows hash-mismatches. At 100 TB "
+    "this is the difference between a point query touching O(files) "
+    "and O(selectivity x files): clustering is what turns the a15f "
+    "zero-footer pruning machinery into actual I/O savings.",
+)
+def a19_clustered_pruning(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = _clustered_table(spark, sf_dir)
+    preds = {"event_id": (100, 199)}
+    _, n_before, t_before = tf.snapshot_read_pruned(spark, root, preds, version=1)
+    df, n_after, t_after = tf.snapshot_read_pruned(spark, root, preds, version=2)
+    if n_before < t_before or n_after > 2:
+        raise RuntimeError(
+            "a19 gate FAILED: the shuffled v1 must prune nothing "
+            f"(got {n_before}/{t_before}) and the clustered v2 must "
+            f"read <=2 files (got {n_after}/{t_after})"
+        )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        fdec(F.sum(sdec("value"))).alias("sum_value"),
+    ).withColumn("clustered", F.lit(True))
+
+
+@register(
+    "a19b_zorder_pruning",
+    "A8",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value,
+           TRUE AS zordered
+    FROM events WHERE event_id BETWEEN 0 AND 499 AND user_id BETWEEN 0 AND 3
+    """,
+    note="Z-ORDER clustering (r13): a two-dimensional predicate box "
+    "defeats single-column sorting — sorting by event_id alone leaves "
+    "every file spanning all user_ids, so the user_id bound prunes "
+    "nothing. snapshot_cluster(zorder=True) range-partitions on an "
+    "interleaved-bit MORTON key (the public bit-twiddling identity, "
+    "pure JVM shifts/masks in codegen; each column min/max-scaled to "
+    "16 bits — value-scaled, not rank-scaled, the documented trade) so "
+    "BOTH columns' per-file ranges narrow. The gate asserts the "
+    "z-ordered v3 reads strictly fewer files for the box than the "
+    "ingest-shuffled v1 (which reads all) AND at most half the files. "
+    "Oracle recomputes the box aggregate — a Morton key that permutes "
+    "rows wrongly (losing/duplicating any) hash-mismatches. At 100 TB: "
+    "multi-dimension point lookups (time x tenant, id x shard) are the "
+    "norm, and Z-order is the standard public answer to pruning on "
+    "more than one column at once.",
+)
+def a19b_zorder_pruning(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = _clustered_table(spark, sf_dir)
+    preds = {"event_id": (0, 499), "user_id": (0, 3)}
+    _, n_before, t_before = tf.snapshot_read_pruned(spark, root, preds, version=1)
+    df, n_after, t_after = tf.snapshot_read_pruned(spark, root, preds, version=3)
+    if n_before < t_before or n_after >= n_before or n_after > t_after // 2:
+        raise RuntimeError(
+            "a19b gate FAILED: the shuffled v1 must prune nothing "
+            f"(got {n_before}/{t_before}) and the z-ordered v3 must "
+            f"read fewer, <= half its files (got {n_after}/{t_after})"
+        )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        fdec(F.sum(sdec("value"))).alias("sum_value"),
+    ).withColumn("zordered", F.lit(True))

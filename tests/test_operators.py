@@ -4675,3 +4675,109 @@ def test_fold_metadata_preserves_semantics(spark, sf_dir, tmp_path):
         for r in tf.snapshot_history(spark, root).collect()
     ]
     assert "fold" in ops
+
+
+def test_snapshot_tags_restore_and_cluster(spark, sf_dir, tmp_path):
+    """r13 ref/restore/cluster semantics beyond the registry gates:
+    tag create-exclusive conflict, tag of unknown version refused,
+    drop-tag releases retention, restore carries MOR delete state
+    verbatim (a deleted row stays deleted after rollback), restore to
+    latest is a no-op, and cluster refuses partitioned tables."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    tf.snapshot_write(spark, ev, root, mode="overwrite")
+
+    # --- tags: create-exclusive, unknown-version refusal, replace ---
+    assert tf.snapshot_tag(root, "stable") == 1  # default = latest
+    with _pytest.raises(ValueError, match="already exists"):
+        tf.snapshot_tag(root, "stable")
+    with _pytest.raises(FileNotFoundError):
+        tf.snapshot_tag(root, "ghost", version=99)
+    with _pytest.raises(ValueError, match="invalid ref name"):
+        tf.snapshot_tag(root, "bad name!")
+
+    # --- delete + restore: MOR state must ride the rollback ---
+    n_all = ev.count()
+    doomed = ev.filter(F.col("event_id") < 100)
+    n_doomed = doomed.count()
+    tf.snapshot_delete(spark, root, doomed.select("event_id"), "event_id")
+    assert tf.snapshot_read(spark, root).count() == n_all - n_doomed  # v2
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") >= 9000), root, mode="overwrite"
+    )  # v3 fat finger
+    v = tf.snapshot_restore(root, 2)
+    assert v == 4
+    assert tf._read_manifest(root, 4)["operation"] == "restore"
+    # the delete horizon survived the rollback — not resurrected
+    assert tf.snapshot_read(spark, root).count() == n_all - n_doomed
+    # restore to current latest: no empty commit
+    assert tf.snapshot_restore(root, 4) == 4
+    assert tf.latest_version(root) == 4
+    # restore by TAG name
+    assert tf.snapshot_restore(root, "stable") == 5
+    assert tf.snapshot_read(spark, root).count() == n_all
+
+    # --- tag retention + drop-tag releases it ---
+    tf.snapshot_tag(root, "stable", version=2, replace=True)
+    rep = tf.snapshot_vacuum(root, keep_last=1, min_age_s=0.0)
+    assert 2 not in rep["dropped_versions"]  # pinned
+    assert set(tf.versions(root)) == {2, 5}
+    assert tf.snapshot_read(spark, root, "stable").count() == n_all - n_doomed
+    tf.snapshot_drop_tag(root, "stable")
+    with _pytest.raises(ValueError, match="no tag"):
+        tf.snapshot_drop_tag(root, "stable")
+    rep = tf.snapshot_vacuum(root, keep_last=1, min_age_s=0.0)
+    assert rep["dropped_versions"] == [2]  # retention released
+
+    # --- cluster refuses a partitioned table ---
+    proot = str(tmp_path / "ptbl")
+    tf.snapshot_write(
+        spark, ev.withColumn("bucket", F.col("user_id") % 3), proot,
+        mode="overwrite", partition_by=["bucket"],
+    )
+    with _pytest.raises(ValueError, match="partitioned"):
+        tf.snapshot_cluster(spark, proot, ["event_id"])
+
+
+def test_snapshot_cluster_drops_mor_state_and_zorder_bounds(
+    spark, sf_dir, tmp_path
+):
+    """cluster materializes the MOR view (delete state dropped like
+    compact) and the Morton key handles degenerate inputs: constant
+    columns (zero span) and nulls land in lane 0 instead of raising."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    tf.snapshot_write(spark, ev, root, mode="overwrite")
+    tf.snapshot_delete(
+        spark, root, ev.filter("event_id < 50").select("event_id"), "event_id"
+    )
+    expect = ev.count() - 50
+    tf.snapshot_cluster(spark, root, ["event_id"], target_files=4)
+    m = tf._read_manifest(root, tf.latest_version(root))
+    assert m["operation"] == "cluster"
+    assert not m.get("delete_segments") and not m.get("delete_files")
+    assert tf.snapshot_read(spark, root).count() == expect
+
+    # degenerate z-order inputs: constant + nullable columns
+    droot = str(tmp_path / "dtbl")
+    df = spark.range(0, 200).select(
+        F.lit(7).alias("const"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("maybe"),
+    )
+    tf.snapshot_write(spark, df, droot, mode="overwrite")
+    tf.snapshot_cluster(
+        spark, droot, ["const", "maybe"], target_files=2, zorder=True
+    )
+    assert tf.snapshot_read(spark, droot).count() == 200

@@ -679,6 +679,46 @@ def test_cli_table_verbs_round_trip(spark, capsys, tmp_path):
     # post-vacuum: latest still reads clean
     assert len(run(["table", "read", "--root", root, "--limit", "100"])) == 20
 
+    # r13 verbs: tag → fat-finger → restore --to TAG → cluster, and
+    # read-by-tag / tags / drop-tag, all without operator imports
+    out = run(["table", "tag", "--root", root, "--name", "gold"])
+    assert out[0]["version"] == 5
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(99, 9.9)], "id long, val double"),
+        root,
+        "overwrite",
+    )  # v6: the mistake
+    assert len(run(["table", "read", "--root", root, "--limit", "100"])) == 1
+    out = run(["table", "restore", "--root", root, "--to", "gold"])
+    assert out[0]["version"] == 7
+    assert len(run(["table", "read", "--root", root, "--limit", "100"])) == 20
+    assert (
+        len(run(["table", "read", "--root", root, "--version", "gold",
+                 "--limit", "100"])) == 20
+    )
+    out = run(["table", "tags", "--root", root])
+    assert out[0]["tags"] == {"gold": 5}
+    out = run(
+        ["table", "cluster", "--root", root, "--by", "id",
+         "--target-files", "2"]
+    )
+    assert out[0]["version"] == 8
+    assert len(run(["table", "read", "--root", root, "--limit", "100"])) == 20
+    # SQL surface resolves VERSION AS OF 'tag' (quoted spec = named ref)
+    rows = run(
+        [
+            "sql",
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_tagged "
+            "FROM snap VERSION AS OF 'gold'",
+            "--snapshot-table",
+            f"snap={root}",
+        ]
+    )
+    assert rows == [{"n_tagged": "20"}]
+    run(["table", "drop-tag", "--root", root, "--name", "gold"])
+    assert run(["table", "tags", "--root", root])[0]["tags"] == {}
+
 
 def test_replay_observe_metrics(spark, sf_dir):
     """The in-stream observe() metrics must account for every published
