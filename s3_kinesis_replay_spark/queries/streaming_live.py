@@ -1535,3 +1535,90 @@ def a15j_streaming_upsert_ingest(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+def _stream_source_table(spark, sf_dir: str) -> str:
+    """Install (once, fingerprint-cached, atomic) the streaming-source
+    fixture: a manifest table over events built as genesis + two append
+    commits — three distinct version steps for the source to walk."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+    from s3_kinesis_replay_spark.operators.table_format import (
+        snapshot_write,
+    )
+
+    fp = data_fingerprint(os.path.join(sf_dir, "events.parquet"))[:10]
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def build(tmp: str) -> None:
+        snapshot_write(
+            spark, ev.filter(F.col("event_id") % 3 == 0), tmp, mode="overwrite"
+        )
+        snapshot_write(
+            spark, ev.filter(F.col("event_id") % 3 == 1), tmp, mode="append"
+        )
+        snapshot_write(
+            spark, ev.filter(F.col("event_id") % 3 == 2), tmp, mode="append"
+        )
+
+    return atomic_cached_build(
+        "/tmp/skr_streamsrctbl", f"{fp}-ss1", build, "_latest"
+    )
+
+
+@register(
+    "a20_streaming_table_source",
+    "A6",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="MANIFEST TABLE AS A STREAMING SOURCE (r13 — the public "
+    "Delta-streaming-source design on this repo's table tier, closing "
+    "the loop a15c opened: tables are now both ENDS of a stream): "
+    "streaming/snapshot_source.py implements Spark 4's Python "
+    "DataSourceStreamReader with OFFSETS = SNAPSHOT VERSIONS — each "
+    "micro-batch's input partitions are exactly the data files the "
+    "covered append commits added (one partition per file, "
+    "executor-parallel pyarrow reads returning Arrow batches; zero "
+    "driver data path), exactly-once via Spark's checkpointed offset "
+    "log over immutable manifests. Non-append commits refuse loudly "
+    "(or skip under skip_changes=true, the honest ignoreChanges "
+    "subset); add-column evolution NULL-fills old files worker-side. "
+    "The entry streams a 3-commit table to completion and aggregates "
+    "the sink; the oracle recomputes from source, so a source that "
+    "drops a version, re-emits one, or misreads a file "
+    "hash-mismatches. At 100 TB: a version step costs O(its new "
+    "files) metadata and only new data moves — the incremental-ETL "
+    "economics (tests prove the restart path re-reads nothing).",
+)
+def a20_streaming_table_source(spark, sf_dir):
+    from s3_kinesis_replay_spark.streaming.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    root = _stream_source_table(spark, sf_dir)
+    register_snapshot_source(spark)
+    stream = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .load()
+    )
+    sunk = _drain(spark, stream)
+    return (
+        sunk.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            fdec(F.sum(sdec("value"))).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

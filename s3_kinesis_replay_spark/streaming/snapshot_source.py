@@ -1,0 +1,282 @@
+"""Manifest-table STREAMING SOURCE: read a versioned table
+(operators/table_format.py) as a Structured Streaming input — the
+public Delta-streaming-source design (a Delta table used with
+``readStream``) re-expressed through Spark 4's Python DataSource API.
+
+Offsets ARE snapshot versions: ``{"version": N}`` means "everything
+committed through vN has been emitted". Each micro-batch covers the
+versions between the last checkpointed offset and ``latestOffset()``;
+its input partitions are the data FILES those commits appended (one
+partition per file — executor-parallel, zero driver data path), read in
+the worker with pyarrow and returned as Arrow record batches (the
+vectorized path; never row-at-a-time Python).
+
+Semantics, matching the public Delta source rules:
+
+* APPEND commits stream naturally: the new segment's files are new rows.
+* The FIRST consumed version is the initial snapshot (Delta's
+  ``startingVersion`` behavior): its full content is emitted even
+  though the commit op is ``overwrite``/``cluster``/... .
+* Any LATER non-append commit (overwrite, compact, cluster, delete,
+  merge, restore, fold) makes "new rows since" ill-defined at file
+  granularity — the source FAILS with a clear error unless
+  ``skip_changes=true``, which skips that commit's file additions
+  entirely (the honest subset of Delta's ``ignoreChanges``: already-
+  emitted rows are never retracted, rewritten copies are not re-emitted,
+  and rows whose only existence is inside the rewrite are missed —
+  documented at-the-reader's-own-risk, exactly like ignoreChanges).
+* MOR delete files are NOT applied to already-emitted appends (a
+  streaming sink cannot retract); a delete commit is itself a
+  non-append commit and hits the rule above.
+
+Exactly-once: Spark checkpoints the offset JSON; replays of a committed
+range re-plan the same immutable files (manifests and segments never
+mutate, and appends never rewrite data files — the a14/a15 invariant
+this source leans on). Rate limiting: ``max_versions_per_batch`` caps
+how many commits one micro-batch may cover (a 10k-commit backfill
+becomes bounded batches instead of one giant one); the reader tracks
+the last COMMITTED offset driver-side to advance the cap window.
+
+Schema: the latest manifest's recorded schema (DDL built the same way
+the writers record it); files written before a column was added are
+NULL-filled to the read schema in the worker — add-column evolution
+streams transparently, the same rule snapshot_read applies.
+
+Usage::
+
+    spark.dataSource.register(SnapshotTableDataSource)
+    df = (spark.readStream.format("snapshot_table")
+          .option("root", "/path/to/table")
+          .option("starting_version", "0")        # default: 0 (genesis)
+          .option("max_versions_per_batch", "1")  # default: unbounded
+          .option("skip_changes", "false")        # default: fail
+          .load())
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_NONAPPEND_HELP = (
+    "file-granularity streaming cannot express a rewrite — restart from "
+    "a later starting_version, or pass skip_changes=true to skip "
+    "rewrite commits' file additions (already-emitted rows are never "
+    "retracted; rewritten copies are not re-emitted)"
+)
+
+
+@dataclass
+class SnapshotFilePartition(InputPartition):
+    """One appended data file = one input partition. Carries everything
+    read() needs (read is stateless in the worker): the absolute file
+    path and the pickled Arrow read schema."""
+
+    path: str = ""
+    arrow_schema: object = field(default=None, repr=False)
+
+
+def _read_schema_ddl(root: str) -> str:
+    """Read schema for the stream = the LATEST manifest's recorded
+    schema (newest wins under add-column evolution). Tables whose whole
+    lineage is schema-less (legacy) are refused — a stream needs one
+    declared shape up front."""
+    from s3_kinesis_replay_spark.operators.table_format import (
+        _read_manifest,
+        _schema_ddl,
+        latest_version,
+    )
+
+    v = latest_version(root)
+    if v == 0:
+        raise ValueError(f"no snapshots under {root} — nothing to stream")
+    schema = _read_manifest(root, v).get("schema")
+    if schema is None:
+        raise ValueError(
+            f"table {root} has no recorded schema (legacy lineage) — "
+            "snapshot_compact/overwrite once to record one before "
+            "streaming"
+        )
+    return _schema_ddl(schema)
+
+
+def _arrow_type(simple: str):
+    """Spark simpleString type → Arrow type, session-free (the manifest
+    records simpleStrings; the stream reader process has no session to
+    parse DDL with). Covers the scalar + array types this repo's
+    writers produce; anything else raises rather than miscasting."""
+    import re
+
+    import pyarrow as pa
+
+    s = simple.strip().lower()
+    scalars = {
+        "bigint": pa.int64(),
+        "long": pa.int64(),
+        "int": pa.int32(),
+        "integer": pa.int32(),
+        "smallint": pa.int16(),
+        "tinyint": pa.int8(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+        # session zone is pinned UTC throughout this repo (engine/session)
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if s in scalars:
+        return scalars[s]
+    m = re.fullmatch(r"decimal\((\d+),(\d+)\)", s)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    m = re.fullmatch(r"array<(.+)>", s)
+    if m:
+        return pa.list_(_arrow_type(m.group(1)))
+    raise NotImplementedError(
+        f"snapshot_table streaming: no Arrow mapping for type {simple!r}"
+    )
+
+
+def _arrow_schema_of(cols: list[list[str]]):
+    import pyarrow as pa
+
+    return pa.schema([pa.field(n, _arrow_type(t)) for n, t in cols])
+
+
+class SnapshotTableStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options) -> None:
+        self.root = options.get("root")
+        if not self.root:
+            raise ValueError("snapshot_table requires .option('root', ...)")
+        self.starting = int(options.get("starting_version", "0"))
+        mvpb = options.get("max_versions_per_batch")
+        self.max_versions = int(mvpb) if mvpb is not None else None
+        self.skip_changes = (
+            str(options.get("skip_changes", "false")).lower() == "true"
+        )
+        # driver-side window tracker for the rate cap. None until the
+        # position is KNOWN — on a checkpoint restart Spark never calls
+        # initialOffset(), so assuming `starting` here could cap
+        # latestOffset below the checkpointed offset and stall the
+        # stream forever; the first post-restart latestOffset is
+        # therefore uncapped, and the window engages once partitions()/
+        # commit() reveal the real position.
+        self._committed: int | None = None
+        # Arrow schema computed ONCE here and shipped per-partition.
+        # Built with a hand mapper, NOT StructType.fromDDL: the stream
+        # reader lives in Spark's dedicated Python runner process
+        # (python_streaming_source_runner), which has no SparkSession —
+        # fromDDL raises SESSION_OR_CONTEXT_NOT_EXISTS there.
+        from s3_kinesis_replay_spark.operators.table_format import (
+            _read_manifest,
+            latest_version,
+        )
+
+        cols = _read_manifest(self.root, latest_version(self.root)).get(
+            "schema"
+        )
+        if cols is None:
+            raise ValueError(
+                f"table {self.root} has no recorded schema (legacy "
+                "lineage) — compact/overwrite once before streaming"
+            )
+        self._arrow_schema = _arrow_schema_of(cols)
+
+    def initialOffset(self) -> dict:
+        self._committed = self.starting  # fresh run: position known
+        return {"version": self.starting}
+
+    def latestOffset(self) -> dict:
+        from s3_kinesis_replay_spark.operators.table_format import (
+            latest_version,
+        )
+
+        v = latest_version(self.root)
+        if self.max_versions is not None and self._committed is not None:
+            v = min(v, self._committed + self.max_versions)
+        return {"version": max(v, self.starting)}
+
+    def partitions(self, start: dict, end: dict):
+        self._committed = max(self._committed or 0, start["version"])
+        from s3_kinesis_replay_spark.operators.table_format import (
+            _load_segment,
+            _read_manifest,
+        )
+
+        lo, hi = start["version"], end["version"]
+        parts: list[SnapshotFilePartition] = []
+        for v in range(lo + 1, hi + 1):
+            m = _read_manifest(self.root, v)
+            op = m.get("operation")
+            initial = v == self.starting + 1
+            if op != "append" and not initial:
+                if self.skip_changes:
+                    continue
+                raise ValueError(
+                    f"non-append commit v{v} ({op}) under {self.root}: "
+                    + _NONAPPEND_HELP
+                )
+            for desc in m.get("segments", []):
+                if desc.get("seq") != v and not (
+                    initial and op != "append"
+                ):
+                    continue  # carried from an earlier commit
+                for e in _load_segment(self.root, desc):
+                    parts.append(
+                        SnapshotFilePartition(
+                            path=os.path.join(self.root, e["path"]),
+                            arrow_schema=self._arrow_schema,
+                        )
+                    )
+        return parts
+
+    def read(self, partition):  # executor-side, stateless
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = partition.arrow_schema
+        tbl = pq.read_table(partition.path)
+        cols = []
+        for fld in schema:
+            if fld.name in tbl.column_names:
+                cols.append(tbl.column(fld.name).cast(fld.type))
+            else:
+                # add-column evolution: pre-evolution file → NULL-fill
+                cols.append(pa.nulls(tbl.num_rows, type=fld.type))
+        yield from pa.table(cols, schema=schema).to_batches()
+
+    def commit(self, end: dict) -> None:
+        # advance the rate-cap window; durability lives in Spark's
+        # checkpointed offset log, not here
+        self._committed = max(self._committed, end["version"])
+
+    def stop(self) -> None:
+        pass
+
+
+class SnapshotTableDataSource(DataSource):
+    """``spark.readStream.format("snapshot_table")`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_table"
+
+    def schema(self) -> str:
+        return _read_schema_ddl(self.options.get("root", ""))
+
+    def streamReader(self, schema) -> SnapshotTableStreamReader:
+        return SnapshotTableStreamReader(schema, self.options)
+
+
+def register_snapshot_source(spark) -> None:
+    """Idempotent registration of the 'snapshot_table' stream format."""
+    spark.dataSource.register(SnapshotTableDataSource)

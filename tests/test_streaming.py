@@ -904,3 +904,144 @@ def test_a15c_version_history_is_ingest_history(spark, sf_dir, tmp_path):
         if _read_manifest(tbl, v)["operation"] == "append:b1"
     ]
     assert tagged == [2]
+
+
+def test_snapshot_table_stream_source_semantics(spark, tmp_path):
+    """r13 streaming source over manifest tables: (a) a full drain emits
+    every version's rows exactly once; (b) a RESTART on the same
+    checkpoint emits only commits that landed since (exactly-once over
+    the offset log — nothing re-read); (c) a non-append commit fails
+    loudly mid-stream; (d) skip_changes=true skips the rewrite but
+    still streams later appends; (e) add-column evolution NULL-fills
+    pre-evolution files read through the evolved schema."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    tf.snapshot_write(spark, df.filter("a < 100"), root, mode="overwrite")
+    tf.snapshot_write(
+        spark, df.filter("a >= 100 AND a < 200"), root, mode="append"
+    )
+
+    def drain(**opts):
+        r = spark.readStream.format("snapshot_table").option("root", root)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not drain"
+
+    # (a) initial drain: genesis overwrite + one append
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert set(got.columns) == {"a", "b"}
+
+    # (b) restart: only the new commit's rows arrive (exactly-once)
+    tf.snapshot_write(spark, df.filter("a >= 200"), root, mode="append")
+    drain()
+    assert spark.read.parquet(out).count() == 300
+    assert spark.read.parquet(out).select("a").distinct().count() == 300
+
+    # (c) a non-append commit refuses loudly
+    tf.snapshot_compact(spark, root)
+    tf.snapshot_write(
+        spark,
+        spark.range(300, 310).select(
+            F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+        ),
+        root,
+        mode="append",
+    )
+    with pytest.raises(Exception, match="non-append commit"):
+        drain()
+
+    # (d) skip_changes: the compact is skipped, the append streams
+    drain(skip_changes="true")
+    assert spark.read.parquet(out).count() == 310
+
+    # (e) evolution: new column, fresh stream from genesis NULL-fills
+    tf.snapshot_write(
+        spark,
+        spark.range(310, 320).select(
+            F.col("id").alias("a"),
+            (F.col("id") * 2).alias("b"),
+            F.lit("tagged").alias("c"),
+        ),
+        root,
+        mode="append",
+    )
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .option("skip_changes", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got2 = spark.read.parquet(out2)
+    assert set(got2.columns) == {"a", "b", "c"}
+    # fresh-from-genesis walks v1-v3 (their manifests survive the
+    # compact), skips the compact itself, then streams both appends:
+    # 300 + 10 pre-evolution rows NULL-fill c, 10 evolved rows carry it
+    assert got2.count() == 320
+    assert got2.filter(F.col("c").isNull()).count() == 310
+    assert got2.filter(F.col("c") == "tagged").count() == 10
+
+
+def test_snapshot_table_stream_source_refusals(spark, tmp_path):
+    """Source construction refusals: missing root option, empty table,
+    and a schema-less legacy lineage (no recorded schema to stream)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    empty = str(tmp_path / "none")
+    os.makedirs(empty)
+    with pytest.raises(Exception, match="nothing to stream|no snapshots"):
+        spark.readStream.format("snapshot_table").option(
+            "root", empty
+        ).load()
+
+    # legacy schema-less lineage: strip the recorded schema by hand
+    root = str(tmp_path / "legacy")
+    tf.snapshot_write(
+        spark,
+        spark.range(5).select(F.col("id").alias("a")),
+        root,
+        mode="overwrite",
+    )
+    mp = tf._manifest_path(root, 1)
+    m = json.load(open(mp))
+    m.pop("schema")
+    json.dump(m, open(mp, "w"))
+    with pytest.raises(Exception, match="no recorded schema"):
+        spark.readStream.format("snapshot_table").option("root", root).load()
