@@ -144,7 +144,8 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "history", "read", "vacuum", "compact", "fold",
             "delete-where", "update", "tag", "tags", "drop-tag",
-            "restore", "cluster",
+            "restore", "cluster", "set-constraint", "drop-constraint",
+            "constraints",
         ],
         help="history = one row per retained snapshot (metadata only); "
         "read = the table AS OF --version/--as-of (default latest); "
@@ -159,7 +160,9 @@ def build_parser() -> argparse.ArgumentParser:
         "roll back to --to (version or tag; metadata-only, "
         "history-preserving); cluster = OPTIMIZE rewrite sorted on --by "
         "(or a 2-column Morton key with --zorder) so manifest stats "
-        "prune",
+        "prune; set-constraint = add CHECK --name with --expr (validates "
+        "existing data; writers then refuse violating batches); "
+        "drop-constraint = remove --name; constraints = list",
     )
     tb.add_argument("--root", required=True, help="table root directory")
     tb.add_argument(
@@ -176,7 +179,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--version",
         help="read/tag: VERSION AS OF — a number, or (read) a tag name",
     )
-    tb.add_argument("--name", help="tag/drop-tag: ref name")
+    tb.add_argument(
+        "--name", help="tag/drop-tag/set-constraint/drop-constraint: name"
+    )
+    tb.add_argument(
+        "--expr", help="set-constraint: SQL CHECK expression"
+    )
     tb.add_argument(
         "--to", help="restore: target version number or tag name"
     )
@@ -352,12 +360,34 @@ def run_table_cmd(args: argparse.Namespace) -> int:
         v = tf.snapshot_restore(args.root, target)
         print(json.dumps({"verb": "restore", "to": args.to, "version": v}))
         return 0
+    if args.verb == "constraints":
+        print(json.dumps(
+            {"verb": "constraints",
+             "constraints": tf.table_constraints(args.root)}
+        ))
+        return 0
+    if args.verb == "drop-constraint":
+        if not args.name:
+            raise SystemExit("drop-constraint requires --name")
+        v = tf.snapshot_drop_constraint(args.root, args.name)
+        print(json.dumps(
+            {"verb": "drop-constraint", "name": args.name, "version": v}
+        ))
+        return 0
 
     spark = get_spark(app_name="skr-table")
     spark.sparkContext.setLogLevel("ERROR")
     if args.verb == "compact":
         v = tf.snapshot_compact(spark, args.root)
         print(json.dumps({"verb": "compact", "version": v}))
+        return 0
+    if args.verb == "set-constraint":
+        if not args.name or not args.expr:
+            raise SystemExit("set-constraint requires --name and --expr")
+        v = tf.snapshot_set_constraint(spark, args.root, args.name, args.expr)
+        print(json.dumps(
+            {"verb": "set-constraint", "name": args.name, "version": v}
+        ))
         return 0
     if args.verb == "cluster":
         if not args.by:

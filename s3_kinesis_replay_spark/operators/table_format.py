@@ -83,6 +83,16 @@ readable by name (``snapshot_read(..., 'tag')``, SQL ``VERSION AS OF
 carrying the target snapshot's manifest verbatim — history-preserving,
 zero data movement (Delta RESTORE / Iceberg rollback_to_snapshot).
 
+CHECK CONSTRAINTS (r13): ``snapshot_set_constraint`` records named SQL
+CHECK expressions in the manifest (validated against existing data at
+add time, Delta's ADD CONSTRAINT rule); every row-adding writer
+(write/merge/update) then validates its WRITTEN files in one
+conditional-count pass and refuses the commit on violation
+(:class:`ConstraintViolation`). Constraints survive overwrite, compact,
+cluster, fold, and restore; the session-less raw path
+(``commit_append_files``) refuses constraint-bearing tables unless the
+caller declares the batch validated.
+
 CLUSTERED REWRITE (r13): ``snapshot_cluster`` is OPTIMIZE — it
 re-materializes the view range-partitioned + sorted on chosen columns
 (or on a two-column interleaved-bit Morton key, ``zorder=True``), so
@@ -348,6 +358,7 @@ def _commit(
     partition_spec: list[str] | None = None,
     new_pos_delete_segment: dict | None = None,
     pos_delete_carry: list[dict] | None = None,
+    constraints: dict | None = None,
 ) -> int:
     """Atomically commit manifest ``base + 1`` with BASE-SNAPSHOT
     VALIDATION (r12): ``base`` is the version the caller's prior-state
@@ -394,6 +405,17 @@ def _commit(
     )
     if spec is not None:
         manifest["partition_spec"] = spec
+    # CHECK constraints (r13): table property, carried like the
+    # partition spec — explicit (set/drop/carry-less ops) wins, else
+    # the base's constraints survive the commit (Delta's rule: an
+    # overwrite replaces data, never silently drops constraints)
+    con = (
+        constraints
+        if constraints is not None
+        else (carry_from.get("constraints") if carry_from else None)
+    )
+    if con:
+        manifest["constraints"] = con
     segs = list(carry_from.get("segments", [])) if carry_from else []
     if new_segment is not None:
         segs.append({**new_segment, "seq": v})
@@ -617,6 +639,20 @@ def snapshot_write(
     else:
         partial = [{"path": p} for p in _write_data_files(df, root)]
     new_files = [e["path"] for e in partial]
+    # CHECK constraints (r13): validated on the WRITTEN files (footer-
+    # hot, one conditional-count pass), never by re-executing ``df`` —
+    # a non-deterministic source would otherwise pass validation on
+    # rows that differ from the ones committed. A refused write leaves
+    # only unreferenced files for the age-graced vacuum.
+    cons = table_constraints(root)
+    if cons:
+        _enforce_constraints(
+            df.sparkSession.read.parquet(
+                *[os.path.join(root, p) for p in new_files]
+            ),
+            cons,
+            f"snapshot_write({mode}) into {root}",
+        )
     new_stats = _file_stats(root, new_files)
     new_schema = _schema_of(df)
     seg = _write_segment(
@@ -626,9 +662,10 @@ def snapshot_write(
     def attempt() -> int:
         base = latest_version(root)
         pm = None
+        prior = _read_manifest(root, base) if base > 0 else None
         schema = new_schema
-        if mode == "append" and base > 0:
-            pm = _read_manifest(root, base)
+        if mode == "append" and prior is not None:
+            pm = prior
             # appending to a LEGACY (schema-less) lineage: the prior
             # files' true schema is unknown here, so pinning the
             # incoming df's schema would silently drop legacy-only
@@ -649,6 +686,9 @@ def snapshot_write(
             new_segment=seg,
             schema=schema,
             partition_spec=list(partition_by) if partition_by else None,
+            # overwrite replaces DATA, never the table's constraints
+            # (carry_from is None there, so carry them explicitly)
+            constraints=(prior or {}).get("constraints"),
         )
 
     return snapshot_commit_retry(attempt, retries)
@@ -660,13 +700,25 @@ def commit_append_files(
     op: str,
     schema: list[list[str]],
     retries: int = _COMMIT_RETRIES,
+    validated: bool = False,
 ) -> int:
     """Commit PRE-WRITTEN parquet files (relative paths) as an append
     snapshot — the streaming-ingest path (a15c), where the caller
     writes each micro-batch's files idempotently under a deterministic
     batch dir and tags the op (``append:b{batch_id}``). Same schema
     rules, stats capture, and bounded conflict retry as
-    :func:`snapshot_write`."""
+    :func:`snapshot_write`. This raw path has no SparkSession to
+    validate CHECK constraints with, so a constraint-bearing table
+    REFUSES it unless the caller passes ``validated=True`` after
+    checking the batch itself — silent unenforced appends would make
+    the constraint a lie."""
+    if not validated and table_constraints(root):
+        raise ValueError(
+            f"table {root} carries CHECK constraints "
+            f"{sorted(table_constraints(root))} — validate the batch and "
+            "pass validated=True (commit_append_files cannot check files "
+            "itself)"
+        )
     new_stats = _file_stats(root, new_files)
     seg = _write_segment(
         root, [{"path": p, "stats": new_stats[p]} for p in new_files]
@@ -1257,6 +1309,138 @@ def snapshot_read_pruned(
     return df, len(keep), total
 
 
+class ConstraintViolation(ValueError):
+    """A write's rows violate the table's CHECK constraints; carries
+    ``violations`` (constraint name → violating row count)."""
+
+    def __init__(self, msg: str, violations: dict[str, int]):
+        super().__init__(msg)
+        self.violations = violations
+
+
+def table_constraints(root: str, version: int | None = None) -> dict[str, str]:
+    """name → SQL CHECK expression recorded on the snapshot (empty dict
+    when none). Constraints live in the manifest like the schema."""
+    v = latest_version(root) if version is None else version
+    if v == 0:
+        return {}
+    return dict(_read_manifest(root, v).get("constraints", {}))
+
+
+def _constraint_violations(df: DataFrame, constraints: dict[str, str]) -> dict[str, int]:
+    """One aggregation pass over ``df`` counting rows per constraint
+    whose expression is FALSE (SQL CHECK semantics: NULL/UNKNOWN
+    passes — a NOT NULL intent must say ``col IS NOT NULL``). O(batch),
+    fully JVM-side (F.expr + conditional count, no UDF)."""
+    if not constraints:
+        return {}
+    row = df.agg(
+        *(
+            F.count(
+                F.when(~F.coalesce(F.expr(e), F.lit(True)), 1)
+            ).alias(f"__c{i}")
+            for i, e in enumerate(constraints.values())
+        )
+    ).collect()[0]  # bounded: one row of counters
+    return {
+        name: int(row[f"__c{i}"])
+        for i, name in enumerate(constraints)
+        if row[f"__c{i}"]
+    }
+
+
+def _enforce_constraints(
+    df: DataFrame, constraints: dict[str, str], ctx: str
+) -> None:
+    bad = _constraint_violations(df, constraints)
+    if bad:
+        raise ConstraintViolation(
+            f"{ctx} violates CHECK constraint(s) "
+            + ", ".join(
+                f"{n!r} ({constraints[n]}): {c} row(s)"
+                for n, c in bad.items()
+            )
+            + " — nothing was committed",
+            bad,
+        )
+
+
+def snapshot_set_constraint(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    expr: str,
+    retries: int = _COMMIT_RETRIES,
+) -> int:
+    """ADD a named CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT,
+    public design): first validates the EXISTING table against ``expr``
+    (one scan — a constraint that the current data already violates is
+    refused, same as Delta), then commits metadata-only. From this
+    version on, every writer that adds rows (snapshot_write, merge,
+    update) validates its batch against the table's constraints and
+    refuses the commit on violation — O(batch) enforcement, one
+    conditional-count pass, never a second source execution (writers
+    validate the files they just wrote). NULL semantics are SQL CHECK:
+    only FALSE violates; express non-nullability as ``col IS NOT
+    NULL``."""
+    _validate_ref_name(name)
+    base0 = latest_version(root)
+    if base0 == 0:
+        raise ValueError("cannot constrain an empty table")
+    # name-collision check BEFORE the data scan (cheap refusal first;
+    # attempt() re-checks under the commit race anyway)
+    prior = _read_manifest(root, base0).get("constraints", {})
+    if prior.get(name) not in (None, expr):
+        raise ValueError(
+            f"constraint {name!r} already exists with a different "
+            f"expression ({prior[name]!r}) — drop it first"
+        )
+    _enforce_constraints(
+        snapshot_read(spark, root, base0), {name: expr},
+        f"existing data in {root}",
+    )
+
+    def attempt() -> int:
+        base = latest_version(root)
+        m = _read_manifest(root, base)
+        cons = dict(m.get("constraints", {}))
+        if cons.get(name) not in (None, expr):
+            raise ValueError(
+                f"constraint {name!r} already exists with a different "
+                f"expression ({cons[name]!r}) — drop it first"
+            )
+        cons[name] = expr
+        return _commit(
+            root, base, "set_constraint", carry_from=m,
+            schema=m.get("schema"), constraints=cons,
+        )
+
+    return snapshot_commit_retry(attempt, retries)
+
+
+def snapshot_drop_constraint(
+    root: str, name: str, retries: int = _COMMIT_RETRIES
+) -> int:
+    """Remove a CHECK constraint (metadata-only commit)."""
+
+    def attempt() -> int:
+        base = latest_version(root)
+        m = _read_manifest(root, base)
+        cons = dict(m.get("constraints", {}))
+        if name not in cons:
+            raise ValueError(
+                f"no constraint {name!r} on {root} "
+                f"(have: {sorted(cons)})"
+            )
+        del cons[name]
+        return _commit(
+            root, base, "drop_constraint", carry_from=m,
+            schema=m.get("schema"), constraints=cons,
+        )
+
+    return snapshot_commit_retry(attempt, retries)
+
+
 def _validate_delete_key(m: dict, key_col: str) -> None:
     prior_key = m.get("delete_key")
     if prior_key is not None and prior_key != key_col:
@@ -1443,6 +1627,11 @@ def snapshot_update_where(
         )
     updated = updated.drop(_POS_FILE, _POS_IDX)
     new_files = _write_data_files(updated, root, prefix="upd")
+    _enforce_constraints(
+        spark.read.parquet(*[os.path.join(root, p) for p in new_files]),
+        m.get("constraints", {}),
+        f"snapshot_update_where on {root}",
+    )
     new_stats = _file_stats(root, new_files)
     seg = _write_segment(
         root, [{"path": p, "stats": new_stats[p]} for p in new_files]
@@ -1550,6 +1739,9 @@ def snapshot_merge(
             "appear at most once (real MERGE refuses multi-match sources; "
             "duplicates would materialize forever under one identity)"
         )
+    _enforce_constraints(
+        written, table_constraints(root), f"snapshot_merge into {root}"
+    )
     del_files = _write_data_files(
         written.select(key_col), root, prefix="del"
     )
@@ -1619,6 +1811,7 @@ def snapshot_compact(spark: SparkSession, root: str) -> int:
         new_segment=seg,
         schema=_schema_of(df),
         partition_spec=spec,
+        constraints=m.get("constraints"),  # carry_from is None here
     )
 
 
@@ -1790,6 +1983,7 @@ def snapshot_fold_metadata(root: str, retries: int = _COMMIT_RETRIES) -> int:
             # position-delete state rides through a fold verbatim
             # (carry_from is None here; losing it would resurrect rows)
             pos_delete_carry=m.get("pos_delete_segments", []),
+            constraints=m.get("constraints"),
         )
 
     return snapshot_commit_retry(attempt, retries)
@@ -1906,7 +2100,14 @@ def snapshot_restore(
     forensic trail survives. Restoring to the current latest is a no-op
     (returns it) — no empty commit. Bounded-retried on concurrent
     commits like every metadata-only writer; file-diff CDC refuses to
-    cross the resulting non-append commit, as it must."""
+    cross the resulting non-append commit, as it must.
+
+    Restore is FULL-STATE: schema, partition spec, delete state AND
+    CHECK constraints all come from the target snapshot — a target that
+    predates a constraint restores without it (the target's data was
+    never validated against it; resurrecting the rule could instantly
+    make the table violate itself). Re-add constraints after restoring
+    if the rule should outlive the rollback."""
 
     def attempt() -> int:
         base = latest_version(root)
@@ -2036,5 +2237,6 @@ def snapshot_cluster(
         root, [{"path": p, "stats": stats[p]} for p in rel]
     )
     return _commit(
-        root, base, "cluster", new_segment=seg, schema=_schema_of(df)
+        root, base, "cluster", new_segment=seg, schema=_schema_of(df),
+        constraints=m.get("constraints"),  # carry_from is None here
     )

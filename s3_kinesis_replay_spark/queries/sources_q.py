@@ -2181,3 +2181,78 @@ def a19b_zorder_pruning(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"),
         fdec(F.sum(sdec("value"))).alias("sum_value"),
     ).withColumn("zordered", F.lit(True))
+
+
+@register(
+    "a21_check_constraints",
+    "A8",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value,
+           CAST(1 AS BIGINT) AS n_constraints
+    FROM events
+    """,
+    note="CHECK CONSTRAINTS (r13 — Delta's ALTER TABLE ADD CONSTRAINT, "
+    "public design): snapshot_set_constraint records a named SQL CHECK "
+    "expression in the manifest after validating EXISTING data (one "
+    "scan); every row-adding writer then validates its WRITTEN files "
+    "in one JVM-side conditional-count pass and refuses the commit on "
+    "violation. This entry builds a live table, sets a constraint, "
+    "proves a violating append is refused ATOMICALLY (the gate asserts "
+    "the version did not advance — no partial state), then completes "
+    "the table with a valid append; the oracle recomputes the final "
+    "aggregate from source, so enforcement that silently dropped or "
+    "admitted rows would hash-mismatch. Constraints survive overwrite/"
+    "compact/cluster/restore (carried like the schema), and the "
+    "session-less raw append path refuses constraint-bearing tables "
+    "unless the caller declares its batch validated. At 100 TB: "
+    "enforcement is O(batch) per write — one aggregate over the fresh "
+    "files, zero reads of the existing table — which is the only "
+    "enforcement cost profile an always-on ingest can afford.",
+)
+def a21_check_constraints(spark, sf_dir):
+    import tempfile
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="skr_constbl_")
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") < 5000), root, mode="overwrite"
+    )
+    tf.snapshot_set_constraint(
+        spark, root, "eid_nonneg", "event_id IS NOT NULL AND event_id >= 0"
+    )
+    v_before = tf.latest_version(root)
+    try:
+        tf.snapshot_write(
+            spark,
+            ev.filter(F.col("event_id") < 5000).withColumn(
+                "event_id", -F.col("event_id") - F.lit(1).cast("bigint")
+            ),
+            root,
+            mode="append",
+        )
+        raise RuntimeError(
+            "a21 gate FAILED: a constraint-violating append was accepted"
+        )
+    except tf.ConstraintViolation:
+        pass
+    if tf.latest_version(root) != v_before:
+        raise RuntimeError(
+            "a21 gate FAILED: refused append still advanced the version "
+            f"({v_before} -> {tf.latest_version(root)})"
+        )
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") >= 5000), root, mode="append"
+    )
+    n_cons = len(tf.table_constraints(root))
+    return tf.snapshot_read(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        fdec(F.sum(sdec("value"))).alias("sum_value"),
+        F.lit(n_cons).cast("bigint").alias("n_constraints"),
+    )

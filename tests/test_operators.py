@@ -4781,3 +4781,82 @@ def test_snapshot_cluster_drops_mor_state_and_zorder_bounds(
         spark, droot, ["const", "maybe"], target_files=2, zorder=True
     )
     assert tf.snapshot_read(spark, droot).count() == 200
+
+
+def test_snapshot_check_constraints(spark, sf_dir, tmp_path):
+    """r13 CHECK constraints beyond the a21 gate: add-time validation
+    against existing data, enforcement on merge and update writers,
+    survival through overwrite/compact/cluster/restore, drop releasing
+    enforcement, and the raw append path's refusal."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    tf.snapshot_write(spark, ev, root, mode="overwrite")
+    tf.snapshot_set_constraint(
+        spark, root, "eid_ok", "event_id >= 0 AND event_id IS NOT NULL"
+    )
+    # a constraint the EXISTING data violates is refused at add time
+    with _pytest.raises(tf.ConstraintViolation):
+        tf.snapshot_set_constraint(spark, root, "impossible", "event_id > 10")
+    # same name, different expression: refused (drop first)
+    with _pytest.raises(ValueError, match="already exists"):
+        tf.snapshot_set_constraint(spark, root, "eid_ok", "event_id > 5")
+
+    # merge and update writers enforce on their written rows
+    with _pytest.raises(tf.ConstraintViolation):
+        tf.snapshot_merge(
+            spark,
+            root,
+            spark.createDataFrame(
+                [(-7, 0, 1.0)], "event_id long, user_id long, value double"
+            ),
+            "event_id",
+        )
+    with _pytest.raises(tf.ConstraintViolation):
+        tf.snapshot_update_where(
+            spark, root, "event_id < 5", {"event_id": "event_id - 1000000"}
+        )
+
+    # constraints ride every carry path; restore is FULL-STATE (the
+    # target's constraints), so a post-constraint target keeps them...
+    tf.snapshot_write(spark, ev, root, mode="overwrite")  # v3
+    tf.snapshot_compact(spark, root)  # v4
+    tf.snapshot_cluster(spark, root, ["event_id"], target_files=2)  # v5
+    tf.snapshot_restore(root, 3)
+    assert list(tf.table_constraints(root)) == ["eid_ok"]
+    # ...and a PRE-constraint target restores without them (its data
+    # was never validated against the later rule)
+    tf.snapshot_restore(root, 1)
+    assert tf.table_constraints(root) == {}
+    tf.snapshot_set_constraint(
+        spark, root, "eid_ok", "event_id >= 0 AND event_id IS NOT NULL"
+    )
+
+    # raw session-less path refuses a constraint-bearing table
+    with _pytest.raises(ValueError, match="validated=True"):
+        tf.commit_append_files(
+            root, [], "append:b0", [["event_id", "bigint"]]
+        )
+
+    # drop releases enforcement
+    tf.snapshot_drop_constraint(root, "eid_ok")
+    with _pytest.raises(ValueError, match="no constraint"):
+        tf.snapshot_drop_constraint(root, "eid_ok")
+    tf.snapshot_merge(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(-7, 0, 1.0)], "event_id long, user_id long, value double"
+        ),
+        "event_id",
+    )
+    assert (
+        tf.snapshot_read(spark, root).filter(F.col("event_id") == -7).count()
+        == 1
+    )

@@ -719,6 +719,19 @@ def test_cli_table_verbs_round_trip(spark, capsys, tmp_path):
     run(["table", "drop-tag", "--root", root, "--name", "gold"])
     assert run(["table", "tags", "--root", root])[0]["tags"] == {}
 
+    # constraint verbs: set (validates existing data), list, drop
+    out = run(
+        ["table", "set-constraint", "--root", root, "--name", "id_ok",
+         "--expr", "id >= 0"]
+    )
+    assert out[0]["verb"] == "set-constraint"
+    out = run(["table", "constraints", "--root", root])
+    assert out[0]["constraints"] == {"id_ok": "id >= 0"}
+    run(["table", "drop-constraint", "--root", root, "--name", "id_ok"])
+    assert run(["table", "constraints", "--root", root])[0][
+        "constraints"
+    ] == {}
+
 
 def test_replay_observe_metrics(spark, sf_dir):
     """The in-stream observe() metrics must account for every published
