@@ -4092,11 +4092,21 @@ def test_engine_sql_snapshot_time_travel(spark, tmp_path):
     q3 = ("SELECT 'v1' AS tag, COUNT(*) AS n "
           "FROM ttt_snap VERSION AS OF 1")
     assert eng.sql(q3).collect()[0]["n"] == 8
-    # VERSION takes an integer; version+as_of together refused
-    with _pytest.raises(ValueError, match="integer"):
+    # a QUOTED version spec is a named ref (r13, Iceberg's VERSION AS
+    # OF 'tag'): unknown tags raise, and after tagging it resolves
+    with _pytest.raises(ValueError, match="no tag"):
         cat.resolve_time_travel(
-            spark, "SELECT * FROM ttt_snap VERSION AS OF '1'"
+            spark, "SELECT * FROM ttt_snap VERSION AS OF 'gold'"
         )
+    from s3_kinesis_replay_spark.operators.table_format import snapshot_tag
+
+    snapshot_tag(root, "gold", 1)
+    assert (
+        eng.sql(
+            "SELECT COUNT(*) AS n FROM ttt_snap VERSION AS OF 'gold'"
+        ).collect()[0]["n"]
+        == 8
+    )
     with _pytest.raises(ValueError, match="not both"):
         cat.register_snapshot_table(
             spark, "x", root, version=1, as_of=ts1
