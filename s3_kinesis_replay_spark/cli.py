@@ -145,7 +145,7 @@ def build_parser() -> argparse.ArgumentParser:
             "history", "read", "vacuum", "compact", "fold",
             "delete-where", "update", "tag", "tags", "drop-tag",
             "restore", "cluster", "set-constraint", "drop-constraint",
-            "constraints",
+            "constraints", "branch", "branches", "publish", "drop-branch",
         ],
         help="history = one row per retained snapshot (metadata only); "
         "read = the table AS OF --version/--as-of (default latest); "
@@ -162,7 +162,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(or a 2-column Morton key with --zorder) so manifest stats "
         "prune; set-constraint = add CHECK --name with --expr (validates "
         "existing data; writers then refuse violating batches); "
-        "drop-constraint = remove --name; constraints = list",
+        "drop-constraint = remove --name; constraints = list; branch = "
+        "fork --name at --version (default latest) for write-audit-"
+        "publish; branches = list; publish = fast-forward main to "
+        "--name's head (refuses if main advanced since the fork); "
+        "drop-branch = remove --name's lineage (staged files reaped by "
+        "the next vacuum); read honors --branch",
     )
     tb.add_argument("--root", required=True, help="table root directory")
     tb.add_argument(
@@ -184,6 +189,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tb.add_argument(
         "--expr", help="set-constraint: SQL CHECK expression"
+    )
+    tb.add_argument(
+        "--branch", help="read: read a WAP branch's head instead of main"
     )
     tb.add_argument(
         "--to", help="restore: target version number or tag name"
@@ -360,6 +368,34 @@ def run_table_cmd(args: argparse.Namespace) -> int:
         v = tf.snapshot_restore(args.root, target)
         print(json.dumps({"verb": "restore", "to": args.to, "version": v}))
         return 0
+    if args.verb == "branch":
+        if not args.name:
+            raise SystemExit("branch requires --name")
+        at = int(args.version) if args.version is not None else None
+        v = tf.snapshot_branch(args.root, args.name, at)
+        print(json.dumps(
+            {"verb": "branch", "name": args.name, "branch_version": v}
+        ))
+        return 0
+    if args.verb == "branches":
+        print(json.dumps(
+            {"verb": "branches", "branches": tf.list_branches(args.root)}
+        ))
+        return 0
+    if args.verb == "publish":
+        if not args.name:
+            raise SystemExit("publish requires --name")
+        v = tf.snapshot_publish(args.root, args.name)
+        print(json.dumps(
+            {"verb": "publish", "name": args.name, "version": v}
+        ))
+        return 0
+    if args.verb == "drop-branch":
+        if not args.name:
+            raise SystemExit("drop-branch requires --name")
+        tf.snapshot_drop_branch(args.root, args.name)
+        print(json.dumps({"verb": "drop-branch", "name": args.name}))
+        return 0
     if args.verb == "constraints":
         print(json.dumps(
             {"verb": "constraints",
@@ -433,7 +469,7 @@ def run_table_cmd(args: argparse.Namespace) -> int:
             v = args.version
             if v is not None and v.isdigit():
                 v = int(v)
-            df = tf.snapshot_read(spark, args.root, v)
+            df = tf.snapshot_read(spark, args.root, v, branch=args.branch)
     if args.output:
         df.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"verb": args.verb, "output": args.output}))

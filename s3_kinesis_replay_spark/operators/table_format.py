@@ -93,6 +93,16 @@ cluster, fold, and restore; the session-less raw path
 (``commit_append_files``) refuses constraint-bearing tables unless the
 caller declares the batch validated.
 
+BRANCHES / WRITE-AUDIT-PUBLISH (r13): ``snapshot_branch`` forks a
+separate manifest LINEAGE (``manifests-b-<name>/``) over the shared
+data dir — branch writes (``snapshot_write(branch=...)``) are invisible
+to main readers, auditable with ``snapshot_read(branch=...)``, and
+``snapshot_publish`` fast-forwards main to the branch head with one
+metadata-only commit whose base is the recorded fork point: the
+create-exclusive link at fork+1 IS the WAP conflict check (main moved
+since the fork → CommitConflict, nothing published). Live branches are
+vacuum reachability roots; ``snapshot_drop_branch`` releases them.
+
 CLUSTERED REWRITE (r13): ``snapshot_cluster`` is OPTIMIZE — it
 re-materializes the view range-partitioned + sorted on chosen columns
 (or on a two-column interleaved-bit Morton key, ``zorder=True``), so
@@ -137,28 +147,33 @@ VACUUM_GRACE_S = 3600.0
 _COMMIT_RETRIES = 5
 
 
-def _manifest_dir(root: str) -> str:
-    return os.path.join(root, "manifests")
+def _manifest_dir(root: str, branch: str | None = None) -> str:
+    # a BRANCH (r13) is a separate manifest LINEAGE sharing the root's
+    # data/ and segments/ — entry paths stay root-relative, so a branch
+    # head's manifest can be published onto main verbatim
+    if branch is None:
+        return os.path.join(root, "manifests")
+    return os.path.join(root, f"manifests-b-{branch}")
 
 
-def _manifest_path(root: str, version: int) -> str:
-    return os.path.join(_manifest_dir(root), f"v{version}.json")
+def _manifest_path(root: str, version: int, branch: str | None = None) -> str:
+    return os.path.join(_manifest_dir(root, branch), f"v{version}.json")
 
 
-def latest_version(root: str) -> int:
-    """Newest committed version (0 = empty table). The MANIFEST FILES are
-    the source of truth — each lands atomically via create-exclusive
-    link, so a manifest's existence IS the commit. The ``_latest``
-    pointer is only a convenience marker (and the atomic-install
-    done-flag for cached builds); deriving the version from it instead
-    caused a real lost-write hazard (review r11)."""
-    vs = versions(root)
+def latest_version(root: str, branch: str | None = None) -> int:
+    """Newest committed version (0 = empty table/branch). The MANIFEST
+    FILES are the source of truth — each lands atomically via
+    create-exclusive link, so a manifest's existence IS the commit. The
+    ``_latest`` pointer is only a convenience marker (and the
+    atomic-install done-flag for cached builds); deriving the version
+    from it instead caused a real lost-write hazard (review r11)."""
+    vs = versions(root, branch)
     return max(vs) if vs else 0
 
 
-def versions(root: str) -> list[int]:
+def versions(root: str, branch: str | None = None) -> list[int]:
     """All retained versions, ascending (gaps appear after vacuum)."""
-    d = _manifest_dir(root)
+    d = _manifest_dir(root, branch)
     if not os.path.isdir(d):
         return []
     out = []
@@ -168,12 +183,16 @@ def versions(root: str) -> list[int]:
     return sorted(out)
 
 
-def _read_manifest(root: str, version: int) -> dict:
-    path = _manifest_path(root, version)
+def _read_manifest(
+    root: str, version: int, branch: str | None = None
+) -> dict:
+    path = _manifest_path(root, version, branch)
     if not os.path.exists(path):
+        where = f"branch {branch!r} of {root}" if branch else root
         raise FileNotFoundError(
-            f"snapshot v{version} not found under {root} "
-            f"(retained: {versions(root)}) — vacuumed or never committed"
+            f"snapshot v{version} not found under {where} "
+            f"(retained: {versions(root, branch)}) — vacuumed or never "
+            "committed"
         )
     with open(path) as f:
         return json.load(f)
@@ -359,6 +378,8 @@ def _commit(
     new_pos_delete_segment: dict | None = None,
     pos_delete_carry: list[dict] | None = None,
     constraints: dict | None = None,
+    branch: str | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Atomically commit manifest ``base + 1`` with BASE-SNAPSHOT
     VALIDATION (r12): ``base`` is the version the caller's prior-state
@@ -378,7 +399,7 @@ def _commit(
     A commit therefore writes O(new files) segment bytes + O(#commits)
     descriptor bytes, never O(table files) — the flat r12 manifest
     re-serialized every entry per append."""
-    os.makedirs(_manifest_dir(root), exist_ok=True)
+    os.makedirs(_manifest_dir(root, branch), exist_ok=True)
     v = base + 1
     import time
 
@@ -391,6 +412,8 @@ def _commit(
         # version numbers stay the authoritative order.
         "committed_at": time.time(),
     }
+    if extra:
+        manifest.update(extra)  # branch bookkeeping (forked_from, ...)
     if schema is not None:
         manifest["schema"] = schema
     # partition spec: recorded when this commit's writer declared one,
@@ -456,22 +479,24 @@ def _commit(
         manifest.get("delete_segments") or manifest.get("delete_files")
     ):
         manifest["delete_key"] = key
-    tmp = _manifest_path(root, v) + f".tmp-{uuid.uuid4().hex[:8]}"
+    tmp = _manifest_path(root, v, branch) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     try:
-        os.link(tmp, _manifest_path(root, v))
+        os.link(tmp, _manifest_path(root, v, branch))
     except FileExistsError:
+        where = f"branch {branch!r} of {root}" if branch else root
         raise CommitConflict(
-            f"v{v} was committed concurrently under {root} — re-read "
+            f"v{v} was committed concurrently under {where} — re-read "
             "latest and retry"
         ) from None
     finally:
         os.unlink(tmp)
-    ptr_tmp = os.path.join(root, f"_latest.tmp-{uuid.uuid4().hex[:8]}")
-    with open(ptr_tmp, "w") as f:
-        f.write(str(v))
-    os.replace(ptr_tmp, os.path.join(root, "_latest"))
+    if branch is None:  # the convenience pointer tracks MAIN only
+        ptr_tmp = os.path.join(root, f"_latest.tmp-{uuid.uuid4().hex[:8]}")
+        with open(ptr_tmp, "w") as f:
+            f.write(str(v))
+        os.replace(ptr_tmp, os.path.join(root, "_latest"))
     return v
 
 
@@ -615,6 +640,7 @@ def snapshot_write(
     mode: str = "append",
     retries: int = _COMMIT_RETRIES,
     partition_by: list[str] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Write ``df`` as new immutable data files and commit a snapshot.
     ``mode='append'``: new version = prior file list + the new files
@@ -634,6 +660,12 @@ def snapshot_write(
     (unpartitioned entries just aren't partition-prunable)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if branch is not None and latest_version(root, branch) == 0:
+        raise ValueError(
+            f"branch {branch!r} does not exist under {root} — "
+            "snapshot_branch it first (write-audit-publish starts at a "
+            "recorded fork point)"
+        )
     if partition_by:
         partial = _write_partitioned_data_files(df, root, partition_by)
     else:
@@ -644,7 +676,7 @@ def snapshot_write(
     # a non-deterministic source would otherwise pass validation on
     # rows that differ from the ones committed. A refused write leaves
     # only unreferenced files for the age-graced vacuum.
-    cons = table_constraints(root)
+    cons = table_constraints(root, branch=branch)
     if cons:
         _enforce_constraints(
             df.sparkSession.read.parquet(
@@ -660,9 +692,9 @@ def snapshot_write(
     )
 
     def attempt() -> int:
-        base = latest_version(root)
+        base = latest_version(root, branch)
         pm = None
-        prior = _read_manifest(root, base) if base > 0 else None
+        prior = _read_manifest(root, base, branch) if base > 0 else None
         schema = new_schema
         if mode == "append" and prior is not None:
             pm = prior
@@ -689,6 +721,14 @@ def snapshot_write(
             # overwrite replaces DATA, never the table's constraints
             # (carry_from is None there, so carry them explicitly)
             constraints=(prior or {}).get("constraints"),
+            branch=branch,
+            # every branch manifest re-records its fork point so
+            # publish can validate WAP without walking the lineage
+            extra=(
+                {"forked_from": (prior or {}).get("forked_from")}
+                if branch is not None
+                else None
+            ),
         )
 
     return snapshot_commit_retry(attempt, retries)
@@ -905,18 +945,22 @@ def _assemble(
 
 
 def snapshot_read(
-    spark: SparkSession, root: str, version: int | str | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | str | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """Read the table AS OF ``version`` (default: latest) — time travel
     is nothing but reading an older manifest's file list. A STRING
     version is a tag name (r13): resolved through :func:`resolve_ref`,
     so ``snapshot_read(spark, root, 'train-2026-08')`` reads the pinned
-    snapshot however much the table churned since. Raises
+    snapshot however much the table churned since. ``branch`` reads a
+    WAP branch's lineage instead of main (the audit step). Raises
     FileNotFoundError for a vacuumed/unknown version."""
     if isinstance(version, str):
         version = resolve_ref(root, version)
-    v = latest_version(root) if version is None else version
-    m = _read_manifest(root, v)
+    v = latest_version(root, branch) if version is None else version
+    m = _read_manifest(root, v, branch)
     ents = _entries(m, root)
     if not ents:
         raise ValueError(f"snapshot v{v} is empty")
@@ -959,8 +1003,7 @@ def snapshot_vacuum(
     drop = [v for v in vs if v not in keep_set]
     reachable: set[str] = set()
     reachable_meta: set[str] = set()
-    for v in keep:
-        m = _read_manifest(root, v)
+    def _mark(m: dict) -> None:
         reachable.update(_paths(_entries(m, root)))
         reachable.update(_paths(_delete_entries(m, root)))
         reachable.update(_paths(_pos_delete_entries(m, root)))
@@ -969,6 +1012,17 @@ def snapshot_vacuum(
         reachable_meta.update(
             d["path"] for d in m.get("pos_delete_segments", [])
         )
+
+    for v in keep:
+        _mark(_read_manifest(root, v))
+    # live BRANCH lineages are reachability roots too (r13): their
+    # staged-but-unpublished files must survive main's retention; a
+    # dropped branch releases them to the ordinary age-graced reaping
+    for d in os.listdir(root):
+        if d.startswith("manifests-b-"):
+            bname = d[len("manifests-b-"):]
+            for v in versions(root, bname):
+                _mark(_read_manifest(root, v, bname))
     deleted = 0
     skipped_young = 0
     now = time.time()
@@ -1318,13 +1372,15 @@ class ConstraintViolation(ValueError):
         self.violations = violations
 
 
-def table_constraints(root: str, version: int | None = None) -> dict[str, str]:
+def table_constraints(
+    root: str, version: int | None = None, branch: str | None = None
+) -> dict[str, str]:
     """name → SQL CHECK expression recorded on the snapshot (empty dict
     when none). Constraints live in the manifest like the schema."""
-    v = latest_version(root) if version is None else version
+    v = latest_version(root, branch) if version is None else version
     if v == 0:
         return {}
-    return dict(_read_manifest(root, v).get("constraints", {}))
+    return dict(_read_manifest(root, v, branch).get("constraints", {}))
 
 
 def _constraint_violations(df: DataFrame, constraints: dict[str, str]) -> dict[str, int]:
@@ -2132,6 +2188,102 @@ def snapshot_restore(
         )
 
     return snapshot_commit_retry(attempt, retries)
+
+
+# ---------------------------------------------------------------------------
+# Branches + write-audit-publish (r13) — Iceberg WAP / branch refs,
+# re-expressed as separate manifest LINEAGES over shared data files
+# ---------------------------------------------------------------------------
+
+def snapshot_branch(
+    root: str, name: str, at: int | None = None
+) -> int:
+    """Fork a BRANCH at main version ``at`` (default: latest) — the
+    'write' isolation of write-audit-publish (Iceberg's WAP / branch
+    refs, public design). A branch is its own manifest lineage
+    (``manifests-b-<name>/``) sharing the root's immutable data and
+    segment files, created by one metadata-only commit (branch v1)
+    that carries the fork point's manifest verbatim plus a recorded
+    ``forked_from``. Branch writers (``snapshot_write(branch=...)``)
+    then stage commits invisible to main readers; ``snapshot_publish``
+    fast-forwards main to the audited branch head. Creation is
+    create-exclusive: two racers forking one name get one winner."""
+    _validate_ref_name(name)
+    v = latest_version(root) if at is None else at
+    if v == 0:
+        raise ValueError("cannot branch an empty table")
+    m = _read_manifest(root, v)  # raises for vacuumed/unknown fork point
+    if latest_version(root, name) > 0:
+        raise ValueError(f"branch {name!r} already exists under {root}")
+    try:
+        return _commit(
+            root,
+            0,
+            "fork",
+            carry_from=m,
+            schema=m.get("schema"),
+            partition_spec=m.get("partition_spec"),
+            branch=name,
+            extra={"forked_from": v},
+        )
+    except CommitConflict:
+        raise ValueError(
+            f"branch {name!r} was created concurrently under {root}"
+        ) from None
+
+
+def list_branches(root: str) -> dict[str, int]:
+    """branch name → forked-from main version, for every live branch."""
+    out: dict[str, int] = {}
+    for d in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        if d.startswith("manifests-b-"):
+            name = d[len("manifests-b-"):]
+            head = latest_version(root, name)
+            if head:
+                out[name] = _read_manifest(root, head, name).get(
+                    "forked_from"
+                )
+    return out
+
+
+def snapshot_publish(root: str, name: str) -> int:
+    """PUBLISH a branch (WAP's third step): fast-forward MAIN to the
+    branch head with one metadata-only commit carrying the head's
+    manifest verbatim — valid because branch entries' paths are
+    root-relative into the SHARED data dir. The commit's base is the
+    recorded FORK POINT, so the create-exclusive link at fork+1 IS the
+    WAP validation: if main advanced since the fork, the link fails
+    with :class:`CommitConflict` and nothing is published — the caller
+    re-forks from the new main and replays/re-audits (no auto-retry;
+    silently publishing over unseen main commits would drop them).
+    The branch lineage survives for forensics until
+    :func:`snapshot_drop_branch`."""
+    head = latest_version(root, name)
+    if head == 0:
+        raise ValueError(f"no branch {name!r} under {root}")
+    bm = _read_manifest(root, head, name)
+    fork = bm.get("forked_from")
+    return _commit(
+        root,
+        fork,
+        "publish",
+        carry_from=bm,
+        schema=bm.get("schema"),
+        partition_spec=bm.get("partition_spec"),
+        delete_key=bm.get("delete_key"),
+    )
+
+
+def snapshot_drop_branch(root: str, name: str) -> None:
+    """Remove a branch lineage (metadata only — its unpublished data
+    files become unreachable and are reaped by the next age-graced
+    vacuum, the same lifecycle as a conflicted-away commit attempt)."""
+    import shutil
+
+    d = _manifest_dir(root, name)
+    if not os.path.isdir(d):
+        raise ValueError(f"no branch {name!r} under {root}")
+    shutil.rmtree(d)
 
 
 def _z_spread16(c):

@@ -2256,3 +2256,71 @@ def a21_check_constraints(spark, sf_dir):
         fdec(F.sum(sdec("value"))).alias("sum_value"),
         F.lit(n_cons).cast("bigint").alias("n_constraints"),
     )
+
+
+@register(
+    "a22_wap_branch_publish",
+    "A8",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value,
+           TRUE AS published
+    FROM events
+    """,
+    note="WRITE-AUDIT-PUBLISH (r13 — Iceberg's WAP / branch refs, "
+    "public design): snapshot_branch forks a separate manifest lineage "
+    "over the SHARED data dir; branch writes stage rows invisible to "
+    "main readers (the gate asserts main still reads the pre-branch "
+    "count while the branch reads the full set — the audit step); "
+    "snapshot_publish fast-forwards main with ONE metadata-only commit "
+    "whose base is the recorded fork point, so the create-exclusive "
+    "manifest link at fork+1 IS the WAP conflict check — the entry "
+    "proves it by forking a second branch at the same point and "
+    "asserting its publish raises CommitConflict AFTER the first "
+    "landed (nothing silently overwritten). The oracle recomputes the "
+    "published state from source, so a publish that loses staged rows, "
+    "double-publishes, or leaks the conflicted branch hash-mismatches. "
+    "At 100 TB: staging a day's ingest costs its own files only, the "
+    "audit reads cost snapshot reads, and publish costs O(descriptors) "
+    "— the quality-gated pipeline pattern (validate BEFORE production "
+    "readers see rows) with zero data copies.",
+)
+def a22_wap_branch_publish(spark, sf_dir):
+    import tempfile
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="skr_waptbl_")
+    lo = ev.filter(F.col("event_id") % 2 == 0)
+    hi = ev.filter(F.col("event_id") % 2 == 1)
+    tf.snapshot_write(spark, lo, root, mode="overwrite")
+    n_lo = tf.snapshot_read(spark, root).count()
+    tf.snapshot_branch(root, "staging")
+    tf.snapshot_write(spark, hi, root, mode="append", branch="staging")
+    # AUDIT: staged rows visible on the branch, invisible on main
+    if tf.snapshot_read(spark, root).count() != n_lo:
+        raise RuntimeError(
+            "a22 gate FAILED: branch write leaked into main before publish"
+        )
+    tf.snapshot_branch(root, "doomed")
+    tf.snapshot_write(
+        spark, hi.limit(7), root, mode="append", branch="doomed"
+    )
+    tf.snapshot_publish(root, "staging")
+    try:
+        tf.snapshot_publish(root, "doomed")
+        raise RuntimeError(
+            "a22 gate FAILED: conflicting publish over an advanced main "
+            "was accepted"
+        )
+    except tf.CommitConflict:
+        pass
+    return tf.snapshot_read(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        fdec(F.sum(sdec("value"))).alias("sum_value"),
+    ).withColumn("published", F.lit(True))

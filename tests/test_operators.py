@@ -4870,3 +4870,78 @@ def test_snapshot_check_constraints(spark, sf_dir, tmp_path):
         tf.snapshot_read(spark, root).filter(F.col("event_id") == -7).count()
         == 1
     )
+
+
+def test_snapshot_branches_write_audit_publish(spark, sf_dir, tmp_path):
+    """r13 WAP branches: branch writes are invisible to main, auditable
+    by branch read, published as ONE metadata-only fast-forward whose
+    base-validation IS the conflict check; staged branch files survive
+    vacuum until the branch is dropped; constraints ride the fork."""
+    import glob
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    lo, hi = ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
+    n_lo, n_all = lo.count(), ev.count()
+    tf.snapshot_write(spark, lo, root, mode="overwrite")
+    tf.snapshot_set_constraint(spark, root, "eid_ok", "event_id >= 0")
+
+    # write to a nonexistent branch: refused
+    with _pytest.raises(ValueError, match="does not exist"):
+        tf.snapshot_write(spark, hi, root, mode="append", branch="nope")
+
+    tf.snapshot_branch(root, "staging")
+    with _pytest.raises(ValueError, match="already exists"):
+        tf.snapshot_branch(root, "staging")
+    # forked at main latest = v2 (v1 load + v2 set_constraint)
+    assert tf.list_branches(root) == {"staging": 2}
+
+    # constraints carried into the fork: violating branch write refused
+    with _pytest.raises(tf.ConstraintViolation):
+        tf.snapshot_write(
+            spark,
+            hi.withColumn("event_id", -F.col("event_id") - F.lit(1).cast("bigint")),
+            root,
+            mode="append",
+            branch="staging",
+        )
+
+    # WRITE: staged rows visible on the branch only
+    tf.snapshot_write(spark, hi, root, mode="append", branch="staging")
+    assert tf.snapshot_read(spark, root).count() == n_lo  # main untouched
+    assert tf.snapshot_read(spark, root, branch="staging").count() == n_all
+
+    # staged (unpublished) files survive an aggressive vacuum — the
+    # branch lineage is a reachability root; the earlier REFUSED
+    # write's orphan is the only thing reaped
+    rep = tf.snapshot_vacuum(root, keep_last=1, min_age_s=0.0)
+    assert rep["deleted_files"] == 1  # the constraint-refused orphan
+    assert tf.snapshot_read(spark, root, branch="staging").count() == n_all
+
+    # a conflicting branch forked at the same point
+    tf.snapshot_branch(root, "doomed")
+    tf.snapshot_write(spark, hi.limit(5), root, mode="append", branch="doomed")
+
+    # PUBLISH: one metadata-only fast-forward
+    v = tf.snapshot_publish(root, "staging")
+    assert tf._read_manifest(root, v)["operation"] == "publish"
+    assert tf.snapshot_read(spark, root).count() == n_all
+    # ...which makes the second publish a WAP conflict, not a silent win
+    with _pytest.raises(tf.CommitConflict):
+        tf.snapshot_publish(root, "doomed")
+
+    # drop the conflicted branch; its staged files become reapable
+    tf.snapshot_drop_branch(root, "doomed")
+    with _pytest.raises(ValueError, match="no branch"):
+        tf.snapshot_drop_branch(root, "doomed")
+    tf.snapshot_drop_branch(root, "staging")
+    rep = tf.snapshot_vacuum(root, keep_last=1, min_age_s=0.0)
+    assert rep["deleted_files"] > 0  # doomed's staged rows reaped
+    assert tf.snapshot_read(spark, root).count() == n_all

@@ -732,6 +732,32 @@ def test_cli_table_verbs_round_trip(spark, capsys, tmp_path):
         "constraints"
     ] == {}
 
+    # branch verbs: fork → staged write (operator) → audit read → publish
+    out = run(["table", "branch", "--root", root, "--name", "stage"])
+    assert out[0]["name"] == "stage"
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(77, 7.7)], "id long, val double"),
+        root,
+        "append",
+        branch="stage",
+    )
+    n_main = len(run(["table", "read", "--root", root, "--limit", "100"]))
+    rows = run(
+        ["table", "read", "--root", root, "--branch", "stage",
+         "--limit", "100"]
+    )
+    assert len(rows) == n_main + 1  # staged row on the branch only
+    out = run(["table", "branches", "--root", root])
+    assert "stage" in out[0]["branches"]
+    run(["table", "publish", "--root", root, "--name", "stage"])
+    assert (
+        len(run(["table", "read", "--root", root, "--limit", "100"]))
+        == n_main + 1
+    )
+    run(["table", "drop-branch", "--root", root, "--name", "stage"])
+    assert run(["table", "branches", "--root", root])[0]["branches"] == {}
+
 
 def test_replay_observe_metrics(spark, sf_dir):
     """The in-stream observe() metrics must account for every published
