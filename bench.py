@@ -82,6 +82,16 @@ EXTRAS_ALWAYS: list[str] = [
     "a15m_days_partition_scan",  # days(ts) hidden partitioning, time window
     "a15n_position_delete",   # row-address MOR deletes (file+row_index)
     "a15o_update_where",      # atomic UPDATE: append + position-delete
+    # round 13b additions
+    "a17_restore_rollback",   # metadata-only rollback, forensic branch read
+    "a18_tag_protected_travel",  # tag-pinned snapshot through engine.sql
+    "a19_clustered_pruning",  # OPTIMIZE sort rewrite, before/after file skip
+    "a19b_zorder_pruning",    # Morton-key layout, 2-D predicate box
+    "a20_streaming_table_source",  # version-offset stream over the table
+    # a21/a22 are NOT benched: they BUILD a live table per run by design
+    # (constraint refusals / WAP conflict need fresh mutable state), so
+    # timing them measures fixture construction — same convention as the
+    # H-family live drains (the batch twin ts2 carries the bench cost)
     # h9b_streaming_ohlc_append is NOT benched: H-family convention
     # (same as h9 — the batch twin ts2 carries the bench cost)
     # h9_streaming_ohlc / h9b are NOT benched: H-family convention — live

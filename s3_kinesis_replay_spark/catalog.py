@@ -206,6 +206,7 @@ def register_snapshot_table(
     root: str,
     version: int | str | None = None,
     as_of: float | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """Register a manifest-versioned table (operators/table_format.py) as
     the temp view ``name``, queryable through ``spark.sql`` /
@@ -227,10 +228,12 @@ def register_snapshot_table(
 
     if version is not None and as_of is not None:
         raise ValueError("pass version OR as_of, not both")
+    if branch is not None and (version is not None or as_of is not None):
+        raise ValueError("branch registers the branch HEAD — no version/as_of")
     if as_of is not None:
         df = snapshot_as_of(spark, root, as_of)
     else:
-        df = snapshot_read(spark, root, version)
+        df = snapshot_read(spark, root, version, branch=branch)
     df.createOrReplaceTempView(name)
     _SNAPSHOT_ROOTS[name] = root
     return df

@@ -39,16 +39,21 @@ class Engine:
         self,
         name: str,
         root: str,
-        version: int | None = None,
+        version: int | str | None = None,
         as_of: float | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """Expose a manifest-versioned table (operators/table_format.py)
         to ``sql()`` as the view ``name`` — after this, plain SQL can
         query it alongside the fixture views, including Delta-style
         ``name VERSION AS OF n`` / ``name TIMESTAMP AS OF 'ts'`` clauses
-        (resolved per-query from the table's immutable manifests)."""
+        (a quoted VERSION spec resolves a TAG, r13), all resolved
+        per-query from the table's immutable manifests. ``version`` may
+        be a tag name; ``branch`` registers a WAP branch's head (the
+        audit-in-SQL step)."""
         return register_snapshot_table(
-            self.spark, name, root, version=version, as_of=as_of
+            self.spark, name, root, version=version, as_of=as_of,
+            branch=branch,
         )
 
     def sql(self, query: str) -> DataFrame:

@@ -1950,6 +1950,16 @@ class TestTableFormatModel:
                         # equality tier, folds/compacts away
                         "update_where",  # r13: atomic predicate UPDATE
                         # (append updated copies + position-delete old)
+                        "restore",  # r13b: metadata-only rollback to a
+                        # random retained version — view AND tombstone
+                        # state must equal that version's exactly
+                        "cluster",  # r13b: OPTIMIZE rewrite — a pure
+                        # no-op on the visible view, like compact
+                        "wap_publish",  # r13b: branch → staged write →
+                        # publish (or drop: staged rows must vanish)
+                        "constraint_cycle",  # r13b: set an always-true
+                        # CHECK, prove a violating write refuses without
+                        # advancing state, drop it — view untouched
                     ]
                 ),
                 st.integers(1, 5),  # row count / delete count
@@ -1964,15 +1974,25 @@ class TestTableFormatModel:
         import shutil
 
         from s3_kinesis_replay_spark.operators.table_format import (
+            ConstraintViolation,
+            _read_manifest,
+            latest_version,
             snapshot_auto_maintain,
+            snapshot_branch,
+            snapshot_cluster,
             snapshot_compact,
             snapshot_delete,
             snapshot_delete_where,
+            snapshot_drop_branch,
+            snapshot_drop_constraint,
             snapshot_fold_metadata,
-            snapshot_update_where,
-            snapshot_merge,
+            snapshot_publish,
             snapshot_read,
             snapshot_read_pruned,
+            snapshot_restore,
+            snapshot_set_constraint,
+            snapshot_update_where,
+            snapshot_merge,
             snapshot_vacuum,
             snapshot_write,
             versions,
@@ -1981,9 +2001,11 @@ class TestTableFormatModel:
         root = tempfile.mkdtemp(prefix="skr_prop_tbl_")
         try:
             next_id = 0
+            n_branches = 0
             view: dict[int, int] = {}  # the model: id -> val
             tombstoned: set[int] = set()  # deleted, never re-inserted
             history: dict[int, dict[int, int]] = {}  # version -> view
+            hist_tomb: dict[int, set[int]] = {}  # version -> tombstoned
 
             def df_of(rows):
                 return spark.createDataFrame(
@@ -2107,11 +2129,70 @@ class TestTableFormatModel:
                         k: (x + 1000000 if x % 3 == r else x)
                         for k, x in view.items()
                     }
+                elif kind == "restore":
+                    if not history:
+                        continue
+                    target = sorted(history)[seed % len(history)]
+                    v = snapshot_restore(root, target)
+                    view = dict(history[target])
+                    tombstoned = set(hist_tomb[target])
+                elif kind == "cluster":
+                    if not view:
+                        continue
+                    m = _read_manifest(root, latest_version(root))
+                    if m.get("partition_spec"):
+                        continue  # cluster refuses partitioned layouts
+                    v = snapshot_cluster(
+                        spark, root, ["id"], target_files=2
+                    )
+                elif kind == "wap_publish":
+                    if not view:
+                        continue
+                    name = f"b{n_branches}"
+                    n_branches += 1
+                    staged = {next_id + i: seed + i for i in range(n)}
+                    next_id += n
+                    snapshot_branch(root, name)
+                    snapshot_write(
+                        spark, df_of(staged), root, "append", branch=name
+                    )
+                    # main must not see staged rows pre-publish
+                    assert {
+                        r["id"] for r in snapshot_read(spark, root).collect()
+                    } == set(view)
+                    if seed % 3 == 0:  # abandon: staged rows never land
+                        snapshot_drop_branch(root, name)
+                        continue
+                    v = snapshot_publish(root, name)
+                    snapshot_drop_branch(root, name)
+                    view = {**view, **staged}
+                elif kind == "constraint_cycle":
+                    if not view:
+                        continue
+                    snapshot_set_constraint(
+                        spark, root, "fuzz_ok", "id >= 0"
+                    )
+                    before = latest_version(root)
+                    try:
+                        snapshot_write(
+                            spark,
+                            df_of({-(k + 1): x for k, x in view.items()}),
+                            root,
+                            "append",
+                        )
+                        raise AssertionError(
+                            "violating write accepted under fuzz_ok"
+                        )
+                    except ConstraintViolation:
+                        pass
+                    assert latest_version(root) == before
+                    v = snapshot_drop_constraint(root, "fuzz_ok")
                 else:  # compact
                     if not view:
                         continue
                     v = snapshot_compact(spark, root)
                 history[v] = dict(view)
+                hist_tomb[v] = set(tombstoned)
 
             for v, want in history.items():
                 got = {
