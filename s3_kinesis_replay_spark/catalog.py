@@ -325,6 +325,149 @@ def resolve_time_travel(spark: SparkSession, query: str) -> str:
     return re.sub(_TT_PATTERN, sub, query, flags=re.IGNORECASE)
 
 
+def _split_assignments(text: str) -> dict[str, str]:
+    """``SET a = x, b = f(y, z)`` → {a: 'x', b: 'f(y, z)'} — split on
+    top-level commas only (parens may nest; string literals may carry
+    commas)."""
+    parts: list[str] = []
+    depth = 0
+    in_str = False
+    cur = ""
+    for ch in text:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+                continue
+        cur += ch
+    parts.append(cur)
+    out: dict[str, str] = {}
+    for p in parts:
+        if "=" not in p:
+            raise ValueError(f"bad SET assignment: {p.strip()!r}")
+        col, expr = p.split("=", 1)
+        out[col.strip()] = expr.strip()
+    return out
+
+
+def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
+    """SQL DML over REGISTERED snapshot tables (r13) — the write half of
+    the catalog surface, the same textual pre-pass trick as
+    :func:`resolve_time_travel` (Delta ships these as parser
+    extensions; a temp-view catalog has no hook, so the engine
+    recognizes the four statements itself):
+
+    * ``DELETE FROM tbl WHERE <pred>``          → position MOR delete
+    * ``UPDATE tbl SET c = e, ... WHERE <pred>`` → atomic MOR update
+    * ``INSERT INTO tbl SELECT ...`` / ``VALUES ...`` → append commit
+    * ``MERGE INTO tbl USING (<query>) ON <key>`` → atomic upsert
+
+    Returns a one-row DataFrame (operation, target, version) and
+    RE-REGISTERS the view at the new snapshot so subsequent ``sql()``
+    reads see the committed state; returns None for anything else
+    (including these verbs on non-registered names — Spark then raises
+    its own error, rather than this layer guessing). Constraint
+    violations and commit conflicts propagate from the operators —
+    refused DML leaves the table untouched."""
+    import re
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    def done(op: str, name: str, root: str, version: int) -> DataFrame:
+        tf.snapshot_read(spark, root).createOrReplaceTempView(name)
+        return spark.createDataFrame(
+            [(op, name, version)],
+            "operation string, target string, version int",
+        )
+
+    m = re.fullmatch(
+        r"\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*",
+        query,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, pred = m.group(1), m.group(2)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        return done("delete", name, root, tf.snapshot_delete_where(spark, root, pred))
+
+    m = re.fullmatch(
+        r"\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*",
+        query,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, sets, pred = m.group(1), m.group(2), m.group(3)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        v = tf.snapshot_update_where(
+            spark, root, pred, _split_assignments(sets)
+        )
+        return done("update", name, root, v)
+
+    m = re.fullmatch(
+        r"\s*INSERT\s+INTO\s+(\w+)\s+((?:SELECT|VALUES|WITH|TABLE)\b.+?)\s*;?\s*",
+        query,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, src_sql = m.group(1), m.group(2)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        df = spark.sql(resolve_time_travel(spark, src_sql))
+        cols = tf._read_manifest(root, tf.latest_version(root)).get("schema")
+        if cols is not None:
+            from pyspark.sql import functions as F
+
+            names = [c for c, _t in cols]
+            types = dict(cols)
+            if src_sql.lstrip().upper().startswith("VALUES"):
+                # VALUES rows bind by POSITION (col1, col2, ... have no
+                # meaningful names) — arity-checked rename to the schema
+                if len(df.columns) != len(names):
+                    raise ValueError(
+                        f"INSERT VALUES arity {len(df.columns)} != table "
+                        f"width {len(names)} ({names})"
+                    )
+                df = df.toDF(*names)
+            # SQL assignment semantics: cast known columns to the
+            # table's recorded types (an INT literal inserts into a
+            # BIGINT column); columns beyond the schema ride as-is
+            # (add-column evolution, validated by the commit)
+            if set(names) <= set(df.columns):
+                df = df.select(
+                    *[F.col(c).cast(types[c]).alias(c) for c in names],
+                    *[c for c in df.columns if c not in types],
+                )
+        return done(
+            "insert", name, root, tf.snapshot_write(spark, df, root, "append")
+        )
+
+    m = re.fullmatch(
+        r"\s*MERGE\s+INTO\s+(\w+)\s+USING\s+\((.+)\)\s+ON\s+(\w+)\s*;?\s*",
+        query,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, src_sql, key = m.group(1), m.group(2), m.group(3)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        src = spark.sql(resolve_time_travel(spark, src_sql))
+        return done("merge", name, root, tf.snapshot_merge(spark, root, src, key))
+
+    return None
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True
 ) -> dict[str, DataFrame]:

@@ -299,9 +299,11 @@ def run_sql_cmd(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="skr-sql")
     spark.sparkContext.setLogLevel("ERROR")
     load_tables(spark, args.sf_dir, register_views=True)
+    df = None
     if args.snapshot_table:
         from s3_kinesis_replay_spark.catalog import (
             register_snapshot_table,
+            resolve_dml,
             resolve_time_travel,
         )
 
@@ -312,8 +314,13 @@ def run_sql_cmd(args: argparse.Namespace) -> int:
                 )
             name, root = spec.split("=", 1)
             register_snapshot_table(spark, name, root)
-        stmt = resolve_time_travel(spark, stmt)
-    df = spark.sql(stmt)
+        # DML statements on registered snapshot tables run through the
+        # table operators (atomic MOR commits)
+        df = resolve_dml(spark, stmt)
+        if df is None:
+            stmt = resolve_time_travel(spark, stmt)
+    if df is None:
+        df = spark.sql(stmt)
     if args.explain:
         print(df._jdf.queryExecution().executedPlan().toString())
         return 0

@@ -60,6 +60,14 @@ class Engine:
         if not self._views_registered:
             load_tables(self.spark, self.sf_dir, register_views=True)
             self._views_registered = True
+        from s3_kinesis_replay_spark.catalog import resolve_dml
+
+        # DML on registered snapshot tables executes through the table
+        # operators (atomic MOR commits) and returns (op, target,
+        # version); everything else is a read through Catalyst
+        dml = resolve_dml(self.spark, query)
+        if dml is not None:
+            return dml
         return self.spark.sql(resolve_time_travel(self.spark, query))
 
     def replay(self, cfg: ReplayConfig, client_factory, distributed: bool = False):

@@ -2324,3 +2324,107 @@ def a22_wap_branch_publish(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"),
         fdec(F.sum(sdec("value"))).alias("sum_value"),
     ).withColumn("published", F.lit(True))
+
+
+@register(
+    "a23_sql_dml",
+    "A8",
+    f"""
+    WITH inserted AS (
+      SELECT event_id, user_id, event_type, value FROM events
+    ),
+    after_delete AS (
+      SELECT * FROM inserted
+      WHERE NOT (event_type = 'click' AND user_id % 10 = 0)
+    ),
+    after_update AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'signup' THEN value * 2 ELSE value END
+               AS value
+      FROM after_delete
+    ),
+    after_merge AS (
+      SELECT event_id, user_id, event_type, value
+      FROM after_update WHERE event_id >= 50
+      UNION ALL
+      SELECT event_id, user_id, 'merged' AS event_type, -1.0 AS value
+      FROM events WHERE event_id < 50
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'merged') AS BIGINT)
+             AS n_merged
+    FROM after_merge
+    """,
+    note="SQL DML SURFACE over registered snapshot tables (r13 — the "
+    "write half of the a16 catalog surface; Delta ships these as "
+    "parser extensions, a temp-view catalog has no hook, so "
+    "catalog.resolve_dml recognizes the statements): ONE Engine drives "
+    "INSERT INTO ... SELECT (append commit, assignment-cast to the "
+    "recorded schema), DELETE ... WHERE (position MOR delete), UPDATE "
+    "... SET ... WHERE (atomic MOR update), and MERGE INTO ... USING "
+    "(...) ON key (atomic upsert) — each one atomic commit through the "
+    "table operators, each re-registering the view so the next "
+    "statement reads the committed state. The oracle replays the exact "
+    "four-statement sequence as CTE algebra over the source, so a DML "
+    "that hits the wrong rows, double-applies, breaks sequencing, or "
+    "leaks the refused path hash-mismatches. At 100 TB the costs are "
+    "the operators': O(batch) insert, O(matched) delete/update/merge, "
+    "zero table rewrites — 'switch your queries over' now includes the "
+    "writes.",
+)
+def a23_sql_dml(spark, sf_dir):
+    import tempfile
+
+    from s3_kinesis_replay_spark.engine import Engine
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="skr_dmltbl_")
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") < 5000), root, mode="overwrite"
+    )
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.register_snapshot_table("events_dml", root)
+    eng.sql(
+        "INSERT INTO events_dml "
+        "SELECT event_id, user_id, event_type, value FROM events "
+        "WHERE event_id >= 5000"
+    )
+    eng.sql(
+        "DELETE FROM events_dml "
+        "WHERE event_type = 'click' AND user_id % 10 = 0"
+    )
+    eng.sql(
+        "UPDATE events_dml SET value = value * 2 "
+        "WHERE event_type = 'signup'"
+    )
+    eng.sql(
+        "MERGE INTO events_dml USING ("
+        "SELECT event_id, user_id, 'merged' AS event_type, "
+        "CAST(-1.0 AS DOUBLE) AS value FROM events WHERE event_id < 50"
+        ") ON event_id"
+    )
+    ops = [
+        r["operation"]
+        for r in tf.snapshot_history(spark, root).collect()
+    ]
+    if ops != ["overwrite", "append", "pos_delete", "update", "merge"]:
+        raise RuntimeError(
+            f"a23 gate FAILED: expected one atomic commit per DML "
+            f"statement, got history {ops}"
+        )
+    return eng.sql(
+        f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6)
+                 AS sum_value,
+               CAST(COUNT(CASE WHEN event_type = 'merged' THEN 1 END)
+                 AS BIGINT) AS n_merged
+        FROM events_dml
+        """
+    )

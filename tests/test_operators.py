@@ -4945,3 +4945,92 @@ def test_snapshot_branches_write_audit_publish(spark, sf_dir, tmp_path):
     rep = tf.snapshot_vacuum(root, keep_last=1, min_age_s=0.0)
     assert rep["deleted_files"] > 0  # doomed's staged rows reaped
     assert tf.snapshot_read(spark, root).count() == n_all
+
+
+def test_register_snapshot_table_branch_view(spark, sf_dir, tmp_path):
+    """The audit-in-SQL step: a WAP branch head registers as an
+    ordinary view (branch= excludes version/as_of)."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark import catalog as cat
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id", "value")
+    tf.snapshot_write(spark, ev.limit(10), root, mode="overwrite")
+    tf.snapshot_branch(root, "audit")
+    tf.snapshot_write(
+        spark, ev.limit(25), root, mode="append", branch="audit"
+    )
+    cat.register_snapshot_table(spark, "wap_main", root)
+    cat.register_snapshot_table(spark, "wap_branch", root, branch="audit")
+    n = spark.sql(
+        "SELECT (SELECT COUNT(*) FROM wap_branch) - "
+        "(SELECT COUNT(*) FROM wap_main) AS staged"
+    ).collect()[0]["staged"]
+    assert n == 25
+    with _pytest.raises(ValueError, match="branch HEAD"):
+        cat.register_snapshot_table(
+            spark, "bad", root, version=1, branch="audit"
+        )
+
+
+def test_sql_dml_surface_semantics(spark, sf_dir, tmp_path):
+    """r13 SQL DML edges beyond the a23 entry: assignment splitting with
+    commas inside function calls, VALUES arity refusal, assignment
+    casts (INT literal into a BIGINT column), DML refusals propagating
+    atomically (constraint violation leaves the version untouched),
+    and view re-registration after each statement."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark import catalog as cat
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("a"), (F.col("id") % 7).cast("double").alias("b")
+    )
+    tf.snapshot_write(spark, df, root, mode="overwrite")
+    cat.register_snapshot_table(spark, "dml_sem", root)
+
+    # comma inside a function call must not split the assignment list
+    cat.resolve_dml(
+        spark,
+        "UPDATE dml_sem SET b = round(b + 0.123456, 2), a = a + 100 "
+        "WHERE a < 3",
+    )
+    got = {
+        r["a"]: r["b"]
+        for r in spark.table("dml_sem").filter("a >= 100").collect()
+    }
+    assert got == {100: 0.12, 101: 1.12, 102: 2.12}
+
+    # INT literals cast into the BIGINT/DOUBLE schema (SQL assignment)
+    cat.resolve_dml(spark, "INSERT INTO dml_sem VALUES (900, 1)")
+    assert spark.table("dml_sem").filter("a = 900").count() == 1
+    with _pytest.raises(ValueError, match="arity"):
+        cat.resolve_dml(spark, "INSERT INTO dml_sem VALUES (1, 2, 3)")
+
+    # a refused DML (constraint) leaves version AND view untouched
+    tf.snapshot_set_constraint(spark, root, "a_ok", "a >= 0")
+    v = tf.latest_version(root)
+    n = spark.table("dml_sem").count()
+    with _pytest.raises(tf.ConstraintViolation):
+        cat.resolve_dml(spark, "INSERT INTO dml_sem VALUES (-5, 0.0)")
+    assert tf.latest_version(root) == v
+    assert spark.table("dml_sem").count() == n
+
+    # merge key must exist in the source
+    with _pytest.raises(ValueError, match="no key column"):
+        cat.resolve_dml(
+            spark,
+            "MERGE INTO dml_sem USING (SELECT 1 AS wrong) ON a",
+        )
+
+    # DELETE re-registers: the next read through the VIEW sees it
+    cat.resolve_dml(spark, "DELETE FROM dml_sem WHERE a >= 900")
+    assert spark.table("dml_sem").filter("a >= 900").count() == 0
