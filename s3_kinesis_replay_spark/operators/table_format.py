@@ -691,11 +691,29 @@ def snapshot_write(
         root, [{**e, "stats": new_stats[e["path"]]} for e in partial]
     )
 
+    validated = {"cons": cons}
+
     def attempt() -> int:
         base = latest_version(root, branch)
         pm = None
         prior = _read_manifest(root, base, branch) if base > 0 else None
         schema = new_schema
+        # TOCTOU guard (review r13): a constraint added CONCURRENTLY
+        # (between the pre-write validation and this commit attempt)
+        # would otherwise be carried into a manifest whose own new rows
+        # were never checked against it — validate against the delta
+        # before committing under it.
+        prior_cons = (prior or {}).get("constraints") or {}
+        if prior_cons != validated["cons"]:
+            _enforce_constraints(
+                df.sparkSession.read.parquet(
+                    *[os.path.join(root, p) for p in new_files]
+                ),
+                prior_cons,
+                f"snapshot_write({mode}) into {root} (constraints "
+                "changed concurrently)",
+            )
+            validated["cons"] = prior_cons
         if mode == "append" and prior is not None:
             pm = prior
             # appending to a LEGACY (schema-less) lineage: the prior
@@ -1184,17 +1202,26 @@ def snapshot_changes(
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _is_num(x) -> bool:
+    return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+
 def _pv_in_range(val: str, lo, hi) -> bool:
     """Directory-encoded partition value vs [lo, hi] predicate. Values
-    arrive as strings (Hive layout); compare numerically when BOTH
-    sides parse as numbers, lexically otherwise, and keep NULL/
-    incomparable values as candidates (same conservatism as stats)."""
+    arrive as strings (Hive layout); the PREDICATE's python types pick
+    the comparison — numeric bounds compare numerically, string bounds
+    lexically. Deciding by whether the string value PARSES as a number
+    was a wrong-prune bug (review r13): a STRING column of digits
+    ('94107') with string bounds must compare lexically, yet parsed and
+    got numeric semantics. NULL/incomparable values stay candidates
+    (same conservatism as stats)."""
     if val == _HIVE_NULL:
         return True  # unknown: stays a candidate (reads resolve it)
-    try:
-        return float(lo) <= float(val) <= float(hi)
-    except (TypeError, ValueError):
-        pass
+    if _is_num(lo) and _is_num(hi):
+        try:
+            return lo <= float(val) <= hi
+        except ValueError:
+            return True  # non-numeric dir value vs numeric bounds
     try:
         return lo <= val <= hi
     except TypeError:
@@ -1229,11 +1256,15 @@ def _transform_value_matches(spec: str, val: str, lo, hi) -> bool:
         except (TypeError, ValueError):
             return True
     if kind == "truncate":
-        try:  # numeric form: file covers [T, T+W)
-            t = float(val)
-            return t <= float(hi) and t + p > float(lo)
-        except (TypeError, ValueError):
-            pass
+        # the PREDICATE's types pick numeric vs prefix semantics (review
+        # r13: a digit-string prefix like '941' must NOT be read as a
+        # numeric width-p bucket when the bounds are strings)
+        if _is_num(lo) and _is_num(hi):
+            try:  # numeric form: file covers [T, T+W)
+                t = float(val)
+                return t <= hi and t + p > lo
+            except ValueError:
+                return True
         try:  # string form: prefix truncation is monotone
             return str(lo)[:p] <= val <= str(hi)[:p]
         except TypeError:
@@ -1549,6 +1580,83 @@ def snapshot_delete(
     return snapshot_commit_retry(attempt, retries)
 
 
+def _delete_state_sig(m: dict) -> str:
+    """Fingerprint of a manifest's row-SUPPRESSION state (equality +
+    position delete segments/files). A predicate verb (delete-where /
+    update-where) computes its matched set against one snapshot; any
+    concurrent commit that changed which rows are suppressed (merge,
+    delete, another update, fold) makes that matched set stale in a way
+    file-liveness alone cannot see (review r13: a concurrent merge's
+    seq-scoped delete left all files live, yet the update's re-appended
+    copy escaped the merge's delete scope — duplicate key)."""
+    return json.dumps(
+        [
+            m.get("delete_segments"),
+            m.get("delete_files"),
+            m.get("delete_key"),
+            m.get("pos_delete_segments"),
+        ],
+        sort_keys=True,
+    )
+
+
+def _stage_position_deletes(
+    spark: SparkSession, root: str, matched: DataFrame, ents: list[dict]
+) -> tuple[set[str], list[str]]:
+    """Write ``matched`` rows' addresses as position-delete files;
+    returns (files the addresses name, written pdel paths). The named
+    set is a bounded driver fetch (<= #data files) and doubles as the
+    prefix-strip self-check: a root whose realpath disagrees with
+    Spark's reported file_path yields garbage relative paths and fails
+    containment LOUDLY here."""
+    addrs = matched.select(
+        F.col(_POS_FILE).alias("file_path"), F.col(_POS_IDX).alias("pos")
+    )
+    pdel_files = _write_data_files(addrs, root, prefix="pdel")
+    named = {
+        r["file_path"]
+        for r in spark.read.parquet(
+            *[os.path.join(root, p) for p in pdel_files]
+        )
+        .select("file_path")
+        .distinct()
+        .collect()
+    }
+    unknown = named - set(_paths(ents))
+    if unknown:
+        raise RuntimeError(
+            f"position-delete addresses name unknown files {unknown} — "
+            "file_path prefix strip failed (symlinked root?) or manifest "
+            "drift; refusing to commit a delete that cannot apply"
+        )
+    return named, pdel_files
+
+
+def _validate_predicate_commit(
+    root: str, base_m: dict, m2: dict, named: set[str], verb: str
+) -> None:
+    """Commit-time validation for predicate verbs: every addressed file
+    must still be live (compact/overwrite moved it = stale addresses),
+    AND the suppression state must be unchanged since the matched set
+    was computed (merge/delete/update landed = the predicate matched
+    rows that are no longer the live ones). Plain appends pass both —
+    they add files the predicate never saw and never suppress rows."""
+    live = set(_paths(_entries(m2, root)))
+    gone = named - live
+    if gone:
+        raise ValueError(
+            f"stale {verb}: files {sorted(gone)[:3]}... left the live "
+            "set (concurrent compact/overwrite) — recompute against the "
+            "current version"
+        )
+    if _delete_state_sig(m2) != _delete_state_sig(base_m):
+        raise ValueError(
+            f"stale {verb}: the table's delete state changed since the "
+            "predicate was computed (concurrent merge/delete/update/"
+            "fold) — recompute against the current version"
+        )
+
+
 def snapshot_delete_where(
     spark: SparkSession,
     root: str,
@@ -1587,50 +1695,18 @@ def snapshot_delete_where(
     if not ents:
         raise ValueError(f"snapshot v{base} is empty")
     cond = F.expr(condition) if isinstance(condition, str) else condition
-    matched = (
-        _assemble(spark, root, m, ents, with_positions=True)
-        .filter(cond)
-        .select(
-            F.col(_POS_FILE).alias("file_path"),
-            F.col(_POS_IDX).alias("pos"),
-        )
+    matched = _assemble(spark, root, m, ents, with_positions=True).filter(
+        cond
     )
-    pdel_files = _write_data_files(matched, root, prefix="pdel")
-    # the files the written addresses name — bounded driver fetch
-    # (<= #data files); doubles as the prefix-strip self-check: a root
-    # whose realpath disagrees with Spark's reported file_path yields
-    # garbage relative paths and fails containment LOUDLY here
-    named = {
-        r["file_path"]
-        for r in spark.read.parquet(
-            *[os.path.join(root, p) for p in pdel_files]
-        )
-        .select("file_path")
-        .distinct()
-        .collect()
-    }
+    named, pdel_files = _stage_position_deletes(spark, root, matched, ents)
     if not named:
         return base  # nothing matched: no commit (addresses reaped by vacuum)
-    unknown = named - set(_paths(ents))
-    if unknown:
-        raise RuntimeError(
-            f"position-delete addresses name unknown files {unknown} — "
-            "file_path prefix strip failed (symlinked root?) or manifest "
-            "drift; refusing to commit a delete that cannot apply"
-        )
     dseg = _write_segment(root, [{"path": p} for p in pdel_files])
 
     def attempt() -> int:
         b = latest_version(root)
         m2 = _read_manifest(root, b)
-        live = set(_paths(_entries(m2, root)))
-        gone = named - live
-        if gone:
-            raise ValueError(
-                f"stale position delete: files {sorted(gone)[:3]}... left "
-                "the live set (concurrent compact/overwrite/merge) — "
-                "recompute the delete against the current version"
-            )
+        _validate_predicate_commit(root, m, m2, named, "position delete")
         return _commit(
             root,
             b,
@@ -1692,40 +1768,30 @@ def snapshot_update_where(
     seg = _write_segment(
         root, [{"path": p, "stats": new_stats[p]} for p in new_files]
     )
-    addrs = matched.select(
-        F.col(_POS_FILE).alias("file_path"), F.col(_POS_IDX).alias("pos")
-    )
-    pdel_files = _write_data_files(addrs, root, prefix="pdel")
-    named = {
-        r["file_path"]
-        for r in spark.read.parquet(
-            *[os.path.join(root, p) for p in pdel_files]
-        )
-        .select("file_path")
-        .distinct()
-        .collect()
-    }  # bounded driver fetch (<= #data files); see snapshot_delete_where
+    named, pdel_files = _stage_position_deletes(spark, root, matched, ents)
     if not named:
         return base  # nothing matched (staged files reaped by vacuum)
-    unknown = named - set(_paths(ents))
-    if unknown:
-        raise RuntimeError(
-            f"update addresses name unknown files {unknown} — file_path "
-            "prefix strip failed or manifest drift; refusing"
-        )
     dseg = _write_segment(root, [{"path": p} for p in pdel_files])
     new_schema = _schema_of(updated)
+    validated = {"cons": m.get("constraints") or {}}
 
     def attempt() -> int:
         b = latest_version(root)
         m2 = _read_manifest(root, b)
-        gone = named - set(_paths(_entries(m2, root)))
-        if gone:
-            raise ValueError(
-                f"stale update: files {sorted(gone)[:3]}... left the live "
-                "set (concurrent compact/overwrite) — recompute against "
-                "the current version"
+        _validate_predicate_commit(root, m, m2, named, "update")
+        # TOCTOU guard: constraints added since the pre-commit
+        # validation must be checked before committing under them
+        cur_cons = m2.get("constraints") or {}
+        if cur_cons != validated["cons"]:
+            _enforce_constraints(
+                spark.read.parquet(
+                    *[os.path.join(root, p) for p in new_files]
+                ),
+                cur_cons,
+                f"snapshot_update_where on {root} (constraints changed "
+                "concurrently)",
             )
+            validated["cons"] = cur_cons
         return _commit(
             root,
             b,
@@ -1798,6 +1864,7 @@ def snapshot_merge(
     _enforce_constraints(
         written, table_constraints(root), f"snapshot_merge into {root}"
     )
+    validated = {"cons": table_constraints(root)}
     del_files = _write_data_files(
         written.select(key_col), root, prefix="del"
     )
@@ -1808,6 +1875,16 @@ def snapshot_merge(
         base = latest_version(root)
         m = _read_manifest(root, base)
         _validate_delete_key(m, key_col)
+        # TOCTOU guard: constraints added since the pre-commit
+        # validation must be checked before committing under them
+        cur_cons = m.get("constraints") or {}
+        if cur_cons != validated["cons"]:
+            _enforce_constraints(
+                written, cur_cons,
+                f"snapshot_merge into {root} (constraints changed "
+                "concurrently)",
+            )
+            validated["cons"] = cur_cons
         # merging into a LEGACY (schema-less) lineage: stay schema-less,
         # mirroring snapshot_write/commit_append_files (ADVICE r12 —
         # _merge_schema(None, new) would pin the SOURCE's schema over
@@ -1986,12 +2063,20 @@ def snapshot_auto_maintain(
     # compaction after the first fold
     if compact_at is not None:
         dels = _delete_entries(m, root)
-        if dels and len({d.get("seq") for d in dels}) >= compact_at:
+        # position-delete rent (review r13): every predicate verb adds
+        # one address FILE that each read unions + anti-joins — count
+        # the files (fold collapses descriptors, never files), so an
+        # update/delete-where ingest still triggers its compaction
+        pos_files = len(_pos_delete_entries(m, root))
+        if (
+            dels and len({d.get("seq") for d in dels}) >= compact_at
+        ) or pos_files >= compact_at:
             snapshot_compact(spark, root)
             return ["compact"]
     n_segs = (
         len(m.get("segments", []))
         + len(m.get("delete_segments", []))
+        + len(m.get("pos_delete_segments", []))
         + len(m.get("files", []))
         + len(m.get("delete_files", []))
     )
@@ -2022,11 +2107,25 @@ def snapshot_fold_metadata(root: str, retries: int = _COMMIT_RETRIES) -> int:
         m = _read_manifest(root, base)
         n_segs = len(m.get("segments", []))
         n_dsegs = len(m.get("delete_segments", []))
-        if n_segs <= 1 and n_dsegs <= 1 and not m.get("files"):
+        n_psegs = len(m.get("pos_delete_segments", []))
+        if (
+            n_segs <= 1
+            and n_dsegs <= 1
+            and n_psegs <= 1
+            and not m.get("files")
+        ):
             return base  # already folded
         seg = _write_segment(root, _entries(m, root))
         dels = _delete_entries(m, root)
         dseg = _write_segment(root, dels) if dels else None
+        # position-delete descriptors fold like the others (review r13:
+        # carrying them verbatim let a predicate-verb ingest grow its
+        # descriptor list forever); entries are file-identity scoped, so
+        # collapsing them into one segment is semantics-free
+        pos = _pos_delete_entries(m, root)
+        pos_carry = (
+            [{**_write_segment(root, pos), "seq": base + 1}] if pos else []
+        )
         return _commit(
             root,
             base,
@@ -2036,9 +2135,7 @@ def snapshot_fold_metadata(root: str, retries: int = _COMMIT_RETRIES) -> int:
             delete_key=m.get("delete_key") if dels else None,
             schema=m.get("schema"),
             partition_spec=m.get("partition_spec"),
-            # position-delete state rides through a fold verbatim
-            # (carry_from is None here; losing it would resurrect rows)
-            pos_delete_carry=m.get("pos_delete_segments", []),
+            pos_delete_carry=pos_carry,
             constraints=m.get("constraints"),
         )
 
@@ -2263,7 +2360,19 @@ def snapshot_publish(root: str, name: str) -> int:
         raise ValueError(f"no branch {name!r} under {root}")
     bm = _read_manifest(root, head, name)
     fork = bm.get("forked_from")
-    return _commit(
+    # The link-at-fork+1 exclusivity only proves no RETAINED manifest
+    # occupies the slot — after a vacuum dropped old versions, linking
+    # into the hole would "succeed" invisibly below the real head
+    # (review r13). Validate the head explicitly, then re-verify after
+    # the link in case a commit+vacuum interleaved with the check.
+    main_head = latest_version(root)
+    if main_head != fork:
+        raise CommitConflict(
+            f"main is at v{main_head}, branch {name!r} forked at "
+            f"v{fork} — main advanced since the fork; re-fork from the "
+            "current head and re-audit"
+        )
+    v = _commit(
         root,
         fork,
         "publish",
@@ -2272,6 +2381,17 @@ def snapshot_publish(root: str, name: str) -> int:
         partition_spec=bm.get("partition_spec"),
         delete_key=bm.get("delete_key"),
     )
+    if latest_version(root) != v:
+        # a racing commit landed AND a racing vacuum dropped the slot's
+        # predecessor between the check and the link: our manifest sits
+        # below the true head, invisible. Undo (nothing can have
+        # depended on it: it was never the head) and refuse honestly.
+        os.remove(_manifest_path(root, v))
+        raise CommitConflict(
+            f"publish of branch {name!r} raced a concurrent "
+            "commit+vacuum — re-fork and re-audit"
+        )
+    return v
 
 
 def snapshot_drop_branch(root: str, name: str) -> None:

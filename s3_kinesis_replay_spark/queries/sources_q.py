@@ -2183,6 +2183,20 @@ def a19b_zorder_pruning(spark, sf_dir):
     ).withColumn("zordered", F.lit(True))
 
 
+def _materialize_and_cleanup(spark, df, root: str):
+    """Collect a SMALL (aggregate-sized) result eagerly and remove the
+    live-build tempdir table behind it — the a21/a22/a23 entries build
+    a fresh table per run BY DESIGN (mutation/refusal semantics need
+    unshared state), and returning a lazy plan over those files would
+    leak one events copy per run forever (review r13). The collect is
+    bounded: every caller passes a single-row (or few-row) aggregate."""
+    import shutil
+
+    rows = df.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, df.schema)
+
+
 @register(
     "a21_check_constraints",
     "A8",
@@ -2250,12 +2264,16 @@ def a21_check_constraints(spark, sf_dir):
         spark, ev.filter(F.col("event_id") >= 5000), root, mode="append"
     )
     n_cons = len(tf.table_constraints(root))
-    return tf.snapshot_read(spark, root).agg(
+    out = tf.snapshot_read(spark, root).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
         fdec(F.sum(sdec("value"))).alias("sum_value"),
         F.lit(n_cons).cast("bigint").alias("n_constraints"),
     )
+    # live-build entry: materialize the one-row result so the tempdir
+    # table can be removed NOW instead of leaking one events copy per
+    # run (review r13) — the returned frame must outlive the files
+    return _materialize_and_cleanup(spark, out, root)
 
 
 @register(
@@ -2319,11 +2337,12 @@ def a22_wap_branch_publish(spark, sf_dir):
         )
     except tf.CommitConflict:
         pass
-    return tf.snapshot_read(spark, root).agg(
+    out = tf.snapshot_read(spark, root).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
         fdec(F.sum(sdec("value"))).alias("sum_value"),
     ).withColumn("published", F.lit(True))
+    return _materialize_and_cleanup(spark, out, root)
 
 
 @register(
@@ -2417,7 +2436,7 @@ def a23_sql_dml(spark, sf_dir):
             f"a23 gate FAILED: expected one atomic commit per DML "
             f"statement, got history {ops}"
         )
-    return eng.sql(
+    out = eng.sql(
         f"""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -2428,3 +2447,4 @@ def a23_sql_dml(spark, sf_dir):
         FROM events_dml
         """
     )
+    return _materialize_and_cleanup(spark, out, root)

@@ -214,6 +214,15 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
 
         lo, hi = start["version"], end["version"]
         parts: list[SnapshotFilePartition] = []
+
+        def add(rel_path: str) -> None:
+            parts.append(
+                SnapshotFilePartition(
+                    path=os.path.join(self.root, rel_path),
+                    arrow_schema=self._arrow_schema,
+                )
+            )
+
         for v in range(lo + 1, hi + 1):
             m = _read_manifest(self.root, v)
             op = m.get("operation")
@@ -225,18 +234,24 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                     f"non-append commit v{v} ({op}) under {self.root}: "
                     + _NONAPPEND_HELP
                 )
+            if initial and op != "append":
+                # the initial snapshot emits its FULL content — which
+                # for a legacy flat manifest lives in inline 'files'
+                # entries, not segments (review r13: walking segments
+                # only silently emitted zero rows for that form)
+                from s3_kinesis_replay_spark.operators.table_format import (
+                    _norm_entry,
+                )
+
+                for e in m.get("files", []):
+                    add(_norm_entry(e)["path"])
             for desc in m.get("segments", []):
                 if desc.get("seq") != v and not (
                     initial and op != "append"
                 ):
                     continue  # carried from an earlier commit
                 for e in _load_segment(self.root, desc):
-                    parts.append(
-                        SnapshotFilePartition(
-                            path=os.path.join(self.root, e["path"]),
-                            arrow_schema=self._arrow_schema,
-                        )
-                    )
+                    add(e["path"])
         return parts
 
     def read(self, partition):  # executor-side, stateless

@@ -1045,3 +1045,55 @@ def test_snapshot_table_stream_source_refusals(spark, tmp_path):
     json.dump(m, open(mp, "w"))
     with pytest.raises(Exception, match="no recorded schema"):
         spark.readStream.format("snapshot_table").option("root", root).load()
+
+
+def test_snapshot_stream_source_emits_legacy_inline_files(spark, tmp_path):
+    """Review r13: a legacy flat manifest (inline 'files' entries, no
+    segments) must emit its full content as the initial snapshot — the
+    segments-only walk silently emitted zero rows for that form."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    root = str(tmp_path / "legacy")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 40).select(F.col("id").alias("a")),
+        root,
+        mode="overwrite",
+    )
+    # rewrite v1 into the legacy FLAT form: inline files, no segments
+    m = tf._read_manifest(root, 1)
+    files = [e["path"] for e in tf._entries(m, root)]
+    flat = {
+        "version": 1,
+        "operation": "overwrite",
+        "committed_at": m["committed_at"],
+        "files": files,
+        "schema": m["schema"],
+    }
+    json.dump(flat, open(tf._manifest_path(root, 1), "w"))
+    for seg in glob.glob(os.path.join(root, "segments", "*")):
+        os.remove(seg)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    assert spark.read.parquet(out).count() == 40
