@@ -355,6 +355,10 @@ def run_table_cmd(args: argparse.Namespace) -> int:
     if args.verb == "tag":
         if not args.name:
             raise SystemExit("tag requires --name")
+        if args.version is not None and not args.version.isdigit():
+            raise SystemExit(
+                f"tag pins a version NUMBER, got {args.version!r}"
+            )
         pin = int(args.version) if args.version is not None else None
         v = tf.snapshot_tag(args.root, args.name, pin, replace=args.replace)
         print(json.dumps({"verb": "tag", "name": args.name, "version": v}))
@@ -378,6 +382,10 @@ def run_table_cmd(args: argparse.Namespace) -> int:
     if args.verb == "branch":
         if not args.name:
             raise SystemExit("branch requires --name")
+        if args.version is not None and not args.version.isdigit():
+            raise SystemExit(
+                f"branch forks at a version NUMBER, got {args.version!r}"
+            )
         at = int(args.version) if args.version is not None else None
         v = tf.snapshot_branch(args.root, args.name, at)
         print(json.dumps(
