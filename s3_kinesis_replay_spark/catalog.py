@@ -363,6 +363,8 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
     extensions; a temp-view catalog has no hook, so the engine
     recognizes the four statements itself):
 
+    * ``CREATE TABLE tbl LOCATION '<root>' AS <query>`` → genesis
+      commit + registration (refuses a non-empty root)
     * ``DELETE FROM tbl WHERE <pred>``          → position MOR delete
     * ``UPDATE tbl SET c = e, ... WHERE <pred>`` → atomic MOR update
     * ``INSERT INTO tbl SELECT ...`` / ``VALUES ...`` → append commit
@@ -383,6 +385,27 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
         tf.snapshot_read(spark, root).createOrReplaceTempView(name)
         return spark.createDataFrame(
             [(op, name, version)],
+            "operation string, target string, version int",
+        )
+
+    m = re.fullmatch(
+        r"\s*CREATE\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+(.+?)\s*;?\s*",
+        query,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, root, src_sql = m.group(1), m.group(2), m.group(3)
+        if tf.latest_version(root) > 0:
+            raise ValueError(
+                f"CREATE TABLE: {root} already holds snapshots "
+                f"(latest v{tf.latest_version(root)}) — INSERT INTO a "
+                "registered view, or point LOCATION at an empty dir"
+            )
+        df = spark.sql(resolve_time_travel(spark, src_sql))
+        v = tf.snapshot_write(spark, df, root, "overwrite")
+        register_snapshot_table(spark, name, root)
+        return spark.createDataFrame(
+            [("create", name, v)],
             "operation string, target string, version int",
         )
 

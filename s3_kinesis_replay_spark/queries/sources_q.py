@@ -2380,8 +2380,10 @@ def a22_wap_branch_publish(spark, sf_dir):
     "write half of the a16 catalog surface; Delta ships these as "
     "parser extensions, a temp-view catalog has no hook, so "
     "catalog.resolve_dml recognizes the statements): ONE Engine drives "
-    "INSERT INTO ... SELECT (append commit, assignment-cast to the "
-    "recorded schema), DELETE ... WHERE (position MOR delete), UPDATE "
+    "CREATE TABLE ... LOCATION ... AS SELECT (genesis commit + "
+    "registration), INSERT INTO ... SELECT (append commit, "
+    "assignment-cast to the recorded schema), DELETE ... WHERE "
+    "(position MOR delete), UPDATE "
     "... SET ... WHERE (atomic MOR update), and MERGE INTO ... USING "
     "(...) ON key (atomic upsert) — each one atomic commit through the "
     "table operators, each re-registering the view so the next "
@@ -2399,15 +2401,15 @@ def a23_sql_dml(spark, sf_dir):
     from s3_kinesis_replay_spark.engine import Engine
     from s3_kinesis_replay_spark.operators import table_format as tf
 
-    ev = t(spark, "events", sf_dir).select(
-        "event_id", "user_id", "event_type", "value"
-    )
     root = tempfile.mkdtemp(prefix="skr_dmltbl_")
-    tf.snapshot_write(
-        spark, ev.filter(F.col("event_id") < 5000), root, mode="overwrite"
-    )
     eng = Engine(spark, sf_dir=sf_dir)
-    eng.register_snapshot_table("events_dml", root)
+    # the full lifecycle starts in SQL too: CTAS = genesis commit +
+    # registration in one statement (refuses a non-empty LOCATION)
+    eng.sql(
+        f"CREATE TABLE events_dml LOCATION '{root}' AS "
+        "SELECT event_id, user_id, event_type, value FROM events "
+        "WHERE event_id < 5000"
+    )
     eng.sql(
         "INSERT INTO events_dml "
         "SELECT event_id, user_id, event_type, value FROM events "

@@ -5035,6 +5035,24 @@ def test_sql_dml_surface_semantics(spark, sf_dir, tmp_path):
     cat.resolve_dml(spark, "DELETE FROM dml_sem WHERE a >= 900")
     assert spark.table("dml_sem").filter("a >= 900").count() == 0
 
+    # CTAS: genesis commit + registration in one statement; a
+    # non-empty LOCATION refuses instead of clobbering
+    root2 = str(tmp_path / "ctas")
+    r = cat.resolve_dml(
+        spark,
+        f"CREATE TABLE dml_ctas LOCATION '{root2}' AS "
+        "SELECT a, b FROM dml_sem WHERE a < 10",
+    ).collect()[0]
+    assert r["operation"] == "create" and r["version"] == 1
+    # rows a<10 remaining after the earlier update moved {0,1,2} to 100+
+    assert spark.table("dml_ctas").count() == 7
+    assert tf.latest_version(root2) == 1
+    with _pytest.raises(ValueError, match="already holds"):
+        cat.resolve_dml(
+            spark,
+            f"CREATE TABLE again LOCATION '{root2}' AS SELECT 1 AS x",
+        )
+
 
 def test_r13_review_fixes(spark, sf_dir, tmp_path):
     """Regression pins for the round-13 review findings: (1) string
