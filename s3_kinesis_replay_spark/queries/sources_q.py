@@ -2450,3 +2450,53 @@ def a23_sql_dml(spark, sf_dir):
         """
     )
     return _materialize_and_cleanup(spark, out, root)
+
+
+def _orc_table(spark, sf_dir: str) -> str:
+    """Install (once, fingerprint-cached, atomic) an ORC copy of
+    lineitem — the other columnar format Spark ships a native
+    vectorized reader for."""
+    import os
+
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+
+    fp = data_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))[:10]
+
+    def build(tmp: str) -> None:
+        t(spark, "lineitem", sf_dir).write.mode("overwrite").orc(
+            os.path.join(tmp, "lineitem.orc")
+        )
+        open(os.path.join(tmp, "_done"), "w").write("1")
+
+    return atomic_cached_build("/tmp/skr_orctbl", f"{fp}-orc1", build, "_done")
+
+
+@register(
+    "a24_orc_scan",
+    "A1",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem "
+    "WHERE l_quantity > 45",
+    note="ORC scan (r13) — the second columnar format with a native "
+    "vectorized Spark reader, same pushdown discipline as the parquet "
+    "twin a1: the predicate and 4-column projection reach the OrcScan "
+    "(PushedFilters + narrowed ReadSchema), so at 100 TB an ORC lake "
+    "pays exactly the parquet economics — column pruning + predicate "
+    "skipping at the stripe level. The fixture is a staged ORC copy of "
+    "lineitem; the oracle recomputes from the parquet source, so a "
+    "lossy type mapping (decimal/timestamp width drift between the "
+    "formats) or a reader that drops rows hash-mismatches. Avro was "
+    "probed and is NOT in this container (external spark-avro jar) — "
+    "environmental, like the media codecs.",
+)
+def a24_orc_scan(spark, sf_dir):
+    import os
+
+    root = _orc_table(spark, sf_dir)
+    return (
+        spark.read.orc(os.path.join(root, "lineitem.orc"))
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
