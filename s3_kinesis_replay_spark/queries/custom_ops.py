@@ -984,3 +984,64 @@ def mm6_video_frame_sample(spark, sf_dir):
         sample_frames,
         "media_id long, frame_idx int, n_frames int, mean_luma double",
     ).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "t11_chunk_overlap",
+    "I7",
+    """
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, greatest(len(w)-1, 0), 24)) AS s
+      FROM words
+    )
+    SELECT doc_id, CAST(s/24 AS BIGINT) AS chunk_id,
+           array_to_string(w[s+1 : least(s+32, len(w))], ' ') AS chunk_text,
+           CAST(least(s+32, len(w)) - s AS BIGINT) AS n_tokens
+    FROM chunks ORDER BY doc_id, chunk_id
+    """,
+    note="DOCUMENT CHUNKING with overlap (r13) — the op every "
+    "context-window-bounded training pipeline runs between cleaning "
+    "and packing: each document becomes size-32-token windows at "
+    "stride 24 (8-token overlap so no span is ever split across a "
+    "chunk boundary unseen). Pure built-ins, zero Python in the row "
+    "path: split -> sequence(0, n-1, stride) -> posexplode -> "
+    "slice/array_join, all whole-stage codegen; output is one row per "
+    "(doc, chunk) with its exact token count, ready for i12's "
+    "token-budget shard packing downstream. The oracle recomputes the "
+    "same windows via generate_series + list slicing, so an "
+    "off-by-one in the stride walk, a dropped tail chunk, or overlap "
+    "drift hash-mismatches. At 100 TB: embarrassingly parallel per "
+    "document — no shuffle at all until a downstream groupBy; the "
+    "explode multiplies rows by ~n_tokens/stride, which is the "
+    "output's true size, not overhead.",
+)
+def t11_chunk_overlap(spark, sf_dir):
+    SIZE, STRIDE = 32, 24
+    docs = t(spark, "documents", sf_dir)
+    words = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    )
+    starts = words.select(
+        "doc_id",
+        "w",
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("w") - 1, F.lit(0)), F.lit(STRIDE)
+            )
+        ).alias("chunk_id", "s"),
+    )
+    return starts.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join(F.slice("w", F.col("s") + 1, SIZE), " ").alias(
+            "chunk_text"
+        ),
+        (F.least(F.col("s") + SIZE, F.size("w")) - F.col("s"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_id")
