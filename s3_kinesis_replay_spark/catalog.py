@@ -265,6 +265,9 @@ def resolve_time_travel(spark: SparkSession, query: str) -> str:
     tables into plain view references Spark SQL can parse:
 
     * ``tbl VERSION AS OF 3``                → temp view of snapshot v3
+    * ``tbl VERSION AS OF 'tag'``            → tagged snapshot (r13)
+    * ``tbl VERSION AS OF 'branch:b'``       → branch HEAD (r14 — the
+      WAP audit step from SQL; re-resolved per query, heads move)
     * ``tbl TIMESTAMP AS OF 1765432100.5``   → newest snapshot <= epoch
     * ``tbl TIMESTAMP AS OF '2026-08-15T12:00:00'`` → same, ISO (UTC)
 
@@ -303,6 +306,21 @@ def resolve_time_travel(spark: SparkSession, query: str) -> str:
         kind, spec = m.group("kind").upper(), m.group("spec")
         if kind == "VERSION":
             if spec.startswith("'"):
+                ref = spec[1:-1]
+                if ref.startswith("branch:"):
+                    # BRANCH HEAD read (r14, VERDICT item 5): WAP's
+                    # audit step from SQL — `tbl VERSION AS OF
+                    # 'branch:staging'` reads the branch lineage's
+                    # current head. Re-resolved per query (branch heads
+                    # move, unlike pinned snapshots), so the view is
+                    # re-registered each time.
+                    bname = ref[len("branch:"):]
+                    # ref names may carry dots/dashes; view names can't
+                    view = f"{name}__branch_" + re.sub(r"\W", "_", bname)
+                    snapshot_read(
+                        spark, root, branch=bname
+                    ).createOrReplaceTempView(view)
+                    return view
                 # quoted spec = a NAMED REF (Iceberg's VERSION AS OF
                 # 'tag' in Spark SQL, r13): resolve tag → version so the
                 # view name stays deterministic per pinned snapshot
@@ -310,7 +328,7 @@ def resolve_time_travel(spark: SparkSession, query: str) -> str:
                     resolve_ref,
                 )
 
-                v = resolve_ref(root, spec[1:-1])
+                v = resolve_ref(root, ref)
             else:
                 v = int(float(spec))
             view = f"{name}__v{v}"
@@ -369,6 +387,10 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
     * ``UPDATE tbl SET c = e, ... WHERE <pred>`` → atomic MOR update
     * ``INSERT INTO tbl SELECT ...`` / ``VALUES ...`` → append commit
     * ``MERGE INTO tbl USING (<query>) ON <key>`` → atomic upsert
+    * ``ALTER TABLE tbl ADD CONSTRAINT n CHECK (expr)`` /
+      ``DROP CONSTRAINT n`` → constraint metadata commits (r14)
+    * ``ALTER TABLE tbl ADD COLUMN c type`` → metadata-only schema
+      evolution (readers NULL-fill pre-evolution files; r14)
 
     Returns a one-row DataFrame (operation, target, version) and
     RE-REGISTERS the view at the new snapshot so subsequent ``sql()``
@@ -395,6 +417,17 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
     )
     if m:
         name, root, src_sql = m.group(1), m.group(2), m.group(3)
+        if name not in _SNAPSHOT_ROOTS and spark.catalog.tableExists(name):
+            # createOrReplaceTempView would silently SHADOW an existing
+            # non-snapshot view (e.g. the built-in `events` fixture) for
+            # every later query in the session (ADVICE r13) — refuse.
+            # Re-creating a name this module itself registered is fine:
+            # its previous root refused non-empty targets already.
+            raise ValueError(
+                f"CREATE TABLE: {name!r} already names a registered view "
+                "(a fixture table or other temp view) — pick another "
+                "name or drop the view first"
+            )
         if tf.latest_version(root) > 0:
             raise ValueError(
                 f"CREATE TABLE: {root} already holds snapshots "
@@ -487,6 +520,54 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
             return None
         src = spark.sql(resolve_time_travel(spark, src_sql))
         return done("merge", name, root, tf.snapshot_merge(spark, root, src, key))
+
+    # DDL verbs (r14, VERDICT item 4): constraint and column management
+    # from SQL, one atomic metadata commit per statement, view
+    # re-registered like every other verb here
+    m = re.fullmatch(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+        r"CHECK\s*\((.+)\)\s*;?\s*",
+        query,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, cname, expr = m.group(1), m.group(2), m.group(3).strip()
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        v = tf.snapshot_set_constraint(spark, root, cname, expr)
+        return done("add_constraint", name, root, v)
+
+    m = re.fullmatch(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    )
+    if m:
+        name, cname = m.group(1), m.group(2)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        return done(
+            "drop_constraint", name, root,
+            tf.snapshot_drop_constraint(root, cname),
+        )
+
+    m = re.fullmatch(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\(?\s*"
+        r"(\w+)\s+([A-Za-z_][A-Za-z0-9_,()<> ]*?)\s*\)?\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    )
+    if m:
+        name, col, dtype = m.group(1), m.group(2), m.group(3)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        return done(
+            "add_column", name, root,
+            tf.snapshot_add_column(spark, root, col, dtype),
+        )
 
     return None
 

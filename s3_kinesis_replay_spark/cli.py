@@ -145,7 +145,8 @@ def build_parser() -> argparse.ArgumentParser:
             "history", "read", "vacuum", "compact", "fold",
             "delete-where", "update", "tag", "tags", "drop-tag",
             "restore", "cluster", "set-constraint", "drop-constraint",
-            "constraints", "branch", "branches", "publish", "drop-branch",
+            "constraints", "add-column", "branch", "branches", "publish",
+            "drop-branch",
         ],
         help="history = one row per retained snapshot (metadata only); "
         "read = the table AS OF --version/--as-of (default latest); "
@@ -162,7 +163,10 @@ def build_parser() -> argparse.ArgumentParser:
         "(or a 2-column Morton key with --zorder) so manifest stats "
         "prune; set-constraint = add CHECK --name with --expr (validates "
         "existing data; writers then refuse violating batches); "
-        "drop-constraint = remove --name; constraints = list; branch = "
+        "drop-constraint = remove --name; constraints = list; "
+        "add-column = metadata-only schema evolution: append column "
+        "--name of --type (readers NULL-fill pre-evolution files); "
+        "branch = "
         "fork --name at --version (default latest) for write-audit-"
         "publish; branches = list; publish = fast-forward main to "
         "--name's head (refuses if main advanced since the fork); "
@@ -189,6 +193,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tb.add_argument(
         "--expr", help="set-constraint: SQL CHECK expression"
+    )
+    tb.add_argument(
+        "--type", dest="col_type",
+        help="add-column: the new column's SQL type, e.g. bigint",
     )
     tb.add_argument(
         "--branch", help="read: read a WAP branch's head instead of main"
@@ -431,6 +439,14 @@ def run_table_cmd(args: argparse.Namespace) -> int:
     if args.verb == "compact":
         v = tf.snapshot_compact(spark, args.root)
         print(json.dumps({"verb": "compact", "version": v}))
+        return 0
+    if args.verb == "add-column":
+        if not args.name or not args.col_type:
+            raise SystemExit("add-column requires --name and --type")
+        v = tf.snapshot_add_column(spark, args.root, args.name, args.col_type)
+        print(json.dumps(
+            {"verb": "add-column", "name": args.name, "version": v}
+        ))
         return 0
     if args.verb == "set-constraint":
         if not args.name or not args.expr:

@@ -173,7 +173,14 @@ def file_column_stats(file_path: str) -> dict[str, list]:
             if s is None or not s.has_min_max:
                 bad.add(col)
                 continue
-            lo, hi = s.min, s.max
+            try:
+                lo, hi = s.min, s.max
+            except Exception:
+                # pyarrow cannot decode stats for every physical type
+                # (e.g. decimal raises ArrowNotImplementedError, r14) —
+                # same conservative answer as stats-less: candidate
+                bad.add(col)
+                continue
             if not all(
                 isinstance(v, (int, float, str, bool))
                 and not (isinstance(v, float) and math.isnan(v))

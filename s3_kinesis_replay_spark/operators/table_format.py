@@ -115,6 +115,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 import uuid
 from collections.abc import Callable
@@ -976,6 +977,15 @@ def snapshot_read(
     WAP branch's lineage instead of main (the audit step). Raises
     FileNotFoundError for a vacuumed/unknown version."""
     if isinstance(version, str):
+        if branch is not None:
+            # tags pin MAIN versions only; branch numbering restarts at
+            # 1, so resolving a tag and reading that number out of a
+            # branch lineage would silently return an unrelated snapshot
+            # (ADVICE r13)
+            raise ValueError(
+                f"tag {version!r} cannot be combined with branch="
+                f"{branch!r} — tags pin main-lineage versions only"
+            )
         version = resolve_ref(root, version)
     v = latest_version(root, branch) if version is None else version
     m = _read_manifest(root, v, branch)
@@ -1487,6 +1497,8 @@ def snapshot_set_constraint(
         f"existing data in {root}",
     )
 
+    base0_paths = set(_paths(_entries(_read_manifest(root, base0), root)))
+
     def attempt() -> int:
         base = latest_version(root)
         m = _read_manifest(root, base)
@@ -1496,6 +1508,27 @@ def snapshot_set_constraint(
                 f"constraint {name!r} already exists with a different "
                 f"expression ({cons[name]!r}) — drop it first"
             )
+        if base != base0:
+            # Concurrent-writer race (VERDICT r13): a writer that landed
+            # in (base0, base] validated its batch against the
+            # constraints AT ITS BASE — which did not yet include this
+            # one — so its rows were never checked against ``expr``.
+            # Validate exactly the files that appeared since base0,
+            # read through _assemble so base's delete state applies
+            # (a row appended then deleted within the window is not a
+            # violation). O(delta) — the file diff IS the new data;
+            # rewritten files (update/merge) appear here too, old files
+            # are content-immutable, and deletes only remove rows.
+            delta = [
+                e for e in _entries(m, root)
+                if e["path"] not in base0_paths
+            ]
+            if delta:
+                _enforce_constraints(
+                    _assemble(spark, root, m, delta), {name: expr},
+                    f"data committed to {root} in v{base0 + 1}..v{base} "
+                    "(after the existing-data validation began)",
+                )
         cons[name] = expr
         return _commit(
             root, base, "set_constraint", carry_from=m,
@@ -1523,6 +1556,57 @@ def snapshot_drop_constraint(
         return _commit(
             root, base, "drop_constraint", carry_from=m,
             schema=m.get("schema"), constraints=cons,
+        )
+
+    return snapshot_commit_retry(attempt, retries)
+
+
+def snapshot_add_column(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    dtype: str,
+    retries: int = _COMMIT_RETRIES,
+) -> int:
+    """ALTER TABLE ... ADD COLUMN (Delta/Iceberg add-column evolution,
+    public design) as a METADATA-ONLY commit: extend the recorded
+    schema with ``name dtype``; zero data files are touched. Readers
+    pin the manifest schema, so files written before the evolution
+    NULL-fill the new column per file (one scan, no footer sweep —
+    the rule _read_files already applies); later writers may populate
+    it. The type is validated through Spark's DDL parser and recorded
+    as its canonical simpleString. Refuses: a column that already
+    exists (drop/rename don't exist — they would need rewrite or
+    name-mapping metadata), and a legacy schema-less lineage (nothing
+    recorded to extend — compact once to record a schema)."""
+    from pyspark.sql.types import DataType
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"bad column name {name!r}")
+    try:
+        canonical = DataType.fromDDL(dtype).simpleString()
+    except Exception as e:
+        raise ValueError(f"bad column type {dtype!r}: {e}") from None
+    if latest_version(root) == 0:
+        raise ValueError("cannot add a column to an empty table")
+
+    def attempt() -> int:
+        base = latest_version(root)
+        m = _read_manifest(root, base)
+        schema = m.get("schema")
+        if schema is None:
+            raise ValueError(
+                f"table {root} has no recorded schema (legacy lineage) "
+                "— compact/overwrite once before adding columns"
+            )
+        if any(c == name for c, _t in schema):
+            raise ValueError(
+                f"column {name!r} already exists "
+                f"({dict(schema)[name]}) — add-column is not idempotent"
+            )
+        return _commit(
+            root, base, "add_column", carry_from=m,
+            schema=[*schema, [name, canonical]],
         )
 
     return snapshot_commit_retry(attempt, retries)
@@ -2382,10 +2466,40 @@ def snapshot_publish(root: str, name: str) -> int:
         delete_key=bm.get("delete_key"),
     )
     if latest_version(root) != v:
-        # a racing commit landed AND a racing vacuum dropped the slot's
-        # predecessor between the check and the link: our manifest sits
-        # below the true head, invisible. Undo (nothing can have
-        # depended on it: it was never the head) and refuse honestly.
+        # Two races look identical from here (ADVICE r13) and need
+        # opposite answers:
+        #   (a) vacuum hole: a racing commit landed at v, more commits
+        #       advanced the head, a vacuum dropped the original v, and
+        #       our link landed in the hole — our manifest sits BELOW an
+        #       unrelated head, invisible; nothing was published.
+        #   (b) fast follower: our link at v succeeded first and a
+        #       concurrent writer then committed v+1 ON TOP of our
+        #       published manifest — the staged rows ARE published;
+        #       removing v would break time travel and make the advised
+        #       re-publish duplicate them.
+        # Distinguish by parentage: in (b) the successor's carry
+        # includes our branch head's segment descriptors (uuid-named,
+        # written by the branch writer — no unrelated commit can
+        # reference them); in (a) it carries the vacuumed original's.
+        succ_file = _manifest_path(root, v + 1)
+        if os.path.exists(succ_file):
+            succ = _read_manifest(root, v + 1)
+            if succ.get("base") == v:
+                ours = {d["path"] for d in bm.get("segments", [])}
+                theirs = {d["path"] for d in succ.get("segments", [])}
+                if ours and ours <= theirs:
+                    return v  # published; a later commit built on it
+                if not ours:
+                    # flat (inline-files) branch manifest: parentage
+                    # shows as our file paths carried into the successor
+                    of = {e["path"] for e in bm.get("files", [])}
+                    if of and of <= {
+                        e["path"] for e in _entries(succ, root)
+                    }:
+                        return v
+        # unproven parentage (vacuum hole, or a successor that replaced
+        # content wholesale): undo and refuse honestly — nothing
+        # retained depends on our manifest.
         os.remove(_manifest_path(root, v))
         raise CommitConflict(
             f"publish of branch {name!r} raced a concurrent "

@@ -2500,3 +2500,204 @@ def a24_orc_scan(spark, sf_dir):
         .filter(F.col("l_quantity") > 45)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     )
+
+
+@register(
+    "a25_sql_ddl",
+    "A8",
+    f"""
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value FROM events
+      WHERE event_id < 8000
+    ),
+    ins1 AS (
+      SELECT event_id, user_id, event_type, value FROM events
+      WHERE event_id >= 8000
+    ),
+    pre_evolution AS (
+      SELECT * FROM base UNION ALL SELECT * FROM ins1
+    ),
+    ins2 AS (
+      SELECT event_id + 1000000 AS event_id, user_id,
+             'ddl' AS event_type, value, 0.5 AS quality
+      FROM events WHERE event_id < 100
+    ),
+    ins3 AS (
+      SELECT CAST(-1 AS BIGINT) AS event_id, CAST(0 AS BIGINT) AS user_id,
+             'neg' AS event_type, CAST(0.0 AS DOUBLE) AS value,
+             CAST(NULL AS DOUBLE) AS quality
+    ),
+    final AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(NULL AS DOUBLE) AS quality
+      FROM pre_evolution
+      UNION ALL SELECT * FROM ins2
+      UNION ALL SELECT * FROM ins3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value,
+           CAST(COUNT(quality) AS BIGINT) AS n_quality,
+           CAST(COUNT(CASE WHEN event_id < 0 THEN 1 END) AS BIGINT) AS n_neg
+    FROM final
+    """,
+    note="SQL DDL SURFACE (r14, VERDICT item 4 — Delta's ALTER TABLE "
+    "verbs as public design): catalog.resolve_dml adds ALTER TABLE ... "
+    "ADD CONSTRAINT name CHECK (expr) / DROP CONSTRAINT name (driving "
+    "snapshot_set_constraint / snapshot_drop_constraint) and ALTER "
+    "TABLE ... ADD COLUMN c type (snapshot_add_column: METADATA-ONLY "
+    "schema evolution — zero data files touched; readers pin the "
+    "manifest schema and NULL-fill pre-evolution files per file). One "
+    "Engine drives the whole lifecycle in SQL: CTAS, ADD CONSTRAINT, a "
+    "violating INSERT refused ATOMICALLY (gate: version unchanged), a "
+    "valid INSERT, ADD COLUMN, an INSERT populating the new column, "
+    "DROP CONSTRAINT, and an INSERT the dropped constraint would have "
+    "refused. The gate asserts exactly one atomic commit per statement "
+    "(history op sequence pinned); the oracle replays the sequence as "
+    "CTE algebra over the source, so enforcement that admits/drops the "
+    "wrong rows, an evolution that loses or mistypes the column, or a "
+    "drop that fails to release hash-mismatches. At 100 TB: every DDL "
+    "here is O(metadata) — constraint validation of existing data is "
+    "the one O(table) scan (same as Delta), enforcement afterwards is "
+    "O(batch) per write, and add-column rewrites nothing.",
+)
+def a25_sql_ddl(spark, sf_dir):
+    import tempfile
+
+    from s3_kinesis_replay_spark.engine import Engine
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = tempfile.mkdtemp(prefix="skr_ddltbl_")
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.sql(
+        f"CREATE TABLE events_ddl LOCATION '{root}' AS "
+        "SELECT event_id, user_id, event_type, value FROM events "
+        "WHERE event_id < 8000"
+    )
+    eng.sql(
+        "ALTER TABLE events_ddl ADD CONSTRAINT eid_ok CHECK (event_id >= 0)"
+    )
+    v_before = tf.latest_version(root)
+    try:
+        eng.sql("INSERT INTO events_ddl VALUES (-5, 0, 'bad', 1.0)")
+        raise RuntimeError(
+            "a25 gate FAILED: constraint-violating INSERT was accepted"
+        )
+    except tf.ConstraintViolation:
+        pass
+    if tf.latest_version(root) != v_before:
+        raise RuntimeError(
+            "a25 gate FAILED: refused INSERT still advanced the version"
+        )
+    eng.sql(
+        "INSERT INTO events_ddl "
+        "SELECT event_id, user_id, event_type, value FROM events "
+        "WHERE event_id >= 8000"
+    )
+    eng.sql("ALTER TABLE events_ddl ADD COLUMN quality double")
+    eng.sql(
+        "INSERT INTO events_ddl "
+        "SELECT event_id + 1000000 AS event_id, user_id, "
+        "'ddl' AS event_type, value, CAST(0.5 AS DOUBLE) AS quality "
+        "FROM events WHERE event_id < 100"
+    )
+    eng.sql("ALTER TABLE events_ddl DROP CONSTRAINT eid_ok")
+    eng.sql("INSERT INTO events_ddl VALUES (-1, 0, 'neg', 0.0, NULL)")
+    ops = [
+        r["operation"]
+        for r in tf.snapshot_history(spark, root).collect()
+    ]
+    if ops != [
+        "overwrite", "set_constraint", "append", "add_column",
+        "append", "drop_constraint", "append",
+    ]:
+        raise RuntimeError(
+            f"a25 gate FAILED: expected one atomic commit per "
+            f"statement, got history {ops}"
+        )
+    out = eng.sql(
+        f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6)
+                 AS sum_value,
+               CAST(COUNT(quality) AS BIGINT) AS n_quality,
+               CAST(COUNT(CASE WHEN event_id < 0 THEN 1 END) AS BIGINT)
+                 AS n_neg
+        FROM events_ddl
+        """
+    )
+    return _materialize_and_cleanup(spark, out, root)
+
+
+@register(
+    "a22b_branch_sql_read",
+    "A8",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value,
+           TRUE AS audited_in_sql
+    FROM events
+    """,
+    note="BRANCH-AWARE SQL READS (r14, VERDICT item 5 — Iceberg's "
+    "branch refs in SQL, public design): resolve_time_travel adds "
+    "`tbl VERSION AS OF 'branch:<name>'`, resolving the WAP branch's "
+    "CURRENT head through the ordinary snapshot read and re-registered "
+    "per query (branch heads move, unlike pinned snapshots) — so the "
+    "AUDIT step of write-audit-publish is plain SQL: stage on a "
+    "branch, run validation queries against `VERSION AS OF "
+    "'branch:staging'`, publish only when they pass. The gate asserts "
+    "the branch read sees staged+main rows while the MAIN view still "
+    "reads pre-stage state (isolation both ways), audits in SQL, then "
+    "publishes; the oracle recomputes the published state from source, "
+    "so a branch read that leaks into main, misses staged rows, or a "
+    "publish that diverges from what was audited hash-mismatches. The "
+    "CLI twin is `table read --root R --branch B`. At 100 TB the "
+    "audit costs exactly a snapshot read of the branch head — zero "
+    "data copies, same files, different manifest lineage.",
+)
+def a22b_branch_sql_read(spark, sf_dir):
+    import tempfile
+
+    from s3_kinesis_replay_spark.engine import Engine
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = tempfile.mkdtemp(prefix="skr_wapsql_")
+    eng = Engine(spark, sf_dir=sf_dir)
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    lo = ev.filter(F.col("event_id") % 2 == 0)
+    hi = ev.filter(F.col("event_id") % 2 == 1)
+    tf.snapshot_write(spark, lo, root, mode="overwrite")
+    eng.register_snapshot_table("events_wap", root)
+    n_lo = eng.sql("SELECT COUNT(*) AS n FROM events_wap").collect()[0]["n"]
+    tf.snapshot_branch(root, "staging")
+    tf.snapshot_write(spark, hi, root, mode="append", branch="staging")
+    # the AUDIT, in SQL: branch head sees staged + main rows ...
+    n_branch = eng.sql(
+        "SELECT COUNT(*) AS n FROM events_wap VERSION AS OF "
+        "'branch:staging'"
+    ).collect()[0]["n"]
+    # ... while the registered main view still reads pre-stage state
+    n_main = eng.sql("SELECT COUNT(*) AS n FROM events_wap").collect()[0]["n"]
+    n_all = ev.count()
+    if n_branch != n_all or n_main != n_lo:
+        raise RuntimeError(
+            f"a22b gate FAILED: branch/main isolation broken "
+            f"(branch={n_branch}, main={n_main}, lo={n_lo}, all={n_all})"
+        )
+    tf.snapshot_publish(root, "staging")
+    eng.register_snapshot_table("events_wap", root)  # published head
+    out = eng.sql(
+        f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6)
+                 AS sum_value,
+               TRUE AS audited_in_sql
+        FROM events_wap
+        """
+    )
+    return _materialize_and_cleanup(spark, out, root)

@@ -16,10 +16,21 @@ Semantics, matching the public Delta source rules:
 * APPEND commits stream naturally: the new segment's files are new rows.
 * The FIRST consumed version is the initial snapshot (Delta's
   ``startingVersion`` behavior): its full content is emitted even
-  though the commit op is ``overwrite``/``cluster``/... .
-* Any LATER non-append commit (overwrite, compact, cluster, delete,
-  merge, restore, fold) makes "new rows since" ill-defined at file
-  granularity — the source FAILS with a clear error unless
+  though the commit op is ``overwrite``/``cluster``/... . If that
+  manifest carries MOR delete state (delete/pos-delete files), the
+  source REFUSES (r14): raw file emission cannot apply deletes, so
+  it would re-emit deleted and replaced rows — compact first, or
+  start at/after a compaction.
+* METADATA-ONLY commits (set_constraint / drop_constraint /
+  add_column / fold — same data entries, same delete state as their
+  base) stream through silently (r14): they change no visible rows,
+  so there is nothing to emit and nothing to refuse. (A column added
+  mid-stream appears after a stream restart — the query's schema is
+  fixed at start, Delta's rule too.)
+* Any LATER non-append commit that CHANGES the row set (overwrite,
+  compact, cluster, delete, merge, restore) makes "new rows since"
+  ill-defined at file granularity — the source FAILS with a clear
+  error unless
   ``skip_changes=true``, which skips that commit's file additions
   entirely (the honest subset of Delta's ``ignoreChanges``: already-
   emitted rows are never retracted, rewritten copies are not re-emitted,
@@ -63,6 +74,36 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
+
+def _metadata_only(root: str, m: dict, v: int) -> bool:
+    """True when commit v changed NO visible rows relative to v-1: same
+    data-entry paths, same delete and position-delete state. Covers
+    set_constraint/drop_constraint/add_column (carry verbatim) and fold
+    (rewrites descriptors, entries identical). Conservative: if v-1 was
+    vacuumed, answer False (the caller's loud non-append rule then
+    applies)."""
+    from s3_kinesis_replay_spark.operators.table_format import (
+        _delete_entries,
+        _entries,
+        _paths,
+        _pos_delete_entries,
+        _read_manifest,
+    )
+
+    try:
+        prev = _read_manifest(root, v - 1)
+    except (FileNotFoundError, OSError):
+        return False
+
+    def key(mm: dict):
+        return (
+            sorted(_paths(_entries(mm, root))),
+            sorted(_paths(_delete_entries(mm, root))),
+            sorted(_paths(_pos_delete_entries(mm, root))),
+        )
+
+    return key(m) == key(prev)
+
 
 _NONAPPEND_HELP = (
     "file-granularity streaming cannot express a rewrite — restart from "
@@ -228,6 +269,13 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
             op = m.get("operation")
             initial = v == self.starting + 1
             if op != "append" and not initial:
+                if _metadata_only(self.root, m, v):
+                    # set_constraint / drop_constraint / add_column /
+                    # fold: the visible row set is untouched (same data
+                    # entries, same delete state) — nothing to emit,
+                    # nothing to refuse (r14; Delta's source likewise
+                    # streams through metadata-only commits)
+                    continue
                 if self.skip_changes:
                     continue
                 raise ValueError(
@@ -235,6 +283,24 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                     + _NONAPPEND_HELP
                 )
             if initial and op != "append":
+                if (
+                    m.get("delete_files")
+                    or m.get("delete_segments")
+                    or m.get("pos_delete_segments")
+                ):
+                    # ADVICE r13: raw file emission ignores MOR delete
+                    # state, so an initial snapshot whose manifest
+                    # carries delete/pos-delete files would re-emit
+                    # deleted and replaced rows (duplicate keys
+                    # downstream). Mirror the loud non-append rule.
+                    raise ValueError(
+                        f"initial snapshot v{v} ({op}) under "
+                        f"{self.root} carries merge-on-read delete "
+                        "state — raw file emission would re-emit "
+                        "deleted/replaced rows; snapshot_compact the "
+                        "table (folds deletes into data files) or pick "
+                        "a starting_version at/after a compaction"
+                    )
                 # the initial snapshot emits its FULL content — which
                 # for a legacy flat manifest lives in inline 'files'
                 # entries, not segments (review r13: walking segments

@@ -4872,6 +4872,93 @@ def test_snapshot_check_constraints(spark, sf_dir, tmp_path):
     )
 
 
+def test_set_constraint_vs_concurrent_append_race(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """set_constraint's own TOCTOU (VERDICT r13): a writer that appends
+    VIOLATING rows after set_constraint validated existing data but
+    before its commit was never checked against the new expr (the
+    writer's base had no constraint, so its own enforcement was inert).
+    attempt() must re-validate the (base0, base] file delta and refuse —
+    otherwise the table lands in instant violation of its own CHECK.
+    The delta validation reads through _assemble: a row appended AND
+    deleted inside the window is not a violation (second leg)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    ev = table(spark, "events", sf_dir).select("event_id", "value")
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") < 100), root, "overwrite"
+    )
+
+    orig = tf._enforce_constraints
+    fired: list[int] = []
+
+    def race_enforce(df, cons, ctx):
+        orig(df, cons, ctx)
+        if not fired:
+            fired.append(1)
+            # violating append lands inside set_constraint's window; its
+            # own enforcement sees no constraint at its base and passes
+            tf.snapshot_write(
+                spark,
+                ev.filter(F.col("event_id").between(100, 199)),
+                root,
+                "append",
+            )
+
+    monkeypatch.setattr(tf, "_enforce_constraints", race_enforce)
+    with _pytest.raises(tf.ConstraintViolation, match=r"v2\.\.v2"):
+        tf.snapshot_set_constraint(spark, root, "small_ids", "event_id < 100")
+    monkeypatch.undo()
+
+    # refusal committed NOTHING beyond the racer's append: head is the
+    # append, constraint-free
+    assert tf.latest_version(root) == 2
+    assert tf.table_constraints(root) == {}
+    assert tf.snapshot_read(spark, root).count() == 200
+
+    # second leg: rows that violate but were DELETED inside the window
+    # are invisible at base — the delta validation must NOT refuse them.
+    # First heal the table (drop leg one's racer rows) so the initial
+    # validation passes again ...
+    keys_100_199 = spark.range(100, 200).select(F.col("id").alias("event_id"))
+    tf.snapshot_delete(spark, root, keys_100_199, "event_id")  # v3
+    fired.clear()
+
+    def race_append_then_delete(df, cons, ctx):
+        orig(df, cons, ctx)
+        if not fired:
+            fired.append(1)
+            # ... then inside the window: violating append AND its undo
+            tf.snapshot_write(
+                spark,
+                ev.filter(F.col("event_id").between(100, 199)),
+                root,
+                "append",
+            )  # v4
+            tf.snapshot_delete(spark, root, keys_100_199, "event_id")  # v5
+
+    monkeypatch.setattr(tf, "_enforce_constraints", race_append_then_delete)
+    v = tf.snapshot_set_constraint(spark, root, "small_ids", "event_id < 100")
+    monkeypatch.undo()
+    assert list(tf.table_constraints(root)) == ["small_ids"]
+    assert tf._read_manifest(root, v)["operation"] == "set_constraint"
+    # enforcement is live from v on
+    with _pytest.raises(tf.ConstraintViolation):
+        tf.snapshot_write(
+            spark,
+            ev.filter(F.col("event_id").between(300, 310)),
+            root,
+            "append",
+        )
+
+
 def test_snapshot_branches_write_audit_publish(spark, sf_dir, tmp_path):
     """r13 WAP branches: branch writes are invisible to main, auditable
     by branch read, published as ONE metadata-only fast-forward whose
@@ -5165,3 +5252,242 @@ def test_r13_review_fixes(spark, sf_dir, tmp_path):
     m4 = tf._read_manifest(root4, tf.latest_version(root4))
     assert not m4.get("pos_delete_segments")
     assert tf.snapshot_read(spark, root4).count() == 27
+
+
+def test_r14_advice_fixes(spark, sf_dir, tmp_path, monkeypatch):
+    """Regression pins for the round-13 ADVICE findings: (1) a publish
+    whose manifest a FAST FOLLOWER already built on is a SUCCESS, not a
+    vacuum-hole conflict — removing it would break time travel and make
+    the advised re-publish duplicate the staged rows; (2) a link into a
+    genuine vacuum hole below an unrelated head still refuses, even
+    when a successor manifest with base==v exists (it carries the
+    vacuumed original's segments, not ours); (3) tag + branch reads are
+    refused (tags pin MAIN versions; branch numbering restarts)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    def ids(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("a"))
+
+    # (1) fast follower: commit lands ON TOP of the published manifest
+    root = str(tmp_path / "wap_fast")
+    tf.snapshot_write(spark, ids(0, 10), root, "overwrite")  # v1
+    tf.snapshot_branch(root, "b")
+    tf.snapshot_write(spark, ids(10, 15), root, "append", branch="b")
+
+    orig_commit = tf._commit
+    fired: list[int] = []
+
+    def commit_then_follow(*args, **kwargs):
+        v = orig_commit(*args, **kwargs)
+        if args[2] == "publish" and not fired:
+            fired.append(1)
+            # the follower appends on top of the just-linked publish,
+            # inside snapshot_publish's post-link verification window
+            tf.snapshot_write(spark, ids(100, 103), root, "append")
+        return v
+
+    monkeypatch.setattr(tf, "_commit", commit_then_follow)
+    v = tf.snapshot_publish(root, "b")
+    monkeypatch.undo()
+    assert v == 2 and fired
+    assert tf.latest_version(root) == 3
+    assert tf._read_manifest(root, 3)["base"] == 2
+    # staged rows visible at head exactly once; time travel to the
+    # published version intact
+    assert sorted(
+        r["a"] for r in tf.snapshot_read(spark, root).collect()
+    ) == list(range(15)) + [100, 101, 102]
+    assert tf.snapshot_read(spark, root, 2).count() == 15
+
+    # (2) genuine vacuum hole WITH a deceptive successor (base == v but
+    # unrelated content): still refuses, nothing linked
+    root2 = str(tmp_path / "wap_hole")
+    tf.snapshot_write(spark, ids(0, 10), root2, "overwrite")  # v1
+    tf.snapshot_branch(root2, "b")
+    tf.snapshot_write(spark, ids(10, 15), root2, "append", branch="b")
+    fired.clear()
+
+    def race_then_commit(*args, **kwargs):
+        if args[2] == "publish" and not fired:
+            fired.append(1)
+            # between publish's head check and its link: a racing
+            # writer advances main to v5, then vacuum drops v1..v2 —
+            # the slot at fork+1 = 2 becomes a hole BELOW head 5, and
+            # the retained v3 (base == 2) descends from the vacuumed
+            # original, not from the branch
+            for i in range(4):
+                tf.snapshot_write(spark, ids(200 + i, 201 + i), root2, "append")
+            tf.snapshot_vacuum(root2, keep_last=3, min_age_s=0.0)
+        return orig_commit(*args, **kwargs)
+
+    monkeypatch.setattr(tf, "_commit", race_then_commit)
+    with _pytest.raises(tf.CommitConflict, match="commit\\+vacuum"):
+        tf.snapshot_publish(root2, "b")
+    monkeypatch.undo()
+    assert tf.latest_version(root2) == 5
+    assert 2 not in tf.versions(root2)  # hole NOT silently filled
+    succ = tf._read_manifest(root2, 3)
+    assert succ["base"] == 2  # the deceptive successor really existed
+
+    # (3) tag + branch refuses
+    root3 = str(tmp_path / "tagbr")
+    tf.snapshot_write(spark, ids(0, 5), root3, "overwrite")
+    tf.snapshot_tag(root3, "pinned")
+    tf.snapshot_branch(root3, "b")
+    with _pytest.raises(ValueError, match="main-lineage"):
+        tf.snapshot_read(spark, root3, "pinned", branch="b")
+
+
+def test_create_table_refuses_shadowing_existing_view(spark, sf_dir, tmp_path):
+    """ADVICE r13: CREATE TABLE ... LOCATION used createOrReplaceTempView
+    with no collision check, so `CREATE TABLE events ...` silently
+    shadowed the built-in `events` fixture for every later query in the
+    session. It must refuse; re-creating a name this module itself
+    registered stays allowed (its target-empty check still applies)."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark import catalog as cat
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    cat.load_tables(spark, sf_dir, register_views=True)
+    before_cols = spark.table("events").columns
+    root = str(tmp_path / "shadow")
+    with _pytest.raises(ValueError, match="already names a registered view"):
+        cat.resolve_dml(
+            spark, f"CREATE TABLE events LOCATION '{root}' AS SELECT 1 AS x"
+        )
+    assert spark.table("events").columns == before_cols  # not shadowed
+    assert tf.latest_version(root) == 0  # nothing written either
+
+    # a snapshot-registered name may be re-created at a fresh location
+    r1 = str(tmp_path / "ct1")
+    cat.resolve_dml(
+        spark, f"CREATE TABLE r14_ct LOCATION '{r1}' AS SELECT 1 AS x"
+    )
+    r2 = str(tmp_path / "ct2")
+    out = cat.resolve_dml(
+        spark, f"CREATE TABLE r14_ct LOCATION '{r2}' AS SELECT 2 AS x"
+    ).collect()[0]
+    assert out["operation"] == "create"
+    assert spark.table("r14_ct").collect()[0]["x"] == 2
+
+
+def test_snapshot_add_column_and_sql_ddl(spark, sf_dir, tmp_path):
+    """r14 DDL surface: snapshot_add_column is metadata-only (no data
+    files touched), readers NULL-fill pre-evolution files, later
+    writers populate; refusals for dup column, bad type, bad name,
+    legacy schema-less lineage; ALTER TABLE verbs drive it (and the
+    constraint ops) from SQL with view re-registration."""
+    import glob
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark import catalog as cat
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 10).select(F.col("id").alias("a")),
+        root,
+        mode="overwrite",
+    )
+    files_before = sorted(glob.glob(root + "/data/**/*.parquet", recursive=True))
+    v = tf.snapshot_add_column(spark, root, "b", "decimal(12,2)")
+    assert v == 2
+    # metadata-only: the exact same data files, NULL-filled new column
+    assert sorted(glob.glob(root + "/data/**/*.parquet", recursive=True)) == files_before
+    got = tf.snapshot_read(spark, root)
+    assert got.schema["b"].dataType.simpleString() == "decimal(12,2)"
+    assert got.filter(F.col("b").isNull()).count() == 10
+    # a later writer populates it; old files still NULL-fill
+    tf.snapshot_write(
+        spark,
+        spark.range(10, 12).select(
+            F.col("id").alias("a"), F.lit(1.5).cast("decimal(12,2)").alias("b")
+        ),
+        root,
+        mode="append",
+    )
+    got = tf.snapshot_read(spark, root)
+    assert got.count() == 12 and got.filter("b IS NOT NULL").count() == 2
+
+    with _pytest.raises(ValueError, match="already exists"):
+        tf.snapshot_add_column(spark, root, "b", "double")
+    with _pytest.raises(ValueError, match="bad column type"):
+        tf.snapshot_add_column(spark, root, "c", "not_a_type")
+    with _pytest.raises(ValueError, match="bad column name"):
+        tf.snapshot_add_column(spark, root, "c;drop", "double")
+
+    # SQL verbs: ADD COLUMN / ADD CONSTRAINT / DROP CONSTRAINT — one
+    # commit each, view re-registered after each
+    cat.register_snapshot_table(spark, "ddl_t", root)
+    r = cat.resolve_dml(spark, "ALTER TABLE ddl_t ADD COLUMN c string").collect()[0]
+    assert r["operation"] == "add_column"
+    assert "c" in spark.table("ddl_t").columns
+    r = cat.resolve_dml(
+        spark, "ALTER TABLE ddl_t ADD CONSTRAINT a_ok CHECK (a >= 0)"
+    ).collect()[0]
+    assert r["operation"] == "add_constraint"
+    assert list(tf.table_constraints(root)) == ["a_ok"]
+    with _pytest.raises(tf.ConstraintViolation):
+        cat.resolve_dml(spark, "INSERT INTO ddl_t VALUES (-1, NULL, NULL)")
+    r = cat.resolve_dml(spark, "ALTER TABLE ddl_t DROP CONSTRAINT a_ok").collect()[0]
+    assert r["operation"] == "drop_constraint"
+    assert tf.table_constraints(root) == {}
+    # non-registered names fall through (Spark raises its own error)
+    assert cat.resolve_dml(spark, "ALTER TABLE nosuch ADD COLUMN x int") is None
+
+
+def test_branch_sql_read(spark, sf_dir, tmp_path):
+    """r14: `tbl VERSION AS OF 'branch:<name>'` reads the WAP branch
+    HEAD (re-resolved per query — heads move); main view unaffected;
+    unknown branch raises; tag resolution still works beside it."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark import catalog as cat
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 10).select(F.col("id").alias("a")),
+        root,
+        mode="overwrite",
+    )
+    tf.snapshot_tag(root, "genesis")
+    cat.register_snapshot_table(spark, "br_t", root)
+    tf.snapshot_branch(root, "stage")
+    tf.snapshot_write(
+        spark,
+        spark.range(10, 15).select(F.col("id").alias("a")),
+        root,
+        mode="append",
+        branch="stage",
+    )
+
+    def q(sql):
+        return spark.sql(cat.resolve_time_travel(spark, sql)).collect()[0]["n"]
+
+    assert q("SELECT COUNT(*) AS n FROM br_t VERSION AS OF 'branch:stage'") == 15
+    assert q("SELECT COUNT(*) AS n FROM br_t") == 10  # main untouched
+    assert q("SELECT COUNT(*) AS n FROM br_t VERSION AS OF 'genesis'") == 10
+    # the branch head MOVES: a second staged write is visible next query
+    tf.snapshot_write(
+        spark,
+        spark.range(15, 17).select(F.col("id").alias("a")),
+        root,
+        mode="append",
+        branch="stage",
+    )
+    assert q("SELECT COUNT(*) AS n FROM br_t VERSION AS OF 'branch:stage'") == 17
+    with _pytest.raises(Exception):
+        q("SELECT COUNT(*) AS n FROM br_t VERSION AS OF 'branch:nosuch'")

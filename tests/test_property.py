@@ -1960,6 +1960,10 @@ class TestTableFormatModel:
                         "constraint_cycle",  # r13b: set an always-true
                         # CHECK, prove a violating write refuses without
                         # advancing state, drop it — view untouched
+                        "constraint_vs_append",  # r14: a violating append
+                        # races into set_constraint's validation window —
+                        # the delta re-validation must refuse the
+                        # constraint; the append itself lands
                     ]
                 ),
                 st.integers(1, 5),  # row count / delete count
@@ -2187,6 +2191,53 @@ class TestTableFormatModel:
                         pass
                     assert latest_version(root) == before
                     v = snapshot_drop_constraint(root, "fuzz_ok")
+                elif kind == "constraint_vs_append":
+                    if not view:
+                        continue
+                    from unittest import mock
+
+                    import s3_kinesis_replay_spark.operators.table_format as tfm
+
+                    # the racer's rows violate by a sentinel val no other
+                    # action produces; their ids are ordinary next_ids so
+                    # the model stays range-checkable
+                    bad = {next_id + i: -(10**12) - i for i in range(n)}
+                    next_id += n
+                    orig_enforce = tfm._enforce_constraints
+                    fired: list[int] = []
+
+                    def race_enforce(df, cons, ctx):
+                        orig_enforce(df, cons, ctx)
+                        if not fired:
+                            fired.append(1)
+                            snapshot_write(
+                                spark, df_of(bad), root, "append"
+                            )
+
+                    with mock.patch.object(
+                        tfm, "_enforce_constraints", race_enforce
+                    ):
+                        try:
+                            snapshot_set_constraint(
+                                spark, root, "fuzz_nonneg",
+                                "val > -1000000000",
+                            )
+                            raise AssertionError(
+                                "constraint landed over unvalidated "
+                                "violating rows"
+                            )
+                        except ConstraintViolation:
+                            pass
+                    if not fired:
+                        # existing data already violates (an earlier
+                        # round's bad rows): initial refusal, racer never
+                        # ran, no state change
+                        continue
+                    view = {**view, **bad}
+                    tombstoned -= set(bad)
+                    m = _read_manifest(root, latest_version(root))
+                    assert "fuzz_nonneg" not in m.get("constraints", {})
+                    v = latest_version(root)
                 else:  # compact
                     if not view:
                         continue

@@ -1097,3 +1097,120 @@ def test_snapshot_stream_source_emits_legacy_inline_files(spark, tmp_path):
     )
     assert q.awaitTermination(180)
     assert spark.read.parquet(out).count() == 40
+
+
+def test_snapshot_stream_source_refuses_initial_delete_state(spark, tmp_path):
+    """ADVICE r13: a non-append INITIAL snapshot whose manifest carries
+    MOR delete state must refuse — raw file emission cannot apply
+    delete/pos-delete files, so it would re-emit deleted and replaced
+    rows. A compaction (folds deletes into data files) unblocks the
+    same start point."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 20).select(F.col("id").alias("a")),
+        root,
+        mode="overwrite",
+    )  # v1
+    tf.snapshot_delete(
+        spark,
+        root,
+        spark.range(0, 5).select(F.col("id").alias("a")),
+        "a",
+    )  # v2: delete state in the manifest
+
+    def run(start, out, ckpt):
+        return (
+            spark.readStream.format("snapshot_table")
+            .option("root", root)
+            .option("starting_version", str(start))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / out))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # initial snapshot = v2 (op delete, carries delete files): refused
+    q = run(1, "out1", "ck1")
+    with pytest.raises(Exception, match="merge-on-read delete state"):
+        q.awaitTermination(180)
+
+    # compact folds the deletes; the same start point now streams the
+    # TRUE content (15 rows, deleted keys absent)
+    tf.snapshot_compact(spark, root)  # v3
+    q = run(2, "out2", "ck2")
+    assert q.awaitTermination(180)
+    got = spark.read.parquet(str(tmp_path / "out2"))
+    assert sorted(r["a"] for r in got.collect()) == list(range(5, 20))
+
+
+def test_snapshot_stream_source_skips_metadata_only_commits(spark, tmp_path):
+    """r14: set_constraint / add_column / fold commits change no visible
+    rows — the stream must pass through them silently (no refusal, no
+    emission), then keep streaming later appends; a row-set-changing
+    commit (compact) still refuses."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    root = str(tmp_path / "tbl")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    df = spark.range(0, 100).select(F.col("id").alias("a"))
+    tf.snapshot_write(spark, df.filter("a < 50"), root, mode="overwrite")  # v1
+    tf.snapshot_set_constraint(spark, root, "a_ok", "a >= 0")  # v2 meta
+    tf.snapshot_add_column(spark, root, "c", "string")  # v3 meta
+    tf.snapshot_write(
+        spark,
+        spark.range(50, 100).select(
+            F.col("id").alias("a"), F.lit("x").alias("c")
+        ),
+        root,
+        mode="append",
+    )  # v4
+    tf.snapshot_fold_metadata(root)  # v5 meta
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("root", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        return q.awaitTermination(180)
+
+    assert drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 100
+    assert got.filter("c = 'x'").count() == 50  # evolved rows carry c
+    assert got.filter("c IS NULL").count() == 50  # pre-evolution NULL-fill
+
+    # a genuine rewrite still refuses
+    tf.snapshot_compact(spark, root)  # v6
+    tf.snapshot_write(
+        spark,
+        spark.range(100, 110).select(
+            F.col("id").alias("a"), F.lit("y").alias("c")
+        ),
+        root,
+        mode="append",
+    )  # v7
+    with pytest.raises(Exception, match="non-append commit"):
+        drain()
