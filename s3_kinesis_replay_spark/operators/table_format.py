@@ -235,12 +235,23 @@ def _write_segment(root: str, entries: list[dict]) -> dict:
     loading the segment at all (r13, Iceberg's manifest-list
     partition-range skipping)."""
     os.makedirs(_segment_dir(root), exist_ok=True)
+    # record per-entry file sizes (Iceberg's file_size_in_bytes, r14):
+    # one stat call per fresh file at write time buys byte-based
+    # planning (the a20b stream pacing cap) with zero read-time I/O
+    for e in entries:
+        if "bytes" not in e:
+            try:
+                e["bytes"] = os.path.getsize(os.path.join(root, e["path"]))
+            except OSError:
+                pass
     rel = os.path.join("segments", f"seg-{uuid.uuid4().hex[:12]}.json")
     tmp = os.path.join(root, rel + ".tmp")
     with open(tmp, "w") as f:
         json.dump({"entries": entries}, f)
     os.replace(tmp, os.path.join(root, rel))
     desc: dict = {"path": rel, "n": len(entries)}
+    if all("bytes" in e for e in entries):
+        desc["bytes"] = sum(e["bytes"] for e in entries)
     if entries and all(e.get("partition") is not None for e in entries):
         tuples = {tuple(sorted(e["partition"].items())) for e in entries}
         if len(tuples) <= _PARTITION_SUMMARY_CAP:
@@ -1207,6 +1218,188 @@ def snapshot_changes(
         )
         df = df.join(F.broadcast(keys), m_to["delete_key"], "left_anti")
     return df
+
+
+def snapshot_row_changes(
+    spark: SparkSession, root: str, from_version: int, to_version: int
+) -> DataFrame:
+    """ROW-LEVEL change-data feed across NON-APPEND commits (r14,
+    VERDICT item 7 — Delta CDF's row events, public design, synthesized
+    at READ time from the MOR state instead of materialized CDC files):
+    for every commit in (from_version, to_version], emit the table's
+    rows with ``_change_type`` ∈ {insert, delete, update_preimage,
+    update_postimage} and ``_commit_version``. Per-commit synthesis is
+    a STATE DIFF against the predecessor manifest:
+
+    * new data files only                  → ``insert`` (the new rows)
+    * new equality-delete file only        → ``delete`` — preimage =
+      the v-1 view semi-joined to the delete keys (the only O(scan)
+      case; key filter is broadcast)
+    * new position-delete file only        → ``delete`` — preimage =
+      ONLY the addressed files, inner-joined on (file, row_index):
+      O(files touched), never a table scan
+    * new data + equality delete (MERGE)   → keys present on both
+      sides split into ``update_preimage``/``update_postimage``;
+      source-only keys are ``insert``
+    * new data + position delete (UPDATE)  → all preimage rows
+      ``update_preimage``, all new rows ``update_postimage``
+    * row-preserving rewrites (compact / cluster / fold / metadata
+      ops) → zero events, stream continues
+    * overwrite / restore                  → refused: file provenance
+      cannot say which ROWS changed (same rule snapshot_changes
+      applies; Delta CDF without CDC files refuses these too)
+
+    Output schema = to_version's recorded schema (earlier commits'
+    rows NULL-fill columns added later) + the two change columns.
+    Needs every manifest in [from_version, to_version] retained
+    (vacuum raises FileNotFoundError). The append-only fast path
+    stays :func:`snapshot_changes` (zero joins)."""
+    if to_version <= from_version:
+        raise ValueError("to_version must be > from_version")
+    m_to = _read_manifest(root, to_version)
+    out_schema = m_to.get("schema")
+    if out_schema is None:
+        raise ValueError(
+            f"table {root} has no recorded schema (legacy lineage) — "
+            "row-level CDC needs one; compact/overwrite once"
+        )
+    out_cols = [c for c, _t in out_schema]
+    out_types = dict(out_schema)
+
+    def align(df: DataFrame, ctype: str, v: int) -> DataFrame:
+        cols = [
+            (
+                F.col(c).cast(out_types[c])
+                if c in df.columns
+                else F.lit(None).cast(out_types[c])
+            ).alias(c)
+            for c in out_cols
+        ]
+        return df.select(
+            *cols,
+            F.lit(ctype).alias("_change_type"),
+            F.lit(v).cast("bigint").alias("_commit_version"),
+        )
+
+    parts: list[DataFrame] = []
+    prev = _read_manifest(root, from_version)
+    for v in range(from_version + 1, to_version + 1):
+        m = _read_manifest(root, v)
+        op = m["operation"]
+        d_prev = {e["path"] for e in _entries(prev, root)}
+        new_data = [
+            e for e in _entries(m, root) if e["path"] not in d_prev
+        ]
+        removed = d_prev - {e["path"] for e in _entries(m, root)}
+        del_prev = {e["path"] for e in _delete_entries(prev, root)}
+        new_del = [
+            d["path"]
+            for d in _delete_entries(m, root)
+            if d["path"] not in del_prev
+        ]
+        pdel_prev = {e["path"] for e in _pos_delete_entries(prev, root)}
+        new_pdel = [
+            d["path"]
+            for d in _pos_delete_entries(m, root)
+            if d["path"] not in pdel_prev
+        ]
+        if removed and not (new_data or new_del or new_pdel) or op in (
+            "compact",
+            "cluster",
+        ):
+            prev = m  # row-preserving rewrite: nothing to emit
+            continue
+        if op in ("overwrite", "restore") or (removed and new_data):
+            raise ValueError(
+                f"v{v} is '{op}' — a rewrite that replaces files loses "
+                "row provenance; row-level CDC covers append / delete / "
+                "update / merge / publish commits only (restart the feed "
+                "from a later version)"
+            )
+        post = (
+            _read_files(spark, root, _paths(new_data), m.get("schema"))
+            if new_data
+            else None
+        )
+        if new_del:
+            key = m["delete_key"]
+            keys = (
+                _read_files(spark, root, new_del, None)
+                .select(key)
+                .distinct()
+            )
+            pre_view = _assemble(spark, root, prev, _entries(prev, root))
+            pre = pre_view.join(F.broadcast(keys), key, "left_semi")
+            if post is not None:
+                # MERGE: keys on both sides are updates; source-only
+                # keys are inserts. existing-key set = the preimage's
+                # keys (exactly the matched rows).
+                ex = pre.select(key).distinct()
+                parts.append(align(pre, "update_preimage", v))
+                parts.append(
+                    align(
+                        post.join(F.broadcast(ex), key, "left_semi"),
+                        "update_postimage",
+                        v,
+                    )
+                )
+                parts.append(
+                    align(
+                        post.join(F.broadcast(ex), key, "left_anti"),
+                        "insert",
+                        v,
+                    )
+                )
+            else:
+                parts.append(align(pre, "delete", v))
+        elif new_pdel:
+            addrs = (
+                spark.read.parquet(
+                    *[os.path.join(root, p) for p in new_pdel]
+                )
+                .select("file_path", "pos")
+                .distinct()
+            )
+            named = [
+                r["file_path"]
+                for r in addrs.select("file_path").distinct().collect()
+            ]  # bounded: <= #data files the delete touched
+            pre = (
+                _read_files(
+                    spark, root, named, prev.get("schema"),
+                    with_positions=True,
+                )
+                .join(
+                    F.broadcast(
+                        addrs.select(
+                            F.col("file_path").alias(_POS_FILE),
+                            F.col("pos").alias(_POS_IDX),
+                        )
+                    ),
+                    [_POS_FILE, _POS_IDX],
+                    "inner",
+                )
+                .drop(_POS_FILE, _POS_IDX)
+            )
+            ctype = "update_preimage" if post is not None else "delete"
+            parts.append(align(pre, ctype, v))
+            if post is not None:
+                parts.append(align(post, "update_postimage", v))
+        elif post is not None:
+            parts.append(align(post, "insert", v))
+        prev = m
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            _schema_ddl(
+                [*out_schema, ["_change_type", "string"],
+                 ["_commit_version", "bigint"]]
+            ),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"

@@ -2701,3 +2701,126 @@ def a22b_branch_sql_read(spark, sf_dir):
         """
     )
     return _materialize_and_cleanup(spark, out, root)
+
+
+@register(
+    "a15p_row_level_cdc",
+    "A8",
+    """
+    WITH src AS (
+      SELECT event_id, user_id, CAST(value AS DOUBLE) AS value FROM events
+    ),
+    v2_ins AS (
+      SELECT event_id, user_id, value,
+             'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+      FROM src WHERE event_id >= 6000
+    ),
+    v3_del AS (
+      SELECT event_id, user_id, value,
+             'delete', CAST(3 AS BIGINT)
+      FROM src WHERE event_id % 7 = 0
+    ),
+    state3 AS (SELECT * FROM src WHERE event_id % 7 <> 0),
+    v4_pre AS (
+      SELECT event_id, user_id, value,
+             'update_preimage', CAST(4 AS BIGINT)
+      FROM state3 WHERE event_id % 5 = 0
+    ),
+    v4_post AS (
+      SELECT event_id, user_id, value * 2,
+             'update_postimage', CAST(4 AS BIGINT)
+      FROM state3 WHERE event_id % 5 = 0
+    ),
+    state4 AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END AS value
+      FROM state3
+    ),
+    v5_pre AS (
+      SELECT event_id, user_id, value,
+             'update_preimage', CAST(5 AS BIGINT)
+      FROM state4 WHERE event_id < 100
+    ),
+    v5_post AS (
+      SELECT event_id, user_id, CAST(-1.0 AS DOUBLE),
+             'update_postimage', CAST(5 AS BIGINT)
+      FROM src WHERE event_id < 100 AND event_id % 7 <> 0
+    ),
+    v5_ins AS (
+      SELECT event_id, user_id, CAST(-1.0 AS DOUBLE),
+             'insert', CAST(5 AS BIGINT)
+      FROM src WHERE event_id < 100 AND event_id % 7 = 0
+    )
+    SELECT * FROM v2_ins
+    UNION ALL SELECT * FROM v3_del
+    UNION ALL SELECT * FROM v4_pre
+    UNION ALL SELECT * FROM v4_post
+    UNION ALL SELECT * FROM v5_pre
+    UNION ALL SELECT * FROM v5_post
+    UNION ALL SELECT * FROM v5_ins
+    """,
+    note="ROW-LEVEL CDC across non-append commits (r14, VERDICT item 7 "
+    "— Delta CDF's row events, public design, synthesized at READ time "
+    "from MOR state instead of write-time CDC files): "
+    "snapshot_row_changes diffs each commit's manifest against its "
+    "predecessor and emits (row, _change_type ∈ insert/delete/"
+    "update_preimage/update_postimage, _commit_version). Equality "
+    "deletes semi-join the delete keys against the predecessor view "
+    "(broadcast keys — the one scan-shaped case); position deletes "
+    "read ONLY the addressed files and inner-join (file, row_index) — "
+    "O(files touched); a MERGE splits its key set into updates vs "
+    "inserts with two broadcast joins; compact/cluster/fold/metadata "
+    "commits emit nothing; overwrite/restore refuse (provenance "
+    "genuinely lost — same rule Delta CDF applies without CDC files). "
+    "The entry drives append → equality delete → predicate update → "
+    "merge on a live table and hash-compares the FULL event set "
+    "against a CTE replay; the gate pins one commit per op. At 100 TB "
+    "a CDC consumer reads O(changed rows + touched files) per commit, "
+    "not O(table) — except equality-delete preimages, which cost one "
+    "key-filtered scan of the prior snapshot (the price of not "
+    "materializing CDC files at write time; stated trade).",
+)
+def a15p_row_level_cdc(spark, sf_dir):
+    import tempfile
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="skr_cdctbl_")
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") < 6000), root, mode="overwrite"
+    )  # v1
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") >= 6000), root, mode="append"
+    )  # v2
+    tf.snapshot_delete(
+        spark,
+        root,
+        ev.filter(F.col("event_id") % 7 == 0).select("event_id"),
+        "event_id",
+    )  # v3
+    tf.snapshot_update_where(
+        spark, root, "event_id % 5 = 0", {"value": "value * 2"}
+    )  # v4
+    tf.snapshot_merge(
+        spark,
+        root,
+        ev.filter(F.col("event_id") < 100).select(
+            "event_id", "user_id", F.lit(-1.0).cast("double").alias("value")
+        ),
+        "event_id",
+    )  # v5
+    ops = [
+        r["operation"]
+        for r in tf.snapshot_history(spark, root).collect()
+    ]
+    if ops != ["overwrite", "append", "delete", "update", "merge"]:
+        raise RuntimeError(
+            f"a15p gate FAILED: expected one commit per op, got {ops}"
+        )
+    out = tf.snapshot_row_changes(spark, root, 1, 5).select(
+        "event_id", "user_id", "value", "_change_type", "_commit_version"
+    )
+    return _materialize_and_cleanup(spark, out, root)

@@ -45,7 +45,14 @@ range re-plan the same immutable files (manifests and segments never
 mutate, and appends never rewrite data files — the a14/a15 invariant
 this source leans on). Rate limiting: ``max_versions_per_batch`` caps
 how many commits one micro-batch may cover (a 10k-commit backfill
-becomes bounded batches instead of one giant one); the reader tracks
+becomes bounded batches instead of one giant one);
+``max_bytes_per_batch`` (r14) caps a batch by the APPENDED BYTES of
+the commits it covers — the file source's ``maxBytesPerTrigger`` for
+tables with wildly uneven commit sizes. Soft cap, commit granularity,
+guaranteed progress (the first uncovered commit always fits); byte
+totals come from the segment descriptors' recorded sizes, so the cap
+walk is O(#commits) metadata, zero file stats. Both caps may be set;
+the tighter one wins. The reader tracks
 the last COMMITTED offset driver-side to advance the cap window.
 
 Schema: the latest manifest's recorded schema (DDL built the same way
@@ -60,6 +67,7 @@ Usage::
           .option("root", "/path/to/table")
           .option("starting_version", "0")        # default: 0 (genesis)
           .option("max_versions_per_batch", "1")  # default: unbounded
+          .option("max_bytes_per_batch", "67108864")  # default: unbounded
           .option("skip_changes", "false")        # default: fail
           .load())
 """
@@ -74,6 +82,37 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
+
+def _version_bytes(root: str, v: int) -> int:
+    """Bytes of the data files commit ``v`` ADDED (its seq-v segments).
+    Descriptors written r14+ carry a precomputed 'bytes' total — one
+    dict read; older segments fall back to loading the entry list and
+    stat-ing files (absent files count 0 — conservative, admits more).
+    Used by the max_bytes_per_batch pacing cap only, so an estimate
+    that skews low merely yields smaller batches."""
+    from s3_kinesis_replay_spark.operators.table_format import (
+        _load_segment,
+        _read_manifest,
+    )
+
+    m = _read_manifest(root, v)
+    total = 0
+    for desc in m.get("segments", []):
+        if desc.get("seq") != v:
+            continue
+        if "bytes" in desc:
+            total += desc["bytes"]
+            continue
+        for e in _load_segment(root, desc):
+            if e.get("bytes") is not None:
+                total += e["bytes"]
+                continue
+            try:
+                total += os.path.getsize(os.path.join(root, e["path"]))
+            except OSError:
+                pass
+    return total
+
 
 def _metadata_only(root: str, m: dict, v: int) -> bool:
     """True when commit v changed NO visible rows relative to v-1: same
@@ -201,17 +240,32 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         self.starting = int(options.get("starting_version", "0"))
         mvpb = options.get("max_versions_per_batch")
         self.max_versions = int(mvpb) if mvpb is not None else None
+        mbpb = options.get("max_bytes_per_batch")
+        self.max_bytes = int(mbpb) if mbpb is not None else None
+        if self.max_bytes is not None and self.max_bytes <= 0:
+            raise ValueError("max_bytes_per_batch must be > 0")
         self.skip_changes = (
             str(options.get("skip_changes", "false")).lower() == "true"
         )
-        # driver-side window tracker for the rate cap. None until the
-        # position is KNOWN — on a checkpoint restart Spark never calls
-        # initialOffset(), so assuming `starting` here could cap
-        # latestOffset below the checkpointed offset and stall the
-        # stream forever; the first post-restart latestOffset is
-        # therefore uncapped, and the window engages once partitions()/
-        # commit() reveal the real position.
-        self._committed: int | None = None
+        # Driver-side position tracker for the rate caps: the END of
+        # the last batch this process PLANNED (or committed), monotone.
+        # None until the position is KNOWN. Two rules, both learned the
+        # hard way (r14 probe against Spark's actual call order):
+        # (1) Spark asks latestOffset BEFORE revealing any position —
+        #     before initialOffset on a fresh run, and with no call at
+        #     all on a checkpoint restart — so an unknown-position
+        #     latestOffset must answer UNCAPPED: capping relative to
+        #     `starting` would return an offset below a restart's
+        #     checkpointed position, and (2) Spark does NOT guard
+        #     against a regressing latestOffset — it will happily plan
+        #     a "batch" from the newer offset back to the older one and
+        #     then re-plan forward, DUPLICATING rows in the sink. The
+        #     tracker therefore advances on the END of every planned
+        #     batch (not the start, which is what regressed the r13
+        #     window) and latestOffset clamps to >= it. Net behavior:
+        #     the first batch of a process is uncapped, every later
+        #     batch is paced, offsets never move backward.
+        self._pos: int | None = None
         # Arrow schema computed ONCE here and shipped per-partition.
         # Built with a hand mapper, NOT StructType.fromDDL: the stream
         # reader lives in Spark's dedicated Python runner process
@@ -233,7 +287,7 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         self._arrow_schema = _arrow_schema_of(cols)
 
     def initialOffset(self) -> dict:
-        self._committed = self.starting  # fresh run: position known
+        self._pos = max(self._pos or 0, self.starting)
         return {"version": self.starting}
 
     def latestOffset(self) -> dict:
@@ -242,12 +296,36 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         )
 
         v = latest_version(self.root)
-        if self.max_versions is not None and self._committed is not None:
-            v = min(v, self._committed + self.max_versions)
+        if self._pos is not None:
+            if self.max_versions is not None:
+                v = min(v, self._pos + self.max_versions)
+            if self.max_bytes is not None:
+                # byte cap (r14, a20b — the file source's
+                # maxBytesPerTrigger for commit-sized units): admit
+                # versions until the NEXT one would cross the cap. SOFT
+                # cap with guaranteed progress — the first uncovered
+                # version always fits, however large (exactly
+                # maxBytesPerTrigger's rule), so a table of wildly
+                # uneven commits still drains. Costs O(#commits)
+                # descriptor reads, no segment loads when descriptors
+                # carry 'bytes'.
+                base = max(self._pos, self.starting)
+                acc = 0
+                vb = base
+                while vb < v:
+                    nxt = _version_bytes(self.root, vb + 1)
+                    if vb > base and acc + nxt > self.max_bytes:
+                        break
+                    acc += nxt
+                    vb += 1
+                    if acc >= self.max_bytes:
+                        break
+                v = vb
+            v = max(v, self._pos)  # NEVER regress (see tracker note)
         return {"version": max(v, self.starting)}
 
     def partitions(self, start: dict, end: dict):
-        self._committed = max(self._committed or 0, start["version"])
+        self._pos = max(self._pos or 0, end["version"])
         from s3_kinesis_replay_spark.operators.table_format import (
             _load_segment,
             _read_manifest,
@@ -338,7 +416,7 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # advance the rate-cap window; durability lives in Spark's
         # checkpointed offset log, not here
-        self._committed = max(self._committed, end["version"])
+        self._pos = max(self._pos or 0, end["version"])
 
     def stop(self) -> None:
         pass

@@ -5491,3 +5491,93 @@ def test_branch_sql_read(spark, sf_dir, tmp_path):
     assert q("SELECT COUNT(*) AS n FROM br_t VERSION AS OF 'branch:stage'") == 17
     with _pytest.raises(Exception):
         q("SELECT COUNT(*) AS n FROM br_t VERSION AS OF 'branch:nosuch'")
+
+
+def test_snapshot_row_changes(spark, sf_dir, tmp_path):
+    """r14 row-level CDC: per-commit state diff emits Delta-CDF-style
+    row events across append/delete/update/merge; compact emits
+    nothing; overwrite refuses; output schema = to_version's (earlier
+    rows NULL-fill later columns)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+
+    def ids(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("a"), (F.col("id") * 10).alias("val")
+        )
+
+    tf.snapshot_write(spark, ids(0, 10), root, "overwrite")  # v1
+    tf.snapshot_write(spark, ids(10, 15), root, "append")  # v2
+    tf.snapshot_delete(
+        spark, root, spark.range(0, 2).select(F.col("id").alias("a")), "a"
+    )  # v3
+    tf.snapshot_update_where(
+        spark, root, "a >= 12", {"val": "val + 1000"}
+    )  # v4
+    tf.snapshot_merge(
+        spark,
+        root,
+        spark.createDataFrame([(5, -5), (20, -20)], "a long, val long"),
+        "a",
+    )  # v5
+
+    got = {
+        (r["a"], r["val"], r["_change_type"], r["_commit_version"])
+        for r in tf.snapshot_row_changes(spark, root, 1, 5).collect()
+    }
+    want = (
+        {(a, a * 10, "insert", 2) for a in range(10, 15)}
+        | {(a, a * 10, "delete", 3) for a in (0, 1)}
+        | {(a, a * 10, "update_preimage", 4) for a in (12, 13, 14)}
+        | {(a, a * 10 + 1000, "update_postimage", 4) for a in (12, 13, 14)}
+        | {(5, 50, "update_preimage", 5), (5, -5, "update_postimage", 5)}
+        | {(20, -20, "insert", 5)}
+    )
+    assert got == want
+
+    # compact: zero events, feed crosses it
+    tf.snapshot_compact(spark, root)  # v6
+    got6 = {
+        (r["a"], r["val"], r["_change_type"], r["_commit_version"])
+        for r in tf.snapshot_row_changes(spark, root, 1, 6).collect()
+    }
+    assert got6 == want
+    # a sub-range works too (only the merge)
+    got5 = {
+        (r["a"], r["_change_type"])
+        for r in tf.snapshot_row_changes(spark, root, 4, 5).collect()
+    }
+    assert got5 == {
+        (5, "update_preimage"), (5, "update_postimage"), (20, "insert")
+    }
+
+    # overwrite refuses
+    tf.snapshot_write(spark, ids(0, 3), root, "overwrite")  # v7
+    with _pytest.raises(ValueError, match="row provenance"):
+        tf.snapshot_row_changes(spark, root, 1, 7)
+
+    # add-column after: earlier events NULL-fill the new column
+    tf.snapshot_add_column(spark, root, "extra", "string")  # v8
+    tf.snapshot_write(
+        spark,
+        spark.range(3, 5).select(
+            F.col("id").alias("a"),
+            (F.col("id") * 10).alias("val"),
+            F.lit("x").alias("extra"),
+        ),
+        root,
+        "append",
+    )  # v9
+    rows = tf.snapshot_row_changes(spark, root, 7, 9)
+    assert set(rows.columns) == {
+        "a", "val", "extra", "_change_type", "_commit_version"
+    }
+    got9 = {
+        (r["a"], r["extra"], r["_change_type"]) for r in rows.collect()
+    }
+    assert got9 == {(3, "x", "insert"), (4, "x", "insert")}

@@ -1214,3 +1214,71 @@ def test_snapshot_stream_source_skips_metadata_only_commits(spark, tmp_path):
     )  # v7
     with pytest.raises(Exception, match="non-append commit"):
         drain()
+
+
+@pytest.mark.parametrize(
+    "opt", ["max_versions_per_batch", "max_bytes_per_batch"]
+)
+def test_snapshot_stream_pacing_no_duplicates(spark, tmp_path, opt):
+    """r14 pacing fix: Spark asks latestOffset BEFORE revealing the
+    stream position (and never guards against a regressing offset), so
+    the r13 window tracker — keyed on batch START — regressed after the
+    first batch and Spark re-planned already-emitted versions:
+    DUPLICATE rows in the sink. The tracker now advances on batch END
+    and latestOffset clamps monotone. Contract: first batch of a fresh
+    process uncapped; every later batch covers exactly one commit under
+    cap=1 (versions or bytes); zero duplicates ever."""
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 400).select(F.col("id").alias("a"))
+    tf.snapshot_write(spark, df.filter("a < 100"), root, mode="overwrite")
+    name = "pace_" + _uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .option(opt, "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and spark.table(name).count() < 100:
+            time.sleep(0.3)
+        assert spark.table(name).count() == 100, "first batch did not drain"
+        for lo in (100, 200, 300):
+            tf.snapshot_write(
+                spark,
+                df.filter(f"a >= {lo} and a < {lo + 100}"),
+                root,
+                mode="append",
+            )
+        while time.time() < deadline and spark.table(name).count() < 400:
+            time.sleep(0.3)
+        n = spark.table(name).count()
+        dups = (
+            spark.table(name).groupBy("a").count().filter("count > 1").count()
+        )
+    finally:
+        q.stop()
+    assert n == 400, f"expected 400 rows, got {n}"
+    assert dups == 0, f"{dups} duplicated keys — offset window regressed"
+    batches = [
+        p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    # paced: after the first batch, one commit (100 rows) per batch
+    assert all(b == 100 for b in batches[1:]), batches
+    assert len(batches) >= 4, batches
