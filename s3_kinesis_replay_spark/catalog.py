@@ -245,6 +245,114 @@ def snapshot_table_root(name: str) -> str | None:
     return _SNAPSHOT_ROOTS.get(name)
 
 
+def register_snapshot_table_cbo(
+    spark: SparkSession,
+    name: str,
+    root: str,
+    version: int | str | None = None,
+) -> tuple[int | None, int | None]:
+    """Register a manifest-table snapshot as an ANALYZE'd CATALOG table
+    so ``CostBasedJoinReorder`` can cost joins against it (r14, VERDICT
+    item 6 — the c1d/c1e stats lifecycle extended to the lakehouse
+    tier; a temp view carries no catalog stats, so CBO was blind to
+    every registered snapshot table). Returns the planner's
+    (sizeInBytes, rowCount).
+
+    Spark's ANALYZE needs a catalog table over a DIRECTORY, and a
+    manifest's live file set is not a directory — so the snapshot is
+    pinned into ``<root>/_cbo/v<N>/`` first:
+
+    * clean snapshots (no MOR delete state, unpartitioned) HARDLINK
+      their live data files in — O(#files) metadata, zero data copy,
+      and the links keep the pinned version readable even after a
+      vacuum reaps the originals (inode survives);
+    * snapshots carrying delete/pos-delete state or Hive partition
+      dirs MATERIALIZE the assembled view (one table-shaped write —
+      the compact cost, stated trade; raw links would re-expose
+      deleted rows / lose dir-encoded partition values).
+
+    The registration is PINNED at the resolved version (``version`` may
+    be a tag), exactly like :func:`register_snapshot_table` — a later
+    commit changes nothing until re-registration, which pins a new
+    view dir and re-ANALYZEs (the stats can never go silently stale
+    the c1e way, because the data under a pinned dir is immutable).
+    Idempotent per (name, version): an existing catalog table already
+    pointing at this view dir WITH stats is left alone. A catalog-
+    integrated deployment (Iceberg/Delta) serves these stats straight
+    from table metadata; the pinned-dir bridge is the local-FS
+    equivalent with the same ANALYZE economics."""
+    import shutil
+    import uuid as _uuid
+
+    from s3_kinesis_replay_spark.operators.table_format import (
+        _entries,
+        _read_manifest,
+        latest_version,
+        resolve_ref,
+        snapshot_read,
+    )
+
+    if isinstance(version, str):
+        version = resolve_ref(root, version)
+    v = latest_version(root) if version is None else version
+    m = _read_manifest(root, v)
+    view_dir = os.path.join(root, "_cbo", f"v{v}")
+    marker = os.path.join(view_dir, "_SKR_CBO_READY")
+    if not os.path.exists(marker):
+        tmp = view_dir + ".tmp-" + _uuid.uuid4().hex[:8]
+        os.makedirs(tmp)
+        ents = _entries(m, root)
+        needs_materialize = (
+            bool(m.get("delete_segments"))
+            or bool(m.get("delete_files"))
+            or bool(m.get("pos_delete_segments"))
+            or any(e.get("partition") is not None for e in ents)
+        )
+        if needs_materialize:
+            snapshot_read(spark, root, v).write.mode("overwrite").parquet(tmp)
+        else:
+            for i, e in enumerate(ents):
+                src = os.path.join(root, e["path"])
+                os.link(
+                    src,
+                    os.path.join(
+                        tmp, f"part-{i:06d}-{os.path.basename(src)}"
+                    ),
+                )
+        open(os.path.join(tmp, "_SKR_CBO_READY"), "w").write("1")
+        try:
+            os.rename(tmp, view_dir)
+        except OSError:
+            # a racer pinned the same version first — both built the
+            # same immutable content; keep theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(marker):
+                raise
+    want = os.path.normpath(os.path.abspath(view_dir))
+    loc, has_stats = _table_meta(spark, name)
+    if loc != want or not has_stats:
+        # same NTZ workaround as bootstrap_cbo_tables: CBO's
+        # FilterEstimation MatchErrors on TIMESTAMP_NTZ column stats
+        prev_ntz = spark.conf.get(
+            "spark.sql.parquet.inferTimestampNTZ.enabled"
+        )
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        try:
+            sql_path = view_dir.replace("'", "''")
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            spark.sql(
+                f"CREATE TABLE {name} USING parquet LOCATION '{sql_path}'"
+            )
+            spark.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS"
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.parquet.inferTimestampNTZ.enabled", prev_ntz
+            )
+    return table_stats(spark, name)
+
+
 def _parse_as_of_spec(spec: str) -> float:
     """TIMESTAMP AS OF operand → epoch seconds: a bare number is epoch
     seconds; a quoted string is ISO-8601, naive values read as UTC (the

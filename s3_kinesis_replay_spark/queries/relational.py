@@ -799,6 +799,106 @@ def c1e_stats_lifecycle(spark, sf_dir):
 
 
 @register(
+    "c1g_snapshot_table_cbo_join",
+    "C1",
+    f"""
+    SELECT n.n_name,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC}))
+                      AS DOUBLE), 6) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    note="CBO OVER A SNAPSHOT TABLE (r14, VERDICT item 6 — the c1d "
+    "reorder with the FACT leaf served by the lakehouse tier): "
+    "register_snapshot_table_cbo pins a manifest snapshot into an "
+    "immutable per-version view dir (clean snapshots HARDLINK their "
+    "live files — O(#files) metadata, zero copy; MOR/partitioned "
+    "snapshots materialize the assembled view), registers it as an "
+    "external catalog table, and ANALYZEs FOR ALL COLUMNS — so "
+    "CostBasedJoinReorder costs joins against manifest tables exactly "
+    "as it does fixture parquet. The q5-shaped 6-table join runs "
+    "hint-free with the snapshot table as the fact; the dim-first "
+    "inversion is pinned in tests/test_operators.py::"
+    "test_snapshot_table_cbo_join_reorder, which also pins that the "
+    "registration is version-pinned (never silently stale — the c1e "
+    "failure mode is structurally impossible over an immutable pin) "
+    "and that delete state materializes instead of leaking deleted "
+    "rows. The oracle recomputes from source, so a view dir that "
+    "captured the wrong file set hash-mismatches. At 100 TB: a "
+    "catalog-integrated deployment serves these stats from table "
+    "metadata (Iceberg/Delta); the pinned-dir bridge pays one ANALYZE "
+    "scan per registration, amortized across every join that consults "
+    "it.",
+)
+def c1g_snapshot_table_cbo_join(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.catalog import (
+        bootstrap_cbo_tables,
+        cbo_conf,
+        register_snapshot_table_cbo,
+    )
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.operators.similarity import (
+        atomic_cached_build,
+        data_fingerprint,
+    )
+
+    bootstrap_cbo_tables(spark, sf_dir)
+    fp = data_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))[:10]
+
+    def build(tmp: str) -> None:
+        root = os.path.join(tmp, "tbl")
+        li = t(spark, "lineitem", sf_dir)
+        tf.snapshot_write(
+            spark, li.filter(F.col("l_orderkey") % 2 == 0), root, "overwrite"
+        )
+        tf.snapshot_write(
+            spark, li.filter(F.col("l_orderkey") % 2 == 1), root, "append"
+        )
+        open(os.path.join(tmp, "_done"), "w").write("1")
+
+    cache = atomic_cached_build(
+        "/tmp/skr_cbosnap", f"{fp}-cbo1", build, "_done"
+    )
+    register_snapshot_table_cbo(
+        spark, "lineitem_snap_cbo", os.path.join(cache, "tbl")
+    )
+    with cbo_conf(spark):
+        df = spark.sql(
+            f"""
+            SELECT n_name,
+                   ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS {DEC})) AS DOUBLE), 6) AS revenue
+            FROM lineitem_snap_cbo l
+            JOIN orders_cbo o ON l.l_orderkey = o.o_orderkey
+            JOIN customer_cbo c ON o.o_custkey = c.c_custkey
+            JOIN supplier_cbo s ON l.l_suppkey = s.s_suppkey
+                               AND c.c_nationkey = s.s_nationkey
+            JOIN nation_cbo n ON s.s_nationkey = n.n_nationkey
+            JOIN region_cbo r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+            """
+        )
+        df._jdf.queryExecution().optimizedPlan()
+    return df
+
+
+@register(
     "c1b_salted_join",
     "C1",
     """

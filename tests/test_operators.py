@@ -5581,3 +5581,97 @@ def test_snapshot_row_changes(spark, sf_dir, tmp_path):
         (r["a"], r["extra"], r["_change_type"]) for r in rows.collect()
     }
     assert got9 == {(3, "x", "insert"), (4, "x", "insert")}
+
+
+def test_snapshot_table_cbo_join_reorder(spark, sf_dir, tmp_path):
+    """r14 (VERDICT item 6): a snapshot table registered through
+    register_snapshot_table_cbo carries CATALOG stats, so the hint-free
+    q5-shaped join with the SNAPSHOT table as the fact leaf is
+    reordered dim-first by CostBasedJoinReorder — the c1d assertion,
+    new table kind. Also pins: row count matches the snapshot (not the
+    union of all versions' files), the registration is version-pinned
+    (a later commit changes nothing until re-register), and MOR delete
+    state materializes instead of leaking deleted rows."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.catalog import (
+        bootstrap_cbo_tables,
+        cbo_conf,
+        register_snapshot_table_cbo,
+        table_stats,
+    )
+    from s3_kinesis_replay_spark.catalog import table as cat_table
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    bootstrap_cbo_tables(spark, sf_dir)
+    root = str(tmp_path / "fact")
+    li = cat_table(spark, "lineitem", sf_dir)
+    n_li = li.count()
+    # two commits so the live file set != one directory's history
+    tf.snapshot_write(
+        spark, li.filter(F.col("l_orderkey") % 2 == 0), root, "overwrite"
+    )
+    tf.snapshot_write(
+        spark, li.filter(F.col("l_orderkey") % 2 == 1), root, "append"
+    )
+    size, rows = register_snapshot_table_cbo(spark, "li_snap_cbo", root)
+    assert rows == n_li and size and size > 0
+
+    sql = """
+        SELECT n_name, COUNT(*) AS cnt
+        FROM li_snap_cbo l
+        JOIN orders_cbo o ON l.l_orderkey = o.o_orderkey
+        JOIN customer_cbo c ON o.o_custkey = c.c_custkey
+        JOIN supplier_cbo s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+        JOIN nation_cbo n ON s.s_nationkey = n.n_nationkey
+        JOIN region_cbo r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """
+
+    def relation_order(enabled):
+        with cbo_conf(spark, enabled):
+            df = spark.sql(sql)
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            rows_ = sorted(df.collect())
+        names = ("li_snap_cbo", "nation_cbo", "region_cbo")
+        return {n: plan.index(n) for n in names}, rows_
+
+    cbo_pos, cbo_rows = relation_order(True)
+    off_pos, off_rows = relation_order(False)
+    assert cbo_rows == off_rows and cbo_rows
+    # CBO off: written order — the snapshot fact is the deepest leaf
+    assert off_pos["li_snap_cbo"] < off_pos["nation_cbo"]
+    # CBO on: stats invert the tree — dims build first, fact probes
+    assert cbo_pos["nation_cbo"] < cbo_pos["li_snap_cbo"]
+    assert cbo_pos["region_cbo"] < cbo_pos["li_snap_cbo"]
+
+    # version-pinned: a later commit does not change the catalog table
+    tf.snapshot_write(
+        spark, li.limit(100), root, "append"
+    )
+    assert spark.table("li_snap_cbo").count() == n_li
+    _, rows_stale = table_stats(spark, "li_snap_cbo")
+    assert rows_stale == n_li  # immutable pin, never silently stale
+    # re-register → new pin picks up the commit + fresh stats
+    _, rows_new = register_snapshot_table_cbo(spark, "li_snap_cbo", root)
+    assert rows_new == n_li + 100
+    assert spark.table("li_snap_cbo").count() == n_li + 100
+
+    # MOR delete state: materialized view, deleted rows NOT leaked
+    root2 = str(tmp_path / "mor")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 100).select(F.col("id").alias("k")),
+        root2,
+        "overwrite",
+    )
+    tf.snapshot_delete(
+        spark, root2, spark.range(0, 30).select(F.col("id").alias("k")), "k"
+    )
+    _, rows_mor = register_snapshot_table_cbo(spark, "mor_cbo", root2)
+    assert rows_mor == 70
+    assert spark.table("mor_cbo").count() == 70
