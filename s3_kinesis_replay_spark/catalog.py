@@ -499,6 +499,12 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
       ``DROP CONSTRAINT n`` → constraint metadata commits (r14)
     * ``ALTER TABLE tbl ADD COLUMN c type`` → metadata-only schema
       evolution (readers NULL-fill pre-evolution files; r14)
+    * ``DESCRIBE HISTORY tbl`` → snapshot_history (r14)
+    * ``SELECT * FROM TABLE_CHANGES(tbl, from, to)`` → row-level CDC
+      (snapshot_row_changes — Delta's table_changes TVF; r14)
+    * ``VACUUM tbl [RETAIN n VERSIONS]`` → age-graced retention (r14)
+    * ``OPTIMIZE tbl ZORDER BY (a, b)`` / ``CLUSTER BY (cols)`` →
+      clustered rewrite (r14)
 
     Returns a one-row DataFrame (operation, target, version) and
     RE-REGISTERS the view at the new snapshot so subsequent ``sql()``
@@ -676,6 +682,74 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
             "add_column", name, root,
             tf.snapshot_add_column(spark, root, col, dtype),
         )
+
+    # Maintenance/introspection verbs (r14 — Delta ships DESCRIBE
+    # HISTORY / VACUUM / OPTIMIZE as SQL; same textual pre-pass). These
+    # return their own result shapes, not the (op, target, version) row.
+    m = re.fullmatch(
+        r"\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*", query, re.IGNORECASE
+    )
+    if m:
+        root = _SNAPSHOT_ROOTS.get(m.group(1))
+        if root is None:
+            return None
+        return tf.snapshot_history(spark, root)
+
+    m = re.fullmatch(
+        r"\s*SELECT\s+\*\s+FROM\s+TABLE_CHANGES\s*\(\s*(\w+)\s*,\s*"
+        r"(\d+)\s*,\s*(\d+)\s*\)\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    )
+    if m:
+        name, lo, hi = m.group(1), int(m.group(2)), int(m.group(3))
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        return tf.snapshot_row_changes(spark, root, lo, hi)
+
+    m = re.fullmatch(
+        r"\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    )
+    if m:
+        name = m.group(1)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        keep = int(m.group(2)) if m.group(2) else 2
+        rep = tf.snapshot_vacuum(root, keep_last=keep)
+        return spark.createDataFrame(
+            [(
+                name,
+                rep["deleted_files"],
+                rep["kept_files"],
+                rep["skipped_young"],
+                len(rep["dropped_versions"]),
+            )],
+            "target string, deleted_files int, kept_files int, "
+            "skipped_young int, dropped_versions int",
+        )
+
+    m = re.fullmatch(
+        r"\s*OPTIMIZE\s+(\w+)\s+(?:ZORDER\s+BY|CLUSTER\s+BY)\s*"
+        r"\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    )
+    if m:
+        name, cols = m.group(1), [
+            c.strip() for c in m.group(2).split(",")
+        ]
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        zorder = bool(
+            re.search(r"ZORDER", query, re.IGNORECASE)
+        )
+        v = tf.snapshot_cluster(spark, root, cols, zorder=zorder)
+        return done("optimize", name, root, v)
 
     return None
 

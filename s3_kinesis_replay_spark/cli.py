@@ -145,8 +145,8 @@ def build_parser() -> argparse.ArgumentParser:
             "history", "read", "vacuum", "compact", "fold",
             "delete-where", "update", "tag", "tags", "drop-tag",
             "restore", "cluster", "set-constraint", "drop-constraint",
-            "constraints", "add-column", "branch", "branches", "publish",
-            "drop-branch",
+            "constraints", "add-column", "changes", "branch", "branches",
+            "publish", "drop-branch",
         ],
         help="history = one row per retained snapshot (metadata only); "
         "read = the table AS OF --version/--as-of (default latest); "
@@ -166,6 +166,9 @@ def build_parser() -> argparse.ArgumentParser:
         "drop-constraint = remove --name; constraints = list; "
         "add-column = metadata-only schema evolution: append column "
         "--name of --type (readers NULL-fill pre-evolution files); "
+        "changes = row-level CDC between --from-version and "
+        "--to-version (insert/delete/update_preimage/update_postimage "
+        "+ _commit_version; refuses overwrite/restore in range); "
         "branch = "
         "fork --name at --version (default latest) for write-audit-"
         "publish; branches = list; publish = fast-forward main to "
@@ -197,6 +200,14 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument(
         "--type", dest="col_type",
         help="add-column: the new column's SQL type, e.g. bigint",
+    )
+    tb.add_argument(
+        "--from-version", dest="from_version", type=int,
+        help="changes: exclusive lower version bound",
+    )
+    tb.add_argument(
+        "--to-version", dest="to_version", type=int,
+        help="changes: inclusive upper version bound",
     )
     tb.add_argument(
         "--branch", help="read: read a WAP branch's head instead of main"
@@ -483,7 +494,13 @@ def run_table_cmd(args: argparse.Namespace) -> int:
         v = tf.snapshot_update_where(spark, args.root, args.where, assignments)
         print(json.dumps({"verb": "update", "version": v}))
         return 0
-    if args.verb == "history":
+    if args.verb == "changes":
+        if args.from_version is None or args.to_version is None:
+            raise SystemExit("changes requires --from-version and --to-version")
+        df = tf.snapshot_row_changes(
+            spark, args.root, args.from_version, args.to_version
+        )
+    elif args.verb == "history":
         df = tf.snapshot_history(spark, args.root)
     else:  # read
         if args.version is not None and args.as_of is not None:

@@ -2824,3 +2824,64 @@ def a15p_row_level_cdc(spark, sf_dir):
         "event_id", "user_id", "value", "_change_type", "_commit_version"
     )
     return _materialize_and_cleanup(spark, out, root)
+
+
+@register(
+    "a15q_sql_table_changes",
+    "A8",
+    """
+    WITH src AS (
+      SELECT event_id, CAST(value AS DOUBLE) AS value FROM events
+      WHERE event_id < 2000
+    ),
+    v2_ins AS (
+      SELECT event_id, value, 'insert' AS _change_type,
+             CAST(2 AS BIGINT) AS _commit_version
+      FROM src WHERE event_id >= 1000
+    ),
+    v3_del AS (
+      SELECT event_id, value, 'delete', CAST(3 AS BIGINT)
+      FROM src WHERE event_id % 10 = 0
+    )
+    SELECT * FROM v2_ins UNION ALL SELECT * FROM v3_del
+    """,
+    note="SQL CDC TVF (r14 — Delta's table_changes): `SELECT * FROM "
+    "TABLE_CHANGES(tbl, from, to)` through Engine.sql resolves to "
+    "snapshot_row_changes over the registered table, so a SQL-only "
+    "user gets row-level CDC without touching the Python operators; "
+    "the CLI twin is `table changes --root R --from-version A "
+    "--to-version B`. The entry builds append+delete history and "
+    "hash-compares the full event set against the CTE replay — same "
+    "correctness bar as a15p, exercised through the SQL front door. "
+    "DESCRIBE HISTORY / VACUUM [RETAIN n VERSIONS] / OPTIMIZE ZORDER "
+    "BY round out the maintenance SQL surface (unit-pinned in "
+    "tests/test_operators.py::test_sql_maintenance_and_cdc_verbs).",
+)
+def a15q_sql_table_changes(spark, sf_dir):
+    import tempfile
+
+    from s3_kinesis_replay_spark.engine import Engine
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", F.col("value").cast("double").alias("value")
+    ).filter(F.col("event_id") < 2000)
+    root = tempfile.mkdtemp(prefix="skr_tvctbl_")
+    eng = Engine(spark, sf_dir=sf_dir)
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") < 1000), root, mode="overwrite"
+    )  # v1
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") >= 1000), root, mode="append"
+    )  # v2
+    tf.snapshot_delete(
+        spark,
+        root,
+        ev.filter(F.col("event_id") % 10 == 0).select("event_id"),
+        "event_id",
+    )  # v3
+    eng.register_snapshot_table("events_tvc", root)
+    out = eng.sql("SELECT * FROM TABLE_CHANGES(events_tvc, 1, 3)").select(
+        "event_id", "value", "_change_type", "_commit_version"
+    )
+    return _materialize_and_cleanup(spark, out, root)

@@ -1,0 +1,409 @@
+"""STREAMING ROW-LEVEL CDC over a manifest table (r14) — the public
+Delta ``readChangeFeed`` streaming design re-expressed through Spark 4's
+Python DataSource API, synthesized at READ time from MOR state (no
+write-time CDC files), the streaming twin of
+:func:`operators.table_format.snapshot_row_changes`.
+
+``spark.readStream.format("snapshot_changes")`` emits the table's rows
+plus ``_change_type`` ∈ {insert, delete, update_preimage,
+update_postimage} and ``_commit_version``. Offsets are snapshot
+versions, exactly like the ``snapshot_table`` source; the pacing/
+monotonicity rules are shared (see snapshot_source.py — the tracker
+advances on batch END, latestOffset never regresses).
+
+Per-commit synthesis is executor-parallel with NO driver data path and
+NO Spark-side joins — every event class reduces to per-FILE pyarrow
+work in the worker:
+
+* append commits: one partition per new file → ``insert`` rows.
+* position-delete commits (delete_where): one partition per ADDRESSED
+  file — the worker reads that file, inner-joins the commit's address
+  rows on the original row index, and emits the preimage. O(files
+  touched), never a table scan. With sibling new data files (an
+  UPDATE commit) the preimage is ``update_preimage`` and the new files
+  are ``update_postimage``.
+* equality-delete commits (snapshot_delete): one partition per data
+  file VISIBLE at v-1 — the worker rebuilds that file's visible rows
+  (anti-join its applicable PRIOR equality-delete keys under Iceberg
+  sequence scoping, anti-join its prior position-delete addresses),
+  then semi-joins the commit's delete keys and emits ``delete``
+  preimages. This is the one scan-shaped class (same as the batch
+  function) — but each file's work is one worker task, and the joins
+  run in Arrow against key files that are small by construction.
+* metadata-only commits and row-preserving rewrites (compact /
+  cluster / fold / constraints / add_column) emit nothing.
+* MERGE commits REFUSE: classifying a merge's postimage rows into
+  update-vs-insert needs the prior snapshot's global key set — a
+  cross-file join this per-file source honestly cannot express; use
+  the batch ``snapshot_row_changes`` (or ``TABLE_CHANGES`` SQL) for
+  ranges that cross a merge. Overwrite/restore refuse for the batch
+  function's reason: file provenance cannot name the changed rows.
+
+Exactly-once: the same immutable-manifest offset-log argument as the
+``snapshot_table`` source. Every manifest in the consumed range plus
+each range's v-1 must be retained (vacuum raises loudly mid-plan).
+
+Usage::
+
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        register_changes_source,
+    )
+    register_changes_source(spark)
+    (spark.readStream.format("snapshot_changes")
+     .option("root", "/path/tbl")
+     .option("starting_version", "3")   # EXCLUSIVE lower bound
+     .option("max_versions_per_batch", "1")
+     .load())
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_CHANGE_COLS = [["_change_type", "string"], ["_commit_version", "bigint"]]
+
+
+@dataclass
+class ChangePartition(InputPartition):
+    """One data file's contribution to one commit's change events.
+
+    ``kind``: 'rows' (emit the whole file — insert/postimage),
+    'pos_pre' (inner-join ``new_paths`` addresses on row index),
+    'eq_pre' (visibility rebuild via ``prior_eq``/``prior_pos``, then
+    semi-join ``new_paths`` keys). All paths are ABSOLUTE except
+    ``rel_path`` (the file's root-relative name, what position-delete
+    address rows record)."""
+
+    kind: str = "rows"
+    path: str = ""
+    rel_path: str = ""
+    ctype: str = "insert"
+    version: int = 0
+    key_col: str = ""
+    new_paths: tuple = ()
+    prior_eq: tuple = ()  # applicable prior equality-delete key files
+    prior_pos: tuple = ()  # prior position-delete address files
+    arrow_schema: object = field(default=None, repr=False)
+
+
+def _project(tbl, schema):
+    """Project an Arrow table onto the read schema: cast shared columns,
+    NULL-fill absent ones (add-column evolution) — the same rule the
+    snapshot_table source applies."""
+    import pyarrow as pa
+
+    cols = []
+    for fld in schema:
+        if fld.name in tbl.column_names:
+            cols.append(tbl.column(fld.name).cast(fld.type))
+        else:
+            cols.append(pa.nulls(tbl.num_rows, type=fld.type))
+    return pa.table(cols, schema=schema)
+
+
+class SnapshotChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options) -> None:
+        self.root = options.get("root")
+        if not self.root:
+            raise ValueError("snapshot_changes requires .option('root', ...)")
+        self.starting = int(options.get("starting_version", "0"))
+        mvpb = options.get("max_versions_per_batch")
+        self.max_versions = int(mvpb) if mvpb is not None else None
+        self._pos: int | None = None  # monotone batch-END tracker
+        from s3_kinesis_replay_spark.operators.table_format import (
+            _read_manifest,
+            latest_version,
+        )
+        from s3_kinesis_replay_spark.streaming.snapshot_source import (
+            _arrow_schema_of,
+        )
+
+        cols = _read_manifest(self.root, latest_version(self.root)).get(
+            "schema"
+        )
+        if cols is None:
+            raise ValueError(
+                f"table {self.root} has no recorded schema (legacy "
+                "lineage) — compact/overwrite once before streaming CDC"
+            )
+        self._arrow_schema = _arrow_schema_of([*cols, *_CHANGE_COLS])
+        self._data_schema = _arrow_schema_of(cols)
+
+    def initialOffset(self) -> dict:
+        self._pos = max(self._pos or 0, self.starting)
+        return {"version": self.starting}
+
+    def latestOffset(self) -> dict:
+        from s3_kinesis_replay_spark.operators.table_format import (
+            latest_version,
+        )
+
+        v = latest_version(self.root)
+        if self._pos is not None:
+            if self.max_versions is not None:
+                v = min(v, self._pos + self.max_versions)
+            v = max(v, self._pos)  # never regress (snapshot_source rule)
+        return {"version": max(v, self.starting)}
+
+    def partitions(self, start: dict, end: dict):
+        from s3_kinesis_replay_spark.operators.table_format import (
+            _delete_entries,
+            _entries,
+            _pos_delete_entries,
+            _read_manifest,
+        )
+
+        lo, hi = start["version"], end["version"]
+        self._pos = max(self._pos or 0, hi)
+        parts: list[ChangePartition] = []
+        prev = _read_manifest(self.root, lo)
+        for v in range(lo + 1, hi + 1):
+            m = _read_manifest(self.root, v)
+            op = m["operation"]
+            prev_paths = {e["path"] for e in _entries(prev, self.root)}
+            new_data = [
+                e
+                for e in _entries(m, self.root)
+                if e["path"] not in prev_paths
+            ]
+            del_prev = {
+                e["path"] for e in _delete_entries(prev, self.root)
+            }
+            new_del = [
+                d["path"]
+                for d in _delete_entries(m, self.root)
+                if d["path"] not in del_prev
+            ]
+            pdel_prev = {
+                e["path"] for e in _pos_delete_entries(prev, self.root)
+            }
+            new_pdel = [
+                d["path"]
+                for d in _pos_delete_entries(m, self.root)
+                if d["path"] not in pdel_prev
+            ]
+            if op in ("compact", "cluster") or not (
+                new_data or new_del or new_pdel
+            ):
+                prev = m  # row-preserving / metadata-only: no events
+                continue
+            if op in ("overwrite", "restore", "merge") or (
+                new_del and new_data
+            ):
+                raise ValueError(
+                    f"commit v{v} is '{op}' — streaming CDC covers "
+                    "append / delete / update commits; a merge needs the "
+                    "prior snapshot's global key set to classify its "
+                    "rows (use the batch snapshot_row_changes / "
+                    "TABLE_CHANGES over this range), and overwrite/"
+                    "restore lose row provenance entirely"
+                )
+            post_type = "update_postimage" if new_pdel else "insert"
+            for e in new_data:
+                parts.append(
+                    ChangePartition(
+                        kind="rows",
+                        path=os.path.join(self.root, e["path"]),
+                        rel_path=e["path"],
+                        ctype=post_type,
+                        version=v,
+                        arrow_schema=self._arrow_schema,
+                    )
+                )
+            if new_pdel:
+                pre_type = "update_preimage" if new_data else "delete"
+                named = self._addressed_files(new_pdel)
+                for rel in named:
+                    parts.append(
+                        ChangePartition(
+                            kind="pos_pre",
+                            path=os.path.join(self.root, rel),
+                            rel_path=rel,
+                            ctype=pre_type,
+                            version=v,
+                            new_paths=tuple(
+                                os.path.join(self.root, p)
+                                for p in new_pdel
+                            ),
+                            arrow_schema=self._arrow_schema,
+                        )
+                    )
+            if new_del:
+                key = m["delete_key"]
+                prior_dels = _delete_entries(prev, self.root)
+                prior_pos = tuple(
+                    os.path.join(self.root, p["path"])
+                    for p in _pos_delete_entries(prev, self.root)
+                )
+                for e in _entries(prev, self.root):
+                    es = e.get("seq")
+                    applicable = tuple(
+                        os.path.join(self.root, d["path"])
+                        for d in prior_dels
+                        if es is None
+                        or d.get("seq") is None
+                        or d["seq"] > es
+                    )
+                    parts.append(
+                        ChangePartition(
+                            kind="eq_pre",
+                            path=os.path.join(self.root, e["path"]),
+                            rel_path=e["path"],
+                            ctype="delete",
+                            version=v,
+                            key_col=key,
+                            new_paths=tuple(
+                                os.path.join(self.root, p) for p in new_del
+                            ),
+                            prior_eq=applicable,
+                            prior_pos=prior_pos,
+                            arrow_schema=self._arrow_schema,
+                        )
+                    )
+            prev = m
+        return parts
+
+    def _addressed_files(self, new_pdel: list[str]) -> list[str]:
+        """Root-relative data files a commit's address rows name —
+        driver-side, bounded by the files the delete touched."""
+        import pyarrow.parquet as pq
+
+        named: set[str] = set()
+        for p in new_pdel:
+            tbl = pq.read_table(
+                os.path.join(self.root, p), columns=["file_path"]
+            )
+            named.update(tbl.column("file_path").to_pylist())
+        return sorted(named)
+
+    def read(self, partition):  # executor-side, stateless
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        p = partition
+        full = p.arrow_schema
+        change_names = {c for c, _t in _CHANGE_COLS}
+        data_schema = pa.schema(
+            [f for f in full if f.name not in change_names]
+        )
+        tbl = pq.read_table(p.path)
+        idx = pa.array(range(tbl.num_rows), type=pa.int64())
+        if p.kind == "rows":
+            out = _project(tbl, data_schema)
+        elif p.kind == "pos_pre":
+            addrs = pa.concat_tables(
+                [
+                    pq.read_table(ap, columns=["file_path", "pos"])
+                    for ap in p.new_paths
+                ]
+            )
+            mine = addrs.filter(
+                pc.equal(addrs.column("file_path"), p.rel_path)
+            ).select(["pos"])
+            out = _project(
+                tbl.append_column("__idx", idx)
+                .join(
+                    mine.rename_columns(["__idx"]).combine_chunks(),
+                    "__idx",
+                    join_type="left semi",
+                )
+                .drop_columns(["__idx"]),
+                data_schema,
+            )
+        else:  # eq_pre: rebuild visibility, then match the new keys
+            cur = tbl.append_column("__idx", idx)
+            if p.prior_eq:
+                keys = pa.concat_tables(
+                    [
+                        pq.read_table(kp, columns=[p.key_col])
+                        for kp in p.prior_eq
+                    ]
+                ).combine_chunks()
+                cur = cur.join(
+                    keys.group_by(p.key_col).aggregate([]),
+                    p.key_col,
+                    join_type="left anti",
+                )
+            if p.prior_pos:
+                addrs = pa.concat_tables(
+                    [
+                        pq.read_table(ap, columns=["file_path", "pos"])
+                        for ap in p.prior_pos
+                    ]
+                )
+                mine = addrs.filter(
+                    pc.equal(addrs.column("file_path"), p.rel_path)
+                ).select(["pos"])
+                if mine.num_rows:
+                    cur = cur.join(
+                        mine.rename_columns(["__idx"]).combine_chunks(),
+                        "__idx",
+                        join_type="left anti",
+                    )
+            new_keys = pa.concat_tables(
+                [
+                    pq.read_table(kp, columns=[p.key_col])
+                    for kp in p.new_paths
+                ]
+            ).combine_chunks()
+            cur = cur.join(
+                new_keys.group_by(p.key_col).aggregate([]),
+                p.key_col,
+                join_type="left semi",
+            )
+            out = _project(cur.drop_columns(["__idx"]), data_schema)
+        n = out.num_rows
+        out = out.append_column(
+            "_change_type", pa.array([p.ctype] * n, type=pa.string())
+        ).append_column(
+            "_commit_version", pa.array([p.version] * n, type=pa.int64())
+        )
+        yield from out.cast(full).to_batches()
+
+    def commit(self, end: dict) -> None:
+        self._pos = max(self._pos or 0, end["version"])
+
+    def stop(self) -> None:
+        pass
+
+
+class SnapshotChangesDataSource(DataSource):
+    """``spark.readStream.format("snapshot_changes")`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_changes"
+
+    def schema(self) -> str:
+        from s3_kinesis_replay_spark.operators.table_format import (
+            _read_manifest,
+            _schema_ddl,
+            latest_version,
+        )
+
+        root = self.options.get("root", "")
+        v = latest_version(root)
+        if v == 0:
+            raise ValueError(f"no snapshots under {root} — nothing to stream")
+        schema = _read_manifest(root, v).get("schema")
+        if schema is None:
+            raise ValueError(
+                f"table {root} has no recorded schema (legacy lineage)"
+            )
+        return _schema_ddl([*schema, *_CHANGE_COLS])
+
+    def streamReader(self, schema) -> SnapshotChangesStreamReader:
+        return SnapshotChangesStreamReader(schema, self.options)
+
+
+def register_changes_source(spark) -> None:
+    """Idempotent registration of the 'snapshot_changes' stream format."""
+    spark.dataSource.register(SnapshotChangesDataSource)

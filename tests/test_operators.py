@@ -5675,3 +5675,57 @@ def test_snapshot_table_cbo_join_reorder(spark, sf_dir, tmp_path):
     _, rows_mor = register_snapshot_table_cbo(spark, "mor_cbo", root2)
     assert rows_mor == 70
     assert spark.table("mor_cbo").count() == 70
+
+
+def test_sql_maintenance_and_cdc_verbs(spark, sf_dir, tmp_path):
+    """r14 SQL surface completion: DESCRIBE HISTORY, TABLE_CHANGES
+    (Delta's CDC TVF), VACUUM [RETAIN n VERSIONS], OPTIMIZE ZORDER BY /
+    CLUSTER BY — all through resolve_dml over a registered snapshot
+    table; non-registered names fall through untouched."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark import catalog as cat
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    tf.snapshot_write(spark, df.filter("a < 50"), root, "overwrite")  # v1
+    tf.snapshot_write(spark, df.filter("a >= 50"), root, "append")  # v2
+    tf.snapshot_delete(
+        spark, root, spark.range(0, 10).select(F.col("id").alias("a")), "a"
+    )  # v3
+    cat.register_snapshot_table(spark, "mt", root)
+
+    hist = cat.resolve_dml(spark, "DESCRIBE HISTORY mt")
+    ops = [r["operation"] for r in hist.collect()]
+    assert ops == ["overwrite", "append", "delete"]
+
+    ch = cat.resolve_dml(spark, "SELECT * FROM TABLE_CHANGES(mt, 1, 3)")
+    got = {(r["a"], r["_change_type"], r["_commit_version"]) for r in ch.collect()}
+    assert {(a, "insert", 2) for a in range(50, 100)} <= got
+    assert {(a, "delete", 3) for a in range(0, 10)} <= got
+    assert len(got) == 60
+
+    r = cat.resolve_dml(spark, "OPTIMIZE mt CLUSTER BY (a)").collect()[0]
+    assert r["operation"] == "optimize" and r["version"] == 4
+    assert spark.table("mt").count() == 90  # re-registered view
+
+    vac = cat.resolve_dml(spark, "VACUUM mt RETAIN 1 VERSIONS").collect()[0]
+    assert vac["dropped_versions"] == 3
+    assert tf.versions(root) == [4]
+    assert tf.snapshot_read(spark, root).count() == 90
+
+    # ZORDER form needs exactly two columns
+    tf.snapshot_write(spark, df.filter("a < 50"), root, "append")  # v5
+    r = cat.resolve_dml(spark, "OPTIMIZE mt ZORDER BY (a, b)").collect()[0]
+    assert r["operation"] == "optimize"
+
+    # non-registered names fall through (None)
+    assert cat.resolve_dml(spark, "DESCRIBE HISTORY nosuch") is None
+    assert cat.resolve_dml(spark, "VACUUM nosuch") is None
+    assert (
+        cat.resolve_dml(spark, "SELECT * FROM TABLE_CHANGES(nosuch, 1, 2)")
+        is None
+    )

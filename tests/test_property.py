@@ -1964,6 +1964,10 @@ class TestTableFormatModel:
                         # races into set_constraint's validation window —
                         # the delta re-validation must refuse the
                         # constraint; the append itself lands
+                        "add_column",  # r14: metadata-only schema
+                        # evolution — the (id, val) view is untouched at
+                        # every version; later id/val-only writers stay
+                        # legal (union-preserving merge)
                     ]
                 ),
                 st.integers(1, 5),  # row count / delete count
@@ -2238,6 +2242,22 @@ class TestTableFormatModel:
                     m = _read_manifest(root, latest_version(root))
                     assert "fuzz_nonneg" not in m.get("constraints", {})
                     v = latest_version(root)
+                elif kind == "add_column":
+                    if not view:
+                        continue
+                    from s3_kinesis_replay_spark.operators.table_format import (
+                        snapshot_add_column,
+                    )
+
+                    m = _read_manifest(root, latest_version(root))
+                    if m.get("schema") is None:
+                        continue  # legacy lineage: add-column refuses
+                    cname = f"x{seed % 3}"
+                    if any(c == cname for c, _t in m["schema"]):
+                        continue  # already evolved with this name
+                    v = snapshot_add_column(
+                        spark, root, cname, "string"
+                    )
                 else:  # compact
                     if not view:
                         continue

@@ -1282,3 +1282,92 @@ def test_snapshot_stream_pacing_no_duplicates(spark, tmp_path, opt):
     # paced: after the first batch, one commit (100 rows) per batch
     assert all(b == 100 for b in batches[1:]), batches
     assert len(batches) >= 4, batches
+
+
+def test_snapshot_changes_stream_source(spark, tmp_path):
+    """r14 streaming CDC ('snapshot_changes' format): append → insert
+    events; delete_where → delete preimages (only the addressed files
+    read); snapshot_delete → delete preimages with prior-delete
+    visibility applied per file; update_where → update_preimage +
+    update_postimage; metadata commits skipped; merge refuses with a
+    pointer at the batch API. Events must equal the batch
+    snapshot_row_changes over the same range."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        register_changes_source,
+    )
+
+    register_changes_source(spark)
+    root = str(tmp_path / "tbl")
+
+    def ids(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("a"), (F.col("id") * 10).alias("val")
+        )
+
+    tf.snapshot_write(spark, ids(0, 10), root, "overwrite")  # v1
+    tf.snapshot_write(spark, ids(10, 15), root, "append")  # v2
+    tf.snapshot_delete(
+        spark, root, spark.range(0, 2).select(F.col("id").alias("a")), "a"
+    )  # v3
+    tf.snapshot_set_constraint(spark, root, "ok", "a >= 0")  # v4 (meta)
+    tf.snapshot_update_where(spark, root, "a >= 12", {"val": "val + 1000"})  # v5
+    # second equality delete: key 3 AND re-check scoping (key 12's old
+    # copy was pos-deleted at v5; its updated copy is seq-5 data which
+    # the new delete at seq 6 DOES suppress)
+    tf.snapshot_delete(
+        spark, root, spark.range(3, 4).select(F.col("id").alias("a")), "a"
+    )  # v6
+
+    def drain(start):
+        out = str(tmp_path / f"out{start}")
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("root", root)
+            .option("starting_version", str(start))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ck{start}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return spark.read.parquet(out)
+
+    got = {
+        (r["a"], r["val"], r["_change_type"], r["_commit_version"])
+        for r in drain(1).collect()
+    }
+    want = {
+        (r["a"], r["val"], r["_change_type"], r["_commit_version"])
+        for r in tf.snapshot_row_changes(spark, root, 1, 6).collect()
+    }
+    assert got == want
+    # spot semantics: v3 deletes, v5 update pre/post, v6 delete of 3
+    assert {(0, 0, "delete", 3), (1, 10, "delete", 3)} <= got
+    assert {(12, 120, "update_preimage", 5), (12, 1120, "update_postimage", 5)} <= got
+    assert (3, 30, "delete", 6) in got
+
+    # merge refuses with the batch-API pointer
+    tf.snapshot_merge(
+        spark,
+        root,
+        spark.createDataFrame([(5, -5)], "a long, val long"),
+        "a",
+    )  # v7
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root)
+        .option("starting_version", "6")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "outm"))
+        .option("checkpointLocation", str(tmp_path / "ckm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="snapshot_row_changes"):
+        q.awaitTermination(180)
