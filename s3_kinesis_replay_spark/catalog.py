@@ -502,6 +502,8 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
     * ``DESCRIBE HISTORY tbl`` → snapshot_history (r14)
     * ``SELECT * FROM TABLE_CHANGES(tbl, from, to)`` → row-level CDC
       (snapshot_row_changes — Delta's table_changes TVF; r14)
+    * ``SELECT * FROM TABLE_FILES(tbl [, version])`` → files metadata
+      table (Iceberg's tbl.files; r14)
     * ``VACUUM tbl [RETAIN n VERSIONS]`` → age-graced retention (r14)
     * ``OPTIMIZE tbl ZORDER BY (a, b)`` / ``CLUSTER BY (cols)`` →
       clustered rewrite (r14)
@@ -694,6 +696,19 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
         if root is None:
             return None
         return tf.snapshot_history(spark, root)
+
+    m = re.fullmatch(
+        r"\s*SELECT\s+\*\s+FROM\s+TABLE_FILES\s*\(\s*(\w+)"
+        r"(?:\s*,\s*(\d+))?\s*\)\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    )
+    if m:
+        root = _SNAPSHOT_ROOTS.get(m.group(1))
+        if root is None:
+            return None
+        v = int(m.group(2)) if m.group(2) else None
+        return tf.snapshot_files(spark, root, v)
 
     m = re.fullmatch(
         r"\s*SELECT\s+\*\s+FROM\s+TABLE_CHANGES\s*\(\s*(\w+)\s*,\s*"

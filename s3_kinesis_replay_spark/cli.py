@@ -145,8 +145,8 @@ def build_parser() -> argparse.ArgumentParser:
             "history", "read", "vacuum", "compact", "fold",
             "delete-where", "update", "tag", "tags", "drop-tag",
             "restore", "cluster", "set-constraint", "drop-constraint",
-            "constraints", "add-column", "changes", "branch", "branches",
-            "publish", "drop-branch",
+            "constraints", "add-column", "changes", "files", "branch",
+            "branches", "publish", "drop-branch",
         ],
         help="history = one row per retained snapshot (metadata only); "
         "read = the table AS OF --version/--as-of (default latest); "
@@ -169,6 +169,8 @@ def build_parser() -> argparse.ArgumentParser:
         "changes = row-level CDC between --from-version and "
         "--to-version (insert/delete/update_preimage/update_postimage "
         "+ _commit_version; refuses overwrite/restore in range); "
+        "files = one row per live data file (path/seq/bytes/partition/"
+        "stats — pure metadata); "
         "branch = "
         "fork --name at --version (default latest) for write-audit-"
         "publish; branches = list; publish = fast-forward main to "
@@ -494,7 +496,12 @@ def run_table_cmd(args: argparse.Namespace) -> int:
         v = tf.snapshot_update_where(spark, args.root, args.where, assignments)
         print(json.dumps({"verb": "update", "version": v}))
         return 0
-    if args.verb == "changes":
+    if args.verb == "files":
+        v = args.version
+        if v is not None and v.replace(".", "", 1).isdigit():
+            v = int(float(v))
+        df = tf.snapshot_files(spark, args.root, v)
+    elif args.verb == "changes":
         if args.from_version is None or args.to_version is None:
             raise SystemExit("changes requires --from-version and --to-version")
         df = tf.snapshot_row_changes(

@@ -2225,6 +2225,44 @@ def snapshot_compact(spark: SparkSession, root: str) -> int:
     )
 
 
+def snapshot_files(
+    spark: SparkSession, root: str, version: int | str | None = None
+) -> DataFrame:
+    """FILES metadata table (Iceberg's ``tbl.files`` / Delta's DESCRIBE
+    DETAIL file listing, public designs — r14): one row per live data
+    file of the snapshot — root-relative path, commit sequence, byte
+    size, Hive partition values (JSON, NULL when unpartitioned), and
+    the manifest-embedded column min/max stats (JSON, NULL when
+    absent). Pure metadata — manifests + segment descriptors, no data
+    file is opened — so it costs O(live files) JSON however big the
+    files are; the observability surface for "why didn't this prune" /
+    "how skewed are my file sizes". A string ``version`` is a tag."""
+    if isinstance(version, str):
+        version = resolve_ref(root, version)
+    v = latest_version(root) if version is None else version
+    m = _read_manifest(root, v)
+    rows = []
+    for e in _entries(m, root):
+        rows.append(
+            (
+                e["path"],
+                e.get("seq"),
+                e.get("bytes"),
+                json.dumps(e["partition"], sort_keys=True)
+                if e.get("partition") is not None
+                else None,
+                json.dumps(e["stats"], sort_keys=True)
+                if e.get("stats")
+                else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "path string, seq int, bytes bigint, partition string, "
+        "stats string",
+    )
+
+
 def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per retained snapshot — version, base,
     operation, file/segment counts, delete state, schema width. Pure

@@ -5729,3 +5729,67 @@ def test_sql_maintenance_and_cdc_verbs(spark, sf_dir, tmp_path):
         cat.resolve_dml(spark, "SELECT * FROM TABLE_CHANGES(nosuch, 1, 2)")
         is None
     )
+
+
+def test_snapshot_files_metadata_table(spark, sf_dir, tmp_path):
+    """r14 files metadata table: one row per LIVE data file with
+    seq/bytes/partition/stats, pure metadata; SQL TVF + version pin;
+    compaction shrinks the listing; partitioned entries carry their
+    Hive values."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark import catalog as cat
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("a"), (F.col("id") % 4).alias("p")
+    )
+    tf.snapshot_write(spark, df, root, "overwrite", partition_by=["p"])  # v1
+    tf.snapshot_write(
+        spark,
+        spark.range(100, 110).select(
+            F.col("id").alias("a"), (F.col("id") % 4).alias("p")
+        ),
+        root,
+        "append",
+        partition_by=["p"],
+    )  # v2
+
+    files = tf.snapshot_files(spark, root).collect()
+    assert len(files) >= 2
+    live = {e["path"] for e in tf._entries(tf._read_manifest(root, 2), root)}
+    assert {r["path"] for r in files} == live
+    for r in files:
+        assert r["seq"] in (1, 2)
+        assert r["bytes"] and r["bytes"] > 0
+        assert _os.path.getsize(_os.path.join(root, r["path"])) == r["bytes"]
+        assert _json.loads(r["partition"])["p"] in {"0", "1", "2", "3"}
+
+    # version pin: v1's listing is smaller and all seq 1
+    f1 = tf.snapshot_files(spark, root, 1).collect()
+    assert len(f1) < len(files)
+    assert all(r["seq"] == 1 for r in f1)
+
+    # SQL TVF, with and without the version arg
+    cat.register_snapshot_table(spark, "ft", root)
+    n_sql = cat.resolve_dml(spark, "SELECT * FROM TABLE_FILES(ft)").count()
+    assert n_sql == len(files)
+    assert (
+        cat.resolve_dml(spark, "SELECT * FROM TABLE_FILES(ft, 1)").count()
+        == len(f1)
+    )
+    assert cat.resolve_dml(spark, "SELECT * FROM TABLE_FILES(nope)") is None
+
+    # unpartitioned table: stats JSON present, partition NULL
+    root2 = str(tmp_path / "flat")
+    tf.snapshot_write(
+        spark, spark.range(0, 50).select(F.col("id").alias("a")), root2,
+        "overwrite",
+    )
+    r0 = tf.snapshot_files(spark, root2).collect()[0]
+    assert r0["partition"] is None
+    assert _json.loads(r0["stats"])["a"] == [0, 49] or "a" in _json.loads(r0["stats"])

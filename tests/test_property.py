@@ -2011,6 +2011,11 @@ class TestTableFormatModel:
             next_id = 0
             n_branches = 0
             view: dict[int, int] = {}  # the model: id -> val
+            # r14: expected ROW-LEVEL CDC events per commit, recorded at
+            # action time for every single-commit action with
+            # deterministic event semantics; checked against
+            # snapshot_row_changes post-loop (pre-vacuum)
+            cdc_expect: dict[int, set] = {}
             tombstoned: set[int] = set()  # deleted, never re-inserted
             history: dict[int, dict[int, int]] = {}  # version -> view
             hist_tomb: dict[int, set[int]] = {}  # version -> tombstoned
@@ -2025,6 +2030,7 @@ class TestTableFormatModel:
                     new = {next_id + i: seed + i for i in range(n)}
                     next_id += n
                     v = snapshot_write(spark, df_of(new), root, "append")
+                    cdc_expect[v] = {(k, x, "insert") for k, x in new.items()}
                     view = {**view, **new}
                 elif kind == "overwrite":
                     new = {next_id + i: seed - i for i in range(n)}
@@ -2044,6 +2050,9 @@ class TestTableFormatModel:
                         ),
                         "id",
                     )
+                    cdc_expect[v] = {
+                        (k, view[k], "delete") for k in doomed
+                    }
                     view = {k: x for k, x in view.items() if k not in doomed}
                     tombstoned |= set(doomed)
                 elif kind == "reinsert":
@@ -2052,6 +2061,7 @@ class TestTableFormatModel:
                     back = sorted(tombstoned)[: min(n, len(tombstoned))]
                     new = {k: seed + k for k in back}
                     v = snapshot_write(spark, df_of(new), root, "append")
+                    cdc_expect[v] = {(k, x, "insert") for k, x in new.items()}
                     view = {**view, **new}
                     tombstoned -= set(back)
                 elif kind == "merge":
@@ -2065,6 +2075,11 @@ class TestTableFormatModel:
                     next_id += n
                     src = {**upd, **ins}
                     v = snapshot_merge(spark, root, df_of(src), "id")
+                    cdc_expect[v] = (
+                        {(k, view[k], "update_preimage") for k in upd}
+                        | {(k, x, "update_postimage") for k, x in upd.items()}
+                        | {(k, x, "insert") for k, x in ins.items()}
+                    )
                     view = {**view, **src}
                     tombstoned -= set(src)
                 elif kind == "race_append":
@@ -2105,6 +2120,7 @@ class TestTableFormatModel:
                         spark, df_of(new), root, "append",
                         partition_by=["val"],
                     )
+                    cdc_expect[v] = {(k, x, "insert") for k, x in new.items()}
                     view = {**view, **new}
                 elif kind == "maintain":
                     if not view:
@@ -2117,9 +2133,14 @@ class TestTableFormatModel:
                     if not view:
                         continue
                     r = seed % 3  # Spark pmod == Python % for positive mod
+                    matched = {k: x for k, x in view.items() if x % 3 == r}
                     v = snapshot_delete_where(
                         spark, root, f"pmod(val, 3) = {r}"
                     )
+                    if matched:
+                        cdc_expect[v] = {
+                            (k, x, "delete") for k, x in matched.items()
+                        }
                     # a fully-emptied view still READS as zero rows (the
                     # manifest keeps its entries) — model it as {}
                     view = {k: x for k, x in view.items() if x % 3 != r}
@@ -2127,12 +2148,21 @@ class TestTableFormatModel:
                     if not view:
                         continue
                     r = seed % 3
+                    matched = {k: x for k, x in view.items() if x % 3 == r}
                     v = snapshot_update_where(
                         spark,
                         root,
                         f"pmod(val, 3) = {r}",
                         {"val": "val + 1000000"},
                     )
+                    if matched:
+                        cdc_expect[v] = {
+                            (k, x, "update_preimage")
+                            for k, x in matched.items()
+                        } | {
+                            (k, x + 1000000, "update_postimage")
+                            for k, x in matched.items()
+                        }
                     view = {
                         k: (x + 1000000 if x % 3 == r else x)
                         for k, x in view.items()
@@ -2242,6 +2272,9 @@ class TestTableFormatModel:
                     m = _read_manifest(root, latest_version(root))
                     assert "fuzz_nonneg" not in m.get("constraints", {})
                     v = latest_version(root)
+                    cdc_expect[v] = {
+                        (k, x, "insert") for k, x in bad.items()
+                    }
                 elif kind == "add_column":
                     if not view:
                         continue
@@ -2271,6 +2304,23 @@ class TestTableFormatModel:
                     for r in snapshot_read(spark, root, v).collect()
                 }
                 assert got == set(want.items()), (v, got, want)
+
+            # r14: row-level CDC vs the model — every recorded commit's
+            # event set must match snapshot_row_changes over (v-1, v]
+            from s3_kinesis_replay_spark.operators.table_format import (
+                snapshot_row_changes,
+            )
+
+            for v, want_ev in cdc_expect.items():
+                if v < 2:
+                    continue  # v1 has no predecessor manifest to diff
+                got_ev = {
+                    (r["id"], r["val"], r["_change_type"])
+                    for r in snapshot_row_changes(
+                        spark, root, v - 1, v
+                    ).collect()
+                }
+                assert got_ev == want_ev, (v, got_ev, want_ev)
 
             # pruned read vs the model, latest version: whatever mix of
             # partitioned/unpartitioned/deleted/folded state accrued,
