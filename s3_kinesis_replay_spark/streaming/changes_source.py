@@ -242,7 +242,28 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     os.path.join(self.root, p["path"])
                     for p in _pos_delete_entries(prev, self.root)
                 )
+                klo, khi = self._key_range(new_del, key)
                 for e in _entries(prev, self.root):
+                    # manifest-stats file skip (r14): a file whose
+                    # recorded [min, max] for the key column is disjoint
+                    # from the delete keys' range cannot hold a
+                    # preimage — at 100 TB a delete of recent keys
+                    # skips the cold files entirely. Stats-less entries
+                    # stay candidates (the usual conservatism).
+                    st = (e.get("stats") or {}).get(key)
+                    if (
+                        klo is not None
+                        and st
+                        and isinstance(st, list)
+                        and len(st) == 2
+                        and st[0] is not None
+                        and st[1] is not None
+                    ):
+                        try:
+                            if st[1] < klo or st[0] > khi:
+                                continue
+                        except TypeError:
+                            pass  # incomparable types: candidate
                     es = e.get("seq")
                     applicable = tuple(
                         os.path.join(self.root, d["path"])
@@ -270,6 +291,29 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             prev = m
         return parts
 
+    def _key_range(self, new_del: list[str], key: str):
+        """(min, max) of a commit's delete keys — runner-side read of
+        the key files (small by construction), used only to skip
+        stats-disjoint data files. (None, None) when unreadable or
+        empty (skip disabled, all files stay candidates)."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        try:
+            lo = hi = None
+            for p in new_del:
+                col = pq.read_table(
+                    os.path.join(self.root, p), columns=[key]
+                ).column(key)
+                if col.null_count == len(col) or len(col) == 0:
+                    continue
+                mm = pc.min_max(col).as_py()
+                lo = mm["min"] if lo is None else min(lo, mm["min"])
+                hi = mm["max"] if hi is None else max(hi, mm["max"])
+            return lo, hi
+        except Exception:
+            return None, None
+
     def _addressed_files(self, new_pdel: list[str]) -> list[str]:
         """Root-relative data files a commit's address rows name —
         driver-side, bounded by the files the delete touched."""
@@ -294,8 +338,10 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         data_schema = pa.schema(
             [f for f in full if f.name not in change_names]
         )
+        import numpy as np
+
         tbl = pq.read_table(p.path)
-        idx = pa.array(range(tbl.num_rows), type=pa.int64())
+        idx = pa.array(np.arange(tbl.num_rows, dtype=np.int64))
         if p.kind == "rows":
             out = _project(tbl, data_schema)
         elif p.kind == "pos_pre":

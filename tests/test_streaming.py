@@ -1371,3 +1371,61 @@ def test_snapshot_changes_stream_source(spark, tmp_path):
     )
     with pytest.raises(Exception, match="snapshot_row_changes"):
         q.awaitTermination(180)
+
+
+def test_changes_source_stats_skip_and_correctness(spark, tmp_path):
+    """r14 review: equality-delete preimage planning skips data files
+    whose manifest key-column stats are disjoint from the delete keys'
+    range (reader-level check on partitions()), and the emitted events
+    are unchanged by the skip."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        SnapshotChangesStreamReader,
+        register_changes_source,
+    )
+
+    register_changes_source(spark)
+    root = str(tmp_path / "tbl")
+
+    def one_file(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("a"), (F.col("id") * 10).alias("val"))
+            .coalesce(1)
+        )
+
+    tf.snapshot_write(spark, one_file(0, 100), root, "overwrite")  # v1
+    tf.snapshot_write(spark, one_file(1000, 1100), root, "append")  # v2
+    tf.snapshot_delete(
+        spark,
+        root,
+        spark.range(1000, 1005).select(F.col("id").alias("a")),
+        "a",
+    )  # v3: keys live only in the second file
+
+    reader = SnapshotChangesStreamReader(None, {"root": root})
+    parts = reader.partitions({"version": 2}, {"version": 3})
+    eq = [p for p in parts if p.kind == "eq_pre"]
+    # the v1 file (a in [0, 99]) is stats-disjoint from keys 1000-1004
+    assert len(eq) == 1, [p.rel_path for p in parts]
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root)
+        .option("starting_version", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["a"], r["val"], r["_change_type"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(a, a * 10, "delete") for a in range(1000, 1005)}
