@@ -1220,6 +1220,43 @@ def snapshot_changes(
     return df
 
 
+def _key_file_range(root: str, key_files: list[str], key: str):
+    """(min, max) across equality-delete key files — a driver-side
+    pyarrow read of files that are small by construction (one column,
+    one row per deleted key). (None, None) disables pruning."""
+    try:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        lo = hi = None
+        for p in key_files:
+            col = pq.read_table(
+                os.path.join(root, p), columns=[key]
+            ).column(key)
+            if len(col) == 0 or col.null_count == len(col):
+                continue
+            mm = pc.min_max(col).as_py()
+            lo = mm["min"] if lo is None else min(lo, mm["min"])
+            hi = mm["max"] if hi is None else max(hi, mm["max"])
+        return lo, hi
+    except Exception:
+        return None, None
+
+
+def _stats_overlap(st, lo, hi) -> bool:
+    """Can a file with recorded [min, max] ``st`` hold a key in
+    [lo, hi]? True (candidate) when stats or bounds are absent or
+    incomparable — pruning is an optimization, never a filter."""
+    if lo is None or not (
+        isinstance(st, list) and len(st) == 2
+    ) or st[0] is None or st[1] is None:
+        return True
+    try:
+        return not (st[1] < lo or st[0] > hi)
+    except TypeError:
+        return True
+
+
 def snapshot_row_changes(
     spark: SparkSession, root: str, from_version: int, to_version: int
 ) -> DataFrame:
@@ -1328,7 +1365,25 @@ def snapshot_row_changes(
                 .select(key)
                 .distinct()
             )
-            pre_view = _assemble(spark, root, prev, _entries(prev, root))
+            # manifest-stats file skip (r14): only files whose recorded
+            # [min, max] for the key column overlaps the delete keys'
+            # range can hold a preimage row — the same pruning the
+            # streaming CDC source applies; at 100 TB a delete of
+            # recent keys reads recent files, not the whole snapshot.
+            # Stats-less entries stay candidates (usual conservatism);
+            # correctness is unchanged because skipped files cannot
+            # match the semi-join keys by construction.
+            klo, khi = _key_file_range(root, new_del, key)
+            cand = [
+                e
+                for e in _entries(prev, root)
+                if _stats_overlap((e.get("stats") or {}).get(key), klo, khi)
+            ]
+            pre_view = (
+                _assemble(spark, root, prev, cand)
+                if cand
+                else _empty_frame(spark, root, prev)
+            )
             pre = pre_view.join(F.broadcast(keys), key, "left_semi")
             if post is not None:
                 # MERGE: keys on both sides are updates; source-only

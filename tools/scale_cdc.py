@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Round-14 experiment: does row-level CDC really cost O(changed rows
++ touched files), not O(table)? Measured with the REAL operators on
+REAL data files.
+
+Setup per table size N: a table of N rows is built from C commits of
+N/C rows each (contiguous, ascending key ranges — exactly what an
+append-only ingest produces, and what gives manifest stats their
+pruning power). Then ONE more commit of each change class lands and
+``snapshot_row_changes(last-1, last)`` is timed:
+
+* append   — insert events; reads only the new files.
+* delete   — equality-delete of K keys from the NEWEST range; the
+  preimage scan is stats-pruned to overlapping files, so cost should
+  track the touched-file count, not N.
+* update   — predicate UPDATE of K rows (positions name exact files);
+  preimage reads only the addressed files.
+
+If the per-commit CDC cost is flat while N grows 16x, the O(delta)
+claim holds. The planning overhead (manifest + segment JSON walk) is
+O(live files) driver-side metadata — reported separately via the
+commit count.
+
+Rerun with: python tools/scale_cdc.py
+Results land in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from s3_kinesis_replay_spark.operators import table_format as tf  # noqa: E402
+from s3_kinesis_replay_spark.session import get_spark  # noqa: E402
+
+NS = (250_000, 1_000_000, 4_000_000)
+ROWS_PER_COMMIT = 250_000
+K = 1_000  # changed rows per measured commit
+BASE = "/tmp/skr_scale_cdc"
+
+
+def build(spark, n: int) -> str:
+    root = f"{BASE}/n{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    for lo in range(0, n, ROWS_PER_COMMIT):
+        df = spark.range(lo, lo + ROWS_PER_COMMIT).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        tf.snapshot_write(
+            spark, df.coalesce(4), root,
+            "overwrite" if lo == 0 else "append",
+        )
+    return root
+
+
+def timed_changes(spark, root: str) -> float:
+    v = tf.latest_version(root)
+    t0 = time.perf_counter()
+    n = tf.snapshot_row_changes(spark, root, v - 1, v).count()
+    dt = time.perf_counter() - t0
+    return round(dt, 3), n
+
+
+def main() -> None:
+    spark = get_spark(app_name="skr-scale-cdc")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("| N rows | commits | append s | delete s | update s |")
+    print("| --- | --- | --- | --- | --- |")
+    for n in NS:
+        root = build(spark, n)
+        commits = tf.latest_version(root)
+        tf.snapshot_write(
+            spark,
+            spark.range(n, n + K).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).coalesce(1),
+            root,
+            "append",
+        )
+        t_append, n_a = timed_changes(spark, root)
+        assert n_a == K, n_a
+        tf.snapshot_delete(
+            spark,
+            root,
+            spark.range(n - K, n).select(F.col("id").alias("k")),
+            "k",
+        )
+        t_delete, n_d = timed_changes(spark, root)
+        assert n_d == K, n_d
+        tf.snapshot_update_where(
+            spark, root, f"k >= {n} AND k < {n + K}", {"v": "v + 1"}
+        )
+        t_update, n_u = timed_changes(spark, root)
+        assert n_u == 2 * K, n_u  # preimage + postimage
+        print(
+            f"| {n:,} | {commits} | {t_append} | {t_delete} | {t_update} |"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
