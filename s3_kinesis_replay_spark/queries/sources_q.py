@@ -2885,3 +2885,99 @@ def a15q_sql_table_changes(spark, sf_dir):
         "event_id", "value", "_change_type", "_commit_version"
     )
     return _materialize_and_cleanup(spark, out, root)
+
+
+@register(
+    "p23_ivm_row_deltas",
+    "D1",
+    f"""
+    WITH src AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS value FROM events
+    ),
+    state3 AS (SELECT * FROM src WHERE event_id % 7 <> 0),
+    state4 AS (
+      SELECT event_type,
+             CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END AS value
+      FROM state3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value
+    FROM state4 GROUP BY event_type ORDER BY event_type
+    """,
+    note="DIFFERENTIAL VIEW MAINTENANCE over ROW-level CDC (r14 — the "
+    "consumer a15p exists for, and the upgrade p22 could not make: "
+    "file-level CDC only refreshes views across APPENDS; deletes and "
+    "updates forced a recompute). A per-event_type aggregate is "
+    "materialized at v1, then the table takes an append, an equality "
+    "DELETE, and a predicate UPDATE — and the view is refreshed from "
+    "snapshot_row_changes(1, 4) alone with SIGNED weights (insert/"
+    "update_postimage +1, delete/update_preimage -1): counts add "
+    "Σw, sums add Σ(w·value), groups vanishing to zero rows drop — "
+    "classic differential maintenance (additive aggregates are "
+    "self-maintainable under deletes given the preimage, which is "
+    "exactly what the CDC feed carries; MIN/MAX still need recompute "
+    "or the sketch tier). The oracle recomputes the aggregate from "
+    "the replayed FINAL state, so a signed merge that double-counts, "
+    "misses a preimage, or mis-weights an update hash-mismatches. At "
+    "100 TB: refresh cost = O(changed rows) + O(groups), never a "
+    "table rescan — and the same signed-delta plan runs unmodified as "
+    "a foreachBatch consumer of the a15r streaming CDC feed.",
+)
+def p23_ivm_row_deltas(spark, sf_dir):
+    import tempfile
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="skr_ivmtbl_")
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") < 6000), root, mode="overwrite"
+    )  # v1
+    base = (
+        tf.snapshot_read(spark, root, 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(sdec("value")).alias("sum_dec"),
+        )
+    )
+    # the view is a STORED artifact: materialize it before the table
+    # mutates (exactly what a production refresh would hold)
+    base_rows = base.collect()  # bounded: one row per event_type
+    base = spark.createDataFrame(base_rows, base.schema)
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") >= 6000), root, mode="append"
+    )  # v2
+    tf.snapshot_delete(
+        spark,
+        root,
+        ev.filter(F.col("event_id") % 7 == 0).select("event_id"),
+        "event_id",
+    )  # v3
+    tf.snapshot_update_where(
+        spark, root, "event_id % 5 = 0", {"value": "value * 2"}
+    )  # v4
+    delta = tf.snapshot_row_changes(spark, root, 1, 4).withColumn(
+        "w",
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), 1
+        ).otherwise(-1),
+    )
+    delta_agg = delta.groupBy("event_type").agg(
+        F.sum("w").alias("n_events"),
+        F.sum(F.col("w") * sdec("value")).alias("sum_dec"),
+    )
+    out = (
+        base.unionByName(delta_agg)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            fdec(F.sum("sum_dec")).alias("sum_value"),
+        )
+        .filter(F.col("n_events") > 0)
+        .orderBy("event_type")
+    )
+    return _materialize_and_cleanup(spark, out, root)
