@@ -1293,6 +1293,8 @@ def snapshot_row_changes(
     stays :func:`snapshot_changes` (zero joins)."""
     if to_version <= from_version:
         raise ValueError("to_version must be > from_version")
+    if from_version < 0:
+        raise ValueError("from_version must be >= 0")
     m_to = _read_manifest(root, to_version)
     out_schema = m_to.get("schema")
     if out_schema is None:
@@ -1319,7 +1321,12 @@ def snapshot_row_changes(
         )
 
     parts: list[DataFrame] = []
-    prev = _read_manifest(root, from_version)
+    # from_version=0 = "from genesis" (Delta's startingVersion 0): the
+    # predecessor is the empty table, so v1's commit diffs as pure
+    # inserts — including a genesis OVERWRITE, which replaces nothing
+    prev = {"version": 0} if from_version == 0 else _read_manifest(
+        root, from_version
+    )
     for v in range(from_version + 1, to_version + 1):
         m = _read_manifest(root, v)
         op = m["operation"]
@@ -1346,7 +1353,12 @@ def snapshot_row_changes(
         ):
             prev = m  # row-preserving rewrite: nothing to emit
             continue
-        if op in ("overwrite", "restore") or (removed and new_data):
+        if (op in ("overwrite", "restore") and d_prev) or (
+            removed and new_data
+        ):
+            # an overwrite/restore ONTO AN EMPTY predecessor replaces
+            # nothing — it is insert-only and diffs fine (the genesis
+            # case under from_version=0)
             raise ValueError(
                 f"v{v} is '{op}' — a rewrite that replaces files loses "
                 "row provenance; row-level CDC covers append / delete / "

@@ -163,7 +163,9 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         lo, hi = start["version"], end["version"]
         self._pos = max(self._pos or 0, hi)
         parts: list[ChangePartition] = []
-        prev = _read_manifest(self.root, lo)
+        # starting_version=0 = "from genesis": the predecessor is the
+        # empty table, so v1 (even a genesis overwrite) is pure inserts
+        prev = {"version": 0} if lo == 0 else _read_manifest(self.root, lo)
         for v in range(lo + 1, hi + 1):
             m = _read_manifest(self.root, v)
             op = m["operation"]
@@ -194,9 +196,11 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             ):
                 prev = m  # row-preserving / metadata-only: no events
                 continue
-            if op in ("overwrite", "restore", "merge") or (
-                new_del and new_data
-            ):
+            if (
+                op in ("overwrite", "restore") and prev_paths
+            ) or op == "merge" or (new_del and new_data):
+                # an overwrite onto an EMPTY predecessor (genesis under
+                # starting_version=0) replaces nothing: insert-only
                 raise ValueError(
                     f"commit v{v} is '{op}' — streaming CDC covers "
                     "append / delete / update commits; a merge needs the "

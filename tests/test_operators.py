@@ -5793,3 +5793,43 @@ def test_snapshot_files_metadata_table(spark, sf_dir, tmp_path):
     r0 = tf.snapshot_files(spark, root2).collect()[0]
     assert r0["partition"] is None
     assert _json.loads(r0["stats"])["a"] == [0, 49] or "a" in _json.loads(r0["stats"])
+
+
+def test_snapshot_row_changes_from_genesis(spark, sf_dir, tmp_path):
+    """r14 review: from_version=0 means 'from genesis' — the empty
+    predecessor makes v1 (even a genesis OVERWRITE) pure inserts; a
+    later overwrite still refuses."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 5).select(F.col("id").alias("a")),
+        root,
+        "overwrite",
+    )  # v1 (genesis overwrite)
+    tf.snapshot_write(
+        spark,
+        spark.range(5, 8).select(F.col("id").alias("a")),
+        root,
+        "append",
+    )  # v2
+    got = {
+        (r["a"], r["_change_type"], r["_commit_version"])
+        for r in tf.snapshot_row_changes(spark, root, 0, 2).collect()
+    }
+    assert got == {(a, "insert", 1) for a in range(5)} | {
+        (a, "insert", 2) for a in range(5, 8)
+    }
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 3).select(F.col("id").alias("a")),
+        root,
+        "overwrite",
+    )  # v3: REAL overwrite (non-empty predecessor) still refuses
+    with _pytest.raises(ValueError, match="row provenance"):
+        tf.snapshot_row_changes(spark, root, 0, 3)

@@ -1429,3 +1429,46 @@ def test_changes_source_stats_skip_and_correctness(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {(a, a * 10, "delete") for a in range(1000, 1005)}
+
+
+def test_changes_source_from_genesis_default(spark, tmp_path):
+    """r14 review: the source's DEFAULT starting_version=0 must work —
+    the empty predecessor makes the genesis overwrite pure inserts
+    (the r14 draft crashed reading manifest v0)."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        register_changes_source,
+    )
+
+    register_changes_source(spark)
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 20).select(F.col("id").alias("a")),
+        root,
+        "overwrite",
+    )  # v1
+    tf.snapshot_delete(
+        spark, root, spark.range(0, 3).select(F.col("id").alias("a")), "a"
+    )  # v2
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root)
+        .load()  # no starting_version: default 0 = genesis
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["a"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(a, "insert", 1) for a in range(20)} | {
+        (a, "delete", 2) for a in range(3)
+    }
