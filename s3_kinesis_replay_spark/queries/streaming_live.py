@@ -1829,3 +1829,154 @@ def a15r_streaming_cdc(spark, sf_dir):
 
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "p24_streaming_ivm",
+    "D1",
+    f"""
+    WITH src AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS value FROM events
+    ),
+    state3 AS (SELECT * FROM src WHERE event_id % 7 <> 0),
+    state4 AS (
+      SELECT event_type,
+             CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END AS value
+      FROM state3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS {DEC})) AS DOUBLE), 6) AS sum_value
+    FROM state4 GROUP BY event_type ORDER BY event_type
+    """,
+    note="STREAMING DIFFERENTIAL VIEW MAINTENANCE (r14 — the round's "
+    "pieces composed end-to-end: a15r's CDC stream DRIVES p23's "
+    "signed-delta refresh): the source table takes an append, an "
+    "equality DELETE, and a predicate UPDATE; the 'snapshot_changes' "
+    "stream feeds a foreachBatch consumer that reduces each "
+    "micro-batch to signed per-group partials (insert/postimage +1, "
+    "delete/preimage -1 — O(groups) rows) and APPENDS them to a "
+    "second manifest table that IS the materialized view, as one "
+    "idempotent tagged atomic commit per batch (the a15c replay "
+    "guard: a retried batch finds its tag and commits nothing — "
+    "exactly-once view maintenance under kill/resume). Reading the "
+    "view = one aggregate over base + ledger partials, O(batches x "
+    "groups), groups at zero rows drop. The oracle recomputes from "
+    "the replayed final state, so a consumer that double-applies a "
+    "batch, drops a preimage, or mis-signs an update "
+    "hash-mismatches. At 100 TB: per-batch cost is O(changed rows) + "
+    "one O(groups) metadata commit; the view never rescans the fact "
+    "table, and ledger growth folds away with the ordinary "
+    "auto-maintenance cadence.",
+)
+def p24_streaming_ivm(spark, sf_dir):
+    import os
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        register_changes_source,
+    )
+
+    register_changes_source(spark)
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="skr_ivmsrc_")
+    view = tempfile.mkdtemp(prefix="skr_ivmview_")
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") < 6000), root, mode="overwrite"
+    )  # source v1
+    # the view's genesis = the base aggregate's partials
+    tf.snapshot_write(
+        spark,
+        tf.snapshot_read(spark, root, 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(sdec("value")).alias("sum_dec"),
+        ),
+        view,
+        mode="overwrite",
+    )
+    # the mutations the view must absorb
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") >= 6000), root, mode="append"
+    )  # v2
+    tf.snapshot_delete(
+        spark,
+        root,
+        ev.filter(F.col("event_id") % 7 == 0).select("event_id"),
+        "event_id",
+    )  # v3
+    tf.snapshot_update_where(
+        spark, root, "event_id % 5 = 0", {"value": "value * 2"}
+    )  # v4
+
+    def sink(batch_df, batch_id: int):
+        # idempotence guard (a15c): a replayed batch finds its tag
+        for v in sorted(tf.versions(view), reverse=True):
+            op = tf._read_manifest(view, v)["operation"]
+            if ":b" not in op:
+                break  # reached the genesis overwrite
+            bid = int(op.rsplit(":b", 1)[1])
+            if bid == batch_id:
+                return
+            if bid < batch_id:
+                break
+        partials = (
+            batch_df.withColumn(
+                "w",
+                F.when(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    ),
+                    1,
+                ).otherwise(-1),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.sum("w").alias("n_events"),
+                F.sum(F.col("w") * sdec("value")).alias("sum_dec"),
+            )
+        )
+        part = f"batch-{batch_id}"
+        out_dir = os.path.join(view, "data", part)
+        partials.write.mode("overwrite").parquet(out_dir)
+        new_files = [
+            os.path.join("data", part, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        ]
+        tf.commit_append_files(
+            view, new_files, f"append:b{batch_id}", tf._schema_of(partials)
+        )
+
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root)
+        .option("starting_version", "1")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="skr_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(q)
+
+    out = (
+        tf.snapshot_read(spark, view)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            fdec(F.sum("sum_dec")).alias("sum_value"),
+        )
+        .filter(F.col("n_events") > 0)
+        .orderBy("event_type")
+    )
+    rows = out.collect()  # bounded: one row per event_type
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(view, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
