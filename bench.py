@@ -192,6 +192,14 @@ EXTRAS = [
     "i19_chunk_windows",      # 64-token windows at stride 48 (codegen-only)
     "a12b_incremental_compaction",  # partition-scoped OPTIMIZE (O(day), not O(corpus))
     "e12_transition_matrix",  # per-user Markov transitions (lag + pair counts)
+    # round 14
+    "a15p_row_level_cdc",     # row-level CDC synthesized from MOR state
+    "a15r_streaming_cdc",     # CDC as a stream (per-file worker synthesis)
+    "p23_ivm_row_deltas",     # signed-delta view refresh off row CDC
+    "p24_streaming_ivm",      # CDC stream -> idempotent view commits
+    "a20b_byte_paced_table_stream",  # byte-capped table micro-batches
+    "c1g_snapshot_table_cbo_join",  # CBO reorder over a snapshot fact
+    "a25_sql_ddl",            # ALTER TABLE verbs, one commit each
 ]
 
 ROTATE_K = 16

@@ -1472,3 +1472,50 @@ def test_changes_source_from_genesis_default(spark, tmp_path):
     assert got == {(a, "insert", 1) for a in range(20)} | {
         (a, "delete", 2) for a in range(3)
     }
+
+
+def test_changes_source_checkpoint_restart_exactly_once(spark, tmp_path):
+    """r14: a CDC stream restarted on the same checkpoint emits ONLY
+    commits that landed since — no re-emission of consumed versions
+    (the offset-log exactly-once claim, CDC form)."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        register_changes_source,
+    )
+
+    register_changes_source(spark)
+    root = str(tmp_path / "tbl")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 50).select(F.col("id").alias("a")),
+        root,
+        "overwrite",
+    )  # v1
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("root", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return spark.read.parquet(out)
+
+    assert drain().count() == 50  # genesis inserts
+    tf.snapshot_delete(
+        spark, root, spark.range(0, 5).select(F.col("id").alias("a")), "a"
+    )  # v2
+    got = drain()
+    assert got.count() == 55  # +5 delete events, nothing re-emitted
+    assert got.filter("_change_type = 'insert'").count() == 50
+    assert got.filter("_change_type = 'delete'").count() == 5
+    # idle restart: nothing new, nothing re-emitted
+    assert drain().count() == 55
