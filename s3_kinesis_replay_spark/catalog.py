@@ -748,22 +748,23 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
         )
 
     m = re.fullmatch(
-        r"\s*OPTIMIZE\s+(\w+)\s+(?:ZORDER\s+BY|CLUSTER\s+BY)\s*"
+        r"\s*OPTIMIZE\s+(\w+)\s+(ZORDER|CLUSTER)\s+BY\s*"
         r"\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?\s*;?\s*",
         query,
         re.IGNORECASE,
     )
     if m:
-        name, cols = m.group(1), [
-            c.strip() for c in m.group(2).split(",")
-        ]
+        name, verb, cols = (
+            m.group(1),
+            m.group(2).upper(),
+            [c.strip() for c in m.group(3).split(",")],
+        )
         root = _SNAPSHOT_ROOTS.get(name)
         if root is None:
             return None
-        zorder = bool(
-            re.search(r"ZORDER", query, re.IGNORECASE)
-        )
-        v = tf.snapshot_cluster(spark, root, cols, zorder=zorder)
+        # the matched keyword decides the layout (a bare re.search for
+        # 'ZORDER' would false-positive on a table NAMED zorder_x, r14)
+        v = tf.snapshot_cluster(spark, root, cols, zorder=verb == "ZORDER")
         return done("optimize", name, root, v)
 
     return None

@@ -2823,6 +2823,8 @@ def a15p_row_level_cdc(spark, sf_dir):
     out = tf.snapshot_row_changes(spark, root, 1, 5).select(
         "event_id", "user_id", "value", "_change_type", "_commit_version"
     )
+    # bounded collect: rows ∝ CHANGED rows at this sf (~9k at sf0.01,
+    # ~90k at sf0.1) — a CDC consumer materializes its delta by design
     return _materialize_and_cleanup(spark, out, root)
 
 
