@@ -298,6 +298,11 @@ def register_snapshot_table_cbo(
     m = _read_manifest(root, v)
     view_dir = os.path.join(root, "_cbo", f"v{v}")
     marker = os.path.join(view_dir, "_SKR_CBO_READY")
+    if os.path.isdir(view_dir) and not os.path.exists(marker):
+        # crash residue: a prior builder died between populating the
+        # dir and writing the marker — heal by rebuilding (r14 review;
+        # the rename-refusal path would otherwise stick forever)
+        shutil.rmtree(view_dir, ignore_errors=True)
     if not os.path.exists(marker):
         tmp = view_dir + ".tmp-" + _uuid.uuid4().hex[:8]
         os.makedirs(tmp)
@@ -500,6 +505,8 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
     * ``ALTER TABLE tbl ADD COLUMN c type`` → metadata-only schema
       evolution (readers NULL-fill pre-evolution files; r14)
     * ``DESCRIBE HISTORY tbl`` → snapshot_history (r14)
+    * ``DESCRIBE DETAIL tbl`` → one-row table summary (Delta parity;
+      files/bytes/delete-state/spec/constraints; r14)
     * ``SELECT * FROM TABLE_CHANGES(tbl, from, to)`` → row-level CDC
       (snapshot_row_changes — Delta's table_changes TVF; r14)
     * ``SELECT * FROM TABLE_FILES(tbl [, version])`` → files metadata
@@ -696,6 +703,43 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
         if root is None:
             return None
         return tf.snapshot_history(spark, root)
+
+    m = re.fullmatch(
+        r"\s*DESCRIBE\s+DETAIL\s+(\w+)\s*;?\s*", query, re.IGNORECASE
+    )
+    if m:
+        name = m.group(1)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        import json as _json
+
+        v = tf.latest_version(root)
+        mfst = tf._read_manifest(root, v)
+        ents = tf._entries(mfst, root)
+        return spark.createDataFrame(
+            [(
+                name,
+                root,
+                v,
+                mfst["operation"],
+                len(ents),
+                sum(e.get("bytes") or 0 for e in ents),
+                len(tf._delete_entries(mfst, root)),
+                len(tf._pos_delete_entries(mfst, root)),
+                _json.dumps(mfst.get("partition_spec"))
+                if mfst.get("partition_spec")
+                else None,
+                _json.dumps(mfst.get("constraints"), sort_keys=True)
+                if mfst.get("constraints")
+                else None,
+                len(mfst.get("schema") or []),
+            )],
+            "name string, location string, version int, last_operation "
+            "string, num_files int, size_bytes bigint, num_delete_files "
+            "int, num_pos_delete_files int, partition_spec string, "
+            "constraints string, schema_width int",
+        )
 
     m = re.fullmatch(
         r"\s*SELECT\s+\*\s+FROM\s+TABLE_FILES\s*\(\s*(\w+)"

@@ -5833,3 +5833,43 @@ def test_snapshot_row_changes_from_genesis(spark, sf_dir, tmp_path):
     )  # v3: REAL overwrite (non-empty predecessor) still refuses
     with _pytest.raises(ValueError, match="row provenance"):
         tf.snapshot_row_changes(spark, root, 0, 3)
+
+
+def test_describe_detail_and_cbo_residue_heal(spark, sf_dir, tmp_path):
+    """r14 polish: DESCRIBE DETAIL returns the one-row table summary;
+    a crashed (marker-less) CBO view dir is healed by rebuild instead
+    of refusing forever."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark import catalog as cat
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 40).select(F.col("id").alias("a")),
+        root,
+        "overwrite",
+    )
+    tf.snapshot_delete(
+        spark, root, spark.range(0, 4).select(F.col("id").alias("a")), "a"
+    )
+    tf.snapshot_set_constraint(spark, root, "a_ok", "a >= 0")
+    cat.register_snapshot_table(spark, "dd", root)
+    r = cat.resolve_dml(spark, "DESCRIBE DETAIL dd").collect()[0]
+    assert r["version"] == 3 and r["last_operation"] == "set_constraint"
+    assert r["num_files"] >= 1 and r["size_bytes"] > 0
+    assert r["num_delete_files"] >= 1
+    assert "a_ok" in r["constraints"]
+    assert cat.resolve_dml(spark, "DESCRIBE DETAIL nosuch") is None
+
+    # CBO residue heal: fake a crashed build (dir without marker)
+    residue = _os.path.join(root, "_cbo", "v3")
+    _os.makedirs(residue)
+    open(_os.path.join(residue, "half-written.parquet"), "w").write("junk")
+    _, rows = cat.register_snapshot_table_cbo(spark, "dd_cbo", root)
+    assert rows == 36  # rebuilt + ANALYZEd through the MOR read
+    _shutil.rmtree(_os.path.join(root, "_cbo"), ignore_errors=True)
