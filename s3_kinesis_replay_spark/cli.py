@@ -145,8 +145,8 @@ def build_parser() -> argparse.ArgumentParser:
             "history", "read", "vacuum", "compact", "fold",
             "delete-where", "update", "tag", "tags", "drop-tag",
             "restore", "cluster", "set-constraint", "drop-constraint",
-            "constraints", "add-column", "changes", "files", "branch",
-            "branches", "publish", "drop-branch",
+            "constraints", "add-column", "changes", "files", "detail",
+            "branch", "branches", "publish", "drop-branch",
         ],
         help="history = one row per retained snapshot (metadata only); "
         "read = the table AS OF --version/--as-of (default latest); "
@@ -170,7 +170,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--to-version (insert/delete/update_preimage/update_postimage "
         "+ _commit_version; refuses overwrite/restore in range); "
         "files = one row per live data file (path/seq/bytes/partition/"
-        "stats — pure metadata); "
+        "stats — pure metadata); detail = one-row table summary "
+        "(version/op/files/bytes/delete state/spec/constraints); "
         "branch = "
         "fork --name at --version (default latest) for write-audit-"
         "publish; branches = list; publish = fast-forward main to "
@@ -363,6 +364,25 @@ def run_table_cmd(args: argparse.Namespace) -> int:
     from s3_kinesis_replay_spark.operators import table_format as tf
     from s3_kinesis_replay_spark.session import get_spark
 
+    if args.verb == "detail":  # metadata only, no session
+        m = tf._read_manifest(args.root, tf.latest_version(args.root))
+        ents = tf._entries(m, args.root)
+        print(json.dumps({
+            "verb": "detail",
+            "location": args.root,
+            "version": m["version"],
+            "last_operation": m["operation"],
+            "num_files": len(ents),
+            "size_bytes": sum(e.get("bytes") or 0 for e in ents),
+            "num_delete_files": len(tf._delete_entries(m, args.root)),
+            "num_pos_delete_files": len(
+                tf._pos_delete_entries(m, args.root)
+            ),
+            "partition_spec": m.get("partition_spec"),
+            "constraints": m.get("constraints") or {},
+            "schema_width": len(m.get("schema") or []),
+        }))
+        return 0
     if args.verb == "vacuum":  # metadata + filesystem only, no session
         kwargs = {"keep_last": args.keep_last}
         if args.min_age_s is not None:
