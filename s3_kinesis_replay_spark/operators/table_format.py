@@ -2783,18 +2783,44 @@ def snapshot_publish(root: str, name: str) -> int:
         if os.path.exists(succ_file):
             succ = _read_manifest(root, v + 1)
             if succ.get("base") == v:
+                # the proof set is the segments the branch ADDED beyond
+                # the fork — fork-carried segments prove nothing (the
+                # vacuumed original carried them too, so a zero-write
+                # branch could false-prove parentage into a hole; r14
+                # review). Fork manifest unreadable (vacuumed) → no
+                # proof → refuse below, which is also the only world
+                # where a vacuum ran.
                 ours = {d["path"] for d in bm.get("segments", [])}
                 theirs = {d["path"] for d in succ.get("segments", [])}
-                if ours and ours <= theirs:
-                    return v  # published; a later commit built on it
-                if not ours:
-                    # flat (inline-files) branch manifest: parentage
-                    # shows as our file paths carried into the successor
-                    of = {e["path"] for e in bm.get("files", [])}
-                    if of and of <= {
-                        e["path"] for e in _entries(succ, root)
-                    }:
-                        return v
+                try:
+                    fork_segs = {
+                        d["path"]
+                        for d in _read_manifest(root, fork).get(
+                            "segments", []
+                        )
+                    }
+                except (FileNotFoundError, OSError):
+                    fork_segs = None
+                if fork_segs is not None:
+                    added = ours - fork_segs
+                    if added and added <= theirs:
+                        return v  # published; a later commit built on it
+                    if not ours and not fork_segs:
+                        # flat (inline-files) lineage: parentage shows
+                        # as our ADDED file paths in the successor
+                        ff = {
+                            e["path"]
+                            for e in _read_manifest(root, fork).get(
+                                "files", []
+                            )
+                        }
+                        of = {
+                            e["path"] for e in bm.get("files", [])
+                        } - ff
+                        if of and of <= {
+                            e["path"] for e in _entries(succ, root)
+                        }:
+                            return v
         # unproven parentage (vacuum hole, or a successor that replaced
         # content wholesale): undo and refuse honestly — nothing
         # retained depends on our manifest.
