@@ -1045,3 +1045,90 @@ def t11_chunk_overlap(spark, sf_dir):
         .cast("bigint")
         .alias("n_tokens"),
     ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "t12_passage_dedup",
+    "I1",
+    """
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, greatest(len(w)-1, 0), 16)) AS s
+      FROM words
+    ),
+    passages AS (
+      SELECT doc_id, CAST(s/16 AS BIGINT) AS chunk_id,
+             array_to_string(w[s+1 : least(s+16, len(w))], ' ')
+               AS chunk_text
+      FROM chunks
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY chunk_text ORDER BY doc_id, chunk_id
+             ) AS rn
+      FROM passages
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+    note="SUB-DOCUMENT (passage-level) EXACT DEDUP (r14 — the CCNet/"
+    "RefinedWeb paragraph-dedup design on this fixture's shape: texts "
+    "are single-line, so the passage unit is a disjoint 16-token "
+    "window via the t11 chunking machinery): every passage in the "
+    "corpus is ranked by first occurrence (row_number over the "
+    "passage text, ordered by (doc_id, chunk_id) — deterministic "
+    "keep-first) and each document reports how many of its passages "
+    "survive — the boilerplate/template signal document-level dedup "
+    "cannot see (two distinct docs sharing a header dedup NOTHING at "
+    "doc granularity). Zero Python: split -> sequence -> posexplode "
+    "-> slice/array_join, then ONE shuffle on the passage text for "
+    "the global rank. The oracle replays the identical windows and "
+    "ranking in DuckDB. At 100 TB: the shuffle carries (passage_hash-"
+    "sized text, doc_id, chunk_id) rows — production would hash "
+    "passages first (xxhash64, i3h's trick) to shrink the shuffle "
+    "key; the window per passage-text group is group-bounded, and "
+    "the rest is embarrassingly parallel per document.",
+)
+def t12_passage_dedup(spark, sf_dir):
+    SIZE = 16
+    docs = t(spark, "documents", sf_dir)
+    words = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    )
+    passages = words.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("w") - 1, F.lit(0)), F.lit(SIZE)
+            )
+        ).alias("chunk_id", "s"),
+        F.array_join(
+            F.slice("w", F.col("s") + 1, SIZE), " "
+        ).alias("chunk_text"),
+    )
+    from pyspark.sql import Window
+
+    ranked = passages.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+        ),
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_passages"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
