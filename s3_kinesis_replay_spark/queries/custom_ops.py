@@ -1132,3 +1132,84 @@ def t12_passage_dedup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t12b_hashed_passage_dedup",
+    "I1",
+    """
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, greatest(len(w)-1, 0), 16)) AS s
+      FROM words
+    ),
+    passages AS (
+      SELECT doc_id, CAST(s/16 AS BIGINT) AS chunk_id,
+             md5(array_to_string(w[s+1 : least(s+16, len(w))], ' '))
+               AS chunk_key
+      FROM chunks
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY chunk_key ORDER BY doc_id, chunk_id
+             ) AS rn
+      FROM passages
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+    note="t12's PRODUCTION SHUFFLE SHAPE: the global first-occurrence "
+    "rank shuffles a 16-byte digest of each passage instead of its "
+    "full text — the shuffle key shrinks from ~100 bytes of UTF-8 to "
+    "a fixed-width hash (i3g's md5-for-cross-engine-oracle trade; "
+    "production ingest would use xxhash64 JVM-side for an 8-byte "
+    "key), which at 100 TB is the difference between shuffling the "
+    "corpus and shuffling a fingerprint table. Retention counts are "
+    "IDENTICAL to t12's text-keyed ranking (both key spaces are "
+    "collision-free at corpus scale, and the oracle replays the "
+    "hashed ranking exactly), so the pair pins that the optimization "
+    "is semantics-preserving.",
+)
+def t12b_hashed_passage_dedup(spark, sf_dir):
+    SIZE = 16
+    docs = t(spark, "documents", sf_dir)
+    words = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    )
+    passages = words.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("w") - 1, F.lit(0)), F.lit(SIZE)
+            )
+        ).alias("chunk_id", "s"),
+        F.md5(
+            F.array_join(F.slice("w", F.col("s") + 1, SIZE), " ")
+        ).alias("chunk_key"),
+    )
+    from pyspark.sql import Window
+
+    ranked = passages.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("chunk_key").orderBy("doc_id", "chunk_id")
+        ),
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_passages"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
