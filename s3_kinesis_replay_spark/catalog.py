@@ -355,7 +355,42 @@ def register_snapshot_table_cbo(
             spark.conf.set(
                 "spark.sql.parquet.inferTimestampNTZ.enabled", prev_ntz
             )
+    _reap_superseded_cbo_dirs(spark, root, keep=want)
     return table_stats(spark, name)
+
+
+def _reap_superseded_cbo_dirs(spark: SparkSession, root: str, keep: str) -> None:
+    """Reap ``_cbo/v*`` pin dirs superseded by a re-registration (ADVICE
+    r14: nothing else reaps them — snapshot_vacuum walks only root/data —
+    so repeated re-registration accumulated dirs indefinitely, a full
+    data copy per version for MOR/partitioned snapshots). A dir is
+    reaped only when NO current catalog table's location points at it:
+    another name may legitimately pin the same root at a different
+    version. Crash-residue ``.tmp-*`` dirs are left to the existing
+    heal-on-rebuild path (a concurrent builder may own them)."""
+    import re as _re
+    import shutil
+
+    cbo = os.path.join(root, "_cbo")
+    if not os.path.isdir(cbo):
+        return
+    doomed = [
+        os.path.normpath(os.path.abspath(os.path.join(cbo, d)))
+        for d in os.listdir(cbo)
+        if _re.fullmatch(r"v\d+", d)
+        and os.path.isdir(os.path.join(cbo, d))
+    ]
+    doomed = [d for d in doomed if d != keep]
+    if not doomed:
+        return
+    live = set()
+    for t in spark.catalog.listTables():
+        loc, _ = _table_meta(spark, t.name)
+        if loc is not None:
+            live.add(loc)
+    for d in doomed:
+        if d not in live:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def _parse_as_of_spec(spec: str) -> float:
@@ -676,9 +711,19 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
             tf.snapshot_drop_constraint(root, cname),
         )
 
+    # Two alternatives, NOT one pattern with optional parens: a lazy type
+    # group followed by an optional `\)?` strips the closing paren of
+    # parenthesized types ('decimal(10,2)' → 'decimal(10,2'), breaking
+    # DataType.fromDDL. Bare form takes the type verbatim; the COLUMNS(…)
+    # form requires a matched closing paren.
     m = re.fullmatch(
-        r"\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\(?\s*"
-        r"(\w+)\s+([A-Za-z_][A-Za-z0-9_,()<> ]*?)\s*\)?\s*;?\s*",
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s+"
+        r"(\w+)\s+([A-Za-z_][A-Za-z0-9_,()<> ]*?)\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    ) or re.fullmatch(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\(\s*"
+        r"(\w+)\s+([A-Za-z_][A-Za-z0-9_,()<> ]*?)\s*\)\s*;?\s*",
         query,
         re.IGNORECASE,
     )

@@ -2780,6 +2780,7 @@ def snapshot_publish(root: str, name: str) -> int:
         # written by the branch writer — no unrelated commit can
         # reference them); in (a) it carries the vacuumed original's.
         succ_file = _manifest_path(root, v + 1)
+        succ = None
         if os.path.exists(succ_file):
             succ = _read_manifest(root, v + 1)
             if succ.get("base") == v:
@@ -2821,9 +2822,42 @@ def snapshot_publish(root: str, name: str) -> int:
                             e["path"] for e in _entries(succ, root)
                         }:
                             return v
-        # unproven parentage (vacuum hole, or a successor that replaced
-        # content wholesale): undo and refuse honestly — nothing
-        # retained depends on our manifest.
+        if succ is not None and succ.get("base") == v:
+            # The successor RECORDED our manifest as its base but the
+            # added-segments proof is inconclusive — e.g. a concurrent
+            # row-preserving rewrite (compact/cluster/fold) built on the
+            # just-published manifest rewrites every segment descriptor,
+            # so `added <= theirs` fails even though our rows ARE live
+            # at the head (ADVICE r14) — and a vacuum-hole successor
+            # also carries base == v (built on the vacuumed original).
+            # Commit TIME tells them apart: a hole successor was
+            # committed BEFORE our link existed (racing commits + vacuum
+            # all precede it), while a follower read latest == v only
+            # AFTER our link, so its committed_at postdates ours.
+            # committed_at is advisory (single-FS clock, _commit doc);
+            # if either is missing, do NEITHER destructive thing: keep
+            # the manifest (the successor may depend on it) and refuse
+            # with a verify-before-republish instruction — the blind
+            # re-fork advice would duplicate already-published rows in
+            # the follower world.
+            ours_t = _read_manifest(root, v).get("committed_at")
+            succ_t = succ.get("committed_at")
+            if ours_t is not None and succ_t is not None:
+                if succ_t >= ours_t:
+                    return v  # follower built on the published manifest
+            else:
+                raise CommitConflict(
+                    f"publish of branch {name!r} raced a concurrent "
+                    f"commit whose base is the published v{v} — "
+                    "ambiguous race: the staged rows may already be "
+                    "live at the head. Verify whether the branch's rows "
+                    "are present at the current head BEFORE "
+                    "re-publishing; do not blindly re-fork."
+                )
+        # unproven parentage with a successor that PREDATES our link
+        # (vacuum hole) or no successor claiming our version as base:
+        # undo and refuse honestly — nothing retained depends on our
+        # manifest.
         os.remove(_manifest_path(root, v))
         raise CommitConflict(
             f"publish of branch {name!r} raced a concurrent "

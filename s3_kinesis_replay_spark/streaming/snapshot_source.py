@@ -87,19 +87,42 @@ def _version_bytes(root: str, v: int) -> int:
     """Bytes of the data files commit ``v`` ADDED (its seq-v segments).
     Descriptors written r14+ carry a precomputed 'bytes' total — one
     dict read; older segments fall back to loading the entry list and
-    stat-ing files (absent files count 0 — conservative, admits more).
-    Used by the max_bytes_per_batch pacing cap only, so an estimate
-    that skews low merely yields smaller batches."""
+    stat-ing files (absent files count 0 — skews low, smaller batches).
+    A PUBLISH commit carries the branch's segments verbatim with
+    branch-lineage seq values — no seq-v descriptor exists, so the
+    seq filter alone would count it as 0 bytes and the pacing cap
+    would admit an arbitrarily large publish (plus more) in one
+    micro-batch (ADVICE r14). For such commits, fall back to diffing
+    segment paths against the predecessor manifest: the descriptors
+    present here but absent at v-1 are what this commit added.
+    Predecessor vacuumed → 0 (the source's initial-snapshot / loud
+    non-append rules govern that world anyway)."""
     from s3_kinesis_replay_spark.operators.table_format import (
         _load_segment,
         _read_manifest,
     )
 
     m = _read_manifest(root, v)
+    descs = [d for d in m.get("segments", []) if d.get("seq") == v]
+    # operation check, not just "no seq-v descs": a publish carries
+    # BRANCH-lineage seqs which can coincidentally equal v (branch
+    # numbering restarts at fork+1), partially matching wrong segments
+    if m.get("segments") and (m.get("operation") == "publish" or not descs):
+        try:
+            prev_paths = {
+                d["path"]
+                for d in _read_manifest(root, v - 1).get("segments", [])
+            }
+        except (FileNotFoundError, OSError):
+            prev_paths = None
+        if prev_paths is not None:
+            descs = [
+                d
+                for d in m.get("segments", [])
+                if d["path"] not in prev_paths
+            ]
     total = 0
-    for desc in m.get("segments", []):
-        if desc.get("seq") != v:
-            continue
+    for desc in descs:
         if "bytes" in desc:
             total += desc["bytes"]
             continue

@@ -5342,6 +5342,89 @@ def test_r14_advice_fixes(spark, sf_dir, tmp_path, monkeypatch):
         tf.snapshot_read(spark, root3, "pinned", branch="b")
 
 
+def test_r15_publish_rewrite_follower_and_publish_bytes(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r14 regressions. (1) A fast follower that is a ROW-
+    PRESERVING REWRITE (compact) built on the just-published manifest
+    rewrites every segment descriptor, so the added-segments parentage
+    proof fails — publish must still recognize SUCCESS (the successor's
+    committed_at postdates the published link), not delete the
+    successor's recorded base and advise a re-publish that would
+    duplicate the rows. (2) The streaming source's byte-pacing
+    estimator must charge a publish commit its ADDED bytes (segment-
+    path diff vs the predecessor), not 0 — its carried segments hold
+    branch-lineage seqs, never seq == v... except coincidentally, which
+    the operation check guards."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.snapshot_source import (
+        _version_bytes,
+    )
+
+    def ids(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("a"))
+
+    root = str(tmp_path / "wap_rewrite")
+    tf.snapshot_write(spark, ids(0, 10), root, "overwrite")  # v1
+    tf.snapshot_branch(root, "b")
+    tf.snapshot_write(spark, ids(10, 15), root, "append", branch="b")
+
+    orig_commit = tf._commit
+    fired: list[int] = []
+
+    def commit_then_compact(*args, **kwargs):
+        v = orig_commit(*args, **kwargs)
+        if args[2] == "publish" and not fired:
+            fired.append(1)
+            # the follower COMPACTS on top of the just-linked publish —
+            # row-preserving, but every segment descriptor is rewritten
+            tf.snapshot_compact(spark, root)
+        return v
+
+    monkeypatch.setattr(tf, "_commit", commit_then_compact)
+    v = tf.snapshot_publish(root, "b")
+    monkeypatch.undo()
+    assert v == 2 and fired
+    assert tf.latest_version(root) == 3
+    assert tf._read_manifest(root, 3)["base"] == 2  # base intact
+    # staged rows live at head exactly once; published version readable
+    assert sorted(
+        r["a"] for r in tf.snapshot_read(spark, root).collect()
+    ) == list(range(15))
+    assert tf.snapshot_read(spark, root, 2).count() == 15
+
+    # (2) publish byte accounting: the branch-added segment's bytes are
+    # charged to the publish commit, not 0 (and not v1's carried bytes)
+    root2 = str(tmp_path / "wap_bytes")
+    tf.snapshot_write(spark, ids(0, 10), root2, "overwrite")  # v1
+    tf.snapshot_branch(root2, "b")
+    tf.snapshot_write(spark, ids(10, 400), root2, "append", branch="b")
+    tf.snapshot_publish(root2, "b")  # v2
+    m2 = tf._read_manifest(root2, 2)
+    assert m2["operation"] == "publish"
+    m1_paths = {
+        d["path"] for d in tf._read_manifest(root2, 1).get("segments", [])
+    }
+    added_bytes = sum(
+        d["bytes"]
+        for d in m2.get("segments", [])
+        if d["path"] not in m1_paths
+    )
+    assert added_bytes > 0
+    assert _version_bytes(root2, 2) == added_bytes
+    # ordinary appends keep the seq-v fast path
+    tf.snapshot_write(spark, ids(400, 500), root2, "append")  # v3
+    m3 = tf._read_manifest(root2, 3)
+    seq3 = sum(
+        d["bytes"] for d in m3.get("segments", []) if d.get("seq") == 3
+    )
+    assert _version_bytes(root2, 3) == seq3 > 0
+
+
 def test_create_table_refuses_shadowing_existing_view(spark, sf_dir, tmp_path):
     """ADVICE r13: CREATE TABLE ... LOCATION used createOrReplaceTempView
     with no collision check, so `CREATE TABLE events ...` silently
@@ -5441,6 +5524,30 @@ def test_snapshot_add_column_and_sql_ddl(spark, sf_dir, tmp_path):
     r = cat.resolve_dml(spark, "ALTER TABLE ddl_t DROP CONSTRAINT a_ok").collect()[0]
     assert r["operation"] == "drop_constraint"
     assert tf.table_constraints(root) == {}
+    # ADVICE r14: parenthesized types through the SQL surface — the old
+    # single regex's optional `\)?` stripped the closing paren of
+    # decimal(10,2), so DataType.fromDDL rejected a valid statement
+    r = cat.resolve_dml(
+        spark, "ALTER TABLE ddl_t ADD COLUMN d decimal(10,2)"
+    ).collect()[0]
+    assert r["operation"] == "add_column"
+    assert (
+        spark.table("ddl_t").schema["d"].dataType.simpleString()
+        == "decimal(10,2)"
+    )
+    r = cat.resolve_dml(
+        spark, "ALTER TABLE ddl_t ADD COLUMNS (e decimal(7,3));"
+    ).collect()[0]
+    assert r["operation"] == "add_column"
+    assert (
+        spark.table("ddl_t").schema["e"].dataType.simpleString()
+        == "decimal(7,3)"
+    )
+    # an unbalanced paren still refuses (fromDDL rejects 'decimal(10,2')
+    with _pytest.raises(ValueError, match="bad column type"):
+        cat.resolve_dml(
+            spark, "ALTER TABLE ddl_t ADD COLUMN f decimal(10,2"
+        )
     # non-registered names fall through (Spark raises its own error)
     assert cat.resolve_dml(spark, "ALTER TABLE nosuch ADD COLUMN x int") is None
 
@@ -5660,6 +5767,27 @@ def test_snapshot_table_cbo_join_reorder(spark, sf_dir, tmp_path):
     _, rows_new = register_snapshot_table_cbo(spark, "li_snap_cbo", root)
     assert rows_new == n_li + 100
     assert spark.table("li_snap_cbo").count() == n_li + 100
+
+    # ADVICE r14: the superseded _cbo/v2 pin is reaped on
+    # re-registration (nothing else points at it) — only the live pin
+    # remains, so repeated re-registration cannot accumulate a data
+    # copy per version
+    import os as _os
+    import re as _re
+
+    def pins():
+        return sorted(
+            d
+            for d in _os.listdir(_os.path.join(root, "_cbo"))
+            if _re.fullmatch(r"v\d+", d)
+        )
+
+    assert pins() == ["v3"]
+    # a SECOND name pinning the same root at another version is LIVE —
+    # a later re-registration of the first name must not reap it
+    register_snapshot_table_cbo(spark, "li_snap_cbo_old", root, version=2)
+    register_snapshot_table_cbo(spark, "li_snap_cbo", root)
+    assert pins() == ["v2", "v3"]
 
     # MOR delete state: materialized view, deleted rows NOT leaked
     root2 = str(tmp_path / "mor")
