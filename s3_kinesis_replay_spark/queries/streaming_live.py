@@ -1774,10 +1774,8 @@ def a20b_byte_paced_table_stream(spark, sf_dir):
     "delete preimages rebuild one file's visible rows (sequence-scoped "
     "anti-joins against its applicable prior delete state) then "
     "semi-join the commit's keys — each file one executor task, key "
-    "files small by construction. Merge commits refuse loudly with a "
-    "pointer at the batch snapshot_row_changes (classifying merge "
-    "rows needs the prior global key set — a cross-file join a "
-    "per-file source honestly cannot express). The entry drains "
+    "files small by construction. Merge commits classify at PLAN time "
+    "(a15s); overwrite/restore refuse (provenance). The entry drains "
     "append → equality delete → predicate update as a stream and "
     "hash-compares the FULL event set against the CTE replay — the "
     "same bar as batch a15p, through the streaming front door. At "
@@ -1812,6 +1810,115 @@ def a15r_streaming_cdc(spark, sf_dir):
     )  # v3
     tf.snapshot_update_where(
         spark, root, "event_id % 5 = 0", {"value": "value * 2"}
+    )  # v4
+    stream = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root)
+        .option("starting_version", "1")
+        .load()
+    )
+    sunk = _drain(spark, stream)
+    out = sunk.select(
+        "event_id", "user_id", "value", "_change_type", "_commit_version"
+    )
+    # live-build entry: materialize, then drop the tempdir table
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "a15s_streaming_cdc_merge",
+    "A6",
+    """
+    WITH src AS (
+      SELECT event_id, user_id, CAST(value AS DOUBLE) AS value FROM events
+    ),
+    v2_ins AS (
+      SELECT event_id, user_id, value,
+             'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+      FROM src WHERE event_id >= 6000
+    ),
+    v3_del AS (
+      SELECT event_id, user_id, value, 'delete', CAST(3 AS BIGINT)
+      FROM src WHERE event_id % 7 = 0
+    ),
+    state3 AS (SELECT * FROM src WHERE event_id % 7 <> 0),
+    v4_pre AS (
+      SELECT event_id, user_id, value,
+             'update_preimage', CAST(4 AS BIGINT)
+      FROM state3 WHERE event_id % 5 = 0
+    ),
+    v4_post AS (
+      SELECT event_id, user_id, value * 3,
+             'update_postimage', CAST(4 AS BIGINT)
+      FROM src WHERE event_id % 5 = 0 AND event_id % 7 <> 0
+    ),
+    v4_ins AS (
+      SELECT event_id, user_id, value * 3,
+             'insert', CAST(4 AS BIGINT)
+      FROM src WHERE event_id % 5 = 0 AND event_id % 7 = 0
+    )
+    SELECT * FROM v2_ins
+    UNION ALL SELECT * FROM v3_del
+    UNION ALL SELECT * FROM v4_pre
+    UNION ALL SELECT * FROM v4_post
+    UNION ALL SELECT * FROM v4_ins
+    """,
+    note="STREAMING CDC ACROSS A MERGE COMMIT (r15, VERDICT r14 item "
+    "2): the 'snapshot_changes' source no longer refuses MERGE — the "
+    "RUNNER classifies the commit's keys at plan time with one bounded "
+    "pass (the merge's own key files are small by construction, and "
+    "only prior files whose manifest stats overlap the keys' range are "
+    "read, key column only, under the same sequence-scoped visibility "
+    "rebuild the worker applies), then ships the matched-key verdict "
+    "inside the postimage partitions; workers split update_postimage "
+    "vs insert per-file with zero cross-file work, and preimages reuse "
+    "the delete machinery relabeled update_preimage. The entry drains "
+    "append → equality delete → MERGE (keys %5==0, where the %35==0 "
+    "ones were deleted at v3 so their merge rows must classify INSERT, "
+    "not update) and hash-compares the full event stream against the "
+    "CTE replay — the matched/unmatched split is exactly the batch "
+    "snapshot_row_changes semantics, through the streaming front "
+    "door. At 100 TB: plan cost is O(stats-overlapping files' key "
+    "column), worker cost O(changed rows + touched files), "
+    "exactly-once over the checkpointed offset log; overwrite/restore "
+    "still refuse (file provenance cannot name the changed rows).",
+)
+def a15s_streaming_cdc_merge(spark, sf_dir):
+    import tempfile
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        register_changes_source,
+    )
+
+    register_changes_source(spark)
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="skr_scdcmrg_")
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") < 6000), root, mode="overwrite"
+    )  # v1
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") >= 6000), root, mode="append"
+    )  # v2
+    tf.snapshot_delete(
+        spark,
+        root,
+        ev.filter(F.col("event_id") % 7 == 0).select("event_id"),
+        "event_id",
+    )  # v3
+    tf.snapshot_merge(
+        spark,
+        root,
+        ev.filter(F.col("event_id") % 5 == 0).withColumn(
+            "value", F.col("value") * 3
+        ),
+        "event_id",
     )  # v4
     stream = (
         spark.readStream.format("snapshot_changes")

@@ -1289,8 +1289,8 @@ def test_snapshot_changes_stream_source(spark, tmp_path):
     events; delete_where → delete preimages (only the addressed files
     read); snapshot_delete → delete preimages with prior-delete
     visibility applied per file; update_where → update_preimage +
-    update_postimage; metadata commits skipped; merge refuses with a
-    pointer at the batch API. Events must equal the batch
+    update_postimage; metadata commits skipped; merge classifies at
+    plan time (r15) and overwrite refuses. Events must equal the batch
     snapshot_row_changes over the same range."""
     from pyspark.sql import functions as F
 
@@ -1351,17 +1351,35 @@ def test_snapshot_changes_stream_source(spark, tmp_path):
     assert {(12, 120, "update_preimage", 5), (12, 1120, "update_postimage", 5)} <= got
     assert (3, 30, "delete", 6) in got
 
-    # merge refuses with the batch-API pointer
+    # merge now STREAMS (r15): key 5 has a visible preimage → update;
+    # key 50 is new → insert; equality with the batch API holds
     tf.snapshot_merge(
         spark,
         root,
-        spark.createDataFrame([(5, -5)], "a long, val long"),
+        spark.createDataFrame([(5, -5), (50, -50)], "a long, val long"),
         "a",
     )  # v7
+    got7 = {
+        (r["a"], r["val"], r["_change_type"], r["_commit_version"])
+        for r in drain(6).collect()
+    }
+    want7 = {
+        (r["a"], r["val"], r["_change_type"], r["_commit_version"])
+        for r in tf.snapshot_row_changes(spark, root, 6, 7).collect()
+    }
+    assert got7 == want7
+    assert {
+        (5, 50, "update_preimage", 7),
+        (5, -5, "update_postimage", 7),
+        (50, -50, "insert", 7),
+    } <= got7
+
+    # overwrite still refuses: file provenance cannot name changed rows
+    tf.snapshot_write(spark, ids(0, 3), root, "overwrite")  # v8
     q = (
         spark.readStream.format("snapshot_changes")
         .option("root", root)
-        .option("starting_version", "6")
+        .option("starting_version", "7")
         .load()
         .writeStream.format("parquet")
         .option("path", str(tmp_path / "outm"))
@@ -1369,8 +1387,99 @@ def test_snapshot_changes_stream_source(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    with pytest.raises(Exception, match="snapshot_row_changes"):
+    with pytest.raises(Exception, match="provenance"):
         q.awaitTermination(180)
+
+
+def test_changes_source_merge_classification(spark, tmp_path):
+    """r15 (VERDICT r14 item 2): streaming CDC across MERGE commits via
+    plan-time key classification. Pins: matched keys spanning multiple
+    prior files; a key DELETED earlier classifies INSERT (no visible
+    preimage); a key whose only visible copy is a prior merge/update
+    postimage classifies UPDATE against that copy; full equality with
+    the batch snapshot_row_changes across the chain; merge planning is
+    stats-pruned (disjoint prior files produce no eq_pre partitions)."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        SnapshotChangesStreamReader,
+        register_changes_source,
+    )
+
+    register_changes_source(spark)
+    root = str(tmp_path / "tbl")
+
+    def one_file(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("a"), (F.col("id") * 10).alias("val"))
+            .coalesce(1)
+        )
+
+    def src(pairs):
+        return spark.createDataFrame(pairs, "a long, val long")
+
+    tf.snapshot_write(spark, one_file(0, 100), root, "overwrite")  # v1
+    tf.snapshot_write(spark, one_file(100, 200), root, "append")  # v2
+    tf.snapshot_delete(
+        spark, root, spark.range(10, 13).select(F.col("id").alias("a")), "a"
+    )  # v3: keys 10-12 now invisible
+    tf.snapshot_update_where(
+        spark, root, "a = 20", {"val": "val + 1000"}
+    )  # v4: key 20's visible copy is now the seq-4 postimage (val 1200)
+    # v5 merge: 10 was deleted → INSERT; 20 matches its UPDATED copy;
+    # 150 matches in the SECOND file; 500 is brand new → INSERT
+    tf.snapshot_merge(
+        spark, root, src([(10, -10), (20, -20), (150, -150), (500, -500)]), "a"
+    )  # v5
+    # v6 merge: 10 and 500 were inserted at v5 → both now match → UPDATE
+    tf.snapshot_merge(spark, root, src([(10, -11), (500, -501)]), "a")  # v6
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root)
+        .option("starting_version", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    key = lambda r: (r["a"], r["val"], r["_change_type"], r["_commit_version"])
+    got = sorted(key(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        key(r) for r in tf.snapshot_row_changes(spark, root, 1, 6).collect()
+    )
+    assert got == want
+    gs = set(got)
+    assert (10, -10, "insert", 5) in gs  # deleted key → insert, not update
+    assert (20, 1200, "update_preimage", 5) in gs  # vs the UPDATED copy
+    assert (20, -20, "update_postimage", 5) in gs
+    assert (150, 1500, "update_preimage", 5) in gs  # second file matched
+    assert (500, -500, "insert", 5) in gs
+    assert {(10, -11, "update_postimage", 6), (500, -501, "update_postimage", 6)} <= gs
+    assert (10, -10, "update_preimage", 6) in gs  # v5's insert is the preimage
+
+    # stats-pruned merge planning: a fresh table with two disjoint
+    # files; merge keys overlap only the second → one eq_pre partition
+    root2 = str(tmp_path / "tbl2")
+    tf.snapshot_write(spark, one_file(0, 100), root2, "overwrite")  # v1
+    tf.snapshot_write(spark, one_file(1000, 1100), root2, "append")  # v2
+    tf.snapshot_merge(
+        spark, root2, src([(1000, -1), (1001, -2), (2000, -3)]), "a"
+    )  # v3
+    reader = SnapshotChangesStreamReader(None, {"root": root2})
+    parts = reader.partitions({"version": 2}, {"version": 3})
+    eq = [p for p in parts if p.kind == "eq_pre"]
+    post = [p for p in parts if p.kind == "post_split"]
+    assert len(eq) == 1, [p.rel_path for p in parts]
+    assert post and all(
+        sorted(p.match_keys) == [1000, 1001] for p in post
+    )
 
 
 def test_changes_source_stats_skip_and_correctness(spark, tmp_path):
