@@ -543,7 +543,9 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
     * ``DESCRIBE DETAIL tbl`` → one-row table summary (Delta parity;
       files/bytes/delete-state/spec/constraints; r14)
     * ``SELECT * FROM TABLE_CHANGES(tbl, from, to)`` → row-level CDC
-      (snapshot_row_changes — Delta's table_changes TVF; r14)
+      (snapshot_row_changes — Delta's table_changes TVF; r14); bounds
+      may be version numbers or ``TIMESTAMP '…'`` literals (r15 —
+      start resolves exclusive-before, end inclusive-at-or-before)
     * ``SELECT * FROM TABLE_FILES(tbl [, version])`` → files metadata
       table (Iceberg's tbl.files; r14)
     * ``VACUUM tbl [RETAIN n VERSIONS]`` → age-graced retention (r14)
@@ -801,15 +803,33 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
 
     m = re.fullmatch(
         r"\s*SELECT\s+\*\s+FROM\s+TABLE_CHANGES\s*\(\s*(\w+)\s*,\s*"
-        r"(\d+)\s*,\s*(\d+)\s*\)\s*;?\s*",
+        r"(?:(\d+)|TIMESTAMP\s*('[^']*'))\s*,\s*"
+        r"(?:(\d+)|TIMESTAMP\s*('[^']*'))\s*\)\s*;?\s*",
         query,
         re.IGNORECASE,
     )
     if m:
-        name, lo, hi = m.group(1), int(m.group(2)), int(m.group(3))
+        name = m.group(1)
         root = _SNAPSHOT_ROOTS.get(name)
         if root is None:
             return None
+        # timestamp bounds (r15 — Delta's more common spelling):
+        # starting TIMESTAMP resolves to the newest version strictly
+        # BEFORE it (exclusive lower bound, so commits at/after the
+        # timestamp are included); ending TIMESTAMP to the newest
+        # version at/before it — composing the TIMESTAMP AS OF walk
+        lo = (
+            int(m.group(2))
+            if m.group(2)
+            else tf.cdc_start_version(
+                root, tf.timestamp_to_epoch(m.group(3))
+            )
+        )
+        hi = (
+            int(m.group(4))
+            if m.group(4)
+            else tf.version_as_of(root, tf.timestamp_to_epoch(m.group(5)))
+        )
         return tf.snapshot_row_changes(spark, root, lo, hi)
 
     m = re.fullmatch(

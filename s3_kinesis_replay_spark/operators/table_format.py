@@ -2383,17 +2383,35 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
-def snapshot_as_of(
-    spark: SparkSession, root: str, ts: float
-) -> DataFrame:
-    """TIMESTAMP AS OF time travel: read the newest snapshot whose
-    commit time is <= ``ts`` (epoch seconds) — the 'what did the table
-    look like yesterday 09:00' verb (Delta's TIMESTAMP AS OF / Iceberg's
-    snapshot-at-timestamp). Resolution is a metadata walk over retained
-    manifests; a ``ts`` before the first retained commit raises (the
-    answer would silently be a LATER state than asked for — after
-    vacuum, honest failure beats a wrong snapshot). Manifests without a
-    commit time (legacy) are skipped the same way."""
+def timestamp_to_epoch(spec) -> float:
+    """Timestamp operand → epoch seconds: numbers pass through;
+    strings are ISO-8601, naive values read as UTC (manifests'
+    committed_at is ``time.time()`` and the engine pins the session
+    zone to UTC). Shared by TIMESTAMP AS OF, timestamp-bounded CDC,
+    and the streaming sources' ``starting_timestamp`` option."""
+    if isinstance(spec, (int, float)) and not isinstance(spec, bool):
+        return float(spec)
+    s = str(spec).strip().strip("'\"")
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+def version_as_of(root: str, ts: float) -> int:
+    """Newest retained version whose commit time is <= ``ts`` (epoch
+    seconds) — the resolution step of TIMESTAMP AS OF, also the
+    INCLUSIVE upper bound of a timestamp-range CDC read. Raises when
+    no retained commit qualifies (the answer would silently be a LATER
+    state than asked for — after vacuum, honest failure beats a wrong
+    snapshot). Manifests without a commit time (legacy) are skipped
+    the same way."""
     best = None
     for v in versions(root):
         at = _read_manifest(root, v).get("committed_at")
@@ -2405,7 +2423,34 @@ def snapshot_as_of(
             f"{root} (retained: {versions(root)}) — vacuumed or in the "
             "future"
         )
-    return snapshot_read(spark, root, best)
+    return best
+
+
+def cdc_start_version(root: str, ts: float) -> int:
+    """EXCLUSIVE lower bound of a timestamp-range CDC read: the newest
+    version committed strictly BEFORE ``ts``, so every commit with
+    committed_at >= ts is included — Delta's ``startingTimestamp``
+    rule (the first version at or after the timestamp streams). 0 when
+    the entire retained lineage is at/after ``ts`` (from genesis); if
+    older commits were vacuumed, reading the range then fails loudly
+    on the missing manifest rather than silently dropping changes."""
+    best = 0
+    for v in versions(root):
+        at = _read_manifest(root, v).get("committed_at")
+        if at is not None and at < ts:
+            best = v
+    return best
+
+
+def snapshot_as_of(
+    spark: SparkSession, root: str, ts: float
+) -> DataFrame:
+    """TIMESTAMP AS OF time travel: read the newest snapshot whose
+    commit time is <= ``ts`` (epoch seconds) — the 'what did the table
+    look like yesterday 09:00' verb (Delta's TIMESTAMP AS OF / Iceberg's
+    snapshot-at-timestamp). Resolution is :func:`version_as_of`'s
+    metadata walk over retained manifests."""
+    return snapshot_read(spark, root, version_as_of(root, ts))
 
 
 def snapshot_auto_maintain(

@@ -2890,6 +2890,93 @@ def a15q_sql_table_changes(spark, sf_dir):
 
 
 @register(
+    "a15t_timestamp_table_changes",
+    "A8",
+    """
+    WITH src AS (
+      SELECT event_id, CAST(value AS DOUBLE) AS value FROM events
+      WHERE event_id < 2000
+    ),
+    v2_ins AS (
+      SELECT event_id, value, 'insert' AS _change_type,
+             CAST(2 AS BIGINT) AS _commit_version
+      FROM src WHERE event_id >= 1000
+    ),
+    v3_del AS (
+      SELECT event_id, value, 'delete', CAST(3 AS BIGINT)
+      FROM src WHERE event_id % 10 = 0
+    )
+    SELECT * FROM v2_ins UNION ALL SELECT * FROM v3_del
+    """,
+    note="TIMESTAMP-RANGE CDC (r15, VERDICT r14 item 5 — Delta's more "
+    "common spelling: startingTimestamp rather than a version number): "
+    "`TABLE_CHANGES(tbl, TIMESTAMP 'a', TIMESTAMP 'b')` resolves the "
+    "starting bound to the newest version strictly BEFORE a (exclusive "
+    "lower bound, so commits at/after the timestamp are included) and "
+    "the ending bound to the newest version at/before b — composing "
+    "the TIMESTAMP AS OF metadata walk (version_as_of / "
+    "cdc_start_version) with the existing row-level CDC. The entry "
+    "builds the same append+delete history as a15q, derives the "
+    "bounds from the commits' RECORDED committed_at (midpoint between "
+    "v1 and v2; exactly v3), gates that they resolve to versions "
+    "(1, 3], and hash-compares the TVF result against the version-"
+    "bound CTE replay — proving timestamp bounds select the same row "
+    "set. Both streaming sources take the same `starting_timestamp` "
+    "option (unit-pinned in tests). Resolution is O(#retained "
+    "manifests) metadata at any table size; a bound below the vacuum "
+    "horizon fails loudly rather than silently dropping changes.",
+)
+def a15t_timestamp_table_changes(spark, sf_dir):
+    import tempfile
+    from datetime import datetime, timezone
+
+    from s3_kinesis_replay_spark.engine import Engine
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", F.col("value").cast("double").alias("value")
+    ).filter(F.col("event_id") < 2000)
+    root = tempfile.mkdtemp(prefix="skr_tstvc_")
+    eng = Engine(spark, sf_dir=sf_dir)
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") < 1000), root, mode="overwrite"
+    )  # v1
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") >= 1000), root, mode="append"
+    )  # v2
+    tf.snapshot_delete(
+        spark,
+        root,
+        ev.filter(F.col("event_id") % 10 == 0).select("event_id"),
+        "event_id",
+    )  # v3
+    at = {
+        v: tf._read_manifest(root, v)["committed_at"] for v in (1, 2, 3)
+    }
+
+    def iso(ts: float) -> str:
+        return datetime.fromtimestamp(ts, timezone.utc).isoformat()
+
+    from_iso = iso((at[1] + at[2]) / 2)  # strictly between v1 and v2
+    to_iso = iso(at[3])  # exactly v3's commit time (inclusive)
+    got = (
+        tf.cdc_start_version(root, tf.timestamp_to_epoch(from_iso)),
+        tf.version_as_of(root, tf.timestamp_to_epoch(to_iso)),
+    )
+    if got != (1, 3):
+        raise RuntimeError(
+            f"a15t gate FAILED: timestamp bounds resolved to {got}, "
+            "expected versions (1, 3)"
+        )
+    eng.register_snapshot_table("events_tstvc", root)
+    out = eng.sql(
+        f"SELECT * FROM TABLE_CHANGES(events_tstvc, "
+        f"TIMESTAMP '{from_iso}', TIMESTAMP '{to_iso}')"
+    ).select("event_id", "value", "_change_type", "_commit_version")
+    return _materialize_and_cleanup(spark, out, root)
+
+
+@register(
     "p23_ivm_row_deltas",
     "D1",
     f"""

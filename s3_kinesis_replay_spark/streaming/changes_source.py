@@ -58,6 +58,7 @@ Usage::
     (spark.readStream.format("snapshot_changes")
      .option("root", "/path/tbl")
      .option("starting_version", "3")   # EXCLUSIVE lower bound
+     .option("starting_timestamp", "2026-01-01T00:00:00")  # xor ^ (r15)
      .option("max_versions_per_batch", "1")
      .load())
 """
@@ -132,7 +133,11 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         self.root = options.get("root")
         if not self.root:
             raise ValueError("snapshot_changes requires .option('root', ...)")
-        self.starting = int(options.get("starting_version", "0"))
+        from s3_kinesis_replay_spark.streaming.snapshot_source import (
+            _resolve_starting,
+        )
+
+        self.starting = _resolve_starting(self.root, options)
         mvpb = options.get("max_versions_per_batch")
         self.max_versions = int(mvpb) if mvpb is not None else None
         self._pos: int | None = None  # monotone batch-END tracker

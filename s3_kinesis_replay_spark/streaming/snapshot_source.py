@@ -66,6 +66,7 @@ Usage::
     df = (spark.readStream.format("snapshot_table")
           .option("root", "/path/to/table")
           .option("starting_version", "0")        # default: 0 (genesis)
+          .option("starting_timestamp", "2026-01-01T00:00:00")  # xor ^
           .option("max_versions_per_batch", "1")  # default: unbounded
           .option("max_bytes_per_batch", "67108864")  # default: unbounded
           .option("skip_changes", "false")        # default: fail
@@ -135,6 +136,31 @@ def _version_bytes(root: str, v: int) -> int:
             except OSError:
                 pass
     return total
+
+
+def _resolve_starting(root: str, options) -> int:
+    """EXCLUSIVE starting version for a table/CDC stream from either
+    ``starting_version`` (a version number) or ``starting_timestamp``
+    (r15 — Delta's more common spelling: epoch seconds or ISO-8601,
+    naive = UTC; resolves to the newest version strictly BEFORE the
+    timestamp so every commit at/after it streams). Mutually
+    exclusive; default 0 (genesis)."""
+    sv, st = options.get("starting_version"), options.get(
+        "starting_timestamp"
+    )
+    if st is not None:
+        if sv is not None:
+            raise ValueError(
+                "starting_version and starting_timestamp are mutually "
+                "exclusive — pass one"
+            )
+        from s3_kinesis_replay_spark.operators.table_format import (
+            cdc_start_version,
+            timestamp_to_epoch,
+        )
+
+        return cdc_start_version(root, timestamp_to_epoch(st))
+    return int(sv) if sv is not None else 0
 
 
 def _metadata_only(root: str, m: dict, v: int) -> bool:
@@ -260,7 +286,7 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         self.root = options.get("root")
         if not self.root:
             raise ValueError("snapshot_table requires .option('root', ...)")
-        self.starting = int(options.get("starting_version", "0"))
+        self.starting = _resolve_starting(self.root, options)
         mvpb = options.get("max_versions_per_batch")
         self.max_versions = int(mvpb) if mvpb is not None else None
         mbpb = options.get("max_bytes_per_batch")

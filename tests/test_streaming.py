@@ -1540,6 +1540,89 @@ def test_changes_source_stats_skip_and_correctness(spark, tmp_path):
     assert got == {(a, a * 10, "delete") for a in range(1000, 1005)}
 
 
+def test_streaming_starting_timestamp(spark, tmp_path):
+    """r15 (VERDICT r14 item 5): both streaming sources accept
+    `starting_timestamp` — resolved to the newest version strictly
+    BEFORE the timestamp (Delta's startingTimestamp rule: the commit
+    at/after it streams); mutually exclusive with starting_version;
+    ISO and epoch spellings both parse."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        register_changes_source,
+    )
+    from s3_kinesis_replay_spark.streaming.snapshot_source import (
+        SnapshotTableStreamReader,
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    register_changes_source(spark)
+    root = str(tmp_path / "tbl")
+
+    def ids(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("a"), (F.col("id") * 10).alias("val")
+        )
+
+    tf.snapshot_write(spark, ids(0, 5), root, "overwrite")  # v1
+    tf.snapshot_write(spark, ids(5, 8), root, "append")  # v2
+    tf.snapshot_write(spark, ids(8, 10), root, "append")  # v3
+    at = {v: tf._read_manifest(root, v)["committed_at"] for v in (1, 2, 3)}
+    mid12 = (at[1] + at[2]) / 2
+
+    # table stream from the v1/v2 midpoint → v2 and v3 rows only
+    def drain(fmt, opts, out):
+        b = spark.readStream.format(fmt).option("root", root)
+        for k, v in opts.items():
+            b = b.option(k, v)
+        q = (
+            b.load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / out))
+            .option("checkpointLocation", str(tmp_path / (out + "_ck")))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return spark.read.parquet(str(tmp_path / out))
+
+    got = sorted(
+        r["a"]
+        for r in drain(
+            "snapshot_table", {"starting_timestamp": str(mid12)}, "o1"
+        ).collect()
+    )
+    assert got == list(range(5, 10))
+    # ISO spelling, CDC source: same cut, insert events for v2+v3
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(mid12, timezone.utc).isoformat()
+    got2 = sorted(
+        (r["a"], r["_change_type"], r["_commit_version"])
+        for r in drain(
+            "snapshot_changes", {"starting_timestamp": iso}, "o2"
+        ).collect()
+    )
+    assert got2 == [(a, "insert", 2 if a < 8 else 3) for a in range(5, 10)]
+    # a timestamp after every commit → nothing streams (empty cut)
+    reader = SnapshotTableStreamReader(
+        None, {"root": root, "starting_timestamp": str(at[3] + 10)}
+    )
+    assert reader.starting == 3
+    # mutual exclusion refuses
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        SnapshotTableStreamReader(
+            None,
+            {
+                "root": root,
+                "starting_version": "1",
+                "starting_timestamp": str(mid12),
+            },
+        )
+
+
 def test_changes_source_from_genesis_default(spark, tmp_path):
     """r14 review: the source's DEFAULT starting_version=0 must work —
     the empty predecessor makes the genesis overwrite pure inserts
