@@ -491,10 +491,9 @@ def resolve_time_travel(spark: SparkSession, query: str) -> str:
     return re.sub(_TT_PATTERN, sub, query, flags=re.IGNORECASE)
 
 
-def _split_assignments(text: str) -> dict[str, str]:
-    """``SET a = x, b = f(y, z)`` → {a: 'x', b: 'f(y, z)'} — split on
-    top-level commas only (parens may nest; string literals may carry
-    commas)."""
+def _split_top_level(text: str) -> list[str]:
+    """Split on TOP-LEVEL commas only (parens may nest; string literals
+    may carry commas) — shared by SET assignments and INSERT VALUES."""
     parts: list[str] = []
     depth = 0
     in_str = False
@@ -513,13 +512,122 @@ def _split_assignments(text: str) -> dict[str, str]:
                 continue
         cur += ch
     parts.append(cur)
+    return [p.strip() for p in parts]
+
+
+def _split_assignments(text: str) -> dict[str, str]:
+    """``SET a = x, b = f(y, z)`` → {a: 'x', b: 'f(y, z)'}."""
     out: dict[str, str] = {}
-    for p in parts:
+    for p in _split_top_level(text):
         if "=" not in p:
             raise ValueError(f"bad SET assignment: {p.strip()!r}")
         col, expr = p.split("=", 1)
-        out[col.strip()] = expr.strip()
+        out[col.strip().strip("`")] = expr.strip()
     return out
+
+
+def _parse_merge_clauses(text: str) -> list[dict]:
+    """The WHEN-clause tail of a MERGE statement → the ordered clause
+    list :func:`table_format.snapshot_merge_clauses` takes. Grammar
+    (each clause; conditions are Spark SQL over aliases t/s):
+
+    * ``WHEN MATCHED [AND cond] THEN UPDATE SET a = e, ...``
+    * ``WHEN MATCHED [AND cond] THEN DELETE``
+    * ``WHEN NOT MATCHED [AND cond] THEN INSERT *`` /
+      ``INSERT (cols) VALUES (exprs)``
+    * ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE``
+
+    Known textual limits, refused loudly rather than misparsed: a
+    condition may not itself contain the token sequence ``WHEN
+    MATCHED``/``WHEN NOT MATCHED`` (clause boundary) or a top-level
+    ``THEN`` (CASE expressions belong in SET values, where they parse
+    fine)."""
+    import re
+
+    segs = [
+        s.strip()
+        for s in re.split(
+            r"(?i)\bWHEN\s+(?=MATCHED\b|NOT\s+MATCHED\b)", text
+        )
+        if s.strip()
+    ]
+    if not segs:
+        raise ValueError(f"no WHEN clauses in MERGE tail: {text!r}")
+    clauses: list[dict] = []
+
+    def cond_of(g: str | None) -> str | None:
+        return g.strip() if g else None
+
+    for seg in segs:
+        m = re.fullmatch(
+            r"(?is)NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?"
+            r"\s+THEN\s+DELETE\s*",
+            seg,
+        )
+        if m:
+            clauses.append(
+                {"kind": "nbs_delete", "cond": cond_of(m.group(1))}
+            )
+            continue
+        m = re.fullmatch(
+            r"(?is)NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+            r"INSERT\s*\*\s*",
+            seg,
+        )
+        if m:
+            clauses.append(
+                {
+                    "kind": "insert",
+                    "cond": cond_of(m.group(1)),
+                    "cols": None,
+                    "values": None,
+                }
+            )
+            continue
+        m = re.fullmatch(
+            r"(?is)NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+            r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*",
+            seg,
+        )
+        if m:
+            cols = [c.strip().strip("`") for c in m.group(2).split(",")]
+            values = _split_top_level(m.group(3))
+            if len(cols) != len(values):
+                raise ValueError(
+                    f"INSERT arity mismatch: {len(cols)} columns, "
+                    f"{len(values)} values in clause WHEN {seg!r}"
+                )
+            clauses.append(
+                {
+                    "kind": "insert",
+                    "cond": cond_of(m.group(1)),
+                    "cols": cols,
+                    "values": values,
+                }
+            )
+            continue
+        m = re.fullmatch(
+            r"(?is)MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*", seg
+        )
+        if m:
+            clauses.append({"kind": "delete", "cond": cond_of(m.group(1))})
+            continue
+        m = re.fullmatch(
+            r"(?is)MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+"
+            r"(.+?)\s*",
+            seg,
+        )
+        if m:
+            clauses.append(
+                {
+                    "kind": "update",
+                    "cond": cond_of(m.group(1)),
+                    "sets": _split_assignments(m.group(2)),
+                }
+            )
+            continue
+        raise ValueError(f"unrecognized MERGE clause: WHEN {seg!r}")
+    return clauses
 
 
 def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
@@ -534,7 +642,12 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
     * ``DELETE FROM tbl WHERE <pred>``          → position MOR delete
     * ``UPDATE tbl SET c = e, ... WHERE <pred>`` → atomic MOR update
     * ``INSERT INTO tbl SELECT ...`` / ``VALUES ...`` → append commit
-    * ``MERGE INTO tbl USING (<query>) ON <key>`` → atomic upsert
+    * ``MERGE INTO tbl USING (<query>) ON <key>`` → atomic upsert;
+      clause forms (r15): ``WHEN MATCHED [AND c] THEN UPDATE SET … /
+      DELETE``, ``WHEN NOT MATCHED [AND c] THEN INSERT * / (cols)
+      VALUES (…)``, ``WHEN NOT MATCHED BY SOURCE [AND c] THEN
+      DELETE`` — conditions are Spark SQL over aliases t/s, one
+      atomic commit per statement
     * ``ALTER TABLE tbl ADD CONSTRAINT n CHECK (expr)`` /
       ``DROP CONSTRAINT n`` → constraint metadata commits (r14)
     * ``ALTER TABLE tbl ADD COLUMN c type`` → metadata-only schema
@@ -669,17 +782,35 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
         )
 
     m = re.fullmatch(
-        r"\s*MERGE\s+INTO\s+(\w+)\s+USING\s+\((.+)\)\s+ON\s+(\w+)\s*;?\s*",
+        r"\s*MERGE\s+INTO\s+(\w+)\s+USING\s+\((.+)\)\s+ON\s+(\w+)"
+        r"((?:\s+WHEN\s+.+?)?)\s*;?\s*",
         query,
         re.IGNORECASE | re.DOTALL,
     )
     if m:
         name, src_sql, key = m.group(1), m.group(2), m.group(3)
+        clause_sql = (m.group(4) or "").strip()
         root = _SNAPSHOT_ROOTS.get(name)
         if root is None:
             return None
         src = spark.sql(resolve_time_travel(spark, src_sql))
-        return done("merge", name, root, tf.snapshot_merge(spark, root, src, key))
+        if not clause_sql:
+            # bare key-upsert form (r13): matched rows replaced by the
+            # source row, unmatched source rows inserted
+            return done(
+                "merge", name, root, tf.snapshot_merge(spark, root, src, key)
+            )
+        # clause forms (r15, VERDICT r14 item 3): WHEN MATCHED [AND c]
+        # THEN UPDATE SET/DELETE, WHEN NOT MATCHED [AND c] THEN INSERT,
+        # WHEN NOT MATCHED BY SOURCE THEN DELETE — one atomic commit
+        return done(
+            "merge",
+            name,
+            root,
+            tf.snapshot_merge_clauses(
+                spark, root, src, key, _parse_merge_clauses(clause_sql)
+            ),
+        )
 
     # DDL verbs (r14, VERDICT item 4): constraint and column management
     # from SQL, one atomic metadata commit per statement, view

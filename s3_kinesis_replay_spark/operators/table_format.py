@@ -1398,11 +1398,33 @@ def snapshot_row_changes(
             )
             pre = pre_view.join(F.broadcast(keys), key, "left_semi")
             if post is not None:
-                # MERGE: keys on both sides are updates; source-only
-                # keys are inserts. existing-key set = the preimage's
-                # keys (exactly the matched rows).
-                ex = pre.select(key).distinct()
-                parts.append(align(pre, "update_preimage", v))
+                # MERGE: keys on BOTH sides are updates; source-only
+                # keys are inserts; tombstoned keys with NO postimage
+                # row (a clause-form merge's matched/not-matched-by-
+                # source DELETE, r15) are deletes. For the plain upsert
+                # the postimage keys equal the tombstone keys, so
+                # ex == pre keys and the delete leg is empty — the r14
+                # classification unchanged.
+                ex = (
+                    pre.select(key)
+                    .distinct()
+                    .join(F.broadcast(post.select(key).distinct()),
+                          key, "left_semi")
+                )
+                parts.append(
+                    align(
+                        pre.join(F.broadcast(ex), key, "left_semi"),
+                        "update_preimage",
+                        v,
+                    )
+                )
+                parts.append(
+                    align(
+                        pre.join(F.broadcast(ex), key, "left_anti"),
+                        "delete",
+                        v,
+                    )
+                )
                 parts.append(
                     align(
                         post.join(F.broadcast(ex), key, "left_semi"),
@@ -2250,6 +2272,285 @@ def snapshot_merge(
         )
 
     return snapshot_commit_retry(attempt, retries)
+
+
+def snapshot_merge_clauses(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key_col: str,
+    clauses: list[dict],
+) -> int:
+    """CLAUSE-FORM MERGE (r15, VERDICT r14 item 3 — the statement every
+    Delta/Iceberg SQL user writes first), one atomic commit on the same
+    MOR primitives as :func:`snapshot_merge` (new data files + one
+    equality delete-key file, sequence-scoped at read). ``clauses`` is
+    an ORDERED list of dicts:
+
+    * ``{"kind": "update", "cond": sql|None, "sets": {col: sql}}`` —
+      WHEN MATCHED [AND cond] THEN UPDATE SET …
+    * ``{"kind": "delete", "cond": sql|None}`` —
+      WHEN MATCHED [AND cond] THEN DELETE
+    * ``{"kind": "insert", "cond": sql|None, "cols": [..]|None,
+      "values": [sql]|None}`` — WHEN NOT MATCHED [AND cond] THEN
+      INSERT * / (cols) VALUES (exprs)
+    * ``{"kind": "nbs_delete", "cond": sql|None}`` —
+      WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
+
+    Conditions and expressions are Spark SQL referencing aliases ``t``
+    (target) and ``s`` (source); matched/insert clauses apply
+    FIRST-MATCH-WINS in statement order (a NULL condition does not
+    match — standard MERGE rule). The rewrite: eligible matched rows
+    per clause → updated copies (re-added) or removed keys; NOT
+    MATCHED source rows → inserts; NOT MATCHED BY SOURCE target rows →
+    removed keys. One commit adds (updated ∪ inserted) rows and
+    tombstones (updated ∪ deleted ∪ nbs-deleted) keys.
+
+    Refusals, all loud: SET on the key column (a key-granular delete
+    cannot express a key rewrite); a key whose target rows are only
+    PARTIALLY affected (duplicate-key targets where a condition
+    distinguishes rows — key-granular tombstones would drop the
+    unaffected rows; use predicate DML); ambiguous source keys (same
+    rule as snapshot_merge). The source is MATERIALIZED once before
+    evaluation so a non-deterministic source cannot diverge between
+    the add and tombstone sides. At 100 TB: O(source + matched) work,
+    broadcast source keys, zero table rewrite — the snapshot_merge
+    economics with conditional semantics.
+
+    NO auto-retry on CommitConflict (unlike snapshot_merge): the clause
+    verdicts — which rows matched, which conditions held — are
+    evaluated against ONE specific target version, so re-linking them
+    over a concurrent commit would apply stale verdicts (the
+    snapshot_compact rewrite-validation rule). The caller re-runs the
+    statement, which re-evaluates everything against the new head."""
+    import shutil as _shutil
+
+    if latest_version(root) == 0:
+        raise ValueError(
+            "cannot merge into an empty table — snapshot_write the "
+            "initial load first"
+        )
+    if key_col not in source.columns:
+        raise ValueError(f"source has no key column {key_col!r}")
+    if not clauses:
+        raise ValueError("clause-form merge needs at least one clause")
+    for c in clauses:
+        if c["kind"] == "update" and key_col in c.get("sets", {}):
+            raise ValueError(
+                f"UPDATE SET on the merge key {key_col!r} is refused — "
+                "a key-granular tombstone cannot express a key rewrite "
+                "(delete + insert instead)"
+            )
+
+    # materialize the source ONCE (snapshot_merge reads its written
+    # files back for the same reason): every downstream evaluation —
+    # adds, tombstones, the partial-key audit — sees identical rows
+    # even for a non-deterministic source query
+    # NOT underscore-prefixed (Spark's FS listing treats `_*` as hidden
+    # and would ignore the files); outside root/data so vacuum never
+    # walks it; removed in the finally
+    tmp = os.path.join(root, f"tmpmerge-{uuid.uuid4().hex[:12]}")
+    source.write.mode("error").parquet(tmp)
+    try:
+        src = spark.read.parquet(tmp)
+        kc = src.agg(
+            F.count(key_col).alias("n"),
+            F.countDistinct(key_col).alias("nd"),
+            F.count(F.when(F.col(key_col).isNull(), 1)).alias("nn"),
+        ).collect()[0]
+        if kc["nn"] or kc["n"] != kc["nd"]:
+            raise ValueError(
+                f"merge source is ambiguous on {key_col!r}: {kc['n']} "
+                f"rows, {kc['nd']} distinct keys, {kc['nn']} NULL keys"
+            )
+        base0 = latest_version(root)
+        cur = snapshot_read(spark, root, base0)
+        tcols = cur.columns
+        ttypes = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
+        sfx = uuid.uuid4().hex[:8]
+        tv, sv = f"__mrgc_t_{sfx}", f"__mrgc_s_{sfx}"
+        cur.createOrReplaceTempView(tv)
+        src.createOrReplaceTempView(sv)
+
+        def q(sql: str) -> DataFrame:
+            return spark.sql(sql)
+
+        def guard(cond: str | None) -> str:
+            return f"coalesce(({cond}), false)" if cond else "true"
+
+        matched_from = (
+            f"FROM {tv} t JOIN {sv} s ON t.`{key_col}` = s.`{key_col}`"
+        )
+        adds: list[DataFrame] = []
+        tomb: list[DataFrame] = []  # key frames to tombstone
+        audit: list[DataFrame] = []  # per-ROW key hits for the audit
+        prior: list[str] = []
+        for c in (c for c in clauses if c["kind"] in ("update", "delete")):
+            g = guard(c.get("cond"))
+            where = " AND ".join([g] + [f"NOT {p}" for p in prior])
+            prior.append(g)
+            keys_sql = (
+                f"SELECT t.`{key_col}` AS `{key_col}` {matched_from} "
+                f"WHERE {where}"
+            )
+            audit.append(q(keys_sql))
+            tomb.append(q(keys_sql))
+            if c["kind"] == "update":
+                proj = ", ".join(
+                    f"CAST(({c['sets'][col]}) AS {ttypes[col]}) AS `{col}`"
+                    if col in c["sets"]
+                    else f"t.`{col}` AS `{col}`"
+                    for col in tcols
+                )
+                adds.append(
+                    q(f"SELECT {proj} {matched_from} WHERE {where}")
+                )
+        prior = []
+        for c in (c for c in clauses if c["kind"] == "insert"):
+            g = guard(c.get("cond"))
+            where = " AND ".join([g] + [f"NOT {p}" for p in prior])
+            prior.append(g)
+            if c.get("cols") is not None:
+                vals = dict(zip(c["cols"], c["values"]))
+                bad = set(vals) - set(tcols)
+                if bad:
+                    raise ValueError(
+                        f"INSERT names unknown columns {sorted(bad)}"
+                    )
+                proj = ", ".join(
+                    f"CAST(({vals[col]}) AS {ttypes[col]}) AS `{col}`"
+                    if col in vals
+                    else f"CAST(NULL AS {ttypes[col]}) AS `{col}`"
+                    for col in tcols
+                )
+            else:  # INSERT *: source columns by name, NULL-fill the rest
+                missing = [c2 for c2 in tcols if c2 not in src.columns]
+                proj = ", ".join(
+                    f"CAST(s.`{col}` AS {ttypes[col]}) AS `{col}`"
+                    if col not in missing
+                    else f"CAST(NULL AS {ttypes[col]}) AS `{col}`"
+                    for col in tcols
+                )
+            adds.append(
+                q(
+                    f"SELECT {proj} FROM {sv} s LEFT ANTI JOIN {tv} t "
+                    f"ON s.`{key_col}` = t.`{key_col}` WHERE {where}"
+                )
+            )
+        for c in (c for c in clauses if c["kind"] == "nbs_delete"):
+            g = guard(c.get("cond"))
+            tomb.append(
+                q(
+                    f"SELECT t.`{key_col}` AS `{key_col}` FROM {tv} t "
+                    f"LEFT ANTI JOIN {sv} s ON t.`{key_col}` = "
+                    f"s.`{key_col}` WHERE {g}"
+                )
+            )
+            # NBS rows are whole-key by construction (anti join keeps
+            # every row of an unmatched key; the condition may still
+            # split duplicate-key rows — audited below with the rest)
+            audit.append(tomb[-1])
+
+        # partial-key audit: every affected key's row count must equal
+        # its total visible row count — otherwise a key-granular
+        # tombstone would silently drop the unaffected duplicates
+        if audit:
+            aff = audit[0]
+            for a in audit[1:]:
+                aff = aff.unionByName(a)
+            per_aff = aff.groupBy(key_col).agg(
+                F.count(F.lit(1)).alias("__n_aff")
+            )
+            per_tot = (
+                cur.join(F.broadcast(per_aff.select(key_col)), key_col,
+                         "left_semi")
+                .groupBy(key_col)
+                .agg(F.count(F.lit(1)).alias("__n_tot"))
+            )
+            bad = (
+                per_aff.join(per_tot, key_col)
+                .where(F.col("__n_aff") != F.col("__n_tot"))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                r = bad[0]
+                raise ValueError(
+                    f"merge clause affects {r['__n_aff']} of "
+                    f"{r['__n_tot']} rows for key "
+                    f"{r[key_col]!r} — duplicate-key targets where a "
+                    "condition splits a key's rows cannot be expressed "
+                    "with key-granular tombstones; use predicate "
+                    "UPDATE/DELETE WHERE instead"
+                )
+
+        add_rows = None
+        for a in adds:
+            add_rows = a if add_rows is None else add_rows.unionByName(a)
+        del_keys = None
+        for d in tomb:
+            del_keys = d if del_keys is None else del_keys.unionByName(d)
+
+        new_files = (
+            _write_data_files(add_rows, root, prefix="mrg")
+            if add_rows is not None
+            else []
+        )
+        written = (
+            spark.read.parquet(*[os.path.join(root, p) for p in new_files])
+            if new_files
+            else None
+        )
+        m0 = _read_manifest(root, base0)
+        _validate_delete_key(m0, key_col)
+        if written is not None:
+            _enforce_constraints(
+                written,
+                m0.get("constraints") or {},
+                f"snapshot_merge_clauses into {root}",
+            )
+        seg = (
+            _write_segment(
+                root,
+                [
+                    {"path": p, "stats": _file_stats(root, new_files)[p]}
+                    for p in new_files
+                ],
+            )
+            if new_files
+            else None
+        )
+        del_files = (
+            _write_data_files(
+                del_keys.select(key_col).distinct(), root, prefix="del"
+            )
+            if del_keys is not None
+            else []
+        )
+        dseg = (
+            _write_segment(root, [{"path": p} for p in del_files])
+            if del_files
+            else None
+        )
+        # commit PINNED to base0 (no retry): the verdicts above were
+        # evaluated against base0's view — a concurrent commit makes
+        # them stale, so the link conflict propagates and the caller
+        # re-runs the statement against the new head
+        v = _commit(
+            root,
+            base0,
+            "merge",
+            carry_from=m0,
+            new_segment=seg,
+            new_delete_segment=dseg,
+            delete_key=key_col,
+            schema=m0.get("schema"),
+        )
+        spark.catalog.dropTempView(tv)
+        spark.catalog.dropTempView(sv)
+        return v
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
 
 
 def snapshot_compact(spark: SparkSession, root: str) -> int:

@@ -2452,6 +2452,100 @@ def a23_sql_dml(spark, sf_dir):
     return _materialize_and_cleanup(spark, out, root)
 
 
+@register(
+    "a23b_sql_merge_clauses",
+    "A8",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_id < 8000
+    ),
+    src AS (
+      SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_id >= 6000
+    ),
+    kept AS (
+      SELECT * FROM base WHERE event_id >= 100 AND event_id < 6000
+    ),
+    boosted AS (
+      SELECT b.event_id, b.user_id, 'boosted' AS event_type,
+             s.value * 2 AS value
+      FROM base b JOIN src s ON b.event_id = s.event_id
+      WHERE COALESCE(s.value > 50, FALSE)
+    ),
+    inserted AS (
+      SELECT event_id, user_id, 'merged' AS event_type, value
+      FROM src WHERE event_id >= 8000 AND event_id % 3 = 0
+    )
+    SELECT * FROM kept
+    UNION ALL SELECT * FROM boosted
+    UNION ALL SELECT * FROM inserted
+    """,
+    note="SQL MERGE CLAUSE FORMS (r15, VERDICT r14 item 3 — the "
+    "statement every Delta/Iceberg SQL user writes first): `MERGE INTO "
+    "t USING (q) ON key WHEN MATCHED [AND c] THEN UPDATE SET …/DELETE, "
+    "WHEN NOT MATCHED [AND c] THEN INSERT */(cols) VALUES (…), WHEN "
+    "NOT MATCHED BY SOURCE [AND c] THEN DELETE` parses to an ordered "
+    "clause list and rewrites onto ONE atomic MOR commit "
+    "(snapshot_merge_clauses): eligible matched rows per clause — "
+    "first-match-wins, NULL conditions don't match — become updated "
+    "copies or tombstoned keys; NOT MATCHED source rows insert; NOT "
+    "MATCHED BY SOURCE target rows tombstone. Conditions/SET exprs are "
+    "Spark SQL over aliases t/s. Refusals: SET on the merge key, "
+    "partially-affected duplicate keys, ambiguous source keys; no "
+    "auto-retry on conflict (verdicts are evaluated against one "
+    "target version — the compact rule). The oracle replays the "
+    "conditional merge as CTE algebra: update-with-condition, the "
+    "condition's ELSE falling to a matched DELETE, a conditional "
+    "INSERT, and an NBS DELETE all land in one commit whose final "
+    "state must hash-match. Row-level CDC classifies the commit "
+    "correctly (tombstones without postimages are deletes, r15 "
+    "extension to batch + streaming). At 100 TB: O(source + matched) "
+    "with broadcast source keys, zero table rewrite.",
+)
+def a23b_sql_merge_clauses(spark, sf_dir):
+    import tempfile
+
+    from s3_kinesis_replay_spark.engine import Engine
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = tempfile.mkdtemp(prefix="skr_mrgctbl_")
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.sql(
+        f"CREATE TABLE events_mrgc LOCATION '{root}' AS "
+        "SELECT event_id, user_id, event_type, "
+        "CAST(value AS DOUBLE) AS value "
+        "FROM events WHERE event_id < 8000"
+    )
+    eng.sql(
+        """
+        MERGE INTO events_mrgc USING (
+          SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+          FROM events WHERE event_id >= 6000
+        ) ON event_id
+        WHEN MATCHED AND s.value > 50
+          THEN UPDATE SET value = s.value * 2, event_type = 'boosted'
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED AND s.event_id % 3 = 0
+          THEN INSERT (event_id, user_id, event_type, value)
+               VALUES (s.event_id, s.user_id, 'merged', s.value)
+        WHEN NOT MATCHED BY SOURCE AND t.event_id < 100 THEN DELETE
+        """
+    )
+    ops = [
+        r["operation"] for r in tf.snapshot_history(spark, root).collect()
+    ]
+    if ops != ["overwrite", "merge"]:
+        raise RuntimeError(
+            f"a23b gate FAILED: expected one atomic commit for the "
+            f"whole clause statement, got history {ops}"
+        )
+    out = eng.sql(
+        "SELECT event_id, user_id, event_type, value FROM events_mrgc"
+    )
+    return _materialize_and_cleanup(spark, out, root)
+
+
 def _orc_table(spark, sf_dir: str) -> str:
     """Install (once, fingerprint-cached, atomic) an ORC copy of
     lineitem — the other columnar format Spark ships a native

@@ -100,6 +100,9 @@ class ChangePartition(InputPartition):
     prior_eq: tuple = ()  # applicable prior equality-delete key files
     prior_pos: tuple = ()  # prior position-delete address files
     match_keys: tuple = ()  # merge keys with a visible v-1 row
+    # merge preimages only: keys with a postimage row — preimage rows
+    # whose key is absent here are DELETES (clause-form merges, r15)
+    post_keys: object = None
     arrow_schema: object = field(default=None, repr=False)
 
 
@@ -239,6 +242,19 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 klo, khi = self._key_range(new_del, key)
                 matched = self._matched_keys(prev, key, new_del, klo, khi)
                 mk = tuple(sorted(matched, key=repr))
+                # postimage keys (r15, clause-form merges): a tombstoned
+                # key with NO new-data row is a DELETE, not a dangling
+                # update_preimage — the preimage workers split per row
+                # on this set. Runner read bounded by the commit's own
+                # new files (for a plain upsert it equals the key file).
+                pk = tuple(
+                    sorted(
+                        self._file_key_set(
+                            [e["path"] for e in new_data], key
+                        ),
+                        key=repr,
+                    )
+                )
                 for e in new_data:
                     parts.append(
                         ChangePartition(
@@ -251,11 +267,12 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                             arrow_schema=self._arrow_schema,
                         )
                     )
-                parts.extend(
-                    self._eq_preimage_parts(
-                        prev, new_del, key, "update_preimage", v, klo, khi
-                    )
+                pre_parts = self._eq_preimage_parts(
+                    prev, new_del, key, "update_preimage", v, klo, khi
                 )
+                for p in pre_parts:
+                    p.post_keys = pk
+                parts.extend(pre_parts)
                 prev = m
                 continue
             post_type = "update_postimage" if new_pdel else "insert"
@@ -486,6 +503,20 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         except Exception:
             return None, None
 
+    def _file_key_set(self, rel_paths: list[str], key: str) -> set:
+        """Distinct non-null key values across the named parquet files
+        (runner-side, key column only, bounded by the commit's own
+        file set)."""
+        import pyarrow.parquet as pq
+
+        out: set = set()
+        for p in rel_paths:
+            col = pq.read_table(
+                os.path.join(self.root, p), columns=[key]
+            ).column(key)
+            out.update(col.drop_null().to_pylist())
+        return out
+
     def _addressed_files(self, new_pdel: list[str]) -> list[str]:
         """Root-relative data files a commit's address rows name —
         driver-side, bounded by the files the delete touched."""
@@ -602,6 +633,36 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 join_type="left semi",
             )
             out = _project(cur.drop_columns(["__idx"]), data_schema)
+            if p.post_keys is not None:
+                # merge preimage split (r15, clause forms): a tombstoned
+                # row whose key has a postimage copy is update_preimage;
+                # one with none was DELETED by a matched/not-matched-by-
+                # source DELETE clause
+                key_type = data_schema.field(p.key_col).type
+                if p.post_keys:
+                    has_post = pc.is_in(
+                        out.column(p.key_col).combine_chunks(),
+                        value_set=pa.array(
+                            list(p.post_keys), type=key_type
+                        ),
+                    ).fill_null(False)
+                else:
+                    has_post = pa.array(
+                        [False] * out.num_rows, type=pa.bool_()
+                    )
+                ctype = pc.if_else(
+                    has_post,
+                    pa.scalar("update_preimage"),
+                    pa.scalar("delete"),
+                )
+                out = out.append_column(
+                    "_change_type", ctype
+                ).append_column(
+                    "_commit_version",
+                    pa.array([p.version] * out.num_rows, type=pa.int64()),
+                )
+                yield from out.cast(full).to_batches()
+                return
         n = out.num_rows
         out = out.append_column(
             "_change_type", pa.array([p.ctype] * n, type=pa.string())

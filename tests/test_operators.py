@@ -5425,6 +5425,155 @@ def test_r15_publish_rewrite_follower_and_publish_bytes(
     assert _version_bytes(root2, 3) == seq3 > 0
 
 
+def test_snapshot_merge_clauses(spark, sf_dir, tmp_path):
+    """r15 (VERDICT r14 item 3): clause-form MERGE — conditional
+    UPDATE/DELETE/INSERT/NBS-DELETE in ONE atomic commit, parsed from
+    SQL and rewritten onto the MOR primitives. Pins: first-match-wins
+    clause order; NULL conditions don't match; INSERT * NULL-fills
+    source-absent columns; CDC classifies tombstones without
+    postimages as deletes; refusals (SET on key, partial-key
+    duplicates, unknown clause, INSERT arity/columns)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark import catalog as cat
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 10).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("val"),
+            F.lit("old").alias("tag"),
+        ),
+        root,
+        "overwrite",
+    )
+    cat.register_snapshot_table(spark, "mrgc_t", root)
+    # source keys 5-14: new_val NULL for k=7 (NULL condition must fall
+    # through to the DELETE clause, not error or update)
+    spark.range(5, 15).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") != 7, F.col("id") * 100).alias("new_val"),
+    ).createOrReplaceTempView("mrgc_src")
+    r = cat.resolve_dml(
+        spark,
+        """
+        MERGE INTO mrgc_t USING (SELECT * FROM mrgc_src) ON k
+        WHEN MATCHED AND s.new_val > 600
+          THEN UPDATE SET val = s.new_val, tag = 'upd'
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED AND s.k < 13
+          THEN INSERT (k, val, tag) VALUES (s.k, s.new_val, 'ins')
+        WHEN NOT MATCHED BY SOURCE AND t.k < 2 THEN DELETE
+        """,
+    ).collect()[0]
+    assert r["operation"] == "merge" and r["version"] == 2
+    got = sorted(
+        (x["k"], x["val"], x["tag"]) for x in spark.table("mrgc_t").collect()
+    )
+    # 0,1 NBS-deleted; 2-4 kept; 5,6 matched-but-<=600 deleted; 7 NULL
+    # cond → delete clause; 8,9 updated; 10-12 inserted; 13,14 not (cond)
+    assert got == [
+        (2, 20, "old"), (3, 30, "old"), (4, 40, "old"),
+        (8, 800, "upd"), (9, 900, "upd"),
+        (10, 1000, "ins"), (11, 1100, "ins"), (12, 1200, "ins"),
+    ]
+    # CDC: tombstoned keys without postimages are DELETES (r15 batch
+    # reclassification) — not dangling update_preimages
+    cdc = {
+        (x["k"], x["_change_type"])
+        for x in tf.snapshot_row_changes(spark, root, 1, 2).collect()
+    }
+    assert {(0, "delete"), (5, "delete"), (7, "delete")} <= cdc
+    assert (8, "update_preimage") in cdc and (8, "update_postimage") in cdc
+    assert (10, "insert") in cdc
+    assert not any(k in (0, 1, 5, 6, 7) and c.startswith("update") for k, c in cdc)
+
+    # INSERT *: source columns map by name; target-only columns NULL
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 3).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("val"),
+            F.lit("old").alias("tag"),
+        ),
+        str(tmp_path / "t2"),
+        "overwrite",
+    )
+    cat.register_snapshot_table(spark, "mrgc_t2", str(tmp_path / "t2"))
+    spark.range(2, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("val")
+    ).createOrReplaceTempView("mrgc_src2")
+    cat.resolve_dml(
+        spark,
+        "MERGE INTO mrgc_t2 USING (SELECT * FROM mrgc_src2) ON k "
+        "WHEN MATCHED THEN UPDATE SET val = s.val "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    got2 = sorted(
+        (x["k"], x["val"], x["tag"])
+        for x in spark.table("mrgc_t2").collect()
+    )
+    assert got2 == [
+        (0, 0, "old"), (1, 10, "old"), (2, 14, "old"),
+        (3, 21, None), (4, 28, None),
+    ]
+
+    # refusals
+    with _pytest.raises(ValueError, match="merge key"):
+        cat.resolve_dml(
+            spark,
+            "MERGE INTO mrgc_t2 USING (SELECT * FROM mrgc_src2) ON k "
+            "WHEN MATCHED THEN UPDATE SET k = s.k + 1",
+        )
+    with _pytest.raises(ValueError, match="unrecognized MERGE clause"):
+        cat.resolve_dml(
+            spark,
+            "MERGE INTO mrgc_t2 USING (SELECT * FROM mrgc_src2) ON k "
+            "WHEN MATCHED THEN UPSERT",
+        )
+    with _pytest.raises(ValueError, match="arity"):
+        cat.resolve_dml(
+            spark,
+            "MERGE INTO mrgc_t2 USING (SELECT * FROM mrgc_src2) ON k "
+            "WHEN NOT MATCHED THEN INSERT (k, val) VALUES (s.k)",
+        )
+    with _pytest.raises(ValueError, match="unknown columns"):
+        cat.resolve_dml(
+            spark,
+            "MERGE INTO mrgc_t2 USING (SELECT * FROM mrgc_src2) ON k "
+            "WHEN NOT MATCHED THEN INSERT (nope) VALUES (s.k)",
+        )
+    # partial-key duplicates: a condition that splits one key's rows
+    root3 = str(tmp_path / "t3")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [(1, 10), (1, 20), (2, 5)], "k long, val long"
+        ),
+        root3,
+        "overwrite",
+    )
+    cat.register_snapshot_table(spark, "mrgc_t3", root3)
+    with _pytest.raises(ValueError, match="key-granular"):
+        cat.resolve_dml(
+            spark,
+            "MERGE INTO mrgc_t3 USING (SELECT 1 AS k) ON k "
+            "WHEN MATCHED AND t.val = 10 THEN DELETE",
+        )
+    # whole-key clauses on duplicate-key targets still work
+    cat.resolve_dml(
+        spark,
+        "MERGE INTO mrgc_t3 USING (SELECT 1 AS k) ON k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert [
+        (x["k"], x["val"]) for x in spark.table("mrgc_t3").collect()
+    ] == [(2, 5)]
+
+
 def test_create_table_refuses_shadowing_existing_view(spark, sf_dir, tmp_path):
     """ADVICE r13: CREATE TABLE ... LOCATION used createOrReplaceTempView
     with no collision check, so `CREATE TABLE events ...` silently
