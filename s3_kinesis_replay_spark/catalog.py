@@ -651,7 +651,10 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
     * ``ALTER TABLE tbl ADD CONSTRAINT n CHECK (expr)`` /
       ``DROP CONSTRAINT n`` → constraint metadata commits (r14)
     * ``ALTER TABLE tbl ADD COLUMN c type`` → metadata-only schema
-      evolution (readers NULL-fill pre-evolution files; r14)
+      evolution (readers NULL-fill pre-evolution files; r14);
+      ``RENAME COLUMN a TO b`` / ``DROP COLUMN c`` (r15) → name-mapped
+      metadata-only evolution (old files project under the new name;
+      retired names refuse reuse until a compact)
     * ``DESCRIBE HISTORY tbl`` → snapshot_history (r14)
     * ``DESCRIBE DETAIL tbl`` → one-row table summary (Delta parity;
       files/bytes/delete-state/spec/constraints; r14)
@@ -868,6 +871,37 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
         return done(
             "add_column", name, root,
             tf.snapshot_add_column(spark, root, col, dtype),
+        )
+
+    m = re.fullmatch(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+"
+        r"(\w+)\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    )
+    if m:
+        name, old, new = m.group(1), m.group(2), m.group(3)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        return done(
+            "rename_column", name, root,
+            tf.snapshot_rename_column(spark, root, old, new),
+        )
+
+    m = re.fullmatch(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    )
+    if m:
+        name, col = m.group(1), m.group(2)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        return done(
+            "drop_column", name, root,
+            tf.snapshot_drop_column(spark, root, col),
         )
 
     # Maintenance/introspection verbs (r14 — Delta ships DESCRIBE

@@ -451,6 +451,30 @@ def _commit(
     )
     if con:
         manifest["constraints"] = con
+    # column name-mapping metadata (r15, rename/drop evolution): carried
+    # like constraints — explicit (the rename/drop commit's own
+    # ``extra``) wins, else the base's mapping survives; a carry-less
+    # rewrite (compact/cluster) drops it because the fresh files carry
+    # the current names. Names retired by a drop or rename-away still
+    # live in OLD data files, so re-introducing one would make those
+    # files' stale bytes answer for the new column — refuse until a
+    # compact rewrites the files (the Iceberg field-id rule, expressed
+    # with names + an explicit tombstone set).
+    for k2 in ("column_renames", "retired_columns"):
+        if k2 not in manifest and carry_from and carry_from.get(k2):
+            manifest[k2] = carry_from[k2]
+    reserved: set = set(manifest.get("retired_columns") or [])
+    for olds in (manifest.get("column_renames") or {}).values():
+        reserved.update(olds)
+    if manifest.get("schema") and reserved:
+        clash = [n for n, _t in manifest["schema"] if n in reserved]
+        if clash:
+            raise ValueError(
+                f"column name(s) {clash} were retired by a prior "
+                "DROP/RENAME COLUMN and old data files still carry "
+                "them — snapshot_compact first to rewrite files to the "
+                "current schema before reusing the name"
+            )
     segs = list(carry_from.get("segments", [])) if carry_from else []
     if new_segment is not None:
         segs.append({**new_segment, "seq": v})
@@ -831,6 +855,7 @@ def _read_files(
     paths: list[str],
     schema: list[list[str]] | None,
     with_positions: bool = False,
+    renames: dict | None = None,
 ) -> DataFrame:
     """Read data files under the MANIFEST's schema: files written before
     an add-column evolution lack the new columns, and pinning the read
@@ -854,8 +879,28 @@ def _read_files(
     would catch it loudly)."""
     base = os.path.realpath(root) if with_positions else root
     reader = spark.read
+    alias_of: dict[str, tuple[str, str]] = {}  # alias → (current, type)
     if schema is not None:
-        reader = reader.schema(_schema_ddl(schema))
+        read_schema = schema
+        if renames:
+            # RENAME evolution (r15): files written before a rename
+            # carry the OLD name — extend the pinned read schema with
+            # each alias (typed like its current column; renames never
+            # change types) and coalesce the chain after the scan. A
+            # file holds exactly ONE name of the chain (reusing retired
+            # names is refused at commit), so coalesce is exact, still
+            # one scan, no footer sweep.
+            types = dict(schema)
+            names = set(types)
+            for cur_name, olds in renames.items():
+                t = types.get(cur_name)
+                if t is None:
+                    continue  # mapping for a column not in this schema
+                for o in olds:
+                    if o not in names:
+                        alias_of[o] = (cur_name, t)
+            read_schema = [*schema, *[[o, t] for o, (_c, t) in alias_of.items()]]
+        reader = reader.schema(_schema_ddl(read_schema))
     elif len(paths) > 1:
         reader = reader.option("mergeSchema", "true")
     df = reader.parquet(*[os.path.join(base, p) for p in paths])
@@ -869,6 +914,20 @@ def _read_files(
             ),
             F.col("_metadata.row_index").alias(_POS_IDX),
         )
+    if alias_of:
+        # AFTER the _metadata projection — metadata columns resolve on
+        # the scan relation, not reliably through added projections
+        chain: dict[str, list[str]] = {}
+        for o, (cur_name, _t) in alias_of.items():
+            chain.setdefault(cur_name, []).append(o)
+        for cur_name, olds in chain.items():
+            # newest alias first: renames[cur] is recorded oldest-first
+            order = [o for o in reversed(renames[cur_name]) if o in olds]
+            df = df.withColumn(
+                cur_name,
+                F.coalesce(F.col(cur_name), *[F.col(o) for o in order]),
+            )
+        df = df.drop(*alias_of)
     return df
 
 
@@ -914,12 +973,14 @@ def _assemble(
     the caller asked for them (``with_positions``, the delete-where
     write path)."""
     schema = m.get("schema")
+    renames = m.get("column_renames")
     dels = _delete_entries(m, root)
     pos_dels = _pos_delete_entries(m, root)
     need_pos = with_positions or bool(pos_dels)
     if not dels:
         out = _read_files(
-            spark, root, _paths(entries), schema, with_positions=need_pos
+            spark, root, _paths(entries), schema,
+            with_positions=need_pos, renames=renames,
         )
     else:
 
@@ -939,7 +1000,8 @@ def _assemble(
         parts = []
         for app in sorted(groups):
             df = _read_files(
-                spark, root, groups[app], schema, with_positions=need_pos
+                spark, root, groups[app], schema,
+                with_positions=need_pos, renames=renames,
             )
             if app:
                 keys = (
@@ -1304,18 +1366,22 @@ def snapshot_row_changes(
         )
     out_cols = [c for c, _t in out_schema]
     out_types = dict(out_schema)
+    # rename mapping of the OUTPUT schema (r15): a pre-rename commit's
+    # rows carry the old name — project them under the new one instead
+    # of NULL-filling (newest alias wins, same rule as _read_files)
+    out_renames = m_to.get("column_renames") or {}
 
     def align(df: DataFrame, ctype: str, v: int) -> DataFrame:
-        cols = [
-            (
-                F.col(c).cast(out_types[c])
-                if c in df.columns
-                else F.lit(None).cast(out_types[c])
-            ).alias(c)
-            for c in out_cols
-        ]
+        def col_expr(c: str):
+            if c in df.columns:
+                return F.col(c).cast(out_types[c])
+            for a in reversed(out_renames.get(c, [])):
+                if a in df.columns:
+                    return F.col(a).cast(out_types[c])
+            return F.lit(None).cast(out_types[c])
+
         return df.select(
-            *cols,
+            *[col_expr(c).alias(c) for c in out_cols],
             F.lit(ctype).alias("_change_type"),
             F.lit(v).cast("bigint").alias("_commit_version"),
         )
@@ -1366,7 +1432,10 @@ def snapshot_row_changes(
                 "from a later version)"
             )
         post = (
-            _read_files(spark, root, _paths(new_data), m.get("schema"))
+            _read_files(
+                spark, root, _paths(new_data), m.get("schema"),
+                renames=m.get("column_renames"),
+            )
             if new_data
             else None
         )
@@ -1457,6 +1526,7 @@ def snapshot_row_changes(
                 _read_files(
                     spark, root, named, prev.get("schema"),
                     with_positions=True,
+                    renames=prev.get("column_renames"),
                 )
                 .join(
                     F.broadcast(
@@ -1886,9 +1956,143 @@ def snapshot_add_column(
                 f"column {name!r} already exists "
                 f"({dict(schema)[name]}) — add-column is not idempotent"
             )
+        reserved: set = set(m.get("retired_columns") or [])
+        for olds in (m.get("column_renames") or {}).values():
+            reserved.update(olds)
+        if name in reserved:
+            raise ValueError(
+                f"column name {name!r} was retired by a prior "
+                "DROP/RENAME COLUMN and old data files still carry it — "
+                "snapshot_compact first to rewrite files before reusing "
+                "the name"
+            )
         return _commit(
             root, base, "add_column", carry_from=m,
             schema=[*schema, [name, canonical]],
+        )
+
+    return snapshot_commit_retry(attempt, retries)
+
+
+def _refuse_column_references(m: dict, name: str, verb: str) -> None:
+    """Refuse a rename/drop whose target column the table's OTHER
+    metadata references: the delete key (tombstone key files store the
+    column by NAME — the anti-joins would silently stop matching),
+    partition transforms (directory layout + pruning are derived from
+    the name), and CHECK constraints (their exprs are SQL text; a
+    conservative identifier match beats silently committing a
+    constraint that can no longer evaluate)."""
+    if m.get("delete_key") == name:
+        raise ValueError(
+            f"cannot {verb} column {name!r}: it is the table's delete "
+            "key (row identity) — tombstone files reference it by name"
+        )
+    for spec in m.get("partition_spec") or []:
+        if re.search(rf"\b{re.escape(name)}\b", spec):
+            raise ValueError(
+                f"cannot {verb} column {name!r}: partition transform "
+                f"{spec!r} references it"
+            )
+    for cname, expr in (m.get("constraints") or {}).items():
+        if re.search(rf"\b{re.escape(name)}\b", expr):
+            raise ValueError(
+                f"cannot {verb} column {name!r}: CHECK constraint "
+                f"{cname!r} ({expr}) references it — drop the "
+                "constraint first"
+            )
+
+
+def snapshot_rename_column(
+    spark: SparkSession,
+    root: str,
+    old: str,
+    new: str,
+    retries: int = _COMMIT_RETRIES,
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN (r15, VERDICT r14 item 4) as a
+    METADATA-ONLY commit with a NAME MAPPING — the Iceberg field-id
+    analogue expressed with names: the recorded schema entry changes
+    name in place (same position, same type) and the manifest's
+    ``column_renames`` records ``new → [every prior name]`` so readers
+    project OLD files' bytes under the new name (coalesce over the
+    alias chain; a file carries exactly one of the names because
+    reusing a retired name is refused at commit). Zero data files
+    touched; time travel still reads each version under ITS schema.
+    Refuses: unknown/duplicate names, the delete key, partition or
+    constraint references (see :func:`_refuse_column_references`), and
+    reusing a retired name."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+        raise ValueError(f"bad column name {new!r}")
+
+    def attempt() -> int:
+        base = latest_version(root)
+        m = _read_manifest(root, base)
+        schema = m.get("schema")
+        if schema is None:
+            raise ValueError(
+                f"table {root} has no recorded schema (legacy lineage) "
+                "— compact/overwrite once before renaming columns"
+            )
+        names = [c for c, _t in schema]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        _refuse_column_references(m, old, "rename")
+        renames = dict(m.get("column_renames") or {})
+        aliases = renames.pop(old, [])
+        renames[new] = [*aliases, old]
+        return _commit(
+            root, base, "rename_column", carry_from=m,
+            schema=[[new, t] if c == old else [c, t] for c, t in schema],
+            extra={"column_renames": renames},
+        )
+
+    return snapshot_commit_retry(attempt, retries)
+
+
+def snapshot_drop_column(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    retries: int = _COMMIT_RETRIES,
+) -> int:
+    """ALTER TABLE ... DROP COLUMN (r15) as a METADATA-ONLY commit:
+    remove the column from the recorded schema — readers simply stop
+    projecting it (pinned-schema reads never touch unlisted columns) —
+    and RETIRE the name (plus any aliases it accumulated through
+    renames): old data files still carry the bytes, so re-adding the
+    name before a compact would resurrect stale values and is refused
+    at commit. Zero data files touched; time travel reads pre-drop
+    versions with the column intact. Refuses the same references as
+    rename, and dropping the last column."""
+
+    def attempt() -> int:
+        base = latest_version(root)
+        m = _read_manifest(root, base)
+        schema = m.get("schema")
+        if schema is None:
+            raise ValueError(
+                f"table {root} has no recorded schema (legacy lineage) "
+                "— compact/overwrite once before dropping columns"
+            )
+        names = [c for c, _t in schema]
+        if name not in names:
+            raise ValueError(f"no column {name!r} (have {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the table's only column")
+        _refuse_column_references(m, name, "drop")
+        renames = dict(m.get("column_renames") or {})
+        aliases = renames.pop(name, [])
+        retired = set(m.get("retired_columns") or [])
+        retired.update([name, *aliases])
+        return _commit(
+            root, base, "drop_column", carry_from=m,
+            schema=[[c, t] for c, t in schema if c != name],
+            extra={
+                "column_renames": renames,
+                "retired_columns": sorted(retired),
+            },
         )
 
     return snapshot_commit_retry(attempt, retries)

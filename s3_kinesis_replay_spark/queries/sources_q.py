@@ -2798,6 +2798,115 @@ def a22b_branch_sql_read(spark, sf_dir):
 
 
 @register(
+    "a25b_column_evolution",
+    "A8",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(value AS DOUBLE) AS value FROM events
+    ),
+    v1 AS (
+      SELECT event_id, value, CAST(NULL AS VARCHAR) AS comment
+      FROM e WHERE event_id < 1000
+    ),
+    v3 AS (
+      SELECT event_id, value, 'n' || CAST(event_id AS VARCHAR)
+      FROM e WHERE event_id >= 1000 AND event_id < 2000
+    ),
+    v5 AS (
+      SELECT event_id, value, 'c' || CAST(event_id AS VARCHAR)
+      FROM e WHERE event_id >= 2000 AND event_id < 2500
+    )
+    SELECT * FROM v1
+    UNION ALL SELECT * FROM v3
+    UNION ALL SELECT * FROM v5
+    """,
+    note="FULL COLUMN-EVOLUTION TRIO (r15, VERDICT r14 item 4 — "
+    "Iceberg/Delta users expect add + rename + drop): RENAME COLUMN is "
+    "a METADATA-ONLY commit recording a NAME MAPPING (the field-id "
+    "analogue): readers extend the pinned scan schema with the alias "
+    "chain and coalesce, so files written before the rename project "
+    "their bytes under the new name — one scan, zero rewrite, exact "
+    "because retired names refuse reuse at commit. DROP COLUMN removes "
+    "the schema entry and RETIRES the name (+aliases): re-adding "
+    "before a compact would resurrect stale file bytes, so it refuses; "
+    "compact rewrites to the current schema and clears the mapping. "
+    "Time travel reads every version under ITS schema; CDC maps "
+    "pre-rename commits' rows; constraint/partition/delete-key "
+    "references refuse the evolution at commit; per-file streaming "
+    "refuses mapped tables loudly (projection is by name). The entry "
+    "drives add → populate → rename → populate-under-new-name → drop "
+    "through SQL, gates the per-version schemas and the refusals, and "
+    "hash-compares the final state (old file bytes readable under the "
+    "renamed column) against the CTE replay.",
+)
+def a25b_column_evolution(spark, sf_dir):
+    import tempfile
+
+    from s3_kinesis_replay_spark.engine import Engine
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = tempfile.mkdtemp(prefix="skr_evotbl_")
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.sql(
+        f"CREATE TABLE events_evo LOCATION '{root}' AS "
+        "SELECT event_id, user_id, CAST(value AS DOUBLE) AS value "
+        "FROM events WHERE event_id < 1000"
+    )  # v1
+    eng.sql("ALTER TABLE events_evo ADD COLUMN note string")  # v2
+    eng.sql(
+        "INSERT INTO events_evo "
+        "SELECT event_id, user_id, CAST(value AS DOUBLE) AS value, "
+        "CONCAT('n', CAST(event_id AS STRING)) AS note "
+        "FROM events WHERE event_id >= 1000 AND event_id < 2000"
+    )  # v3
+    eng.sql("ALTER TABLE events_evo RENAME COLUMN note TO comment")  # v4
+    eng.sql(
+        "INSERT INTO events_evo "
+        "SELECT event_id, user_id, CAST(value AS DOUBLE) AS value, "
+        "CONCAT('c', CAST(event_id AS STRING)) AS comment "
+        "FROM events WHERE event_id >= 2000 AND event_id < 2500"
+    )  # v5
+    eng.sql("ALTER TABLE events_evo DROP COLUMN user_id")  # v6
+
+    # gates: each version reads under ITS schema; refusals hold
+    want = {
+        1: ["event_id", "user_id", "value"],
+        3: ["event_id", "user_id", "value", "note"],
+        5: ["event_id", "user_id", "value", "comment"],
+        6: ["event_id", "value", "comment"],
+    }
+    for v, cols in want.items():
+        got = tf.snapshot_read(spark, root, v).columns
+        if got != cols:
+            raise RuntimeError(
+                f"a25b gate FAILED: v{v} columns {got}, expected {cols}"
+            )
+    for stmt in (
+        "ALTER TABLE events_evo ADD COLUMN user_id string",  # retired
+        "ALTER TABLE events_evo ADD COLUMN note string",  # renamed-away
+    ):
+        try:
+            eng.sql(stmt)
+            raise RuntimeError(f"a25b gate FAILED: {stmt!r} was accepted")
+        except ValueError:
+            pass
+    eng.sql(
+        "ALTER TABLE events_evo ADD CONSTRAINT c_ok CHECK "
+        "(comment IS NULL OR LENGTH(comment) > 1)"
+    )
+    try:
+        eng.sql("ALTER TABLE events_evo RENAME COLUMN comment TO remark")
+        raise RuntimeError(
+            "a25b gate FAILED: rename of a constraint-referenced column "
+            "was accepted"
+        )
+    except ValueError:
+        pass
+    out = eng.sql("SELECT event_id, value, comment FROM events_evo")
+    return _materialize_and_cleanup(spark, out, root)
+
+
+@register(
     "a15p_row_level_cdc",
     "A8",
     """
@@ -3052,7 +3161,11 @@ def a15t_timestamp_table_changes(spark, sf_dir):
         return datetime.fromtimestamp(ts, timezone.utc).isoformat()
 
     from_iso = iso((at[1] + at[2]) / 2)  # strictly between v1 and v2
-    to_iso = iso(at[3])  # exactly v3's commit time (inclusive)
+    # NOT iso(at[3]) exactly: isoformat truncates the float to whole
+    # microseconds, which can land a hair BEFORE v3's committed_at and
+    # resolve the bound to v2 (flaked once in a full verify run) —
+    # half a second past the last commit is unambiguous
+    to_iso = iso(at[3] + 0.5)
     got = (
         tf.cdc_start_version(root, tf.timestamp_to_epoch(from_iso)),
         tf.version_as_of(root, tf.timestamp_to_epoch(to_iso)),

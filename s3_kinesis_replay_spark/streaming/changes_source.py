@@ -152,13 +152,23 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             _arrow_schema_of,
         )
 
-        cols = _read_manifest(self.root, latest_version(self.root)).get(
-            "schema"
-        )
+        latest_m = _read_manifest(self.root, latest_version(self.root))
+        cols = latest_m.get("schema")
         if cols is None:
             raise ValueError(
                 f"table {self.root} has no recorded schema (legacy "
                 "lineage) — compact/overwrite once before streaming CDC"
+            )
+        if latest_m.get("column_renames") or latest_m.get(
+            "retired_columns"
+        ):
+            # r15: per-file Arrow projection is by NAME — it cannot
+            # apply the rename mapping (batch snapshot_row_changes can)
+            raise ValueError(
+                f"table {self.root} carries column rename/drop "
+                "metadata — per-file streaming CDC cannot apply a name "
+                "mapping; use batch snapshot_row_changes, or "
+                "snapshot_compact and restart"
             )
         self._arrow_schema = _arrow_schema_of([*cols, *_CHANGE_COLS])
         self._data_schema = _arrow_schema_of(cols)
@@ -218,6 +228,13 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 for d in _pos_delete_entries(m, self.root)
                 if d["path"] not in pdel_prev
             ]
+            if op in ("rename_column", "drop_column"):
+                raise ValueError(
+                    f"commit v{v} is '{op}' — a column rename/drop "
+                    "changes the name mapping mid-stream; use batch "
+                    "snapshot_row_changes, or snapshot_compact and "
+                    "restart"
+                )
             if op in ("compact", "cluster") or not (
                 new_data or new_del or new_pdel
             ):

@@ -325,13 +325,24 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
             latest_version,
         )
 
-        cols = _read_manifest(self.root, latest_version(self.root)).get(
-            "schema"
-        )
+        latest_m = _read_manifest(self.root, latest_version(self.root))
+        cols = latest_m.get("schema")
         if cols is None:
             raise ValueError(
                 f"table {self.root} has no recorded schema (legacy "
                 "lineage) — compact/overwrite once before streaming"
+            )
+        if latest_m.get("column_renames") or latest_m.get(
+            "retired_columns"
+        ):
+            # r15: raw per-file emission projects by NAME — it cannot
+            # apply the rename mapping, so old files would NULL-fill
+            # renamed columns silently. Refuse until a compact rewrites
+            # files to the current schema (which clears the mapping).
+            raise ValueError(
+                f"table {self.root} carries column rename/drop "
+                "metadata — per-file streaming cannot apply a name "
+                "mapping; snapshot_compact first"
             )
         self._arrow_schema = _arrow_schema_of(cols)
 
@@ -394,6 +405,15 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         for v in range(lo + 1, hi + 1):
             m = _read_manifest(self.root, v)
             op = m.get("operation")
+            if op in ("rename_column", "drop_column"):
+                # mid-stream rename/drop: the query's schema was fixed
+                # at start and per-file projection is by name — files
+                # written after the evolution would silently NULL-fill
+                raise ValueError(
+                    f"commit v{v} is '{op}' — a column rename/drop "
+                    "changes the name mapping mid-stream; restart the "
+                    "stream after snapshot_compact"
+                )
             initial = v == self.starting + 1
             if op != "append" and not initial:
                 if _metadata_only(self.root, m, v):

@@ -5701,6 +5701,109 @@ def test_snapshot_add_column_and_sql_ddl(spark, sf_dir, tmp_path):
     assert cat.resolve_dml(spark, "ALTER TABLE nosuch ADD COLUMN x int") is None
 
 
+def test_snapshot_rename_drop_column(spark, sf_dir, tmp_path):
+    """r15 (VERDICT r14 item 4): RENAME/DROP COLUMN as metadata-only
+    commits with a name mapping. Pins: a rename CHAIN (a→b→c) still
+    projects the oldest files' bytes; MOR deletes after a rename read
+    mapped preimages; retired names refuse re-introduction through ADD
+    COLUMN and through a writer's schema; partition-spec references
+    refuse; compact clears the mapping and re-enables everything."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("a")
+        ),
+        root,
+        "overwrite",
+    )  # v1: files carry 'a'
+    tf.snapshot_rename_column(spark, root, "a", "b")  # v2
+    tf.snapshot_write(
+        spark,
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("b")
+        ),
+        root,
+        "append",
+    )  # v3: files carry 'b'
+    tf.snapshot_rename_column(spark, root, "b", "c")  # v4
+    got = sorted(
+        (r["k"], r["c"]) for r in tf.snapshot_read(spark, root).collect()
+    )
+    assert got == [(i, i * 10) for i in range(8)]  # both alias hops map
+    m = tf._read_manifest(root, tf.latest_version(root))
+    assert m["column_renames"] == {"c": ["a", "b"]}
+    # time travel reads each version under ITS schema and mapping
+    assert tf.snapshot_read(spark, root, 1).columns == ["k", "a"]
+    assert sorted(
+        (r["k"], r["b"]) for r in tf.snapshot_read(spark, root, 3).collect()
+    ) == [(i, i * 10) for i in range(8)]
+
+    # MOR delete after the renames: preimage of v1-file rows maps to 'c'
+    tf.snapshot_delete(
+        spark, root, spark.createDataFrame([(1,), (6,)], "k long"), "k"
+    )  # v5
+    got = sorted(
+        (r["k"], r["c"]) for r in tf.snapshot_read(spark, root).collect()
+    )
+    assert got == [(i, i * 10) for i in (0, 2, 3, 4, 5, 7)]
+    cdc = sorted(
+        (r["k"], r["c"], r["_change_type"])
+        for r in tf.snapshot_row_changes(spark, root, 4, 5).collect()
+    )
+    assert cdc == [(1, 10, "delete"), (6, 60, "delete")]
+
+    # a writer re-introducing a retired name is refused at commit
+    with _pytest.raises(ValueError, match="retired"):
+        tf.snapshot_write(
+            spark,
+            spark.range(8, 9).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("c"),
+                F.lit(1.0).alias("a"),
+            ),
+            root,
+            "append",
+        )
+    with _pytest.raises(ValueError, match="retired"):
+        tf.snapshot_add_column(spark, root, "b", "double")
+    # DROP, then the dropped name also refuses
+    tf.snapshot_drop_column(spark, root, "c")  # retires c (+a, b already)
+    assert tf.snapshot_read(spark, root).columns == ["k"]
+    with _pytest.raises(ValueError, match="retired"):
+        tf.snapshot_add_column(spark, root, "c", "double")
+    with _pytest.raises(ValueError, match="only column"):
+        tf.snapshot_drop_column(spark, root, "k")
+
+    # compact rewrites to the current schema and clears the mapping
+    tf.snapshot_compact(spark, root)
+    m = tf._read_manifest(root, tf.latest_version(root))
+    assert not m.get("column_renames") and not m.get("retired_columns")
+    tf.snapshot_add_column(spark, root, "c", "double")  # now fine
+
+    # partition-spec reference refuses
+    root2 = str(tmp_path / "part")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 4).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+        ),
+        root2,
+        "overwrite",
+        partition_by=["p"],
+    )
+    with _pytest.raises(ValueError, match="partition transform"):
+        tf.snapshot_rename_column(spark, root2, "p", "q")
+    with _pytest.raises(ValueError, match="partition transform"):
+        tf.snapshot_drop_column(spark, root2, "p")
+
+
 def test_branch_sql_read(spark, sf_dir, tmp_path):
     """r14: `tbl VERSION AS OF 'branch:<name>'` reads the WAP branch
     HEAD (re-resolved per query — heads move); main view unaffected;
