@@ -904,6 +904,85 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
             tf.snapshot_drop_column(spark, root, col),
         )
 
+    # Materialized views (r15, VERDICT r14 item 8 — the p23/p24
+    # differential-maintenance proof as a user verb): CREATE pins the
+    # definition + reflected source version in the view's own manifest;
+    # REFRESH applies a signed CDC delta (O(changed rows) + O(groups))
+    m = re.fullmatch(
+        r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+LOCATION\s+"
+        r"'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(\w+)\s+"
+        r"GROUP\s+BY\s+(.+?)\s*;?\s*",
+        query,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, vroot, sel, src_name, gb = (
+            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+        )
+        src_root = _SNAPSHOT_ROOTS.get(src_name)
+        if src_root is None:
+            raise ValueError(
+                f"CREATE MATERIALIZED VIEW: source {src_name!r} is not "
+                "a registered snapshot table — row-level CDC drives the "
+                "refresh, so the source must be a manifest table"
+            )
+        if name in _SNAPSHOT_ROOTS or spark.catalog.tableExists(name):
+            raise ValueError(
+                f"CREATE MATERIALIZED VIEW: {name!r} already names a "
+                "view — pick another name"
+            )
+        group_cols = [g.strip().strip("`") for g in _split_top_level(gb)]
+        aggs: list[dict] = []
+        declared: list[str] = []
+        for item in _split_top_level(sel):
+            mm = re.fullmatch(
+                r"(?is)COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)", item
+            )
+            if mm:
+                aggs.append(
+                    {"fn": "count", "expr": None, "alias": mm.group(1)}
+                )
+                continue
+            mm = re.fullmatch(r"(?is)SUM\s*\((.+)\)\s+AS\s+(\w+)", item)
+            if mm:
+                aggs.append(
+                    {
+                        "fn": "sum",
+                        "expr": mm.group(1).strip(),
+                        "alias": mm.group(2),
+                    }
+                )
+                continue
+            mm = re.fullmatch(r"\s*`?(\w+)`?\s*", item)
+            if mm and mm.group(1) in group_cols:
+                declared.append(mm.group(1))
+                continue
+            raise ValueError(
+                f"materialized view select item {item.strip()!r} is not "
+                "a GROUP BY column, COUNT(*) AS n, or SUM(expr) AS s — "
+                "additive aggregates only (differential maintenance)"
+            )
+        v = tf.matview_create(spark, src_root, vroot, group_cols, aggs)
+        register_snapshot_table(spark, name, vroot)
+        return spark.createDataFrame(
+            [("create_matview", name, v)],
+            "operation string, target string, version int",
+        )
+
+    m = re.fullmatch(
+        r"\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    )
+    if m:
+        name = m.group(1)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        return done(
+            "refresh_matview", name, root, tf.matview_refresh(spark, root)
+        )
+
     # Maintenance/introspection verbs (r14 — Delta ships DESCRIBE
     # HISTORY / VACUUM / OPTIMIZE as SQL; same textual pre-pass). These
     # return their own result shapes, not the (op, target, version) row.

@@ -3428,6 +3428,183 @@ def snapshot_drop_branch(root: str, name: str) -> None:
     shutil.rmtree(d)
 
 
+# sums inside a materialized view accumulate in FIXED decimal so a
+# differential refresh lands on EXACTLY the bytes a full recompute
+# produces (float sums would drift in the last ulp and break the
+# refresh == recompute contract)
+_MATVIEW_DEC = "decimal(28,6)"
+
+
+def _matview_agg_cols(aggs: list[dict]):
+    out = []
+    for a in aggs:
+        if a["fn"] == "count":
+            out.append(F.count(F.lit(1)).alias(a["alias"]))
+        elif a["fn"] == "sum":
+            out.append(
+                F.sum(F.expr(a["expr"]).cast(_MATVIEW_DEC)).alias(a["alias"])
+            )
+        else:
+            raise ValueError(
+                f"materialized views support COUNT(*) and SUM(expr) "
+                f"aggregates, got {a['fn']!r} — additive aggregates are "
+                "what differential maintenance can self-maintain under "
+                "deletes (MIN/MAX need a recompute or the sketch tier)"
+            )
+    return out
+
+
+def matview_create(
+    spark: SparkSession,
+    src_root: str,
+    view_root: str,
+    group_cols: list[str],
+    aggs: list[dict],
+) -> int:
+    """CREATE MATERIALIZED VIEW (r15, VERDICT r14 item 8 — the p23/p24
+    differential-view-maintenance proof surfaced as a USER VERB): a
+    grouped COUNT/SUM aggregate over a manifest table, STORED as a
+    manifest table itself (registered, time-traveled, vacuumed like
+    any other). ``aggs``: ordered ``{"fn": "count"|"sum", "expr":
+    sql|None, "alias": name}``; at least one COUNT(*) is REQUIRED —
+    it is the multiplicity that lets a refresh drop groups whose rows
+    all vanished. The view manifest records the definition + the
+    SOURCE VERSION it reflects (atomically, in the same commit —
+    a crash can never leave the version marker disagreeing with the
+    stored rows), which is what :func:`matview_refresh` diffs from."""
+    if latest_version(view_root) > 0:
+        raise ValueError(
+            f"{view_root} already holds snapshots — point the view at "
+            "an empty dir"
+        )
+    if not group_cols:
+        raise ValueError("materialized view needs GROUP BY columns")
+    if not any(a["fn"] == "count" for a in aggs):
+        raise ValueError(
+            "materialized view needs a COUNT(*) aggregate — it is the "
+            "group multiplicity a differential refresh drops empty "
+            "groups by"
+        )
+    src_v = latest_version(src_root)
+    if src_v == 0:
+        raise ValueError(f"no snapshots under source {src_root}")
+    out = (
+        snapshot_read(spark, src_root, src_v)
+        .groupBy(*group_cols)
+        .agg(*_matview_agg_cols(aggs))
+    )
+    files = _write_data_files(out, view_root, prefix="mv")
+    stats = _file_stats(view_root, files)
+    seg = _write_segment(
+        view_root, [{"path": p, "stats": stats[p]} for p in files]
+    )
+    return _commit(
+        view_root,
+        0,
+        "matview_create",
+        new_segment=seg,
+        schema=_schema_of(out),
+        extra={
+            "matview": {
+                "source_root": src_root,
+                "group_cols": list(group_cols),
+                "aggs": [dict(a) for a in aggs],
+                "source_version": src_v,
+            }
+        },
+    )
+
+
+def matview_refresh(spark: SparkSession, view_root: str) -> int:
+    """REFRESH MATERIALIZED VIEW: bring the stored view up to the
+    source's latest version DIFFERENTIALLY — one signed-delta pass
+    over ``snapshot_row_changes(last_reflected, latest)`` (insert/
+    update_postimage +1, delete/update_preimage −1), merged into the
+    stored O(groups) rows and committed as one overwrite carrying the
+    new source version. Cost O(changed rows) + O(groups), never a
+    source rescan — except across provenance-losing commits
+    (overwrite/restore), where the CDC range honestly refuses and the
+    refresh FALLS BACK to a full recompute (stated, same answer).
+    No-op (returns the current view version) when already current."""
+    vv = latest_version(view_root)
+    if vv == 0:
+        raise ValueError(f"no materialized view under {view_root}")
+    vm = _read_manifest(view_root, vv)
+    mv = vm.get("matview")
+    if not mv:
+        raise ValueError(
+            f"{view_root} is a plain table, not a materialized view"
+        )
+    src_root, last = mv["source_root"], mv["source_version"]
+    group_cols, aggs = mv["group_cols"], mv["aggs"]
+    cur = latest_version(src_root)
+    if cur == last:
+        return vv
+    if cur < last:
+        raise ValueError(
+            f"source {src_root} is at v{cur}, below the view's "
+            f"reflected v{last} — the source was restored/rebuilt; "
+            "recreate the view"
+        )
+    try:
+        delta = snapshot_row_changes(spark, src_root, last, cur).withColumn(
+            "__w",
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        dagg = []
+        for a in aggs:
+            if a["fn"] == "count":
+                dagg.append(F.sum("__w").alias(a["alias"]))
+            else:
+                dagg.append(
+                    F.sum(
+                        F.col("__w") * F.expr(a["expr"]).cast(_MATVIEW_DEC)
+                    ).alias(a["alias"])
+                )
+        deltas = delta.groupBy(*group_cols).agg(*dagg)
+        stored = snapshot_read(spark, view_root, vv)
+        count_alias = next(a["alias"] for a in aggs if a["fn"] == "count")
+        merged = (
+            stored.unionByName(
+                deltas.select(*stored.columns)  # column order match
+            )
+            .groupBy(*group_cols)
+            .agg(
+                *[
+                    F.sum(a["alias"]).cast(
+                        dict(_schema_of(stored))[a["alias"]]
+                    ).alias(a["alias"])
+                    for a in aggs
+                ]
+            )
+            .filter(F.col(count_alias) > 0)
+        )
+    except ValueError:
+        # provenance-losing commit in the range (overwrite/restore):
+        # full recompute, same definition — stated fallback
+        merged = (
+            snapshot_read(spark, src_root, cur)
+            .groupBy(*group_cols)
+            .agg(*_matview_agg_cols(aggs))
+        )
+    files = _write_data_files(merged, view_root, prefix="mv")
+    stats = _file_stats(view_root, files)
+    seg = _write_segment(
+        view_root, [{"path": p, "stats": stats[p]} for p in files]
+    )
+    return _commit(
+        view_root,
+        vv,
+        "matview_refresh",
+        new_segment=seg,
+        schema=_schema_of(merged),
+        extra={"matview": {**mv, "source_version": cur}},
+    )
+
+
 def _z_spread16(c):
     """Spread a 16-bit value's bits to the even positions of a 32-bit
     lane (the classic public Morton-code bit-twiddling identity), all

@@ -3184,6 +3184,117 @@ def a15t_timestamp_table_changes(spark, sf_dir):
 
 
 @register(
+    "p25_materialized_view_verb",
+    "D1",
+    f"""
+    WITH src AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS value FROM events
+    ),
+    state3 AS (SELECT * FROM src WHERE event_id % 7 <> 0),
+    kept AS (SELECT * FROM state3 WHERE event_id % 5 <> 0),
+    merged AS (
+      SELECT event_id, event_type, value * 2 AS value
+      FROM src WHERE event_id % 5 = 0
+    ),
+    final AS (SELECT * FROM kept UNION ALL SELECT * FROM merged)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+             AS sum_value
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+    note="MATERIALIZED VIEW AS A USER VERB (r15, VERDICT r14 item 8 — "
+    "p23/p24 proved differential view maintenance; this wires it "
+    "through SQL so a user never writes the foreachBatch): `CREATE "
+    "MATERIALIZED VIEW v LOCATION '…' AS SELECT g, COUNT(*) AS n, "
+    "SUM(e) AS s FROM t GROUP BY g` stores the O(groups) aggregate AS "
+    "A MANIFEST TABLE whose commit atomically records the definition + "
+    "the source version it reflects (a crash can never leave the "
+    "version marker disagreeing with the stored rows); `REFRESH "
+    "MATERIALIZED VIEW v` diffs snapshot_row_changes(reflected, "
+    "latest) with signed weights and commits the merged O(groups) "
+    "rows — O(changed rows) + O(groups), never a source rescan; "
+    "provenance-losing commits (overwrite/restore) fall back to a "
+    "stated full recompute. Sums accumulate in fixed decimal so the "
+    "differential result lands on EXACTLY the recompute's bytes. The "
+    "entry creates the view, drives append + equality DELETE + MERGE "
+    "on the source, refreshes once, gates the reflected version and "
+    "the one-commit-per-verb history, and hash-compares the refreshed "
+    "view against the oracle's full recompute of the final state. At "
+    "100 TB: a dashboard-grade aggregate stays current for the cost "
+    "of the rows that changed. COUNT(*) is required (group "
+    "multiplicity — how vanished groups drop); additive aggregates "
+    "only, the honest limit of self-maintainable views.",
+)
+def p25_materialized_view_verb(spark, sf_dir):
+    import tempfile
+
+    from s3_kinesis_replay_spark.engine import Engine
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    src_root = tempfile.mkdtemp(prefix="skr_mvsrc_")
+    view_root = tempfile.mkdtemp(prefix="skr_mview_")
+    import os as _os
+
+    _os.rmdir(view_root)  # matview_create wants an empty/absent dir
+    eng = Engine(spark, sf_dir=sf_dir)
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") < 6000), src_root, "overwrite"
+    )  # v1
+    eng.register_snapshot_table("events_mvsrc", src_root)
+    eng.sql(
+        f"CREATE MATERIALIZED VIEW mv_events LOCATION '{view_root}' AS "
+        "SELECT event_type, COUNT(*) AS n_events, SUM(value) AS sum_dec "
+        "FROM events_mvsrc GROUP BY event_type"
+    )
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") >= 6000), src_root, "append"
+    )  # v2
+    tf.snapshot_delete(
+        spark,
+        src_root,
+        ev.filter(F.col("event_id") % 7 == 0).select("event_id"),
+        "event_id",
+    )  # v3
+    tf.snapshot_merge(
+        spark,
+        src_root,
+        ev.filter(F.col("event_id") % 5 == 0).withColumn(
+            "value", F.col("value") * 2
+        ),
+        "event_id",
+    )  # v4
+    eng.sql("REFRESH MATERIALIZED VIEW mv_events")
+    mv = tf._read_manifest(view_root, tf.latest_version(view_root))
+    ops = [
+        r["operation"]
+        for r in tf.snapshot_history(spark, view_root).collect()
+    ]
+    if ops != ["matview_create", "matview_refresh"] or mv["matview"][
+        "source_version"
+    ] != tf.latest_version(src_root):
+        raise RuntimeError(
+            f"p25 gate FAILED: view history {ops}, reflected "
+            f"v{mv['matview']['source_version']} vs source "
+            f"v{tf.latest_version(src_root)}"
+        )
+    out = eng.sql(
+        "SELECT event_type, n_events, "
+        "ROUND(CAST(sum_dec AS DOUBLE), 6) AS sum_value "
+        "FROM mv_events ORDER BY event_type"
+    )
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(src_root, ignore_errors=True)
+    shutil.rmtree(view_root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "p23_ivm_row_deltas",
     "D1",
     f"""
