@@ -669,6 +669,147 @@ def _file_stats(root: str, rel_files: list[str]) -> dict[str, dict]:
     return {p: file_column_stats(os.path.join(root, p)) for p in rel_files}
 
 
+# ---- per-file key-hash indexes (r15, VERDICT r14 item 7) -----------
+#
+# min/max key stats prune equality-delete/CDC preimage candidates only
+# when keys CLUSTER by range; high-cardinality keys with overlapping
+# ranges defeat them (every file overlaps every delete). A per-file
+# SORTED KEY-HASH INDEX over the table's row-identity column closes
+# that: writers that know the delete key attach a sidecar of the
+# file's distinct 64-bit key hashes, sorted (<data-file>.kidx, raw
+# little-endian uint64 — 8 bytes per distinct key, ~1% of typical row
+# width), and tag the entry {"kidx": {"col", "n"}}. Delete/CDC
+# planners hash the commit's (small) key set once and probe each
+# candidate with a sorted intersection — EXACT file skipping, no
+# false-positive floor. (A bloom was the first draft; its per-key fpp
+# compounds across a BATCH probe — 1000 delete keys × 6% fpp ≈ every
+# file false-positives — so it can never skip under realistic batch
+# deletes. Real engines reach the same conclusion: point lookups get
+# blooms, batch deletes get indexes/deletion vectors.)
+# Hash: splitmix64 for integer keys (numpy-vectorized at write),
+# sha256-first-8-bytes for strings — both pure-Python-computable at
+# probe time (the streaming runner has no JVM). Files without an
+# index stay candidates (the usual conservatism); sidecars are reaped
+# by vacuum's empty-dir sweep once their data file goes unreachable.
+# At a 100 TB deployment the per-file hashing below moves into the
+# write tasks; here it is one pyarrow pass per fresh file, key column
+# only, footer-hot.
+
+_U64 = (1 << 64) - 1
+
+
+def _splitmix64_np(arr):
+    import numpy as np
+
+    x = arr.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _key_hash_py(value) -> int:
+    """Probe-side scalar twin of the write-side hashing."""
+    import hashlib
+
+    if isinstance(value, bool) or not isinstance(value, int):
+        return int.from_bytes(
+            hashlib.sha256(str(value).encode()).digest()[:8], "little"
+        )
+    x = (value + 0x9E3779B97F4A7C15) & _U64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _U64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _U64
+    return x ^ (x >> 31)
+
+
+def _write_key_indexes(
+    root: str, rel_paths: list[str], key_col: str
+) -> dict[str, dict]:
+    """Build per-file sorted key-hash index sidecars for freshly
+    written data files (pyarrow, key column only). Returns
+    {rel_path: {"col", "n"}} for files that got one; non int/string
+    key types return {} (no canonical hash defined)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for p in rel_paths:
+        try:
+            col = pq.read_table(
+                os.path.join(root, p), columns=[key_col]
+            ).column(key_col)
+        except Exception:
+            return {}  # key column absent (pre-evolution shape): skip
+        distinct = pc.unique(col.combine_chunks()).drop_null()
+        t = distinct.type
+        if pa.types.is_integer(t):
+            hashes = _splitmix64_np(
+                distinct.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            hashes = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.sha256(str(v).encode()).digest()[:8],
+                        "little",
+                    )
+                    for v in distinct.to_pylist()
+                ),
+                dtype=np.uint64,
+                count=len(distinct),
+            )
+        else:
+            return {}
+        hashes = np.sort(hashes)
+        side = os.path.join(root, p + ".kidx")
+        tmp = side + ".tmp"
+        hashes.astype("<u8").tofile(tmp)
+        os.replace(tmp, side)
+        out[p] = {"col": key_col, "n": int(len(hashes))}
+    return out
+
+
+def _kidx_hash_set(values):
+    """Delete keys → sorted uint64 hash array (computed once per
+    commit; keys are small by construction)."""
+    import numpy as np
+
+    return np.sort(
+        np.fromiter(
+            (_key_hash_py(v) for v in values if v is not None),
+            dtype=np.uint64,
+        )
+    )
+
+
+def _kidx_may_contain(root: str, entry: dict, key: str, probe) -> bool:
+    """Probe one entry's key-hash index against the delete keys'
+    sorted hash array. True (candidate) on any doubt: no index
+    recorded, index over a different column, or sidecar unreadable.
+    Exact otherwise (64-bit hash collisions aside, ~2^-40 per probe)."""
+    import numpy as np
+
+    kb = entry.get("kidx")
+    if not kb or kb.get("col") != key or probe is None or not len(probe):
+        return True
+    try:
+        side = np.fromfile(
+            os.path.join(root, entry["path"] + ".kidx"), dtype="<u8"
+        )
+    except OSError:
+        return True
+    if not len(side):
+        return False  # indexed empty file: cannot hold a preimage
+    idx = np.searchsorted(side, probe)
+    idx[idx >= len(side)] = len(side) - 1
+    return bool((side[idx] == probe).any())
+
+
 def snapshot_write(
     spark: SparkSession,
     df: DataFrame,
@@ -723,8 +864,30 @@ def snapshot_write(
         )
     new_stats = _file_stats(root, new_files)
     new_schema = _schema_of(df)
+    # key blooms: only once the table has a row identity (delete_key)
+    base0 = latest_version(root, branch)
+    dkey = (
+        _read_manifest(root, base0, branch).get("delete_key")
+        if base0
+        else None
+    )
+    kidxs = (
+        _write_key_indexes(root, new_files, dkey) if dkey else {}
+    )
     seg = _write_segment(
-        root, [{**e, "stats": new_stats[e["path"]]} for e in partial]
+        root,
+        [
+            {
+                **e,
+                "stats": new_stats[e["path"]],
+                **(
+                    {"kidx": kidxs[e["path"]]}
+                    if e["path"] in kidxs
+                    else {}
+                ),
+            }
+            for e in partial
+        ],
     )
 
     validated = {"cons": cons}
@@ -1282,6 +1445,22 @@ def snapshot_changes(
     return df
 
 
+def _read_key_values(root: str, rel_paths: list[str], key: str) -> list:
+    """Non-null key values across the named key files (pyarrow, key
+    column only — bounded by the commit's own key files)."""
+    import pyarrow.parquet as pq
+
+    vals: list = []
+    for p in rel_paths:
+        vals.extend(
+            pq.read_table(os.path.join(root, p), columns=[key])
+            .column(key)
+            .drop_null()
+            .to_pylist()
+        )
+    return vals
+
+
 def _key_file_range(root: str, key_files: list[str], key: str):
     """(min, max) across equality-delete key files — a driver-side
     pyarrow read of files that are small by construction (one column,
@@ -1460,6 +1639,19 @@ def snapshot_row_changes(
                 for e in _entries(prev, root)
                 if _stats_overlap((e.get("stats") or {}).get(key), klo, khi)
             ]
+            # key-hash-index skip (r15): min/max can't prune
+            # overlapping high-cardinality key ranges; probe each
+            # surviving candidate's sorted-hash sidecar against the
+            # commit's key set (hashed once — keys are small by
+            # construction; the probe is one sorted intersection per
+            # file, exact)
+            if any((e.get("kidx") or {}).get("col") == key for e in cand):
+                probe = _kidx_hash_set(_read_key_values(root, new_del, key))
+                cand = [
+                    e
+                    for e in cand
+                    if _kidx_may_contain(root, e, key, probe)
+                ]
             pre_view = (
                 _assemble(spark, root, prev, cand)
                 if cand
@@ -2408,8 +2600,17 @@ def snapshot_merge(
         raise ValueError(f"source has no key column {key_col!r}")
     new_files = _write_data_files(source, root, prefix="mrg")
     new_stats = _file_stats(root, new_files)
+    kidxs = _write_key_indexes(root, new_files, key_col)
     seg = _write_segment(
-        root, [{"path": p, "stats": new_stats[p]} for p in new_files]
+        root,
+        [
+            {
+                "path": p,
+                "stats": new_stats[p],
+                **({"kidx": kidxs[p]} if p in kidxs else {}),
+            }
+            for p in new_files
+        ],
     )
     # Delete keys come from the WRITTEN files, not a second evaluation
     # of ``source`` (review r12): a non-deterministic source (sampling,
@@ -2713,11 +2914,20 @@ def snapshot_merge_clauses(
                 m0.get("constraints") or {},
                 f"snapshot_merge_clauses into {root}",
             )
+        kidxs = (
+            _write_key_indexes(root, new_files, key_col)
+            if new_files
+            else {}
+        )
         seg = (
             _write_segment(
                 root,
                 [
-                    {"path": p, "stats": _file_stats(root, new_files)[p]}
+                    {
+                        "path": p,
+                        "stats": _file_stats(root, new_files)[p],
+                        **({"kidx": kidxs[p]} if p in kidxs else {}),
+                    }
                     for p in new_files
                 ],
             )
@@ -2780,8 +2990,28 @@ def snapshot_compact(spark: SparkSession, root: str) -> int:
     else:
         partial = [{"path": p} for p in _write_data_files(df, root)]
     stats = _file_stats(root, [e["path"] for e in partial])
+    # post-compact files are the table's bulk — bloom them under the
+    # base's row identity so the NEXT delete's planning can skip
+    dkey = m.get("delete_key")
+    kidxs = (
+        _write_key_indexes(root, [e["path"] for e in partial], dkey)
+        if dkey
+        else {}
+    )
     seg = _write_segment(
-        root, [{**e, "stats": stats[e["path"]]} for e in partial]
+        root,
+        [
+            {
+                **e,
+                "stats": stats[e["path"]],
+                **(
+                    {"kidx": kidxs[e["path"]]}
+                    if e["path"] in kidxs
+                    else {}
+                ),
+            }
+            for e in partial
+        ],
     )
     # compaction materializes the whole view, so its schema is
     # authoritative — this is also how a legacy schema-less lineage

@@ -352,14 +352,19 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             for p in _pos_delete_entries(prev, self.root)
         )
         parts: list[ChangePartition] = []
-        for e in _entries(prev, self.root):
-            # manifest-stats file skip (r14): a file whose recorded
-            # [min, max] for the key column is disjoint from the delete
-            # keys' range cannot hold a preimage — at 100 TB a delete of
-            # recent keys skips the cold files entirely. Stats-less
-            # entries stay candidates (the usual conservatism).
-            if self._stats_disjoint(e, key, klo, khi):
-                continue
+        # manifest-stats file skip (r14): a file whose recorded
+        # [min, max] for the key column is disjoint from the delete
+        # keys' range cannot hold a preimage — at 100 TB a delete of
+        # recent keys skips the cold files entirely. Stats-less
+        # entries stay candidates (the usual conservatism). Then the
+        # key-hash-index probe (r15) prunes overlapping-range candidates.
+        cands = [
+            e
+            for e in _entries(prev, self.root)
+            if not self._stats_disjoint(e, key, klo, khi)
+        ]
+        cands = self._kidx_survivors(cands, key, new_del)
+        for e in cands:
             es = e.get("seq")
             applicable = tuple(
                 os.path.join(self.root, d["path"])
@@ -383,6 +388,29 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 )
             )
         return parts
+
+    def _kidx_survivors(
+        self, entries: list, key: str, new_del: list
+    ) -> list:
+        """Key-hash-index probe (r15): drop candidates whose sorted
+        hash sidecar provably excludes every one of the commit's keys.
+        Bounded: keys hashed once, one sorted intersection per file."""
+        from s3_kinesis_replay_spark.operators.table_format import (
+            _kidx_hash_set,
+            _kidx_may_contain,
+            _read_key_values,
+        )
+
+        if not any(
+            (e.get("kidx") or {}).get("col") == key for e in entries
+        ):
+            return entries
+        probe = _kidx_hash_set(_read_key_values(self.root, new_del, key))
+        return [
+            e
+            for e in entries
+            if _kidx_may_contain(self.root, e, key, probe)
+        ]
 
     @staticmethod
     def _stats_disjoint(e: dict, key: str, klo, khi) -> bool:
@@ -457,9 +485,13 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 ]
             )
         matched: set = set()
-        for e in _entries(prev, self.root):
-            if self._stats_disjoint(e, key, klo, khi):
-                continue
+        cands = [
+            e
+            for e in _entries(prev, self.root)
+            if not self._stats_disjoint(e, key, klo, khi)
+        ]
+        cands = self._kidx_survivors(cands, key, new_del)
+        for e in cands:
             col = pq.read_table(
                 os.path.join(self.root, e["path"]), columns=[key]
             ).column(key).combine_chunks()

@@ -1623,6 +1623,93 @@ def test_streaming_starting_timestamp(spark, tmp_path):
         )
 
 
+def test_kidx_file_skipping(spark, tmp_path):
+    """r15 (VERDICT r14 item 7): per-file key-hash indexes prune delete/CDC
+    preimage candidates that min/max stats cannot — files whose key
+    RANGES overlap (interleaved keys) but whose key SETS are disjoint.
+    Pins: the streaming planner's eq_pre partition count drops to the
+    one file actually holding the keys; batch and stream events are
+    unchanged by the skip; files written before the first delete (no
+    bloom) stay candidates."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        SnapshotChangesStreamReader,
+        register_changes_source,
+    )
+
+    register_changes_source(spark)
+    root = str(tmp_path / "tbl")
+
+    def one_file(lo, hi, step):
+        # interleaved keys: every file spans ~the whole key range, so
+        # min/max overlap and only the bloom can tell files apart
+        return (
+            spark.range(lo, hi)
+            .select(
+                (F.col("id") * step).alias("k"),
+                (F.col("id") * 10).alias("val"),
+            )
+            .coalesce(1)
+        )
+
+    tf.snapshot_write(spark, one_file(0, 100, 7), root, "overwrite")  # v1
+    # establish the row identity so later writes get blooms
+    tf.snapshot_delete(
+        spark, root, spark.createDataFrame([(-1,)], "k long"), "k"
+    )  # v2 (no-op delete)
+    tf.snapshot_write(spark, one_file(0, 100, 11), root, "append")  # v3
+    tf.snapshot_write(spark, one_file(0, 100, 13), root, "append")  # v4
+    # delete keys that live ONLY in the v3 file (multiples of 11 that
+    # are not multiples of 7 or 13 within range)
+    dead = [11 * i for i in (1, 2, 3, 4, 5) if (11 * i) % 7 and (11 * i) % 13]
+    tf.snapshot_delete(
+        spark,
+        root,
+        spark.createDataFrame([(k,) for k in dead], "k long"),
+        "k",
+    )  # v5
+
+    m = tf._read_manifest(root, tf.latest_version(root))
+    ents = tf._entries(m, root)
+    with_bloom = [e for e in ents if e.get("kidx")]
+    assert len(with_bloom) == 2  # v3+v4 files indexed; v1 pre-identity not
+
+    reader = SnapshotChangesStreamReader(None, {"root": root})
+    parts = reader.partitions({"version": 4}, {"version": 5})
+    eq = sorted(p.rel_path for p in parts if p.kind == "eq_pre")
+    # ranges overlap everywhere, so min/max keeps all 3 candidates; the
+    # index drops the v4 file (disjoint key set) but NOT the index-less
+    # v1 file (conservative) — 2 partitions, not 3
+    assert len(eq) == 2, eq
+
+    got = {
+        (r["k"], r["_change_type"])
+        for r in tf.snapshot_row_changes(spark, root, 4, 5).collect()
+    }
+    assert got == {(k, "delete") for k in dead}
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root)
+        .option("starting_version", "4")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got_s = {
+        (r["k"], r["_change_type"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got_s == got
+
+
 def test_changes_source_from_genesis_default(spark, tmp_path):
     """r14 review: the source's DEFAULT starting_version=0 must work —
     the empty predecessor makes the genesis overwrite pure inserts

@@ -67,6 +67,76 @@ def timed_changes(spark, root: str) -> float:
     return round(dt, 3), n
 
 
+def build_interleaved(spark, n: int) -> str:
+    """r15 key-hash-index probe: commits whose key RANGES all overlap (keys
+    striped mod #commits), the adversarial layout where min/max stats
+    prune NOTHING — every file overlaps every delete."""
+    root = f"{BASE}/il{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    commits = max(2, n // ROWS_PER_COMMIT)
+    for c in range(commits):
+        df = spark.range(0, n // commits).select(
+            (F.col("id") * commits + c).alias("k"),
+            (F.col("id") * 2).alias("v"),
+        )
+        tf.snapshot_write(
+            spark, df.coalesce(4), root,
+            "overwrite" if c == 0 else "append",
+        )
+        if c == 0:
+            # establish the row identity so every later commit blooms
+            tf.snapshot_delete(
+                spark, root,
+                spark.createDataFrame([(-1,)], "k long"), "k",
+            )
+    return root
+
+
+def kidx_probe(spark) -> None:
+    """Delete K keys that live in ONE stripe (one commit's files) of an
+    interleaved-key table: min/max stats keep every file a candidate;
+    the per-file key-hash indexes (r15) must hold files-read ~flat as the
+    table grows. Reported: eq_pre candidates before/after the bloom."""
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        SnapshotChangesStreamReader,
+    )
+
+    print()
+    print("key-hash-index probe (interleaved keys — stats prune nothing):")
+    print("| N rows | live files | stats candidates | kidx candidates "
+          "| delete s | rows |")
+    print("| --- | --- | --- | --- | --- | --- |")
+    for n in NS:
+        root = build_interleaved(spark, n)
+        commits = max(2, n // ROWS_PER_COMMIT)
+        # K keys of stripe 1 only (≡1 mod commits) — they live in the
+        # files of ONE commit, but every file's [min,max] spans them
+        dead = [i * commits + 1 for i in range(K)]
+        tf.snapshot_delete(
+            spark, root,
+            spark.createDataFrame([(k,) for k in dead], "k long"), "k",
+        )
+        v = tf.latest_version(root)
+        m = tf._read_manifest(root, v - 1)
+        ents = tf._entries(m, root)
+        klo, khi = dead[0], dead[-1]
+        stats_cand = [
+            e
+            for e in ents
+            if tf._stats_overlap((e.get("stats") or {}).get("k"), klo, khi)
+        ]
+        reader = SnapshotChangesStreamReader(None, {"root": root})
+        parts = reader.partitions({"version": v - 1}, {"version": v})
+        kidx_cand = [p for p in parts if p.kind == "eq_pre"]
+        t, rows = timed_changes(spark, root)
+        print(
+            f"| {n:,} | {len(ents)} | {len(stats_cand)} | "
+            f"{len(kidx_cand)} | {t} | {rows} |"
+        )
+        assert rows == K, rows
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(app_name="skr-scale-cdc")
     spark.sparkContext.setLogLevel("ERROR")
@@ -102,6 +172,7 @@ def main() -> None:
             f"| {n:,} | {commits} | {t_append} | {t_delete} | {t_update} |"
         )
         shutil.rmtree(root, ignore_errors=True)
+    kidx_probe(spark)
 
 
 if __name__ == "__main__":
