@@ -926,10 +926,14 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
                 "a registered snapshot table — row-level CDC drives the "
                 "refresh, so the source must be a manifest table"
             )
-        if name in _SNAPSHOT_ROOTS or spark.catalog.tableExists(name):
+        if name not in _SNAPSHOT_ROOTS and spark.catalog.tableExists(name):
+            # same rule as CTAS: refuse shadowing a foreign view, but
+            # re-creating a name THIS module registered is fine (its
+            # new LOCATION still refuses non-empty targets)
             raise ValueError(
                 f"CREATE MATERIALIZED VIEW: {name!r} already names a "
-                "view — pick another name"
+                "registered view (a fixture table or other temp view) — "
+                "pick another name or drop the view first"
             )
         group_cols = [g.strip().strip("`") for g in _split_top_level(gb)]
         aggs: list[dict] = []

@@ -5815,10 +5815,15 @@ def test_materialized_view_verb(spark, sf_dir, tmp_path):
             "SELECT event_type, COUNT(*) AS n FROM events "
             "GROUP BY event_type",
         )
+    # a FOREIGN name (a view this module did not register) refuses;
+    # re-creating a name this module itself registered is fine (the
+    # CTAS rule) — the p25 entry depends on that for same-session
+    # idempotence
+    spark.range(1).createOrReplaceTempView("mv_foreign")
     with _pytest.raises(ValueError, match="already names"):
         cat.resolve_dml(
             spark,
-            f"CREATE MATERIALIZED VIEW mv_v LOCATION "
+            f"CREATE MATERIALIZED VIEW mv_foreign LOCATION "
             f"'{tmp_path / 'v5'}' AS "
             "SELECT g, COUNT(*) AS n FROM mv_src GROUP BY g",
         )
