@@ -76,18 +76,13 @@ HEADLINE = [
 # on top of whatever rotating slice of the stable pool is due. Promote to
 # EXTRAS (the stable pool) next round once a baseline row exists.
 EXTRAS_ALWAYS: list[str] = [
-    # round 13 additions
-    "a16_sql_time_travel",    # engine.sql() VERSION/TIMESTAMP AS OF rewrite
-    "a15l_partition_pruned_read",  # segment-level partition skipping
-    "a15m_days_partition_scan",  # days(ts) hidden partitioning, time window
-    "a15n_position_delete",   # row-address MOR deletes (file+row_index)
-    "a15o_update_where",      # atomic UPDATE: append + position-delete
-    # round 13b additions
-    "a17_restore_rollback",   # metadata-only rollback, forensic branch read
-    "a18_tag_protected_travel",  # tag-pinned snapshot through engine.sql
-    "a19_clustered_pruning",  # OPTIMIZE sort rewrite, before/after file skip
-    "a19b_zorder_pruning",    # Morton-key layout, 2-D predicate box
-    "a20_streaming_table_source",  # version-offset stream over the table
+    # round 15 additions (first baseline rows this round; promote to
+    # EXTRAS next round)
+    "a15s_streaming_cdc_merge",  # CDC stream across MERGE (plan-time keys)
+    "a15t_timestamp_table_changes",  # TIMESTAMP-bounded TABLE_CHANGES
+    "a23b_sql_merge_clauses",  # conditional MERGE clauses, one MOR commit
+    "a25b_column_evolution",   # add->rename->drop, name-mapped reads
+    "p25_materialized_view_verb",  # CREATE/REFRESH MATERIALIZED VIEW
     # a21/a22 are NOT benched: they BUILD a live table per run by design
     # (constraint refusals / WAP conflict need fresh mutable state), so
     # timing them measures fixture construction — same convention as the
@@ -105,6 +100,18 @@ EXTRAS_ALWAYS: list[str] = [
 # pushed bench wall time past the contention-drift horizon (VERDICT r9
 # item 6); every entry still cycles through within ~3 rounds.
 EXTRAS = [
+    # round 13 (promoted from EXTRAS_ALWAYS in r15 — BENCH_r13/r14 carry
+    # their baseline rows)
+    "a16_sql_time_travel",    # engine.sql() VERSION/TIMESTAMP AS OF rewrite
+    "a15l_partition_pruned_read",  # segment-level partition skipping
+    "a15m_days_partition_scan",  # days(ts) hidden partitioning, time window
+    "a15n_position_delete",   # row-address MOR deletes (file+row_index)
+    "a15o_update_where",      # atomic UPDATE: append + position-delete
+    "a17_restore_rollback",   # metadata-only rollback, forensic branch read
+    "a18_tag_protected_travel",  # tag-pinned snapshot through engine.sql
+    "a19_clustered_pruning",  # OPTIMIZE sort rewrite, before/after file skip
+    "a19b_zorder_pruning",    # Morton-key layout, 2-D predicate box
+    "a20_streaming_table_source",  # version-offset stream over the table
     # round 12 (promoted from EXTRAS_ALWAYS in r13 — BENCH_r12 carries
     # their baseline rows)
     "a15f_manifest_stats_pruning",  # zero-footer-IO manifest-stats skipping
