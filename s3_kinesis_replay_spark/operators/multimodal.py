@@ -70,7 +70,23 @@ def decode_image(content: bytes, codec: str = "real"):
     """
     if codec == "fake":
         body = content[5:] if content[:5] == b"FAKE0" else content
-        return bytes(sum(body[i : i + 64]) % 256 for i in range(0, len(body), 64))
+        # vectorized stripe sums (r15): bit-identical to the per-stripe
+        # python loop — zero-padding the final partial stripe leaves its
+        # byte-sum unchanged — and ~20× cheaper in the mapInPandas hot
+        # path (mm1 drifted to 1.25× its baseline row on this loop)
+        import numpy as np
+
+        a = np.frombuffer(body, dtype=np.uint8)
+        if not len(a):
+            return b""
+        k = (len(a) + 63) // 64
+        buf = np.zeros(k * 64, dtype=np.uint8)
+        buf[: len(a)] = a
+        return (
+            (buf.reshape(k, 64).sum(axis=1, dtype=np.int64) % 256)
+            .astype(np.uint8)
+            .tobytes()
+        )
     if content[:2] == b"P6":
         return _decode_ppm(content)
     if content[:2] == b"BM":
@@ -173,6 +189,8 @@ def extract_features(media: DataFrame) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -183,8 +201,20 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "kind": pdf["kind"],
                     "n_bytes": [len(c) for c in pdf["content"]],
                     "sha256": [hashlib.sha256(c).hexdigest() for c in pdf["content"]],
+                    # exact integer sum then one division — identical to
+                    # sum(f)/len(f), numpy-speed over the frame bytes
                     "mean_byte": [
-                        (sum(f) / len(f)) if len(f) else 0.0 for f in frames
+                        (
+                            int(
+                                np.frombuffer(f, dtype=np.uint8).sum(
+                                    dtype=np.int64
+                                )
+                            )
+                            / len(f)
+                            if len(f)
+                            else 0.0
+                        )
+                        for f in frames
                     ],
                     "frame_count": [len(f) for f in frames],
                 }
