@@ -355,11 +355,13 @@ def register_snapshot_table_cbo(
             spark.conf.set(
                 "spark.sql.parquet.inferTimestampNTZ.enabled", prev_ntz
             )
-    _reap_superseded_cbo_dirs(spark, root, keep=want)
+    _reap_superseded_cbo_dirs(spark, root, keep=want, prev_loc=loc)
     return table_stats(spark, name)
 
 
-def _reap_superseded_cbo_dirs(spark: SparkSession, root: str, keep: str) -> None:
+def _reap_superseded_cbo_dirs(
+    spark: SparkSession, root: str, keep: str, prev_loc: str | None = None
+) -> None:
     """Reap ``_cbo/v*`` pin dirs superseded by a re-registration (ADVICE
     r14: nothing else reaps them — snapshot_vacuum walks only root/data —
     so repeated re-registration accumulated dirs indefinitely, a full
@@ -367,20 +369,47 @@ def _reap_superseded_cbo_dirs(spark: SparkSession, root: str, keep: str) -> None
     reaped only when NO current catalog table's location points at it:
     another name may legitimately pin the same root at a different
     version. Crash-residue ``.tmp-*`` dirs are left to the existing
-    heal-on-rebuild path (a concurrent builder may own them)."""
+    heal-on-rebuild path (a concurrent builder may own them).
+
+    SCOPE (review r15): the liveness check sees THIS session's catalog
+    (current database). A separate concurrent SparkSession pinning the
+    same root keeps its own in-memory catalog this walk cannot see —
+    the same single-driver deployment assumption snapshot_vacuum makes
+    for its reachability walk. A vacuum-style mtime grace keeps a
+    racing registration's just-built dir safe; ``prev_loc`` (the
+    re-registering name's OWN previous pin) is exempt from the grace —
+    the catalog table just moved off it, so it reaps immediately unless
+    another table still points there."""
     import re as _re
     import shutil
+    import time as _time
+
+    from s3_kinesis_replay_spark.operators.table_format import (
+        VACUUM_GRACE_S,
+    )
 
     cbo = os.path.join(root, "_cbo")
     if not os.path.isdir(cbo):
         return
+    now = _time.time()
+
+    def _young(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) < VACUUM_GRACE_S
+        except OSError:
+            return True
+
     doomed = [
         os.path.normpath(os.path.abspath(os.path.join(cbo, d)))
         for d in os.listdir(cbo)
         if _re.fullmatch(r"v\d+", d)
         and os.path.isdir(os.path.join(cbo, d))
     ]
-    doomed = [d for d in doomed if d != keep]
+    doomed = [
+        d
+        for d in doomed
+        if d != keep and (d == prev_loc or not _young(d))
+    ]
     if not doomed:
         return
     live = set()
@@ -965,6 +994,15 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
                 f"materialized view select item {item.strip()!r} is not "
                 "a GROUP BY column, COUNT(*) AS n, or SUM(expr) AS s — "
                 "additive aggregates only (differential maintenance)"
+            )
+        if sorted(declared) != sorted(group_cols):
+            # every GROUP BY column must be selected (the stored view's
+            # columns are group_cols + aggs in that order; a select list
+            # omitting one would silently disagree with what is stored)
+            raise ValueError(
+                f"materialized view SELECT lists group columns "
+                f"{declared}, GROUP BY has {group_cols} — list every "
+                "group column in the select"
             )
         v = tf.matview_create(spark, src_root, vroot, group_cols, aggs)
         register_snapshot_table(spark, name, vroot)

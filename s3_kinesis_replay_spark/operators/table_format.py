@@ -1547,8 +1547,43 @@ def snapshot_row_changes(
     out_types = dict(out_schema)
     # rename mapping of the OUTPUT schema (r15): a pre-rename commit's
     # rows carry the old name — project them under the new one instead
-    # of NULL-filling (newest alias wins, same rule as _read_files)
-    out_renames = m_to.get("column_renames") or {}
+    # of NULL-filling (newest alias wins, same rule as _read_files).
+    # The mapping is the UNION across every manifest in the range, not
+    # just to_version's: a compact inside the range clears the head's
+    # mapping (carry-less commit) while earlier commits' rows still
+    # carry old names (review r15 — to_version-only silently
+    # NULL-filled them post-compact). A name REUSED for a different
+    # logical column (dropped/renamed-away, then re-added after a
+    # compact) makes old files' bytes answer for the new column — no
+    # name-based mapping can disambiguate that, so it refuses loudly.
+    out_renames: dict[str, list[str]] = {}
+    union_retired: set[str] = set()
+    for _v in range(max(from_version, 1), to_version + 1):
+        try:
+            _mv = _read_manifest(root, _v)
+        except (FileNotFoundError, OSError):
+            continue  # the main walk fails loudly on a vacuumed range
+        for _new, _olds in (_mv.get("column_renames") or {}).items():
+            acc = out_renames.setdefault(_new, [])
+            for _o in _olds:
+                if _o not in acc:
+                    acc.append(_o)
+        union_retired.update(_mv.get("retired_columns") or [])
+    _alias_names = {o for olds in out_renames.values() for o in olds}
+    _reused = [
+        c
+        for c in out_cols
+        if c in union_retired
+        or (c in _alias_names and c not in out_renames)
+    ]
+    if _reused:
+        raise ValueError(
+            f"column name(s) {_reused} were retired/renamed-away and "
+            "re-introduced within this CDC range — old files' bytes "
+            "under that name belong to a DIFFERENT logical column, so "
+            "row-level CDC cannot span the reuse; start the feed after "
+            "the re-introduction"
+        )
 
     def align(df: DataFrame, ctype: str, v: int) -> DataFrame:
         def col_expr(c: str):
@@ -2233,7 +2268,11 @@ def snapshot_rename_column(
         _refuse_column_references(m, old, "rename")
         renames = dict(m.get("column_renames") or {})
         aliases = renames.pop(old, [])
-        renames[new] = [*aliases, old]
+        # renaming BACK to a prior name (a→b then b→a): the target name
+        # must not appear in its own alias chain — files that carry it
+        # natively hold the CORRECT data for it, so no mapping (and no
+        # retired-name refusal) applies to that hop (review r15)
+        renames[new] = [x for x in [*aliases, old] if x != new]
         return _commit(
             root, base, "rename_column", carry_from=m,
             schema=[[new, t] if c == old else [c, t] for c, t in schema],
@@ -2755,6 +2794,7 @@ def snapshot_merge_clauses(
     # and would ignore the files); outside root/data so vacuum never
     # walks it; removed in the finally
     tmp = os.path.join(root, f"tmpmerge-{uuid.uuid4().hex[:12]}")
+    sfx = uuid.uuid4().hex[:8]
     source.write.mode("error").parquet(tmp)
     try:
         src = spark.read.parquet(tmp)
@@ -2772,7 +2812,17 @@ def snapshot_merge_clauses(
         cur = snapshot_read(spark, root, base0)
         tcols = cur.columns
         ttypes = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
-        sfx = uuid.uuid4().hex[:8]
+        for c in clauses:
+            if c["kind"] == "update":
+                bad = set(c.get("sets", {})) - set(tcols)
+                if bad:
+                    # same refusal the INSERT path gives — a typo'd SET
+                    # column would otherwise be silently DROPPED and
+                    # the matched rows rewritten UNCHANGED (review r15)
+                    raise ValueError(
+                        f"UPDATE SET names unknown columns "
+                        f"{sorted(bad)} (table has {tcols})"
+                    )
         tv, sv = f"__mrgc_t_{sfx}", f"__mrgc_s_{sfx}"
         cur.createOrReplaceTempView(tv)
         src.createOrReplaceTempView(sv)
@@ -2919,13 +2969,14 @@ def snapshot_merge_clauses(
             if new_files
             else {}
         )
+        new_stats = _file_stats(root, new_files) if new_files else {}
         seg = (
             _write_segment(
                 root,
                 [
                     {
                         "path": p,
-                        "stats": _file_stats(root, new_files)[p],
+                        "stats": new_stats[p],
                         **({"kidx": kidxs[p]} if p in kidxs else {}),
                     }
                     for p in new_files
@@ -2960,10 +3011,16 @@ def snapshot_merge_clauses(
             delete_key=key_col,
             schema=m0.get("schema"),
         )
-        spark.catalog.dropTempView(tv)
-        spark.catalog.dropTempView(sv)
         return v
     finally:
+        # drop the temp views on EVERY exit (refusals and commit
+        # conflicts leaked them before — review r15); they may not
+        # exist yet if an early validation refused
+        for view in (f"__mrgc_t_{sfx}", f"__mrgc_s_{sfx}"):
+            try:
+                spark.catalog.dropTempView(view)
+            except Exception:
+                pass
         _shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -3812,9 +3869,12 @@ def matview_refresh(spark: SparkSession, view_root: str) -> int:
             )
             .filter(F.col(count_alias) > 0)
         )
-    except ValueError:
-        # provenance-losing commit in the range (overwrite/restore):
-        # full recompute, same definition — stated fallback
+    except (ValueError, FileNotFoundError, OSError):
+        # provenance-losing commit in the range (overwrite/restore →
+        # ValueError) or a VACUUMED mid-range manifest (FileNotFoundError
+        # — review r15: catching only ValueError left REFRESH permanently
+        # broken after retention dropped part of the range): full
+        # recompute, same definition — stated fallback, same answer
         merged = (
             snapshot_read(spark, src_root, cur)
             .groupBy(*group_cols)

@@ -159,17 +159,14 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 f"table {self.root} has no recorded schema (legacy "
                 "lineage) — compact/overwrite once before streaming CDC"
             )
-        if latest_m.get("column_renames") or latest_m.get(
-            "retired_columns"
-        ):
-            # r15: per-file Arrow projection is by NAME — it cannot
-            # apply the rename mapping (batch snapshot_row_changes can)
-            raise ValueError(
-                f"table {self.root} carries column rename/drop "
-                "metadata — per-file streaming CDC cannot apply a name "
-                "mapping; use batch snapshot_row_changes, or "
-                "snapshot_compact and restart"
-            )
+        from s3_kinesis_replay_spark.streaming.snapshot_source import (
+            _refuse_rename_history,
+        )
+
+        # r15: per-file Arrow projection is by NAME — it cannot apply a
+        # rename mapping (batch snapshot_row_changes can); refuse when
+        # the consumed range contains rename/drop history
+        _refuse_rename_history(self.root, self.starting)
         self._arrow_schema = _arrow_schema_of([*cols, *_CHANGE_COLS])
         self._data_schema = _arrow_schema_of(cols)
 
@@ -256,8 +253,12 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 # the matched-key verdict to the postimage workers; the
                 # preimage is the delete machinery relabeled.
                 key = m["delete_key"]
-                klo, khi = self._key_range(new_del, key)
-                matched = self._matched_keys(prev, key, new_del, klo, khi)
+                # the commit's key column, read ONCE (review r15: the
+                # range, the matched-key pass, and the kidx probe each
+                # re-read these files before)
+                key_arr = self._read_key_col(new_del, key)
+                klo, khi = self._arr_range(key_arr)
+                matched = self._matched_keys(prev, key, key_arr, klo, khi)
                 mk = tuple(sorted(matched, key=repr))
                 # postimage keys (r15, clause-form merges): a tombstoned
                 # key with NO new-data row is a DELETE, not a dangling
@@ -285,7 +286,8 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                         )
                     )
                 pre_parts = self._eq_preimage_parts(
-                    prev, new_del, key, "update_preimage", v, klo, khi
+                    prev, new_del, key, "update_preimage", v, klo, khi,
+                    key_arr=key_arr,
                 )
                 for p in pre_parts:
                     p.post_keys = pk
@@ -324,18 +326,55 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     )
             if new_del:
                 key = m["delete_key"]
-                klo, khi = self._key_range(new_del, key)
+                key_arr = self._read_key_col(new_del, key)
+                klo, khi = self._arr_range(key_arr)
                 parts.extend(
                     self._eq_preimage_parts(
-                        prev, new_del, key, "delete", v, klo, khi
+                        prev, new_del, key, "delete", v, klo, khi,
+                        key_arr=key_arr,
                     )
                 )
             prev = m
         return parts
 
+    def _read_key_col(self, new_del: list, key: str):
+        """The commit's delete-key column across its key files, as one
+        null-free Arrow array — read once per commit and shared by the
+        range computation, the matched-key classification, and the
+        kidx probe."""
+        import pyarrow.parquet as pq
+
+        return (
+            _concat(
+                [
+                    pq.read_table(
+                        os.path.join(self.root, p), columns=[key]
+                    )
+                    for p in new_del
+                ]
+            )
+            .column(key)
+            .combine_chunks()
+            .drop_null()
+        )
+
+    @staticmethod
+    def _arr_range(key_arr):
+        """(min, max) of the key array — (None, None) when empty or
+        incomparable (skip disabled, all files stay candidates)."""
+        import pyarrow.compute as pc
+
+        try:
+            if len(key_arr) == 0:
+                return None, None
+            mm = pc.min_max(key_arr).as_py()
+            return mm["min"], mm["max"]
+        except Exception:
+            return None, None
+
     def _eq_preimage_parts(
         self, prev: dict, new_del: list, key: str, ctype: str, v: int,
-        klo, khi,
+        klo, khi, key_arr=None,
     ) -> list:
         """Preimage partitions for an equality-delete (ctype 'delete')
         or merge (ctype 'update_preimage') commit: one eq_pre partition
@@ -363,7 +402,7 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             for e in _entries(prev, self.root)
             if not self._stats_disjoint(e, key, klo, khi)
         ]
-        cands = self._kidx_survivors(cands, key, new_del)
+        cands = self._kidx_survivors(cands, key, key_arr)
         for e in cands:
             es = e.get("seq")
             applicable = tuple(
@@ -389,23 +428,21 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             )
         return parts
 
-    def _kidx_survivors(
-        self, entries: list, key: str, new_del: list
-    ) -> list:
+    def _kidx_survivors(self, entries: list, key: str, key_arr) -> list:
         """Key-hash-index probe (r15): drop candidates whose sorted
-        hash sidecar provably excludes every one of the commit's keys.
-        Bounded: keys hashed once, one sorted intersection per file."""
+        hash sidecar provably excludes every one of the commit's keys
+        (the shared, already-read key array). Bounded: keys hashed
+        once, one sorted intersection per file."""
         from s3_kinesis_replay_spark.operators.table_format import (
             _kidx_hash_set,
             _kidx_may_contain,
-            _read_key_values,
         )
 
-        if not any(
+        if key_arr is None or not any(
             (e.get("kidx") or {}).get("col") == key for e in entries
         ):
             return entries
-        probe = _kidx_hash_set(_read_key_values(self.root, new_del, key))
+        probe = _kidx_hash_set(key_arr.to_pylist())
         return [
             e
             for e in entries
@@ -432,7 +469,7 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             return False  # incomparable types: candidate
 
     def _matched_keys(
-        self, prev: dict, key: str, new_del: list, klo, khi
+        self, prev: dict, key: str, key_arr, klo, khi
     ) -> set:
         """Plan-time MERGE key classification (r15): the subset of the
         commit's source keys with a VISIBLE row at v-1 — the split that
@@ -456,13 +493,7 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             _pos_delete_entries,
         )
 
-        merge_keys = _concat(
-            [
-                pq.read_table(os.path.join(self.root, p), columns=[key])
-                for p in new_del
-            ]
-        ).column(key).combine_chunks()
-        merge_keys = pc.unique(merge_keys.drop_null())
+        merge_keys = pc.unique(key_arr)
         if len(merge_keys) == 0:
             return set()
         prior_dels = _delete_entries(prev, self.root)
@@ -490,7 +521,7 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             for e in _entries(prev, self.root)
             if not self._stats_disjoint(e, key, klo, khi)
         ]
-        cands = self._kidx_survivors(cands, key, new_del)
+        cands = self._kidx_survivors(cands, key, key_arr)
         for e in cands:
             col = pq.read_table(
                 os.path.join(self.root, e["path"]), columns=[key]
@@ -528,29 +559,6 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     col.filter(pa.array(mask)).drop_null().to_pylist()
                 )
         return matched
-
-    def _key_range(self, new_del: list[str], key: str):
-        """(min, max) of a commit's delete keys — runner-side read of
-        the key files (small by construction), used only to skip
-        stats-disjoint data files. (None, None) when unreadable or
-        empty (skip disabled, all files stay candidates)."""
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        try:
-            lo = hi = None
-            for p in new_del:
-                col = pq.read_table(
-                    os.path.join(self.root, p), columns=[key]
-                ).column(key)
-                if col.null_count == len(col) or len(col) == 0:
-                    continue
-                mm = pc.min_max(col).as_py()
-                lo = mm["min"] if lo is None else min(lo, mm["min"])
-                hi = mm["max"] if hi is None else max(hi, mm["max"])
-            return lo, hi
-        except Exception:
-            return None, None
 
     def _file_key_set(self, rel_paths: list[str], key: str) -> set:
         """Distinct non-null key values across the named parquet files

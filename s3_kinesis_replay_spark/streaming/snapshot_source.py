@@ -163,6 +163,37 @@ def _resolve_starting(root: str, options) -> int:
     return int(sv) if sv is not None else 0
 
 
+def _refuse_rename_history(root: str, starting: int) -> None:
+    """Refuse a stream whose CONSUMED range (> starting) contains any
+    column rename/drop history (r15 review): per-file emission projects
+    by NAME, so files written before a rename would silently NULL-fill
+    the renamed column — and with paced batches those rows reach the
+    sink BEFORE the rename commit's own mid-stream refusal fires. The
+    walk is scoped to versions the stream will consume: starting at or
+    after the evolution (e.g. after the compact that cleared the
+    mapping) is safe and allowed."""
+    from s3_kinesis_replay_spark.operators.table_format import (
+        _read_manifest,
+        versions,
+    )
+
+    for v in versions(root):
+        if v <= starting:
+            continue
+        m = _read_manifest(root, v)
+        if (
+            m.get("column_renames")
+            or m.get("retired_columns")
+            or m.get("operation") in ("rename_column", "drop_column")
+        ):
+            raise ValueError(
+                f"table {root} has column rename/drop history at v{v}, "
+                "inside this stream's range — per-file streaming cannot "
+                "apply a name mapping; snapshot_compact and start the "
+                "stream at/after the compacted version"
+            )
+
+
 def _metadata_only(root: str, m: dict, v: int) -> bool:
     """True when commit v changed NO visible rows relative to v-1: same
     data-entry paths, same delete and position-delete state. Covers
@@ -332,18 +363,7 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                 f"table {self.root} has no recorded schema (legacy "
                 "lineage) — compact/overwrite once before streaming"
             )
-        if latest_m.get("column_renames") or latest_m.get(
-            "retired_columns"
-        ):
-            # r15: raw per-file emission projects by NAME — it cannot
-            # apply the rename mapping, so old files would NULL-fill
-            # renamed columns silently. Refuse until a compact rewrites
-            # files to the current schema (which clears the mapping).
-            raise ValueError(
-                f"table {self.root} carries column rename/drop "
-                "metadata — per-file streaming cannot apply a name "
-                "mapping; snapshot_compact first"
-            )
+        _refuse_rename_history(self.root, self.starting)
         self._arrow_schema = _arrow_schema_of(cols)
 
     def initialOffset(self) -> dict:

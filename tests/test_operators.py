@@ -5546,6 +5546,14 @@ def test_snapshot_merge_clauses(spark, sf_dir, tmp_path):
             "MERGE INTO mrgc_t2 USING (SELECT * FROM mrgc_src2) ON k "
             "WHEN NOT MATCHED THEN INSERT (nope) VALUES (s.k)",
         )
+    # review r15: a typo'd SET column refuses instead of silently
+    # rewriting the matched rows unchanged
+    with _pytest.raises(ValueError, match="UPDATE SET names unknown"):
+        cat.resolve_dml(
+            spark,
+            "MERGE INTO mrgc_t2 USING (SELECT * FROM mrgc_src2) ON k "
+            "WHEN MATCHED THEN UPDATE SET valu = s.val",
+        )
     # partial-key duplicates: a condition that splits one key's rows
     root3 = str(tmp_path / "t3")
     tf.snapshot_write(
@@ -5791,6 +5799,20 @@ def test_materialized_view_verb(spark, sf_dir, tmp_path):
     )
     cat.resolve_dml(spark, "REFRESH MATERIALIZED VIEW mv_v")
     assert stored() == [("gX", 1, 5.0)] == recompute()
+    # review r15: a VACUUMED CDC range (FileNotFoundError, not
+    # ValueError) must also fall back to the full recompute instead of
+    # permanently breaking REFRESH
+    for pair in [(2, "gY", 1.0), (3, "gY", 2.0)]:
+        tf.snapshot_write(
+            spark,
+            spark.createDataFrame([pair], "k long, g string, v double"),
+            src,
+            "append",
+        )
+    tf.snapshot_vacuum(src, keep_last=1, min_age_s=0.0)
+    cat.resolve_dml(spark, "REFRESH MATERIALIZED VIEW mv_v")
+    assert stored() == recompute()
+    assert ("gY", 2, 3.0) in stored()
 
     # refusals
     with _pytest.raises(ValueError, match="COUNT"):
@@ -5914,6 +5936,71 @@ def test_snapshot_rename_drop_column(spark, sf_dir, tmp_path):
     m = tf._read_manifest(root, tf.latest_version(root))
     assert not m.get("column_renames") and not m.get("retired_columns")
     tf.snapshot_add_column(spark, root, "c", "double")  # now fine
+
+    # review r15: renaming BACK to a prior name works — the target must
+    # not become its own alias (old files carrying it natively hold the
+    # correct data), and no retired-name refusal applies to the hop
+    rootb = str(tmp_path / "back")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 3).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("a")
+        ),
+        rootb,
+        "overwrite",
+    )
+    tf.snapshot_rename_column(spark, rootb, "a", "b")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(3, 30)], "k long, b long"),
+        rootb,
+        "append",
+    )
+    tf.snapshot_rename_column(spark, rootb, "b", "a")  # back
+    got = sorted(
+        (r["k"], r["a"]) for r in tf.snapshot_read(spark, rootb).collect()
+    )
+    assert got == [(i, i * 10) for i in range(4)]
+    mb = tf._read_manifest(rootb, tf.latest_version(rootb))
+    assert mb["column_renames"] == {"a": ["b"]}
+
+    # review r15: CDC across a rename whose mapping a LATER COMPACT
+    # cleared still projects old names (union mapping over the range)
+    rootc = str(tmp_path / "cdc_compact")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 3).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("note")
+        ),
+        rootc,
+        "overwrite",
+    )  # v1
+    tf.snapshot_rename_column(spark, rootc, "note", "comment")  # v2
+    tf.snapshot_compact(spark, rootc)  # v3: mapping cleared at head
+    cdc = sorted(
+        (r["k"], r["comment"], r["_change_type"])
+        for r in tf.snapshot_row_changes(spark, rootc, 0, 3).collect()
+    )
+    assert cdc == [(i, i * 10, "insert") for i in range(3)]  # not NULLs
+    # a name REUSED for a different logical column inside the range
+    # refuses (old bytes under it belong to the old column)
+    tf.snapshot_add_column(spark, rootc, "note", "double")  # v4: reuse
+    with _pytest.raises(ValueError, match="re-introduced"):
+        tf.snapshot_row_changes(spark, rootc, 0, 4)
+    # a range AFTER the reuse is fine
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [(9, 90, 1.5)], "k long, comment long, note double"
+        ),
+        rootc,
+        "append",
+    )  # v5
+    got5 = [
+        (r["k"], r["note"], r["_change_type"])
+        for r in tf.snapshot_row_changes(spark, rootc, 4, 5).collect()
+    ]
+    assert got5 == [(9, 1.5, "insert")]
 
     # partition-spec reference refuses
     root2 = str(tmp_path / "part")

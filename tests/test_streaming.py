@@ -1710,6 +1710,78 @@ def test_kidx_file_skipping(spark, tmp_path):
     assert got_s == got
 
 
+def test_stream_refuses_rename_history_in_range(spark, tmp_path):
+    """review r15: both sources refuse AT INIT when the consumed range
+    (> starting) contains rename/drop history — per-file projection is
+    by name, and with paced batches the pre-rename NULL-filled rows
+    would reach the sink BEFORE the rename commit's mid-stream refusal.
+    Starting at/after the compact that cleared the mapping is fine."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        SnapshotChangesStreamReader,
+    )
+    from s3_kinesis_replay_spark.streaming.snapshot_source import (
+        SnapshotTableStreamReader,
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    root = str(tmp_path / "tbl")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("a")
+        ),
+        root,
+        "overwrite",
+    )  # v1
+    tf.snapshot_rename_column(spark, root, "a", "b")  # v2
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(5, 50)], "k long, b long"),
+        root,
+        "append",
+    )  # v3
+    for cls in (SnapshotTableStreamReader, SnapshotChangesStreamReader):
+        with _pytest.raises(ValueError, match="rename/drop history"):
+            cls(None, {"root": root})
+        with _pytest.raises(ValueError, match="rename/drop history"):
+            cls(None, {"root": root, "starting_version": "1"})
+    tf.snapshot_compact(spark, root)  # v4: mapping cleared
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(6, 60)], "k long, b long"),
+        root,
+        "append",
+    )  # v5
+    # starting at/after the compact is allowed and streams v5's rows
+    for cls in (SnapshotTableStreamReader, SnapshotChangesStreamReader):
+        with _pytest.raises(ValueError, match="rename/drop history"):
+            cls(None, {"root": root, "starting_version": "1"})
+        assert cls(None, {"root": root, "starting_version": "4"}).starting == 4
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .option("starting_version", "4")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = sorted(
+        (r["k"], r["b"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [(6, 60)]
+
+
 def test_changes_source_from_genesis_default(spark, tmp_path):
     """r14 review: the source's DEFAULT starting_version=0 must work —
     the empty predecessor makes the genesis overwrite pure inserts
