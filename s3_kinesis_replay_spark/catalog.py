@@ -564,7 +564,8 @@ def _parse_merge_clauses(text: str) -> list[dict]:
     * ``WHEN MATCHED [AND cond] THEN DELETE``
     * ``WHEN NOT MATCHED [AND cond] THEN INSERT *`` /
       ``INSERT (cols) VALUES (exprs)``
-    * ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE``
+    * ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE /
+      UPDATE SET …`` (t-only references — no source row on this side)
 
     Known textual limits, refused loudly rather than misparsed: a
     condition may not itself contain the token sequence ``WHEN
@@ -596,6 +597,20 @@ def _parse_merge_clauses(text: str) -> list[dict]:
         if m:
             clauses.append(
                 {"kind": "nbs_delete", "cond": cond_of(m.group(1))}
+            )
+            continue
+        m = re.fullmatch(
+            r"(?is)NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?"
+            r"\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*",
+            seg,
+        )
+        if m:
+            clauses.append(
+                {
+                    "kind": "nbs_update",
+                    "cond": cond_of(m.group(1)),
+                    "sets": _split_assignments(m.group(2)),
+                }
             )
             continue
         m = re.fullmatch(
@@ -675,7 +690,7 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
       clause forms (r15): ``WHEN MATCHED [AND c] THEN UPDATE SET … /
       DELETE``, ``WHEN NOT MATCHED [AND c] THEN INSERT * / (cols)
       VALUES (…)``, ``WHEN NOT MATCHED BY SOURCE [AND c] THEN
-      DELETE`` — conditions are Spark SQL over aliases t/s, one
+      DELETE / UPDATE SET`` — conditions are Spark SQL over aliases t/s, one
       atomic commit per statement
     * ``ALTER TABLE tbl ADD CONSTRAINT n CHECK (expr)`` /
       ``DROP CONSTRAINT n`` → constraint metadata commits (r14)

@@ -2738,6 +2738,10 @@ def snapshot_merge_clauses(
     * ``{"kind": "insert", "cond": sql|None, "cols": [..]|None,
       "values": [sql]|None}`` — WHEN NOT MATCHED [AND cond] THEN
       INSERT * / (cols) VALUES (exprs)
+    * ``{"kind": "nbs_update", "cond": sql|None, "sets": {col: sql}}``
+      — WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …
+      (condition and SET exprs reference the TARGET alias ``t`` only —
+      there is no source row on this side)
     * ``{"kind": "nbs_delete", "cond": sql|None}`` —
       WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
 
@@ -2779,7 +2783,9 @@ def snapshot_merge_clauses(
     if not clauses:
         raise ValueError("clause-form merge needs at least one clause")
     for c in clauses:
-        if c["kind"] == "update" and key_col in c.get("sets", {}):
+        if c["kind"] in ("update", "nbs_update") and key_col in c.get(
+            "sets", {}
+        ):
             raise ValueError(
                 f"UPDATE SET on the merge key {key_col!r} is refused — "
                 "a key-granular tombstone cannot express a key rewrite "
@@ -2813,7 +2819,7 @@ def snapshot_merge_clauses(
         tcols = cur.columns
         ttypes = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
         for c in clauses:
-            if c["kind"] == "update":
+            if c["kind"] in ("update", "nbs_update"):
                 bad = set(c.get("sets", {})) - set(tcols)
                 if bad:
                     # same refusal the INSERT path gives — a typo'd SET
@@ -2892,19 +2898,34 @@ def snapshot_merge_clauses(
                     f"ON s.`{key_col}` = t.`{key_col}` WHERE {where}"
                 )
             )
-        for c in (c for c in clauses if c["kind"] == "nbs_delete"):
+        nbs_from = (
+            f"FROM {tv} t LEFT ANTI JOIN {sv} s "
+            f"ON t.`{key_col}` = s.`{key_col}`"
+        )
+        prior = []
+        for c in (
+            c for c in clauses if c["kind"] in ("nbs_update", "nbs_delete")
+        ):
             g = guard(c.get("cond"))
-            tomb.append(
-                q(
-                    f"SELECT t.`{key_col}` AS `{key_col}` FROM {tv} t "
-                    f"LEFT ANTI JOIN {sv} s ON t.`{key_col}` = "
-                    f"s.`{key_col}` WHERE {g}"
-                )
+            where = " AND ".join([g] + [f"NOT {p}" for p in prior])
+            prior.append(g)
+            keys_sql = (
+                f"SELECT t.`{key_col}` AS `{key_col}` {nbs_from} "
+                f"WHERE {where}"
             )
-            # NBS rows are whole-key by construction (anti join keeps
-            # every row of an unmatched key; the condition may still
-            # split duplicate-key rows — audited below with the rest)
+            tomb.append(q(keys_sql))
+            # NBS rows' conditions reference the TARGET only (the anti
+            # join has no source side); the condition may still split
+            # duplicate-key rows — audited below with the rest
             audit.append(tomb[-1])
+            if c["kind"] == "nbs_update":
+                proj = ", ".join(
+                    f"CAST(({c['sets'][col]}) AS {ttypes[col]}) AS `{col}`"
+                    if col in c["sets"]
+                    else f"t.`{col}` AS `{col}`"
+                    for col in tcols
+                )
+                adds.append(q(f"SELECT {proj} {nbs_from} WHERE {where}"))
 
         # partial-key audit: every affected key's row count must equal
         # its total visible row count — otherwise a key-granular

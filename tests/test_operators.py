@@ -5521,6 +5521,24 @@ def test_snapshot_merge_clauses(spark, sf_dir, tmp_path):
         (3, 21, None), (4, 28, None),
     ]
 
+    # NOT MATCHED BY SOURCE THEN UPDATE SET (r15, completing the Delta
+    # clause matrix): t-only references, first-match-wins vs NBS DELETE
+    spark.range(2, 4).select(F.col("id").alias("k")).createOrReplaceTempView(
+        "mrgc_src3"
+    )
+    cat.resolve_dml(
+        spark,
+        "MERGE INTO mrgc_t2 USING (SELECT * FROM mrgc_src3) ON k "
+        "WHEN NOT MATCHED BY SOURCE AND t.k = 0 "
+        "THEN UPDATE SET tag = 'stale' "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    got3 = sorted(
+        (x["k"], x["val"], x["tag"])
+        for x in spark.table("mrgc_t2").collect()
+    )
+    assert got3 == [(0, 0, "stale"), (2, 14, "old"), (3, 21, None)]
+
     # refusals
     with _pytest.raises(ValueError, match="merge key"):
         cat.resolve_dml(
