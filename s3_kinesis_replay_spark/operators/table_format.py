@@ -349,6 +349,16 @@ def _merge_schema(
     ]
 
 
+class CdcRangeError(ValueError):
+    """Row-level CDC cannot cover the requested version range — a
+    provenance-losing commit (overwrite/restore), a legacy schema-less
+    lineage, or a column-name reuse sits inside it. Subclasses
+    ValueError for caller back-compat; exists so matview_refresh's
+    full-recompute fallback catches EXACTLY these refusals instead of
+    blanket ValueError, which silently converted genuine differential-
+    path bugs into full recomputes forever (ADVICE r15)."""
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed on top of the base version this writer
     read — re-read the table state (the new latest manifest) and retry
@@ -739,37 +749,49 @@ def _write_key_indexes(
 
     out: dict[str, dict] = {}
     for p in rel_paths:
+        # the index is OPTIONAL — any per-file failure (key column
+        # absent in a pre-evolution shape, an exotic type, an unsigned
+        # value above 2^63) skips THAT file only; it stays a permanent
+        # candidate, it must not fail the commit or abandon the other
+        # files' indexes (ADVICE r15)
         try:
             col = pq.read_table(
                 os.path.join(root, p), columns=[key_col]
             ).column(key_col)
-        except Exception:
-            return {}  # key column absent (pre-evolution shape): skip
-        distinct = pc.unique(col.combine_chunks()).drop_null()
-        t = distinct.type
-        if pa.types.is_integer(t):
-            hashes = _splitmix64_np(
-                distinct.cast(pa.int64()).to_numpy(zero_copy_only=False)
-            )
-        elif pa.types.is_string(t) or pa.types.is_large_string(t):
-            hashes = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.sha256(str(v).encode()).digest()[:8],
-                        "little",
+            distinct = pc.unique(col.combine_chunks()).drop_null()
+            t = distinct.type
+            if pa.types.is_integer(t):
+                # safe=False: an unsigned-64 value above 2^63 wraps mod
+                # 2^64, which is exactly what the probe-side
+                # _key_hash_py computes from the python int — a safe
+                # cast would raise ArrowInvalid and (pre-r16) crash the
+                # whole commit for an optional index
+                hashes = _splitmix64_np(
+                    distinct.cast(pa.int64(), safe=False).to_numpy(
+                        zero_copy_only=False
                     )
-                    for v in distinct.to_pylist()
-                ),
-                dtype=np.uint64,
-                count=len(distinct),
-            )
-        else:
-            return {}
-        hashes = np.sort(hashes)
-        side = os.path.join(root, p + ".kidx")
-        tmp = side + ".tmp"
-        hashes.astype("<u8").tofile(tmp)
-        os.replace(tmp, side)
+                )
+            elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                hashes = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.sha256(str(v).encode()).digest()[:8],
+                            "little",
+                        )
+                        for v in distinct.to_pylist()
+                    ),
+                    dtype=np.uint64,
+                    count=len(distinct),
+                )
+            else:
+                continue  # no canonical hash for this type
+            hashes = np.sort(hashes)
+            side = os.path.join(root, p + ".kidx")
+            tmp = side + ".tmp"
+            hashes.astype("<u8").tofile(tmp)
+            os.replace(tmp, side)
+        except Exception:
+            continue
         out[p] = {"col": key_col, "n": int(len(hashes))}
     return out
 
@@ -1539,7 +1561,7 @@ def snapshot_row_changes(
     m_to = _read_manifest(root, to_version)
     out_schema = m_to.get("schema")
     if out_schema is None:
-        raise ValueError(
+        raise CdcRangeError(
             f"table {root} has no recorded schema (legacy lineage) — "
             "row-level CDC needs one; compact/overwrite once"
         )
@@ -1577,7 +1599,7 @@ def snapshot_row_changes(
         or (c in _alias_names and c not in out_renames)
     ]
     if _reused:
-        raise ValueError(
+        raise CdcRangeError(
             f"column name(s) {_reused} were retired/renamed-away and "
             "re-introduced within this CDC range — old files' bytes "
             "under that name belong to a DIFFERENT logical column, so "
@@ -1639,7 +1661,7 @@ def snapshot_row_changes(
             # an overwrite/restore ONTO AN EMPTY predecessor replaces
             # nothing — it is insert-only and diffs fine (the genesis
             # case under from_version=0)
-            raise ValueError(
+            raise CdcRangeError(
                 f"v{v} is '{op}' — a rewrite that replaces files loses "
                 "row provenance; row-level CDC covers append / delete / "
                 "update / merge / publish commits only (restart the feed "
@@ -2803,7 +2825,16 @@ def snapshot_merge_clauses(
     sfx = uuid.uuid4().hex[:8]
     source.write.mode("error").parquet(tmp)
     try:
-        src = spark.read.parquet(tmp)
+        # an EMPTY source (legitimate no-op upsert / NBS-only statement)
+        # can write zero part files, and reading the bare directory
+        # fails with 'unable to infer schema' (ADVICE r15) — detect the
+        # no-part-files case explicitly and substitute an empty frame
+        # with the source's schema; NBS clauses still see every target
+        # row as not-matched-by-source, which is the correct semantics
+        if any(f.startswith("part-") for f in os.listdir(tmp)):
+            src = spark.read.parquet(tmp)
+        else:
+            src = spark.createDataFrame([], source.schema)
         kc = src.agg(
             F.count(key_col).alias("n"),
             F.countDistinct(key_col).alias("nd"),
@@ -3692,18 +3723,45 @@ def snapshot_publish(root: str, name: str) -> int:
             # committed BEFORE our link existed (racing commits + vacuum
             # all precede it), while a follower read latest == v only
             # AFTER our link, so its committed_at postdates ours.
-            # committed_at is advisory (single-FS clock, _commit doc);
-            # if either is missing, do NEITHER destructive thing: keep
-            # the manifest (the successor may depend on it) and refuse
-            # with a verify-before-republish instruction — the blind
-            # re-fork advice would duplicate already-published rows in
-            # the follower world.
+            # Structural proof FIRST (ADVICE r15 — clocks are advisory):
+            # a true follower's LIVE ENTRY SET contains the branch-added
+            # DATA FILE paths verbatim (uuid-named, only this branch
+            # wrote them; the vacuumed original cannot reference them).
+            # A compact-follower rewrote them, so it falls to the clock.
+            try:
+                fork_paths = set(
+                    _paths(_entries(_read_manifest(root, fork), root))
+                )
+            except (FileNotFoundError, OSError):
+                fork_paths = None
+            if fork_paths is not None:
+                added_paths = set(_paths(_entries(bm, root))) - fork_paths
+                if added_paths and added_paths <= set(
+                    _paths(_entries(succ, root))
+                ):
+                    return v  # our staged data files ARE live downstream
+            # Clock, three-way (ADVICE r15: the old `>=` let an exact
+            # tie — or a backwards step — classify a vacuum-hole
+            # successor as a follower, a silent-loss success):
+            #   succ_t > ours_t + tie margin  → follower (the compact-
+            #     follower case: its Spark rewrite job runs strictly
+            #     after our link, well past the margin)
+            #   succ_t < ours_t − hole margin → vacuum hole, undo below
+            #   inside the band, or missing    → do NEITHER destructive
+            #     thing: keep the manifest (the successor may depend on
+            #     it) and refuse with a verify-before-republish
+            #     instruction — the blind re-fork advice would duplicate
+            #     already-published rows in the follower world.
             ours_t = _read_manifest(root, v).get("committed_at")
             succ_t = succ.get("committed_at")
             if ours_t is not None and succ_t is not None:
-                if succ_t >= ours_t:
+                if succ_t > ours_t + 0.05:
                     return v  # follower built on the published manifest
-            else:
+                if succ_t < ours_t - 5.0:
+                    # clearly-predating successor, no structural proof:
+                    # vacuum hole — fall through to the undo
+                    succ = None
+            if succ is not None:
                 raise CommitConflict(
                     f"publish of branch {name!r} raced a concurrent "
                     f"commit whose base is the published v{v} — "
@@ -3854,6 +3912,7 @@ def matview_refresh(spark: SparkSession, view_root: str) -> int:
             f"reflected v{last} — the source was restored/rebuilt; "
             "recreate the view"
         )
+    refresh_mode = "differential"
     try:
         delta = snapshot_row_changes(spark, src_root, last, cur).withColumn(
             "__w",
@@ -3890,12 +3949,17 @@ def matview_refresh(spark: SparkSession, view_root: str) -> int:
             )
             .filter(F.col(count_alias) > 0)
         )
-    except (ValueError, FileNotFoundError, OSError):
+    except (CdcRangeError, FileNotFoundError, OSError) as fb:
         # provenance-losing commit in the range (overwrite/restore →
-        # ValueError) or a VACUUMED mid-range manifest (FileNotFoundError
-        # — review r15: catching only ValueError left REFRESH permanently
+        # CdcRangeError — the DEDICATED refusal type, not blanket
+        # ValueError, so a genuine differential-path bug surfaces
+        # instead of hiding inside full recomputes forever; ADVICE r15)
+        # or a VACUUMED mid-range manifest (FileNotFoundError — review
+        # r15: catching only the refusal left REFRESH permanently
         # broken after retention dropped part of the range): full
-        # recompute, same definition — stated fallback, same answer
+        # recompute, same definition — stated fallback, same answer.
+        # The reason is recorded in the commit manifest (refresh_mode).
+        refresh_mode = f"full_recompute:{type(fb).__name__}"
         merged = (
             snapshot_read(spark, src_root, cur)
             .groupBy(*group_cols)
@@ -3912,7 +3976,12 @@ def matview_refresh(spark: SparkSession, view_root: str) -> int:
         "matview_refresh",
         new_segment=seg,
         schema=_schema_of(merged),
-        extra={"matview": {**mv, "source_version": cur}},
+        extra={
+            "matview": {**mv, "source_version": cur},
+            # forensics: which path produced this refresh (and why the
+            # fallback fired, when it did) — commit-local, not carried
+            "refresh_mode": refresh_mode,
+        },
     )
 
 

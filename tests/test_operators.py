@@ -6486,3 +6486,149 @@ def test_describe_detail_and_cbo_residue_heal(spark, sf_dir, tmp_path):
     _, rows = cat.register_snapshot_table_cbo(spark, "dd_cbo", root)
     assert rows == 36  # rebuilt + ANALYZEd through the MOR read
     _shutil.rmtree(_os.path.join(root, "_cbo"), ignore_errors=True)
+
+
+def test_r16_advice_fixes(spark, tmp_path):
+    """Regression pins for the round-15 ADVICE findings. (1) An EMPTY
+    merge source (legitimate no-op upsert, or an NBS-only statement)
+    completes instead of dying on 'unable to infer schema' — and NBS
+    clauses still see every target row as not-matched-by-source.
+    (2) A kidx build failure on ONE file (key column absent) skips that
+    file only, not every file in the commit; an unsigned-64 key above
+    2^63 hashes consistently instead of crashing the commit.
+    (3) matview_refresh's full-recompute fallback fires ONLY on the
+    dedicated CdcRangeError (+ vacuumed manifests), records why in the
+    commit manifest, and no longer swallows arbitrary ValueError."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    # (1) empty-source clause merge
+    root = str(tmp_path / "t_empty_src")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        root,
+        "overwrite",
+    )
+    empty = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).where(F.lit(False))
+    v = tf.snapshot_merge_clauses(
+        spark, root, empty, "k",
+        [{"kind": "update", "cond": None, "sets": {"v": "s.v"}},
+         {"kind": "insert", "cond": None, "cols": None, "values": None}],
+    )
+    assert tf.snapshot_read(spark, root, v).count() == 10  # no-op upsert
+    v = tf.snapshot_merge_clauses(
+        spark, root, empty, "k",
+        [{"kind": "nbs_delete", "cond": "t.k >= 8"}],
+    )
+    assert sorted(
+        r["k"] for r in tf.snapshot_read(spark, root, v).collect()
+    ) == list(range(8))
+
+    # (2a) kidx: key column missing in ONE file must not abandon the rest
+    root2 = str(tmp_path / "t_kidx")
+    os_join = __import__("os").path.join
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 5).select(F.col("id").alias("k")),
+        root2,
+        "overwrite",
+    )
+    d = os_join(root2, "data")
+    pq.write_table(pa.table({"other": [1, 2]}), os_join(d, "x_nokey.parquet"))
+    pq.write_table(pa.table({"k": [7, 8]}), os_join(d, "x_haskey.parquet"))
+    out = tf._write_key_indexes(
+        root2, ["data/x_nokey.parquet", "data/x_haskey.parquet"], "k"
+    )
+    assert "data/x_haskey.parquet" in out  # pre-r16: {} for BOTH
+    assert "data/x_nokey.parquet" not in out
+    # (2b) unsigned-64 above 2^63: builds, and the probe-side scalar
+    # hash agrees with the write-side wrapped hash
+    big = 2**63 + 5
+    pq.write_table(
+        pa.table({"k": pa.array([big, 1], type=pa.uint64())}),
+        os_join(d, "x_u64.parquet"),
+    )
+    out = tf._write_key_indexes(root2, ["data/x_u64.parquet"], "k")
+    assert out["data/x_u64.parquet"]["n"] == 2
+    side = np.fromfile(
+        os_join(d, "x_u64.parquet.kidx"), dtype="<u8"
+    )
+    assert tf._key_hash_py(big) in set(int(x) for x in side)
+
+    # (3) matview fallback: differential refresh records its mode...
+    src = str(tmp_path / "mv_src")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 20).select(
+            (F.col("id") % 3).alias("g"), F.col("id").alias("x")
+        ),
+        src,
+        "overwrite",
+    )
+    view = str(tmp_path / "mv_view")
+    tf.matview_create(
+        spark, src, view,
+        group_cols=["g"],
+        aggs=[{"fn": "count", "expr": None, "alias": "n"},
+              {"fn": "sum", "expr": "x", "alias": "sx"}],
+    )
+    tf.snapshot_write(
+        spark,
+        spark.range(20, 30).select(
+            (F.col("id") % 3).alias("g"), F.col("id").alias("x")
+        ),
+        src,
+        "append",
+    )
+    v = tf.matview_refresh(spark, view)
+    m = tf._read_manifest(view, v)
+    assert m["refresh_mode"] == "differential"
+    # ...an overwrite in the range triggers the RECORDED fallback...
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 12).select(
+            (F.col("id") % 3).alias("g"), F.col("id").alias("x")
+        ),
+        src,
+        "overwrite",
+    )
+    v = tf.matview_refresh(spark, view)
+    m = tf._read_manifest(view, v)
+    assert m["refresh_mode"].startswith("full_recompute:CdcRangeError")
+    got = {
+        r["g"]: (r["n"], float(r["sx"]))
+        for r in tf.snapshot_read(spark, view, v).collect()
+    }
+    assert got == {0: (4, 18.0), 1: (4, 22.0), 2: (4, 26.0)}
+    # ...and a GENUINE bug's ValueError is no longer silently converted
+    # into a full recompute
+    tf.snapshot_write(
+        spark,
+        spark.range(12, 15).select(
+            (F.col("id") % 3).alias("g"), F.col("id").alias("x")
+        ),
+        src,
+        "append",
+    )
+    import pytest as _pytest
+
+    orig = tf.snapshot_row_changes
+
+    def boom(*a, **k):
+        raise ValueError("genuine differential-path bug")
+
+    tf.snapshot_row_changes = boom
+    try:
+        with _pytest.raises(ValueError, match="genuine"):
+            tf.matview_refresh(spark, view)
+    finally:
+        tf.snapshot_row_changes = orig
