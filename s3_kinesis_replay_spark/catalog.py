@@ -555,6 +555,46 @@ def _split_assignments(text: str) -> dict[str, str]:
     return out
 
 
+def _parse_merge_on(text: str):
+    """The MERGE ``ON`` operand → the row identity snapshot_merge*
+    take (r16, composite keys). Accepted forms:
+
+    * ``ON k`` — bare column name (pre-r16 form, single-column key)
+    * ``ON t.a = s.a AND t.b = s.b`` — equality conjunction; every
+      equality must pair the SAME column name across the two aliases
+      (any alias order). One column → string; several → ordered list.
+
+    Anything else — inequality, expression, differing names — is
+    refused loudly: the engine's row identity is name-based (tombstone
+    files store the key columns by name), so ``t.a = s.b`` has no
+    MOR representation here."""
+    import re
+
+    t = text.strip()
+    m = re.fullmatch(r"`?(\w+)`?", t)
+    if m:
+        return m.group(1)
+    cols: list[str] = []
+    for part in re.split(r"(?i)\s+AND\s+", t):
+        m = re.fullmatch(
+            r"\s*([ts])\.`?(\w+)`?\s*=\s*([ts])\.`?(\w+)`?\s*", part
+        )
+        if (
+            not m
+            or m.group(1) == m.group(3)
+            or m.group(2) != m.group(4)
+        ):
+            raise ValueError(
+                f"unsupported MERGE ON term {part.strip()!r} — use a "
+                "bare key column or an AND of t.<col> = s.<col> "
+                "equalities pairing the same column name"
+            )
+        cols.append(m.group(2))
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"MERGE ON repeats a key column: {cols}")
+    return cols[0] if len(cols) == 1 else cols
+
+
 def _parse_merge_clauses(text: str) -> list[dict]:
     """The WHEN-clause tail of a MERGE statement → the ordered clause
     list :func:`table_format.snapshot_merge_clauses` takes. Grammar
@@ -829,13 +869,14 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
         )
 
     m = re.fullmatch(
-        r"\s*MERGE\s+INTO\s+(\w+)\s+USING\s+\((.+)\)\s+ON\s+(\w+)"
-        r"((?:\s+WHEN\s+.+?)?)\s*;?\s*",
+        r"\s*MERGE\s+INTO\s+(\w+)\s+USING\s+\((.+)\)\s+ON\s+(.+?)"
+        r"((?:\s+WHEN\s+(?:NOT\s+)?MATCHED\b.+)?)\s*;?\s*",
         query,
         re.IGNORECASE | re.DOTALL,
     )
     if m:
-        name, src_sql, key = m.group(1), m.group(2), m.group(3)
+        name, src_sql = m.group(1), m.group(2)
+        key = _parse_merge_on(m.group(3))
         clause_sql = (m.group(4) or "").strip()
         root = _SNAPSHOT_ROOTS.get(name)
         if root is None:

@@ -2546,6 +2546,124 @@ def a23b_sql_merge_clauses(spark, sf_dir):
     return _materialize_and_cleanup(spark, out, root)
 
 
+@register(
+    "a23c_composite_key_merge",
+    "A8",
+    """
+    WITH base AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+               AS sv
+      FROM events WHERE event_id < 6000 GROUP BY user_id, event_type
+    ),
+    src AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+               AS sv
+      FROM events WHERE event_id >= 6000 GROUP BY user_id, event_type
+    ),
+    m AS (
+      SELECT b.user_id, b.event_type, b.n, b.sv, s.n AS sn, s.sv AS ssv
+      FROM base b JOIN src s
+        ON b.user_id = s.user_id AND b.event_type = s.event_type
+    ),
+    ins AS (
+      SELECT s.* FROM src s WHERE NOT EXISTS (
+        SELECT 1 FROM base b
+        WHERE b.user_id = s.user_id AND b.event_type = s.event_type)
+    ),
+    nbs AS (
+      SELECT b.* FROM base b WHERE NOT EXISTS (
+        SELECT 1 FROM src s
+        WHERE s.user_id = b.user_id AND s.event_type = b.event_type)
+    )
+    SELECT user_id, event_type, n, sv,
+           'update_preimage' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM m WHERE ssv > sv
+    UNION ALL SELECT user_id, event_type, n + sn, sv + ssv,
+           'update_postimage', CAST(2 AS BIGINT) FROM m WHERE ssv > sv
+    UNION ALL SELECT user_id, event_type, n, sv,
+           'delete', CAST(2 AS BIGINT) FROM m WHERE NOT (ssv > sv)
+    UNION ALL SELECT user_id, event_type, n, sv,
+           'insert', CAST(2 AS BIGINT) FROM ins
+    UNION ALL SELECT user_id, event_type, n, sv,
+           'delete', CAST(2 AS BIGINT) FROM nbs WHERE n < 3
+    """,
+    note="COMPOSITE (MULTI-COLUMN) ROW IDENTITY (r16, VERDICT r15 item "
+    "2 — the first thing a real Delta/Iceberg MERGE user hits): the "
+    "whole MOR tier — snapshot_delete / snapshot_merge / "
+    "snapshot_merge_clauses / read-side anti-joins / row+streaming CDC "
+    "/ the kidx sorted-hash sidecars — now takes an ORDERED key-column "
+    "LIST; `MERGE INTO t USING (q) ON t.a = s.a AND t.b = s.b` parses "
+    "the equality conjunction to the composite identity "
+    "(catalog._parse_merge_on; mismatched names and non-equalities "
+    "refuse loudly). The manifest keeps the bare-string form for "
+    "single-column tables, so every existing lineage and ledger hash "
+    "is untouched; composite tables store the list, tombstone files "
+    "store ALL key columns, readers anti-join on the column set, and "
+    "kidx sidecars hash the TUPLE (per-column hashes folded in key "
+    "order, write-side numpy == probe-side scalar). This entry builds "
+    "a (user_id, event_type)-keyed summary through the SQL catalog, "
+    "runs a four-clause composite MERGE (conditional UPDATE, matched "
+    "DELETE, INSERT *, conditional NBS DELETE), gates the identity "
+    "recorded in the manifest + single-commit atomicity, and returns "
+    "the batch ROW-LEVEL CDC feed across the merge — hash-matched "
+    "against the CTE replay of the same clause algebra. At 100 TB: "
+    "identical economics to a23b (O(source + affected), zero table "
+    "rewrite); per-column stats pruning conjuncts across key columns, "
+    "which only SHRINKS candidate sets.",
+)
+def a23c_composite_key_merge(spark, sf_dir):
+    import tempfile
+
+    from s3_kinesis_replay_spark.engine import Engine
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = tempfile.mkdtemp(prefix="skr_compkey_")
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.sql(
+        f"CREATE TABLE events_ck LOCATION '{root}' AS "
+        "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sv "
+        "FROM events WHERE event_id < 6000 GROUP BY user_id, event_type"
+    )
+    eng.sql(
+        """
+        MERGE INTO events_ck USING (
+          SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE),
+                       6) AS sv
+          FROM events WHERE event_id >= 6000 GROUP BY user_id, event_type
+        ) ON t.user_id = s.user_id AND t.event_type = s.event_type
+        WHEN MATCHED AND s.sv > t.sv
+          THEN UPDATE SET sv = t.sv + s.sv, n = t.n + s.n
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.n < 3 THEN DELETE
+        """
+    )
+    ops = [
+        r["operation"] for r in tf.snapshot_history(spark, root).collect()
+    ]
+    if ops != ["overwrite", "merge"]:
+        raise RuntimeError(
+            f"a23c gate FAILED: expected one atomic commit, got {ops}"
+        )
+    m = tf._read_manifest(root, tf.latest_version(root))
+    if m.get("delete_key") != ["user_id", "event_type"]:
+        raise RuntimeError(
+            "a23c gate FAILED: manifest row identity is "
+            f"{m.get('delete_key')!r}, expected the ordered composite "
+            "['user_id', 'event_type']"
+        )
+    out = tf.snapshot_row_changes(spark, root, 1, 2).select(
+        "user_id", "event_type", "n", "sv",
+        "_change_type", "_commit_version",
+    )
+    return _materialize_and_cleanup(spark, out, root)
+
+
 def _orc_table(spark, sf_dir: str) -> str:
     """Install (once, fingerprint-cached, atomic) an ORC copy of
     lineitem — the other columnar format Spark ships a native

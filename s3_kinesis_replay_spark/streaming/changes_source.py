@@ -116,6 +116,52 @@ def _concat(tables):
     return pa.concat_tables(tables, promote_options="permissive")
 
 
+def _kcols(key) -> list:
+    """Normalize a partition's key spec — bare column name (single-
+    column identity, the pre-r16 wire shape, unchanged) or a tuple of
+    names (composite identity, r16) — to a column list."""
+    return [key] if isinstance(key, str) else list(key)
+
+
+def _member_mask(tbl, keys_tbl, kcols):
+    """Boolean row mask: True where ``tbl``'s key tuple appears in
+    ``keys_tbl``. Single-column keys keep the vectorized ``is_in``
+    fast path; composite keys use an index-carrying hash semi-join —
+    EXACT set membership, no hashing shortcut (r16). NULL key columns
+    never match (SQL equality), matching the engine's delete rule."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(kcols) == 1:
+        return (
+            pc.is_in(
+                tbl.column(kcols[0]).combine_chunks(),
+                value_set=keys_tbl.column(kcols[0]).combine_chunks(),
+            )
+            .fill_null(False)
+            .to_numpy(zero_copy_only=False)
+            .copy()
+        )
+    n = tbl.num_rows
+    mask = np.zeros(n, dtype=bool)
+    if n == 0 or keys_tbl.num_rows == 0:
+        return mask
+    hit = (
+        tbl.select(kcols)
+        .append_column("__ridx", pa.array(np.arange(n, dtype=np.int64)))
+        .join(
+            keys_tbl.group_by(kcols).aggregate([]),
+            keys=kcols,
+            join_type="left semi",
+        )
+        .column("__ridx")
+        .to_numpy(zero_copy_only=False)
+    )
+    mask[hit.astype(np.int64)] = True
+    return mask
+
+
 def _project(tbl, schema):
     """Project an Arrow table onto the read schema: cast shared columns,
     NULL-fill absent ones (add-column evolution) — the same rule the
@@ -252,13 +298,14 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 # the stats-pruned prior view's key columns — and ships
                 # the matched-key verdict to the postimage workers; the
                 # preimage is the delete machinery relabeled.
-                key = m["delete_key"]
-                # the commit's key column, read ONCE (review r15: the
+                kl = _kcols(m["delete_key"])
+                wire_key = kl[0] if len(kl) == 1 else tuple(kl)
+                # the commit's key columns, read ONCE (review r15: the
                 # range, the matched-key pass, and the kidx probe each
                 # re-read these files before)
-                key_arr = self._read_key_col(new_del, key)
-                klo, khi = self._arr_range(key_arr)
-                matched = self._matched_keys(prev, key, key_arr, klo, khi)
+                key_tbl = self._read_key_tbl(new_del, kl)
+                ranges = self._tbl_ranges(key_tbl, kl)
+                matched = self._matched_keys(prev, kl, key_tbl, ranges)
                 mk = tuple(sorted(matched, key=repr))
                 # postimage keys (r15, clause-form merges): a tombstoned
                 # key with NO new-data row is a DELETE, not a dangling
@@ -268,7 +315,7 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 pk = tuple(
                     sorted(
                         self._file_key_set(
-                            [e["path"] for e in new_data], key
+                            [e["path"] for e in new_data], kl
                         ),
                         key=repr,
                     )
@@ -280,14 +327,14 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                             path=os.path.join(self.root, e["path"]),
                             rel_path=e["path"],
                             version=v,
-                            key_col=key,
+                            key_col=wire_key,
                             match_keys=mk,
                             arrow_schema=self._arrow_schema,
                         )
                     )
                 pre_parts = self._eq_preimage_parts(
-                    prev, new_del, key, "update_preimage", v, klo, khi,
-                    key_arr=key_arr,
+                    prev, new_del, kl, "update_preimage", v, ranges,
+                    key_tbl=key_tbl,
                 )
                 for p in pre_parts:
                     p.post_keys = pk
@@ -325,56 +372,66 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                         )
                     )
             if new_del:
-                key = m["delete_key"]
-                key_arr = self._read_key_col(new_del, key)
-                klo, khi = self._arr_range(key_arr)
+                kl = _kcols(m["delete_key"])
+                key_tbl = self._read_key_tbl(new_del, kl)
+                ranges = self._tbl_ranges(key_tbl, kl)
                 parts.extend(
                     self._eq_preimage_parts(
-                        prev, new_del, key, "delete", v, klo, khi,
-                        key_arr=key_arr,
+                        prev, new_del, kl, "delete", v, ranges,
+                        key_tbl=key_tbl,
                     )
                 )
             prev = m
         return parts
 
-    def _read_key_col(self, new_del: list, key: str):
-        """The commit's delete-key column across its key files, as one
-        null-free Arrow array — read once per commit and shared by the
-        range computation, the matched-key classification, and the
-        kidx probe."""
+    def _read_key_tbl(self, new_del: list, kl: list):
+        """The commit's delete-key columns across its key files, as one
+        Arrow table with any-NULL-key rows dropped — read once per
+        commit and shared by the range computation, the matched-key
+        classification, and the kidx probe. Single-column keys are the
+        one-column case of the same table (r16 composite identity)."""
         import pyarrow.parquet as pq
 
-        return (
-            _concat(
-                [
-                    pq.read_table(
-                        os.path.join(self.root, p), columns=[key]
-                    )
-                    for p in new_del
-                ]
-            )
-            .column(key)
-            .combine_chunks()
-            .drop_null()
-        )
+        return _concat(
+            [
+                pq.read_table(os.path.join(self.root, p), columns=kl)
+                for p in new_del
+            ]
+        ).drop_null()
 
     @staticmethod
-    def _arr_range(key_arr):
-        """(min, max) of the key array — (None, None) when empty or
-        incomparable (skip disabled, all files stay candidates)."""
+    def _tbl_ranges(key_tbl, kl: list) -> dict:
+        """Per-column (min, max) of the key table — {col: (None, None)}
+        when empty or incomparable (skip disabled for that column, all
+        files stay candidates)."""
         import pyarrow.compute as pc
 
-        try:
-            if len(key_arr) == 0:
-                return None, None
-            mm = pc.min_max(key_arr).as_py()
-            return mm["min"], mm["max"]
-        except Exception:
-            return None, None
+        out = {}
+        for k in kl:
+            try:
+                col = key_tbl.column(k)
+                if len(col) == 0:
+                    out[k] = (None, None)
+                    continue
+                mm = pc.min_max(col).as_py()
+                out[k] = (mm["min"], mm["max"])
+            except Exception:
+                out[k] = (None, None)
+        return out
+
+    @staticmethod
+    def _tbl_values(key_tbl, kl: list) -> list:
+        """Key table → python values: scalars for a single-column key,
+        tuples (in key order) for a composite."""
+        if len(kl) == 1:
+            return key_tbl.column(kl[0]).to_pylist()
+        return list(
+            zip(*[key_tbl.column(k).to_pylist() for k in kl])
+        )
 
     def _eq_preimage_parts(
-        self, prev: dict, new_del: list, key: str, ctype: str, v: int,
-        klo, khi, key_arr=None,
+        self, prev: dict, new_del: list, kl: list, ctype: str, v: int,
+        ranges: dict, key_tbl=None,
     ) -> list:
         """Preimage partitions for an equality-delete (ctype 'delete')
         or merge (ctype 'update_preimage') commit: one eq_pre partition
@@ -392,17 +449,18 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         )
         parts: list[ChangePartition] = []
         # manifest-stats file skip (r14): a file whose recorded
-        # [min, max] for the key column is disjoint from the delete
-        # keys' range cannot hold a preimage — at 100 TB a delete of
-        # recent keys skips the cold files entirely. Stats-less
+        # [min, max] for ANY key column is disjoint from that column's
+        # delete-key range cannot hold a preimage — at 100 TB a delete
+        # of recent keys skips the cold files entirely. Stats-less
         # entries stay candidates (the usual conservatism). Then the
         # key-hash-index probe (r15) prunes overlapping-range candidates.
         cands = [
             e
             for e in _entries(prev, self.root)
-            if not self._stats_disjoint(e, key, klo, khi)
+            if not self._stats_disjoint(e, ranges)
         ]
-        cands = self._kidx_survivors(cands, key, key_arr)
+        cands = self._kidx_survivors(cands, kl, key_tbl)
+        wire_key = kl[0] if len(kl) == 1 else tuple(kl)
         for e in cands:
             es = e.get("seq")
             applicable = tuple(
@@ -417,7 +475,7 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     rel_path=e["path"],
                     ctype=ctype,
                     version=v,
-                    key_col=key,
+                    key_col=wire_key,
                     new_paths=tuple(
                         os.path.join(self.root, p) for p in new_del
                     ),
@@ -428,60 +486,72 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             )
         return parts
 
-    def _kidx_survivors(self, entries: list, key: str, key_arr) -> list:
+    def _kidx_survivors(self, entries: list, kl: list, key_tbl) -> list:
         """Key-hash-index probe (r15): drop candidates whose sorted
         hash sidecar provably excludes every one of the commit's keys
-        (the shared, already-read key array). Bounded: keys hashed
-        once, one sorted intersection per file."""
+        (the shared, already-read key table). Bounded: keys hashed
+        once, one sorted intersection per file. Composite keys probe
+        the folded tuple hash (r16)."""
         from s3_kinesis_replay_spark.operators.table_format import (
+            _key_list,
             _kidx_hash_set,
             _kidx_may_contain,
         )
 
-        if key_arr is None or not any(
-            (e.get("kidx") or {}).get("col") == key for e in entries
+        if key_tbl is None or not any(
+            (e.get("kidx") or {}).get("col") is not None
+            and _key_list(e["kidx"]["col"]) == kl
+            for e in entries
         ):
             return entries
-        probe = _kidx_hash_set(key_arr.to_pylist())
+        probe = _kidx_hash_set(self._tbl_values(key_tbl, kl))
         return [
             e
             for e in entries
-            if _kidx_may_contain(self.root, e, key, probe)
+            if _kidx_may_contain(self.root, e, kl, probe)
         ]
 
     @staticmethod
-    def _stats_disjoint(e: dict, key: str, klo, khi) -> bool:
-        """True when the entry's recorded [min, max] for ``key`` is
-        provably disjoint from [klo, khi] (safe to skip)."""
-        st = (e.get("stats") or {}).get(key)
-        if (
-            klo is None
-            or not st
-            or not isinstance(st, list)
-            or len(st) != 2
-            or st[0] is None
-            or st[1] is None
-        ):
-            return False
-        try:
-            return st[1] < klo or st[0] > khi
-        except TypeError:
-            return False  # incomparable types: candidate
+    def _stats_disjoint(e: dict, ranges: dict) -> bool:
+        """True when the entry's recorded [min, max] for ANY key column
+        is provably disjoint from that column's delete-key range (safe
+        to skip — per-column overlap is a necessary condition for a
+        composite tuple match)."""
+        for key, (klo, khi) in ranges.items():
+            st = (e.get("stats") or {}).get(key)
+            if (
+                klo is None
+                or not st
+                or not isinstance(st, list)
+                or len(st) != 2
+                or st[0] is None
+                or st[1] is None
+            ):
+                continue
+            try:
+                if st[1] < klo or st[0] > khi:
+                    return True
+            except TypeError:
+                continue  # incomparable types: candidate
+        return False
 
     def _matched_keys(
-        self, prev: dict, key: str, key_arr, klo, khi
+        self, prev: dict, kl: list, key_tbl, ranges: dict
     ) -> set:
         """Plan-time MERGE key classification (r15): the subset of the
         commit's source keys with a VISIBLE row at v-1 — the split that
         decides update_postimage vs insert. One bounded runner pass:
         the commit's key files are small by construction (the merge
         source, unique keys enforced at commit), and only prior data
-        files whose stats overlap the keys' range are read — key COLUMN
-        only — under the same sequence-scoped delete-state rebuild the
-        eq_pre worker applies (prior equality-delete keys anti-joined
-        per file seq, prior position-delete addresses masked by row
-        index). Matches the batch snapshot_row_changes `ex` set
-        exactly: keys whose prior VISIBLE preimage is non-empty."""
+        files whose stats overlap the keys' range are read — key
+        COLUMNS only — under the same sequence-scoped delete-state
+        rebuild the eq_pre worker applies (prior equality-delete keys
+        anti-joined per file seq, prior position-delete addresses
+        masked by row index). Matches the batch snapshot_row_changes
+        `ex` set exactly: keys whose prior VISIBLE preimage is
+        non-empty. Composite keys (r16) use exact join-based
+        membership; the returned set holds scalars (single) or
+        tuples (composite, key order)."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -493,14 +563,14 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             _pos_delete_entries,
         )
 
-        merge_keys = pc.unique(key_arr)
-        if len(merge_keys) == 0:
+        merge_keys = key_tbl.group_by(kl).aggregate([])
+        if merge_keys.num_rows == 0:
             return set()
         prior_dels = _delete_entries(prev, self.root)
-        del_cols = {
+        del_tbls = {
             d["path"]: pq.read_table(
-                os.path.join(self.root, d["path"]), columns=[key]
-            ).column(key).combine_chunks()
+                os.path.join(self.root, d["path"]), columns=kl
+            )
             for d in prior_dels
         }
         pos_tbl = None
@@ -519,19 +589,14 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         cands = [
             e
             for e in _entries(prev, self.root)
-            if not self._stats_disjoint(e, key, klo, khi)
+            if not self._stats_disjoint(e, ranges)
         ]
-        cands = self._kidx_survivors(cands, key, key_arr)
+        cands = self._kidx_survivors(cands, kl, key_tbl)
         for e in cands:
-            col = pq.read_table(
-                os.path.join(self.root, e["path"]), columns=[key]
-            ).column(key).combine_chunks()
-            mask = (
-                pc.is_in(col, value_set=merge_keys)
-                .fill_null(False)
-                .to_numpy(zero_copy_only=False)
-                .copy()
+            ktbl = pq.read_table(
+                os.path.join(self.root, e["path"]), columns=kl
             )
+            mask = _member_mask(ktbl, merge_keys, kl)
             if not mask.any():
                 continue
             es = e.get("seq")
@@ -541,11 +606,7 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 if es is None or d.get("seq") is None or d["seq"] > es
             ]
             for dp in appl:
-                mask &= ~(
-                    pc.is_in(col, value_set=del_cols[dp])
-                    .fill_null(False)
-                    .to_numpy(zero_copy_only=False)
-                )
+                mask &= ~_member_mask(ktbl, del_tbls[dp], kl)
             if pos_tbl is not None and mask.any():
                 mine = pos_tbl.filter(
                     pc.equal(pos_tbl.column("file_path"), e["path"])
@@ -556,22 +617,24 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 mask[mine] = False
             if mask.any():
                 matched.update(
-                    col.filter(pa.array(mask)).drop_null().to_pylist()
+                    self._tbl_values(
+                        ktbl.filter(pa.array(mask)).drop_null(), kl
+                    )
                 )
         return matched
 
-    def _file_key_set(self, rel_paths: list[str], key: str) -> set:
+    def _file_key_set(self, rel_paths: list[str], kl: list) -> set:
         """Distinct non-null key values across the named parquet files
-        (runner-side, key column only, bounded by the commit's own
-        file set)."""
+        (runner-side, key columns only, bounded by the commit's own
+        file set); tuples for composite keys."""
         import pyarrow.parquet as pq
 
         out: set = set()
         for p in rel_paths:
-            col = pq.read_table(
-                os.path.join(self.root, p), columns=[key]
-            ).column(key)
-            out.update(col.drop_null().to_pylist())
+            tbl = pq.read_table(
+                os.path.join(self.root, p), columns=kl
+            ).drop_null()
+            out.update(self._tbl_values(tbl, kl))
         return out
 
     def _addressed_files(self, new_pdel: list[str]) -> list[str]:
@@ -602,17 +665,34 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
 
         tbl = pq.read_table(p.path)
         idx = pa.array(np.arange(tbl.num_rows, dtype=np.int64))
+        kcols = _kcols(p.key_col) if p.key_col else []
+
+        def keys_to_table(key_values):
+            """Shipped key values (scalars, or tuples for a composite
+            identity) → an Arrow table typed per the read schema."""
+            arrays = {}
+            for i, k in enumerate(kcols):
+                vals = (
+                    list(key_values)
+                    if len(kcols) == 1
+                    else [t[i] for t in key_values]
+                )
+                arrays[k] = pa.array(
+                    vals, type=data_schema.field(k).type
+                )
+            return pa.table(arrays)
+
         if p.kind == "post_split":
             # MERGE postimage: rows whose key the runner classified as
             # matched (visible at v-1) are update_postimage, the rest
             # insert — per-row change type, zero cross-file work here
             out = _project(tbl, data_schema)
-            key_type = data_schema.field(p.key_col).type
             if p.match_keys:
-                mask = pc.is_in(
-                    out.column(p.key_col).combine_chunks(),
-                    value_set=pa.array(list(p.match_keys), type=key_type),
-                ).fill_null(False)
+                mask = pa.array(
+                    _member_mask(
+                        out, keys_to_table(p.match_keys), kcols
+                    )
+                )
             else:
                 mask = pa.array([False] * out.num_rows, type=pa.bool_())
             ctype = pc.if_else(
@@ -653,13 +733,13 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             if p.prior_eq:
                 keys = _concat(
                     [
-                        pq.read_table(kp, columns=[p.key_col])
+                        pq.read_table(kp, columns=kcols)
                         for kp in p.prior_eq
                     ]
                 ).combine_chunks()
                 cur = cur.join(
-                    keys.group_by(p.key_col).aggregate([]),
-                    p.key_col,
+                    keys.group_by(kcols).aggregate([]),
+                    kcols,
                     join_type="left anti",
                 )
             if p.prior_pos:
@@ -680,13 +760,13 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     )
             new_keys = _concat(
                 [
-                    pq.read_table(kp, columns=[p.key_col])
+                    pq.read_table(kp, columns=kcols)
                     for kp in p.new_paths
                 ]
             ).combine_chunks()
             cur = cur.join(
-                new_keys.group_by(p.key_col).aggregate([]),
-                p.key_col,
+                new_keys.group_by(kcols).aggregate([]),
+                kcols,
                 join_type="left semi",
             )
             out = _project(cur.drop_columns(["__idx"]), data_schema)
@@ -695,14 +775,12 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 # row whose key has a postimage copy is update_preimage;
                 # one with none was DELETED by a matched/not-matched-by-
                 # source DELETE clause
-                key_type = data_schema.field(p.key_col).type
                 if p.post_keys:
-                    has_post = pc.is_in(
-                        out.column(p.key_col).combine_chunks(),
-                        value_set=pa.array(
-                            list(p.post_keys), type=key_type
-                        ),
-                    ).fill_null(False)
+                    has_post = pa.array(
+                        _member_mask(
+                            out, keys_to_table(p.post_keys), kcols
+                        )
+                    )
                 else:
                     has_post = pa.array(
                         [False] * out.num_rows, type=pa.bool_()

@@ -6632,3 +6632,262 @@ def test_r16_advice_fixes(spark, tmp_path):
             tf.matview_refresh(spark, view)
     finally:
         tf.snapshot_row_changes = orig
+
+
+def test_r16_composite_row_identity(spark, tmp_path):
+    """VERDICT r15 item 2: composite (multi-column) row identity across
+    delete / merge / clause-merge / read anti-joins / batch row CDC /
+    kidx sidecars, with single-column tables keeping the bare-string
+    manifest form (ledger-hash stability)."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark import catalog as cat
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "ck")
+    base = spark.range(0, 100).select(
+        (F.col("id") % 4).alias("r"), F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"))
+    tf.snapshot_write(spark, base, root, "overwrite")  # v1
+
+    # composite delete suppresses exactly the named tuples
+    dk = spark.createDataFrame([(0, 0), (1, 1), (2, 2)], "r long, k long")
+    v = tf.snapshot_delete(spark, root, dk, ["r", "k"])
+    got = tf.snapshot_read(spark, root, v)
+    assert got.count() == 97
+    assert got.where("k in (0,1,2)").count() == 0
+    # the manifest stores the ordered LIST; mixed identities refuse
+    assert tf._read_manifest(root, v)["delete_key"] == ["r", "k"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="one row identity"):
+        tf.snapshot_delete(
+            spark, root, spark.createDataFrame([(5,)], "k long"), "k"
+        )
+    with _pytest.raises(ValueError, match="one row identity"):
+        tf.snapshot_delete(
+            spark, root, spark.createDataFrame([(0, 5)], "k long, r long"),
+            ["k", "r"],  # same columns, DIFFERENT order: refused
+        )
+
+    # composite upsert merge: replace (3,3), insert (0,400)
+    src = spark.createDataFrame(
+        [(3, 3, 999), (0, 400, 4000)], "r long, k long, v long"
+    )
+    v = tf.snapshot_merge(spark, root, src, ["r", "k"])
+    rows = {
+        (x["r"], x["k"]): x["v"]
+        for x in tf.snapshot_read(spark, root, v).collect()
+    }
+    assert rows[(3, 3)] == 999 and rows[(0, 400)] == 4000
+    assert len(rows) == 98
+
+    # SQL clause merge over a composite ON conjunction
+    cat.register_snapshot_table(spark, "ck16", root)
+    cat.resolve_dml(spark, """
+        MERGE INTO ck16 USING (
+          SELECT 3 AS r, 3 AS k, 1 AS bump
+          UNION ALL SELECT 2 AS r, 500 AS k, 7 AS bump
+        ) ON t.r = s.r AND t.k = s.k
+        WHEN MATCHED AND s.bump > 0 THEN UPDATE SET v = t.v + s.bump
+        WHEN NOT MATCHED THEN INSERT (r, k, v) VALUES (s.r, s.k, s.bump * 100)
+    """)
+    rows = {
+        (x["r"], x["k"]): x["v"]
+        for x in tf.snapshot_read(spark, root).collect()
+    }
+    assert rows[(3, 3)] == 1000 and rows[(2, 500)] == 700
+    assert len(rows) == 99
+
+    # ON-clause grammar refusals: differing names, non-equality
+    for bad in ("t.r = s.k", "t.r > s.r", "t.r = s.r OR t.k = s.k"):
+        with _pytest.raises(ValueError):
+            cat.resolve_dml(
+                spark,
+                f"MERGE INTO ck16 USING (SELECT 1 AS r, 1 AS k, 1 AS v) "
+                f"ON {bad} WHEN MATCHED THEN DELETE",
+            )
+
+    # batch row CDC classifies the composite commits
+    cdc = tf.snapshot_row_changes(spark, root, 1, tf.latest_version(root))
+    cnt = {
+        r["_change_type"]: r["n"]
+        for r in cdc.groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert cnt["delete"] == 3
+    assert cnt["update_preimage"] == cnt["update_postimage"] == 2
+    assert cnt["insert"] == 2
+
+    # kidx sidecars index the TUPLE: write-side numpy fold equals the
+    # probe-side scalar fold, and the probe prunes a disjoint key set
+    import numpy as np
+
+    m = tf._read_manifest(root, tf.latest_version(root))
+    kidx_ents = [e for e in tf._entries(m, root) if e.get("kidx")]
+    assert kidx_ents and all(
+        e["kidx"]["col"] == ["r", "k"] for e in kidx_ents
+    )
+    e = kidx_ents[0]
+    side = np.fromfile(
+        str(tmp_path / "ck" / (e["path"] + ".kidx")), dtype="<u8"
+    )
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        str(tmp_path / "ck" / e["path"]), columns=["r", "k"]
+    ).drop_null()
+    tuples = set(zip(tbl.column("r").to_pylist(), tbl.column("k").to_pylist()))
+    for tup in list(tuples)[:5]:
+        assert tf._key_tuple_hash_py(tup) in set(int(x) for x in side)
+    hit = tf._kidx_may_contain(
+        root, e, ["r", "k"], tf._kidx_hash_set(list(tuples)[:2])
+    )
+    miss = tf._kidx_may_contain(
+        root, e, ["r", "k"], tf._kidx_hash_set([(99, 99999)])
+    )
+    assert hit is True and miss is False
+    # column-order mismatch keeps the file a candidate (no false skip)
+    assert tf._kidx_may_contain(
+        root, e, ["k", "r"], tf._kidx_hash_set([(99, 99999)])
+    ) is True
+
+    # single-column tables keep the bare-string wire form
+    root2 = str(tmp_path / "single")
+    tf.snapshot_write(spark, base.select("k", "v"), root2, "overwrite")
+    tf.snapshot_delete(
+        spark, root2, spark.createDataFrame([(5,)], "k long"), "k"
+    )
+    assert tf._read_manifest(root2, 2)["delete_key"] == "k"
+    ents2 = [
+        e
+        for e in tf._entries(tf._read_manifest(root2, 2), root2)
+        if e.get("kidx")
+    ]
+    # v1 predates the identity; no sidecars expected yet — write once
+    # more and the append's files index under the string form
+    tf.snapshot_write(
+        spark,
+        spark.range(200, 210).select(
+            F.col("id").alias("k"), F.lit(0).cast("bigint").alias("v")
+        ),
+        root2,
+        "append",
+    )
+    ents2 = [
+        e
+        for e in tf._entries(tf._read_manifest(root2, 3), root2)
+        if e.get("kidx")
+    ]
+    assert ents2 and all(e["kidx"]["col"] == "k" for e in ents2)
+
+    # rename/drop of ANY key-column member refuses
+    with _pytest.raises(ValueError, match="row identity"):
+        tf.snapshot_rename_column(spark, root, "k", "kk")
+
+
+def test_r16_clause_merge_key_disjoint_relink(spark, tmp_path, monkeypatch):
+    """VERDICT r15 item 4: a clause merge whose commit conflicts with a
+    concurrent KEY-DISJOINT commit re-links and lands without a caller
+    re-run (verdicts still exact); overlapping keys and NOT MATCHED BY
+    SOURCE statements still refuse."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    def mk(lo, hi, mul=10):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * mul).alias("v")
+        )
+
+    upd = [{"kind": "update", "cond": None, "sets": {"v": "t.v + s.v"}},
+           {"kind": "insert", "cond": None, "cols": None, "values": None}]
+
+    # (1) disjoint interleaved APPEND: both land, no re-run
+    root = str(tmp_path / "dj")
+    tf.snapshot_write(spark, mk(0, 50), root, "overwrite")  # v1
+    orig_commit = tf._commit
+    fired = []
+
+    def commit_with_race(*args, **kwargs):
+        if args[2] == "merge" and not fired:
+            fired.append(1)
+            monkeypatch.setattr(tf, "_commit", orig_commit)
+            tf.snapshot_write(spark, mk(1000, 1010), root, "append")
+            monkeypatch.setattr(tf, "_commit", commit_with_race)
+        return orig_commit(*args, **kwargs)
+
+    monkeypatch.setattr(tf, "_commit", commit_with_race)
+    v = tf.snapshot_merge_clauses(spark, root, mk(10, 20, 1), "k", upd)
+    monkeypatch.setattr(tf, "_commit", orig_commit)
+    assert fired and v == 3  # append took v2, merge re-linked at v3
+    rows = {r["k"]: r["v"] for r in tf.snapshot_read(spark, root).collect()}
+    assert len(rows) == 60  # 50 base + 10 appended, updates in place
+    assert rows[10] == 110 and rows[1005] == 10050
+
+    # (2) OVERLAPPING interleaved append still refuses
+    root2 = str(tmp_path / "ov")
+    tf.snapshot_write(spark, mk(0, 50), root2, "overwrite")
+    fired.clear()
+
+    def commit_with_overlap(*args, **kwargs):
+        if args[2] == "merge" and not fired:
+            fired.append(1)
+            monkeypatch.setattr(tf, "_commit", orig_commit)
+            tf.snapshot_write(spark, mk(15, 16), root2, "append")
+            monkeypatch.setattr(tf, "_commit", commit_with_overlap)
+        return orig_commit(*args, **kwargs)
+
+    monkeypatch.setattr(tf, "_commit", commit_with_overlap)
+    with _pytest.raises(tf.CommitConflict, match="overlap"):
+        tf.snapshot_merge_clauses(spark, root2, mk(10, 20, 1), "k", upd)
+    monkeypatch.setattr(tf, "_commit", orig_commit)
+
+    # (3) NBS statement racing ANY row change refuses
+    root3 = str(tmp_path / "nbs")
+    tf.snapshot_write(spark, mk(0, 50), root3, "overwrite")
+    fired.clear()
+
+    def commit_with_race3(*args, **kwargs):
+        if args[2] == "merge" and not fired:
+            fired.append(1)
+            monkeypatch.setattr(tf, "_commit", orig_commit)
+            tf.snapshot_write(spark, mk(2000, 2005), root3, "append")
+            monkeypatch.setattr(tf, "_commit", commit_with_race3)
+        return orig_commit(*args, **kwargs)
+
+    monkeypatch.setattr(tf, "_commit", commit_with_race3)
+    with _pytest.raises(tf.CommitConflict, match="NOT MATCHED BY SOURCE"):
+        tf.snapshot_merge_clauses(
+            spark, root3, mk(10, 20, 1), "k",
+            upd + [{"kind": "nbs_delete", "cond": "t.k >= 45"}],
+        )
+    monkeypatch.setattr(tf, "_commit", orig_commit)
+
+    # (4) row-preserving interleave (compact) re-links even with NBS
+    root4 = str(tmp_path / "cp")
+    tf.snapshot_write(spark, mk(0, 50), root4, "overwrite")
+    tf.snapshot_delete(
+        spark, root4, spark.createDataFrame([(49,)], "k long"), "k"
+    )  # v2: give compact something to fold
+    fired.clear()
+
+    def commit_with_compact(*args, **kwargs):
+        if args[2] == "merge" and not fired:
+            fired.append(1)
+            monkeypatch.setattr(tf, "_commit", orig_commit)
+            tf.snapshot_compact(spark, root4)
+            monkeypatch.setattr(tf, "_commit", commit_with_compact)
+        return orig_commit(*args, **kwargs)
+
+    monkeypatch.setattr(tf, "_commit", commit_with_compact)
+    v = tf.snapshot_merge_clauses(
+        spark, root4, mk(10, 20, 1), "k",
+        upd + [{"kind": "nbs_delete", "cond": "t.k >= 45"}],
+    )
+    monkeypatch.setattr(tf, "_commit", orig_commit)
+    rows = {r["k"]: r["v"] for r in tf.snapshot_read(spark, root4).collect()}
+    assert rows[10] == 110 and 45 not in rows and 49 not in rows
+    assert len(rows) == 45  # 50 - del(49) - nbs(45..48)
