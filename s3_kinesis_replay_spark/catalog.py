@@ -764,6 +764,21 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
     from s3_kinesis_replay_spark.operators import table_format as tf
 
     def done(op: str, name: str, root: str, version: int) -> DataFrame:
+        # REFRESH ON COMMIT (r16): after the verb lands, bring every
+        # dependent on-commit materialized view current. No-op (one
+        # isdir) for tables without registered views; idempotent per
+        # source version (the refresh records what it reflects). A
+        # refreshed view's REGISTERED NAME must re-register too — the
+        # temp view pins the file list of the version it was created
+        # over, exactly like the source name below.
+        import os as _os
+
+        refreshed = tf.refresh_dependent_views(spark, root)
+        if refreshed:
+            canon = {_os.path.abspath(r) for r in refreshed}
+            for nm, rt in list(_SNAPSHOT_ROOTS.items()):
+                if _os.path.abspath(rt) in canon:
+                    tf.snapshot_read(spark, rt).createOrReplaceTempView(nm)
         tf.snapshot_read(spark, root).createOrReplaceTempView(name)
         return spark.createDataFrame(
             [(op, name, version)],
@@ -865,7 +880,13 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
                     *[c for c in df.columns if c not in types],
                 )
         return done(
-            "insert", name, root, tf.snapshot_write(spark, df, root, "append")
+            "insert", name, root,
+            # follow the table's recorded partition spec (r16 — after
+            # ALTER TABLE ... SET PARTITION SPEC, INSERTs lay out under
+            # the new spec; unpartitioned tables are unchanged)
+            tf.snapshot_write(
+                spark, df, root, "append", partition_by="table"
+            ),
         )
 
     m = re.fullmatch(
@@ -959,6 +980,48 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
         )
 
     m = re.fullmatch(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+PARTITION\s+SPEC\s+"
+        r"(?:NONE|\(\s*(.+?)\s*\))\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    )
+    if m:
+        # Iceberg-style partition spec evolution (r16): metadata-only;
+        # old files keep their spec, new INSERTs follow the new one
+        name = m.group(1)
+        specs = (
+            [s.strip() for s in _split_top_level(m.group(2))]
+            if m.group(2)
+            else None
+        )
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        return done(
+            "evolve_partition_spec", name, root,
+            tf.snapshot_evolve_partition_spec(spark, root, specs),
+        )
+
+    m = re.fullmatch(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+"
+        r"(?:TYPE|SET\s+DATA\s+TYPE)\s+"
+        r"([A-Za-z_][A-Za-z0-9_,()<> ]*?)\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    )
+    if m:
+        # safe type WIDENING (r16): metadata-only, old files cast up
+        # on read; unsafe changes refuse in snapshot_widen_column
+        name, col, dtype = m.group(1), m.group(2), m.group(3)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        return done(
+            "widen_column", name, root,
+            tf.snapshot_widen_column(spark, root, col, dtype),
+        )
+
+    m = re.fullmatch(
         r"\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+"
         r"(\w+)\s*;?\s*",
         query,
@@ -995,14 +1058,16 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
     # REFRESH applies a signed CDC delta (O(changed rows) + O(groups))
     m = re.fullmatch(
         r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+LOCATION\s+"
-        r"'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(\w+)\s+"
+        r"'([^']+)'\s+(?:(REFRESH\s+ON\s+COMMIT)\s+)?"
+        r"AS\s+SELECT\s+(.+?)\s+FROM\s+(\w+)\s+"
         r"GROUP\s+BY\s+(.+?)\s*;?\s*",
         query,
         re.IGNORECASE | re.DOTALL,
     )
     if m:
-        name, vroot, sel, src_name, gb = (
-            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+        name, vroot, on_commit, sel, src_name, gb = (
+            m.group(1), m.group(2), bool(m.group(3)),
+            m.group(4), m.group(5), m.group(6),
         )
         src_root = _SNAPSHOT_ROOTS.get(src_name)
         if src_root is None:
@@ -1060,7 +1125,10 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
                 f"{declared}, GROUP BY has {group_cols} — list every "
                 "group column in the select"
             )
-        v = tf.matview_create(spark, src_root, vroot, group_cols, aggs)
+        v = tf.matview_create(
+            spark, src_root, vroot, group_cols, aggs,
+            refresh_on_commit=on_commit,
+        )
         register_snapshot_table(spark, name, vroot)
         return spark.createDataFrame(
             [("create_matview", name, v)],

@@ -332,16 +332,25 @@ def _merge_schema(
     columns (their order preserved) plus any new columns appended.
     A type change on an existing column is REFUSED — silently coercing
     (or worse, letting two files disagree) is how tables corrupt; real
-    formats version type promotions explicitly and this one does not."""
+    formats version type promotions explicitly, and this one does too
+    (r16): incoming data whose type is NARROWER-but-widenable to the
+    recorded type is accepted and keeps the recorded (wide) type — the
+    post-widening append path, exact because the pinned read schema
+    up-casts the narrow physical bytes. Widening THROUGH an append is
+    still refused; that is :func:`snapshot_widen_column`'s explicit
+    verb."""
     if prior is None:
         return new
     prior_t = dict((n, t) for n, t in prior)
     for n, t in new:
-        if n in prior_t and prior_t[n] != t:
+        if n in prior_t and prior_t[n] != t and not _widenable(
+            t, prior_t[n]
+        ):
             raise ValueError(
                 f"incompatible type change for column {n!r}: table has "
                 f"{prior_t[n]}, incoming data has {t} — schema evolution "
-                "supports ADDING columns only"
+                "supports ADDING columns, plus appends narrower than a "
+                "recorded widening (ALTER COLUMN TYPE widens explicitly)"
             )
     prior_names = set(prior_t)
     return [list(c) for c in prior] + [
@@ -977,6 +986,16 @@ def snapshot_write(
             "snapshot_branch it first (write-audit-publish starts at a "
             "recorded fork point)"
         )
+    if partition_by == "table":
+        # follow the table's RECORDED spec (r16, spec evolution): the
+        # SQL INSERT path and spec-following writers lay out under
+        # whatever snapshot_evolve_partition_spec last recorded
+        _b0 = latest_version(root, branch)
+        partition_by = (
+            _read_manifest(root, _b0, branch).get("partition_spec")
+            if _b0
+            else None
+        ) or None
     if partition_by:
         partial = _write_partitioned_data_files(df, root, partition_by)
     else:
@@ -2393,6 +2412,153 @@ def _refuse_column_references(m: dict, name: str, verb: str) -> None:
                 f"{cname!r} ({expr}) references it — drop the "
                 "constraint first"
             )
+
+
+_INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_DEC_RE = re.compile(r"decimal\((\d+),(\d+)\)")
+
+
+def _widenable(frm: str, to: str) -> bool:
+    """Is ``frm`` → ``to`` a SAFE type widening (every old value
+    representable exactly in the new type)? The public Iceberg/Delta
+    promotion lattice, restricted to what the Spark 4 parquet reader
+    up-casts natively under a pinned wider read schema (probed r16):
+    integer rank-up, float→double, date→timestamp_ntz, and decimal
+    growth that shrinks neither the scale nor the integer digits."""
+    frm, to = frm.strip().lower(), to.strip().lower()
+    if frm == to:
+        return False
+    if frm in _INT_RANK and to in _INT_RANK:
+        return _INT_RANK[to] > _INT_RANK[frm]
+    if frm == "float" and to == "double":
+        return True
+    if frm == "date" and to == "timestamp_ntz":
+        return True
+    m1, m2 = _DEC_RE.fullmatch(frm), _DEC_RE.fullmatch(to)
+    if m1 and m2:
+        p1, s1 = int(m1.group(1)), int(m1.group(2))
+        p2, s2 = int(m2.group(1)), int(m2.group(2))
+        return s2 >= s1 and (p2 - s2) >= (p1 - s1)
+    return False
+
+
+def snapshot_widen_column(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    new_type: str,
+    retries: int = _COMMIT_RETRIES,
+) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... TYPE (r16, VERDICT r15 item 5):
+    SAFE TYPE WIDENING as a METADATA-ONLY commit — the recorded schema
+    entry changes type in place; zero data files touched. Readers pin
+    the manifest schema, and the Spark 4 parquet reader up-casts old
+    files' narrower physical type natively (int32 under a bigint read
+    schema, float under double, decimal rescale, date under
+    timestamp_ntz — probed in this container; Arrow-side consumers
+    cast per field the same way). Time travel still reads each version
+    under ITS schema; batch row CDC aligns every commit's rows to the
+    feed end's (widest) schema, so a feed crossing the widening is
+    exact. Appends may keep writing the OLD narrower type — the commit
+    keeps the table's recorded (wide) type and the pinned read casts
+    up (see :func:`_merge_schema`). UNSAFE changes (narrowing, float→
+    int, anything not on the lattice) refuse loudly — the a15h rule,
+    now with the safe subset carved out."""
+    nt = (
+        spark.sql(f"SELECT CAST(NULL AS {new_type})")
+        .schema[0]
+        .dataType.simpleString()
+    )
+
+    def attempt() -> int:
+        base = latest_version(root)
+        if base == 0:
+            raise ValueError(f"no table at {root}")
+        m = _read_manifest(root, base)
+        schema = m.get("schema")
+        if schema is None:
+            raise ValueError(
+                "legacy schema-less lineage — compact/overwrite once "
+                "before widening"
+            )
+        types = dict(schema)
+        if name not in types:
+            raise ValueError(
+                f"unknown column {name!r} (table has {sorted(types)})"
+            )
+        if not _widenable(types[name], nt):
+            raise ValueError(
+                f"refusing type change {types[name]} -> {nt} for column "
+                f"{name!r}: only safe widenings (int rank-up, "
+                "float->double, date->timestamp_ntz, decimal growth "
+                "keeping scale and integer digits) are metadata-only; "
+                "anything else needs a rewrite"
+            )
+        new_schema = [
+            [n, nt if n == name else t2] for n, t2 in schema
+        ]
+        return _commit(
+            root,
+            base,
+            "widen_column",
+            carry_from=m,
+            schema=new_schema,
+        )
+
+    return snapshot_commit_retry(attempt, retries)
+
+
+def snapshot_evolve_partition_spec(
+    spark: SparkSession,
+    root: str,
+    new_spec: list[str] | None,
+    retries: int = _COMMIT_RETRIES,
+) -> int:
+    """PARTITION SPEC EVOLUTION (r16, VERDICT r15 item 6 — Iceberg's
+    spec evolution, public design): change the table's AUTHORITATIVE
+    partition transform with one METADATA-ONLY commit. Old files keep
+    the per-entry partition values (keyed by THEIR spec) they were
+    written under; new writes lay out under the new spec; pruned reads
+    consult each entry's own recorded values, so BOTH eras prune
+    correctly with zero rewrite — the a15l/a15m machinery already
+    stores per-entry/per-segment descriptors, this verb only moves the
+    pointer new writes and compact follow. ``new_spec=None`` (or [])
+    unpartitions future writes. Writes pick the recorded spec up via
+    ``snapshot_write(partition_by='table')`` — the SQL INSERT path
+    does this — while an explicit ``partition_by`` stays per-write
+    advisory as before."""
+    specs = list(new_spec or [])
+    for s in specs:
+        _parse_transform(s)  # loud refusal on an unknown form
+
+    def attempt() -> int:
+        base = latest_version(root)
+        if base == 0:
+            raise ValueError(f"no table at {root}")
+        m = _read_manifest(root, base)
+        schema = m.get("schema")
+        if schema is not None:
+            names = {n for n, _t in schema}
+            for s in specs:
+                _kind, _p, col = _parse_transform(s)
+                if col not in names:
+                    raise ValueError(
+                        f"partition transform {s!r} references unknown "
+                        f"column {col!r} (table has {sorted(names)})"
+                    )
+        return _commit(
+            root,
+            base,
+            "evolve_partition_spec",
+            carry_from=m,
+            schema=schema,
+            # [] (falsy) erases the recorded spec — _commit records a
+            # spec only when truthy, so None-vs-carry stays correct for
+            # every other verb
+            partition_spec=specs,
+        )
+
+    return snapshot_commit_retry(attempt, retries)
 
 
 def snapshot_rename_column(
@@ -4222,12 +4388,59 @@ def _matview_agg_cols(aggs: list[dict]):
     return out
 
 
+def _views_dir(root: str) -> str:
+    """Dependent-view pointer dir under a SOURCE table's root (r16,
+    REFRESH ON COMMIT): one small json per on-commit view. Outside
+    root/data, so vacuum's reachability walk never touches it."""
+    return os.path.join(root, "_views")
+
+
+def refresh_dependent_views(spark: SparkSession, root: str) -> dict:
+    """Refresh every materialized view that registered REFRESH ON
+    COMMIT against ``root`` (r16, VERDICT r15 item 7): walk the
+    source's pointer dir, run :func:`matview_refresh` on each.
+    Exactly-once comes from the refresh itself — the view commit
+    atomically records the source version it reflects, so a repeated
+    or racing refresh for the same source version no-ops (the p24
+    replay-guard discipline, already in the verb). A pointer whose
+    view was dropped (dir gone, or no longer a matview) is PRUNED
+    instead of failing the caller's write. Returns
+    {view_root: refreshed_version}."""
+    d = _views_dir(root)
+    out: dict = {}
+    if not os.path.isdir(d):
+        return out
+    for f in sorted(os.listdir(d)):
+        if not f.endswith(".json"):
+            continue
+        p = os.path.join(d, f)
+        try:
+            with open(p) as fh:
+                vroot = json.load(fh)["view_root"]
+        except (OSError, ValueError, KeyError):
+            continue
+        try:
+            out[vroot] = matview_refresh(spark, vroot)
+        except ValueError:
+            # dangling pointer: the view was dropped — prune it
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        except CommitConflict:
+            # a concurrent refresh advanced the view; the re-run sees
+            # the reflected version current and no-ops
+            out[vroot] = matview_refresh(spark, vroot)
+    return out
+
+
 def matview_create(
     spark: SparkSession,
     src_root: str,
     view_root: str,
     group_cols: list[str],
     aggs: list[dict],
+    refresh_on_commit: bool = False,
 ) -> int:
     """CREATE MATERIALIZED VIEW (r15, VERDICT r14 item 8 — the p23/p24
     differential-view-maintenance proof surfaced as a USER VERB): a
@@ -4266,7 +4479,7 @@ def matview_create(
     seg = _write_segment(
         view_root, [{"path": p, "stats": stats[p]} for p in files]
     )
-    return _commit(
+    v = _commit(
         view_root,
         0,
         "matview_create",
@@ -4278,9 +4491,26 @@ def matview_create(
                 "group_cols": list(group_cols),
                 "aggs": [dict(a) for a in aggs],
                 "source_version": src_v,
+                **({"on_commit": True} if refresh_on_commit else {}),
             }
         },
     )
+    if refresh_on_commit:
+        # pointer written AFTER the view commit: a crash between the
+        # two leaves a view that simply needs manual REFRESH — never a
+        # pointer to a half-created view
+        import hashlib as _hl
+
+        d = _views_dir(src_root)
+        os.makedirs(d, exist_ok=True)
+        tag = _hl.sha256(
+            os.path.abspath(view_root).encode()
+        ).hexdigest()[:16]
+        tmp = os.path.join(d, f".{tag}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"view_root": os.path.abspath(view_root)}, fh)
+        os.replace(tmp, os.path.join(d, f"{tag}.json"))
+    return v
 
 
 def matview_refresh(spark: SparkSession, view_root: str) -> int:

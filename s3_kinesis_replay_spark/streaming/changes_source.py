@@ -198,7 +198,8 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             _arrow_schema_of,
         )
 
-        latest_m = _read_manifest(self.root, latest_version(self.root))
+        self._init_head = latest_version(self.root)
+        latest_m = _read_manifest(self.root, self._init_head)
         cols = latest_m.get("schema")
         if cols is None:
             raise ValueError(
@@ -277,6 +278,17 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     "changes the name mapping mid-stream; use batch "
                     "snapshot_row_changes, or snapshot_compact and "
                     "restart"
+                )
+            if op == "widen_column" and v > self._init_head:
+                # a widening in the BACKLOG is fine (the pinned schema
+                # was read at init, after it, and old files cast UP);
+                # a LIVE widening leaves this stream's pinned schema
+                # narrower than files appended after it — refuse
+                # rather than down-cast (r16)
+                raise ValueError(
+                    f"commit v{v} is 'widen_column' — the column type "
+                    "widened after this stream started; restart the "
+                    "stream (its pinned schema predates the widening)"
                 )
             if op in ("compact", "cluster") or not (
                 new_data or new_del or new_pdel

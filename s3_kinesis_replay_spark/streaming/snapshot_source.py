@@ -356,7 +356,8 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
             latest_version,
         )
 
-        latest_m = _read_manifest(self.root, latest_version(self.root))
+        self._init_head = latest_version(self.root)
+        latest_m = _read_manifest(self.root, self._init_head)
         cols = latest_m.get("schema")
         if cols is None:
             raise ValueError(
@@ -433,6 +434,17 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                     f"commit v{v} is '{op}' — a column rename/drop "
                     "changes the name mapping mid-stream; restart the "
                     "stream after snapshot_compact"
+                )
+            if op == "widen_column" and v > self._init_head:
+                # backlog widenings are fine (the pinned schema was
+                # read at init, after them; old files cast UP) — a
+                # LIVE widening leaves the pinned schema narrower than
+                # files appended after it; refuse rather than
+                # down-cast (r16)
+                raise ValueError(
+                    f"commit v{v} is 'widen_column' — the column type "
+                    "widened after this stream started; restart the "
+                    "stream (its pinned schema predates the widening)"
                 )
             initial = v == self.starting + 1
             if op != "append" and not initial:
