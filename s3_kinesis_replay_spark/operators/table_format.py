@@ -1459,6 +1459,19 @@ def snapshot_vacuum(
     # way: a crash leaves orphan FILES, which the next vacuum reaps.
     for v in drop:
         os.remove(_manifest_path(root, v))
+    # streaming-CDC plan sidecars (<root>/_cdcplan/v{v}-*.u64, r16):
+    # tiny per-merge-commit verdict hash sets, keyed by version — reap
+    # the ones whose version just left retention (a restarted stream
+    # can no longer plan a dropped range anyway)
+    plan_dir = os.path.join(root, "_cdcplan")
+    if os.path.isdir(plan_dir):
+        for f in os.listdir(plan_dir):
+            mm = re.match(r"v(\d+)-", f)
+            if mm and int(mm.group(1)) in set(drop):
+                try:
+                    os.remove(os.path.join(plan_dir, f))
+                except OSError:
+                    pass
     data_root = os.path.join(root, "data")
     for dirpath, _dirs, files in os.walk(data_root, topdown=False):
         # separator-anchored prefix test (review r11: bare startswith let

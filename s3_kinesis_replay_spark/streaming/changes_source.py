@@ -99,10 +99,23 @@ class ChangePartition(InputPartition):
     new_paths: tuple = ()
     prior_eq: tuple = ()  # applicable prior equality-delete key files
     prior_pos: tuple = ()  # prior position-delete address files
-    match_keys: tuple = ()  # merge keys with a visible v-1 row
+    # MERGE verdict sets ship as SORTED uint64 KEY-HASH SETS (r16,
+    # VERDICT r15 item 8 — the kidx representation): the runner writes
+    # each set ONCE to <root>/_cdcplan/v{v}-{match,post}.u64 and ships
+    # only the PATH, so plan serialization stays O(8 B x keys) once
+    # per commit instead of O(keys x files) inline value tuples. When
+    # the root is not runner-writable the raw bytes ship INLINE as the
+    # fallback (correct, just per-partition duplicated). Workers hash
+    # their rows' key tuples with the same kidx hash family and probe
+    # by sorted search (collisions 2^-64/pair misclassify a change
+    # TYPE only, never drop a row).
+    match_path: str = ""  # merge keys with a visible v-1 row
+    match_inline: object = field(default=None, repr=False)
+    merge_pre: bool = False  # eq_pre partition belongs to a MERGE
     # merge preimages only: keys with a postimage row — preimage rows
     # whose key is absent here are DELETES (clause-form merges, r15)
-    post_keys: object = None
+    post_path: str = ""
+    post_inline: object = field(default=None, repr=False)
     arrow_schema: object = field(default=None, repr=False)
 
 
@@ -160,6 +173,79 @@ def _member_mask(tbl, keys_tbl, kcols):
     )
     mask[hit.astype(np.int64)] = True
     return mask
+
+
+def _row_key_hashes(tbl, kcols):
+    """Per-ROW uint64 hash of each row's key tuple (the kidx hash
+    family — splitmix64 ints, sha256-8 strings, scalar fallback for
+    other types, ordered _mix2 fold for composites) plus a validity
+    mask: rows with a NULL in any key column never match (SQL
+    equality). Vectorized for int/string key columns."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from s3_kinesis_replay_spark.operators.table_format import (
+        _hash_arrow_column,
+        _key_hash_py,
+        _mix2_np,
+    )
+
+    n = tbl.num_rows
+    valid = np.ones(n, dtype=bool)
+    acc = None
+    for k in kcols:
+        col = tbl.column(k).combine_chunks()
+        valid &= ~pc.is_null(col).to_numpy(zero_copy_only=False)
+        t = col.type
+        if pa.types.is_integer(t):
+            h = _hash_arrow_column(col.fill_null(0))
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            h = _hash_arrow_column(col.fill_null(""))
+        else:
+            # fill value is irrelevant — NULL rows are masked invalid
+            h = np.fromiter(
+                (_key_hash_py(v) for v in col.to_pylist()),
+                dtype=np.uint64,
+                count=n,
+            )
+        acc = h if acc is None else _mix2_np(acc, h)
+    if acc is None:
+        acc = np.zeros(n, dtype=np.uint64)
+    return acc, valid
+
+
+def _in_sorted_set(hashes, sorted_set):
+    """Membership of each hash in a SORTED uint64 array (searchsorted,
+    the _kidx_may_contain probe per element)."""
+    import numpy as np
+
+    out = np.zeros(len(hashes), dtype=bool)
+    if not len(sorted_set) or not len(hashes):
+        return out
+    idx = np.searchsorted(sorted_set, hashes)
+    idx[idx >= len(sorted_set)] = len(sorted_set) - 1
+    return sorted_set[idx] == hashes
+
+
+def _load_hash_set(path: str, inline):
+    """A shipped verdict set: inline bytes beat the path (read-only
+    root fallback); neither means the empty set."""
+    import numpy as np
+
+    if inline is not None:
+        return np.frombuffer(inline, dtype="<u8")
+    if path:
+        try:
+            return np.fromfile(path, dtype="<u8")
+        except OSError:
+            # the plan file vanished between planning and execution
+            # (external cleanup) — surface loudly, a silent empty set
+            # would relabel every update as an insert
+            raise RuntimeError(
+                f"CDC plan sidecar {path} unreadable — re-run the batch"
+            )
+    return np.empty(0, dtype=np.uint64)
 
 
 def _project(tbl, schema):
@@ -318,20 +404,16 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 key_tbl = self._read_key_tbl(new_del, kl)
                 ranges = self._tbl_ranges(key_tbl, kl)
                 matched = self._matched_keys(prev, kl, key_tbl, ranges)
-                mk = tuple(sorted(matched, key=repr))
+                m_path, m_inline = self._ship_hash_set(v, "match", matched)
                 # postimage keys (r15, clause-form merges): a tombstoned
                 # key with NO new-data row is a DELETE, not a dangling
                 # update_preimage — the preimage workers split per row
                 # on this set. Runner read bounded by the commit's own
                 # new files (for a plain upsert it equals the key file).
-                pk = tuple(
-                    sorted(
-                        self._file_key_set(
-                            [e["path"] for e in new_data], kl
-                        ),
-                        key=repr,
-                    )
+                pk = self._file_key_set(
+                    [e["path"] for e in new_data], kl
                 )
+                p_path, p_inline = self._ship_hash_set(v, "post", pk)
                 for e in new_data:
                     parts.append(
                         ChangePartition(
@@ -340,7 +422,8 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                             rel_path=e["path"],
                             version=v,
                             key_col=wire_key,
-                            match_keys=mk,
+                            match_path=m_path,
+                            match_inline=m_inline,
                             arrow_schema=self._arrow_schema,
                         )
                     )
@@ -349,7 +432,9 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     key_tbl=key_tbl,
                 )
                 for p in pre_parts:
-                    p.post_keys = pk
+                    p.merge_pre = True
+                    p.post_path = p_path
+                    p.post_inline = p_inline
                 parts.extend(pre_parts)
                 prev = m
                 continue
@@ -395,6 +480,31 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 )
             prev = m
         return parts
+
+    def _ship_hash_set(self, v: int, tag: str, values):
+        """Write one MERGE verdict set as a sorted uint64 hash sidecar
+        under <root>/_cdcplan (idempotent deterministic name per
+        version, atomic replace — a restarted stream re-plans and
+        rewrites the same bytes) and return (path, None); on an
+        unwritable root, fall back to (\"\", inline_bytes). O(keys x
+        8 B) once per commit either way; vacuum reaps sidecars of
+        dropped versions."""
+        from s3_kinesis_replay_spark.operators.table_format import (
+            _kidx_hash_set,
+        )
+
+        blob = _kidx_hash_set(list(values)).astype("<u8").tobytes()
+        d = os.path.join(self.root, "_cdcplan")
+        try:
+            os.makedirs(d, exist_ok=True)
+            p = os.path.join(d, f"v{v}-{tag}.u64")
+            tmp = f"{p}.tmp{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, p)
+            return p, None
+        except OSError:
+            return "", blob
 
     def _read_key_tbl(self, new_del: list, kl: list):
         """The commit's delete-key columns across its key files, as one
@@ -679,34 +789,19 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         idx = pa.array(np.arange(tbl.num_rows, dtype=np.int64))
         kcols = _kcols(p.key_col) if p.key_col else []
 
-        def keys_to_table(key_values):
-            """Shipped key values (scalars, or tuples for a composite
-            identity) → an Arrow table typed per the read schema."""
-            arrays = {}
-            for i, k in enumerate(kcols):
-                vals = (
-                    list(key_values)
-                    if len(kcols) == 1
-                    else [t[i] for t in key_values]
-                )
-                arrays[k] = pa.array(
-                    vals, type=data_schema.field(k).type
-                )
-            return pa.table(arrays)
+        def hash_mask(out_tbl, path, inline):
+            """Rows whose key-tuple hash is in the shipped verdict
+            set (NULL-keyed rows never match)."""
+            sset = _load_hash_set(path, inline)
+            hashes, valid = _row_key_hashes(out_tbl.select(kcols), kcols)
+            return pa.array(_in_sorted_set(hashes, sset) & valid)
 
         if p.kind == "post_split":
             # MERGE postimage: rows whose key the runner classified as
             # matched (visible at v-1) are update_postimage, the rest
             # insert — per-row change type, zero cross-file work here
             out = _project(tbl, data_schema)
-            if p.match_keys:
-                mask = pa.array(
-                    _member_mask(
-                        out, keys_to_table(p.match_keys), kcols
-                    )
-                )
-            else:
-                mask = pa.array([False] * out.num_rows, type=pa.bool_())
+            mask = hash_mask(out, p.match_path, p.match_inline)
             ctype = pc.if_else(
                 mask,
                 pa.scalar("update_postimage"),
@@ -782,21 +877,12 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 join_type="left semi",
             )
             out = _project(cur.drop_columns(["__idx"]), data_schema)
-            if p.post_keys is not None:
+            if p.merge_pre:
                 # merge preimage split (r15, clause forms): a tombstoned
                 # row whose key has a postimage copy is update_preimage;
                 # one with none was DELETED by a matched/not-matched-by-
                 # source DELETE clause
-                if p.post_keys:
-                    has_post = pa.array(
-                        _member_mask(
-                            out, keys_to_table(p.post_keys), kcols
-                        )
-                    )
-                else:
-                    has_post = pa.array(
-                        [False] * out.num_rows, type=pa.bool_()
-                    )
+                has_post = hash_mask(out, p.post_path, p.post_inline)
                 ctype = pc.if_else(
                     has_post,
                     pa.scalar("update_preimage"),

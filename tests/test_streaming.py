@@ -1477,9 +1477,14 @@ def test_changes_source_merge_classification(spark, tmp_path):
     eq = [p for p in parts if p.kind == "eq_pre"]
     post = [p for p in parts if p.kind == "post_split"]
     assert len(eq) == 1, [p.rel_path for p in parts]
-    assert post and all(
-        sorted(p.match_keys) == [1000, 1001] for p in post
-    )
+    # r16: verdicts ship as sorted uint64 HASH-SET sidecars (one file
+    # per commit, path in the partition), not inline value tuples
+    import numpy as np
+
+    assert post and all(p.match_path for p in post)
+    shipped = np.fromfile(post[0].match_path, dtype="<u8")
+    want_h = tf._kidx_hash_set([1000, 1001])
+    assert shipped.tolist() == want_h.tolist()
 
 
 def test_changes_source_stats_skip_and_correctness(spark, tmp_path):

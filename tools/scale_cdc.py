@@ -137,6 +137,52 @@ def kidx_probe(spark) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def merge_plan_probe(spark) -> None:
+    """r16 (VERDICT r15 item 8): MERGE verdict sets ship as sorted
+    uint64 hash-set SIDECARS (<root>/_cdcplan, path in the partition)
+    instead of inline value tuples — plan serialization must stay FLAT
+    as the merge's key count grows 10x. Reported: sum of per-partition
+    pickle sizes (what Spark actually ships — each InputPartition
+    serializes alone, so inline tuples used to cost O(keys x files))."""
+    import pickle
+
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        SnapshotChangesStreamReader,
+    )
+
+    print()
+    print("merge-CDC plan-shipping probe (hash-set sidecars, r16):")
+    print("| table rows | files | merge keys | parts | shipped bytes "
+          "| plan s |")
+    print("| --- | --- | --- | --- | --- | --- |")
+    n, commits = 400_000, 16
+    for keys in (20_000, 200_000):
+        root = build(spark, n)
+        head0 = tf.latest_version(root)
+        step = n // keys
+        tf.snapshot_merge(
+            spark,
+            root,
+            spark.range(0, keys).select(
+                (F.col("id") * step).alias("k"), F.lit(-1).alias("v")
+            ),
+            "k",
+        )
+        reader = SnapshotChangesStreamReader(None, {"root": root})
+        t0 = time.time()
+        parts = reader.partitions(
+            {"version": head0}, {"version": head0 + 1}
+        )
+        dt = round(time.time() - t0, 2)
+        shipped = sum(len(pickle.dumps(p)) for p in parts)
+        m = tf._read_manifest(root, head0)
+        print(
+            f"| {n:,} | {len(tf._entries(m, root))} | {keys:,} | "
+            f"{len(parts)} | {shipped:,} | {dt} |"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(app_name="skr-scale-cdc")
     spark.sparkContext.setLogLevel("ERROR")
@@ -173,6 +219,7 @@ def main() -> None:
         )
         shutil.rmtree(root, ignore_errors=True)
     kidx_probe(spark)
+    merge_plan_probe(spark)
 
 
 if __name__ == "__main__":
