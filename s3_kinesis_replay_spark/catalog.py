@@ -1149,6 +1149,29 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
             "refresh_matview", name, root, tf.matview_refresh(spark, root)
         )
 
+    m = re.fullmatch(
+        r"\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    )
+    if m:
+        # r16: removes the stored view AND its on-commit pointer at
+        # the source, then unregisters the name
+        name = m.group(1)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        tf.matview_drop(root)
+        _SNAPSHOT_ROOTS.pop(name, None)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        return spark.createDataFrame(
+            [("drop_matview", name, 0)],
+            "operation string, target string, version int",
+        )
+
     # Maintenance/introspection verbs (r14 — Delta ships DESCRIBE
     # HISTORY / VACUUM / OPTIMIZE as SQL; same textual pre-pass). These
     # return their own result shapes, not the (op, target, version) row.

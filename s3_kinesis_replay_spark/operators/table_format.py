@@ -4526,6 +4526,35 @@ def matview_create(
     return v
 
 
+def matview_drop(view_root: str) -> None:
+    """DROP MATERIALIZED VIEW (r16): remove the stored view AND its
+    on-commit pointer at the source (so writers stop attempting the
+    refresh immediately, instead of dangle-pruning on their next
+    commit). Metadata + the view's own small files only — the source
+    table is untouched."""
+    import hashlib as _hl
+    import shutil as _shutil
+
+    vv = latest_version(view_root)
+    if vv == 0:
+        raise ValueError(f"no materialized view under {view_root}")
+    vm = _read_manifest(view_root, vv)
+    mv = vm.get("matview")
+    if not mv:
+        raise ValueError(
+            f"{view_root} is a plain table, not a materialized view — "
+            "refusing to drop it through the view verb"
+        )
+    tag = _hl.sha256(
+        os.path.abspath(view_root).encode()
+    ).hexdigest()[:16]
+    try:
+        os.remove(os.path.join(_views_dir(mv["source_root"]), f"{tag}.json"))
+    except OSError:
+        pass  # never registered on-commit, or already pruned
+    _shutil.rmtree(view_root)
+
+
 def matview_refresh(spark: SparkSession, view_root: str) -> int:
     """REFRESH MATERIALIZED VIEW: bring the stored view up to the
     source's latest version DIFFERENTIALLY — one signed-delta pass

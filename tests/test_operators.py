@@ -7056,3 +7056,52 @@ def test_r16_partition_spec_evolution_and_on_commit_matview(
     assert got == {} and not [
         f for f in _os.listdir(tf._views_dir(src)) if f.endswith(".json")
     ]
+
+
+def test_r16_drop_materialized_view(spark, tmp_path):
+    """DROP MATERIALIZED VIEW removes the stored view, its on-commit
+    pointer at the source, and the registered name; plain tables
+    refuse through the view verb."""
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark import catalog as cat
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 30).select(
+            (F.col("id") % 3).alias("g"), F.col("id").alias("x")
+        ),
+        src,
+        "overwrite",
+    )
+    cat.register_snapshot_table(spark, "dmv_src", src)
+    cat.resolve_dml(
+        spark,
+        f"CREATE MATERIALIZED VIEW dmv LOCATION '{view}' "
+        "REFRESH ON COMMIT AS "
+        "SELECT g, COUNT(*) AS n FROM dmv_src GROUP BY g",
+    )
+    assert [
+        f for f in _os.listdir(tf._views_dir(src)) if f.endswith(".json")
+    ]
+    with _pytest.raises(ValueError, match="plain table"):
+        tf.matview_drop(src)
+    r = cat.resolve_dml(spark, "DROP MATERIALIZED VIEW dmv").collect()[0]
+    assert r["operation"] == "drop_matview"
+    assert not _os.path.exists(view)
+    assert not [
+        f for f in _os.listdir(tf._views_dir(src)) if f.endswith(".json")
+    ]
+    # writers no longer attempt a refresh; name unregistered
+    cat.resolve_dml(
+        spark,
+        "INSERT INTO dmv_src SELECT CAST(1 AS BIGINT) AS g, "
+        "CAST(99 AS BIGINT) AS x",
+    )
+    assert cat.resolve_dml(spark, "DROP MATERIALIZED VIEW dmv") is None
