@@ -1290,6 +1290,31 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
         )
 
     m = re.fullmatch(
+        r"\s*OPTIMIZE\s+(\w+)\s+BINPACK"
+        r"(?:\s+\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    )
+    if m:
+        # minor bin-packing compaction (r16): rewrites only files
+        # below the threshold — O(small files), never O(table);
+        # optional (small_bytes[, min_files]) operands
+        name = m.group(1)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        kw = {}
+        if m.group(2):
+            kw["small_bytes"] = int(m.group(2))
+        if m.group(3):
+            kw["min_files"] = int(m.group(3))
+        v = tf.snapshot_compact_small(spark, root, **kw)
+        return done(
+            "optimize_binpack", name, root,
+            v if v is not None else tf.latest_version(root),
+        )
+
+    m = re.fullmatch(
         r"\s*OPTIMIZE\s+(\w+)\s+(ZORDER|CLUSTER)\s+BY\s*"
         r"\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?\s*;?\s*",
         query,

@@ -1821,6 +1821,7 @@ def snapshot_row_changes(
         if removed and not (new_data or new_del or new_pdel) or op in (
             "compact",
             "cluster",
+            "compact_small",
         ):
             prev = m  # row-preserving rewrite: nothing to emit
             continue
@@ -3103,8 +3104,8 @@ def _relink_clause_merge_safe(
     for w in range(frm + 1, to + 1):
         m_w = _read_manifest(root, w)
         op = m_w["operation"]
-        if op in ("compact", "cluster", "fold", "set_constraint",
-                  "drop_constraint"):
+        if op in ("compact", "cluster", "compact_small", "fold",
+                  "set_constraint", "drop_constraint"):
             prev = m_w
             continue
         prev_paths = {e["path"] for e in _entries(prev, root)}
@@ -3707,6 +3708,119 @@ def snapshot_compact(spark: SparkSession, root: str) -> int:
         schema=_schema_of(df),
         partition_spec=spec,
         constraints=m.get("constraints"),  # carry_from is None here
+    )
+
+
+def snapshot_compact_small(
+    spark: SparkSession,
+    root: str,
+    small_bytes: int = 32 << 20,
+    min_files: int = 4,
+) -> int | None:
+    """MINOR (bin-packing) COMPACTION (r16): rewrite only the LIVE
+    data files smaller than ``small_bytes`` into fewer, larger files —
+    the maintenance a 100 TB table actually runs, where the full
+    copy-on-write :func:`snapshot_compact` is a non-starter (it
+    rewrites the entire table). Cost is O(picked small files), never
+    O(table): untouched files keep their entries, their commit
+    sequences, and therefore their exact delete applicability.
+
+    Semantics: the picked files' VISIBLE rows are materialized through
+    the ordinary MOR read (applicable equality deletes anti-joined per
+    sequence horizon, position deletes masked), so the rewritten rows
+    need no prior delete to apply to them — the new files commit at
+    the new sequence, past every existing delete, exactly like a
+    full compact's output, while all delete state is CARRIED for the
+    untouched files. Position-delete addresses naming a rewritten
+    file keep pointing at the (now dead) old path and match nothing —
+    harmless by construction. Rewritten files lay out under the
+    CURRENT partition spec (spec evolution's adopt-on-rewrite rule)
+    and get fresh stats + kidx sidecars.
+
+    Row-preserving: batch and streaming CDC pass through a
+    ``compact_small`` commit with zero events (same class as
+    compact/cluster), and the clause-merge conflict check re-links
+    over it. Returns the committed version, or None when fewer than
+    ``min_files`` files qualify (nothing worth rewriting). NO
+    auto-retry on CommitConflict — the materialized bytes snapshot a
+    specific base (the compact rule); re-run from the new head."""
+    base = latest_version(root)
+    if base == 0:
+        raise ValueError("cannot compact an empty table")
+    m = _read_manifest(root, base)
+    if m.get("files"):
+        raise ValueError(
+            "legacy inline-manifest lineage — run the full "
+            "snapshot_compact once to adopt segmented metadata"
+        )
+    picked: list[dict] = []
+    picked_bytes = 0
+    for desc in m.get("segments", []):
+        for e in _load_segment(root, desc):
+            try:
+                sz = os.path.getsize(os.path.join(root, e["path"]))
+            except OSError:
+                continue  # vanished mid-walk: not ours to rewrite
+            if sz < small_bytes:
+                picked.append(e)
+                picked_bytes += sz
+    if len(picked) < min_files:
+        return None
+    picked_paths = {e["path"] for e in picked}
+    df = _assemble(spark, root, m, picked)
+    spec = m.get("partition_spec")
+    if spec:
+        partial = _write_partitioned_data_files(df, root, spec)
+    else:
+        # bin-pack toward ~4x the small threshold per output file
+        # (128 MB at the 32 MB default — the standard target)
+        n_out = max(1, picked_bytes // (small_bytes * 4) + 1)
+        partial = [
+            {"path": p}
+            for p in _write_data_files(df.coalesce(int(n_out)), root)
+        ]
+    new_files = [e["path"] for e in partial]
+    stats = _file_stats(root, new_files)
+    dkey = m.get("delete_key")
+    kidxs = _write_key_indexes(root, new_files, dkey) if dkey else {}
+    seg = _write_segment(
+        root,
+        [
+            {
+                **e,
+                "stats": stats[e["path"]],
+                **(
+                    {"kidx": kidxs[e["path"]]}
+                    if e["path"] in kidxs
+                    else {}
+                ),
+            }
+            for e in partial
+        ],
+    )
+    # synthetic carry: untouched segments verbatim; partially-picked
+    # segments rewritten WITHOUT the picked entries, KEEPING the
+    # original descriptor sequence (their surviving files' delete
+    # applicability must not move); fully-picked segments drop
+    new_segs: list[dict] = []
+    for desc in m.get("segments", []):
+        ents = _load_segment(root, desc)
+        keep = [e for e in ents if e["path"] not in picked_paths]
+        if len(keep) == len(ents):
+            new_segs.append(desc)
+        elif keep:
+            nd = _write_segment(root, keep)
+            if desc.get("seq") is not None:
+                nd["seq"] = desc["seq"]
+            new_segs.append(nd)
+    carry = {**m, "segments": new_segs}
+    return _commit(
+        root,
+        base,
+        "compact_small",
+        carry_from=carry,
+        new_segment=seg,
+        schema=m.get("schema"),
     )
 
 

@@ -2664,6 +2664,125 @@ def a23c_composite_key_merge(spark, sf_dir):
     return _materialize_and_cleanup(spark, out, root)
 
 
+@register(
+    "a26_minor_compaction",
+    "A8",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_id < 8500
+    )
+    SELECT event_id, user_id, value FROM e
+    WHERE NOT (event_id % 9 = 0 AND event_id < 8000)
+    """,
+    note="MINOR (BIN-PACKING) COMPACTION (r16): `OPTIMIZE t BINPACK` / "
+    "snapshot_compact_small rewrites ONLY the live files below a size "
+    "threshold into fewer larger ones — the maintenance a 100 TB "
+    "table actually runs; the full COW compact rewrites the whole "
+    "table and is a non-starter at scale. Picked files' VISIBLE rows "
+    "are materialized through the ordinary MOR read (their applicable "
+    "deletes fold in), the new files commit past every existing "
+    "delete, and untouched files keep their entries, sequences, and "
+    "exact delete applicability (partially-picked segments rewrite "
+    "minus the picked entries, keeping the descriptor's sequence). "
+    "Row-preserving: batch + streaming CDC pass through with zero "
+    "events, and the clause-merge conflict check re-links over it. "
+    "The entry builds one big file + 8 small appends, deletes keys "
+    "across BOTH eras, bin-packs with a threshold that spares the big "
+    "file, and gates: the big file's path survives verbatim, every "
+    "small file left the live set, file count shrank accordingly, a "
+    "post-compact CDC feed sees zero compaction events and exactly "
+    "the later append's inserts, and the final state hash-matches the "
+    "oracle (a rewrite that resurrected a deleted row or dropped a "
+    "live one mismatches). Cost at 100 TB: O(small files picked) + "
+    "O(live-file metadata) — never a table rewrite.",
+)
+def a26_minor_compaction(spark, sf_dir):
+    import os as _os
+    import tempfile
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    ev = t(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="skr_binpack_")
+    tf.snapshot_write(
+        spark, ev.filter(F.col("event_id") < 6000).coalesce(1), root,
+        "overwrite",
+    )  # v1: the one BIG file
+    for i in range(8):  # v2..v9: small appends
+        lo = 6000 + i * 250
+        tf.snapshot_write(
+            spark,
+            ev.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") < lo + 250)
+            ).coalesce(1),
+            root,
+            "append",
+        )
+    tf.snapshot_delete(
+        spark,
+        root,
+        ev.filter(
+            (F.col("event_id") % 9 == 0) & (F.col("event_id") < 8000)
+        ).select("event_id"),
+        "event_id",
+    )  # v10: keys in BOTH eras
+    m_before = tf._read_manifest(root, 10)
+    ents_before = tf._entries(m_before, root)
+    sizes = {
+        e["path"]: _os.path.getsize(_os.path.join(root, e["path"]))
+        for e in ents_before
+    }
+    big = [p for p, s in sizes.items() if s >= 30_000]
+    small = [p for p, s in sizes.items() if s < 30_000]
+    if len(big) != 1 or len(small) != 8:
+        raise RuntimeError(
+            f"a26 fixture drift: {len(big)} big / {len(small)} small "
+            f"files, sizes {sorted(sizes.values())}"
+        )
+    v = tf.snapshot_compact_small(
+        spark, root, small_bytes=30_000, min_files=4
+    )  # v11
+    if v != 11:
+        raise RuntimeError(f"a26 gate FAILED: compacted at v{v}")
+    ents_after = tf._entries(tf._read_manifest(root, v), root)
+    paths_after = {e["path"] for e in ents_after}
+    if big[0] not in paths_after:
+        raise RuntimeError(
+            "a26 gate FAILED: the big file was rewritten — minor "
+            "compaction must not touch files above the threshold"
+        )
+    if set(small) & paths_after:
+        raise RuntimeError("a26 gate FAILED: a picked small file survived")
+    if not (1 < len(ents_after) < len(ents_before) - 4):
+        raise RuntimeError(
+            f"a26 gate FAILED: {len(ents_before)} -> {len(ents_after)} "
+            "files (expected a real shrink)"
+        )
+    tf.snapshot_write(
+        spark,
+        ev.filter(
+            (F.col("event_id") >= 8000) & (F.col("event_id") < 8500)
+        ).coalesce(1),
+        root,
+        "append",
+    )  # v12
+    cdc = tf.snapshot_row_changes(spark, root, 10, 12)
+    agg = cdc.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    got = {r["_change_type"]: r["n"] for r in agg}
+    if got != {"insert": 500}:
+        raise RuntimeError(
+            f"a26 gate FAILED: CDC across the compaction read {got}, "
+            "expected zero compaction events + 500 inserts"
+        )
+    out = tf.snapshot_read(spark, root).select(
+        "event_id", "user_id", "value"
+    )
+    return _materialize_and_cleanup(spark, out, root)
+
+
 def _orc_table(spark, sf_dir: str) -> str:
     """Install (once, fingerprint-cached, atomic) an ORC copy of
     lineitem — the other columnar format Spark ships a native

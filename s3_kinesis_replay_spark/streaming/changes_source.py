@@ -376,7 +376,7 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     "widened after this stream started; restart the "
                     "stream (its pinned schema predates the widening)"
                 )
-            if op in ("compact", "cluster") or not (
+            if op in ("compact", "cluster", "compact_small") or not (
                 new_data or new_del or new_pdel
             ):
                 prev = m  # row-preserving / metadata-only: no events

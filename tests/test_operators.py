@@ -7105,3 +7105,84 @@ def test_r16_drop_materialized_view(spark, tmp_path):
         "CAST(99 AS BIGINT) AS x",
     )
     assert cat.resolve_dml(spark, "DROP MATERIALIZED VIEW dmv") is None
+
+
+def test_r16_minor_compaction(spark, tmp_path, monkeypatch):
+    """snapshot_compact_small beyond the a26 oracle gates: returns
+    None when too few files qualify; streaming CDC passes through with
+    zero events; a clause merge re-links over an interleaved minor
+    compaction; delete applicability of untouched files is preserved
+    (a delete AFTER the compaction still suppresses pre-compaction
+    rows in untouched files and rewritten files alike)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).coalesce(1)
+
+    root = str(tmp_path / "bp")
+    tf.snapshot_write(spark, mk(0, 20000), root, "overwrite")  # big
+    for i in range(4):
+        tf.snapshot_write(
+            spark, mk(20000 + i * 100, 20000 + (i + 1) * 100), root,
+            "append",
+        )
+    # too few qualifying files under a high min_files -> None
+    assert tf.snapshot_compact_small(
+        spark, root, small_bytes=10_000, min_files=9
+    ) is None
+    v = tf.snapshot_compact_small(spark, root, small_bytes=10_000)
+    assert v is not None
+    assert tf.snapshot_read(spark, root, v).count() == 20400
+    # a delete AFTER the compaction suppresses rows in both eras
+    tf.snapshot_delete(
+        spark, root,
+        spark.createDataFrame([(5,), (20005,)], "k long"), "k",
+    )
+    assert tf.snapshot_read(spark, root).count() == 20398
+
+    # streaming CDC: zero events for the compaction commit
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        SnapshotChangesStreamReader,
+    )
+
+    rdr = SnapshotChangesStreamReader(None, {"root": root})
+    parts = rdr.partitions({"version": v - 1}, {"version": v})
+    assert parts == []
+
+    # clause merge re-links over an interleaved minor compaction
+    orig_commit = tf._commit
+    fired = []
+
+    def commit_with_binpack(*args, **kwargs):
+        if args[2] == "merge" and not fired:
+            fired.append(1)
+            monkeypatch.setattr(tf, "_commit", orig_commit)
+            tf.snapshot_write(spark, mk(30000, 30050), root, "append")
+            tf.snapshot_write(spark, mk(30050, 30100), root, "append")
+            # interleave: appends (key-disjoint) + a minor compaction
+            tf.snapshot_compact_small(
+                spark, root, small_bytes=10_000, min_files=2
+            )
+            monkeypatch.setattr(tf, "_commit", commit_with_binpack)
+        return orig_commit(*args, **kwargs)
+
+    monkeypatch.setattr(tf, "_commit", commit_with_binpack)
+    tf.snapshot_merge_clauses(
+        spark, root,
+        spark.range(10, 20).select(
+            F.col("id").alias("k"), F.lit(-1).cast("bigint").alias("v")
+        ),
+        "k",
+        [{"kind": "update", "cond": None, "sets": {"v": "s.v"}},
+         {"kind": "insert", "cond": None, "cols": None, "values": None}],
+    )
+    monkeypatch.setattr(tf, "_commit", orig_commit)
+    assert fired
+    rows = {r["k"]: r["v"] for r in tf.snapshot_read(spark, root).collect()}
+    assert rows[10] == -1 and rows[30099] == 60198
+    assert len(rows) == 20398 + 100
