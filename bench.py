@@ -76,13 +76,14 @@ HEADLINE = [
 # on top of whatever rotating slice of the stable pool is due. Promote to
 # EXTRAS (the stable pool) next round once a baseline row exists.
 EXTRAS_ALWAYS: list[str] = [
-    # round 15 additions (first baseline rows this round; promote to
+    # round 16 additions (first baseline rows this round; promote to
     # EXTRAS next round)
-    "a15s_streaming_cdc_merge",  # CDC stream across MERGE (plan-time keys)
-    "a15t_timestamp_table_changes",  # TIMESTAMP-bounded TABLE_CHANGES
-    "a23b_sql_merge_clauses",  # conditional MERGE clauses, one MOR commit
-    "a25b_column_evolution",   # add->rename->drop, name-mapped reads
-    "p25_materialized_view_verb",  # CREATE/REFRESH MATERIALIZED VIEW
+    "a23c_composite_key_merge",  # composite identity SQL MERGE + row CDC
+    "a15u_streaming_cdc_composite",  # CDC stream over composite commits
+    "a25c_type_widening",      # ALTER COLUMN TYPE, metadata-only widening
+    "a15v_partition_spec_evolution",  # SET PARTITION SPEC, two-era pruning
+    "p26_matview_refresh_on_commit",  # on-commit differential refresh
+    "a26_minor_compaction",    # OPTIMIZE BINPACK, O(small files) rewrite
     # a21/a22 are NOT benched: they BUILD a live table per run by design
     # (constraint refusals / WAP conflict need fresh mutable state), so
     # timing them measures fixture construction — same convention as the
@@ -100,6 +101,13 @@ EXTRAS_ALWAYS: list[str] = [
 # pushed bench wall time past the contention-drift horizon (VERDICT r9
 # item 6); every entry still cycles through within ~3 rounds.
 EXTRAS = [
+    # round 15 (promoted from EXTRAS_ALWAYS in r16 — BENCH_r15 carries
+    # their baseline rows)
+    "a15s_streaming_cdc_merge",  # CDC stream across MERGE (plan-time keys)
+    "a15t_timestamp_table_changes",  # TIMESTAMP-bounded TABLE_CHANGES
+    "a23b_sql_merge_clauses",  # conditional MERGE clauses, one MOR commit
+    "a25b_column_evolution",   # add->rename->drop, name-mapped reads
+    "p25_materialized_view_verb",  # CREATE/REFRESH MATERIALIZED VIEW
     # round 13 (promoted from EXTRAS_ALWAYS in r15 — BENCH_r13/r14 carry
     # their baseline rows)
     "a16_sql_time_travel",    # engine.sql() VERSION/TIMESTAMP AS OF rewrite

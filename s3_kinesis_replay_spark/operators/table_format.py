@@ -3994,6 +3994,8 @@ def snapshot_auto_maintain(
     root: str,
     fold_at: int = 8,
     compact_at: int | None = None,
+    binpack_at: int | None = None,
+    binpack_small_bytes: int = 32 << 20,
 ) -> list[str]:
     """MAINTENANCE CADENCE for always-on ingest (r13, VERDICT r12 item
     6): a streaming upsert adds one data segment + one delete segment
@@ -4008,11 +4010,16 @@ def snapshot_auto_maintain(
       :func:`snapshot_compact` (rewrites data ONCE, drops all delete
       state — the only action that resets read-side rent; amortized
       O(table/compact_at) per batch);
+    * else ``binpack_at`` files below ``binpack_small_bytes`` → MINOR
+      :func:`snapshot_compact_small` (r16 — rewrites ONLY the small
+      files; bounds the small-file count a per-batch streaming ingest
+      accretes without ever paying a table rewrite);
     * else ``fold_at`` total segment descriptors reached →
       :func:`snapshot_fold_metadata` (metadata-only, zero data moved —
       bounds manifest size between compactions).
 
-    Returns the actions taken ([], ['fold'] or ['compact']). Single-
+    Returns the actions taken ([], ['fold'], ['binpack'] or
+    ['compact']). Single-
     writer discipline: compact does not auto-retry on conflicts (by
     design), so run maintenance from the ingest owner, not a bystander."""
     base = latest_version(root)
@@ -4036,6 +4043,14 @@ def snapshot_auto_maintain(
         ) or pos_files >= compact_at:
             snapshot_compact(spark, root)
             return ["compact"]
+    if binpack_at is not None:
+        v = snapshot_compact_small(
+            spark, root,
+            small_bytes=binpack_small_bytes,
+            min_files=binpack_at,
+        )
+        if v is not None:
+            return ["binpack"]
     n_segs = (
         len(m.get("segments", []))
         + len(m.get("delete_segments", []))

@@ -7186,3 +7186,45 @@ def test_r16_minor_compaction(spark, tmp_path, monkeypatch):
     rows = {r["k"]: r["v"] for r in tf.snapshot_read(spark, root).collect()}
     assert rows[10] == -1 and rows[30099] == 60198
     assert len(rows) == 20398 + 100
+
+
+def test_r16_auto_maintain_binpack(spark, tmp_path):
+    """auto_maintain's binpack tier fires when enough small files
+    accrete, and leaves big files alone."""
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "am")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 20000).select(F.col("id").alias("k")).coalesce(1),
+        root,
+        "overwrite",
+    )
+    for i in range(3):
+        tf.snapshot_write(
+            spark,
+            spark.range(30000 + i * 10, 30000 + (i + 1) * 10)
+            .select(F.col("id").alias("k")).coalesce(1),
+            root,
+            "append",
+        )
+        # below the threshold count: no action (fold_at high too)
+        assert tf.snapshot_auto_maintain(
+            root=root, spark=spark, fold_at=99,
+            binpack_at=4, binpack_small_bytes=10_000,
+        ) == []
+    tf.snapshot_write(
+        spark,
+        spark.range(30030, 30040).select(F.col("id").alias("k")).coalesce(1),
+        root,
+        "append",
+    )
+    assert tf.snapshot_auto_maintain(
+        root=root, spark=spark, fold_at=99,
+        binpack_at=4, binpack_small_bytes=10_000,
+    ) == ["binpack"]
+    m = tf._read_manifest(root, tf.latest_version(root))
+    assert m["operation"] == "compact_small"
+    assert tf.snapshot_read(spark, root).count() == 20040
