@@ -1637,8 +1637,29 @@ def _read_key_values(root: str, rel_paths: list[str], key) -> list:
 def _key_file_ranges(root: str, key_files: list[str], kl: list[str]):
     """Per-column (min, max) across equality-delete key files —
     {col: (lo, hi)}; a column with no comparable values maps to
-    (None, None) (pruning disabled for that column)."""
-    return {k: _key_file_range(root, key_files, k) for k in kl}
+    (None, None) (pruning disabled for that column). ONE pyarrow read
+    of all key columns per file (review r16: the per-column wrapper
+    re-opened every key file once per column)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out: dict = {k: (None, None) for k in kl}
+    try:
+        for p in key_files:
+            tbl = pq.read_table(os.path.join(root, p), columns=kl)
+            for k in kl:
+                col = tbl.column(k)
+                if len(col) == 0 or col.null_count == len(col):
+                    continue
+                mm = pc.min_max(col).as_py()
+                lo, hi = out[k]
+                out[k] = (
+                    mm["min"] if lo is None else min(lo, mm["min"]),
+                    mm["max"] if hi is None else max(hi, mm["max"]),
+                )
+    except Exception:
+        return {k: (None, None) for k in kl}  # pruning off, never wrong
+    return out
 
 
 def _stats_overlap_all(stats, ranges: dict) -> bool:
@@ -2962,6 +2983,30 @@ def snapshot_update_where(
     return snapshot_commit_retry(attempt, retries)
 
 
+def _refuse_ambiguous_source(df: DataFrame, kl: list[str], ctx: str) -> None:
+    """The MERGE source-uniqueness rule, shared by both MERGE surfaces
+    (review r16 — the agg was copy-pasted): a key may appear at most
+    once and never NULL; real MERGE refuses multi-match sources
+    because duplicates would materialize forever under one identity."""
+    any_null = None
+    for k in kl:
+        c = F.col(k).isNull()
+        any_null = c if any_null is None else (any_null | c)
+    kc = df.agg(
+        F.count(F.when(~any_null, 1)).alias("n"),
+        F.countDistinct(*kl).alias("nd"),
+        F.count(F.when(any_null, 1)).alias("nn"),
+    ).collect()[0]
+    if kc["nn"] or kc["n"] != kc["nd"]:
+        raise ValueError(
+            f"{ctx} source is ambiguous on {kl!r}: {kc['n']} rows, "
+            f"{kc['nd']} distinct keys, {kc['nn']} NULL keys — a key "
+            "may appear at most once (real MERGE refuses multi-match "
+            "sources; duplicates would materialize forever under one "
+            "identity)"
+        )
+
+
 def snapshot_merge(
     spark: SparkSession,
     root: str,
@@ -3014,22 +3059,7 @@ def snapshot_merge(
     written = spark.read.parquet(
         *[os.path.join(root, p) for p in new_files]
     )
-    any_null = None
-    for k in kl:
-        c = F.col(k).isNull()
-        any_null = c if any_null is None else (any_null | c)
-    kc = written.agg(
-        F.count(F.when(~any_null, 1)).alias("n"),
-        F.countDistinct(*kl).alias("nd"),
-        F.count(F.when(any_null, 1)).alias("nn"),
-    ).collect()[0]
-    if kc["nn"] or kc["n"] != kc["nd"]:
-        raise ValueError(
-            f"merge source is ambiguous on {kl!r}: {kc['n']} rows, "
-            f"{kc['nd']} distinct keys, {kc['nn']} NULL keys — a key may "
-            "appear at most once (real MERGE refuses multi-match sources; "
-            "duplicates would materialize forever under one identity)"
-        )
+    _refuse_ambiguous_source(written, kl, "merge")
     _enforce_constraints(
         written, table_constraints(root), f"snapshot_merge into {root}"
     )
@@ -3087,8 +3117,12 @@ def _relink_clause_merge_safe(
     / fold — same visible rows, verdicts unaffected) or constraint
     metadata (the caller re-enforces), or (b) an append / key-delete /
     merge whose TOUCHED KEYS are provably disjoint from the
-    statement's verdict keys (``probe``, the sorted uint64 hash set of
-    its tombstone + add keys). Key evidence per interleaved data file:
+    statement's KEY FOOTPRINT (``probe``, the sorted uint64 hash set
+    of its READ set — every materialized-source key, matched or not,
+    plus the tombstone/add subsets; read-set disjointness is what
+    makes the re-link serializable, a write-set-only check admits
+    write skew on matched-but-condition-false rows — review r16).
+    Key evidence per interleaved data file:
     the kidx sidecar when it matches the identity (zero reads),
     otherwise one bounded pyarrow pass over the file's key columns —
     bounded by the INTERLEAVED commit's own new files, never the
@@ -3243,7 +3277,8 @@ def snapshot_merge_clauses(
     rewrite-validation rule). On CommitConflict the statement now runs
     the Delta-style KEY-DISJOINT check (:func:`_relink_clause_merge_
     safe`): if every interleaved commit is row-preserving or touches
-    only keys provably disjoint from this statement's verdict keys
+    only keys provably disjoint from this statement's KEY FOOTPRINT —
+    its full read set (every source key) plus tombstones/adds —
     (kidx/sidecar evidence, bounded reads), the already-evaluated
     verdicts are still exact and the commit re-links on the new head —
     parallel CDC-apply writers on disjoint key ranges land without
@@ -3302,20 +3337,7 @@ def snapshot_merge_clauses(
             src = spark.read.parquet(os.path.join(tmp, "src"))
         else:
             src = spark.createDataFrame([], source.schema)
-        any_null = None
-        for k in kl:
-            cnd = F.col(k).isNull()
-            any_null = cnd if any_null is None else (any_null | cnd)
-        kc = src.agg(
-            F.count(F.when(~any_null, 1)).alias("n"),
-            F.countDistinct(*kl).alias("nd"),
-            F.count(F.when(any_null, 1)).alias("nn"),
-        ).collect()[0]
-        if kc["nn"] or kc["n"] != kc["nd"]:
-            raise ValueError(
-                f"merge source is ambiguous on {kl!r}: {kc['n']} "
-                f"rows, {kc['nd']} distinct keys, {kc['nn']} NULL keys"
-            )
+        _refuse_ambiguous_source(src, kl, "merge")
         base0 = latest_version(root)
         cur = snapshot_read(spark, root, base0)
         tcols = cur.columns
@@ -3360,6 +3382,22 @@ def snapshot_merge_clauses(
 
         on_cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in kl)
         key_sel = ", ".join(f"t.`{k}` AS `{k}`" for k in kl)
+        scols = src.columns
+
+        def bare(alias: str, cols, other) -> str:
+            """Bare-name projections for the materialized frames
+            (review r16): pre-r16 the per-clause queries ran over the
+            raw t/s join scope, so an UNQUALIFIED column name unique
+            to one side resolved (`SET x = x + 1`); the struct-only
+            materialization broke those statements. Names present on
+            BOTH sides stay struct-only — they were AMBIGUOUS in the
+            join scope too, loud either way."""
+            skip = set(other) | {"t", "s", "__clause"}
+            return "".join(
+                f", {alias}.`{c}` AS `{c}`"
+                for c in cols
+                if c not in skip
+            )
         mfam = [c for c in clauses if c["kind"] in ("update", "delete")]
         ifam = [c for c in clauses if c["kind"] == "insert"]
         nfam = [
@@ -3382,7 +3420,9 @@ def snapshot_merge_clauses(
             mv = reg(
                 _mat(
                     q(
-                        f"SELECT struct(t.*) AS t, struct(s.*) AS s, "
+                        f"SELECT struct(t.*) AS t, struct(s.*) AS s"
+                        f"{bare('t', tcols, scols)}"
+                        f"{bare('s', scols, tcols)}, "
                         f"{verdict(mfam)} AS __clause "
                         f"FROM {tv} t JOIN {sv} s ON {on_cond}"
                     ).where("__clause >= 0"),
@@ -3405,7 +3445,10 @@ def snapshot_merge_clauses(
             iv = reg(
                 _mat(
                     q(
-                        f"SELECT struct(s.*) AS s, "
+                        # anti-join scope exposed only the SOURCE
+                        # columns pre-r16 — mirror that bare
+                        f"SELECT struct(s.*) AS s"
+                        f"{bare('s', scols, [])}, "
                         f"{verdict(ifam)} AS __clause "
                         f"FROM {sv} s LEFT ANTI JOIN {tv} t ON {on_cond}"
                     ).where("__clause >= 0"),
@@ -3442,7 +3485,8 @@ def snapshot_merge_clauses(
             nv = reg(
                 _mat(
                     q(
-                        f"SELECT struct(t.*) AS t, "
+                        f"SELECT struct(t.*) AS t"
+                        f"{bare('t', tcols, [])}, "
                         f"{verdict(nfam)} AS __clause "
                         f"FROM {tv} t LEFT ANTI JOIN {sv} s ON {on_cond}"
                     ).where("__clause >= 0"),
@@ -3591,17 +3635,40 @@ def snapshot_merge_clauses(
                 if head <= base_try:
                     raise
                 if probe is None:
-                    # this statement's verdict keys, hashed once:
-                    # tombstone keys from its own del files + add keys
-                    # from its own files' just-written kidx sidecars
+                    # this statement's key FOOTPRINT, hashed once — the
+                    # READ set, not just the write set (review r16): a
+                    # matched row whose every condition evaluated FALSE
+                    # was still read, and a concurrent commit touching
+                    # its key would flip the verdict on re-evaluation
+                    # (the classic write-skew: A reads k1 untouched, B
+                    # writes k1 — A-then-B and B-then-A both differ
+                    # from the re-link). For matched/insert statements
+                    # the read set is exactly the MATERIALIZED SOURCE's
+                    # keys (every clause joins or anti-joins on them;
+                    # tombstone and add keys are subsets — unioned
+                    # anyway, they are cheap and the invariant is then
+                    # self-evident). NBS statements read every target
+                    # row and never re-link (checked above).
                     import numpy as np
 
+                    src_dir = os.path.join(tmp, "src")
                     parts_h = [
+                        _kidx_hash_set(
+                            _read_key_values(
+                                src_dir,
+                                [
+                                    f
+                                    for f in os.listdir(src_dir)
+                                    if f.startswith("part-")
+                                ],
+                                kl,
+                            )
+                        ),
                         _kidx_hash_set(
                             _read_key_values(root, del_files, kl)
                         )
                         if del_files
-                        else np.empty(0, dtype=np.uint64)
+                        else np.empty(0, dtype=np.uint64),
                     ]
                     for p in new_files:
                         h = _file_key_hashes(root, p, kl)
@@ -4561,18 +4628,44 @@ def refresh_dependent_views(spark: SparkSession, root: str) -> dict:
                 vroot = json.load(fh)["view_root"]
         except (OSError, ValueError, KeyError):
             continue
-        try:
-            out[vroot] = matview_refresh(spark, vroot)
-        except ValueError:
-            # dangling pointer: the view was dropped — prune it
+        last_exc: Exception | None = None
+        for _attempt in range(3):
             try:
-                os.remove(p)
-            except OSError:
-                pass
-        except CommitConflict:
-            # a concurrent refresh advanced the view; the re-run sees
-            # the reflected version current and no-ops
-            out[vroot] = matview_refresh(spark, vroot)
+                out[vroot] = matview_refresh(spark, vroot)
+                last_exc = None
+                break
+            except ValueError as exc:
+                msg = str(exc)
+                if (
+                    "no materialized view under" in msg
+                    or "not a materialized view" in msg
+                ):
+                    # DANGLING pointer — the view was dropped: prune.
+                    # Any OTHER ValueError (source restored below the
+                    # reflected version, a refresh bug) must NOT prune
+                    # — review r16: blanket pruning silently and
+                    # permanently disabled refresh-on-commit for a
+                    # live view
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+                    last_exc = None
+                    break
+                last_exc = exc
+                break
+            except CommitConflict as exc:
+                # a concurrent refresh advanced the view; the re-run
+                # no-ops if current — bounded, another writer may keep
+                # landing versions (review r16: the old single bare
+                # retry propagated a second conflict to a caller whose
+                # own commit had already landed)
+                last_exc = exc
+        if last_exc is not None:
+            raise RuntimeError(
+                f"the table commit LANDED, but the on-commit refresh "
+                f"of dependent view {vroot} failed: {last_exc}"
+            ) from last_exc
     return out
 
 

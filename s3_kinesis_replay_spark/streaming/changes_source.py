@@ -132,8 +132,33 @@ def _concat(tables):
 def _kcols(key) -> list:
     """Normalize a partition's key spec — bare column name (single-
     column identity, the pre-r16 wire shape, unchanged) or a tuple of
-    names (composite identity, r16) — to a column list."""
-    return [key] if isinstance(key, str) else list(key)
+    names (composite identity, r16) — to a column list, with
+    table_format._key_list's validation (one normalizer, review
+    r16)."""
+    from s3_kinesis_replay_spark.operators.table_format import _key_list
+
+    return _key_list(key)
+
+
+def _cast_keys(tbl, kcols, schema):
+    """Cast a table's key columns to the PINNED read schema's types
+    (review r16): after a type widening the physical parquet types go
+    heterogeneous across files (int32 bytes under a bigint schema,
+    narrow-scale decimals under a widened one), and both the Arrow
+    joins and the verdict-set hashing require every side to agree on
+    the LOGICAL type — hashing a Decimal('1.50') and a
+    Decimal('1.5000') differently would silently relabel change
+    types."""
+    import pyarrow as pa
+
+    for k in kcols:
+        want = schema.field(k).type
+        i = tbl.schema.get_field_index(k)
+        if tbl.schema.field(i).type != want:
+            tbl = tbl.set_column(
+                i, pa.field(k, want), tbl.column(k).cast(want)
+            )
+    return tbl
 
 
 def _member_mask(tbl, keys_tbl, kcols):
@@ -508,18 +533,23 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
 
     def _read_key_tbl(self, new_del: list, kl: list):
         """The commit's delete-key columns across its key files, as one
-        Arrow table with any-NULL-key rows dropped — read once per
-        commit and shared by the range computation, the matched-key
-        classification, and the kidx probe. Single-column keys are the
-        one-column case of the same table (r16 composite identity)."""
+        Arrow table with any-NULL-key rows dropped, CAST to the pinned
+        read schema's key types — read once per commit and shared by
+        the range computation, the matched-key classification, and the
+        kidx probe. Single-column keys are the one-column case of the
+        same table (r16 composite identity)."""
         import pyarrow.parquet as pq
 
-        return _concat(
-            [
-                pq.read_table(os.path.join(self.root, p), columns=kl)
-                for p in new_del
-            ]
-        ).drop_null()
+        return _cast_keys(
+            _concat(
+                [
+                    pq.read_table(os.path.join(self.root, p), columns=kl)
+                    for p in new_del
+                ]
+            ).drop_null(),
+            kl,
+            self._data_schema,
+        )
 
     @staticmethod
     def _tbl_ranges(key_tbl, kl: list) -> dict:
@@ -690,8 +720,12 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             return set()
         prior_dels = _delete_entries(prev, self.root)
         del_tbls = {
-            d["path"]: pq.read_table(
-                os.path.join(self.root, d["path"]), columns=kl
+            d["path"]: _cast_keys(
+                pq.read_table(
+                    os.path.join(self.root, d["path"]), columns=kl
+                ),
+                kl,
+                self._data_schema,
             )
             for d in prior_dels
         }
@@ -715,8 +749,12 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         ]
         cands = self._kidx_survivors(cands, kl, key_tbl)
         for e in cands:
-            ktbl = pq.read_table(
-                os.path.join(self.root, e["path"]), columns=kl
+            ktbl = _cast_keys(
+                pq.read_table(
+                    os.path.join(self.root, e["path"]), columns=kl
+                ),
+                kl,
+                self._data_schema,
             )
             mask = _member_mask(ktbl, merge_keys, kl)
             if not mask.any():
@@ -748,14 +786,19 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
     def _file_key_set(self, rel_paths: list[str], kl: list) -> set:
         """Distinct non-null key values across the named parquet files
         (runner-side, key columns only, bounded by the commit's own
-        file set); tuples for composite keys."""
+        file set), under the PINNED schema's types; tuples for
+        composite keys."""
         import pyarrow.parquet as pq
 
         out: set = set()
         for p in rel_paths:
-            tbl = pq.read_table(
-                os.path.join(self.root, p), columns=kl
-            ).drop_null()
+            tbl = _cast_keys(
+                pq.read_table(
+                    os.path.join(self.root, p), columns=kl
+                ).drop_null(),
+                kl,
+                self._data_schema,
+            )
             out.update(self._tbl_values(tbl, kl))
         return out
 
@@ -788,6 +831,11 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         tbl = pq.read_table(p.path)
         idx = pa.array(np.arange(tbl.num_rows, dtype=np.int64))
         kcols = _kcols(p.key_col) if p.key_col else []
+        if kcols:
+            # align physical key types to the pinned schema BEFORE any
+            # join or hash — files written before a type widening carry
+            # the narrower physical type (review r16)
+            tbl = _cast_keys(tbl, kcols, data_schema)
 
         def hash_mask(out_tbl, path, inline):
             """Rows whose key-tuple hash is in the shipped verdict
@@ -838,12 +886,16 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         else:  # eq_pre: rebuild visibility, then match the new keys
             cur = tbl.append_column("__idx", idx)
             if p.prior_eq:
-                keys = _concat(
-                    [
-                        pq.read_table(kp, columns=kcols)
-                        for kp in p.prior_eq
-                    ]
-                ).combine_chunks()
+                keys = _cast_keys(
+                    _concat(
+                        [
+                            pq.read_table(kp, columns=kcols)
+                            for kp in p.prior_eq
+                        ]
+                    ).combine_chunks(),
+                    kcols,
+                    data_schema,
+                )
                 cur = cur.join(
                     keys.group_by(kcols).aggregate([]),
                     kcols,
@@ -865,12 +917,16 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                         "__idx",
                         join_type="left anti",
                     )
-            new_keys = _concat(
-                [
-                    pq.read_table(kp, columns=kcols)
-                    for kp in p.new_paths
-                ]
-            ).combine_chunks()
+            new_keys = _cast_keys(
+                _concat(
+                    [
+                        pq.read_table(kp, columns=kcols)
+                        for kp in p.new_paths
+                    ]
+                ).combine_chunks(),
+                kcols,
+                data_schema,
+            )
             cur = cur.join(
                 new_keys.group_by(kcols).aggregate([]),
                 kcols,

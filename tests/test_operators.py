@@ -7228,3 +7228,125 @@ def test_r16_auto_maintain_binpack(spark, tmp_path):
     m = tf._read_manifest(root, tf.latest_version(root))
     assert m["operation"] == "compact_small"
     assert tf.snapshot_read(spark, root).count() == 20040
+
+
+def test_r16_review_fixes(spark, tmp_path, monkeypatch):
+    """Round-16 self-review pins. (1) WRITE SKEW: the clause-merge
+    re-link probe covers the statement's READ set (every source key,
+    matched or not), so a concurrent commit touching a key whose
+    clauses all evaluated FALSE still refuses — a write-set-only check
+    re-linked a non-serializable result. (2) Streaming CDC works
+    across a BACKLOG type widening of the key column (physical int32
+    files + bigint tombstones: key columns cast to the pinned schema
+    before Arrow joins/hashing). (3) Unqualified column names unique
+    to one side still resolve in SET/INSERT expressions (the struct
+    materialization exposes them bare, like the pre-r16 join scope)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    # (1) write skew refused
+    root = str(tmp_path / "ws")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(1, 2), (2, 10)], "k long, v long"),
+        root,
+        "overwrite",
+    )
+    orig_commit = tf._commit
+    fired = []
+
+    def commit_with_b(*args, **kwargs):
+        if args[2] == "merge" and not fired:
+            fired.append(1)
+            monkeypatch.setattr(tf, "_commit", orig_commit)
+            # writer B upserts k=1 — a key merge A READ (its condition
+            # evaluated false there) but did not write
+            tf.snapshot_merge(
+                spark, root,
+                spark.createDataFrame([(1, 100)], "k long, v long"), "k",
+            )
+            monkeypatch.setattr(tf, "_commit", commit_with_b)
+        return orig_commit(*args, **kwargs)
+
+    monkeypatch.setattr(tf, "_commit", commit_with_b)
+    with _pytest.raises(tf.CommitConflict, match="overlap"):
+        tf.snapshot_merge_clauses(
+            spark, root,
+            spark.createDataFrame([(1, 5), (2, 3)], "k long, v long"),
+            "k",
+            [{"kind": "update", "cond": "s.v < t.v",
+              "sets": {"v": "s.v"}}],
+        )
+    monkeypatch.setattr(tf, "_commit", orig_commit)
+    assert fired
+
+    # (2) streaming CDC across a backlog key-column widening
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        register_changes_source,
+    )
+
+    register_changes_source(spark)
+    root2 = str(tmp_path / "wk")
+    tf.snapshot_write(
+        spark,
+        spark.range(0, 10).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("int").alias("v"),
+        ).coalesce(1),
+        root2,
+        "overwrite",
+    )  # physical int32 key bytes
+    tf.snapshot_widen_column(spark, root2, "k", "bigint")
+    tf.snapshot_widen_column(spark, root2, "v", "bigint")
+    tf.snapshot_delete(
+        spark, root2, spark.createDataFrame([(3,)], "k long"), "k"
+    )
+    tf.snapshot_merge(
+        spark, root2,
+        spark.createDataFrame([(5, 500), (20, 2000)], "k long, v long"),
+        "k",
+    )
+    out = str(tmp_path / "wk-out")
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root2).option("starting_version", "0").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", out + "-ck")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # versions: 1 genesis, 2/3 widen k/v (metadata-only), 4 delete,
+    # 5 merge
+    assert (3, "delete", 4) in got
+    assert (5, "update_preimage", 5) in got
+    assert (5, "update_postimage", 5) in got
+    assert (20, "insert", 5) in got
+    assert len([g for g in got if g[2] == 1]) == 10  # genesis inserts
+
+    # (3) bare unqualified names in SET / INSERT VALUES
+    root3 = str(tmp_path / "bare")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        root3,
+        "overwrite",
+    )
+    tf.snapshot_merge_clauses(
+        spark, root3,
+        spark.createDataFrame([(1, 7), (9, 9)], "k long, sv long"),
+        "k",
+        [
+            # `sv` is source-only, `v` target-only: both bare
+            {"kind": "update", "cond": None, "sets": {"v": "v + sv"}},
+            {"kind": "insert", "cond": None, "cols": ["k", "v"],
+             "values": ["s.k", "sv * 100"]},
+        ],
+    )
+    rows = {r["k"]: r["v"] for r in tf.snapshot_read(spark, root3).collect()}
+    assert rows == {1: 17, 2: 20, 9: 900}
