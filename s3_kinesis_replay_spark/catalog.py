@@ -555,6 +555,38 @@ def _split_assignments(text: str) -> dict[str, str]:
     return out
 
 
+def _bind_insert_df(spark, root, src_sql: str, df):
+    """Bind an INSERT-family source frame to the target table's
+    recorded schema (shared by INSERT INTO / INSERT OVERWRITE / REPLACE
+    WHERE, r16): VALUES rows bind by POSITION (arity-checked rename);
+    known columns cast to the recorded types (an INT literal inserts
+    into a BIGINT column); columns beyond the schema ride as-is
+    (add-column evolution, validated by the commit)."""
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    v = tf.latest_version(root)
+    cols = tf._read_manifest(root, v).get("schema") if v else None
+    if cols is None:
+        return df
+    from pyspark.sql import functions as F
+
+    names = [c for c, _t in cols]
+    types = dict(cols)
+    if src_sql.lstrip().upper().startswith("VALUES"):
+        if len(df.columns) != len(names):
+            raise ValueError(
+                f"INSERT VALUES arity {len(df.columns)} != table "
+                f"width {len(names)} ({names})"
+            )
+        df = df.toDF(*names)
+    if set(names) <= set(df.columns):
+        df = df.select(
+            *[F.col(c).cast(types[c]).alias(c) for c in names],
+            *[c for c in df.columns if c not in types],
+        )
+    return df
+
+
 def _parse_merge_on(text: str):
     """The MERGE ``ON`` operand → the row identity snapshot_merge*
     take (r16, composite keys). Accepted forms:
@@ -854,31 +886,10 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
         root = _SNAPSHOT_ROOTS.get(name)
         if root is None:
             return None
-        df = spark.sql(resolve_time_travel(spark, src_sql))
-        cols = tf._read_manifest(root, tf.latest_version(root)).get("schema")
-        if cols is not None:
-            from pyspark.sql import functions as F
-
-            names = [c for c, _t in cols]
-            types = dict(cols)
-            if src_sql.lstrip().upper().startswith("VALUES"):
-                # VALUES rows bind by POSITION (col1, col2, ... have no
-                # meaningful names) — arity-checked rename to the schema
-                if len(df.columns) != len(names):
-                    raise ValueError(
-                        f"INSERT VALUES arity {len(df.columns)} != table "
-                        f"width {len(names)} ({names})"
-                    )
-                df = df.toDF(*names)
-            # SQL assignment semantics: cast known columns to the
-            # table's recorded types (an INT literal inserts into a
-            # BIGINT column); columns beyond the schema ride as-is
-            # (add-column evolution, validated by the commit)
-            if set(names) <= set(df.columns):
-                df = df.select(
-                    *[F.col(c).cast(types[c]).alias(c) for c in names],
-                    *[c for c in df.columns if c not in types],
-                )
+        df = _bind_insert_df(
+            spark, root, src_sql,
+            spark.sql(resolve_time_travel(spark, src_sql)),
+        )
         return done(
             "insert", name, root,
             # follow the table's recorded partition spec (r16 — after
@@ -886,6 +897,54 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
             # the new spec; unpartitioned tables are unchanged)
             tf.snapshot_write(
                 spark, df, root, "append", partition_by="table"
+            ),
+        )
+
+    # REPLACE WHERE (r16): Delta's replaceWhere as SQL — atomically
+    # replace exactly the predicate's slice with the source rows (every
+    # one of which must satisfy the predicate; refused otherwise)
+    m = re.fullmatch(
+        r"\s*INSERT\s+INTO\s+(\w+)\s+REPLACE\s+WHERE\s+(.+?)\s+"
+        r"((?:SELECT|VALUES|WITH|TABLE)\b.+?)\s*;?\s*",
+        query,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, pred, src_sql = m.group(1), m.group(2), m.group(3)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        df = _bind_insert_df(
+            spark, root, src_sql,
+            spark.sql(resolve_time_travel(spark, src_sql)),
+        )
+        return done(
+            "replace_where", name, root,
+            tf.snapshot_overwrite_where(spark, root, df, pred),
+        )
+
+    # INSERT OVERWRITE (r16): full-table overwrite through the catalog
+    # (new version lists only the new files; history stays time-
+    # travelable until vacuum), laid out under the recorded spec
+    m = re.fullmatch(
+        r"\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\w+)\s+"
+        r"((?:SELECT|VALUES|WITH|TABLE)\b.+?)\s*;?\s*",
+        query,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, src_sql = m.group(1), m.group(2)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        df = _bind_insert_df(
+            spark, root, src_sql,
+            spark.sql(resolve_time_travel(spark, src_sql)),
+        )
+        return done(
+            "insert_overwrite", name, root,
+            tf.snapshot_write(
+                spark, df, root, "overwrite", partition_by="table"
             ),
         )
 

@@ -1984,10 +1984,25 @@ def snapshot_row_changes(
                 )
                 .drop(_POS_FILE, _POS_IDX)
             )
-            ctype = "update_preimage" if post is not None else "delete"
+            # replaceWhere (r16): no row identity links the removed
+            # slice to its replacement — delete + insert, never update
+            # pairs (Delta CDF classifies replaceWhere the same way)
+            ctype = (
+                "delete"
+                if post is None or op == "overwrite_where"
+                else "update_preimage"
+            )
             parts.append(align(pre, ctype, v))
             if post is not None:
-                parts.append(align(post, "update_postimage", v))
+                parts.append(
+                    align(
+                        post,
+                        "insert"
+                        if op == "overwrite_where"
+                        else "update_postimage",
+                        v,
+                    )
+                )
         elif post is not None:
             parts.append(align(post, "insert", v))
         prev = m
@@ -2970,6 +2985,141 @@ def snapshot_update_where(
             root,
             b,
             "update",
+            carry_from=m2,
+            new_segment=seg,
+            new_pos_delete_segment=dseg,
+            schema=(
+                _merge_schema(m2["schema"], new_schema)
+                if m2.get("schema") is not None
+                else None
+            ),
+        )
+
+    return snapshot_commit_retry(attempt, retries)
+
+
+def snapshot_overwrite_where(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    condition,
+    retries: int = _COMMIT_RETRIES,
+) -> int:
+    """SELECTIVE OVERWRITE — Delta's ``replaceWhere`` (r16): atomically
+    replace EXACTLY the rows matching ``condition`` with ``df``'s rows,
+    in one commit. The backfill verb at 100 TB — rewrite one day's
+    slice of a petabyte table without touching (or scanning) the rest:
+    cost is O(matched-file positions + new data), never O(table).
+
+    Semantics (the Delta rule that makes the op an exact slice
+    replacement): every incoming row MUST satisfy ``condition`` —
+    refused otherwise, because a row outside the predicate would
+    silently survive the NEXT replace of the same slice. Matched
+    current rows are position-deleted (zero data rewrite); ``df`` lands
+    as new files under the table's RECORDED partition spec (backfilled
+    slices keep pruning). An empty ``df`` deletes the slice; a
+    predicate matching nothing is a plain validated append of ``df``.
+    Time travel shows the pre-replace state; row/streaming CDC emit
+    ``delete`` + ``insert`` (no row identity links old slice to new —
+    Delta CDF classifies replaceWhere the same way).
+
+    Concurrency: the same stale-address validation as
+    :func:`snapshot_delete_where` refuses if a concurrent
+    compact/overwrite moved the matched files; constraint TOCTOU
+    re-checks mirror :func:`snapshot_write`."""
+    base = latest_version(root)
+    if base == 0:
+        raise ValueError(
+            "cannot overwrite_where an empty table — snapshot_write the "
+            "initial data first"
+        )
+    m = _read_manifest(root, base)
+    ents = _entries(m, root)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    # a NULL predicate result does not satisfy the predicate (SQL WHERE
+    # semantics on both sides: such a row neither matches for deletion
+    # nor is accepted as a replacement)
+    n_bad = df.filter(~F.coalesce(cond, F.lit(False))).count()
+    if n_bad:
+        raise ValueError(
+            f"overwrite_where: {n_bad} incoming row(s) do not satisfy "
+            f"the replace predicate — every replacement row must match "
+            "it, or the next replace of the same slice would silently "
+            "keep them (Delta replaceWhere rule)"
+        )
+    matched = (
+        _assemble(spark, root, m, ents, with_positions=True).filter(cond)
+        if ents
+        else None
+    )
+    spec = m.get("partition_spec") or None
+    if spec:
+        partial = _write_partitioned_data_files(df, root, spec)
+    else:
+        partial = [
+            {"path": p} for p in _write_data_files(df, root, prefix="rw")
+        ]
+    new_files = [e["path"] for e in partial]
+    _enforce_constraints(
+        spark.read.parquet(*[os.path.join(root, p) for p in new_files])
+        if new_files
+        else df.limit(0),
+        m.get("constraints") or {},
+        f"snapshot_overwrite_where on {root}",
+    )
+    new_stats = _file_stats(root, new_files)
+    dkey = m.get("delete_key")
+    kidxs = _write_key_indexes(root, new_files, dkey) if dkey else {}
+    seg = _write_segment(
+        root,
+        [
+            {
+                **e,
+                "stats": new_stats[e["path"]],
+                **(
+                    {"kidx": kidxs[e["path"]]}
+                    if e["path"] in kidxs
+                    else {}
+                ),
+            }
+            for e in partial
+        ],
+    )
+    named, pdel_files = (
+        _stage_position_deletes(spark, root, matched, ents)
+        if ents
+        else ([], [])
+    )
+    dseg = (
+        _write_segment(root, [{"path": p} for p in pdel_files])
+        if named
+        else None
+    )
+    new_schema = _schema_of(df)
+    validated = {"cons": m.get("constraints") or {}}
+
+    def attempt() -> int:
+        b = latest_version(root)
+        m2 = _read_manifest(root, b)
+        if named:
+            _validate_predicate_commit(
+                root, m, m2, named, "overwrite_where"
+            )
+        cur_cons = m2.get("constraints") or {}
+        if cur_cons != validated["cons"] and new_files:
+            _enforce_constraints(
+                spark.read.parquet(
+                    *[os.path.join(root, p) for p in new_files]
+                ),
+                cur_cons,
+                f"snapshot_overwrite_where on {root} (constraints "
+                "changed concurrently)",
+            )
+            validated["cons"] = cur_cons
+        return _commit(
+            root,
+            b,
+            "overwrite_where",
             carry_from=m2,
             new_segment=seg,
             new_pos_delete_segment=dseg,

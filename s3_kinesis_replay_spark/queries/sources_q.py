@@ -2665,6 +2665,110 @@ def a23c_composite_key_merge(spark, sf_dir):
 
 
 @register(
+    "a27_replace_where",
+    "A8",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_id < 8000
+    ),
+    repl AS (
+      SELECT user_id * 100000 + 7 AS event_id, user_id,
+             'click' AS event_type,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+               AS value
+      FROM base WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT event_id, user_id, event_type, value,
+           'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+    FROM base WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, user_id, event_type, value,
+           'insert', CAST(2 AS BIGINT)
+    FROM repl
+    """,
+    note="SELECTIVE OVERWRITE — Delta's replaceWhere (r16): `INSERT "
+    "INTO t REPLACE WHERE pred (q)` / snapshot_overwrite_where "
+    "atomically replaces EXACTLY the predicate's slice with the "
+    "source rows in ONE commit — the backfill verb at 100 TB "
+    "(rewrite one day of a petabyte table without scanning the "
+    "rest): matched current rows position-delete (zero data "
+    "rewrite), replacement files land under the table's recorded "
+    "partition spec, cost O(matched-file positions + new data). The "
+    "Delta rule is enforced: every incoming row must satisfy the "
+    "predicate (refused otherwise — a row outside it would silently "
+    "survive the NEXT replace of the same slice); NULL predicate "
+    "rows neither match nor are accepted. Row/streaming CDC classify "
+    "the commit as delete + insert (no row identity links the old "
+    "slice to its replacement — Delta CDF's classification); time "
+    "travel shows the pre-replace state; the same stale-address "
+    "validation as DELETE WHERE refuses over a concurrent "
+    "compact/overwrite. The entry collapses the 'click' slice to "
+    "one aggregate row per user through the SQL verb, gates single-"
+    "commit atomicity, the predicate-violation refusal, and time "
+    "travel, and returns the row-level CDC feed across the replace — "
+    "hash-matched against the CTE replay (old slice as deletes, "
+    "aggregated replacement as inserts). INSERT OVERWRITE t (q) "
+    "ships alongside as the catalog's full-table overwrite.",
+)
+def a27_replace_where(spark, sf_dir):
+    import tempfile
+
+    from s3_kinesis_replay_spark.engine import Engine
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = tempfile.mkdtemp(prefix="skr_rw_")
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.sql(
+        f"CREATE TABLE events_rw LOCATION '{root}' AS "
+        "SELECT event_id, user_id, event_type, "
+        "CAST(value AS DOUBLE) AS value "
+        "FROM events WHERE event_id < 8000"
+    )
+    base_n = eng.sql("SELECT COUNT(*) AS n FROM events_rw").collect()[0]["n"]
+    eng.sql(
+        """
+        INSERT INTO events_rw REPLACE WHERE event_type = 'click'
+        SELECT user_id * 100000 + 7 AS event_id, user_id,
+               'click' AS event_type,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+                 AS value
+        FROM events WHERE event_id < 8000 AND event_type = 'click'
+        GROUP BY user_id
+        """
+    )
+    ops = [
+        r["operation"] for r in tf.snapshot_history(spark, root).collect()
+    ]
+    if ops != ["overwrite", "overwrite_where"]:
+        raise RuntimeError(
+            f"a27 gate FAILED: expected one atomic replace commit, "
+            f"got history {ops}"
+        )
+    try:
+        eng.sql(
+            "INSERT INTO events_rw REPLACE WHERE event_type = 'click' "
+            "VALUES (1, 1, 'view', 0.0)"
+        )
+        raise RuntimeError(
+            "a27 gate FAILED: a replacement row OUTSIDE the predicate "
+            "was accepted"
+        )
+    except ValueError:
+        pass
+    if tf.snapshot_read(spark, root, 1).count() != base_n:
+        raise RuntimeError(
+            "a27 gate FAILED: time travel to the pre-replace version "
+            "does not show the original slice"
+        )
+    out = tf.snapshot_row_changes(spark, root, 1, 2).select(
+        "event_id", "user_id", "event_type", "value",
+        "_change_type", "_commit_version",
+    )
+    return _materialize_and_cleanup(spark, out, root)
+
+
+@register(
     "a26_minor_compaction",
     "A8",
     """

@@ -463,7 +463,14 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 parts.extend(pre_parts)
                 prev = m
                 continue
-            post_type = "update_postimage" if new_pdel else "insert"
+            # replaceWhere (r16): the removed slice and its replacement
+            # share no row identity — delete + insert, never update
+            # pairs (same classification as batch snapshot_row_changes)
+            post_type = (
+                "insert"
+                if op == "overwrite_where" or not new_pdel
+                else "update_postimage"
+            )
             for e in new_data:
                 parts.append(
                     ChangePartition(
@@ -476,7 +483,11 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     )
                 )
             if new_pdel:
-                pre_type = "update_preimage" if new_data else "delete"
+                pre_type = (
+                    "update_preimage"
+                    if new_data and op != "overwrite_where"
+                    else "delete"
+                )
                 named = self._addressed_files(new_pdel)
                 for rel in named:
                     parts.append(

@@ -7350,3 +7350,76 @@ def test_r16_review_fixes(spark, tmp_path, monkeypatch):
     )
     rows = {r["k"]: r["v"] for r in tf.snapshot_read(spark, root3).collect()}
     assert rows == {1: 17, 2: 20, 9: 900}
+
+
+def test_r16_overwrite_where(spark, tmp_path):
+    """replaceWhere edge semantics beyond the a27 entry: empty-source
+    replace deletes the slice; a predicate matching nothing is a plain
+    validated append; replacement files follow the recorded partition
+    spec; NULL predicate rows are refused as replacements; streaming
+    CDC labels the commit delete + insert."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        register_changes_source,
+    )
+
+    root = str(tmp_path / "rw")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [(d, i, i * 10) for d in ("a", "b") for i in range(4)],
+            "day string, id long, v long",
+        ),
+        root,
+        "overwrite",
+        partition_by=["day"],
+    )
+    # empty replacement deletes the slice
+    empty = spark.createDataFrame([], "day string, id long, v long")
+    v = tf.snapshot_overwrite_where(spark, root, empty, "day = 'a'")
+    assert v == 2
+    assert sorted(
+        r["day"] for r in tf.snapshot_read(spark, root).collect()
+    ) == ["b"] * 4
+    # predicate matching nothing = validated append of the new slice
+    fresh = spark.createDataFrame([("c", 9, 90)], "day string, id long, v long")
+    tf.snapshot_overwrite_where(spark, root, fresh, "day = 'c'")
+    assert tf.snapshot_read(spark, root).count() == 5
+    # the replacement landed under the recorded partition spec
+    m = tf._read_manifest(root, tf.latest_version(root))
+    new_ents = [
+        e
+        for e in tf._entries(m, root)
+        if (e.get("partition") or {}).get("day") == "c"
+    ]
+    assert new_ents, "replacement file lacks its partition descriptor"
+    # NULL predicate rows refused as replacements
+    nul = spark.createDataFrame([(None, 1, 1)], "day string, id long, v long")
+    with _pytest.raises(ValueError, match="do not satisfy"):
+        tf.snapshot_overwrite_where(spark, root, nul, "day = 'b'")
+    # streaming CDC: delete + insert, never update pairs
+    register_changes_source(spark)
+    repl = spark.createDataFrame([("b", 99, 990)], "day string, id long, v long")
+    tf.snapshot_overwrite_where(spark, root, repl, "day = 'b'")
+    out = str(tmp_path / "rw-out")
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root)
+        .option("starting_version", str(tf.latest_version(root) - 1))
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", out + "-ck")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["_change_type"], r["id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        ("delete", 0), ("delete", 1), ("delete", 2), ("delete", 3),
+        ("insert", 99),
+    ]
