@@ -849,6 +849,42 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
             "operation string, target string, version int",
         )
 
+    # SHALLOW CLONE (r16): fork a registered table at a version/tag
+    # into an empty location, zero data copied (hard-linked files +
+    # verbatim metadata chain — history, time travel, CDC, and tags up
+    # to the clone point all work on the clone)
+    m = re.fullmatch(
+        r"\s*CREATE\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+SHALLOW\s+"
+        r"CLONE\s+(\w+)(?:\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'(\w+)'))?"
+        r"\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    )
+    if m:
+        name, root, src_name = m.group(1), m.group(2), m.group(3)
+        src_root = _SNAPSHOT_ROOTS.get(src_name)
+        if src_root is None:
+            raise ValueError(
+                f"SHALLOW CLONE: {src_name!r} is not a registered "
+                "snapshot table"
+            )
+        if name not in _SNAPSHOT_ROOTS and spark.catalog.tableExists(name):
+            raise ValueError(
+                f"SHALLOW CLONE: {name!r} already names a registered "
+                "view — pick another name or drop the view first"
+            )
+        at = (
+            int(m.group(4))
+            if m.group(4)
+            else (m.group(5) if m.group(5) else None)
+        )
+        v = tf.snapshot_clone(src_root, root, at)
+        register_snapshot_table(spark, name, root)
+        return spark.createDataFrame(
+            [("clone", name, v)],
+            "operation string, target string, version int",
+        )
+
     m = re.fullmatch(
         r"\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*",
         query,

@@ -2769,6 +2769,127 @@ def a27_replace_where(spark, sf_dir):
 
 
 @register(
+    "a28_shallow_clone",
+    "A8",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_id < 6000
+    ),
+    kept AS (
+      SELECT * FROM base WHERE event_id % 5 <> 0
+    ),
+    cloned AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'click' THEN value * 2 ELSE value END
+               AS value
+      FROM kept
+    )
+    SELECT 'src' AS side, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS sv
+    FROM kept
+    UNION ALL
+    SELECT 'clone', CAST(COUNT(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+    FROM cloned
+    """,
+    note="SHALLOW CLONE (r16): `CREATE TABLE t2 LOCATION p SHALLOW "
+    "CLONE t [VERSION AS OF v|'tag']` / snapshot_clone forks a table "
+    "with ZERO data bytes copied — the experimentation verb at 100 TB "
+    "('a writable copy of prod' must not mean copying 100 TB). Every "
+    "data/delete/pos-delete file plus kidx and CDC-plan sidecars is "
+    "HARD-LINKED (same inode; EXDEV falls back per-file to copy) and "
+    "the manifest+segment chain to the clone point is copied verbatim "
+    "(entry paths are root-relative), so the clone keeps the source's "
+    "whole retained history — time travel, batch/streaming CDC, "
+    "DESCRIBE HISTORY, and tags at or before the clone point all work "
+    "on the clone, richer than Delta's shallow clone (whose history "
+    "starts at the clone commit). The tables then evolve "
+    "independently: fresh-uuid file names can never collide, and "
+    "vacuum on either side unlinks only that root's directory "
+    "entries — the shared inode survives until the last referent "
+    "drops it (the local-FS analogue of the reference counting / "
+    "absolute-path-reference design an object store needs). The entry "
+    "CTAS-builds a table, position-deletes a slice, clones through "
+    "the SQL verb, doubles 'click' values ON THE CLONE ONLY, and "
+    "gates: the source head did not move, the clone time-travels to "
+    "pre-delete state, the clone's files share inodes with the "
+    "source's, and both final states hash-match the CTE replay of "
+    "the two divergent lineages. Cost: O(files) metadata ops, zero "
+    "data I/O.",
+)
+def a28_shallow_clone(spark, sf_dir):
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from s3_kinesis_replay_spark.engine import Engine
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = tempfile.mkdtemp(prefix="skr_clsrc_")
+    root2 = _os.path.join(tempfile.mkdtemp(prefix="skr_cldst_"), "t")
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.sql(
+        f"CREATE TABLE events_cl LOCATION '{root}' AS "
+        "SELECT event_id, user_id, event_type, "
+        "CAST(value AS DOUBLE) AS value "
+        "FROM events WHERE event_id < 6000"
+    )
+    eng.sql("DELETE FROM events_cl WHERE event_id % 5 = 0")
+    eng.sql(
+        f"CREATE TABLE events_cl2 LOCATION '{root2}' "
+        "SHALLOW CLONE events_cl"
+    )
+    eng.sql(
+        "UPDATE events_cl2 SET value = value * 2 "
+        "WHERE event_type = 'click'"
+    )
+    if tf.latest_version(root) != 2:
+        raise RuntimeError(
+            "a28 gate FAILED: the clone's commit moved the SOURCE head "
+            f"(source at v{tf.latest_version(root)}, expected 2)"
+        )
+    if tf.latest_version(root2) != 3:
+        raise RuntimeError(
+            f"a28 gate FAILED: clone head v{tf.latest_version(root2)}, "
+            "expected inherited v2 + one update = v3"
+        )
+    n_base = eng.sql(
+        "SELECT COUNT(*) AS n FROM events_cl2 VERSION AS OF 1"
+    ).collect()[0]["n"]
+    if n_base != tf.snapshot_read(spark, root, 1).count():
+        raise RuntimeError(
+            "a28 gate FAILED: clone time travel to v1 does not show "
+            "the pre-delete state"
+        )
+    ent = tf._entries(tf._read_manifest(root2, 2), root2)[0]
+    st_src = _os.stat(_os.path.join(root, ent["path"]))
+    st_cl = _os.stat(_os.path.join(root2, ent["path"]))
+    if st_src.st_ino != st_cl.st_ino:
+        raise RuntimeError(
+            "a28 gate FAILED: cloned data file is a copy, not a "
+            "hard link — the clone moved data bytes"
+        )
+    out = eng.sql(
+        """
+        SELECT 'src' AS side, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+                 AS sv
+        FROM events_cl
+        UNION ALL
+        SELECT 'clone', CAST(COUNT(*) AS BIGINT),
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+        FROM events_cl2
+        """
+    )
+    rows = out.collect()
+    _shutil.rmtree(root, ignore_errors=True)
+    _shutil.rmtree(_os.path.dirname(root2), ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "a26_minor_compaction",
     "A8",
     """

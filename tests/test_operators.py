@@ -7423,3 +7423,77 @@ def test_r16_overwrite_where(spark, tmp_path):
         ("delete", 0), ("delete", 1), ("delete", 2), ("delete", 3),
         ("insert", 99),
     ]
+
+
+def test_r16_shallow_clone(spark, tmp_path):
+    """Clone semantics beyond the a28 entry: retained history, CDC and
+    tags carry to the clone point; both tables evolve independently in
+    BOTH directions; vacuuming the source never breaks the clone
+    (hard-linked inodes); refusals are loud."""
+    import os
+
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(10)], "k long, v long"
+        ),
+        src,
+        "overwrite",
+    )
+    tf.snapshot_delete(
+        spark, src, spark.createDataFrame([(3,)], "k long"), "k"
+    )
+    tf.snapshot_tag(src, "pinned", 2)
+    tf.snapshot_merge(
+        spark, src,
+        spark.createDataFrame([(5, 500), (20, 2000)], "k long, v long"),
+        "k",
+    )
+    with _pytest.raises(ValueError, match="empty"):
+        tf.snapshot_clone(str(tmp_path / "void"), dst)
+    with _pytest.raises(FileNotFoundError):
+        tf.snapshot_clone(src, dst, 99)
+    assert tf.snapshot_clone(src, dst, "pinned") == 2
+    # clone at the tag: no merge yet, tag itself carried
+    assert tf.latest_version(dst) == 2
+    assert tf.resolve_ref(dst, "pinned") == 2
+    assert tf.snapshot_read(spark, dst).count() == 9
+    assert tf.snapshot_read(spark, dst, 1).count() == 10
+    got = sorted(
+        (r["_change_type"], r["k"])
+        for r in tf.snapshot_row_changes(spark, dst, 1, 2).collect()
+    )
+    assert got == [("delete", 3)]
+    with _pytest.raises(ValueError, match="already holds"):
+        tf.snapshot_clone(src, dst)
+    # independent evolution, both directions
+    tf.snapshot_write(
+        spark, spark.createDataFrame([(50, 1)], "k long, v long"),
+        dst, "append",
+    )
+    tf.snapshot_write(
+        spark, spark.createDataFrame([(60, 1)], "k long, v long"),
+        src, "append",
+    )
+    assert sorted(
+        r["k"] for r in tf.snapshot_read(spark, dst).collect()
+    ) == [0, 1, 2, 4, 5, 6, 7, 8, 9, 50]
+    assert 60 in {r["k"] for r in tf.snapshot_read(spark, src).collect()}
+    assert 50 not in {
+        r["k"] for r in tf.snapshot_read(spark, src).collect()
+    }
+    # hard links: zero data bytes moved
+    p = tf._entries(tf._read_manifest(dst, 2), dst)[0]["path"]
+    assert (
+        os.stat(os.path.join(src, p)).st_ino
+        == os.stat(os.path.join(dst, p)).st_ino
+    )
+    # source vacuum can't break the clone's history
+    tf.snapshot_vacuum(src, keep_last=1, min_age_s=0)
+    assert tf.snapshot_read(spark, dst, 1).count() == 10
