@@ -1267,6 +1267,22 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
             "operation string, target string, version int",
         )
 
+    # RESTORE (r16): Delta's `RESTORE TABLE t TO VERSION AS OF v` —
+    # metadata-only rollback; the undone commits stay time-travelable
+    m = re.fullmatch(
+        r"\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+"
+        r"(?:(\d+)|'(\w+)')\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    )
+    if m:
+        name = m.group(1)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        at = int(m.group(2)) if m.group(2) else m.group(3)
+        return done("restore", name, root, tf.snapshot_restore(root, at))
+
     # Maintenance/introspection verbs (r14 — Delta ships DESCRIBE
     # HISTORY / VACUUM / OPTIMIZE as SQL; same textual pre-pass). These
     # return their own result shapes, not the (op, target, version) row.

@@ -7497,3 +7497,47 @@ def test_r16_shallow_clone(spark, tmp_path):
     # source vacuum can't break the clone's history
     tf.snapshot_vacuum(src, keep_last=1, min_age_s=0)
     assert tf.snapshot_read(spark, dst, 1).count() == 10
+
+
+def test_r16_sql_restore(spark, tmp_path):
+    """RESTORE TABLE t TO VERSION AS OF v|'tag' — the SQL surface over
+    snapshot_restore: metadata-only rollback, undone commits stay
+    time-travelable, the registered view re-registers at the restored
+    state, and a tag literal resolves like every other ref."""
+    from s3_kinesis_replay_spark.catalog import (
+        register_snapshot_table,
+        resolve_dml,
+    )
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "rt")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        root,
+        "overwrite",
+    )
+    tf.snapshot_tag(root, "good")
+    tf.snapshot_write(
+        spark, spark.createDataFrame([(3, 30)], "k long, v long"),
+        root, "append",
+    )
+    tf.snapshot_write(
+        spark, spark.createDataFrame([(9, 90)], "k long, v long"),
+        root, "overwrite",
+    )  # the fat-finger overwrite
+    register_snapshot_table(spark, "rt_tbl", root)
+    out = resolve_dml(spark, "RESTORE TABLE rt_tbl TO VERSION AS OF 2")
+    assert out.collect()[0]["operation"] == "restore"
+    assert sorted(
+        r["k"] for r in spark.sql("SELECT * FROM rt_tbl").collect()
+    ) == [1, 2, 3]
+    # tag literal form; restoring below the tag point
+    resolve_dml(spark, "RESTORE TABLE rt_tbl TO VERSION AS OF 'good'")
+    assert sorted(
+        r["k"] for r in spark.sql("SELECT * FROM rt_tbl").collect()
+    ) == [1, 2]
+    # forensic trail intact
+    assert sorted(
+        r["k"] for r in tf.snapshot_read(spark, root, 3).collect()
+    ) == [9]
