@@ -84,6 +84,8 @@ EXTRAS_ALWAYS: list[str] = [
     "a15v_partition_spec_evolution",  # SET PARTITION SPEC, two-era pruning
     "p26_matview_refresh_on_commit",  # on-commit differential refresh
     "a26_minor_compaction",    # OPTIMIZE BINPACK, O(small files) rewrite
+    "a27_replace_where",       # Delta replaceWhere: atomic slice replace
+    "a28_shallow_clone",       # zero-copy fork, hard-linked history
     # a21/a22 are NOT benched: they BUILD a live table per run by design
     # (constraint refusals / WAP conflict need fresh mutable state), so
     # timing them measures fixture construction — same convention as the

@@ -4783,19 +4783,26 @@ def snapshot_clone(
     retained = [v for v in versions(src_root) if v <= v_to]
     os.makedirs(_manifest_dir(dst_root), exist_ok=True)
     linked: set[str] = set()
+    # segments are immutable and SHARED across the manifest chain
+    # (manifest v carries ~v descriptors) — process each segment once
+    # or the clone walk goes O(commits^2) (caught by the r16 scale
+    # probe: 128 commits = ~8k redundant segment loads)
+    seg_done: set[str] = set()
 
     def link_rel(rel: str, required: bool) -> None:
         if rel in linked:
             return
-        linked.add(rel)
         src = os.path.join(src_root, rel)
         if not os.path.exists(src):
+            # NOT marked done: if the live manifest later requires this
+            # file, its pass must still reach the refusal below
             if required:
                 raise FileNotFoundError(
                     f"clone of {src_root}@v{v_to}: live file {rel} is "
                     "missing — the source is corrupt"
                 )
             return  # vacuumed historical file: same dangle as source
+        linked.add(rel)
         _link_or_copy(src, os.path.join(dst_root, rel))
         kidx = src + ".kidx"
         if os.path.exists(kidx):
@@ -4814,6 +4821,9 @@ def snapshot_clone(
                             f"v{v_to} is missing"
                         )
                     continue
+                if desc["path"] in seg_done and not live:
+                    continue
+                seg_done.add(desc["path"])
                 _link_or_copy(
                     seg_src, os.path.join(dst_root, desc["path"])
                 )
