@@ -849,6 +849,49 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
             "operation string, target string, version int",
         )
 
+    # CREATE TABLE with a declared schema (r16): empty v1 recording the
+    # schema; first INSERT lands as v2
+    m = re.fullmatch(
+        r"\s*CREATE\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s*"
+        r"\(\s*(.+?)\s*\)\s*;?\s*",
+        query,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, root, cols = m.group(1), m.group(2), m.group(3)
+        if name not in _SNAPSHOT_ROOTS and spark.catalog.tableExists(name):
+            raise ValueError(
+                f"CREATE TABLE: {name!r} already names a registered "
+                "view — pick another name or drop the view first"
+            )
+        v = tf.snapshot_create_table(spark, root, cols)
+        register_snapshot_table(spark, name, root)
+        return spark.createDataFrame(
+            [("create", name, v)],
+            "operation string, target string, version int",
+        )
+
+    # CONVERT (r16): adopt an existing plain-parquet directory in place
+    # (Delta's CONVERT TO DELTA) — zero bytes rewritten
+    m = re.fullmatch(
+        r"\s*CONVERT\s+TO\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s*;?\s*",
+        query,
+        re.IGNORECASE,
+    )
+    if m:
+        name, root = m.group(1), m.group(2)
+        if name not in _SNAPSHOT_ROOTS and spark.catalog.tableExists(name):
+            raise ValueError(
+                f"CONVERT: {name!r} already names a registered view — "
+                "pick another name or drop the view first"
+            )
+        v = tf.snapshot_convert(spark, root)
+        register_snapshot_table(spark, name, root)
+        return spark.createDataFrame(
+            [("convert", name, v)],
+            "operation string, target string, version int",
+        )
+
     # SHALLOW CLONE (r16): fork a registered table at a version/tag
     # into an empty location, zero data copied (hard-linked files +
     # verbatim metadata chain — history, time travel, CDC, and tags up

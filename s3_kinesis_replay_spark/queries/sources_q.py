@@ -2890,6 +2890,91 @@ def a28_shallow_clone(spark, sf_dir):
 
 
 @register(
+    "a29_convert_in_place",
+    "A8",
+    """
+    WITH plain AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_id < 7000
+    ),
+    kept AS (
+      SELECT * FROM plain WHERE event_id % 7 <> 0
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS sv
+    FROM kept GROUP BY event_type
+    """,
+    note="IN-PLACE CONVERSION (r16 — Delta's `CONVERT TO DELTA "
+    "parquet.`path``, the migration verb): `CONVERT TO TABLE t "
+    "LOCATION p` / snapshot_convert adopts an EXISTING plain-parquet "
+    "directory as a snapshot table by committing a v1 manifest that "
+    "references the files where they already sit — zero bytes "
+    "rewritten, O(files) footer reads for stats; at 100 TB this is "
+    "adopting the format today vs a week-long rewrite. After "
+    "conversion every verb applies (DML, MERGE, CDC, constraints, "
+    "clone, time travel from the conversion point). Hive-partitioned "
+    "layouts refuse loudly (their partition values live only in "
+    "directory names, which the explicit-file-list readers cannot "
+    "reproduce — CTAS with partition_by is the stated path). The "
+    "sibling `CREATE TABLE t LOCATION p (col type, ...)` declared-"
+    "schema empty-table form also ships this round (schema-validated "
+    "metadata-only v1; typed empty reads; first INSERT is v2). The "
+    "entry writes an events slice as PLAIN parquet, converts it, "
+    "gates zero-rewrite (inode identity) + the conversion op, deletes "
+    "a slice through ordinary DML, and hash-matches the surviving "
+    "aggregate state against the CTE replay.",
+)
+def a29_convert_in_place(spark, sf_dir):
+    import os as _os
+    import tempfile
+
+    from s3_kinesis_replay_spark.engine import Engine
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = tempfile.mkdtemp(prefix="skr_cvt_")
+    t(spark, "events", sf_dir).where("event_id < 7000").selectExpr(
+        "event_id", "user_id", "event_type",
+        "CAST(value AS DOUBLE) AS value",
+    ).write.mode("overwrite").parquet(_os.path.join(root, "ingested"))
+    inodes = {
+        p: _os.stat(p).st_ino
+        for p in (
+            _os.path.join(dp, f)
+            for dp, _d, fs in _os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    }
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.sql(f"CONVERT TO TABLE events_cvt LOCATION '{root}'")
+    m = tf._read_manifest(root, 1)
+    if m["operation"] != "convert" or len(tf._entries(m, root)) != len(
+        inodes
+    ):
+        raise RuntimeError(
+            f"a29 gate FAILED: op={m['operation']!r}, "
+            f"{len(tf._entries(m, root))} entries vs {len(inodes)} files"
+        )
+    if any(_os.stat(p).st_ino != i for p, i in inodes.items()):
+        raise RuntimeError(
+            "a29 gate FAILED: conversion rewrote data files"
+        )
+    eng.sql("DELETE FROM events_cvt WHERE event_id % 7 = 0")
+    out = eng.sql(
+        """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+                 AS sv
+        FROM events_cvt GROUP BY event_type
+        """
+    )
+    return _materialize_and_cleanup(spark, out, root)
+
+
+@register(
     "a26_minor_compaction",
     "A8",
     """

@@ -7541,3 +7541,66 @@ def test_r16_sql_restore(spark, tmp_path):
     assert sorted(
         r["k"] for r in tf.snapshot_read(spark, root, 3).collect()
     ) == [9]
+
+
+def test_r16_convert_and_create(spark, tmp_path):
+    """CONVERT TO TABLE (in-place adoption of a plain parquet dir,
+    zero rewrite) and CREATE TABLE (cols) (declared-schema empty
+    table). Hive-partitioned dirs refuse; bad types refuse at create;
+    converted and created tables take ordinary DML."""
+    import os
+
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.catalog import (
+        register_snapshot_table,
+        resolve_dml,
+    )
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    d = str(tmp_path / "plain")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").repartition(
+        4
+    ).write.parquet(d)
+    before = {
+        os.path.join(dp, f): os.stat(os.path.join(dp, f)).st_ino
+        for dp, _dirs, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    v = tf.snapshot_convert(spark, d)
+    assert v == 1
+    m = tf._read_manifest(d, 1)
+    assert m["operation"] == "convert"
+    assert len(tf._entries(m, d)) == len(before)
+    after = {p: os.stat(p).st_ino for p in before}
+    assert before == after, "convert rewrote data files"
+    register_snapshot_table(spark, "cvt_t", d)
+    assert spark.sql("SELECT COUNT(*) AS n FROM cvt_t").collect()[0][
+        "n"
+    ] == 100
+    resolve_dml(spark, "DELETE FROM cvt_t WHERE k % 10 = 0")
+    assert tf.snapshot_read(spark, d).count() == 90
+    with _pytest.raises(ValueError, match="already holds"):
+        tf.snapshot_convert(spark, d)
+
+    hive = str(tmp_path / "hive")
+    spark.range(10).selectExpr(
+        "id AS k", "CAST(id % 2 AS STRING) AS day"
+    ).write.partitionBy("day").parquet(hive)
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        tf.snapshot_convert(spark, hive)
+
+    et = str(tmp_path / "empty")
+    assert tf.snapshot_create_table(spark, et, "k bigint, v double") == 1
+    assert tf.snapshot_read(spark, et).count() == 0
+    assert [f.name for f in tf.snapshot_read(spark, et).schema.fields] == [
+        "k", "v",
+    ]
+    tf.snapshot_write(
+        spark, spark.createDataFrame([(1, 1.5)], "k long, v double"),
+        et, "append",
+    )
+    assert tf.snapshot_read(spark, et).count() == 1
+    with _pytest.raises(Exception):
+        tf.snapshot_create_table(spark, str(tmp_path / "bad"), "k WIBBLE")
