@@ -86,6 +86,8 @@ EXTRAS_ALWAYS: list[str] = [
     "a26_minor_compaction",    # OPTIMIZE BINPACK, O(small files) rewrite
     "a27_replace_where",       # Delta replaceWhere: atomic slice replace
     "a28_shallow_clone",       # zero-copy fork, hard-linked history
+    "a29_convert_in_place",    # adopt plain parquet dir, zero rewrite
+    "a25d_column_defaults",    # sequence-scoped initial defaults
     # a21/a22 are NOT benched: they BUILD a live table per run by design
     # (constraint refusals / WAP conflict need fresh mutable state), so
     # timing them measures fixture construction — same convention as the

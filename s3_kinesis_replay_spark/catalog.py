@@ -1098,12 +1098,14 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
     # form requires a matched closing paren.
     m = re.fullmatch(
         r"\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s+"
-        r"(\w+)\s+([A-Za-z_][A-Za-z0-9_,()<> ]*?)\s*;?\s*",
+        r"(\w+)\s+([A-Za-z_][A-Za-z0-9_,()<> ]*?)"
+        r"(?:\s+DEFAULT\s+(.+?))?\s*;?\s*",
         query,
         re.IGNORECASE,
     ) or re.fullmatch(
         r"\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\(\s*"
-        r"(\w+)\s+([A-Za-z_][A-Za-z0-9_,()<> ]*?)\s*\)\s*;?\s*",
+        r"(\w+)\s+([A-Za-z_][A-Za-z0-9_,()<> ]*?)"
+        r"(?:\s+DEFAULT\s+(.+?))?\s*\)\s*;?\s*",
         query,
         re.IGNORECASE,
     )
@@ -1114,7 +1116,9 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
             return None
         return done(
             "add_column", name, root,
-            tf.snapshot_add_column(spark, root, col, dtype),
+            tf.snapshot_add_column(
+                spark, root, col, dtype, default=m.group(4)
+            ),
         )
 
     m = re.fullmatch(

@@ -479,7 +479,10 @@ def _commit(
     # files' stale bytes answer for the new column — refuse until a
     # compact rewrites the files (the Iceberg field-id rule, expressed
     # with names + an explicit tombstone set).
-    for k2 in ("column_renames", "retired_columns"):
+    # column_defaults (r16, initial defaults) carries the same way: a
+    # carry-less rewrite (compact) drops it because the fresh files
+    # MATERIALIZED the default values through the ordinary read
+    for k2 in ("column_renames", "retired_columns", "column_defaults"):
         if k2 not in manifest and carry_from and carry_from.get(k2):
             manifest[k2] = carry_from[k2]
     reserved: set = set(manifest.get("retired_columns") or [])
@@ -1334,6 +1337,36 @@ def _empty_frame(
     ).limit(0)
 
 
+def _dflt_cols_for(m: dict, seq) -> tuple:
+    """Columns of ``m``'s initial defaults that apply to a data file of
+    sequence ``seq`` — those whose ADD COLUMN commit postdates the file
+    (r16). Unknown (legacy) sequences keep the pre-default NULL-fill."""
+    defaults = m.get("column_defaults") or {}
+    if not defaults or seq is None:
+        return ()
+    types = dict(m.get("schema") or [])
+    return tuple(
+        sorted(
+            c
+            for c, d in defaults.items()
+            if seq < d["seq"] and c in types
+        )
+    )
+
+
+def _with_defaults(df: DataFrame, m: dict, cols: tuple) -> DataFrame:
+    """Overwrite ``cols`` with their recorded default expressions —
+    exact, not coalesce: the caller guarantees every underlying file
+    predates the columns, so no stored value can be clobbered."""
+    defaults = m.get("column_defaults") or {}
+    types = dict(m.get("schema") or [])
+    for c in cols:
+        df = df.withColumn(
+            c, F.expr(defaults[c]["sql"]).cast(types[c])
+        )
+    return df
+
+
 def _assemble(
     spark: SparkSession,
     root: str,
@@ -1360,51 +1393,58 @@ def _assemble(
     schema = m.get("schema")
     renames = m.get("column_renames")
     dels = _delete_entries(m, root)
+    # initial defaults (r16): SEQUENCE-SCOPED like equality deletes —
+    # a default declared at sequence D applies exactly to data files
+    # with sequence < D (they physically predate the column; retired-
+    # name reuse is refused, so no stored value can be misread as
+    # 'absent'). Entries with unknown sequence (legacy) keep the
+    # pre-default NULL-fill. Tables without defaults group identically
+    # to before — same single scan, same plan.
     pos_dels = _pos_delete_entries(m, root)
     need_pos = with_positions or bool(pos_dels)
-    if not dels:
-        out = _read_files(
-            spark, root, _paths(entries), schema,
-            with_positions=need_pos, renames=renames,
+
+    def applicable(e: dict) -> tuple[str, ...]:
+        es = e.get("seq")
+        return tuple(
+            sorted(
+                d["path"]
+                for d in dels
+                if es is None or d.get("seq") is None or d["seq"] > es
+            )
         )
-    else:
 
-        def applicable(e: dict) -> tuple[str, ...]:
-            es = e.get("seq")
-            return tuple(
-                sorted(
-                    d["path"]
-                    for d in dels
-                    if es is None or d.get("seq") is None or d["seq"] > es
-                )
-            )
-
-        groups: dict[tuple[str, ...], list[str]] = {}
-        for e in entries:
-            groups.setdefault(applicable(e), []).append(e["path"])
-        parts = []
-        for app in sorted(groups):
-            df = _read_files(
-                spark, root, groups[app], schema,
+    groups: dict[tuple, list[str]] = {}
+    for e in entries:
+        groups.setdefault(
+            (applicable(e), _dflt_cols_for(m, e.get("seq"))), []
+        ).append(e["path"])
+    parts = []
+    for app, dapp in sorted(groups):
+        df = _with_defaults(
+            _read_files(
+                spark, root, groups[(app, dapp)], schema,
                 with_positions=need_pos, renames=renames,
+            ),
+            m,
+            dapp,
+        )
+        if app:
+            dkl = _key_list(m["delete_key"])
+            keys = (
+                _read_files(spark, root, list(app), None)
+                .select(*dkl)
+                .distinct()
             )
-            if app:
-                dkl = _key_list(m["delete_key"])
-                keys = (
-                    _read_files(spark, root, list(app), None)
-                    .select(*dkl)
-                    .distinct()
-                )
-                df = df.join(F.broadcast(keys), dkl, "left_anti")
-            parts.append(df)
-        out = parts[0]
-        for p in parts[1:]:
-            # a LEGACY schema-less lineage infers each horizon group
-            # independently, so groups can carry different column sets —
-            # NULL-fill the union instead of raising (ADVICE r12); with a
-            # recorded schema every group was read pinned, columns agree,
-            # and allowMissingColumns is inert.
-            out = out.unionByName(p, allowMissingColumns=schema is None)
+            df = df.join(F.broadcast(keys), dkl, "left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        # a LEGACY schema-less lineage infers each horizon group
+        # independently, so groups can carry different column sets —
+        # NULL-fill the union instead of raising (ADVICE r12); with a
+        # recorded schema every group was read pinned, columns agree,
+        # and allowMissingColumns is inert.
+        out = out.unionByName(p, allowMissingColumns=schema is None)
     if pos_dels:
         addrs = (
             spark.read.parquet(
@@ -2039,12 +2079,35 @@ def snapshot_row_changes(
                 r["file_path"]
                 for r in addrs.select("file_path").distinct().collect()
             ]  # bounded: <= #data files the delete touched
-            pre = (
-                _read_files(
-                    spark, root, named, prev.get("schema"),
-                    with_positions=True,
-                    renames=prev.get("column_renames"),
+            # initial defaults (r16): the preimage is 'the rows a
+            # reader saw at v-1', so files predating an ADD COLUMN
+            # DEFAULT surface the default here exactly as _assemble
+            # does — era-grouped like the delete horizon
+            seq_of = {
+                e["path"]: e.get("seq") for e in _entries(prev, root)
+            }
+            eras: dict[tuple, list[str]] = {}
+            for f in named:
+                eras.setdefault(
+                    _dflt_cols_for(prev, seq_of.get(f)), []
+                ).append(f)
+            era_parts = [
+                _with_defaults(
+                    _read_files(
+                        spark, root, files, prev.get("schema"),
+                        with_positions=True,
+                        renames=prev.get("column_renames"),
+                    ),
+                    prev,
+                    dapp,
                 )
+                for dapp, files in sorted(eras.items())
+            ]
+            pre_raw = era_parts[0]
+            for p_ in era_parts[1:]:
+                pre_raw = pre_raw.unionByName(p_)
+            pre = (
+                pre_raw
                 .join(
                     F.broadcast(
                         addrs.select(
@@ -2451,6 +2514,7 @@ def snapshot_add_column(
     name: str,
     dtype: str,
     retries: int = _COMMIT_RETRIES,
+    default: str | None = None,
 ) -> int:
     """ALTER TABLE ... ADD COLUMN (Delta/Iceberg add-column evolution,
     public design) as a METADATA-ONLY commit: extend the recorded
@@ -2462,7 +2526,22 @@ def snapshot_add_column(
     as its canonical simpleString. Refuses: a column that already
     exists (drop/rename don't exist — they would need rewrite or
     name-mapping metadata), and a legacy schema-less lineage (nothing
-    recorded to extend — compact once to record a schema)."""
+    recorded to extend — compact once to record a schema).
+
+    ``default`` (r16 — Iceberg's INITIAL DEFAULT / Delta 3.x column
+    defaults, SEQUENCE-SCOPED): a constant SQL expression recorded in
+    the manifest; rows in files written BEFORE this commit read the
+    default instead of NULL, exactly (those files physically cannot
+    contain the column — retired-name reuse is refused, so no stored
+    NULL can be misread as 'absent'). Files written AFTER the commit
+    are never touched by it: a later writer that stores NULL — or
+    omits the column entirely under narrower-append evolution — reads
+    NULL, the writer's stated value (Iceberg's write-default is the
+    writer's job). Time travel to a pre-default version shows the
+    pre-default world; a compact MATERIALIZES defaults into the
+    rewritten files and drops the mapping. The expression must be
+    deterministic (evaluated twice at declare time; differing results
+    refuse) and castable to the column type."""
     from pyspark.sql.types import DataType
 
     if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
@@ -2471,6 +2550,40 @@ def snapshot_add_column(
         canonical = DataType.fromDDL(dtype).simpleString()
     except Exception as e:
         raise ValueError(f"bad column type {dtype!r}: {e}") from None
+    dval = None
+    if default is not None:
+        try:
+            evals = [
+                spark.range(1)
+                .select(F.expr(default).cast(canonical).alias("d"))
+                .collect()[0]["d"]
+                for _ in range(2)
+            ]
+        except Exception as e:
+            raise ValueError(
+                f"bad DEFAULT {default!r} for type {canonical}: {e}"
+            ) from None
+        if evals[0] != evals[1]:
+            raise ValueError(
+                f"DEFAULT {default!r} is non-deterministic "
+                f"({evals[0]!r} != {evals[1]!r}) — a default must be a "
+                "constant; it is re-evaluated at every read"
+            )
+        import decimal as _dec
+
+        dval = evals[0]
+        if isinstance(dval, _dec.Decimal):
+            dval = str(dval)  # JSON-safe; cast back from string
+        elif not isinstance(dval, (int, float, bool, str, type(None))):
+            # the evaluated value rides in manifest JSON and in
+            # streaming-CDC partition plans (no SparkSession there) —
+            # primitives only; richer types would need a side channel
+            raise ValueError(
+                f"DEFAULT {default!r} evaluates to "
+                f"{type(evals[0]).__name__} — defaults support "
+                "numeric/boolean/string/decimal constants; for other "
+                "types add the column and backfill with UPDATE ... SET"
+            )
     if latest_version(root) == 0:
         raise ValueError("cannot add a column to an empty table")
 
@@ -2498,9 +2611,26 @@ def snapshot_add_column(
                 "snapshot_compact first to rewrite files before reusing "
                 "the name"
             )
+        extra = None
+        if default is not None:
+            extra = {
+                "column_defaults": {
+                    **(m.get("column_defaults") or {}),
+                    # seq = this commit's version: entries with a
+                    # smaller sequence predate the column. "value" is
+                    # the evaluated constant for engines with no
+                    # SparkSession at hand (streaming-CDC workers)
+                    name: {
+                        "sql": default,
+                        "value": dval,
+                        "seq": base + 1,
+                    },
+                }
+            }
         return _commit(
             root, base, "add_column", carry_from=m,
             schema=[*schema, [name, canonical]],
+            extra=extra,
         )
 
     return snapshot_commit_retry(attempt, retries)
@@ -2728,10 +2858,18 @@ def snapshot_rename_column(
         # natively hold the CORRECT data for it, so no mapping (and no
         # retired-name refusal) applies to that hop (review r15)
         renames[new] = [x for x in [*aliases, old] if x != new]
+        extra: dict = {"column_renames": renames}
+        dflts = dict(m.get("column_defaults") or {})
+        if old in dflts:
+            # the default follows the rename (r16): it is keyed by the
+            # CURRENT name because _assemble applies it to the pinned-
+            # schema read, which projects the current name
+            dflts[new] = dflts.pop(old)
+            extra["column_defaults"] = dflts
         return _commit(
             root, base, "rename_column", carry_from=m,
             schema=[[new, t] if c == old else [c, t] for c, t in schema],
-            extra={"column_renames": renames},
+            extra=extra,
         )
 
     return snapshot_commit_retry(attempt, retries)
@@ -2772,13 +2910,18 @@ def snapshot_drop_column(
         aliases = renames.pop(name, [])
         retired = set(m.get("retired_columns") or [])
         retired.update([name, *aliases])
+        extra = {
+            "column_renames": renames,
+            "retired_columns": sorted(retired),
+        }
+        dflts = dict(m.get("column_defaults") or {})
+        if name in dflts:
+            del dflts[name]  # the default dies with the column (r16)
+            extra["column_defaults"] = dflts
         return _commit(
             root, base, "drop_column", carry_from=m,
             schema=[[c, t] for c, t in schema if c != name],
-            extra={
-                "column_renames": renames,
-                "retired_columns": sorted(retired),
-            },
+            extra=extra,
         )
 
     return snapshot_commit_retry(attempt, retries)

@@ -2975,6 +2975,104 @@ def a29_convert_in_place(spark, sf_dir):
 
 
 @register(
+    "a25d_column_defaults",
+    "A8",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_id < 5000
+    ),
+    aug AS (
+      SELECT event_id, user_id, value,
+             CASE WHEN value > 90 THEN 'hot' ELSE 'legacy' END AS tier
+      FROM base
+    ),
+    fresh AS (
+      SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,
+             'fresh' AS tier
+      FROM events WHERE event_id >= 5000 AND event_id < 6000
+    ),
+    allr AS (
+      SELECT * FROM aug UNION ALL SELECT * FROM fresh
+    )
+    SELECT tier, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS sv
+    FROM allr GROUP BY tier
+    """,
+    note="INITIAL COLUMN DEFAULTS (r16 — Iceberg's initial-default / "
+    "Delta 3.x column defaults, SEQUENCE-SCOPED): `ALTER TABLE t ADD "
+    "COLUMN c type DEFAULT constant` records the constant in the "
+    "manifest; rows in files written BEFORE the commit read the "
+    "default instead of NULL — EXACTLY those files (they physically "
+    "cannot contain the column; retired-name reuse is refused, so no "
+    "stored NULL is misread as absence). Files written after are "
+    "never touched: a post-add writer's stored NULL, or an omitted "
+    "column under narrower-append evolution, reads NULL (the "
+    "write-default is the writer's job — Iceberg's split). The read "
+    "path era-groups entries exactly like the delete-horizon "
+    "grouping, so default-free tables keep their single-scan plan; "
+    "batch AND streaming CDC surface identical preimages (the "
+    "evaluated constant rides the manifest so arrow workers need no "
+    "SparkSession); rename moves the default, drop kills it, compact "
+    "materializes it; non-deterministic (rand()) and non-primitive "
+    "defaults refuse at declare time — the constant is double-"
+    "evaluated as the determinism check. The entry adds a defaulted "
+    "tier column over an events slice, UPDATEs a sub-slice THROUGH "
+    "the default-visible predicate, inserts post-default rows, and "
+    "hash-matches the tier aggregate against the CTE replay.",
+)
+def a25d_column_defaults(spark, sf_dir):
+    import tempfile
+
+    from s3_kinesis_replay_spark.engine import Engine
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = tempfile.mkdtemp(prefix="skr_dflt_")
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.sql(
+        f"CREATE TABLE events_dflt LOCATION '{root}' AS "
+        "SELECT event_id, user_id, CAST(value AS DOUBLE) AS value "
+        "FROM events WHERE event_id < 5000"
+    )
+    eng.sql(
+        "ALTER TABLE events_dflt ADD COLUMN tier STRING DEFAULT 'legacy'"
+    )
+    m = tf._read_manifest(root, 2)
+    if m["operation"] != "add_column" or m.get(
+        "column_defaults", {}
+    ).get("tier", {}).get("value") != "legacy":
+        raise RuntimeError(
+            "a25d gate FAILED: ADD COLUMN DEFAULT must be one "
+            f"metadata commit recording the constant — got {m.get('column_defaults')}"
+        )
+    if "tier" in tf.snapshot_read(spark, root, 1).columns:
+        raise RuntimeError(
+            "a25d gate FAILED: time travel below the add shows the column"
+        )
+    # the UPDATE's predicate sees the default on pre-add rows
+    eng.sql(
+        "UPDATE events_dflt SET tier = 'hot' "
+        "WHERE tier = 'legacy' AND value > 90"
+    )
+    eng.sql(
+        "INSERT INTO events_dflt "
+        "SELECT event_id, user_id, CAST(value AS DOUBLE) AS value, "
+        "'fresh' AS tier "
+        "FROM events WHERE event_id >= 5000 AND event_id < 6000"
+    )
+    out = eng.sql(
+        """
+        SELECT tier, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+                 AS sv
+        FROM events_dflt GROUP BY tier
+        """
+    )
+    return _materialize_and_cleanup(spark, out, root)
+
+
+@register(
     "a26_minor_compaction",
     "A8",
     """

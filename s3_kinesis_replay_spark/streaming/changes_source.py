@@ -116,6 +116,11 @@ class ChangePartition(InputPartition):
     # whose key is absent here are DELETES (clause-form merges, r15)
     post_path: str = ""
     post_inline: object = field(default=None, repr=False)
+    # initial defaults (r16): ((col, value), ...) for columns whose ADD
+    # COLUMN DEFAULT postdates this partition's file — the runner ships
+    # the manifest's evaluated constants so the worker (no
+    # SparkSession) surfaces preimages exactly as batch _assemble does
+    defaults: tuple = ()
     arrow_schema: object = field(default=None, repr=False)
 
 
@@ -286,6 +291,39 @@ def _project(tbl, schema):
         else:
             cols.append(pa.nulls(tbl.num_rows, type=fld.type))
     return pa.table(cols, schema=schema)
+
+
+def _dflt_values(m: dict, seq) -> tuple:
+    """((col, value), ...) for this manifest's initial defaults that
+    apply to a file of sequence ``seq`` (r16) — the evaluated constants
+    recorded at declare time, so workers need no SparkSession."""
+    from s3_kinesis_replay_spark.operators.table_format import (
+        _dflt_cols_for,
+    )
+
+    defaults = m.get("column_defaults") or {}
+    return tuple(
+        (c, defaults[c].get("value"))
+        for c in _dflt_cols_for(m, seq)
+    )
+
+
+def _apply_defaults(out, defaults):
+    """Overwrite the defaulted columns with their constants — exact,
+    not coalesce: the runner only ships a default for files that
+    PREDATE the column, so the projected column is all-NULL filler."""
+    import pyarrow as pa
+
+    for c, v in defaults:
+        i = out.schema.get_field_index(c)
+        fld = out.schema.field(i)
+        arr = (
+            pa.nulls(out.num_rows, type=fld.type)
+            if v is None
+            else pa.array([v] * out.num_rows).cast(fld.type)
+        )
+        out = out.set_column(i, fld, arr)
+    return out
 
 
 class SnapshotChangesStreamReader(DataSourceStreamReader):
@@ -489,6 +527,10 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     else "delete"
                 )
                 named = self._addressed_files(new_pdel)
+                seq_of = {
+                    e["path"]: e.get("seq")
+                    for e in _entries(prev, self.root)
+                }
                 for rel in named:
                     parts.append(
                         ChangePartition(
@@ -500,6 +542,9 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                             new_paths=tuple(
                                 os.path.join(self.root, p)
                                 for p in new_pdel
+                            ),
+                            defaults=_dflt_values(
+                                prev, seq_of.get(rel)
                             ),
                             arrow_schema=self._arrow_schema,
                         )
@@ -644,6 +689,7 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     ),
                     prior_eq=applicable,
                     prior_pos=prior_pos,
+                    defaults=_dflt_values(prev, es),
                     arrow_schema=self._arrow_schema,
                 )
             )
@@ -884,15 +930,18 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             mine = addrs.filter(
                 pc.equal(addrs.column("file_path"), p.rel_path)
             ).select(["pos"])
-            out = _project(
-                tbl.append_column("__idx", idx)
-                .join(
-                    mine.rename_columns(["__idx"]).combine_chunks(),
-                    "__idx",
-                    join_type="left semi",
-                )
-                .drop_columns(["__idx"]),
-                data_schema,
+            out = _apply_defaults(
+                _project(
+                    tbl.append_column("__idx", idx)
+                    .join(
+                        mine.rename_columns(["__idx"]).combine_chunks(),
+                        "__idx",
+                        join_type="left semi",
+                    )
+                    .drop_columns(["__idx"]),
+                    data_schema,
+                ),
+                p.defaults,
             )
         else:  # eq_pre: rebuild visibility, then match the new keys
             cur = tbl.append_column("__idx", idx)
@@ -943,7 +992,10 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 kcols,
                 join_type="left semi",
             )
-            out = _project(cur.drop_columns(["__idx"]), data_schema)
+            out = _apply_defaults(
+                _project(cur.drop_columns(["__idx"]), data_schema),
+                p.defaults,
+            )
             if p.merge_pre:
                 # merge preimage split (r15, clause forms): a tombstoned
                 # row whose key has a postimage copy is update_preimage;

@@ -7604,3 +7604,117 @@ def test_r16_convert_and_create(spark, tmp_path):
     assert tf.snapshot_read(spark, et).count() == 1
     with _pytest.raises(Exception):
         tf.snapshot_create_table(spark, str(tmp_path / "bad"), "k WIBBLE")
+
+
+def test_r16_column_defaults(spark, tmp_path):
+    """Initial column defaults (sequence-scoped, Iceberg's model):
+    pre-add files read the default exactly; post-add writers' NULLs
+    (stored or omitted-column) stay NULL; rename moves the default,
+    drop kills it, compact materializes it and drops the mapping;
+    batch and streaming CDC surface identical preimages;
+    non-deterministic and non-primitive defaults refuse."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.operators import table_format as tf
+    from s3_kinesis_replay_spark.streaming.changes_source import (
+        register_changes_source,
+    )
+
+    root = str(tmp_path / "dt")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, s string"
+        ),
+        root,
+        "overwrite",
+    )
+    tf.snapshot_add_column(spark, root, "score", "double", default="0.5")
+    assert {
+        r["k"]: r["score"]
+        for r in tf.snapshot_read(spark, root).collect()
+    } == {1: 0.5, 2: 0.5, 3: 0.5}
+    # post-add writers: stored NULL and omitted column both stay NULL
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [(4, "d", None), (5, "e", 9.0)],
+            "k long, s string, score double",
+        ),
+        root,
+        "append",
+    )
+    tf.snapshot_write(
+        spark, spark.createDataFrame([(6, "f")], "k long, s string"),
+        root, "append",
+    )
+    got = {
+        r["k"]: r["score"]
+        for r in tf.snapshot_read(spark, root).collect()
+    }
+    assert got == {1: 0.5, 2: 0.5, 3: 0.5, 4: None, 5: 9.0, 6: None}
+    # time travel: pre-default world has no column
+    assert "score" not in tf.snapshot_read(spark, root, 1).columns
+    # CDC parity, batch == stream, defaults in preimages
+    register_changes_source(spark)
+    tf.snapshot_delete(
+        spark, root, spark.createDataFrame([(1,)], "k long"), "k"
+    )
+    tf.snapshot_delete_where(spark, root, "k = 2")
+    tf.snapshot_merge(
+        spark, root,
+        spark.createDataFrame(
+            [(3, "z", 7.0)], "k long, s string, score double"
+        ),
+        "k",
+    )
+    batch = sorted(
+        (r["_change_type"], r["k"], r["score"], r["_commit_version"])
+        for r in tf.snapshot_row_changes(spark, root, 4, 7).collect()
+    )
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root).option("starting_version", "4").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", out + "-ck")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    stream = sorted(
+        (r["_change_type"], r["k"], r["score"], r["_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert batch == stream
+    assert ("delete", 1, 0.5, 5) in batch
+    assert ("delete", 2, 0.5, 6) in batch
+    assert ("update_preimage", 3, 0.5, 7) in batch
+    # rename moves the default; drop kills it
+    tf.snapshot_rename_column(spark, root, "score", "quality")
+    assert {
+        r["k"]: r["quality"]
+        for r in tf.snapshot_read(spark, root).collect()
+    }[3] == 7.0
+    m = tf._read_manifest(root, tf.latest_version(root))
+    assert "quality" in m["column_defaults"]
+    tf.snapshot_drop_column(spark, root, "quality")
+    m = tf._read_manifest(root, tf.latest_version(root))
+    assert not m.get("column_defaults")
+    # compact materializes (fresh table to keep it simple)
+    r2 = str(tmp_path / "dt2")
+    tf.snapshot_write(
+        spark, spark.createDataFrame([(1, "a")], "k long, s string"),
+        r2, "overwrite",
+    )
+    tf.snapshot_add_column(spark, r2, "lab", "string", default="'x'")
+    tf.snapshot_compact(spark, r2)
+    m2 = tf._read_manifest(r2, tf.latest_version(r2))
+    assert not m2.get("column_defaults")
+    assert tf.snapshot_read(spark, r2).collect()[0]["lab"] == "x"
+    # refusals
+    with _pytest.raises(ValueError, match="non-deterministic"):
+        tf.snapshot_add_column(spark, r2, "r", "double", default="rand()")
+    with _pytest.raises(ValueError, match="numeric/boolean/string"):
+        tf.snapshot_add_column(
+            spark, r2, "d", "date", default="DATE'2020-01-01'"
+        )
