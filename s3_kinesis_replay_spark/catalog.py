@@ -1449,14 +1449,18 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
 
     m = re.fullmatch(
         r"\s*OPTIMIZE\s+(\w+)\s+BINPACK"
-        r"(?:\s+\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?\s*;?\s*",
+        r"(?:\s+\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?"
+        r"(?:\s+WHERE\s+(.+?))?\s*;?\s*",
         query,
         re.IGNORECASE,
     )
     if m:
         # minor bin-packing compaction (r16): rewrites only files
         # below the threshold — O(small files), never O(table);
-        # optional (small_bytes[, min_files]) operands
+        # optional (small_bytes[, min_files]) operands. WHERE scopes
+        # the pick to one partition: equality conjunctions on the
+        # table's partition transforms ('bin-pack yesterday's
+        # partition, not the table')
         name = m.group(1)
         root = _SNAPSHOT_ROOTS.get(name)
         if root is None:
@@ -1466,6 +1470,26 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
             kw["small_bytes"] = int(m.group(2))
         if m.group(3):
             kw["min_files"] = int(m.group(3))
+        if m.group(4):
+            part: dict = {}
+            for clause in re.split(
+                r"\s+AND\s+", m.group(4), flags=re.IGNORECASE
+            ):
+                pm = re.fullmatch(
+                    r"\s*([\w().]+)\s*=\s*(?:'([^']*)'|(\S+))\s*",
+                    clause,
+                )
+                if not pm:
+                    raise ValueError(
+                        f"OPTIMIZE BINPACK WHERE: {clause.strip()!r} — "
+                        "only equality conjunctions on partition "
+                        "transforms are supported (files are picked "
+                        "by recorded partition value, not row scan)"
+                    )
+                part[pm.group(1)] = (
+                    pm.group(2) if pm.group(2) is not None else pm.group(3)
+                )
+            kw["partition"] = part
         v = tf.snapshot_compact_small(spark, root, **kw)
         return done(
             "optimize_binpack", name, root,

@@ -4149,6 +4149,7 @@ def snapshot_compact_small(
     root: str,
     small_bytes: int = 32 << 20,
     min_files: int = 4,
+    partition: dict | None = None,
 ) -> int | None:
     """MINOR (bin-packing) COMPACTION (r16): rewrite only the LIVE
     data files smaller than ``small_bytes`` into fewer, larger files —
@@ -4190,6 +4191,14 @@ def snapshot_compact_small(
     picked_bytes = 0
     for desc in m.get("segments", []):
         for e in _load_segment(root, desc):
+            if partition is not None:
+                # PARTITION-SCOPED maintenance (r16): at 100 TB you
+                # bin-pack yesterday's partition, not the table — only
+                # entries whose recorded partition values match every
+                # given pair qualify; unpartitioned entries never do
+                pv = e.get("partition") or {}
+                if any(pv.get(k) != v for k, v in partition.items()):
+                    continue
             try:
                 sz = os.path.getsize(os.path.join(root, e["path"]))
             except OSError:

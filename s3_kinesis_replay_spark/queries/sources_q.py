@@ -3102,7 +3102,10 @@ def a25d_column_defaults(spark, sf_dir):
     "post-compact CDC feed sees zero compaction events and exactly "
     "the later append's inserts, and the final state hash-matches the "
     "oracle (a rewrite that resurrected a deleted row or dropped a "
-    "live one mismatches). Cost at 100 TB: O(small files picked) + "
+    "live one mismatches). `OPTIMIZE t BINPACK ... WHERE day = 'x'` "
+    "(r16, late) scopes the pick to ONE partition by recorded "
+    "partition value — bin-pack yesterday's partition, not the "
+    "table. Cost at 100 TB: O(small files picked) + "
     "O(live-file metadata) — never a table rewrite.",
 )
 def a26_minor_compaction(spark, sf_dir):

@@ -7718,3 +7718,53 @@ def test_r16_column_defaults(spark, tmp_path):
         tf.snapshot_add_column(
             spark, r2, "d", "date", default="DATE'2020-01-01'"
         )
+
+
+def test_r16_scoped_binpack(spark, tmp_path):
+    """Partition-scoped minor compaction: OPTIMIZE t BINPACK WHERE
+    day = 'a' rewrites only that partition's small files; the other
+    partition's files survive verbatim; a non-equality WHERE refuses."""
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.catalog import (
+        register_snapshot_table,
+        resolve_dml,
+    )
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "sb")
+    for i in range(5):
+        tf.snapshot_write(
+            spark,
+            spark.createDataFrame(
+                [(d, i * 10 + j) for d in ("a", "b") for j in range(3)],
+                "day string, v long",
+            ),
+            root,
+            "overwrite" if i == 0 else "append",
+            partition_by=["day"],
+        )
+    m0 = tf._read_manifest(root, tf.latest_version(root))
+    b_files = {
+        e["path"]
+        for e in tf._entries(m0, root)
+        if (e.get("partition") or {}).get("day") == "b"
+    }
+    a_files = {
+        e["path"]
+        for e in tf._entries(m0, root)
+        if (e.get("partition") or {}).get("day") == "a"
+    }
+    register_snapshot_table(spark, "sb_t", root)
+    resolve_dml(spark, "OPTIMIZE sb_t BINPACK (1048576, 2) WHERE day = 'a'")
+    m1 = tf._read_manifest(root, tf.latest_version(root))
+    assert m1["operation"] == "compact_small"
+    now = {e["path"] for e in tf._entries(m1, root)}
+    assert b_files <= now, "day=b files were rewritten by a day=a binpack"
+    assert not (a_files & now), "day=a small files survived the binpack"
+    assert tf.snapshot_read(spark, root).count() == 30
+    assert sorted(
+        r["v"] for r in tf.snapshot_read(spark, root).collect()
+    ) == sorted([i * 10 + j for i in range(5) for _d in range(2) for j in range(3)])
+    with _pytest.raises(ValueError, match="equality"):
+        resolve_dml(spark, "OPTIMIZE sb_t BINPACK WHERE day > 'a'")
