@@ -1476,7 +1476,7 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
                 r"\s+AND\s+", m.group(4), flags=re.IGNORECASE
             ):
                 pm = re.fullmatch(
-                    r"\s*([\w().]+)\s*=\s*(?:'([^']*)'|(\S+))\s*",
+                    r"\s*([\w(),. ]+?)\s*=\s*(?:'([^']*)'|(\S+))\s*",
                     clause,
                 )
                 if not pm:
@@ -1488,6 +1488,21 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
                     )
                 part[pm.group(1)] = (
                     pm.group(2) if pm.group(2) is not None else pm.group(3)
+                )
+            # keys must name recorded partition transforms (r16
+            # review): a typo'd or non-partition column would match
+            # zero entries and silently report success
+            spec = tf._read_manifest(root, tf.latest_version(root)).get(
+                "partition_spec"
+            ) or []
+            unknown = [k for k in part if k not in spec]
+            if unknown:
+                raise ValueError(
+                    f"OPTIMIZE BINPACK WHERE: {unknown} are not "
+                    f"partition transforms of {name!r} (recorded spec: "
+                    f"{spec or 'none'}) — files are picked by recorded "
+                    "partition value; a non-partition filter would "
+                    "silently match nothing"
                 )
             kw["partition"] = part
         v = tf.snapshot_compact_small(spark, root, **kw)

@@ -396,6 +396,18 @@ def snapshot_commit_retry(fn: Callable[[], int], retries: int = _COMMIT_RETRIES)
     raise AssertionError("unreachable")
 
 
+def _carried_max_seq(*lists) -> int:
+    """Largest integer sequence among segment descriptors (legacy
+    None-seq descriptors ignored)."""
+    mx = 0
+    for descs in lists:
+        for d in descs:
+            s = d.get("seq")
+            if isinstance(s, int) and s > mx:
+                mx = s
+    return mx
+
+
 def _commit(
     root: str,
     base: int,
@@ -497,23 +509,23 @@ def _commit(
                 "them — snapshot_compact first to rewrite files to the "
                 "current schema before reusing the name"
             )
+    # sequence allocation (r16 review): a new segment's sequence must
+    # exceed EVERY carried descriptor's, not just equal the version.
+    # On an ordinary lineage max(carried) == v-1, so seq == v exactly
+    # as before (every existing manifest byte-identical); on a BRANCH
+    # lineage the fork carries main's descriptors (seqs up to the fork
+    # point) while branch versions restart at 1 — naively stamping
+    # seq=v gave branch-written files sequences BELOW pre-fork
+    # deletes, which then silently suppressed rows appended after the
+    # fork (and mis-scoped sequence-gated column defaults the same
+    # way). max(v, carried+1) keeps branch-added segments strictly
+    # after everything they were forked over, verbatim through
+    # publish, and the first post-publish main commit jumps past them.
     segs = list(carry_from.get("segments", [])) if carry_from else []
-    if new_segment is not None:
-        segs.append({**new_segment, "seq": v})
-    if segs:
-        manifest["segments"] = segs
-    if carry_from and carry_from.get("files"):
-        manifest["files"] = carry_from["files"]  # legacy inline, verbatim
-    dsegs = (
+    dsegs0 = (
         list(carry_from.get("delete_segments", [])) if carry_from else []
     )
-    if new_delete_segment is not None:
-        dsegs.append({**new_delete_segment, "seq": v})
-    if dsegs:
-        manifest["delete_segments"] = dsegs
-    # position-delete state (r13): carried from the base like delete
-    # segments (or passed explicitly by fold, whose carry_from is None)
-    psegs = (
+    psegs0 = (
         list(pos_delete_carry)
         if pos_delete_carry is not None
         else (
@@ -522,8 +534,25 @@ def _commit(
             else []
         )
     )
+    seq_val = max(v, _carried_max_seq(segs, dsegs0, psegs0) + 1)
+    if new_segment is not None:
+        segs.append({**new_segment, "seq": seq_val})
+    if segs:
+        manifest["segments"] = segs
+    if carry_from and carry_from.get("files"):
+        manifest["files"] = carry_from["files"]  # legacy inline, verbatim
+    dsegs = dsegs0
+    if new_delete_segment is not None:
+        # same seq as this commit's data segment: a MERGE's tombstones
+        # must not apply to its own files (strict > applicability)
+        dsegs.append({**new_delete_segment, "seq": seq_val})
+    if dsegs:
+        manifest["delete_segments"] = dsegs
+    # position-delete state (r13): carried from the base like delete
+    # segments (or passed explicitly by fold, whose carry_from is None)
+    psegs = psegs0
     if new_pos_delete_segment is not None:
-        psegs.append({**new_pos_delete_segment, "seq": v})
+        psegs.append({**new_pos_delete_segment, "seq": seq_val})
     if psegs:
         manifest["pos_delete_segments"] = psegs
     if carry_from and carry_from.get("delete_files"):
@@ -1205,9 +1234,17 @@ def snapshot_convert(spark: SparkSession, root: str) -> int:
     if not rel_files:
         raise ValueError(f"no parquet files under {root}")
     rel_files.sort()
-    df = spark.read.parquet(*[os.path.join(root, p) for p in rel_files])
+    # mergeSchema (r16 review): without it Spark infers from ONE
+    # arbitrary footer and silently drops columns the other files
+    # carry — the recorded schema would make them unreadable forever
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, p) for p in rel_files]
+    )
     schema = _schema_of(df)
-    return commit_append_files(root, rel_files, "convert", schema)
+    # retries=0 (r16 review): a CommitConflict means a concurrent
+    # convert/create won the v1 race; a retry would APPEND this
+    # walker's identical file list on top, double-counting every row
+    return commit_append_files(root, rel_files, "convert", schema, retries=0)
 
 
 def snapshot_create_table(
@@ -1225,11 +1262,11 @@ def snapshot_create_table(
             f"(latest v{latest_version(root)})"
         )
     schema = _schema_of(spark.createDataFrame([], ddl))
-
-    def attempt() -> int:
-        return _commit(root, latest_version(root), "create", schema=schema)
-
-    return snapshot_commit_retry(attempt, 1)
+    # NO retry (r16 review): a CommitConflict here means a concurrent
+    # writer created/converted the table first — retrying would commit
+    # a carry-less empty v2 on top, silently truncating the winner's
+    # data. Surface the conflict; the loser must pick another root.
+    return _commit(root, 0, "create", schema=schema)
 
 
 # hidden row-address columns carried only through position-delete reads
@@ -1355,14 +1392,26 @@ def _dflt_cols_for(m: dict, seq) -> tuple:
 
 
 def _with_defaults(df: DataFrame, m: dict, cols: tuple) -> DataFrame:
-    """Overwrite ``cols`` with their recorded default expressions —
+    """Overwrite ``cols`` with their recorded default CONSTANTS —
     exact, not coalesce: the caller guarantees every underlying file
-    predates the columns, so no stored value can be clobbered."""
+    predates the columns, so no stored value can be clobbered. The
+    frozen declare-time value is used, not a re-evaluation of the SQL
+    text (r16 review): an expression like CAST(current_date() AS
+    STRING) passes the immediate double-eval determinism check yet
+    drifts across days/timezones — re-evaluating would make the same
+    pinned version return different bytes on different days and
+    diverge from streaming CDC, which ships the frozen value."""
     defaults = m.get("column_defaults") or {}
     types = dict(m.get("schema") or [])
     for c in cols:
+        d = defaults[c]
         df = df.withColumn(
-            c, F.expr(defaults[c]["sql"]).cast(types[c])
+            c,
+            (
+                F.lit(d["value"])
+                if "value" in d
+                else F.expr(d["sql"])  # pre-"value" manifests only
+            ).cast(types[c]),
         )
     return df
 
@@ -2616,14 +2665,25 @@ def snapshot_add_column(
             extra = {
                 "column_defaults": {
                     **(m.get("column_defaults") or {}),
-                    # seq = this commit's version: entries with a
-                    # smaller sequence predate the column. "value" is
-                    # the evaluated constant for engines with no
+                    # boundary = this commit's would-be sequence (max
+                    # of version and carried seqs + 1, the _commit
+                    # rule): entries with a SMALLER sequence predate
+                    # the column; a tie (the next write) is post-add
+                    # and correctly gets no default. "value" is the
+                    # evaluated constant for engines with no
                     # SparkSession at hand (streaming-CDC workers)
                     name: {
                         "sql": default,
                         "value": dval,
-                        "seq": base + 1,
+                        "seq": max(
+                            base + 1,
+                            _carried_max_seq(
+                                m.get("segments", []),
+                                m.get("delete_segments", []),
+                                m.get("pos_delete_segments", []),
+                            )
+                            + 1,
+                        ),
                     },
                 }
             }
@@ -3252,17 +3312,6 @@ def snapshot_overwrite_where(
     m = _read_manifest(root, base)
     ents = _entries(m, root)
     cond = F.expr(condition) if isinstance(condition, str) else condition
-    # a NULL predicate result does not satisfy the predicate (SQL WHERE
-    # semantics on both sides: such a row neither matches for deletion
-    # nor is accepted as a replacement)
-    n_bad = df.filter(~F.coalesce(cond, F.lit(False))).count()
-    if n_bad:
-        raise ValueError(
-            f"overwrite_where: {n_bad} incoming row(s) do not satisfy "
-            f"the replace predicate — every replacement row must match "
-            "it, or the next replace of the same slice would silently "
-            "keep them (Delta replaceWhere rule)"
-        )
     matched = (
         _assemble(spark, root, m, ents, with_positions=True).filter(cond)
         if ents
@@ -3276,10 +3325,29 @@ def snapshot_overwrite_where(
             {"path": p} for p in _write_data_files(df, root, prefix="rw")
         ]
     new_files = [e["path"] for e in partial]
-    _enforce_constraints(
+    written = (
         spark.read.parquet(*[os.path.join(root, p) for p in new_files])
         if new_files
-        else df.limit(0),
+        else df.limit(0)
+    )
+    # predicate membership is validated on the WRITTEN files, not by
+    # re-executing ``df`` (r16 review — same rule as the constraint
+    # path): a non-deterministic source could pass a pre-write check
+    # and then materialize different, out-of-predicate rows. A NULL
+    # predicate result does not satisfy the predicate (SQL WHERE
+    # semantics on both sides: such a row neither matches for deletion
+    # nor is accepted as a replacement). A refused write leaves only
+    # unreferenced files for the age-graced vacuum.
+    n_bad = written.filter(~F.coalesce(cond, F.lit(False))).count()
+    if n_bad:
+        raise ValueError(
+            f"overwrite_where: {n_bad} incoming row(s) do not satisfy "
+            f"the replace predicate — every replacement row must match "
+            "it, or the next replace of the same slice would silently "
+            "keep them (Delta replaceWhere rule)"
+        )
+    _enforce_constraints(
+        written,
         m.get("constraints") or {},
         f"snapshot_overwrite_where on {root}",
     )

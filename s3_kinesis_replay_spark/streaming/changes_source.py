@@ -316,6 +316,12 @@ def _apply_defaults(out, defaults):
 
     for c, v in defaults:
         i = out.schema.get_field_index(c)
+        if i < 0:
+            # a LIVE add-column-default landed after this stream pinned
+            # its schema: the pinned output cannot carry the column, so
+            # there is nothing to fill (r16 review — field(-1) would
+            # grab the last column / crash the stream)
+            continue
         fld = out.schema.field(i)
         arr = (
             pa.nulls(out.num_rows, type=fld.type)

@@ -7768,3 +7768,111 @@ def test_r16_scoped_binpack(spark, tmp_path):
     ) == sorted([i * 10 + j for i in range(5) for _d in range(2) for j in range(3)])
     with _pytest.raises(ValueError, match="equality"):
         resolve_dml(spark, "OPTIMIZE sb_t BINPACK WHERE day > 'a'")
+
+
+def test_r16_late_review_fixes(spark, tmp_path, monkeypatch):
+    """Second review pass of the late-round verbs. (1) BRANCH SEQ
+    SCOPING: a row appended on a WAP branch after the fork is not
+    suppressed by a pre-fork equality delete, nor clobbered by a
+    pre-fork column default — and a post-publish delete still applies
+    to the published file. (2) create/convert losers of a v1 race
+    surface CommitConflict instead of truncating/doubling the winner.
+    (3) convert merges schemas across heterogeneous files. (4) batch
+    default reads use the frozen declare-time value, like streaming.
+    (5) BINPACK WHERE refuses non-partition keys."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from s3_kinesis_replay_spark.catalog import (
+        register_snapshot_table,
+        resolve_dml,
+    )
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    # (1) branch sequences jump past everything forked over
+    root = str(tmp_path / "br")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(i, i) for i in range(5)], "k long, v long"),
+        root, "overwrite",
+    )
+    tf.snapshot_delete(
+        spark, root, spark.createDataFrame([(3,)], "k long"), "k"
+    )
+    tf.snapshot_add_column(spark, root, "score", "double", default="0.5")
+    tf.snapshot_branch(root, "wap")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([(3, 999, None)], "k long, v long, score double"),
+        root, "append", branch="wap",
+    )
+    rb = {
+        r["k"]: r["score"]
+        for r in tf.snapshot_read(spark, root, branch="wap").collect()
+    }
+    assert rb.get(3, "absent") is None, (
+        f"branch-appended row suppressed or defaulted: {rb}"
+    )
+    assert rb[0] == 0.5
+    tf.snapshot_publish(root, "wap")
+    rm = {r["k"]: r["score"] for r in tf.snapshot_read(spark, root).collect()}
+    assert rm.get(3, "absent") is None and rm[0] == 0.5
+    tf.snapshot_delete(
+        spark, root, spark.createDataFrame([(3,)], "k long"), "k"
+    )
+    assert 3 not in {r["k"] for r in tf.snapshot_read(spark, root).collect()}
+
+    # (2) create/convert race losers refuse
+    r2 = str(tmp_path / "race")
+    tf.snapshot_write(
+        spark, spark.createDataFrame([(1,)], "k long"), r2, "overwrite"
+    )
+    real_versions = tf.versions
+    monkeypatch.setattr(
+        tf, "versions",
+        lambda root, branch=None: []
+        if root == r2
+        else real_versions(root, branch),
+    )
+    with _pytest.raises(tf.CommitConflict):
+        tf.snapshot_create_table(spark, r2, "k bigint")
+    with _pytest.raises(tf.CommitConflict):
+        tf.snapshot_convert(spark, r2)
+    monkeypatch.setattr(tf, "versions", real_versions)
+    assert tf.snapshot_read(spark, r2).count() == 1  # winner intact
+
+    # (3) convert merges heterogeneous schemas
+    r3 = str(tmp_path / "het")
+    spark.createDataFrame([(1, 2)], "a long, b long").write.parquet(
+        os.path.join(r3, "f1")
+    )
+    spark.createDataFrame([(3, 4, 5)], "a long, b long, c long").write.parquet(
+        os.path.join(r3, "f2")
+    )
+    tf.snapshot_convert(spark, r3)
+    assert set(tf.snapshot_read(spark, r3).columns) == {"a", "b", "c"}
+
+    # (4) frozen declare-time value wins over the SQL text
+    r4 = str(tmp_path / "frozen")
+    tf.snapshot_write(
+        spark, spark.createDataFrame([(1,)], "k long"), r4, "overwrite"
+    )
+    tf.snapshot_add_column(spark, r4, "d", "double", default="1.5")
+    mp = tf._manifest_path(r4, 2)
+    man = json.load(open(mp))
+    man["column_defaults"]["d"]["sql"] = "999.0"  # drifted expression
+    json.dump(man, open(mp, "w"))
+    assert tf.snapshot_read(spark, r4).collect()[0]["d"] == 1.5
+
+    # (5) BINPACK WHERE refuses non-partition keys
+    r5 = str(tmp_path / "bp")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame([("a", 1)], "day string, v long"),
+        r5, "overwrite", partition_by=["day"],
+    )
+    register_snapshot_table(spark, "bp_t", r5)
+    with _pytest.raises(ValueError, match="not\\s+partition transforms"):
+        resolve_dml(spark, "OPTIMIZE bp_t BINPACK WHERE user_id = 5")
