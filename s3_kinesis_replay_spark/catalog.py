@@ -1424,7 +1424,8 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
         return tf.snapshot_row_changes(spark, root, lo, hi)
 
     m = re.fullmatch(
-        r"\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*",
+        r"\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+        r"(\s+DRY\s+RUN)?\s*;?\s*",
         query,
         re.IGNORECASE,
     )
@@ -1434,7 +1435,11 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
         if root is None:
             return None
         keep = int(m.group(2)) if m.group(2) else 2
-        rep = tf.snapshot_vacuum(root, keep_last=keep)
+        # DRY RUN (r16, Delta parity): identical walk and counts,
+        # nothing deleted — the preview before releasing retention
+        rep = tf.snapshot_vacuum(
+            root, keep_last=keep, dry_run=bool(m.group(3))
+        )
         return spark.createDataFrame(
             [(
                 name,
@@ -1445,6 +1450,41 @@ def resolve_dml(spark: SparkSession, query: str) -> DataFrame | None:
             )],
             "target string, deleted_files int, kept_files int, "
             "skipped_young int, dropped_versions int",
+        )
+
+    # SHOW PARTITIONS (r16): recorded partition values of the live
+    # snapshot with file/byte counts — pure manifest metadata, zero
+    # data I/O (entries without partition descriptors group under
+    # NULL, so mixed lineages stay visible)
+    m = re.fullmatch(
+        r"\s*SHOW\s+PARTITIONS\s+(\w+)\s*;?\s*", query, re.IGNORECASE
+    )
+    if m:
+        name = m.group(1)
+        root = _SNAPSHOT_ROOTS.get(name)
+        if root is None:
+            return None
+        v = tf.latest_version(root)
+        mfst = tf._read_manifest(root, v)
+        agg: dict = {}
+        for e in tf._entries(mfst, root):
+            pv = e.get("partition")
+            key = (
+                ", ".join(f"{k}={pv[k]}" for k in sorted(pv))
+                if pv
+                else None
+            )
+            n, b = agg.get(key, (0, 0))
+            agg[key] = (n + 1, b + (e.get("bytes") or 0))
+        rows = [
+            (k, n, b)
+            for k, (n, b) in sorted(
+                agg.items(), key=lambda kv: (kv[0] is None, kv[0])
+            )
+        ]
+        return spark.createDataFrame(
+            rows or [(None, 0, 0)],
+            "partition string, n_files int, n_bytes bigint",
         )
 
     m = re.fullmatch(

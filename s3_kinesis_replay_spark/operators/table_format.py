@@ -1548,7 +1548,10 @@ def snapshot_read(
 
 
 def snapshot_vacuum(
-    root: str, keep_last: int = 2, min_age_s: float = VACUUM_GRACE_S
+    root: str,
+    keep_last: int = 2,
+    min_age_s: float = VACUUM_GRACE_S,
+    dry_run: bool = False,
 ) -> dict:
     """Retention: drop all but the newest ``keep_last`` manifests — plus
     every TAGGED version (r13: a named ref is a retention root, so the
@@ -1561,8 +1564,18 @@ def snapshot_vacuum(
     and a time-travel reader mid-scan on a just-dropped snapshot all
     hold files that are unreachable-right-now but must survive; after
     the grace they are genuinely dead. Returns {'dropped_versions':
-    [...], 'deleted_files': n, 'kept_files': n, 'skipped_young': n}."""
+    [...], 'deleted_files': n, 'kept_files': n, 'skipped_young': n}.
+
+    ``dry_run`` (r16 — Delta's VACUUM DRY RUN): run the identical
+    reachability + age walk, report the identical counts, delete
+    NOTHING — the preview an operator wants before releasing
+    retention on a 100 TB table."""
     import time
+
+    def _reap(path: str, rmdir: bool = False) -> None:
+        if dry_run:
+            return
+        (os.rmdir if rmdir else os.remove)(path)
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -1620,7 +1633,7 @@ def snapshot_vacuum(
     # vacuum re-dropped it. Removing the manifest first fails the safe
     # way: a crash leaves orphan FILES, which the next vacuum reaps.
     for v in drop:
-        os.remove(_manifest_path(root, v))
+        _reap(_manifest_path(root, v))
     # streaming-CDC plan sidecars (<root>/_cdcplan/v{v}-*.u64, r16):
     # tiny per-merge-commit verdict hash sets, keyed by version — reap
     # the ones whose version just left retention (a restarted stream
@@ -1631,7 +1644,7 @@ def snapshot_vacuum(
             mm = re.match(r"v(\d+)-", f)
             if mm and int(mm.group(1)) in set(drop):
                 try:
-                    os.remove(os.path.join(plan_dir, f))
+                    _reap(os.path.join(plan_dir, f))
                 except OSError:
                     pass
     data_root = os.path.join(root, "data")
@@ -1647,12 +1660,12 @@ def snapshot_vacuum(
                 if young(full):
                     skipped_young += 1
                     continue
-                os.remove(full)
+                _reap(full)
                 deleted += 1
                 # Hadoop local-FS checksum sibling of the deleted file
                 crc = os.path.join(dirpath, f".{f}.crc")
                 if os.path.exists(crc):
-                    os.remove(crc)
+                    _reap(crc)
             elif (
                 not f.endswith(".parquet")
                 and not dir_reachable
@@ -1665,9 +1678,9 @@ def snapshot_vacuum(
                     if young(full):
                         skipped_young += 1
                     else:
-                        os.remove(full)
+                        _reap(full)
         if dirpath != data_root and not os.listdir(dirpath):
-            os.rmdir(dirpath)
+            _reap(dirpath, rmdir=True)
     # metadata segments: same reachability + age-grace rule as data.
     # Non-.json names here are crash residue (a writer died between
     # _write_segment's dump and its os.replace) — unreferenced by
@@ -1683,7 +1696,7 @@ def snapshot_vacuum(
             if young(full):
                 skipped_young += 1
             else:
-                os.remove(full)
+                _reap(full)
     # manifest-dir / pointer crash residue: v{N}.json.tmp-* (a crash
     # between _commit's dump and its create-exclusive link — the
     # finally-unlink never ran) and _latest.tmp-* (between pointer write
@@ -1711,7 +1724,7 @@ def snapshot_vacuum(
         if young(full):
             skipped_young += 1
         else:
-            os.remove(full)
+            _reap(full)
     return {
         "dropped_versions": drop,
         "deleted_files": deleted,

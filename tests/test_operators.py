@@ -7876,3 +7876,58 @@ def test_r16_late_review_fixes(spark, tmp_path, monkeypatch):
     register_snapshot_table(spark, "bp_t", r5)
     with _pytest.raises(ValueError, match="not\\s+partition transforms"):
         resolve_dml(spark, "OPTIMIZE bp_t BINPACK WHERE user_id = 5")
+
+
+def test_r16_show_partitions_and_vacuum_dry_run(spark, tmp_path):
+    """SHOW PARTITIONS lists recorded partition values + file/byte
+    counts from pure manifest metadata; VACUUM ... DRY RUN reports the
+    identical counts a real vacuum would and deletes nothing."""
+    from s3_kinesis_replay_spark.catalog import (
+        register_snapshot_table,
+        resolve_dml,
+    )
+    from s3_kinesis_replay_spark.operators import table_format as tf
+
+    root = str(tmp_path / "sp")
+    tf.snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [(d, i) for d in ("a", "b") for i in range(3)],
+            "day string, v long",
+        ),
+        root, "overwrite", partition_by=["day"],
+    )
+    register_snapshot_table(spark, "sp_t", root)
+    parts = {
+        r["partition"]: r["n_files"]
+        for r in resolve_dml(spark, "SHOW PARTITIONS sp_t").collect()
+    }
+    assert set(parts) == {"day=a", "day=b"}
+    assert all(n >= 1 for n in parts.values())
+    # two more versions so a vacuum would drop v1/v2
+    tf.snapshot_write(
+        spark, spark.createDataFrame([("c", 9)], "day string, v long"),
+        root, "overwrite",
+    )
+    tf.snapshot_write(
+        spark, spark.createDataFrame([("d", 9)], "day string, v long"),
+        root, "overwrite",
+    )
+    files_before = sum(
+        len(fs) for _p, _d, fs in __import__("os").walk(root)
+    )
+    dry = tf.snapshot_vacuum(root, keep_last=1, min_age_s=0, dry_run=True)
+    assert dry["dropped_versions"] == [1, 2]
+    assert dry["deleted_files"] > 0
+    files_after = sum(
+        len(fs) for _p, _d, fs in __import__("os").walk(root)
+    )
+    assert files_before == files_after, "dry run deleted something"
+    assert tf.snapshot_read(spark, root, 1).count() == 6  # history intact
+    # the SQL form; then the real vacuum matches the dry-run report
+    sql_dry = resolve_dml(
+        spark, "VACUUM sp_t RETAIN 1 VERSIONS DRY RUN"
+    ).collect()[0]
+    real = tf.snapshot_vacuum(root, keep_last=1, min_age_s=0)
+    assert real["deleted_files"] == dry["deleted_files"]
+    assert sql_dry["dropped_versions"] == 2
