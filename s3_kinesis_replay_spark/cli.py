@@ -147,6 +147,7 @@ def build_parser() -> argparse.ArgumentParser:
             "restore", "cluster", "set-constraint", "drop-constraint",
             "constraints", "add-column", "changes", "files", "detail",
             "branch", "branches", "publish", "drop-branch",
+            "clone", "convert", "partitions", "binpack",
         ],
         help="history = one row per retained snapshot (metadata only); "
         "read = the table AS OF --version/--as-of (default latest); "
@@ -177,7 +178,14 @@ def build_parser() -> argparse.ArgumentParser:
         "publish; branches = list; publish = fast-forward main to "
         "--name's head (refuses if main advanced since the fork); "
         "drop-branch = remove --name's lineage (staged files reaped by "
-        "the next vacuum); read honors --branch",
+        "the next vacuum); read honors --branch; clone = SHALLOW CLONE "
+        "into --dest at --version (hard-linked files + verbatim "
+        "metadata chain, zero data copied); convert = adopt a plain "
+        "parquet dir at --root in place (zero rewrite; hive layouts "
+        "refuse); partitions = recorded partition values with "
+        "file/byte counts (pure metadata); binpack = minor compaction "
+        "of files under --small-bytes (optionally scoped to "
+        "--partition SPEC=VALUE)",
     )
     tb.add_argument("--root", required=True, help="table root directory")
     tb.add_argument(
@@ -217,6 +225,30 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tb.add_argument(
         "--to", help="restore: target version number or tag name"
+    )
+    tb.add_argument(
+        "--dest", help="clone: destination root (must be empty)"
+    )
+    tb.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="vacuum: identical walk and counts, delete nothing",
+    )
+    tb.add_argument(
+        "--small-bytes", type=int, default=32 << 20,
+        help="binpack: files below this size are rewritten",
+    )
+    tb.add_argument(
+        "--min-files", type=int, default=4,
+        help="binpack: skip unless at least this many files qualify",
+    )
+    tb.add_argument(
+        "--partition",
+        action="append",
+        default=[],
+        metavar="SPEC=VALUE",
+        help="binpack: scope to entries whose recorded partition "
+        "value matches (repeatable)",
     )
     tb.add_argument(
         "--by",
@@ -384,10 +416,43 @@ def run_table_cmd(args: argparse.Namespace) -> int:
         }))
         return 0
     if args.verb == "vacuum":  # metadata + filesystem only, no session
-        kwargs = {"keep_last": args.keep_last}
+        kwargs = {"keep_last": args.keep_last, "dry_run": args.dry_run}
         if args.min_age_s is not None:
             kwargs["min_age_s"] = args.min_age_s
         print(json.dumps({"verb": "vacuum", **tf.snapshot_vacuum(args.root, **kwargs)}))
+        return 0
+    if args.verb == "clone":  # metadata + hard links only, no session
+        if not args.dest:
+            raise SystemExit("clone requires --dest")
+        at = (
+            int(args.version)
+            if args.version is not None and args.version.isdigit()
+            else args.version
+        )
+        v = tf.snapshot_clone(args.root, args.dest, at)
+        print(json.dumps({"verb": "clone", "dest": args.dest, "version": v}))
+        return 0
+    if args.verb == "partitions":  # pure metadata, no session
+        m = tf._read_manifest(args.root, tf.latest_version(args.root))
+        agg = {}
+        for e in tf._entries(m, args.root):
+            pv = e.get("partition")
+            key = (
+                ", ".join(f"{k}={pv[k]}" for k in sorted(pv))
+                if pv
+                else None
+            )
+            n, b = agg.get(key, (0, 0))
+            agg[key] = (n + 1, b + (e.get("bytes") or 0))
+        print(json.dumps({
+            "verb": "partitions",
+            "partitions": [
+                {"partition": k, "n_files": n, "n_bytes": b}
+                for k, (n, b) in sorted(
+                    agg.items(), key=lambda kv: (kv[0] is None, kv[0])
+                )
+            ],
+        }))
         return 0
     if args.verb == "fold":
         v = tf.snapshot_fold_metadata(args.root)
@@ -469,6 +534,22 @@ def run_table_cmd(args: argparse.Namespace) -> int:
 
     spark = get_spark(app_name="skr-table")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.verb == "convert":
+        v = tf.snapshot_convert(get_spark(), args.root)
+        print(json.dumps({"verb": "convert", "version": v}))
+        return 0
+    if args.verb == "binpack":
+        part = None
+        if args.partition:
+            part = dict(kv.split("=", 1) for kv in args.partition)
+        v = tf.snapshot_compact_small(
+            get_spark(), args.root,
+            small_bytes=args.small_bytes,
+            min_files=args.min_files,
+            partition=part,
+        )
+        print(json.dumps({"verb": "binpack", "version": v}))
+        return 0
     if args.verb == "compact":
         v = tf.snapshot_compact(spark, args.root)
         print(json.dumps({"verb": "compact", "version": v}))
