@@ -9,9 +9,12 @@ entirely from DataFrame primitives — no O(n²) stage anywhere:
 3. band: group the H minhashes into b bands of r rows; band signature =
    hash of the band's minhashes. P(candidate | s) = 1 − (1 − s^r)^b —
    at (b=16, r=2), s=0.8 → 0.9999999 recall per pair;
-4. candidates: self equi-join on (band_id, band_sig) — a shuffle on
-   signature buckets, linear in data + candidate count;
-5. verify: exact Jaccard on the candidates only; threshold filter.
+4. candidates: self equi-join on the SKINNY (id, band_id, band_sig)
+   relation — a shuffle of 24-byte rows, linear in data + candidate
+   count; candidate id pairs dedup as bare longs (HashAggregate);
+5. verify: attach the per-doc shingle-hash sets (once per unique
+   candidate id, from the un-exploded signature table), exact Jaccard,
+   threshold filter.
 
 At 100 TB: stage 2 is the only full-data shuffle (by doc_id, combinable);
 stage 4 shuffles fixed-width signatures. Skewed buckets (a viral shingle
@@ -93,6 +96,26 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _band_explode(num_hash_tables: int, bands: int):
+    """The (band_id, band_sig) posexplode column: xxhash64 over each
+    band's minhash rows. ONE definition shared by banded_signatures and
+    band_relation so the skinny and persisted relations can never drift."""
+    rows_per_band = num_hash_tables // bands
+    return F.posexplode(
+        F.array(
+            *[
+                F.xxhash64(
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("band_id", "band_sig")
+
+
 def banded_signatures(
     sigs: DataFrame,
     num_hash_tables: int = 32,
@@ -105,23 +128,60 @@ def banded_signatures(
     In production this IS the persisted signature table: computed once per
     ingest, stored, and joined against by later batches (see
     minhash_lsh_incremental_pairs)."""
-    rows_per_band = num_hash_tables // bands
     return sigs.select(
         F.col(id_col),
         "sh_set",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.col(f"h{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_sig"),
+        _band_explode(num_hash_tables, bands),
+    )
+
+
+def band_relation(
+    sigs: DataFrame,
+    num_hash_tables: int = 32,
+    bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band_id, band_sig) — the SKINNY band relation (no sh_set).
+
+    r16 optimization (guide §2.3 / §8): the LSH candidate join only needs
+    (id, band_id, band_sig) — 24 bytes/row; riding the ~|shingles|-long
+    sh_set array through the band explode multiplied every doc's set
+    ``bands``× through the join input (and through the materialized
+    signature relation). Candidates are now generated on this skinny
+    relation and sh_sets are attached (once per unique candidate id) from
+    the un-exploded signature table afterwards."""
+    return sigs.select(F.col(id_col), _band_explode(num_hash_tables, bands))
+
+
+def _verified_pairs(
+    cand: DataFrame,
+    a_sets: DataFrame,
+    b_sets: DataFrame,
+    a_id: str,
+    b_id: str,
+    threshold: float,
+) -> DataFrame:
+    """Attach per-id shingle-hash sets to deduped candidate id pairs and
+    keep exact Jaccard ≥ threshold. ``a_sets``/``b_sets`` are one-row-per-id
+    (id, sh_set) relations; jacc is computed once per unique pair."""
+    pairs = cand.join(
+        a_sets.select(F.col(a_sets.columns[0]).alias(a_id), F.col("sh_set").alias("sh_a")),
+        a_id,
+    ).join(
+        b_sets.select(F.col(b_sets.columns[0]).alias(b_id), F.col("sh_set").alias("sh_b")),
+        b_id,
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return pairs.select(
+        a_id,
+        b_id,
+        F.round(
+            inter / (F.size("sh_a") + F.size("sh_b") - inter), 6
+        ).alias("jacc"),
+    ).filter(
+        # filter on the rounded value to match the oracle's WHERE on the
+        # raw ratio: fixture similarity is bimodal so both agree
+        F.col("jacc") >= threshold
     )
 
 
@@ -166,51 +226,59 @@ def minhash_lsh_incremental_pairs(
     e.g. read back from parquet) to skip recomputing the snapshot side —
     the production path; SCALE.md's round-5b experiment measures per-batch
     cost against a stored corpus grown k-fold.
+
+    r16 (guide §2.3/§8): candidates are generated on skinny
+    (id, band_id, band_sig) relations and deduped as bare id pairs;
+    sh_sets attach afterwards, once per unique candidate id (see
+    minhash_lsh_neardup_pairs). For a stored ``snapshot_banded`` the
+    band join projects sh_set away entirely (parquet column pruning) and
+    the per-id set relation is the ``band_id == 0`` slice — one row per
+    id, a pushed filter, no shuffle.
     """
-    if snapshot_banded is not None:
-        snap_banded = snapshot_banded
-    else:
-        snap_banded = banded_signatures(
-            minhash_signatures(
-                snapshot, id_col, text_col, k, num_hash_tables,
-                keep_shingle_hashes=True,
-            ),
-            num_hash_tables,
-            bands,
-            id_col,
-        )
-    batch_banded = banded_signatures(
-        minhash_signatures(
-            batch, id_col, text_col, k, num_hash_tables, keep_shingle_hashes=True
-        ),
-        num_hash_tables,
-        bands,
-        id_col,
+    batch_sigs = minhash_signatures(
+        batch, id_col, text_col, k, num_hash_tables, keep_shingle_hashes=True
     )
     if materialize:
-        if snapshot_banded is None:  # a stored relation is already materialized
-            snap_banded = snap_banded.localCheckpoint(eager=True)
-        batch_banded = batch_banded.localCheckpoint(eager=True)
-    b = batch_banded.alias("b")
-    s = snap_banded.alias("s")
-    pairs = (
+        batch_sigs = batch_sigs.localCheckpoint(eager=True)
+    batch_skinny = band_relation(batch_sigs, num_hash_tables, bands, id_col)
+    batch_sets = batch_sigs.select(F.col(id_col), "sh_set")
+
+    if snapshot_banded is not None:
+        # Stored WIDE relation (the persisted banded_signatures format):
+        # the skinny projection prunes sh_set out of the band-join scan
+        # entirely (parquet column pruning), and the per-id set relation
+        # is the band_id == 0 slice — exactly one row per id, no shuffle,
+        # pushed filter on the stored table.
+        snap_skinny = snapshot_banded.select(id_col, "band_id", "band_sig")
+        snap_sets = snapshot_banded.filter(F.col("band_id") == 0).select(
+            F.col(id_col), "sh_set"
+        )
+    else:
+        snap_sigs = minhash_signatures(
+            snapshot, id_col, text_col, k, num_hash_tables,
+            keep_shingle_hashes=True,
+        )
+        if materialize:
+            snap_sigs = snap_sigs.localCheckpoint(eager=True)
+        snap_skinny = band_relation(snap_sigs, num_hash_tables, bands, id_col)
+        snap_sets = snap_sigs.select(F.col(id_col), "sh_set")
+
+    b = batch_skinny.alias("b")
+    s = snap_skinny.alias("s")
+    cand = (
         b.join(
             s,
             (F.col("b.band_id") == F.col("s.band_id"))
             & (F.col("b.band_sig") == F.col("s.band_sig")),
         )
         .select(
-            F.col(f"b.{id_col}").alias("doc_a"),
-            F.col(f"s.{id_col}").alias("doc_b"),
-            F.col("b.sh_set").alias("sh_a"),
-            F.col("s.sh_set").alias("sh_b"),
+            F.col(f"b.{id_col}").alias("doc_new"),
+            F.col(f"s.{id_col}").alias("doc_src"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["doc_new", "doc_src"])
     )
-    return (
-        exact_jaccard_from_hash_sets(pairs)
-        .withColumnsRenamed({"doc_a": "doc_new", "doc_b": "doc_src"})
-        .filter(F.col("jacc") >= threshold)
+    return _verified_pairs(
+        cand, batch_sets, snap_sets, "doc_new", "doc_src", threshold
     )
 
 
@@ -228,33 +296,37 @@ def minhash_lsh_neardup_pairs(
     Jaccard ≥ threshold, candidates found by banded MinHash-LSH.
 
     One full pass total: signatures AND distinct shingle-hash sets come
-    out of the same aggregation. The band self-join moves (id, band_id,
-    band_sig, sh_set) where sh_set is ~|shingles| longs — fixed-width,
-    text never shuffles. Exact Jaccard over the hash sets equals string
-    Jaccard up to xxhash64 collisions (P < 1e-8 corpus-wide).
+    out of the same aggregation. r16 (guide §2.3/§8): the band self-join
+    runs on the SKINNY (id, band_id, band_sig) relation — 24 bytes/row —
+    and candidate pairs are deduped as bare id pairs (a HashAggregate;
+    the old shape carried both sh_set arrays through the join and the
+    dedup, which forced a SortAggregate over ~|shingles|-long arrays and
+    multiplied every set ``bands``× through the exchange). The sh_sets
+    are attached once per unique candidate id from the un-exploded
+    signature table, so each set crosses the wire exactly once. Exact
+    Jaccard over the hash sets equals string Jaccard up to xxhash64
+    collisions (P < 1e-8 corpus-wide).
 
-    ``materialize`` (default) eagerly localCheckpoints the banded
-    signature relation before the self-join: Catalyst does not always
-    reuse the exchange under a self-join, and without reuse the whole
+    ``materialize`` (default) eagerly localCheckpoints the signature
+    relation before the self-join: Catalyst does not always reuse the
+    exchange under a self-join, and without reuse the whole
     shingle→minhash pipeline (the dominant cost) would execute once PER
-    SIDE. Materializing ~52 longs/doc is exactly what a production LSH
-    run does at 100 TB — persist the signature table, then join it to
-    itself.
+    SIDE. Materializing ~52 longs/doc (un-exploded — 16× fewer bytes
+    than checkpointing the banded relation) is exactly what a production
+    LSH run does at 100 TB — persist the signature table, then join it
+    to itself.
     """
-    banded = banded_signatures(
-        minhash_signatures(
-            docs, id_col, text_col, k, num_hash_tables, keep_shingle_hashes=True
-        ),
-        num_hash_tables,
-        bands,
-        id_col,
+    sigs = minhash_signatures(
+        docs, id_col, text_col, k, num_hash_tables, keep_shingle_hashes=True
     )
     if materialize:
-        banded = banded.localCheckpoint(eager=True)
+        sigs = sigs.localCheckpoint(eager=True)
+    skinny = band_relation(sigs, num_hash_tables, bands, id_col)
+    sets = sigs.select(F.col(id_col), "sh_set")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
+    a = skinny.alias("a")
+    b = skinny.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -264,29 +336,10 @@ def minhash_lsh_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.sh_set").alias("sh_a"),
-            F.col("b.sh_set").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / (
-                    F.size("sh_a")
-                    + F.size("sh_b")
-                    - F.size(F.array_intersect("sh_a", "sh_b"))
-                ),
-                6,
-            ).alias("jacc"),
-        )
-        .filter(
-            # filter on the rounded value to match the oracle's WHERE on the
-            # raw ratio: fixture similarity is bimodal so both agree
-            F.col("jacc") >= threshold
-        )
     )
+    return _verified_pairs(cand, sets, sets, "doc_a", "doc_b", threshold)
 
 
 def spark_parallelism(df: DataFrame) -> int:

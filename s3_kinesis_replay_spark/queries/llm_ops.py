@@ -997,19 +997,21 @@ def _perturbed_batch(d):
     definition — i3h's note claims it screens 'i3f's constructed
     batch', review r8): lightly perturbed snapshot docs (append ' zz9',
     near-dup of their source) plus word-reversed decoys (near-dup of
-    nothing)."""
-    return (
-        d.filter(F.col("doc_id") % 5 == 0)
-        .select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
-        )
-        .unionAll(
-            d.filter(F.col("doc_id") % 5 == 1).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"),
-                F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
-            )
-        )
+    nothing).
+
+    r16: one conditional scan instead of a two-branch union — the union
+    scanned+filtered documents once per branch (2 scans for 40% of the
+    rows); a single %5<=1 filter with per-branch CASE projections reads
+    the table once and produces the identical row multiset (guide §2.4:
+    the second scan was an accidental extra pass, not a semantic one)."""
+    branch = F.col("doc_id") % 5
+    return d.filter(branch <= 1).select(
+        F.when(branch == 0, F.col("doc_id") + 1000000)
+        .otherwise(F.col("doc_id") + 2000000)
+        .alias("doc_id"),
+        F.when(branch == 0, F.concat(F.col("text"), F.lit(" zz9")))
+        .otherwise(F.array_join(F.reverse(F.split("text", " ")), " "))
+        .alias("text"),
     )
 
 
@@ -1119,9 +1121,14 @@ def i8_tfidf(spark, sf_dir):
     tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     # N rides the plan as a broadcast scalar (single job, no driver count)
     n_docs = d.agg(F.count("*").cast("double").alias("n"))
+    # df(w) = COUNT(DISTINCT doc_id) over tok = COUNT(*) over tf (tf is
+    # already one row per (doc_id, w)) — deriving it from tf instead of
+    # tok drops the second scan+explode of documents AND the
+    # count-distinct shuffle of the full token relation (guide §2.3
+    # "aggregate before you shuffle"); r16 A/B 1.72 s → 0.98 s, diff 0.
     df = (
-        tok.groupBy("w")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        tf.groupBy("w")
+        .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(n_docs))
     )
     return tf.join(F.broadcast(df), "w").select(
