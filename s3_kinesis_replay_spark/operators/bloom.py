@@ -135,7 +135,14 @@ def bloom_screen(
     # carries duplicate positive positions, and a duplicated position
     # would MULTIPLY probe rows through the k left-joins below (review
     # r8) — the bit relation is tiny, dedup is free
-    bits = bits.filter(F.col("pos") >= 0).distinct()
+    #
+    # localCheckpoint (r16, guide §3.3/§5): each of the k broadcast
+    # builds below otherwise re-executes the ENTIRE bits pipeline — for
+    # an inline bloom_bits(reference) that is k full scans + shingle
+    # explodes + distincts of the reference side (p14's plan showed the
+    # whole train subtree twice). The bit table is ≤ 16^bits_hex longs;
+    # materializing it once is free and the k joins then share it.
+    bits = bits.filter(F.col("pos") >= 0).distinct().localCheckpoint(eager=True)
     p = probes
     for i, pos in enumerate(_positions(F.md5(key_col), bits_hex, k)):
         p = p.withColumn(f"_p{i}", pos)

@@ -186,6 +186,13 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     Runs the stubbed decoder with the deterministic fake codec — the real
     deployment swaps ``codec='real'`` + a codec-bearing container image.
+
+    Input is pruned to the three columns the extractor reads before the
+    Arrow boundary: mapInPandas is opaque to Catalyst, so without the
+    explicit select every media column (width/height/sample_rate/
+    duration_ms — and transitively the n_chars parquet column feeding
+    duration_ms) is read from storage and shipped JVM→Python per batch
+    for nothing (guide §4.1).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -220,7 +227,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    return media.select("media_id", "kind", "content").mapInPandas(
+        run, FEATURE_SCHEMA
+    )
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
