@@ -1587,6 +1587,28 @@ def load_tables(
     return out
 
 
+# One fixture-view registration per (session, sf_dir) — r16 profile:
+# every Engine.sql-using entry paid ~10 serial driver round-trips
+# (spark.read.parquet + createOrReplaceTempView per fixture table,
+# ~1.3 s/entry on the bench host) to re-create temp views that are
+# already bound to the identical plans. The binding is catalog
+# METADATA, not data: every query still scans the parquet inputs.
+# Keyed weakly on the SparkSession (a fresh session re-registers) and
+# on sf_dir (switching scale factors re-registers under the shared
+# names). Dropping a fixture temp view mid-session is outside the
+# engine surface.
+from weakref import WeakKeyDictionary
+
+_FIXTURE_VIEWS: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def ensure_fixture_views(spark: SparkSession, sf_dir: str) -> None:
+    if _FIXTURE_VIEWS.get(spark) == sf_dir:
+        return
+    load_tables(spark, sf_dir, register_views=True)
+    _FIXTURE_VIEWS[spark] = sf_dir
+
+
 def table_stats(spark: SparkSession, name: str) -> tuple[int | None, int | None]:
     """(sizeInBytes, rowCount) the COST-BASED PLANNER currently sees for a
     catalog table, parsed from ``DESCRIBE TABLE EXTENDED``'s Statistics

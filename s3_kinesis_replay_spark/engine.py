@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from s3_kinesis_replay_spark.catalog import (
     DEFAULT_SF_DIR,
-    load_tables,
+    ensure_fixture_views,
     register_snapshot_table,
     resolve_time_travel,
     table,
@@ -58,7 +58,8 @@ class Engine:
 
     def sql(self, query: str) -> DataFrame:
         if not self._views_registered:
-            load_tables(self.spark, self.sf_dir, register_views=True)
+            # memoized per (session, sf_dir) — see catalog.ensure_fixture_views
+            ensure_fixture_views(self.spark, self.sf_dir)
             self._views_registered = True
         from s3_kinesis_replay_spark.catalog import resolve_dml
 
