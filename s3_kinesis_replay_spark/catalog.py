@@ -50,9 +50,26 @@ TPCH_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Fixture relations bound once per (session, sf_dir, table) — see
+# :func:`table`. Weak on the session: a stopped/replaced session drops
+# its entries; DataFrames are immutable so sharing one is safe.
+from weakref import WeakKeyDictionary as _WeakKeyDictionary
+
+_TABLE_RELATIONS: _WeakKeyDictionary = _WeakKeyDictionary()
+
 
 def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Load one fixture table as a DataFrame (schema-on-read from parquet)."""
+    """Load one fixture table as a DataFrame (schema-on-read from parquet).
+
+    The bound relation is memoized per (session, sf_dir, name) — r16:
+    every ``spark.read.parquet`` re-lists the path and re-reads footers
+    for schema (a serial driver round-trip per reference; a 6-table join
+    paid it 6× per planning pass). Binding a fixture table is catalog
+    METADATA — execution still scans the parquet files — so a session
+    resolves each table once, the way a catalog-backed engine binds a
+    table name. Fixture trees are immutable test data; anything mutable
+    (snapshot tables, staged archives) lives outside this loader.
+    """
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): Spark 4 hard-errors on scan
         # unless nanosAsLong is set. Runtime-settable — set it defensively so
@@ -64,6 +81,11 @@ def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataF
             spark.conf.set("spark.sql.session.timeZone", "UTC")
         except Exception:
             pass  # conf locked by the session → rely on its existing value
+    cache = _TABLE_RELATIONS.setdefault(spark, {})
+    key = (sf_dir.rstrip("/"), name)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # parquet stores ts as timestamp[ns]; with nanosAsLong it arrives as
@@ -75,6 +97,7 @@ def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataF
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         else:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    cache[key] = df
     return df
 
 

@@ -224,19 +224,29 @@ def block_topk_joined(
     ).withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(CB - 1))))
 
     def cell_score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        """Candidates AND their exact re-score inside the cell (r16,
+        guide §8): the cell holds both raw vector sides, so the
+        sequential-left-fold cosine (``np.cumsum`` row fold — the same
+        IEEE operation sequence as ``cosine_expr``) is computed here for
+        the selected candidates and emitted with them. The old shape
+        shuffled every candidate through TWO joins back to corpus and
+        queries to re-attach vectors the cell already held; only the
+        global per-query window trim remains outside."""
         empty = pd.DataFrame(
             {
                 "query_id": pd.Series([], dtype="int64"),
                 "vec_id": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
             }
         )
         if len(left) == 0 or len(right) == 0:
             return empty
-        M = _unit_rows(np.array(left["_cvec"].tolist(), dtype=np.float64))
-        Qm = _unit_rows(np.array(right["_qvec"].tolist(), dtype=np.float64))
-        sims = M @ Qm.T  # |block| × |bucket|
-        t = min(take, len(left))
+        M_raw = np.array(left["_cvec"].tolist(), dtype=np.float64)
+        Q_raw = np.array(right["_qvec"].tolist(), dtype=np.float64)
+        sims = _unit_rows(M_raw) @ _unit_rows(Q_raw).T  # |block| × |bucket|
+        t = min(take, len(M_raw))
         cids = left["_cid"].to_numpy()
+        qids = right["_qid"].to_numpy()
         # candidate selection mirrors the FINAL ordering rule — rounded
         # sim desc, id asc — so every member of a rounded-sim tie class
         # the oracle could keep survives the cell (np.argpartition breaks
@@ -244,34 +254,32 @@ def block_topk_joined(
         # the margin then only has to absorb matmul-vs-fold rounding at
         # class boundaries, not tie-class membership
         sims_r = _half_up6(sims)
-        cols = []
+        sq_c = np.cumsum(M_raw * M_raw, axis=1)[:, -1]
+        sq_q = np.cumsum(Q_raw * Q_raw, axis=1)[:, -1]
+        id_cols, sim_cols = [], []
         for j in range(sims.shape[1]):
-            cols.append(cids[np.lexsort((cids, -sims_r[:, j]))[:t]])
+            sel = np.lexsort((cids, -sims_r[:, j]))[:t]
+            # exact left-fold cosine, denominator in cosine_expr's
+            # sqrt(q·q)*sqrt(c·c) order (multiplies commute bitwise)
+            dots = np.cumsum(M_raw[sel] * Q_raw[j][None, :], axis=1)[:, -1]
+            id_cols.append(cids[sel])
+            sim_cols.append(dots / (np.sqrt(sq_q[j]) * np.sqrt(sq_c[sel])))
         return pd.DataFrame(
             {
-                "query_id": np.repeat(right["_qid"].to_numpy(), t),
-                "vec_id": np.concatenate(cols),
+                "query_id": np.repeat(qids, t),
+                "vec_id": np.concatenate(id_cols),
+                "sim": np.concatenate(sim_cols),
             }
         )
 
     cand = (
         c.groupBy("cb", "qb")
         .cogroup(q.groupBy("cb", "qb"))
-        .applyInPandas(cell_score, "query_id long, vec_id long")
-    )
-    cv = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
-    qv = queries.select(
-        F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("_qv")
+        .applyInPandas(cell_score, "query_id long, vec_id long, sim double")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
     return (
-        cand.join(cv, "vec_id")
-        .join(qv, "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
-        )
+        cand.select("query_id", "vec_id", F.round("sim", 6).alias("sim"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
@@ -337,16 +345,29 @@ def embedding_neardup_pairs(
     tagged = left.unionByName(right)
 
     def cell_pairs(key, pdf):
+        """Candidates AND the exact verdict inside the cell (r16, guide
+        §8): both role copies carry their raw vectors, so the exact
+        sequential-left-fold cosine (``np.cumsum`` row fold — the same
+        IEEE operation sequence as ``cosine_expr``; elementwise products
+        commute bitwise, so the (min,max) id normalization cannot change
+        the value) runs here on the ε-margin candidates. The old shape
+        shuffled every candidate pair through TWO joins back to the
+        corpus to re-attach vectors the cell already held."""
         gi, gj = int(key[0]), int(key[1])
         lmask = pdf["_role"].to_numpy() == 0
         lpdf, rpdf = pdf[lmask], pdf[~lmask]
+        empty = pd.DataFrame(
+            {
+                "ia": pd.Series([], dtype="int64"),
+                "ib": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
         if len(lpdf) == 0 or len(rpdf) == 0:
-            return pd.DataFrame({"ia": [], "ib": []}).astype("int64")
-        ml = np.array(lpdf["_vec"].tolist(), dtype=np.float64)
-        mr = np.array(rpdf["_vec"].tolist(), dtype=np.float64)
-        ml = _unit_rows(ml)
-        mr = _unit_rows(mr)
-        sims = ml @ mr.T
+            return empty
+        ml_raw = np.array(lpdf["_vec"].tolist(), dtype=np.float64)
+        mr_raw = np.array(rpdf["_vec"].tolist(), dtype=np.float64)
+        sims = _unit_rows(ml_raw) @ _unit_rows(mr_raw).T
         li = lpdf["_id"].to_numpy()
         rj = rpdf["_id"].to_numpy()
         ii, jj = np.nonzero(sims >= threshold - eps)
@@ -354,38 +375,34 @@ def embedding_neardup_pairs(
         if gi == gj:
             # diagonal cell: L and R are the same set — upper triangle only
             keep = ia < ib
-            ia, ib = ia[keep], ib[keep]
         else:
             # cross cell: each unordered pair appears exactly once (one id
             # per role) — normalize to (min, max); id order ≠ block order
+            keep = np.ones(len(ia), dtype=bool)
             ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
-        return pd.DataFrame({"ia": ia, "ib": ib})
+        ii, jj, ia, ib = ii[keep], jj[keep], ia[keep], ib[keep]
+        if not len(ii):
+            return empty
+        # exact left-fold cosine on the candidates; threshold on the RAW
+        # fold value, exactly as the declared oracle's WHERE does
+        # (review r8: filtering the rounded value admitted pairs at
+        # 0.4499996 that round up across the threshold)
+        dots = np.cumsum(ml_raw[ii] * mr_raw[jj], axis=1)[:, -1]
+        sql_ = np.cumsum(ml_raw * ml_raw, axis=1)[:, -1]
+        sqr_ = np.cumsum(mr_raw * mr_raw, axis=1)[:, -1]
+        sim = dots / (np.sqrt(sql_[ii]) * np.sqrt(sqr_[jj]))
+        real = sim >= threshold
+        return pd.DataFrame({"ia": ia[real], "ib": ib[real], "sim": sim[real]})
 
-    cand = tagged.groupBy("gi", "gj").applyInPandas(cell_pairs, "ia long, ib long")
-    ea = corpus.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
-    eb = corpus.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
-    # no broadcast hint on the candidate set (review r8): its size is
-    # unbounded in threshold/clustering (a 10^5-member near-dup cluster
-    # is ~5e9 pairs — past the broadcast limit); AQE still broadcasts a
-    # genuinely small candidate relation at runtime
-    return (
-        ea.join(cand, "ia")
-        .join(eb, "ib")
-        .select(
-            "ia",
-            "ib",
-            cosine_expr(F.col("va"), F.col("vb")).alias("_raw_sim"),
-        )
-        # threshold on the RAW fold value, exactly as the declared oracle's
-        # WHERE does (review r8: filtering the rounded value admitted pairs
-        # at 0.4499996 that round up across the threshold; semdedup already
-        # filters unrounded — the output column alone is rounded)
-        .filter(F.col("_raw_sim") >= threshold)
-        .select(
-            F.col("ia").alias("vec_a"),
-            F.col("ib").alias("vec_b"),
-            F.round("_raw_sim", 6).alias("cos_sim"),
-        )
+    pairs = tagged.groupBy("gi", "gj").applyInPandas(
+        cell_pairs, "ia long, ib long, sim double"
+    )
+    # the output column alone is rounded (the JVM F.round keeps rounding
+    # semantics identical to every other declared surface)
+    return pairs.select(
+        F.col("ia").alias("vec_a"),
+        F.col("ib").alias("vec_b"),
+        F.round("sim", 6).alias("cos_sim"),
     )
 
 
@@ -704,29 +721,50 @@ def semdedup(
 
     eps = 1e-6
 
-    def cell_pairs(pdf):
+    def cell_dropped(pdf):
+        """Candidates AND the exact-fold verdict, entirely within the
+        cell (r16, guide §8): a vector's candidate neighbors are by
+        construction in its own cell, so the exact re-score and the
+        per-victim min-id representative never need the old
+        pairs→embeddings attach joins (two joins + a global groupBy
+        that shuffled every candidate pair). The exact score is the
+        SAME arithmetic as ``cosine_expr``'s sequential left-fold:
+        elementwise float64 products then ``np.cumsum`` along the row
+        (cumsum IS the left fold, and the fold's 0.0 seed is exact), so
+        emitted keep/drop verdicts stay bit-identical to the oracle."""
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "rep_id": pd.Series([], dtype="int64"),
+            }
+        )
         if len(pdf) < 2:
-            return pd.DataFrame(
-                {"ia": pd.Series([], dtype="int64"), "ib": pd.Series([], dtype="int64")}
-            )
+            return empty
         ids = pdf[id_col].to_numpy()
-        M = _unit_rows(np.array(pdf[vec_col].tolist(), dtype=np.float64))
-        sims = M @ M.T
+        M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        sims = _unit_rows(M) @ _unit_rows(M).T
         ii, jj = np.nonzero(sims >= threshold - eps)
-        keep = ids[ii] < ids[jj]
-        return pd.DataFrame({"ia": ids[ii][keep], "ib": ids[jj][keep]})
+        lower = ids[ii] < ids[jj]
+        ii, jj = ii[lower], jj[lower]
+        if not len(ii):
+            return empty
+        # exact left-fold cosine on the candidates only (ε-margin above
+        # guarantees no boundary pair was lost to matmul accumulation)
+        dots = np.cumsum(M[ii] * M[jj], axis=1)[:, -1]
+        sq = np.cumsum(M * M, axis=1)[:, -1]
+        cos = dots / (np.sqrt(sq[ii]) * np.sqrt(sq[jj]))
+        real = cos >= threshold
+        if not real.any():
+            return empty
+        return (
+            pd.DataFrame({id_col: ids[jj][real], "ia": ids[ii][real]})
+            .groupby(id_col, as_index=False)["ia"]
+            .min()
+            .rename(columns={"ia": "rep_id"})
+        )
 
-    cand = assigned.groupBy("cell").applyInPandas(
-        lambda key, pdf: cell_pairs(pdf), "ia long, ib long"
-    )
-    ea = corpus.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("_va"))
-    eb = corpus.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("_vb"))
-    dropped = (
-        cand.join(ea, "ia")
-        .join(eb, "ib")
-        .filter(cosine_expr(F.col("_va"), F.col("_vb")) >= threshold)
-        .groupBy(F.col("ib").alias(id_col))
-        .agg(F.min("ia").alias("rep_id"))
+    dropped = assigned.groupBy("cell").applyInPandas(
+        lambda key, pdf: cell_dropped(pdf), f"{id_col} long, rep_id long"
     )
     return (
         assigned.select(id_col, "cell")

@@ -233,31 +233,55 @@ def kinesis_foreach_batch(
             ).alias("payload"),
         )
         if distributed:
-            parts = tagged.repartition(num_writers, "k").sortWithinPartitions("k", "s")
+            # r16 (guide §4.1): the publisher crosses JVM→Python as ARROW
+            # BATCHES (mapInArrow) instead of pickled Rows
+            # (foreachPartition), and ships only the two columns it reads
+            # — `s` exists for the in-partition (k, s) sort and stays in
+            # the JVM. Partition contents arrive in sorted order across
+            # the batch iterator, so per-key ordering is unchanged.
+            parts = (
+                tagged.repartition(num_writers, "k")
+                .sortWithinPartitions("k", "s")
+                .select("k", "payload")
+            )
 
-            def publish_partition(rows):
+            def publish_partition(batches):
+                import itertools
+
+                import pyarrow as pa
+
+                def records():
+                    for b in batches:
+                        ks = b.column("k").to_pylist()
+                        ps = b.column("payload").to_pylist()
+                        for k_, p_ in zip(ks, ps):
+                            yield (k_, p_.encode())
+
+                it = records()
                 # build the (side-effectful) client only when the
                 # partition has rows: num_writers can exceed the
                 # distinct key count (review r8)
-                rows = iter(rows)
                 try:
-                    first = next(rows)
+                    first = next(it)
                 except StopIteration:
                     return
-                import itertools
-
                 client = client_factory()
-                records = (
-                    (r["k"], r["payload"].encode())
-                    for r in itertools.chain([first], rows)
+                n = publish_batch(
+                    client, stream_name, itertools.chain([first], it)
                 )
-                publish_batch(client, stream_name, records)
+                yield pa.RecordBatch.from_pydict(
+                    {"published": pa.array([n], type=pa.int64())}
+                )
 
             # DataFrame-API action (SURVEY §1.3: no RDD API) — runs the
-            # publisher inside each executor task, same execution shape
-            # as the old rdd.mapPartitions().count() without leaving the
-            # DataFrame layer.
-            parts.foreachPartition(publish_partition)
+            # publisher inside each executor task; the noop sink forces
+            # every partition (guide §1.4) without collecting anything.
+            (
+                parts.mapInArrow(publish_partition, "published long")
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
         else:
             client = client_factory()
             # collect unsorted and order driver-side: a global orderBy
@@ -266,14 +290,17 @@ def kinesis_foreach_batch(
             # micro-batch (numInputRows showed 2x published records, and
             # it doubled the observe() pipeline metrics). The driver-mode
             # batch is bounded by pacing; sorting it in Python is free.
+            # r16 (guide §6): the driver transfer rides Arrow (toPandas)
+            # instead of pickled Rows — columnar batches, same values.
             # Null-safe key: k is None when the JSON path and fallback
             # column are both null; orderBy sorted nulls first, match it.
+            pdf = tagged.toPandas()
             rows = sorted(
-                tagged.collect(),
-                key=lambda r: (r["k"] is not None, r["k"] or "", r["s"]),
+                zip(pdf["k"], pdf["s"], pdf["payload"]),
+                key=lambda r: (r[0] is not None, r[0] or "", r[1]),
             )
             publish_batch(
-                client, stream_name, ((r["k"], r["payload"].encode()) for r in rows)
+                client, stream_name, ((k_, p_.encode()) for k_, _, p_ in rows)
             )
 
     return fn
