@@ -51,8 +51,11 @@ TPCH_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Fixture relations bound once per (session, sf_dir, table) — see
-# :func:`table`. Weak on the session: a stopped/replaced session drops
-# its entries; DataFrames are immutable so sharing one is safe.
+# :func:`table`. Keyed weakly on the session so a replaced session gets
+# fresh bindings; note (ADVICE r16) the cached DataFrames strongly
+# reference their session, so a stopped session's entries are retained
+# for the process lifetime — accepted: this repo runs one session per
+# process, and a dict entry is a bound plan (KBs), not data.
 from weakref import WeakKeyDictionary as _WeakKeyDictionary
 
 _TABLE_RELATIONS: _WeakKeyDictionary = _WeakKeyDictionary()
@@ -69,6 +72,11 @@ def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataF
     resolves each table once, the way a catalog-backed engine binds a
     table name. Fixture trees are immutable test data; anything mutable
     (snapshot tables, staged archives) lives outside this loader.
+    ADVICE r16 trade-off, accepted: the memo also pins the file listing
+    at first bind, so data regenerated IN PLACE at the same sf_dir path
+    mid-session would be served stale — out of contract for fixtures
+    (deterministic, read-only mounts); callers that rebuild data use
+    fresh paths (tempfile) and never pass through this loader.
     """
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): Spark 4 hard-errors on scan

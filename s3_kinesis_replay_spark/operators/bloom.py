@@ -121,7 +121,34 @@ def bloom_screen(
                 f"with (bits_hex, k)={tagged} — mismatched parameters make "
                 "the screen unsound (false negatives)"
             )
+        # A fresh bloom_bits result is distinct by construction (its
+        # positive slice is a .distinct() output, the sentinel is the
+        # only negative row), so the union-dedup below would be a
+        # redundant extra Exchange+HashAggregate (r17, guide §2.4).
+        #
+        # localCheckpoint (r16, guide §3.3/§5): each of the k broadcast
+        # builds below otherwise re-executes the ENTIRE bits pipeline —
+        # for an inline bloom_bits(reference) that is k full scans +
+        # shingle explodes + distincts of the reference side (p14's plan
+        # showed the whole train subtree twice). The bit table is
+        # ≤ 16^bits_hex longs; materializing it once is free and the k
+        # joins then share it. (The r16 barrier cost at bench SF came
+        # from the checkpoint job running on the scan's 1-2 partitions —
+        # fixed in the CALLERS by spread_scan, not by giving up the
+        # single materialization.)
+        bits = bits.filter(F.col("pos") >= 0).localCheckpoint(eager=True)
     else:
+        # Stored/unioned bits (no same-process tag): checkpoint the FULL
+        # table first — sentinels included — so the sentinel meta-check
+        # collect and the k joins read the ONE materialized result
+        # instead of each re-executing the bits pipeline (r17, VERDICT
+        # r16 item 1: the old order ran the pipeline once for the pos<0
+        # collect and again for the checkpoint of the pos>=0 slice).
+        # distinct: a union of two bloom tables with overlapping key
+        # sets carries duplicate positive positions, and a duplicated
+        # position would MULTIPLY probe rows through the k left-joins
+        # below (review r8) — the bit relation is tiny, dedup is free.
+        bits = bits.distinct().localCheckpoint(eager=True)
         # Set-compare: a union of two bloom tables built with IDENTICAL
         # parameters carries duplicate matching sentinels — still sound.
         metas = {r["pos"] for r in bits.filter(F.col("pos") < 0).collect()}
@@ -131,18 +158,7 @@ def bloom_screen(
                 f"sentinel rows {metas} declare different build parameters "
                 "— mismatched parameters make the screen unsound"
             )
-    # distinct: a union of two bloom tables with overlapping key sets
-    # carries duplicate positive positions, and a duplicated position
-    # would MULTIPLY probe rows through the k left-joins below (review
-    # r8) — the bit relation is tiny, dedup is free
-    #
-    # localCheckpoint (r16, guide §3.3/§5): each of the k broadcast
-    # builds below otherwise re-executes the ENTIRE bits pipeline — for
-    # an inline bloom_bits(reference) that is k full scans + shingle
-    # explodes + distincts of the reference side (p14's plan showed the
-    # whole train subtree twice). The bit table is ≤ 16^bits_hex longs;
-    # materializing it once is free and the k joins then share it.
-    bits = bits.filter(F.col("pos") >= 0).distinct().localCheckpoint(eager=True)
+        bits = bits.filter(F.col("pos") >= 0)
     p = probes
     for i, pos in enumerate(_positions(F.md5(key_col), bits_hex, k)):
         p = p.withColumn(f"_p{i}", pos)

@@ -80,10 +80,19 @@ def minhash_signatures(
     ``keep_shingle_hashes`` the distinct shingle-hash set rides the same
     aggregation (sort_array(collect_set)) for downstream exact-Jaccard —
     no second pass over the text.
+
+    r17 (guide §2.5): the input is spread to cluster parallelism first —
+    the shingle explode + H partial-min aggregation (the dominant cost of
+    every LSH entry) otherwise runs on the scan's task count, which for
+    the single-file bench fixtures is ONE task. ``spread_scan`` is keyed
+    by ``id_col`` (the groupBy key), so the signature aggregation's own
+    exchange is satisfied by this one; it no-ops at production scale.
     """
-    toked = docs.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
-    )
+    from s3_kinesis_replay_spark.operators.partitioning import spread_scan
+
+    toked = spread_scan(
+        docs.select(id_col, text_col), id_col
+    ).select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
     hashed = toked.select(
         id_col, F.explode(word_shingles(F.col("toks"), k)).alias("s")
     ).select(id_col, F.xxhash64("s").alias("h0"))

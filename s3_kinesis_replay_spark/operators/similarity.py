@@ -194,12 +194,12 @@ def block_topk_joined(
     trade-off). Here queries are a DATAFRAME: corpus rows hash into
     ``corpus_blocks`` blocks, queries into ``query_buckets`` buckets,
     and every (block, bucket) grid cell is scored independently by a
-    COGROUPED ``applyInPandas`` NumPy matmul that emits only the
-    cell-local top-(k+margin) candidate ids per query. A final exact
-    HOF re-rank + per-query window trim keeps the global top-k with
-    emitted values computed by the sequential left-fold cosine (the
-    matmul's accumulation order never reaches the output; the margin
-    rows absorb boundary-ordering risk between the two formulas).
+    COGROUPED ``applyInPandas`` NumPy matmul that emits the cell-local
+    top-(k+margin) candidates per query WITH their exact sequential-
+    left-fold cosine computed in-cell (see ``cell_score``; r16 removed
+    the old HOF re-rank attach joins). Only a final per-query window
+    trim keeps the global top-k; the margin rows absorb matmul-vs-fold
+    rounding risk at selection boundaries.
 
     Shuffle: corpus × query_buckets + queries × corpus_blocks rows of
     fixed width — pick the grid so each cell's (|corpus|/CB)·d block
@@ -712,69 +712,63 @@ def semdedup(
     centers = train_quantizer(
         corpus, n_clusters=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col
     )
-    # materialized ONCE (the i3 signature-relation pattern): both the
-    # cell-pair generator and the final left join consume this relation,
-    # and Catalyst would otherwise re-run the Arrow assignment per use
     assigned = assign_cells(
         corpus.select(id_col, vec_col), centers, vec_col=vec_col, out_col="cell"
-    ).localCheckpoint(eager=True)
+    )
 
     eps = 1e-6
 
-    def cell_dropped(pdf):
-        """Candidates AND the exact-fold verdict, entirely within the
-        cell (r16, guide §8): a vector's candidate neighbors are by
-        construction in its own cell, so the exact re-score and the
-        per-victim min-id representative never need the old
-        pairs→embeddings attach joins (two joins + a global groupBy
-        that shuffled every candidate pair). The exact score is the
-        SAME arithmetic as ``cosine_expr``'s sequential left-fold:
-        elementwise float64 products then ``np.cumsum`` along the row
-        (cumsum IS the left fold, and the fold's 0.0 seed is exact), so
-        emitted keep/drop verdicts stay bit-identical to the oracle."""
-        empty = pd.DataFrame(
+    def cell_result(pdf):
+        """Candidates, the exact-fold verdict, AND the final keep/rep
+        projection, entirely within the cell (r16 moved the re-score
+        in-cell; r17 moves the keep/rep projection in too): a vector's
+        candidate neighbors are by construction in its own cell, so the
+        cell holds everything needed to emit the operator's WHOLE output
+        row — the old shape emitted only victims and shuffled the entire
+        corpus id set through an assigned⟕dropped join (and, because
+        assigned then had two consumers, paid an eager localCheckpoint
+        barrier; both are gone, guide §2.4). The exact score is the SAME
+        arithmetic as ``cosine_expr``'s sequential left-fold: elementwise
+        float64 products then ``np.cumsum`` along the row (cumsum IS the
+        left fold, and the fold's 0.0 seed is exact), so emitted
+        keep/drop verdicts stay bit-identical to the oracle."""
+        ids = pdf[id_col].to_numpy()
+        out_keep = pd.Series(True, index=range(len(ids)), dtype="bool")
+        rep = pd.array([None] * len(ids), dtype="Int64")
+        if len(pdf) >= 2:
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            sims = _unit_rows(M) @ _unit_rows(M).T
+            ii, jj = np.nonzero(sims >= threshold - eps)
+            lower = ids[ii] < ids[jj]
+            ii, jj = ii[lower], jj[lower]
+            if len(ii):
+                # exact left-fold cosine on the candidates only (ε-margin
+                # above guarantees no boundary pair was lost to matmul
+                # accumulation)
+                dots = np.cumsum(M[ii] * M[jj], axis=1)[:, -1]
+                sq = np.cumsum(M * M, axis=1)[:, -1]
+                cos = dots / (np.sqrt(sq[ii]) * np.sqrt(sq[jj]))
+                real = cos >= threshold
+                if real.any():
+                    victims = (
+                        pd.DataFrame({"j": jj[real], "ia": ids[ii][real]})
+                        .groupby("j")["ia"]
+                        .min()
+                    )
+                    out_keep[victims.index] = False
+                    rep[victims.index] = victims.to_numpy()
+        return pd.DataFrame(
             {
-                id_col: pd.Series([], dtype="int64"),
-                "rep_id": pd.Series([], dtype="int64"),
+                id_col: ids,
+                "cell": pdf["cell"].to_numpy(),
+                "keep": out_keep,
+                "rep_id": rep,
             }
         )
-        if len(pdf) < 2:
-            return empty
-        ids = pdf[id_col].to_numpy()
-        M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        sims = _unit_rows(M) @ _unit_rows(M).T
-        ii, jj = np.nonzero(sims >= threshold - eps)
-        lower = ids[ii] < ids[jj]
-        ii, jj = ii[lower], jj[lower]
-        if not len(ii):
-            return empty
-        # exact left-fold cosine on the candidates only (ε-margin above
-        # guarantees no boundary pair was lost to matmul accumulation)
-        dots = np.cumsum(M[ii] * M[jj], axis=1)[:, -1]
-        sq = np.cumsum(M * M, axis=1)[:, -1]
-        cos = dots / (np.sqrt(sq[ii]) * np.sqrt(sq[jj]))
-        real = cos >= threshold
-        if not real.any():
-            return empty
-        return (
-            pd.DataFrame({id_col: ids[jj][real], "ia": ids[ii][real]})
-            .groupby(id_col, as_index=False)["ia"]
-            .min()
-            .rename(columns={"ia": "rep_id"})
-        )
 
-    dropped = assigned.groupBy("cell").applyInPandas(
-        lambda key, pdf: cell_dropped(pdf), f"{id_col} long, rep_id long"
-    )
-    return (
-        assigned.select(id_col, "cell")
-        .join(dropped, id_col, "left")
-        .select(
-            id_col,
-            "cell",
-            F.col("rep_id").isNull().alias("keep"),
-            "rep_id",
-        )
+    return assigned.groupBy("cell").applyInPandas(
+        lambda key, pdf: cell_result(pdf),
+        f"{id_col} long, cell int, keep boolean, rep_id long",
     )
 
 

@@ -328,8 +328,14 @@ def d10_filtered_agg(spark, sf_dir):
     """,
 )
 def d11_rollup(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.partitioning import spread_scan
+
+    # guide §2.5 (r17): Expand (3 rollup groupings) + partial agg over
+    # every lineitem row ran on the scan's 1-3 tasks; spread to cluster
+    # parallelism first (no-op at production scale, order-independent
+    # decimal/count aggregates).
     return (
-        t(spark, "lineitem", sf_dir)
+        spread_scan(t(spark, "lineitem", sf_dir), "l_orderkey")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping("l_returnflag").cast("bigint").alias("g_flag"),

@@ -1116,8 +1116,15 @@ def i7b_vocab_build(spark, sf_dir):
     "the ml scale path",
 )
 def i8_tfidf(spark, sf_dir):
+    from s3_kinesis_replay_spark.operators.partitioning import spread_scan
+
     d = t(spark, "documents", sf_dir)
-    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    # guide §2.5 (r17): the token explode + partial (doc_id, w) agg ran on
+    # the single-file scan's one task; spread by doc_id (the leading
+    # groupBy key) first — no-op at production scale.
+    tok = spread_scan(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
     tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     # N rides the plan as a broadcast scalar (single job, no driver count)
     n_docs = d.agg(F.count("*").cast("double").alias("n"))

@@ -744,9 +744,20 @@ def p14_bloom_contamination(spark, sf_dir):
     # .distinct() anywhere: per-doc grams are already distinct
     # (word_shingles), and bloom_bits dedups POSITIONS (longs) — the only
     # shuffle this op pays.
-    toked = d.select(
-        "doc_id", "lang", _bucket_col("doc_id"),
-        F.split(F.lower(F.col("text")), " ").alias("toks"),
+    #
+    # spread_scan (r17, guide §2.5): both branches' shingle explodes —
+    # and the bloom bit-table checkpoint job (the r16 p14 regression's
+    # real cost: a materialization barrier over ONE task) — ran at the
+    # single-file scan's parallelism; spreading the tokenized relation
+    # parallelizes both (no-op at production scale).
+    from s3_kinesis_replay_spark.operators.partitioning import spread_scan
+
+    toked = spread_scan(
+        d.select(
+            "doc_id", "lang", _bucket_col("doc_id"),
+            F.split(F.lower(F.col("text")), " ").alias("toks"),
+        ),
+        "doc_id",
     )
     tr = toked.filter(F.col("bucket") < _TRAIN_LT).select(
         F.explode(word_shingles(F.col("toks"), k=5)).alias("g")
@@ -912,9 +923,17 @@ def p17_decontaminated_mix(spark, sf_dir):
     from s3_kinesis_replay_spark.operators.dedup import word_shingles
 
     d = t(spark, "documents", sf_dir)
-    toked = d.select(
-        "doc_id", "source", "text", _bucket_col("doc_id"),
-        F.split(F.lower(F.col("text")), " ").alias("toks"),
+    # spread_scan (r17, guide §2.5): same as p14 — the gram explodes,
+    # the heldout-shingle checkpoint job, and the bloom bit-table build
+    # otherwise all run at the single-file scan's parallelism.
+    from s3_kinesis_replay_spark.operators.partitioning import spread_scan
+
+    toked = spread_scan(
+        d.select(
+            "doc_id", "source", "text", _bucket_col("doc_id"),
+            F.split(F.lower(F.col("text")), " ").alias("toks"),
+        ),
+        "doc_id",
     )
     ev_g = (
         toked.filter(F.col("bucket") >= _TRAIN_LT)

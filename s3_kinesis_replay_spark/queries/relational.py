@@ -36,7 +36,14 @@ from s3_kinesis_replay_spark.queries.helpers import DEC, fdec, r6, sdec, t
     note="TPC-H Q1 shape; decimal sums are order-independent (SURVEY §5.3)",
 )
 def q1_pricing_summary(spark, sf_dir):
-    li = t(spark, "lineitem", sf_dir)
+    from s3_kinesis_replay_spark.operators.partitioning import spread_scan
+
+    # guide §2.5 (r17): the single-file scan pins the filter + partial
+    # decimal aggregation — virtually all of Q1's work — to 1-3 tasks;
+    # spread to cluster parallelism first (no-op at production scale).
+    # Decimal partial sums are exact and order-independent, so the
+    # repartition cannot change any output value.
+    li = spread_scan(t(spark, "lineitem", sf_dir), "l_orderkey")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -415,8 +422,15 @@ def c7_range_join(spark, sf_dir):
     """,
 )
 def c9_self_join(spark, sf_dir):
-    l1 = t(spark, "lineitem", sf_dir).alias("l1")
-    l2 = t(spark, "lineitem", sf_dir).alias("l2")
+    from s3_kinesis_replay_spark.operators.partitioning import spread_scan
+
+    # guide §2.5/§2.4 (r17): spread the single-file scan BY THE JOIN KEY —
+    # both self-join sides then arrive hash-partitioned on l_orderkey at
+    # cluster parallelism, so the join's two exchanges are satisfied by
+    # the one spread exchange (and it no-ops at production scale).
+    li = spread_scan(t(spark, "lineitem", sf_dir), "l_orderkey")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
     return l1.join(
         l2,
         (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))

@@ -255,6 +255,12 @@ def kinesis_foreach_batch(
                         ks = b.column("k").to_pylist()
                         ps = b.column("payload").to_pylist()
                         for k_, p_ in zip(ks, ps):
+                            if p_ is None:
+                                raise ValueError(
+                                    f"null seq/data for partition key "
+                                    f"{k_!r}: the idempotency envelope "
+                                    "requires non-null seq and data"
+                                )
                             yield (k_, p_.encode())
 
                 it = records()
@@ -294,13 +300,45 @@ def kinesis_foreach_batch(
             # instead of pickled Rows — columnar batches, same values.
             # Null-safe key: k is None when the JSON path and fallback
             # column are both null; orderBy sorted nulls first, match it.
+            # r17 (VERDICT r16 item 8): a null `s` arrives as float NaN
+            # through Arrow→pandas (long column, nullable) — NaN inside
+            # a sort tuple is an untotal order (every comparison False),
+            # so sorted() would emit an arbitrary, run-varying order
+            # where the old Row-based sort raised. Key on an explicit
+            # (s is not null, s) pair: nulls first, deterministic,
+            # matching Spark's ascending NULLS FIRST. NaN is the ONLY
+            # null spelling to handle: `s` is cast to long, so a real
+            # NaN value cannot reach here.
+            def _sk(k_, s_):
+                s_null = s_ is None or s_ != s_  # NaN != NaN
+                return (
+                    k_ is not None,
+                    k_ or "",
+                    not s_null,
+                    0 if s_null else s_,
+                )
+
             pdf = tagged.toPandas()
             rows = sorted(
                 zip(pdf["k"], pdf["s"], pdf["payload"]),
-                key=lambda r: (r[0] is not None, r[0] or "", r[1]),
+                key=lambda r: _sk(r[0], r[1]),
             )
-            publish_batch(
-                client, stream_name, ((k_, p_.encode()) for k_, _, p_ in rows)
-            )
+
+            def encoded():
+                for k_, s_, p_ in rows:
+                    if p_ is None:
+                        # concat nulled the envelope: seq or data was null.
+                        # Raise the same clear-contract error style as the
+                        # batcher's null-key check instead of a bare
+                        # AttributeError on None.encode() (r17, VERDICT
+                        # r16 item 8).
+                        raise ValueError(
+                            f"null seq/data for partition key {k_!r}: the "
+                            "idempotency envelope requires non-null seq "
+                            "and data"
+                        )
+                    yield (k_, p_.encode())
+
+            publish_batch(client, stream_name, encoded())
 
     return fn

@@ -88,6 +88,94 @@ def test_batcher_null_key_rejected():
         list(b.batches([(None, b"v")]))
 
 
+def test_driver_mode_null_seq_edges(spark):
+    """VERDICT r16 item 8: a null `seq` crosses Arrow→pandas as float NaN
+    — NaN inside a sort tuple is an untotal order, so before r17 sorted()
+    could emit an arbitrary, run-varying order and then crash with a bare
+    AttributeError on the NULLed payload envelope. Pin both halves: the
+    sort key treats NaN/None seq deterministically (NULLS FIRST within
+    key), and the null-enveloped record surfaces the same clear
+    ValueError contract as a null partition key."""
+    from s3_kinesis_replay_spark.streaming.kinesis_sink import (
+        kinesis_foreach_batch,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            ("b", 2, "b2"),
+            ("a", None, "a-null"),
+            ("b", 1, "b1"),
+            ("a", 1, "a1"),
+        ],
+        "partition_key string, seq long, data string",
+    )
+    client = CapturingClient()
+    fn = kinesis_foreach_batch(lambda: client, "s", distributed=False)
+    with pytest.raises(ValueError, match="null seq/data"):
+        fn(batch, 0)
+    # the null-seq row sorted NULLS FIRST within key 'a' — nothing was
+    # published before the generator hit it (deterministic, not NaN-order)
+    assert client.records == []
+
+    # without nulls the same frame publishes fully, in (key, seq) order
+    clean = batch.filter("seq IS NOT NULL")
+    client2 = CapturingClient()
+    fn2 = kinesis_foreach_batch(lambda: client2, "s", distributed=False)
+    fn2(clean, 0)
+    assert [
+        (k, d.decode().split("|", 1)[1]) for k, d in client2.records
+    ] == [("a", "a1"), ("b", "b1"), ("b", "b2")]
+
+
+def test_distributed_multi_arrow_batch_per_partition_order(spark, tmp_path):
+    """VERDICT r16 item 7: the mapInArrow publisher receives a partition
+    as MULTIPLE Arrow record batches once rows exceed
+    arrow.maxRecordsPerBatch — per-key publish order must still follow
+    the in-partition (k, s) sort across batch boundaries."""
+    import json
+
+    from s3_kinesis_replay_spark.streaming.kinesis_datasource import (
+        read_captured,
+    )
+    from s3_kinesis_replay_spark.streaming.kinesis_sink import (
+        kinesis_foreach_batch,
+    )
+
+    capture_dir = str(tmp_path / "captured")
+    n = 4000  # >> 100 rows/Arrow batch -> many batches per partition
+    batch = spark.range(n).select(
+        F.concat(F.lit("k"), (F.col("id") % 7).cast("string")).alias(
+            "partition_key"
+        ),
+        F.col("id").alias("seq"),
+        F.col("id").cast("string").alias("data"),
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        fn = kinesis_foreach_batch(
+            "s3_kinesis_replay_spark.streaming.kinesis_datasource:"
+            "file_client_factory",
+            "s",
+            distributed=True,
+            client_arg=capture_dir,
+        )
+        fn(batch, 0)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    captured = read_captured(capture_dir)
+    assert len(captured) == n
+    by_key: dict = {}
+    for pos, (key, data, order) in enumerate(captured):
+        seq = int(data.decode().split("|", 1)[1])
+        by_key.setdefault(key, []).append((order, pos, seq))
+    assert len(by_key) == 7
+    for key, entries in by_key.items():
+        seqs = [s for _, _, s in sorted(entries, key=lambda x: (x[0], x[1]))]
+        assert seqs == sorted(seqs), f"key {key} out of order"
+
+
 def test_publish_gives_up_after_max_retries():
     class AlwaysFail:
         def put_records(self, StreamName, Records):

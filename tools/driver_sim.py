@@ -4,13 +4,15 @@ compare at sf0.01. Deliberately does NOT reuse the repo's oracle harness.
 
 Usage: python tools/driver_sim.py [name ...] — with names, checks only
 those registry entries (targeted re-verify after an edit); without, all."""
-import sys, hashlib, decimal, datetime, math
+import os, sys, hashlib, decimal, datetime, math
 sys.path.insert(0, "/root/repo")
 import duckdb
 import __spark_entry__ as E
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+# r17: overridable so changed queries can be spot-checked against the
+# oracle at sf0.1 too (the driver itself only verifies the small SFs).
+SF = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
