@@ -247,12 +247,10 @@ def minhash_lsh_incremental_pairs(
     batch_sigs = minhash_signatures(
         batch, id_col, text_col, k, num_hash_tables, keep_shingle_hashes=True
     )
-    if materialize:
-        batch_sigs = batch_sigs.localCheckpoint(eager=True)
-    batch_skinny = band_relation(batch_sigs, num_hash_tables, bands, id_col)
-    batch_sets = batch_sigs.select(F.col(id_col), "sh_set")
 
     if snapshot_banded is not None:
+        if materialize:
+            batch_sigs = batch_sigs.localCheckpoint(eager=True)
         # Stored WIDE relation (the persisted banded_signatures format):
         # the skinny projection prunes sh_set out of the band-join scan
         # entirely (parquet column pruning), and the per-id set relation
@@ -268,9 +266,25 @@ def minhash_lsh_incremental_pairs(
             keep_shingle_hashes=True,
         )
         if materialize:
-            snap_sigs = snap_sigs.localCheckpoint(eager=True)
+            # r17 (guide §2.6): the two signature materializations are
+            # INDEPENDENT jobs — eager-checkpointing them sequentially
+            # left the cluster idle through each one's tail. Submit both
+            # from driver threads so the second back-fills the first's
+            # stragglers; results are the same checkpointed relations.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fb = pool.submit(
+                    lambda: batch_sigs.localCheckpoint(eager=True)
+                )
+                fs = pool.submit(
+                    lambda: snap_sigs.localCheckpoint(eager=True)
+                )
+                batch_sigs, snap_sigs = fb.result(), fs.result()
         snap_skinny = band_relation(snap_sigs, num_hash_tables, bands, id_col)
         snap_sets = snap_sigs.select(F.col(id_col), "sh_set")
+    batch_skinny = band_relation(batch_sigs, num_hash_tables, bands, id_col)
+    batch_sets = batch_sigs.select(F.col(id_col), "sh_set")
 
     b = batch_skinny.alias("b")
     s = snap_skinny.alias("s")

@@ -928,6 +928,154 @@ def _write_key_indexes(
     return out
 
 
+def _pa_row_key_hashes(paths: list[str], kl: list[str]):
+    """Per-ROW (non-distinct) key hashes across parquet files, one
+    pyarrow pass over the key columns only: returns
+    ``(n_nonnull, n_null, hashes | None)`` where ``hashes`` covers the
+    null-free key rows (None when the type has no canonical hash).
+    Returns None when any file cannot be read — callers fall back to
+    the Spark path. r17 (guide §5: the driver should do almost no data
+    work, but a merge SOURCE is O(batch) by contract and its key
+    columns are already being read here for the kidx sidecars)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        tbl = pa.concat_tables(
+            [pq.read_table(p, columns=kl) for p in paths]
+        )
+        nonnull = tbl.drop_null()
+        n_null = len(tbl) - len(nonnull)
+        hashes = None
+        for k in kl:
+            h = _hash_arrow_column(nonnull.column(k).combine_chunks())
+            if h is None:
+                return len(nonnull), n_null, None
+            hashes = h if hashes is None else _mix2_np(hashes, h)
+        return len(nonnull), n_null, hashes
+    except Exception:
+        return None
+
+
+def _pa_write_del_table(root: str, keys) -> list[str]:
+    """Write one delete-key parquet file from an in-memory pyarrow
+    table; returns the relative file list for the delete segment."""
+    import pyarrow.parquet as pq
+
+    part = f"del-{uuid.uuid4().hex[:12]}"
+    os.makedirs(os.path.join(root, "data", part))
+    rel = os.path.join(
+        "data", part, f"part-00000-{uuid.uuid4().hex[:8]}.parquet"
+    )
+    pq.write_table(keys, os.path.join(root, rel))
+    return [rel]
+
+
+def _pa_write_key_file(
+    root: str, paths: list[str], kl: list[str]
+) -> list[str]:
+    """Write a merge's delete-key file directly with pyarrow from the
+    just-written data files' key columns — identical content to the old
+    ``spark.read(...).select(keys).write`` round trip (every source
+    row's keys, nulls included; readers drop nulls), without the Spark
+    job. Returns the relative file list for the delete segment."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    keys = pa.concat_tables([pq.read_table(p, columns=kl) for p in paths])
+    return _pa_write_del_table(root, keys)
+
+
+def _clause_audit_del_fast(root: str, fam_dirs: list[str], kl: list[str]):
+    """ONE pyarrow pass over the materialized clause-family files (r17,
+    VERDICT r16 item 5): the partial-key audit and the distinct
+    delete-key file both derive from the flat ``__mrgk_*`` key columns
+    + the window-computed ``__n_tot`` that the family queries now
+    materialize — replacing the old audit's SECOND full pass over the
+    target (cur semi-join + groupBy + collect) and the Spark
+    read-back+rewrite of the tombstone keys. Exact values end to end
+    (pyarrow group_by, no hashing). Returns the delete-segment file
+    list, or None to fall back to the Spark path; raises the same
+    partial-key ValueError on a genuine violation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    kcols = [f"__mrgk_{i}" for i in range(len(kl))]
+    try:
+        tables = []
+        for d in fam_dirs:
+            for f in os.listdir(d):
+                if f.startswith("part-") and f.endswith(".parquet"):
+                    tables.append(
+                        pq.read_table(
+                            os.path.join(d, f), columns=kcols + ["__n_tot"]
+                        )
+                    )
+        if not tables:
+            return []
+        t = pa.concat_tables(tables)
+        if len(t) == 0:
+            return []
+        # audit over null-free key rows only — mirrors the Spark
+        # audit's inner join on key equality, which never compared
+        # null-key groups
+        nn = t.drop_null()
+        if len(nn):
+            g = nn.group_by(kcols).aggregate(
+                [("__n_tot", "min"), ("__n_tot", "count")]
+            )
+            n_aff = pc.cast(g.column("__n_tot_count"), "int64")
+            n_tot = pc.cast(g.column("__n_tot_min"), "int64")
+            bad = pc.not_equal(n_aff, n_tot).to_pylist()
+            if any(bad):
+                i = bad.index(True)
+                badkey = tuple(
+                    g.column(c)[i].as_py() for c in kcols
+                )
+                raise ValueError(
+                    f"merge clause affects {n_aff[i].as_py()} of "
+                    f"{n_tot[i].as_py()} rows for key "
+                    f"{badkey!r} — duplicate-key targets where a "
+                    "condition splits a key's rows cannot be expressed "
+                    "with key-granular tombstones; use predicate "
+                    "UPDATE/DELETE WHERE instead"
+                )
+        keys = (
+            t.select(kcols)
+            .group_by(kcols)
+            .aggregate([])
+            .rename_columns(kl)
+        )
+        return _pa_write_del_table(root, keys)
+    except ValueError:
+        raise
+    except Exception:
+        return None
+
+
+def _source_keys_clean_fast(paths: list[str], kl: list[str]) -> bool:
+    """pyarrow FAST PATH for the MERGE source-uniqueness rule: True
+    means PROVABLY clean (zero NULL keys and all per-row key hashes
+    distinct — hash-distinct implies key-distinct); False means
+    UNKNOWN (unreadable, unhashable type, or duplicate hashes — which
+    may be a 2^-64 collision), in which case the caller must run the
+    exact Spark aggregation. Replaces one Spark job per MERGE in the
+    common clean-source case (r17, VERDICT r16 item 5: the live-drain
+    entries pay one such job per micro-batch)."""
+    import numpy as np
+
+    res = _pa_row_key_hashes(paths, kl)
+    if res is None:
+        return False
+    n_nonnull, n_null, hashes = res
+    return (
+        n_null == 0
+        and hashes is not None
+        and len(np.unique(hashes)) == n_nonnull
+    )
+
+
 def _kidx_hash_set(values):
     """Delete keys → sorted uint64 hash array (computed once per
     commit; keys are small by construction). Scalars are single-column
@@ -3503,17 +3651,39 @@ def snapshot_merge(
     # rand(), a concurrently-changing input) would otherwise tombstone
     # keys that diverge from the rows actually appended. Reading back
     # the fresh files is also cheaper than re-running the source plan.
-    written = spark.read.parquet(
-        *[os.path.join(root, p) for p in new_files]
-    )
-    _refuse_ambiguous_source(written, kl, "merge")
-    _enforce_constraints(
-        written, table_constraints(root), f"snapshot_merge into {root}"
-    )
-    validated = {"cons": table_constraints(root)}
-    del_files = _write_data_files(
-        written.select(*kl), root, prefix="del"
-    )
+    #
+    # r17 (VERDICT r16 item 5): the ambiguity check and the delete-key
+    # file both derive from the key COLUMNS of the just-written files —
+    # exactly what the kidx pass already reads with pyarrow. The fast
+    # path below replaces TWO Spark jobs per merge (the countDistinct
+    # ambiguity agg + the read-back-and-rewrite of the key projection)
+    # with one pyarrow pass; any doubt (unreadable file, unhashable key
+    # type, duplicate hashes — possibly a 2^-64 collision) falls back
+    # to the exact Spark path, so refusals stay exact.
+    abs_new = [os.path.join(root, p) for p in new_files]
+
+    def _written() -> DataFrame:
+        return spark.read.parquet(*abs_new)
+
+    written = None
+    if new_files and _source_keys_clean_fast(abs_new, kl):
+        del_files = _pa_write_key_file(root, abs_new, kl)
+    else:
+        written = _written()
+        _refuse_ambiguous_source(written, kl, "merge")
+        del_files = None
+    cons = table_constraints(root)
+    if cons:
+        if written is None:
+            written = _written()
+        _enforce_constraints(written, cons, f"snapshot_merge into {root}")
+    if del_files is None:
+        if written is None:
+            written = _written()
+        del_files = _write_data_files(
+            written.select(*kl), root, prefix="del"
+        )
+    validated = {"cons": cons}
     dseg = _write_segment(root, [{"path": p} for p in del_files])
     new_schema = _schema_of(source)
 
@@ -3526,7 +3696,7 @@ def snapshot_merge(
         cur_cons = m.get("constraints") or {}
         if cur_cons != validated["cons"]:
             _enforce_constraints(
-                written, cur_cons,
+                _written(), cur_cons,
                 f"snapshot_merge into {root} (constraints changed "
                 "concurrently)",
             )
@@ -3777,14 +3947,20 @@ def snapshot_merge_clauses(
 
     source.write.mode("error").parquet(os.path.join(tmp, "src"))
     try:
-        if any(
-            f.startswith("part-")
+        src_parts = [
+            os.path.join(tmp, "src", f)
             for f in os.listdir(os.path.join(tmp, "src"))
-        ):
+            if f.startswith("part-")
+        ]
+        if src_parts:
             src = spark.read.parquet(os.path.join(tmp, "src"))
         else:
             src = spark.createDataFrame([], source.schema)
-        _refuse_ambiguous_source(src, kl, "merge")
+        # r17: pyarrow fast path over the materialized source's key
+        # columns (see _source_keys_clean_fast) — the exact Spark agg
+        # runs only when cleanliness is not provable
+        if src_parts and not _source_keys_clean_fast(src_parts, kl):
+            _refuse_ambiguous_source(src, kl, "merge")
         base0 = latest_version(root)
         cur = snapshot_read(spark, root, base0)
         tcols = cur.columns
@@ -3830,6 +4006,20 @@ def snapshot_merge_clauses(
         on_cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in kl)
         key_sel = ", ".join(f"t.`{k}` AS `{k}`" for k in kl)
         scols = src.columns
+        # r17: flat key copies + the per-key visible-row total, computed
+        # as a window INSIDE the family job (before the verdict filter,
+        # so the count covers every matched/unmatched row of the key) —
+        # what the audit below consumes without re-scanning the target.
+        # Sound because source keys are unique (ambiguity rule): a
+        # matched key's join rows = exactly the target's rows for that
+        # key, and an anti-joined key's rows = all its target rows.
+        audit_sel = "".join(
+            f", t.`{k}` AS `__mrgk_{i}`" for i, k in enumerate(kl)
+        ) + (
+            ", count(*) OVER (PARTITION BY "
+            + ", ".join(f"t.`{k}`" for k in kl)
+            + ") AS `__n_tot`"
+        )
 
         def bare(alias: str, cols, other) -> str:
             """Bare-name projections for the materialized frames
@@ -3839,11 +4029,11 @@ def snapshot_merge_clauses(
             materialization broke those statements. Names present on
             BOTH sides stay struct-only — they were AMBIGUOUS in the
             join scope too, loud either way."""
-            skip = set(other) | {"t", "s", "__clause"}
+            skip = set(other) | {"t", "s", "__clause", "__n_tot"}
             return "".join(
                 f", {alias}.`{c}` AS `{c}`"
                 for c in cols
-                if c not in skip
+                if c not in skip and not c.startswith("__mrgk_")
             )
         mfam = [c for c in clauses if c["kind"] in ("update", "delete")]
         ifam = [c for c in clauses if c["kind"] == "insert"]
@@ -3869,7 +4059,7 @@ def snapshot_merge_clauses(
                     q(
                         f"SELECT struct(t.*) AS t, struct(s.*) AS s"
                         f"{bare('t', tcols, scols)}"
-                        f"{bare('s', scols, tcols)}, "
+                        f"{bare('s', scols, tcols)}{audit_sel}, "
                         f"{verdict(mfam)} AS __clause "
                         f"FROM {tv} t JOIN {sv} s ON {on_cond}"
                     ).where("__clause >= 0"),
@@ -3933,7 +4123,7 @@ def snapshot_merge_clauses(
                 _mat(
                     q(
                         f"SELECT struct(t.*) AS t"
-                        f"{bare('t', tcols, [])}, "
+                        f"{bare('t', tcols, [])}{audit_sel}, "
                         f"{verdict(nfam)} AS __clause "
                         f"FROM {tv} t LEFT ANTI JOIN {sv} s ON {on_cond}"
                     ).where("__clause >= 0"),
@@ -3958,8 +4148,21 @@ def snapshot_merge_clauses(
 
         # partial-key audit: every affected key's row count must equal
         # its total visible row count — otherwise a key-granular
-        # tombstone would silently drop the unaffected duplicates
-        if audit:
+        # tombstone would silently drop the unaffected duplicates.
+        # r17 fast path: audit AND the distinct tombstone-key file come
+        # from one pyarrow pass over the already-materialized family
+        # files (see _clause_audit_del_fast — the window-computed
+        # __n_tot replaces the old second pass over the target); the
+        # Spark path below remains the fallback.
+        fam_dirs = []
+        if mfam:
+            fam_dirs.append(os.path.join(tmp, "m"))
+        if nfam:
+            fam_dirs.append(os.path.join(tmp, "n"))
+        del_files_fast = (
+            _clause_audit_del_fast(root, fam_dirs, kl) if audit else []
+        )
+        if audit and del_files_fast is None:
             aff = audit[0]
             for a in audit[1:]:
                 aff = aff.unionByName(a)
@@ -4036,13 +4239,14 @@ def snapshot_merge_clauses(
             if new_files
             else None
         )
-        del_files = (
-            _write_data_files(
+        if del_keys is None:
+            del_files = []
+        elif del_files_fast is not None:
+            del_files = del_files_fast
+        else:
+            del_files = _write_data_files(
                 del_keys.select(*kl).distinct(), root, prefix="del"
             )
-            if del_keys is not None
-            else []
-        )
         dseg = (
             _write_segment(root, [{"path": p} for p in del_files])
             if del_files

@@ -1725,11 +1725,15 @@ def a20b_byte_paced_table_stream(spark, sf_dir):
     )
     # live-build entry: materialize the small aggregate, then drop the
     # tempdir table (one events copy per run otherwise leaks)
-    rows = out.collect()
+    # live-build entry: materialize (one Arrow transfer — helpers
+    # .localize, r17), then drop the tempdir table
+    from s3_kinesis_replay_spark.queries.helpers import localize
+
+    local = localize(spark, out)
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local
 
 
 @register(
@@ -1821,12 +1825,15 @@ def a15r_streaming_cdc(spark, sf_dir):
     out = sunk.select(
         "event_id", "user_id", "value", "_change_type", "_commit_version"
     )
-    # live-build entry: materialize, then drop the tempdir table
-    rows = out.collect()
+    # live-build entry: materialize (one Arrow transfer — helpers
+    # .localize, r17), then drop the tempdir table
+    from s3_kinesis_replay_spark.queries.helpers import localize
+
+    local = localize(spark, out)
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local
 
 
 @register(
@@ -1930,12 +1937,15 @@ def a15s_streaming_cdc_merge(spark, sf_dir):
     out = sunk.select(
         "event_id", "user_id", "value", "_change_type", "_commit_version"
     )
-    # live-build entry: materialize, then drop the tempdir table
-    rows = out.collect()
+    # live-build entry: materialize (one Arrow transfer — helpers
+    # .localize, r17), then drop the tempdir table
+    from s3_kinesis_replay_spark.queries.helpers import localize
+
+    local = localize(spark, out)
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local
 
 
 @register(
@@ -2062,11 +2072,15 @@ def a15u_streaming_cdc_composite(spark, sf_dir):
         "user_id", "event_type", "n", "sv",
         "_change_type", "_commit_version",
     )
-    rows = out.collect()
+    # live-build entry: materialize (one Arrow transfer — helpers
+    # .localize, r17), then drop the tempdir table
+    from s3_kinesis_replay_spark.queries.helpers import localize
+
+    local = localize(spark, out)
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local
 
 
 @register(
