@@ -335,7 +335,18 @@ def update_green() -> dict:
 
 
 def emit(limit: int = 50) -> list[str]:
-    """Deterministic front-load list for the next driver window."""
+    """Deterministic front-load list for the next driver window.
+
+    r17: an optional committed ``tools/window_priority.json`` (a JSON
+    list of entry names) hoists named entries to the FRONT of the
+    changed tier, in file order. Rationale (VERDICT r16 item 2): a
+    cross-cutting edit (a shared helper, the catalog loader) marks far
+    more entries "changed" than one 50-slot window can hold, and plain
+    registration order then crowds out exactly the entries whose
+    OPERATOR code changed. The priority file is committed data, so the
+    emit stays deterministic and `check`/tests recompute identically;
+    it cannot promote anything past the never-checked tier, and a name
+    that is not currently in the changed tier is simply ignored."""
     cur = snapshot()
     state = load_state()
     reg_order = list(_registration_order())
@@ -346,6 +357,12 @@ def emit(limit: int = 50) -> list[str]:
         for n in reg_order
         if n in state["green_round"] and state["green_hash"].get(n) != cur[n]
     ]
+    prio_path = REPO / "tools" / "window_priority.json"
+    if prio_path.exists():
+        prio = [
+            n for n in json.loads(prio_path.read_text()) if n in set(changed)
+        ]
+        changed = prio + [n for n in changed if n not in set(prio)]
     taken = set(never) | set(changed)
     ballast = sorted(
         (n for n in reg_order if n not in taken),
